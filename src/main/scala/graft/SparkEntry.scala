@@ -1,13 +1,177 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the §7.5 large-scale extensions) is a
+  * named entry in [[queries]]; SQL-expressible ones carry a DuckDB oracle in
+  * [[oracleSql]] built over the same parquet tables with the same
+  * dirt-injection CTE ([[graft.etl.Oracle]]). Column names and orderings are
+  * kept hash-identical on both sides (SURVEY §7.4 traps: NULLS FIRST,
+  * DECIMAL not DOUBLE, dow 0=Sunday).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference EP3 fact build) on sf0.001; driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Transform.factSales(spark, "/root/testdata/sf0.001")
+
+  private def orderedAsc(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+
+  private def orderBySql(cols: Seq[String]): String =
+    cols.map(c => s"$c NULLS FIRST").mkString(", ")
+
+  private val stagingCols = Staging.columns
+  private val factCols = Seq("invoice_no", "product_key", "customer_key",
+    "date_key", "invoice_date", "quantity", "unit_price", "total_amount")
+
+  // ---------------------------------------------------------------- core ETL
+  private val etlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "staging" -> ((s, d) => orderedAsc(Staging.staging(s, d), stagingCols)),
+    "clean_nulls" -> ((s, d) =>
+      orderedAsc(Clean.dropNulls(Staging.staging(s, d)), stagingCols)),
+    "clean_dedup" -> ((s, d) =>
+      orderedAsc(Clean.dedup(Clean.dropNulls(Staging.staging(s, d))), stagingCols)),
+    "clean_qty" -> ((s, d) =>
+      orderedAsc(Clean.dropZeroQty(Clean.dedup(Clean.dropNulls(Staging.staging(s, d)))), stagingCols)),
+    "cleaned" -> ((s, d) =>
+      orderedAsc(Clean.cleaned(Staging.staging(s, d)), stagingCols)),
+    "dim_product" -> ((s, d) =>
+      Transform.dimProduct(Clean.cleaned(Staging.staging(s, d))).orderBy("product_key")),
+    "dim_customer" -> ((s, d) =>
+      Transform.dimCustomer(Clean.cleaned(Staging.staging(s, d))).orderBy("customer_key")),
+    "dim_date" -> ((s, d) =>
+      Transform.dimDate(Clean.cleaned(Staging.staging(s, d))).orderBy("date_key")),
+    "fact_sales" -> ((s, d) => orderedAsc(Transform.factSales(s, d), factCols)),
+  )
+
+  private val etlOracles: Map[String, String] = Map(
+    "staging" ->
+      s"${Oracle.stagingCte} SELECT * FROM staging ORDER BY ${orderBySql(stagingCols)}",
+    "clean_nulls" ->
+      s"""${Oracle.stagingCte} SELECT * FROM staging WHERE ${Oracle.notNullPred}
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    "clean_dedup" ->
+      s"""${Oracle.stagingCte} SELECT DISTINCT * FROM staging WHERE ${Oracle.notNullPred}
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    "clean_qty" ->
+      s"""${Oracle.stagingCte} SELECT DISTINCT * FROM staging WHERE ${Oracle.notNullPred}
+         | AND quantity <> 0 ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    "cleaned" ->
+      s"${Oracle.cleanedCte} SELECT * FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
+    "dim_product" ->
+      s"${Oracle.warehouseCte} SELECT * FROM dim_product ORDER BY product_key",
+    "dim_customer" ->
+      s"${Oracle.warehouseCte} SELECT * FROM dim_customer ORDER BY customer_key",
+    "dim_date" ->
+      s"${Oracle.warehouseCte} SELECT * FROM dim_date ORDER BY date_key",
+    "fact_sales" ->
+      s"${Oracle.warehouseCte} SELECT * FROM fact_sales ORDER BY ${orderBySql(factCols)}",
+  )
+
+  // ------------------------------------------------------- quality / verify
+  private val qualityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stage_counts" -> ((s, d) => Quality.stageCounts(s, d)),
+    "q_distinct_stats" -> ((s, d) => Quality.distinctStats(s, d)),
+    "q_null_profile" -> ((s, d) => Quality.nullProfile(s, d)),
+    "q_date_range" -> ((s, d) => Quality.dateRange(s, d)),
+    "q_revenue_total" -> ((s, d) => Quality.revenueTotal(s, d)),
+    "q_dup_groups" -> ((s, d) => Quality.duplicateGroups(s, d)),
+    "q_value_checks" -> ((s, d) => Quality.valueChecks(s, d)),
+    "q_top_products" -> ((s, d) => Quality.topProducts(s, d)),
+    "q_monthly_sales" -> ((s, d) => Quality.monthlySales(s, d)),
+    "q_country_sales" -> ((s, d) => Quality.countrySales(s, d)),
+    "q_sample" -> ((s, d) => Quality.sampleRows(s, d)),
+  )
+
+  private val stageCountsOracle: String =
+    s"""${Oracle.stagingCte},
+       | s2 AS (SELECT * FROM staging WHERE ${Oracle.notNullPred}),
+       | s3 AS (SELECT DISTINCT * FROM s2),
+       | s4 AS (SELECT * FROM s3 WHERE quantity <> 0),
+       | s5 AS (SELECT * FROM s4 WHERE unit_price > 0)
+       | SELECT stage, n FROM (
+       |   SELECT '1_staging' AS stage, COUNT(*) AS n FROM staging
+       |   UNION ALL SELECT '2_not_null', COUNT(*) FROM s2
+       |   UNION ALL SELECT '3_dedup', COUNT(*) FROM s3
+       |   UNION ALL SELECT '4_qty', COUNT(*) FROM s4
+       |   UNION ALL SELECT '5_price', COUNT(*) FROM s5
+       | ) ORDER BY stage""".stripMargin
+
+  private val qualityOracles: Map[String, String] = Map(
+    "q_stage_counts" -> stageCountsOracle,
+    "q_distinct_stats" ->
+      s"""${Oracle.cleanedCte} SELECT
+         | COUNT(DISTINCT invoice_no) AS n_invoices,
+         | COUNT(DISTINCT stock_code) AS n_products,
+         | COUNT(DISTINCT customer_id) AS n_customers,
+         | COUNT(DISTINCT country) AS n_countries
+         | FROM cleaned""".stripMargin,
+    "q_null_profile" ->
+      s"""${Oracle.stagingCte} SELECT
+         | CAST(SUM(CASE WHEN invoice_no IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_invoice_no,
+         | CAST(SUM(CASE WHEN stock_code IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_stock_code,
+         | CAST(SUM(CASE WHEN quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity,
+         | CAST(SUM(CASE WHEN invoice_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_invoice_date,
+         | CAST(SUM(CASE WHEN unit_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_unit_price,
+         | CAST(SUM(CASE WHEN customer_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_customer_id
+         | FROM staging""".stripMargin,
+    "q_date_range" ->
+      s"""${Oracle.cleanedCte} SELECT min(invoice_date) AS min_date,
+         | max(invoice_date) AS max_date,
+         | COUNT(DISTINCT CAST(invoice_date AS DATE)) AS n_days
+         | FROM cleaned""".stripMargin,
+    "q_revenue_total" ->
+      s"""${Oracle.warehouseCte} SELECT COUNT(*) AS n_rows,
+         | CAST(COALESCE(SUM(total_amount), 0) AS DECIMAL(18,2)) AS total_revenue,
+         | CAST(SUM(quantity) AS BIGINT) AS total_quantity
+         | FROM fact_sales""".stripMargin,
+    "q_dup_groups" ->
+      s"""${Oracle.stagingCte} SELECT COUNT(*) AS n_dup_groups,
+         | CAST(SUM(n) AS BIGINT) AS n_dup_rows FROM (
+         |   SELECT invoice_no, stock_code, COUNT(*) AS n FROM staging
+         |   GROUP BY invoice_no, stock_code HAVING COUNT(*) > 1)""".stripMargin,
+    "q_value_checks" ->
+      s"""${Oracle.stagingCte} SELECT
+         | CAST(SUM(CASE WHEN quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_qty,
+         | CAST(SUM(CASE WHEN quantity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_qty,
+         | CAST(SUM(CASE WHEN unit_price = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_price,
+         | CAST(SUM(CASE WHEN unit_price < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_price
+         | FROM staging""".stripMargin,
+    "q_top_products" ->
+      s"""${Oracle.warehouseCte} SELECT product_key,
+         | CAST(SUM(total_amount) AS DECIMAL(18,2)) AS revenue,
+         | CAST(SUM(quantity) AS BIGINT) AS units
+         | FROM fact_sales GROUP BY product_key
+         | ORDER BY revenue DESC, product_key LIMIT 10""".stripMargin,
+    "q_monthly_sales" ->
+      s"""${Oracle.warehouseCte} SELECT
+         | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
+         | CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
+         | COUNT(*) AS n_sales,
+         | CAST(SUM(total_amount) AS DECIMAL(18,2)) AS revenue
+         | FROM fact_sales GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+    "q_country_sales" ->
+      s"""${Oracle.warehouseCte} SELECT c.country, COUNT(*) AS n_sales,
+         | CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS revenue
+         | FROM fact_sales f JOIN dim_customer c ON f.customer_key = c.customer_key
+         | GROUP BY c.country ORDER BY c.country""".stripMargin,
+    "q_sample" ->
+      s"""${Oracle.cleanedCte} SELECT * FROM cleaned
+         | ORDER BY ${orderBySql(stagingCols)} LIMIT 3""".stripMargin,
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    etlQueries ++ qualityQueries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    etlOracles ++ qualityOracles
 }

@@ -1,0 +1,109 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Star-schema build (reference `dags/dag3_transform_warehouse.py`):
+  * three dimensions + the fact, re-expressed as DataFrame lineages.
+  *
+  * Surrogate keys: the reference uses SERIAL (load-order-dependent); we make
+  * them deterministic via `row_number()` over the natural-key order so joins
+  * and oracle comparisons are stable (SURVEY §7.4 K1). The single-partition
+  * window is fine at dimension cardinality (thousands-to-millions of rows);
+  * for a truly fact-sized key column use `monotonically_increasing_id()` or
+  * `zipWithIndex` — uniqueness without a global sort — which is why
+  * `sale_key` is not emitted at all (nothing reads it, reference
+  * `schema/warehouse_schema.sql:36`).
+  *
+  * Scale notes (100 TB): dims are orders-of-magnitude smaller than the fact
+  * -> all three fact-build joins are `broadcast()` hash joins, zero shuffle
+  * of the fact side (reference gets the same effect from PG hash joins,
+  * SURVEY §3 EP3). The fact write partitions by (year, month), replicating
+  * the reference's monthly RANGE partitioning
+  * (`schema/warehouse_schema.sql:52-95`) so time-windowed reads prune.
+  */
+object Transform {
+
+  /** dim_product: one row per stock_code, MAX(description) picks the
+    * canonical description (A4, reference `dags/dag3_transform_warehouse.py:41-49`). */
+  def dimProduct(cleaned: DataFrame): DataFrame =
+    cleaned.groupBy("stock_code").agg(max("description").as("description"))
+      .withColumn("product_key",
+        row_number().over(Window.orderBy("stock_code")).cast(LongType))
+      .select("product_key", "stock_code", "description")
+
+  /** dim_customer: MAX(country) per customer + the UNKNOWN sentinel row for
+    * null customers (reference `dags/dag3_transform_warehouse.py:63-77`). */
+  def dimCustomer(cleaned: DataFrame): DataFrame = {
+    val spark = cleaned.sparkSession
+    val known = cleaned.filter(col("customer_id").isNotNull)
+      .groupBy("customer_id").agg(max("country").as("country"))
+    val sentinel = spark.range(1)
+      .select(lit("UNKNOWN").as("customer_id"), lit("UNKNOWN").as("country"))
+    known.unionByName(sentinel)
+      .withColumn("customer_key",
+        row_number().over(Window.orderBy("customer_id")).cast(LongType))
+      .select("customer_key", "customer_id", "country")
+  }
+
+  /** dim_date: distinct calendar days with derived attributes (A5/E3-E5,
+    * reference `dags/dag3_transform_warehouse.py:91-103`). day_of_week is
+    * Postgres-convention 0=Sunday..6=Saturday -> `dayofweek(d) - 1`
+    * (Spark is 1=Sunday; SURVEY §7.4 DOW trap). */
+  def dimDate(cleaned: DataFrame): DataFrame =
+    cleaned.select(to_date(col("invoice_date")).as("date")).distinct()
+      .withColumn("date_key", row_number().over(Window.orderBy("date")).cast(LongType))
+      .select(
+        col("date_key"), col("date"),
+        year(col("date")).as("year"),
+        month(col("date")).as("month"),
+        dayofmonth(col("date")).as("day"),
+        quarter(col("date")).as("quarter"),
+        (dayofweek(col("date")) - 1).as("day_of_week"))
+
+  /** fact_sales: swap natural keys for surrogate keys via three broadcast
+    * inner joins (J1-J3), derive total_amount = quantity * unit_price (E1)
+    * kept in exact DECIMAL (reference `dags/dag3_transform_warehouse.py:112-143`). */
+  def factSales(cleaned: DataFrame, dimP: DataFrame, dimC: DataFrame, dimD: DataFrame): DataFrame = {
+    // The dims derive from `cleaned` itself — rename their natural-key
+    // columns so Catalyst's self-join ambiguity check stays happy.
+    val p = dimP.select(col("product_key"), col("stock_code").as("dim_stock_code"))
+    val c = dimC.select(col("customer_key"), col("customer_id").as("dim_customer_id"))
+    val d = dimD.select(col("date_key"), col("date").as("dim_date"))
+    cleaned
+      .join(broadcast(p), col("stock_code") === col("dim_stock_code"))
+      .join(broadcast(c), coalesce(col("customer_id"), lit("UNKNOWN")) === col("dim_customer_id"))
+      .join(broadcast(d), to_date(col("invoice_date")) === col("dim_date"))
+      .select(
+        col("invoice_no"), col("product_key"), col("customer_key"), col("date_key"),
+        col("invoice_date"), col("quantity"), col("unit_price"),
+        (col("quantity") * col("unit_price")).cast(DecimalType(12, 2)).as("total_amount"))
+  }
+
+  /** Convenience: cleaned staging -> fact in one call. */
+  def factSales(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = Clean.cleaned(Staging.staging(spark, dir))
+    factSales(cleaned, dimProduct(cleaned), dimCustomer(cleaned), dimDate(cleaned))
+  }
+
+  /** Full-refresh warehouse write: fact partitioned by (year, month) to
+    * replicate the reference's monthly RANGE partitions — readers with
+    * year/month predicates prune partitions; row-group min/max on
+    * invoice_date skips within partitions. */
+  def writeWarehouse(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val cleaned = Clean.cleaned(Staging.staging(spark, dir))
+    val dimP = dimProduct(cleaned)
+    val dimC = dimCustomer(cleaned)
+    val dimD = dimDate(cleaned)
+    dimP.write.mode("overwrite").parquet(s"$outDir/dim_product")
+    dimC.write.mode("overwrite").parquet(s"$outDir/dim_customer")
+    dimD.write.mode("overwrite").parquet(s"$outDir/dim_date")
+    factSales(cleaned, dimP, dimC, dimD)
+      .withColumn("year", year(col("invoice_date")))
+      .withColumn("month", month(col("invoice_date")))
+      .write.mode("overwrite").partitionBy("year", "month")
+      .parquet(s"$outDir/fact_sales")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over the `events` fixture (ts, user_id,
+  * event_type, value, props JSON) — the batch analogues of streaming
+  * windows/sessionization (SURVEY §7.5), plus JSON extraction and top-k.
+  *
+  * Scale notes: hourly rollup and top-k are partial-agg + single shuffle.
+  * Sessionization shuffles once on user_id, then both window functions and
+  * the session aggregation reuse that partitioning (Catalyst plans one
+  * Exchange; sort by (ts, event_id) within user is executor-local).
+  * user_id is the natural skew risk at 100 TB — a bot user with 10^9 events
+  * lands on one task; mitigation is AQE skew handling or pre-splitting hot
+  * users by (user_id, day) and stitching sessions across the cut.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows x event_type: count + exact DECIMAL total
+    * (batch analogue of a watermarked streaming window agg). */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): lag marks session
+    * starts, a running sum assigns session ids, then per-session rollup.
+    * Deterministic tiebreak on (ts, event_id). */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** JSON property extraction (`props` is a JSON string): real JSON-path
+    * parsing on the Spark side; the oracle replays it with a regexp so the
+    * check does not depend on DuckDB's json extension. */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Top-k heavy users by total value — plans as TakeOrderedAndProject
+    * (per-partition heaps, k-row driver merge; no global sort at scale). */
+  def topUsers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total_value"))
+      .orderBy(desc("total_value"), asc("user_id")).limit(k)
+
+  /** Daily active users: exact distinct per calendar day. */
+  def dailyActive(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day")
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (doc_id, text, lang, source, n_chars) — SURVEY §7.5 / builder-prompt
+  * extensions: token counting, quality scoring, language ID, document
+  * fingerprinting.
+  *
+  * Everything here is per-row narrow work (no shuffle at all except the
+  * final presentation ORDER BY, which only the verification harness needs)
+  * — at 100 TB these run at scan speed inside whole-stage codegen; all
+  * expressions are built-in higher-order functions, no Scala UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The fixture corpus is single-space separated;
+    * `split(_, " ")` matches DuckDB `string_split` empty-token semantics
+    * exactly (both yield "" for runs of spaces). */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(c, " ")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  private val stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Token/char counts per document (BPE-ish subword estimate included:
+    * ceil(chars/4) is the standard rough tokens-per-byte heuristic). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars"),
+      length(regexp_replace(col("text"), " ", "")).as("n_alpha"),
+      ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: integer metrics + a deterministic boolean gate
+    * (length window, enough tokens, stopword density via cross-multiplied
+    * integer arithmetic — no float ratios, so the oracle hash-matches). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      expr(s"size(filter(split(text, ' '), w -> w IN ($stopwordSqlList)))").as("n_stopwords"),
+      length(col("text")).as("n_chars"))
+      .withColumn("quality_pass",
+        col("n_chars") >= 40 && col("n_chars") <= 20000 &&
+          col("n_tokens") >= 8 &&
+          col("n_stopwords") * 20 >= col("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Language ID via stopword-profile scoring: count hits against a
+    * per-language function-word set, argmax wins (ties break by language
+    * code). A real system would use character n-gram profiles; the
+    * *operator shape* — a handful of set-membership counts + argmax, all
+    * codegen'd per row — is identical. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "y", "de", "un", "una", "es", "que", "por", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht", "mit", "von", "zu"))
+
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langProfiles.toSeq.sortBy(_._1).foldLeft(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang").as("labeled_lang"))) {
+      case (df, (code, words)) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"score_$code",
+          expr(s"size(filter(split(text, ' '), w -> w IN ($list)))"))
+    }
+    val codes = langProfiles.keys.toSeq.sorted
+    val best = codes.map(c => struct(col(s"score_$c").as("score"), lit(c).as("code")))
+    scored
+      .withColumn("detected", greatest(best: _*))
+      .select(
+        col("doc_id"), col("labeled_lang"),
+        when(col("detected.score") > 0, col("detected.code")).otherwise(lit("und")).as("detected_lang"),
+        col("detected.score").as("lang_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: polynomial rolling hash over token lengths in
+    * modular arithmetic — portable (no engine-specific hash), so the DuckDB
+    * oracle replays it with list_reduce. Used as a cheap shard-stable
+    * content fingerprint for incremental dedup at scale. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("""aggregate(split(text, ' '),
+             |  CAST(7 AS BIGINT),
+             |  (acc, w) -> (acc * 31 + length(w) + 1) % 1000000007)""".stripMargin)
+        .as("fingerprint"))
+      .orderBy("doc_id")
+}

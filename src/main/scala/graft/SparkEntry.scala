@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * named entry in [[queries]]; SQL-expressible ones carry a DuckDB oracle in
   * [[oracleSql]] built over the same parquet tables with the same
   * dirt-injection CTE ([[graft.etl.Oracle]]). Column names and orderings are
-  * kept hash-identical on both sides (SURVEY §7.4 traps: NULLS FIRST,
-  * DECIMAL not DOUBLE, dow 0=Sunday).
+  * kept identical on both sides (SURVEY §7.4 traps: NULLS FIRST, dow
+  * 0=Sunday, and money columns cast DECIMAL→DOUBLE at the output boundary —
+  * see [[graft.etl.Oracle]]).
   */
 object SparkEntry {
 
@@ -26,44 +27,54 @@ object SparkEntry {
   private def orderBySql(cols: Seq[String]): String =
     cols.map(c => s"$c NULLS FIRST").mkString(", ")
 
+  /** Output-boundary money representation: internal arithmetic stays exact
+    * DECIMAL (drift-free sums at any scale); query OUTPUTS cast money
+    * columns to DOUBLE so Spark parquet and the DuckDB oracle hash
+    * identically (decimals print '910.6' vs '910.60' depending on the
+    * reader — the r1 failure mode; a 2-decimal value ≤1e9 is lossless in
+    * a double, and IEEE casting is bit-identical on both sides). */
+  private def moneyDouble(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("double")))
+
   private val stagingCols = Staging.columns
   private val factCols = Seq("invoice_no", "product_key", "customer_key",
     "date_key", "invoice_date", "quantity", "unit_price", "total_amount")
 
   // ---------------------------------------------------------------- core ETL
   private val etlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "staging" -> ((s, d) => orderedAsc(Staging.staging(s, d), stagingCols)),
+    "staging" -> ((s, d) =>
+      orderedAsc(moneyDouble(Warehouse(s, d).staging, Seq("unit_price")), stagingCols)),
     "clean_nulls" -> ((s, d) =>
-      orderedAsc(Clean.dropNulls(Staging.staging(s, d)), stagingCols)),
+      orderedAsc(moneyDouble(Clean.dropNulls(Warehouse(s, d).staging), Seq("unit_price")), stagingCols)),
     "clean_dedup" -> ((s, d) =>
-      orderedAsc(Clean.dedup(Clean.dropNulls(Staging.staging(s, d))), stagingCols)),
+      orderedAsc(moneyDouble(Clean.dedup(Clean.dropNulls(Warehouse(s, d).staging)), Seq("unit_price")), stagingCols)),
     "clean_qty" -> ((s, d) =>
-      orderedAsc(Clean.dropZeroQty(Clean.dedup(Clean.dropNulls(Staging.staging(s, d)))), stagingCols)),
+      orderedAsc(moneyDouble(Clean.dropZeroQty(Clean.dedup(Clean.dropNulls(Warehouse(s, d).staging))), Seq("unit_price")), stagingCols)),
     "cleaned" -> ((s, d) =>
-      orderedAsc(Clean.cleaned(Staging.staging(s, d)), stagingCols)),
-    "dim_product" -> ((s, d) =>
-      Transform.dimProduct(Clean.cleaned(Staging.staging(s, d))).orderBy("product_key")),
-    "dim_customer" -> ((s, d) =>
-      Transform.dimCustomer(Clean.cleaned(Staging.staging(s, d))).orderBy("customer_key")),
-    "dim_date" -> ((s, d) =>
-      Transform.dimDate(Clean.cleaned(Staging.staging(s, d))).orderBy("date_key")),
-    "fact_sales" -> ((s, d) => orderedAsc(Transform.factSales(s, d), factCols)),
+      orderedAsc(moneyDouble(Warehouse(s, d).cleaned, Seq("unit_price")), stagingCols)),
+    "dim_product" -> ((s, d) => Warehouse(s, d).dimProduct.orderBy("product_key")),
+    "dim_customer" -> ((s, d) => Warehouse(s, d).dimCustomer.orderBy("customer_key")),
+    "dim_date" -> ((s, d) => Warehouse(s, d).dimDate.orderBy("date_key")),
+    "fact_sales" -> ((s, d) =>
+      orderedAsc(moneyDouble(Warehouse(s, d).fact, Seq("unit_price", "total_amount")), factCols)),
   )
 
   private val etlOracles: Map[String, String] = Map(
     "staging" ->
-      s"${Oracle.stagingCte} SELECT * FROM staging ORDER BY ${orderBySql(stagingCols)}",
+      s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
     "clean_nulls" ->
-      s"""${Oracle.stagingCte} SELECT * FROM staging WHERE ${Oracle.notNullPred}
+      s"""${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging WHERE ${Oracle.notNullPred}
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "clean_dedup" ->
-      s"""${Oracle.stagingCte} SELECT DISTINCT * FROM staging WHERE ${Oracle.notNullPred}
+      s"""${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM
+         | (SELECT DISTINCT * FROM staging WHERE ${Oracle.notNullPred})
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "clean_qty" ->
-      s"""${Oracle.stagingCte} SELECT DISTINCT * FROM staging WHERE ${Oracle.notNullPred}
-         | AND quantity <> 0 ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+      s"""${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM
+         | (SELECT DISTINCT * FROM staging WHERE ${Oracle.notNullPred} AND quantity <> 0)
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "cleaned" ->
-      s"${Oracle.cleanedCte} SELECT * FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
+      s"${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
     "dim_product" ->
       s"${Oracle.warehouseCte} SELECT * FROM dim_product ORDER BY product_key",
     "dim_customer" ->
@@ -71,7 +82,10 @@ object SparkEntry {
     "dim_date" ->
       s"${Oracle.warehouseCte} SELECT * FROM dim_date ORDER BY date_key",
     "fact_sales" ->
-      s"${Oracle.warehouseCte} SELECT * FROM fact_sales ORDER BY ${orderBySql(factCols)}",
+      s"""${Oracle.warehouseCte} SELECT invoice_no, product_key, customer_key, date_key,
+         | invoice_date, quantity, CAST(unit_price AS DOUBLE) AS unit_price,
+         | CAST(total_amount AS DOUBLE) AS total_amount
+         | FROM fact_sales ORDER BY ${orderBySql(factCols)}""".stripMargin,
   )
 
   // ------------------------------------------------------- quality / verify
@@ -86,7 +100,9 @@ object SparkEntry {
     "q_top_products" -> ((s, d) => Quality.topProducts(s, d)),
     "q_monthly_sales" -> ((s, d) => Quality.monthlySales(s, d)),
     "q_country_sales" -> ((s, d) => Quality.countrySales(s, d)),
-    "q_sample" -> ((s, d) => Quality.sampleRows(s, d)),
+    "q_sample" -> ((s, d) => moneyDouble(Quality.sampleRows(s, d), Seq("unit_price"))),
+    "q_consistency" -> ((s, d) => Quality.consistency(s, d)),
+    "q_freshness" -> ((s, d) => Quality.freshness(s, d)),
   )
 
   private val stageCountsOracle: String =
@@ -128,7 +144,7 @@ object SparkEntry {
          | FROM cleaned""".stripMargin,
     "q_revenue_total" ->
       s"""${Oracle.warehouseCte} SELECT COUNT(*) AS n_rows,
-         | CAST(COALESCE(SUM(total_amount), 0) AS DECIMAL(18,2)) AS total_revenue,
+         | CAST(CAST(COALESCE(SUM(total_amount), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
          | CAST(SUM(quantity) AS BIGINT) AS total_quantity
          | FROM fact_sales""".stripMargin,
     "q_dup_groups" ->
@@ -145,7 +161,7 @@ object SparkEntry {
          | FROM staging""".stripMargin,
     "q_top_products" ->
       s"""${Oracle.warehouseCte} SELECT product_key,
-         | CAST(SUM(total_amount) AS DECIMAL(18,2)) AS revenue,
+         | CAST(CAST(SUM(total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
          | CAST(SUM(quantity) AS BIGINT) AS units
          | FROM fact_sales GROUP BY product_key
          | ORDER BY revenue DESC, product_key LIMIT 10""".stripMargin,
@@ -154,16 +170,26 @@ object SparkEntry {
          | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
          | CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
          | COUNT(*) AS n_sales,
-         | CAST(SUM(total_amount) AS DECIMAL(18,2)) AS revenue
+         | CAST(CAST(SUM(total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          | FROM fact_sales GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
     "q_country_sales" ->
       s"""${Oracle.warehouseCte} SELECT c.country, COUNT(*) AS n_sales,
-         | CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS revenue
+         | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          | FROM fact_sales f JOIN dim_customer c ON f.customer_key = c.customer_key
          | GROUP BY c.country ORDER BY c.country""".stripMargin,
     "q_sample" ->
-      s"""${Oracle.cleanedCte} SELECT * FROM cleaned
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | ORDER BY ${orderBySql(stagingCols)} LIMIT 3""".stripMargin,
+    "q_consistency" ->
+      s"""${Oracle.warehouseCte} SELECT n_cleaned, n_fact, n_cleaned - n_fact AS diff,
+         | ABS(n_cleaned - n_fact) * 100 <= n_cleaned * 5 AS within_5pct
+         | FROM (SELECT COUNT(*) AS n_cleaned FROM cleaned),
+         |      (SELECT COUNT(*) AS n_fact FROM fact_sales)""".stripMargin,
+    "q_freshness" ->
+      s"""${Oracle.warehouseCte} SELECT staging_max_date, fact_max_date,
+         | staging_max_date = fact_max_date AS in_sync
+         | FROM (SELECT MAX(CAST(invoice_date AS DATE)) AS staging_max_date FROM cleaned),
+         |      (SELECT MAX(CAST(invoice_date AS DATE)) AS fact_max_date FROM fact_sales)""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -8,12 +8,25 @@ package graft.etl
   *
   * The staging/cleaning CTEs replay [[Staging.staging]] and [[Clean]]'s
   * lineages exactly (same dirt-injection arithmetic, same DECIMAL(10,2)
-  * casts), so every downstream query hash-matches. Dedup is expressed as
-  * `SELECT DISTINCT *` here vs keyed `dropDuplicates` in Spark — equivalent
-  * on this data because description/country are functionally dependent on
-  * the dedup keys and injected duplicates are exact row copies (SURVEY §7.4).
+  * casts). Dedup is expressed as `SELECT DISTINCT *` here vs keyed
+  * `dropDuplicates` in Spark — equivalent on this data because
+  * description/country are functionally dependent on the dedup keys and
+  * injected duplicates are exact row copies (SURVEY §7.4).
+  *
+  * Money columns cross the query OUTPUT boundary as DOUBLE on both sides
+  * ([[stagingSelectDouble]] here, `SparkEntry.moneyDouble` there): interior
+  * arithmetic stays exact DECIMAL, but a decimal leaving the query would
+  * hash differently per reader ('910.6' vs '910.60' — the r1 failure mode),
+  * while the IEEE double nearest an exact 2-decimal ≤1e9 value is unique
+  * and bit-identical across engines.
   */
 object Oracle {
+
+  /** Staging-shaped SELECT list with the money column cast to DOUBLE at the
+    * output boundary. */
+  val stagingSelectDouble: String =
+    """invoice_no, stock_code, description, quantity, invoice_date,
+      |    CAST(unit_price AS DOUBLE) AS unit_price, customer_id, country""".stripMargin
 
   /** `WITH staging AS (...)` — mirrors [[Staging.staging]]. */
   val stagingCte: String =

@@ -9,24 +9,24 @@ import org.apache.spark.sql.types._
   * Each returns a small, deterministic result (total ORDER BY) so the
   * DuckDB oracle hash-matches.
   *
-  * Scale notes: every query here is a full-scan aggregate with map-side
-  * partial aggregation — one shuffle of pre-aggregated partials, no
-  * driver-side loops. `countDistinct` is exact (the reference's gates need
-  * exact counts); the approximate HLL variant is exposed separately in
-  * [[graft.ext.ApproxStats]] for the 100 TB profile where a 2% error is a
-  * 50x cheaper plan.
+  * All queries read the once-per-session [[Warehouse]] cache instead of
+  * rebuilding the ETL lineage from raw parquet (the reference verifies
+  * against the materialized Postgres tables, `scripts/verify_ingestion.py:158-245`
+  * — it never re-runs the pipeline per check). Every query below is a
+  * full-scan aggregate with map-side partial aggregation — one shuffle of
+  * pre-aggregated partials, no driver-side loops. `countDistinct` is exact
+  * (the reference's gates need exact counts); the approximate HLL variant
+  * for the 100 TB profile — where a 2% error buys a dramatically cheaper
+  * plan — is [[graft.ext.ApproxStats.distinctStats]].
   */
 object Quality {
 
-  private def stagingAndCleaned(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val s = Staging.staging(spark, dir)
-    (s, Clean.cleaned(s))
-  }
-
   /** A1/K5/K8: per-stage row counts stacked with UNION ALL (the reference's
-    * stage-metrics + README verification query, `README.md:201-207`). */
+    * stage-metrics + README verification query, `README.md:201-207`).
+    * Counts prefixes of ONE cached staging scan — each stage is a narrow
+    * filter over the persisted staging, not a lineage rebuild. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
-    val s = Staging.staging(spark, dir)
+    val s = Warehouse(spark, dir).staging
     val afterNulls = Clean.dropNulls(s)
     val afterDedup = Clean.dedup(afterNulls)
     val afterQty = Clean.dropZeroQty(afterDedup)
@@ -43,19 +43,17 @@ object Quality {
 
   /** A2/A3: distinct cardinalities of the business keys
     * (reference `dags/dag2_clean_validate.py:114-121`). */
-  def distinctStats(spark: SparkSession, dir: String): DataFrame = {
-    val (_, cleaned) = stagingAndCleaned(spark, dir)
-    cleaned.agg(
+  def distinctStats(spark: SparkSession, dir: String): DataFrame =
+    Warehouse(spark, dir).cleaned.agg(
       countDistinct(col("invoice_no")).as("n_invoices"),
       countDistinct(col("stock_code")).as("n_products"),
       countDistinct(col("customer_id")).as("n_customers"),
       countDistinct(col("country")).as("n_countries"))
-  }
 
   /** A8/E6: null profile — per-column null counts in one pass
     * (reference `scripts/verify_ingestion.py:119-126`). */
   def nullProfile(spark: SparkSession, dir: String): DataFrame = {
-    val s = Staging.staging(spark, dir)
+    val s = Warehouse(spark, dir).staging
     def nulls(c: String) = sum(when(col(c).isNull, 1).otherwise(0)).as(s"null_$c")
     s.agg(nulls("invoice_no"), nulls("stock_code"), nulls("quantity"),
       nulls("invoice_date"), nulls("unit_price"), nulls("customer_id"))
@@ -63,26 +61,27 @@ object Quality {
 
   /** A6: min/max invoice_date profiling
     * (reference `scripts/verify_ingestion.py:91-98`). */
-  def dateRange(spark: SparkSession, dir: String): DataFrame = {
-    val (_, cleaned) = stagingAndCleaned(spark, dir)
-    cleaned.agg(
+  def dateRange(spark: SparkSession, dir: String): DataFrame =
+    Warehouse(spark, dir).cleaned.agg(
       min(col("invoice_date")).as("min_date"),
       max(col("invoice_date")).as("max_date"),
       countDistinct(to_date(col("invoice_date"))).as("n_days"))
-  }
 
   /** A7/A10: total revenue + total quantity over the fact
-    * (reference `dags/dag3_transform_warehouse.py:151-164`). */
+    * (reference `dags/dag3_transform_warehouse.py:151-164`). Money sums
+    * stay exact DECIMAL internally; the DOUBLE cast at the end is the
+    * output-boundary representation the oracle hash-matches on. */
   def revenueTotal(spark: SparkSession, dir: String): DataFrame =
-    Transform.factSales(spark, dir).agg(
+    Warehouse(spark, dir).fact.agg(
       count(lit(1)).as("n_rows"),
-      coalesce(sum(col("total_amount")), lit(BigDecimal(0))).cast(DecimalType(18, 2)).as("total_revenue"),
+      coalesce(sum(col("total_amount")), lit(BigDecimal(0)))
+        .cast(DecimalType(18, 2)).cast(DoubleType).as("total_revenue"),
       sum(col("quantity")).as("total_quantity"))
 
   /** D2/A9: duplicate detection report — (invoice, product) groups with >1
     * row in raw staging (reference `scripts/verify_ingestion.py:351-358`). */
   def duplicateGroups(spark: SparkSession, dir: String): DataFrame =
-    Staging.staging(spark, dir)
+    Warehouse(spark, dir).staging
       .groupBy("invoice_no", "stock_code").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .agg(count(lit(1)).as("n_dup_groups"), sum(col("n")).as("n_dup_rows"))
@@ -90,7 +89,7 @@ object Quality {
   /** F5: data-quality rule counts — negative qty (returns, expected),
     * zero/negative prices (reference `scripts/verify_ingestion.py:302-344`). */
   def valueChecks(spark: SparkSession, dir: String): DataFrame =
-    Staging.staging(spark, dir).agg(
+    Warehouse(spark, dir).staging.agg(
       sum(when(col("quantity") < 0, 1).otherwise(0)).as("n_negative_qty"),
       sum(when(col("quantity") === 0, 1).otherwise(0)).as("n_zero_qty"),
       sum(when(col("unit_price") === 0, 1).otherwise(0)).as("n_zero_price"),
@@ -100,38 +99,61 @@ object Quality {
     * Catalyst plans orderBy+limit as TakeOrderedAndProject: per-partition
     * heaps + a k-row driver merge, no global sort even at 100 TB. */
   def topProducts(spark: SparkSession, dir: String): DataFrame =
-    Transform.factSales(spark, dir)
+    Warehouse(spark, dir).fact
       .groupBy("product_key").agg(
-        sum(col("total_amount")).cast(DecimalType(18, 2)).as("revenue"),
+        sum(col("total_amount")).cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"),
         sum(col("quantity")).as("units"))
       .orderBy(desc("revenue"), asc("product_key")).limit(10)
 
   /** Monthly sales rollup — the partition-pruning-shaped query the monthly
     * RANGE layout exists for (reference `schema/warehouse_schema.sql:52-95`). */
   def monthlySales(spark: SparkSession, dir: String): DataFrame =
-    Transform.factSales(spark, dir)
+    Warehouse(spark, dir).fact
       .groupBy(year(col("invoice_date")).as("year"), month(col("invoice_date")).as("month"))
       .agg(count(lit(1)).as("n_sales"),
-        sum(col("total_amount")).cast(DecimalType(18, 2)).as("revenue"))
+        sum(col("total_amount")).cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
       .orderBy("year", "month")
 
   /** Revenue by country through the customer dimension (exercises the
-    * sentinel: null customers land in UNKNOWN). */
+    * sentinel: null customers land in UNKNOWN). One broadcast join against
+    * the cached dim — no dim rebuild. */
   def countrySales(spark: SparkSession, dir: String): DataFrame = {
-    val cleaned = Clean.cleaned(Staging.staging(spark, dir))
-    val dimC = Transform.dimCustomer(cleaned)
-    val fact = Transform.factSales(cleaned,
-      Transform.dimProduct(cleaned), dimC, Transform.dimDate(cleaned))
-    fact.join(broadcast(dimC), Seq("customer_key"))
+    val wh = Warehouse(spark, dir)
+    wh.fact.join(broadcast(wh.dimCustomer.select("customer_key", "country")), Seq("customer_key"))
       .groupBy("country")
       .agg(count(lit(1)).as("n_sales"),
-        sum(col("total_amount")).cast(DecimalType(18, 2)).as("revenue"))
+        sum(col("total_amount")).cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
       .orderBy("country")
   }
 
   /** S9: deterministic sample — first 3 rows by full ordering
     * (reference `scripts/verify_ingestion.py:136-140`). */
   def sampleRows(spark: SparkSession, dir: String): DataFrame =
-    Clean.cleaned(Staging.staging(spark, dir))
+    Warehouse(spark, dir).cleaned
       .orderBy(Staging.columns.map(col): _*).limit(3)
+
+  /** Q3: staging-vs-fact consistency within the reference's 5% tolerance
+    * (`scripts/verify_ingestion.py:231-236`). Row-parity holds by
+    * construction (inner joins lose nothing), so diff_pct is 0 minus the
+    * rows cleaning dropped — exactly what the reference measures. */
+  def consistency(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Warehouse(spark, dir)
+    val s = wh.cleaned.agg(count(lit(1)).as("n_cleaned"))
+    val f = wh.fact.agg(count(lit(1)).as("n_fact"))
+    s.crossJoin(f).select(
+      col("n_cleaned"), col("n_fact"),
+      (col("n_cleaned") - col("n_fact")).as("diff"),
+      (abs(col("n_cleaned") - col("n_fact")) * 100L <= col("n_cleaned") * 5L).as("within_5pct"))
+  }
+
+  /** Q4: freshness sync — max invoice_date in cleaned staging vs max date
+    * represented in the fact (`scripts/verify_ingestion.py:257-289`). */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Warehouse(spark, dir)
+    val s = wh.cleaned.agg(max(to_date(col("invoice_date"))).as("staging_max_date"))
+    val f = wh.fact.agg(max(to_date(col("invoice_date"))).as("fact_max_date"))
+    s.crossJoin(f).select(
+      col("staging_max_date"), col("fact_max_date"),
+      (col("staging_max_date") === col("fact_max_date")).as("in_sync"))
+  }
 }

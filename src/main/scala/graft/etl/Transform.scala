@@ -1,7 +1,7 @@
 package graft.etl
 
+import graft.functions.Keys
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * three dimensions + the fact, re-expressed as DataFrame lineages.
   *
   * Surrogate keys: the reference uses SERIAL (load-order-dependent); we make
-  * them deterministic via `row_number()` over the natural-key order so joins
-  * and oracle comparisons are stable (SURVEY §7.4 K1). The single-partition
-  * window is fine at dimension cardinality (thousands-to-millions of rows);
-  * for a truly fact-sized key column use `monotonically_increasing_id()` or
-  * `zipWithIndex` — uniqueness without a global sort — which is why
-  * `sale_key` is not emitted at all (nothing reads it, reference
-  * `schema/warehouse_schema.sql:36`).
+  * them deterministic — equal to `ROW_NUMBER() OVER (ORDER BY natural key)`
+  * so joins and oracle comparisons are stable (SURVEY §7.4 K1) — via
+  * [[graft.functions.Keys.withRank]], which range-partitions and ranks per
+  * partition plus cumulative offsets instead of a single-partition global
+  * window (the r1 scale-killer at 10^7+ dim rows). A truly fact-sized key
+  * column would use `monotonically_increasing_id()` — uniqueness without any
+  * sort — which is why `sale_key` is not emitted at all (nothing reads it,
+  * reference `schema/warehouse_schema.sql:36`).
   *
   * Scale notes (100 TB): dims are orders-of-magnitude smaller than the fact
   * -> all three fact-build joins are `broadcast()` hash joins, zero shuffle
@@ -29,9 +30,9 @@ object Transform {
   /** dim_product: one row per stock_code, MAX(description) picks the
     * canonical description (A4, reference `dags/dag3_transform_warehouse.py:41-49`). */
   def dimProduct(cleaned: DataFrame): DataFrame =
-    cleaned.groupBy("stock_code").agg(max("description").as("description"))
-      .withColumn("product_key",
-        row_number().over(Window.orderBy("stock_code")).cast(LongType))
+    Keys.withRank(
+      cleaned.groupBy("stock_code").agg(max("description").as("description")),
+      "product_key", Seq("stock_code"))
       .select("product_key", "stock_code", "description")
 
   /** dim_customer: MAX(country) per customer + the UNKNOWN sentinel row for
@@ -42,9 +43,7 @@ object Transform {
       .groupBy("customer_id").agg(max("country").as("country"))
     val sentinel = spark.range(1)
       .select(lit("UNKNOWN").as("customer_id"), lit("UNKNOWN").as("country"))
-    known.unionByName(sentinel)
-      .withColumn("customer_key",
-        row_number().over(Window.orderBy("customer_id")).cast(LongType))
+    Keys.withRank(known.unionByName(sentinel), "customer_key", Seq("customer_id"))
       .select("customer_key", "customer_id", "country")
   }
 
@@ -53,8 +52,9 @@ object Transform {
     * Postgres-convention 0=Sunday..6=Saturday -> `dayofweek(d) - 1`
     * (Spark is 1=Sunday; SURVEY §7.4 DOW trap). */
   def dimDate(cleaned: DataFrame): DataFrame =
-    cleaned.select(to_date(col("invoice_date")).as("date")).distinct()
-      .withColumn("date_key", row_number().over(Window.orderBy("date")).cast(LongType))
+    Keys.withRank(
+      cleaned.select(to_date(col("invoice_date")).as("date")).distinct(),
+      "date_key", Seq("date"))
       .select(
         col("date_key"), col("date"),
         year(col("date")).as("year"),
@@ -82,25 +82,31 @@ object Transform {
         (col("quantity") * col("unit_price")).cast(DecimalType(12, 2)).as("total_amount"))
   }
 
-  /** Convenience: cleaned staging -> fact in one call. */
-  def factSales(spark: SparkSession, dir: String): DataFrame = {
-    val cleaned = Clean.cleaned(Staging.staging(spark, dir))
-    factSales(cleaned, dimProduct(cleaned), dimCustomer(cleaned), dimDate(cleaned))
-  }
+  /** Convenience: cleaned staging -> fact in one call (cached lineage). */
+  def factSales(spark: SparkSession, dir: String): DataFrame =
+    Warehouse(spark, dir).fact
 
-  /** Full-refresh warehouse write: fact partitioned by (year, month) to
-    * replicate the reference's monthly RANGE partitions — readers with
-    * year/month predicates prune partitions; row-group min/max on
-    * invoice_date skips within partitions. */
+  /** Full-refresh warehouse write (S4 batched sink + S6 truncate-and-reload
+    * via SaveMode.Overwrite): fact partitioned by (year, month) to replicate
+    * the reference's monthly RANGE partitions (`schema/warehouse_schema.sql:52-95`)
+    * — readers with year/month predicates prune partitions; row-group
+    * min/max on invoice_date skips within partitions.
+    *
+    * Enforces the reference's hard row-count gate (Q1,
+    * `dags/dag2_clean_validate.py:132-136`) before any write: a cleaning
+    * pass that drops below the reference's retention ratio aborts the load
+    * instead of silently publishing a truncated warehouse. */
   def writeWarehouse(spark: SparkSession, dir: String, outDir: String): Unit = {
-    val cleaned = Clean.cleaned(Staging.staging(spark, dir))
-    val dimP = dimProduct(cleaned)
-    val dimC = dimCustomer(cleaned)
-    val dimD = dimDate(cleaned)
-    dimP.write.mode("overwrite").parquet(s"$outDir/dim_product")
-    dimC.write.mode("overwrite").parquet(s"$outDir/dim_customer")
-    dimD.write.mode("overwrite").parquet(s"$outDir/dim_date")
-    factSales(cleaned, dimP, dimC, dimD)
+    val wh = Warehouse(spark, dir)
+    val rawCount = wh.staging.count()
+    val cleanedCount = wh.cleaned.count()
+    require(Clean.rowCountGate(rawCount, cleanedCount),
+      s"quality gate failed: cleaned $cleanedCount of $rawCount rows " +
+        f"(${100.0 * cleanedCount / rawCount}%.1f%% < 73.8%% retention floor)")
+    wh.dimProduct.write.mode("overwrite").parquet(s"$outDir/dim_product")
+    wh.dimCustomer.write.mode("overwrite").parquet(s"$outDir/dim_customer")
+    wh.dimDate.write.mode("overwrite").parquet(s"$outDir/dim_date")
+    wh.fact
       .withColumn("year", year(col("invoice_date")))
       .withColumn("month", month(col("invoice_date")))
       .write.mode("overwrite").partitionBy("year", "month")

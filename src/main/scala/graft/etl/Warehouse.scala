@@ -1,0 +1,47 @@
+package graft.etl
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Materialized-once warehouse lineage (reference shape: verification runs
+  * against the already-loaded Postgres tables, `scripts/verify_ingestion.py:158-245`
+  * — it never re-runs the ETL per check).
+  *
+  * r1 rebuilt the full staging-join + dedup + dims + fact lineage from raw
+  * parquet inside EVERY quality query; at 100 TB that is re-running the
+  * whole ETL dozens of times per verification pass. This layer builds each
+  * stage once per (session, sf-dir), persists it (MEMORY_AND_DISK — spills
+  * instead of OOMing when the cleaned table outgrows executor memory), and
+  * every downstream query reuses the cached stage. On a real cluster the
+  * same role is played by the parquet warehouse [[Transform.writeWarehouse]]
+  * writes (and [[Pipeline]] runs); for the in-session query surface the
+  * cache avoids the write-read cycle while keeping one-pass semantics.
+  */
+final case class Warehouse(
+    staging: DataFrame,
+    cleaned: DataFrame,
+    dimProduct: DataFrame,
+    dimCustomer: DataFrame,
+    dimDate: DataFrame,
+    fact: DataFrame)
+
+object Warehouse {
+
+  private val cache = TrieMap.empty[(String, String), Warehouse]
+
+  def apply(spark: SparkSession, dir: String): Warehouse =
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), build(spark, dir))
+
+  private def build(spark: SparkSession, dir: String): Warehouse = {
+    def p(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val staging = p(Staging.staging(spark, dir))
+    val cleaned = p(Clean.cleaned(staging))
+    val dimP = p(Transform.dimProduct(cleaned))
+    val dimC = p(Transform.dimCustomer(cleaned))
+    val dimD = p(Transform.dimDate(cleaned))
+    val fact = p(Transform.factSales(cleaned, dimP, dimC, dimD))
+    Warehouse(staging, cleaned, dimP, dimC, dimD, fact)
+  }
+}

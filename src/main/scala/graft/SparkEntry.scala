@@ -192,12 +192,146 @@ object SparkEntry {
          |      (SELECT MAX(CAST(invoice_date AS DATE)) AS fact_max_date FROM fact_sales)""".stripMargin,
   )
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  // ------------------------------------ LLM-data-pipeline operators (§7.5)
+  /** Corpus-with-planted-duplicates CTE — mirrors
+    * [[graft.operators.Dedup.corpusWithDups]]. */
+  private val corpusCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text || ' zzz extra trailing pad' AS text
+      |  FROM documents WHERE doc_id % 10 = 5
+      |)""".stripMargin
+
+  private val opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deduplication family (exact is oracle-checked; fuzzy are rows-only +
+    // planted-pair asserts in DedupSpec — xxhash64 has no DuckDB analogue)
+    "exact_dedup" -> ((s, d) => operators.Dedup.exactDedup(s, d)),
+    "minhash_pairs" -> ((s, d) => operators.Dedup.minhashPairs(s, d)),
+    "simhash_pairs" -> ((s, d) => operators.Dedup.simhashPairs(s, d)),
+    "ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccard(s, d)),
+    // text analysis
+    "token_stats" -> ((s, d) => operators.TextAnalysis.tokenStats(s, d)),
+    "quality_score" -> ((s, d) => operators.TextAnalysis.qualityScore(s, d)),
+    "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
+    "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
+    // event analytics
+    "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
+    "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
+    "json_stats" -> ((s, d) => operators.Events.jsonStats(s, d)),
+    "top_users" -> ((s, d) => operators.Events.topUsers(s, d)),
+    "daily_active" -> ((s, d) => operators.Events.dailyActive(s, d)),
+  )
+
+  private val stopwordList =
+    operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  private def langScoreSql(code: String): String = {
+    val words = operators.TextAnalysis.langProfiles(code).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($words))) AS INTEGER) AS score_$code"
+  }
+
+  /** events with ts truncated ns->us, mirroring [[graft.Tables.events]]. */
+  private val eventsCte: String =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |         user_id, event_type, value, props
+      |  FROM events
+      |)""".stripMargin
+
+  private val opsOracles: Map[String, String] = Map(
+    "exact_dedup" ->
+      s"""$corpusCte SELECT keep_id, n_copies FROM (
+         |  SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |  FROM corpus GROUP BY 1)
+         | ORDER BY keep_id""".stripMargin,
+    "token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars,
+        | CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_alpha,
+        | CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_bpe_est
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_stopwords, n_chars,
+         | (n_chars >= 40 AND n_chars <= 20000 AND n_tokens >= 8
+         |  AND n_stopwords * 20 >= n_tokens) AS quality_pass
+         | FROM (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopwordList))) AS INTEGER) AS n_stopwords,
+         |   CAST(length(text) AS INTEGER) AS n_chars
+         |   FROM documents)
+         | ORDER BY doc_id""".stripMargin,
+    "language_id" ->
+      s"""SELECT doc_id, labeled_lang,
+         | CASE WHEN m <= 0 THEN 'und'
+         |      WHEN score_fr = m THEN 'fr'
+         |      WHEN score_es = m THEN 'es'
+         |      WHEN score_en = m THEN 'en'
+         |      ELSE 'de' END AS detected_lang,
+         | m AS lang_score
+         | FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr) AS m
+         |   FROM (SELECT doc_id, lang AS labeled_lang,
+         |     ${langScoreSql("de")}, ${langScoreSql("en")},
+         |     ${langScoreSql("es")}, ${langScoreSql("fr")}
+         |     FROM documents))
+         | ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(7 AS BIGINT),
+        |     list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))),
+        |   (acc, x) -> (acc * 31 + x + 1) % 1000000007) AS fingerprint
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "hourly_rollup" ->
+      s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,
+         | COUNT(*) AS n_events,
+         | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+         | FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "sessionize" ->
+      s"""$eventsCte, marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    "json_stats" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        | FROM (SELECT event_type,
+        |   CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k
+        |   FROM events)
+        | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "top_users" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        | FROM events GROUP BY user_id
+        | ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "daily_active" ->
+      s"""$eventsCte SELECT CAST(ts AS DATE) AS day,
+         | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         | FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
+  )
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.5). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    etlQueries ++ qualityQueries
+    etlQueries ++ qualityQueries ++ opsQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for non-SQL-expressible ops. */
+    * same parquet tables. Omitted for non-SQL-expressible ops (minhash/
+    * simhash/ngram-jaccard use xxhash64 — rows-only + DedupSpec asserts). */
   def oracleSql: Map[String, String] =
-    etlOracles ++ qualityOracles
+    etlOracles ++ qualityOracles ++ opsOracles
 }

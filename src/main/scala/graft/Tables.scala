@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fixture table readers (see TESTDATA.md / FIXTURES.md §2).
   *
@@ -23,7 +24,17 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw long nanos (legacy conf) and truncate
+    * to microseconds — Spark's native timestamp precision — with integer
+    * division (`div`, not `/`: float division would round through a 53-bit
+    * mantissa and corrupt ~1.7e18-scale nanos). The DuckDB oracle applies
+    * the identical `epoch_ns // 1000` truncation. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * *injected* corpus ([[corpusWithDups]]): exact copies of every 10th doc
   * and lightly-padded copies of every (10k+5)th doc, both added with offset
   * ids. The injection is plain SQL arithmetic so the DuckDB oracle replays
-  * it for the exact path, and ScalaTest asserts the fuzzy paths recover the
-  * planted pairs.
+  * it for the exact path (`SparkEntry.oracleSql("exact_dedup")`); the fuzzy
+  * paths (MinHash/SimHash use xxhash64, which DuckDB lacks) are rows-only
+  * query entries plus `DedupSpec` planted-pair recovery asserts.
   *
   * Scale notes:
   * - exact dedup = one hash shuffle of (digest -> min id); at 100 TB
@@ -117,12 +118,18 @@ object Dedup {
   /** Exact n-gram Jaccard on the LSH candidate pairs (the verify step of
     * MinHash dedup): |A ∩ B| / |A ∪ B| over distinct shingle sets, emitted
     * as exact integer counts. Only candidates are verified — never the
-    * full cross product. */
+    * full cross product — and shingle sets are materialized ONLY for docs
+    * that appear in a candidate pair (left-semi join first): at 100 TB the
+    * candidate set is a vanishing fraction of the corpus, so collecting
+    * every document's shingle set would dominate the job. */
   def ngramJaccard(spark: SparkSession, dir: String, minMatch: Int = 8): DataFrame = {
     val docs = corpusWithDups(spark, dir)
     val sigs = minhashSignatures(docs)
     val cands = lshCandidates(sigs)
-    val sets = shingles(docs).groupBy("doc_id")
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val sets = shingles(candDocs).groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("shingle_set"))
     val setA = sets.toDF("doc_a", "set_a")
     val setB = sets.toDF("doc_b", "set_b")

@@ -27,7 +27,7 @@ object Events {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).cast(DoubleType).as("total_value"))
       .orderBy("hour", "event_type")
 
   /** Gap-based sessionization (30-min inactivity): lag marks session
@@ -47,7 +47,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min("ts").as("session_start"),
         max("ts").as("session_end"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).cast(DoubleType).as("total_value"))
       .orderBy("user_id", "session_seq")
   }
 
@@ -72,7 +72,7 @@ object Events {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).cast(DoubleType).as("total_value"))
       .orderBy(desc("total_value"), asc("user_id")).limit(k)
 
   /** Daily active users: exact distinct per calendar day. */

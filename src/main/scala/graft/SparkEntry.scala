@@ -217,6 +217,10 @@ object SparkEntry {
     "quality_score" -> ((s, d) => operators.TextAnalysis.qualityScore(s, d)),
     "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
+    // similarity search (ANN is rows-only: seeded hyperplane constants
+    // make a SQL replay impractical; SimilaritySpec asserts recall)
+    "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),
+    "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
@@ -285,6 +289,7 @@ object SparkEntry {
         |     list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))),
         |   (acc, x) -> (acc * 31 + x + 1) % 1000000007) AS fingerprint
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,
          | COUNT(*) AS n_events,

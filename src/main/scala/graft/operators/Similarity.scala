@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (vec_id,
+  * embedding ARRAY<FLOAT> dim-64, label) — the training-data-pipeline
+  * north-star operator (SURVEY §7.5).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query set is broadcast, so the plan is one scan of the corpus
+  *    with a codegen'd HOF dot product per (query, vector) pair and a
+  *    per-query top-k window: at 100 TB the cost is the scan, with no
+  *    shuffle of the corpus at all. All arithmetic folds left in DOUBLE
+  *    (`zip_with` + `aggregate`), an IEEE-deterministic order the DuckDB
+  *    oracle replays bit-identically.
+  *  - [[annTopK]]: random-hyperplane LSH (SimHash-for-cosine). Each vector
+  *    gets `nTables` independent 8-bit sign codes; vectors sharing a
+  *    (table, code) bucket are candidates, verified by exact cosine and
+  *    top-k'd. Hyperplanes are seeded-deterministic constants broadcast
+  *    with the plan. At scale this replaces the full scan per query with
+  *    ~corpus/2^bits bucket probes — the IVF-style trade; recall vs the
+  *    brute-force baseline is asserted in SimilaritySpec (no DuckDB oracle:
+  *    the hyperplane constants make the SQL replay impractical).
+  */
+object Similarity {
+
+  val defaultK = 5
+  val defaultNQueries = 10
+  val dim = 64
+  val nTables = 4
+  val bitsPerTable = 8
+
+  /** Left-fold double dot product of two float arrays — the op order the
+    * oracle replays exactly. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column = dot(a, a)
+
+  /** Exact cosine top-k of every corpus vector against the first
+    * `nQueries` vectors (self-pairs excluded). */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        (dot(col("q_embedding"), col("embedding")) /
+          (sqrt(norm2(col("q_embedding"))) * sqrt(norm2(col("embedding"))))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for [[bruteForceTopK]] — identical left-fold arithmetic. */
+  def bruteForceOracleSql(k: Int = defaultK, nQueries: Int = defaultNQueries): String = {
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+         |   (acc, v) -> acc + v)""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       |    ${dotSql("q.embedding", "v.embedding")} /
+       |      (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+       |       sqrt(${dotSql("v.embedding", "v.embedding")})) AS sim
+       |  FROM embeddings q, embeddings v
+       |  WHERE q.vec_id < $nQueries AND v.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id, sim, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Seeded-deterministic Gaussian hyperplanes (same constants every run —
+    * scala.util.Random's generator is spec-fixed). */
+  def hyperplanes(seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nTables * bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** (vec_id, table, code): `nTables` independent sign-bit codes per
+    * vector, computed in one narrow pass (no shuffle). */
+  def codes(emb: DataFrame): DataFrame = {
+    val planes = hyperplanes()
+    val tableCols = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        val plane = array(planes(t * bitsPerTable + b).map(lit): _*)
+        when(dot(col("embedding"), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).as(s"code_$t")
+    }
+    emb.select((col("vec_id") +: col("embedding") +: tableCols): _*)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*)))
+      .toDF("vec_id", "embedding", "table", "code")
+  }
+
+  /** ANN cosine top-k: LSH bucket candidates -> exact cosine -> top-k.
+    * Same output shape as [[bruteForceTopK]]; recall asserted in tests. */
+  def annTopK(spark: SparkSession, dir: String,
+      k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val coded = codes(emb)
+    val queryCodes = coded.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "q_embedding", "table", "code")
+    // bucket join: corpus side shuffles on (table, code) once; query side
+    // is tiny -> broadcast
+    val cands = coded.join(broadcast(queryCodes), Seq("table", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "q_embedding", "vec_id", "embedding")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select(
+      col("query_id"), col("vec_id"),
+      (dot(col("q_embedding"), col("embedding")) /
+        (sqrt(norm2(col("q_embedding"))) * sqrt(norm2(col("embedding"))))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -103,6 +103,8 @@ object SparkEntry {
     "q_sample" -> ((s, d) => moneyDouble(Quality.sampleRows(s, d), Seq("unit_price"))),
     "q_consistency" -> ((s, d) => Quality.consistency(s, d)),
     "q_freshness" -> ((s, d) => Quality.freshness(s, d)),
+    // rows-only: DuckDB's approx sketch differs; ApproxStatsSpec bounds it
+    "q_approx_distinct" -> ((s, d) => ext.ApproxStats.distinctStats(s, d)),
   )
 
   private val stageCountsOracle: String =

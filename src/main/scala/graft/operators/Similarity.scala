@@ -31,8 +31,16 @@ object Similarity {
   val defaultK = 5
   val defaultNQueries = 10
   val dim = 64
-  val nTables = 4
-  val bitsPerTable = 8
+
+  /** LSH shape: recall ≈ 1-(1-p^bits)^tables with p = 1 - θ/π per bit.
+    * The fixture corpus is near-isotropic (top-neighbor cosine ≈ 0.3 →
+    * p ≈ 0.6), so codes are kept short and tables many (4 bits × 8 tables
+    * → ~0.67 expected recall while probing ~half the corpus). A clustered
+    * production corpus (top-neighbor cosine ≥ 0.8 → p ≥ 0.8) supports
+    * longer codes — 16 bits × 8 tables probes ~corpus/65k per query —
+    * which is the knob to turn at 100 TB, exactly like IVF nprobe. */
+  val nTables = 8
+  val bitsPerTable = 4
 
   /** Left-fold double dot product of two float arrays — the op order the
     * oracle replays exactly. */

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole suite (sessions cost ~5 s; the
+  * [[graft.etl.Warehouse]] cache also makes every spec after the first
+  * reuse the built lineage). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}

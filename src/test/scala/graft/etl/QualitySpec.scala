@@ -1,0 +1,35 @@
+package graft.etl
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("stageCounts decrease monotonically through the cleaning chain") {
+    val counts = Quality.stageCounts(spark, sf).collect().map(_.getLong(1))
+    assert(counts.length === 5)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("consistency check (Q3) holds: fact within 5% of cleaned staging") {
+    val r = Quality.consistency(spark, sf).head()
+    assert(r.getAs[Boolean]("within_5pct"))
+    assert(r.getAs[Long]("diff") === 0L)
+  }
+
+  test("freshness check (Q4) holds: staging and fact agree on max date") {
+    assert(Quality.freshness(spark, sf).head().getAs[Boolean]("in_sync"))
+  }
+
+  test("nullProfile counts the injected dirt classes") {
+    val r = Quality.nullProfile(spark, sf).head()
+    // dirt classes 0/1/4/6 each hit ~1/101 of rows (h % 101)
+    assert(r.getAs[Long]("null_quantity") > 0)
+    assert(r.getAs[Long]("null_invoice_date") > 0)
+    assert(r.getAs[Long]("null_customer_id") > 0)
+    assert(r.getAs[Long]("null_invoice_no") > 0)
+    assert(r.getAs[Long]("null_stock_code") === 0)
+  }
+}

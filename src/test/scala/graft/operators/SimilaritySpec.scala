@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def resultPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bruteForceTopK returns k ranked neighbors per query with sims in [-1, 1]") {
+    val res = Similarity.bruteForceTopK(spark, sf).collect()
+    assert(res.length === Similarity.defaultK * Similarity.defaultNQueries)
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size === Similarity.defaultNQueries)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to Similarity.defaultK))
+      // ranks follow similarity descending
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("annTopK recall against the brute-force baseline") {
+    val exact = resultPairs(Similarity.bruteForceTopK(spark, sf))
+    val ann = resultPairs(Similarity.annTopK(spark, sf))
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    // near-isotropic synthetic vectors (top-neighbor cosine ~0.3 -> bit
+    // agreement p ~0.6): expected recall ~0.67 at 4 bits x 8 tables; the
+    // bound guards against a broken bucketing path, not LSH physics
+    assert(recall >= 0.45, s"ANN recall $recall < 0.45")
+  }
+
+  test("LSH codes are deterministic across invocations") {
+    val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val a = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val b = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
+}

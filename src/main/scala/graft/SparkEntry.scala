@@ -57,10 +57,22 @@ object SparkEntry {
     "dim_date" -> ((s, d) => Warehouse(s, d).dimDate.orderBy("date_key")),
     "fact_sales" -> ((s, d) =>
       orderedAsc(moneyDouble(Warehouse(s, d).fact, Seq("unit_price", "total_amount")), factCols)),
+    // S1-S3/E9: dump the staging view as raw CSV (nulls as pandas-style
+    // 'nan'), re-ingest through the typed CSV path, and prove the
+    // roundtrip is lossless against the parquet-side staging oracle.
+    "ingest_csv" -> ((s, d) => {
+      val csvDir = s"/tmp/graft_csv_${new java.io.File(d).getName}"
+      Ingest.dumpCsv(s, d, csvDir)
+      orderedAsc(
+        moneyDouble(Ingest.readCsv(s, csvDir).drop("loaded_at"), Seq("unit_price")),
+        stagingCols)
+    }),
   )
 
   private val etlOracles: Map[String, String] = Map(
     "staging" ->
+      s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
+    "ingest_csv" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
     "clean_nulls" ->
       s"""${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging WHERE ${Oracle.notNullPred}
@@ -105,6 +117,8 @@ object SparkEntry {
     "q_freshness" -> ((s, d) => Quality.freshness(s, d)),
     // rows-only: DuckDB's approx sketch differs; ApproxStatsSpec bounds it
     "q_approx_distinct" -> ((s, d) => ext.ApproxStats.distinctStats(s, d)),
+    "q_checks" -> ((s, d) => Pipeline.checks(s, d)),
+    "q_run_summary" -> ((s, d) => Pipeline.runSummary(s, d)),
   )
 
   private val stageCountsOracle: String =
@@ -192,6 +206,18 @@ object SparkEntry {
          | staging_max_date = fact_max_date AS in_sync
          | FROM (SELECT MAX(CAST(invoice_date AS DATE)) AS staging_max_date FROM cleaned),
          |      (SELECT MAX(CAST(invoice_date AS DATE)) AS fact_max_date FROM fact_sales)""".stripMargin,
+    "q_checks" -> s"${Oracle.warehouseCte} ${Oracle.checksSelect}",
+    "q_run_summary" ->
+      s"""${Oracle.warehouseCte},
+         | checks AS (${Oracle.checksSelect}),
+         | agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checks,
+         |         CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+         |         FROM checks)
+         | SELECT n_checks, n_passed, n_passed * 100 // n_checks AS pct_passed,
+         |   CASE WHEN n_passed = n_checks THEN 'SUCCESS'
+         |        WHEN n_passed * 100 // n_checks >= 70 THEN 'PARTIAL'
+         |        ELSE 'FAILED' END AS status
+         | FROM agg""".stripMargin,
   )
 
   // ------------------------------------ LLM-data-pipeline operators (§7.5)

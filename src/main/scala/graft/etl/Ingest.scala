@@ -1,0 +1,60 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV ingestion (reference `dags/dag1_ingest_csv.py:70-95` — the
+  * pipeline's entry point): explicit DDL schema (S5), coerce-to-null
+  * timestamp parsing (S2, pandas `errors='coerce'`), `'nan'`→null customer
+  * normalization (S3, the pandas stringification artifact), and the
+  * `loaded_at` audit column (E9, `schema/staging_schema.sql:11`).
+  *
+  * Scale notes: one schema-checked CSV scan, all fixups are narrow
+  * per-row expressions inside the scan's codegen stage; the pandas
+  * `iterrows` + batched-INSERT machinery (the reference's slowest
+  * construct) disappears into the datasource write. Malformed rows are
+  * PERMISSIVE-mode coerced exactly like `errors='coerce'`: unparseable
+  * timestamps become NULL and flow to the F1 null-drop instead of
+  * killing the job.
+  */
+object Ingest {
+
+  /** Staging DDL (`schema/staging_schema.sql:2-12`) as an explicit
+    * StructType — invoice_date lands as STRING first so parsing is an
+    * explicit, coercing step (S2), not an ANSI cast failure. */
+  val csvSchema: StructType = StructType(Seq(
+    StructField("invoice_no", StringType),
+    StructField("stock_code", StringType),
+    StructField("description", StringType),
+    StructField("quantity", IntegerType),
+    StructField("invoice_date", StringType),
+    StructField("unit_price", DecimalType(10, 2)),
+    StructField("customer_id", StringType),
+    StructField("country", StringType)))
+
+  val timestampFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** S1+S2+S3+E9: CSV → typed staging rows. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(csvSchema)
+      .csv(path)
+      .withColumn("invoice_date",
+        try_to_timestamp(col("invoice_date"), lit(timestampFmt)))
+      .withColumn("customer_id",
+        when(col("customer_id") === "nan" || col("customer_id") === "",
+          lit(null)).otherwise(col("customer_id")))
+      .withColumn("loaded_at", current_timestamp())
+
+  /** Writes the fixture staging view as the raw CSV the reference ingests:
+    * timestamps formatted, null customers as the literal 'nan' pandas
+    * produces (so [[readCsv]]'s S3 normalization is genuinely exercised). */
+  def dumpCsv(spark: SparkSession, dir: String, outPath: String): Unit =
+    Warehouse(spark, dir).staging
+      .withColumn("invoice_date", date_format(col("invoice_date"), timestampFmt))
+      .withColumn("customer_id", coalesce(col("customer_id"), lit("nan")))
+      .write.mode("overwrite").option("header", "true")
+      .csv(outPath)
+}

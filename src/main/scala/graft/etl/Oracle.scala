@@ -81,6 +81,32 @@ object Oracle {
       |    AND quantity <> 0 AND unit_price > 0
       |)""".stripMargin
 
+  /** Verification-check booleans — mirrors [[Pipeline.checks]]; appended
+    * after [[warehouseCte]]. */
+  val checksSelect: String =
+    """SELECT check_name, passed FROM (
+      |  SELECT '1_staging_rows' AS check_name, COUNT(*) > 0 AS passed FROM staging
+      |  UNION ALL SELECT '2_post_clean_nulls',
+      |    SUM(CASE WHEN invoice_no IS NULL OR stock_code IS NULL OR quantity IS NULL
+      |             OR invoice_date IS NULL OR unit_price IS NULL THEN 1 ELSE 0 END) = 0
+      |  FROM cleaned
+      |  UNION ALL SELECT '3_value_rules',
+      |    SUM(CASE WHEN quantity = 0 OR unit_price <= 0 THEN 1 ELSE 0 END) = 0
+      |  FROM cleaned
+      |  UNION ALL SELECT '4_dedup_effective', COUNT(*) = 0 FROM (
+      |    SELECT invoice_no, stock_code, quantity, invoice_date, unit_price,
+      |           COALESCE(customer_id, '') AS ck, COUNT(*) AS n
+      |    FROM cleaned GROUP BY 1,2,3,4,5,6 HAVING COUNT(*) > 1)
+      |  UNION ALL SELECT '5_consistency_5pct',
+      |    (SELECT ABS(a.n - b.n) * 100 <= a.n * 5
+      |     FROM (SELECT COUNT(*) AS n FROM cleaned) a,
+      |          (SELECT COUNT(*) AS n FROM fact_sales) b)
+      |  UNION ALL SELECT '6_freshness_sync',
+      |    (SELECT a.d = b.d
+      |     FROM (SELECT MAX(CAST(invoice_date AS DATE)) AS d FROM cleaned) a,
+      |          (SELECT MAX(CAST(invoice_date AS DATE)) AS d FROM fact_sales) b)
+      |) ORDER BY check_name""".stripMargin
+
   /** Dimensions + fact — mirrors [[Transform]]. */
   val warehouseCte: String =
     cleanedCte + """, dim_product AS (

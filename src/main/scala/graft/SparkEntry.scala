@@ -245,6 +245,10 @@ object SparkEntry {
     "quality_score" -> ((s, d) => operators.TextAnalysis.qualityScore(s, d)),
     "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
+    // multimodal binary-column plumbing (rows-only: binary synthesis has
+    // no clean DuckDB replay; MultimodalSpec asserts the parse contracts)
+    "media_meta" -> ((s, d) => operators.Multimodal.mediaMeta(s, d)),
+    "media_frames" -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     // similarity search (ANN is rows-only: seeded hyperplane constants
     // make a SQL replay impractical; SimilaritySpec asserts recall)
     "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),

@@ -89,8 +89,14 @@ object Staging {
       col("country"),
       col("h"))
 
-    // class 5: append an exact duplicate of the row (the D1 dedup target)
-    staged.unionByName(staged.filter(col("h") % 101 === 5))
-      .drop("h")
+    // class 5: emit the row twice (the D1 dedup target). explode of a
+    // per-row 1-or-2 element array duplicates in the SAME scan — a
+    // self-union would re-run the whole 5-way join for the duplicate
+    // branch (two scans of the fact table at 100 TB).
+    staged
+      .withColumn("copy",
+        explode(when(col("h") % 101 === 5, array(lit(1), lit(2)))
+          .otherwise(array(lit(1)))))
+      .drop("h", "copy")
   }
 }

@@ -86,6 +86,22 @@ object Transform {
   def factSales(spark: SparkSession, dir: String): DataFrame =
     Warehouse(spark, dir).fact
 
+  /** K2 — incremental upsert, `ON CONFLICT ... DO UPDATE` semantics
+    * (reference `dags/dag3_transform_warehouse.py:47-48,75-76`): incoming
+    * rows win on key collision, existing rows survive otherwise. One
+    * left-anti hash join + union; at scale both sides hash-partition on
+    * the key, no driver involvement. The full-refresh pipeline doesn't
+    * need it (recompute = same end state); this is the incremental-load
+    * path. */
+  def upsertDoUpdate(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    incoming.unionByName(existing.join(incoming, Seq(key), "left_anti"))
+
+  /** K3 — `ON CONFLICT DO NOTHING` semantics (reference
+    * `dags/dag3_transform_warehouse.py:66,102`): existing rows win,
+    * incoming only fills new keys. */
+  def upsertDoNothing(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    existing.unionByName(incoming.join(existing, Seq(key), "left_anti"))
+
   /** Full-refresh warehouse write (S4 batched sink + S6 truncate-and-reload
     * via SaveMode.Overwrite): fact partitioned by (year, month) to replicate
     * the reference's monthly RANGE partitions (`schema/warehouse_schema.sql:52-95`)

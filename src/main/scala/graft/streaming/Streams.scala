@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface: the streaming twins of the batch event
+  * operators ([[graft.operators.Events]]), built on `readStream` →
+  * transform → `writeStream`. The reference is strictly batch (daily
+  * Airflow, SURVEY §2.9), so these are §7.5 extensions: the operators a
+  * training-data pipeline runs continuously over an event firehose.
+  *
+  * Scale notes: both operators keep bounded state. The windowed rollup's
+  * state is (window × event_type) aggregates, evicted once the 2-hour
+  * watermark passes; sessionization keeps ONE open-session record per
+  * active user, evicted by event-time timeout. Neither buffers raw
+  * events, so state size tracks active keys, not throughput. Shuffle
+  * partitioning is by the grouping key exactly as in batch; at 1000
+  * executors the state store shards with the shuffle.
+  */
+object Streams {
+
+  /** Watermarked tumbling-hour rollup (streaming [[graft.operators.Events.hourlyRollup]]).
+    * Late events beyond 2 hours are dropped; money stays DECIMAL inside
+    * the agg, DOUBLE at the boundary, matching the batch contract. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).cast("double").as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Stateful gap-based sessionization (streaming
+    * [[graft.operators.Events.sessionize]]): one open session per user in
+    * `flatMapGroupsWithState`, closed either by an event beyond the gap or
+    * by event-time timeout once the watermark passes the gap horizon. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (userId, batch, state) =>
+        def emit(s: SessionState) =
+          Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(emit).iterator
+          state.remove()
+          out
+        } else {
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t <= s.end + gapMs =>
+                cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed ::= emit(s)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // timeout must sit beyond the current watermark
+            state.setTimeoutTimestamp(
+              math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.reverse.iterator
+        }
+      }
+  }
+}

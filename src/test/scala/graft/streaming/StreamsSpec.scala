@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("streaming hourlyRollup matches the batch aggregation (complete mode)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyRollup(df).writeStream
+      .format("memory").queryName("rollup_out").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("10:05"), "click", 1.50), (ts("10:35"), "click", 2.25),
+        (ts("10:45"), "view", 4.00), (ts("11:10"), "click", 8.00))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM rollup_out ORDER BY hour, event_type").collect()
+      assert(rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ===
+        Seq(
+          (ts("10:00"), "click", 2L, 3.75),
+          (ts("10:00"), "view", 1L, 4.00),
+          (ts("11:00"), "click", 1L, 8.00)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes a session when the gap is exceeded") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts("10:00"), 1.0),
+        Streams.Event(1L, ts("10:10"), 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sessions_out").count() === 0, "session still open")
+      // an event past the 30-min gap closes the first session inline
+      input.addData(Streams.Event(1L, ts("12:00"), 5.0))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM sessions_out").collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.getLong(0) === 1L)
+      assert(s.getTimestamp(1) === ts("10:00") && s.getTimestamp(2) === ts("10:10"))
+      assert(s.getLong(3) === 2L && s.getDouble(4) === 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize times out idle users via the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions_timeout").outputMode("append").start()
+    try {
+      input.addData(Streams.Event(7L, ts("09:00"), 1.0))
+      q.processAllAvailable()
+      // another user's much-later events advance the watermark past user
+      // 7's timeout; the timed-out session flushes on the following batch
+      input.addData(Streams.Event(8L, ts("13:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(8L, ts("13:01"), 1.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM sessions_timeout WHERE user_id = 7").collect()
+      assert(out.length === 1)
+      assert(out.head.getLong(3) === 1L)
+    } finally q.stop()
+  }
+}

@@ -245,6 +245,7 @@ object SparkEntry {
     "quality_score" -> ((s, d) => operators.TextAnalysis.qualityScore(s, d)),
     "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
+    "term_stats" -> ((s, d) => operators.TextAnalysis.termStats(s, d)),
     // multimodal binary-column plumbing (rows-only: binary synthesis has
     // no clean DuckDB replay; MultimodalSpec asserts the parse contracts)
     "media_meta" -> ((s, d) => operators.Multimodal.mediaMeta(s, d)),
@@ -253,6 +254,7 @@ object SparkEntry {
     // make a SQL replay impractical; SimilaritySpec asserts recall)
     "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),
     "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
+    "embedding_near_dups" -> ((s, d) => operators.Similarity.embeddingNearDups(s, d)),
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
@@ -314,6 +316,12 @@ object SparkEntry {
          |     ${langScoreSql("es")}, ${langScoreSql("fr")}
          |     FROM documents))
          | ORDER BY doc_id""".stripMargin,
+    "term_stats" ->
+      """SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        | CAST(COUNT(*) AS BIGINT) AS total_tf
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        | GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
+        | ORDER BY term""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

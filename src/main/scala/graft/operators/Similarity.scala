@@ -118,6 +118,28 @@ object Similarity {
       .toDF("vec_id", "embedding", "table", "code")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
+    * the training-data brief, next to exact/MinHash/SimHash/n-gram): all
+    * unordered pairs with cosine >= minCosine, found via the same LSH
+    * bucket self-join as [[annTopK]] — candidates share a (table, code)
+    * bucket, then exact-cosine verify. No cross join at any scale; recall
+    * vs the quadratic baseline is asserted in SimilaritySpec. */
+  def embeddingNearDups(spark: SparkSession, dir: String,
+      minCosine: Double = 0.25): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val coded = codes(emb)
+    val left = coded.toDF("vec_a", "emb_a", "table", "code")
+    val right = coded.toDF("vec_b", "emb_b", "table", "code")
+    left.join(right, Seq("table", "code"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) /
+          (sqrt(norm2(col("emb_a"))) * sqrt(norm2(col("emb_b"))))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** ANN cosine top-k: LSH bucket candidates -> exact cosine -> top-k.
     * Same output shape as [[bruteForceTopK]]; recall asserted in tests. */
   def annTopK(spark: SparkSession, dir: String,

@@ -83,6 +83,18 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus term statistics — the exact integer core of TF-IDF (tf and df
+    * per term; the float idf weighting is a consumer-side multiply so the
+    * statistics stay engine-portable). explode + two-level aggregation:
+    * the shuffle carries (term, partial counts), never documents. */
+  def termStats(spark: SparkSession, dir: String, minDocFreq: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_tf"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .orderBy("term")
+
   /** Document fingerprint: polynomial rolling hash over token lengths in
     * modular arithmetic — portable (no engine-specific hash), so the DuckDB
     * oracle replays it with list_reduce. Used as a cheap shard-stable

@@ -34,6 +34,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.45, s"ANN recall $recall < 0.45")
   }
 
+  test("embeddingNearDups finds only/mostly the quadratic baseline's pairs") {
+    import org.apache.spark.sql.functions._
+    val tau = 0.25
+    val found = Similarity.embeddingNearDups(spark, sf, tau)
+    // soundness: every reported pair really clears the threshold, ordered, unique
+    val rows = found.collect()
+    assert(rows.forall(_.getDouble(2) >= tau))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length === rows.length)
+    // recall vs the exact quadratic baseline on the small fixture
+    val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val a = emb.toDF("vec_a", "emb_a")
+    val b = emb.toDF("vec_b", "emb_b")
+    val dotExpr = expr("""aggregate(zip_with(emb_a, emb_b,
+      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    val normA = expr("sqrt(aggregate(transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+    val normB = expr("sqrt(aggregate(transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+    val exact = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), (dotExpr / (normA * normB)).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val foundSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foundSet.subsetOf(exact), "no false positives above threshold")
+    val recall = exact.count(foundSet.contains).toDouble / math.max(1, exact.size)
+    assert(recall >= 0.45, s"near-dup recall $recall < 0.45 (${exact.size} true pairs)")
+  }
+
   test("LSH codes are deterministic across invocations") {
     val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val a = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet

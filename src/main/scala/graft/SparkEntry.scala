@@ -258,6 +258,7 @@ object SparkEntry {
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
+    "sessionize_scalable" -> ((s, d) => operators.Events.sessionizeScalable(s, d)),
     "json_stats" -> ((s, d) => operators.Events.jsonStats(s, d)),
     "top_users" -> ((s, d) => operators.Events.topUsers(s, d)),
     "daily_active" -> ((s, d) => operators.Events.dailyActive(s, d)),
@@ -279,7 +280,29 @@ object SparkEntry {
       |  FROM events
       |)""".stripMargin
 
+  /** One SQL serves both sessionize variants: the skew-safe two-phase
+    * implementation must be OUTPUT-identical to the single-window one. */
+  private val sessionizeOracle: String =
+    s"""$eventsCte, marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM marked
+      |)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+
   private val opsOracles: Map[String, String] = Map(
+    "sessionize" -> sessionizeOracle,
+    "sessionize_scalable" -> sessionizeOracle,
     "exact_dedup" ->
       s"""$corpusCte SELECT keep_id, n_copies FROM (
          |  SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -335,23 +358,6 @@ object SparkEntry {
          | COUNT(*) AS n_events,
          | CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
          | FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    "sessionize" ->
-      s"""$eventsCte, marked AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_sess
-         |  FROM ev
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), sess AS (
-        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM marked
-        |)
-        |SELECT user_id, session_seq, COUNT(*) AS n_events,
-        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
-        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
     "json_stats" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k

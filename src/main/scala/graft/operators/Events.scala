@@ -51,6 +51,50 @@ object Events {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Skew-safe sessionization — identical output to [[sessionize]] (the
+    * oracle checks both against the same SQL), different physical shape:
+    *
+    * Phase 1 windows over (user_id, day), so a bot user with 10^9 events
+    * splits across one task per day instead of landing on one executor —
+    * the hot key is cut by the calendar. Phase 2 re-windows over the
+    * phase-1 SESSIONS (orders of magnitude fewer rows than events) to
+    * stitch sessions that straddle a midnight boundary within the gap.
+    * Stitching is exact: within-day sessions are maximal except at cut
+    * points, and the same gap rule decides each cut, so the composition
+    * equals the single-pass result. Money stays DECIMAL through both
+    * phases, DOUBLE at the boundary. */
+  def sessionizeScalable(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
+    val byUserDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val daySessions = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("prev_ts", lag("ts", 1).over(byUserDay))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1).otherwise(0))
+      .withColumn("day_seq",
+        sum("new_sess").over(byUserDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "day", "day_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        sum(col("value").cast(DecimalType(12, 2))).as("dec_value"))
+    val byUser = Window.partitionBy("user_id").orderBy("session_start")
+    daySessions
+      .withColumn("prev_end", lag("session_end", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_end").isNull || col("session_start") > col("prev_end") + gap, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        min("session_start").as("session_start"),
+        max("session_end").as("session_end"),
+        sum(col("dec_value")).cast(DecimalType(18, 2)).cast(DoubleType).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** JSON property extraction (`props` is a JSON string): real JSON-path
     * parsing on the Spark side; the oracle replays it with a regexp so the
     * check does not depend on DuckDB's json extension. */

@@ -124,12 +124,23 @@ object Similarity {
     * bucket self-join as [[annTopK]] — candidates share a (table, code)
     * bucket, then exact-cosine verify. No cross join at any scale; recall
     * vs the quadratic baseline is asserted in SimilaritySpec. */
+  /** Bucket-population cap for the near-dup self-join: a bucket of n
+    * vectors contributes n² candidate pairs, so one degenerate bucket
+    * (all-zero embeddings, a padding cluster) would dominate the job at
+    * scale. Same guard as [[Dedup.maxBucketSize]]. */
+  val maxBucketSize = 2000
+
   def embeddingNearDups(spark: SparkSession, dir: String,
       minCosine: Double = 0.25): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val coded = codes(emb)
-    val left = coded.toDF("vec_a", "emb_a", "table", "code")
-    val right = coded.toDF("vec_b", "emb_b", "table", "code")
+    val smallBuckets = coded.groupBy("table", "code")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize && col("bucket_n") > 1)
+      .select("table", "code")
+    val inBuckets = coded.join(smallBuckets, Seq("table", "code"))
+    val left = inBuckets.toDF("vec_a", "emb_a", "table", "code")
+    val right = inBuckets.toDF("vec_b", "emb_b", "table", "code")
     left.join(right, Seq("table", "code"))
       .filter(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")

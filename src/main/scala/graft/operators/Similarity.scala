@@ -139,6 +139,7 @@ object Similarity {
       .filter(col("bucket_n") <= maxBucketSize && col("bucket_n") > 1)
       .select("table", "code")
     val inBuckets = coded.join(smallBuckets, Seq("table", "code"))
+      .select("vec_id", "embedding", "table", "code")
     val left = inBuckets.toDF("vec_a", "emb_a", "table", "code")
     val right = inBuckets.toDF("vec_b", "emb_b", "table", "code")
     left.join(right, Seq("table", "code"))

@@ -262,6 +262,16 @@ object SparkEntry {
     "json_stats" -> ((s, d) => operators.Events.jsonStats(s, d)),
     "top_users" -> ((s, d) => operators.Events.topUsers(s, d)),
     "daily_active" -> ((s, d) => operators.Events.dailyActive(s, d)),
+    // as-of join: each click picks up the user's most recent purchase
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+      ext.AsOfJoin.asofJoin(clicks, purchases, "user_id", "ts")
+        .orderBy("event_id")
+    }),
   )
 
   private val stopwordList =
@@ -374,6 +384,15 @@ object SparkEntry {
       s"""$eventsCte SELECT CAST(ts AS DATE) AS day,
          | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          | FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
+    "asof_join" ->
+      s"""$eventsCte,
+         | clicks AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'),
+         | purch AS (SELECT user_id, ts AS p_ts, MAX(value) AS p_value
+         |           FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         | SELECT c.user_id, c.ts, c.event_id, c.value, p.p_value
+         | FROM clicks c ASOF LEFT JOIN purch p
+         |   ON c.user_id = p.user_id AND c.ts >= p.p_ts
+         | ORDER BY event_id""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.5). */

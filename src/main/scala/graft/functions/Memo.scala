@@ -1,0 +1,22 @@
+package graft.functions
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Per-(session, sf-dir, name) memoization of expensive shared
+  * intermediates (MinHash signatures, LSH codes) — the operator-layer
+  * analogue of [[graft.etl.Warehouse]]: several registered queries fan out
+  * from the same intermediate, and recomputing a shingle explosion per
+  * query is the batch-job equivalent of a cache miss on every call. The
+  * persisted plan spills to disk rather than OOMing, and the cache key is
+  * scoped to the SparkSession so tests and verify runs never cross-talk. */
+object Memo {
+
+  private val cache = TrieMap.empty[(String, String, String), DataFrame]
+
+  def apply(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+}

@@ -99,10 +99,20 @@ object Dedup {
 
   /** MinHash near-dup pairs: LSH candidates filtered by signature
     * agreement (n_match/32 estimates Jaccard; >= 16 ~ J >= 0.5). */
+  /** Signatures + candidates memoized per (session, dir): minhashPairs and
+    * ngramJaccard share them, and the shingle explosion is the expensive
+    * stage. */
+  private def cachedSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "minhash_sigs")(
+      minhashSignatures(corpusWithDups(spark, dir)))
+
+  private def cachedCands(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "lsh_cands")(
+      lshCandidates(cachedSigs(spark, dir)))
+
   def minhashPairs(spark: SparkSession, dir: String, minMatch: Int = 16): DataFrame = {
-    val docs = corpusWithDups(spark, dir)
-    val sigs = minhashSignatures(docs)
-    val cands = lshCandidates(sigs)
+    val sigs = cachedSigs(spark, dir)
+    val cands = cachedCands(spark, dir)
     val sigA = sigs.toDF("doc_a", "sig_a")
     val sigB = sigs.toDF("doc_b", "sig_b")
     cands.join(sigA, "doc_a").join(sigB, "doc_b")
@@ -124,8 +134,7 @@ object Dedup {
     * every document's shingle set would dominate the job. */
   def ngramJaccard(spark: SparkSession, dir: String, minMatch: Int = 8): DataFrame = {
     val docs = corpusWithDups(spark, dir)
-    val sigs = minhashSignatures(docs)
-    val cands = lshCandidates(sigs)
+    val cands = cachedCands(spark, dir)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")

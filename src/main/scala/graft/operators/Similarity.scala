@@ -51,20 +51,26 @@ object Similarity {
 
   private def norm2(a: Column): Column = dot(a, a)
 
+  /** (vec_id, embedding, norm): norms are a per-VECTOR quantity — computing
+    * them per PAIR would triple the HOF work in every downstream join. The
+    * fold order is identical to the oracle's per-pair replay, so the
+    * product `q_norm * norm` is bit-identical either way. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("norm", sqrt(norm2(col("embedding"))))
+
   /** Exact cosine top-k of every corpus vector against the first
     * `nQueries` vectors (self-pairs excluded). */
   def bruteForceTopK(spark: SparkSession, dir: String,
       k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val emb = withNorm(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("embedding", "q_embedding")
+      .toDF("query_id", "q_embedding", "q_norm")
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
         (dot(col("q_embedding"), col("embedding")) /
-          (sqrt(norm2(col("q_embedding"))) * sqrt(norm2(col("embedding"))))).as("sim"))
+          (col("q_norm") * col("norm"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -101,8 +107,9 @@ object Similarity {
     Seq.fill(nTables * bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** (vec_id, table, code): `nTables` independent sign-bit codes per
-    * vector, computed in one narrow pass (no shuffle). */
+  /** (vec_id, embedding, norm, table, code): `nTables` independent
+    * sign-bit codes per vector plus the precomputed norm, one narrow pass
+    * (no shuffle). */
   def codes(emb: DataFrame): DataFrame = {
     val planes = hyperplanes()
     val tableCols = (0 until nTables).map { t =>
@@ -112,10 +119,11 @@ object Similarity {
       }
       bits.reduce(_ + _).as(s"code_$t")
     }
-    emb.select((col("vec_id") +: col("embedding") +: tableCols): _*)
-      .select(col("vec_id"), col("embedding"),
+    withNorm(emb)
+      .select((col("vec_id") +: col("embedding") +: col("norm") +: tableCols): _*)
+      .select(col("vec_id"), col("embedding"), col("norm"),
         posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*)))
-      .toDF("vec_id", "embedding", "table", "code")
+      .toDF("vec_id", "embedding", "norm", "table", "code")
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
@@ -132,44 +140,48 @@ object Similarity {
 
   def embeddingNearDups(spark: SparkSession, dir: String,
       minCosine: Double = 0.25): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val coded = codes(emb)
+    val coded = cachedCodes(spark, dir)
     val smallBuckets = coded.groupBy("table", "code")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize && col("bucket_n") > 1)
       .select("table", "code")
     val inBuckets = coded.join(smallBuckets, Seq("table", "code"))
-      .select("vec_id", "embedding", "table", "code")
-    val left = inBuckets.toDF("vec_a", "emb_a", "table", "code")
-    val right = inBuckets.toDF("vec_b", "emb_b", "table", "code")
+      .select("vec_id", "embedding", "norm", "table", "code")
+    val left = inBuckets.toDF("vec_a", "emb_a", "norm_a", "table", "code")
+    val right = inBuckets.toDF("vec_b", "emb_b", "norm_b", "table", "code")
     left.join(right, Seq("table", "code"))
       .filter(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dot(col("emb_a"), col("emb_b")) /
-          (sqrt(norm2(col("emb_a"))) * sqrt(norm2(col("emb_b"))))).as("cosine"))
+          (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy("vec_a", "vec_b")
   }
 
   /** ANN cosine top-k: LSH bucket candidates -> exact cosine -> top-k.
     * Same output shape as [[bruteForceTopK]]; recall asserted in tests. */
+  /** Hyperplane codes memoized per (session, dir): annTopK and
+    * embeddingNearDups share them. */
+  private def cachedCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "hyperplane_codes")(
+      codes(Tables.embeddings(spark, dir).select("vec_id", "embedding")))
+
   def annTopK(spark: SparkSession, dir: String,
       k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val coded = codes(emb)
+    val coded = cachedCodes(spark, dir)
     val queryCodes = coded.filter(col("vec_id") < nQueries)
-      .toDF("query_id", "q_embedding", "table", "code")
+      .toDF("query_id", "q_embedding", "q_norm", "table", "code")
     // bucket join: corpus side shuffles on (table, code) once; query side
     // is tiny -> broadcast
     val cands = coded.join(broadcast(queryCodes), Seq("table", "code"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "q_embedding", "vec_id", "embedding")
+      .select("query_id", "q_embedding", "q_norm", "vec_id", "embedding", "norm")
       .dropDuplicates("query_id", "vec_id")
     val scored = cands.select(
       col("query_id"), col("vec_id"),
       (dot(col("q_embedding"), col("embedding")) /
-        (sqrt(norm2(col("q_embedding"))) * sqrt(norm2(col("embedding"))))).as("sim"))
+        (col("q_norm") * col("norm"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -63,8 +63,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("LSH codes are deterministic across invocations") {
     val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
-    val a = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
-    val b = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val a = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4))).toSet
+    val b = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4))).toSet
     assert(a === b)
   }
 }

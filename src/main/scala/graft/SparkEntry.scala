@@ -112,6 +112,7 @@ object SparkEntry {
     "q_top_products" -> ((s, d) => Quality.topProducts(s, d)),
     "q_monthly_sales" -> ((s, d) => Quality.monthlySales(s, d)),
     "q_country_sales" -> ((s, d) => Quality.countrySales(s, d)),
+    "q_region_sales" -> ((s, d) => Quality.regionSales(s, d)),
     "q_sample" -> ((s, d) => moneyDouble(Quality.sampleRows(s, d), Seq("unit_price"))),
     "q_consistency" -> ((s, d) => Quality.consistency(s, d)),
     "q_freshness" -> ((s, d) => Quality.freshness(s, d)),
@@ -193,6 +194,15 @@ object SparkEntry {
          | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          | FROM fact_sales f JOIN dim_customer c ON f.customer_key = c.customer_key
          | GROUP BY c.country ORDER BY c.country""".stripMargin,
+    "q_region_sales" ->
+      s"""${Oracle.warehouseCte} SELECT COALESCE(r.r_name, 'UNKNOWN') AS region,
+         | COUNT(*) AS n_sales,
+         | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+         | FROM fact_sales f
+         | JOIN dim_customer c ON f.customer_key = c.customer_key
+         | LEFT JOIN nation n ON c.country = n.n_name
+         | LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+         | GROUP BY 1 ORDER BY region""".stripMargin,
     "q_sample" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | ORDER BY ${orderBySql(stagingCols)} LIMIT 3""".stripMargin,
@@ -250,6 +260,8 @@ object SparkEntry {
     // no clean DuckDB replay; MultimodalSpec asserts the parse contracts)
     "media_meta" -> ((s, d) => operators.Multimodal.mediaMeta(s, d)),
     "media_frames" -> ((s, d) => operators.Multimodal.frameSample(s, d)),
+    "media_features" -> ((s, d) =>
+      operators.Multimodal.decodeFeatures(s, d).toDF().orderBy("doc_id")),
     // similarity search (ANN is rows-only: seeded hyperplane constants
     // make a SQL replay impractical; SimilaritySpec asserts recall)
     "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),

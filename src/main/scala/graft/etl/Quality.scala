@@ -126,6 +126,23 @@ object Quality {
       .orderBy("country")
   }
 
+  /** Region rollup: country -> nation -> region through two broadcast
+    * dimension hops — the full star-depth drill of the fixture geography
+    * (and the one query family touching region/nation beyond the staging
+    * denormalization). */
+  def regionSales(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Warehouse(spark, dir)
+    val nation = graft.Tables.nation(spark, dir).select(col("n_name"), col("n_regionkey"))
+    val region = graft.Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    wh.fact.join(broadcast(wh.dimCustomer.select("customer_key", "country")), Seq("customer_key"))
+      .join(broadcast(nation), col("country") === col("n_name"), "left")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "left")
+      .groupBy(coalesce(col("r_name"), lit("UNKNOWN")).as("region"))
+      .agg(count(lit(1)).as("n_sales"),
+        sum(col("total_amount")).cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
+      .orderBy("region")
+  }
+
   /** S9: deterministic sample — first 3 rows by full ordering
     * (reference `scripts/verify_ingestion.py:136-140`). */
   def sampleRows(spark: SparkSession, dir: String): DataFrame =

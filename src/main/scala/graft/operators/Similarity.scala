@@ -51,12 +51,21 @@ object Similarity {
 
   private def norm2(a: Column): Column = dot(a, a)
 
+  /** Codegen'd dot product over named array columns — the per-pair hot
+    * path uses [[graft.functions.VecDot]] (tight loop) instead of the
+    * interpreted HOF lambda; identical accumulation order, so
+    * oracle-checked sims stay bit-identical. */
+  private def vecDot(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    expr(s"vec_dot($a, $b)")
+  }
+
   /** (vec_id, embedding, norm): norms are a per-VECTOR quantity — computing
-    * them per PAIR would triple the HOF work in every downstream join. The
+    * them per PAIR would triple the work in every downstream join. The
     * fold order is identical to the oracle's per-pair replay, so the
     * product `q_norm * norm` is bit-identical either way. */
   private def withNorm(emb: DataFrame): DataFrame =
-    emb.withColumn("norm", sqrt(norm2(col("embedding"))))
+    emb.withColumn("norm", sqrt(vecDot(emb, "embedding", "embedding")))
 
   /** Exact cosine top-k of every corpus vector against the first
     * `nQueries` vectors (self-pairs excluded). */
@@ -69,7 +78,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        (dot(col("q_embedding"), col("embedding")) /
+        (vecDot(emb, "q_embedding", "embedding") /
           (col("q_norm") * col("norm"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -153,7 +162,7 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("emb_a"), col("emb_b")) /
+        (vecDot(coded, "emb_a", "emb_b") /
           (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy("vec_a", "vec_b")
@@ -180,7 +189,7 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
     val scored = cands.select(
       col("query_id"), col("vec_id"),
-      (dot(col("q_embedding"), col("embedding")) /
+      (vecDot(cands, "q_embedding", "embedding") /
         (col("q_norm") * col("norm"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -331,12 +331,13 @@ object SparkEntry {
          |  FROM corpus GROUP BY 1)
          | ORDER BY keep_id""".stripMargin,
     "token_stats" ->
-      """SELECT doc_id,
-        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        | CAST(length(text) AS INTEGER) AS n_chars,
-        | CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_alpha,
-        | CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_bpe_est
-        | FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         | CAST(length(text) AS INTEGER) AS n_chars,
+         | CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_alpha,
+         | CAST(len(regexp_extract_all(text, '${operators.TextAnalysis.subwordPattern}')) AS INTEGER) AS n_subwords,
+         | CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_bpe_est
+         | FROM documents ORDER BY doc_id""".stripMargin,
     "quality_score" ->
       s"""SELECT doc_id, n_tokens, n_stopwords, n_chars,
          | (n_chars >= 40 AND n_chars <= 20000 AND n_tokens >= 8

@@ -27,14 +27,21 @@ object TextAnalysis {
 
   private val stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Token/char counts per document (BPE-ish subword estimate included:
-    * ceil(chars/4) is the standard rough tokens-per-byte heuristic). */
+  /** BPE-ish pre-tokenization pattern: letter runs, digit runs, and single
+    * other non-space chars — the GPT-2-style split shape, kept to a
+    * dialect-neutral subset so Java regex and DuckDB RE2 agree. */
+  val subwordPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Token/char counts per document: whitespace tokens, a regex subword
+    * count ([[subwordPattern]]), and the rough ceil(chars/4)
+    * tokens-per-byte estimate. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(tokens(col("text"))).as("n_tokens"),
       length(col("text")).as("n_chars"),
       length(regexp_replace(col("text"), " ", "")).as("n_alpha"),
+      size(expr(s"regexp_extract_all(text, '$subwordPattern', 0)")).as("n_subwords"),
       ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"))
       .orderBy("doc_id")
 

@@ -266,6 +266,7 @@ object SparkEntry {
     // make a SQL replay impractical; SimilaritySpec asserts recall)
     "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),
     "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
+    "ivf_topk" -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
     "embedding_near_dups" -> ((s, d) => operators.Similarity.embeddingNearDups(s, d)),
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),

@@ -9,22 +9,21 @@ import org.apache.spark.sql.functions._
   * embedding ARRAY<FLOAT> dim-64, label) — the training-data-pipeline
   * north-star operator (SURVEY §7.5).
   *
-  * Two paths:
+  * Four paths:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *    The query set is broadcast, so the plan is one scan of the corpus
-  *    with a codegen'd HOF dot product per (query, vector) pair and a
-  *    per-query top-k window: at 100 TB the cost is the scan, with no
-  *    shuffle of the corpus at all. All arithmetic folds left in DOUBLE
-  *    (`zip_with` + `aggregate`), an IEEE-deterministic order the DuckDB
-  *    oracle replays bit-identically.
-  *  - [[annTopK]]: random-hyperplane LSH (SimHash-for-cosine). Each vector
-  *    gets `nTables` independent 8-bit sign codes; vectors sharing a
-  *    (table, code) bucket are candidates, verified by exact cosine and
-  *    top-k'd. Hyperplanes are seeded-deterministic constants broadcast
-  *    with the plan. At scale this replaces the full scan per query with
-  *    ~corpus/2^bits bucket probes — the IVF-style trade; recall vs the
-  *    brute-force baseline is asserted in SimilaritySpec (no DuckDB oracle:
-  *    the hyperplane constants make the SQL replay impractical).
+  *    with a codegen'd dot product ([[graft.functions.VecDot]]) per
+  *    (query, vector) pair and a per-query top-k window: at 100 TB the
+  *    cost is the scan, with no shuffle of the corpus at all. All
+  *    arithmetic folds left in DOUBLE, an IEEE-deterministic order the
+  *    DuckDB oracle replays bit-identically.
+  *  - [[annTopK]]: random-hyperplane LSH (SimHash-for-cosine): sign-bit
+  *    bucket probing replaces the full scan with ~corpus/2^bits per
+  *    (table, query); recall asserted in SimilaritySpec.
+  *  - [[ivfTopK]]: inverted-file index — DataFrame-ops k-means build,
+  *    nprobe nearest posting lists scanned per query.
+  *  - [[embeddingNearDups]]: all-pairs cosine >= τ via the LSH bucket
+  *    self-join (the embedding-based dedup modality).
   */
 object Similarity {
 
@@ -133,6 +132,100 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("norm"),
         posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*)))
       .toDF("vec_id", "embedding", "norm", "table", "code")
+  }
+
+  /** IVF (inverted-file) ANN — the clustering-based alternative to
+    * hyperplane LSH from the brief. Index build: k-means over the corpus
+    * in pure DataFrame ops (centroids broadcast each Lloyd iteration;
+    * assignment is an argmin over k codegen'd [[graft.functions.VecDot]]
+    * scores; update is one groupBy-mean shuffle of (cluster, vector)).
+    * Deterministic: seeds are the first k vectors, fixed iteration count.
+    * Query: probe the `nprobe` nearest centroid posting lists only —
+    * at scale the scan shrinks from the corpus to ~nprobe/k of it, the
+    * classic IVF trade. Recall vs brute force asserted in SimilaritySpec.
+    */
+  val ivfK = 16
+  val ivfIters = 5
+  val ivfNProbe = 4
+
+  /** (vec_id, embedding, norm, cluster): corpus with IVF cluster ids. */
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "ivf_assignments") {
+      val emb = withNorm(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      graft.functions.VectorExprs.register(spark)
+      // seeds: first k vectors (deterministic)
+      var centroids: Array[(Int, Seq[Double])] = emb.filter(col("vec_id") < ivfK)
+        .orderBy("vec_id").collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq.asInstanceOf[Seq[Double]] }
+      for (_ <- 0 until ivfIters) {
+        val assigned = assignToCentroids(emb, centroids)
+        // update step: one shuffle of (cluster, 64 doubles) partials
+        val dims = (0 until dim).map(j => avg(col("embedding")(j).cast("double")).as(s"c_$j"))
+        centroids = assigned.groupBy("cluster").agg(dims.head, dims.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble(_)).toSeq.asInstanceOf[Seq[Double]])
+          .sortBy(_._1)
+      }
+      assignToCentroids(emb, centroids)
+    }
+
+  /** argmin over broadcast centroid literals — narrow, no shuffle. */
+  private def assignToCentroids(emb: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    // nearest by euclidean distance = max (dot - |c|^2/2) for unit-cost argmin
+    val scored = centroids.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      val cNorm2 = c.map(x => x * x).sum
+      struct((dot(col("embedding"), cArr) - lit(cNorm2 / 2)).as("score"), lit(cid).as("cid"))
+    }
+    emb.withColumn("cluster", greatest(scored: _*).getField("cid"))
+  }
+
+  /** IVF ANN top-k: probe the nprobe nearest posting lists per query. */
+  def ivfTopK(spark: SparkSession, dir: String,
+      k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
+    val assigned = ivfAssignments(spark, dir)
+    // each query probes the lists of the nprobe nearest centroids; centroid
+    // scores are recomputed per query row against broadcast literals, so
+    // the query side needs only its own vector
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        col("norm").as("q_norm"))
+    // rank centroids per query via the same argmin scores, explode top nprobe
+    val cVecs = ivfCentroidVectors(spark, dir)
+    val probeStructs = cVecs.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      val cNorm2 = c.map(x => x * x).sum
+      struct((dot(col("q_embedding"), cArr) - lit(cNorm2 / 2)).as("score"), lit(cid).as("cid"))
+    }
+    val probed = queries
+      .withColumn("ranked", sort_array(array(probeStructs: _*), asc = false))
+      .select(col("query_id"), col("q_embedding"), col("q_norm"),
+        explode(expr(s"slice(ranked, 1, $ivfNProbe)")).as("probe"))
+      .select(col("query_id"), col("q_embedding"), col("q_norm"),
+        col("probe.cid").as("cluster"))
+    val cands = assigned.join(broadcast(probed), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = cands.select(
+      col("query_id"), col("vec_id"),
+      (vecDot(cands, "q_embedding", "embedding") /
+        (col("q_norm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Final centroid vectors (cluster id -> mean), recomputed from the
+    * memoized assignments so probing uses exactly the index's geometry. */
+  private def ivfCentroidVectors(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] = {
+    val assigned = ivfAssignments(spark, dir)
+    val dims = (0 until dim).map(j => avg(col("embedding")(j).cast("double")).as(s"c_$j"))
+    assigned.groupBy("cluster").agg(dims.head, dims.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble(_)).toSeq.asInstanceOf[Seq[Double]])
+      .sortBy(_._1)
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of

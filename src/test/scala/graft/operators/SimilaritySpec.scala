@@ -34,6 +34,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.45, s"ANN recall $recall < 0.45")
   }
 
+  test("ivfTopK recall against the brute-force baseline") {
+    val exact = resultPairs(Similarity.bruteForceTopK(spark, sf))
+    val ivf = resultPairs(Similarity.ivfTopK(spark, sf))
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // nprobe/k = 4/16 of a near-isotropic corpus scanned; centroid routing
+    // concentrates true neighbors well above the 25% random floor
+    assert(recall >= 0.35, s"IVF recall $recall < 0.35")
+  }
+
+  test("IVF assignments are deterministic and cover the corpus") {
+    val a = Similarity.ivfAssignments(spark, sf)
+    assert(a.count() === graft.Tables.embeddings(spark, sf).count())
+    val clusters = a.select("cluster").distinct().count()
+    assert(clusters > 1 && clusters <= Similarity.ivfK)
+  }
+
   test("embeddingNearDups finds only/mostly the quadratic baseline's pairs") {
     import org.apache.spark.sql.functions._
     val tau = 0.25

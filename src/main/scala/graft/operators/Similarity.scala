@@ -48,8 +48,6 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def norm2(a: Column): Column = dot(a, a)
-
   /** Codegen'd dot product over named array columns — the per-pair hot
     * path uses [[graft.functions.VecDot]] (tight loop) instead of the
     * interpreted HOF lambda; identical accumulation order, so

@@ -67,12 +67,29 @@ object SparkEntry {
         moneyDouble(Ingest.readCsv(s, csvDir).drop("loaded_at"), Seq("unit_price")),
         stagingCols)
     }),
+    "ingest_json" -> ((s, d) => {
+      val jsonDir = s"/tmp/graft_json_${new java.io.File(d).getName}"
+      Ingest.dumpJson(s, d, jsonDir)
+      orderedAsc(
+        moneyDouble(Ingest.readJson(s, jsonDir).drop("loaded_at"), Seq("unit_price")),
+        stagingCols)
+    }),
+    "ingest_orc" -> ((s, d) => {
+      val orcDir = s"/tmp/graft_orc_${new java.io.File(d).getName}"
+      orderedAsc(
+        moneyDouble(Ingest.roundtripOrc(s, d, orcDir), Seq("unit_price")),
+        stagingCols)
+    }),
   )
 
   private val etlOracles: Map[String, String] = Map(
     "staging" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
     "ingest_csv" ->
+      s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
+    "ingest_json" ->
+      s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
+    "ingest_orc" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
     "clean_nulls" ->
       s"""${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging WHERE ${Oracle.notNullPred}

@@ -57,4 +57,26 @@ object Ingest {
       .withColumn("customer_id", coalesce(col("customer_id"), lit("nan")))
       .write.mode("overwrite").option("header", "true")
       .csv(outPath)
+
+  /** JSONL variant of the ingestion path: same explicit schema and S2
+    * coercion; null fields are simply absent in the dump (Spark's JSON
+    * writer default) and come back as nulls under the schema. */
+  def dumpJson(spark: SparkSession, dir: String, outPath: String): Unit =
+    Warehouse(spark, dir).staging
+      .withColumn("invoice_date", date_format(col("invoice_date"), timestampFmt))
+      .write.mode("overwrite").json(outPath)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(csvSchema).json(path)
+      .withColumn("invoice_date",
+        try_to_timestamp(col("invoice_date"), lit(timestampFmt)))
+      .withColumn("loaded_at", current_timestamp())
+
+  /** ORC variant: fully typed container (decimal/timestamp preserved
+    * natively), so the roundtrip needs no parsing step — the format
+    * contract alone is what's being exercised. */
+  def roundtripOrc(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    Warehouse(spark, dir).staging.write.mode("overwrite").orc(outPath)
+    spark.read.orc(outPath)
+  }
 }

@@ -386,6 +386,16 @@ object SparkEntry {
         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         | GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
         | ORDER BY term""".stripMargin,
+    // media_meta's outputs are defined by formulas over (doc_id, text), so
+    // the oracle replays the formulas — verifying the binary encode ->
+    // slice -> decode roundtrip end to end
+    "media_meta" ->
+      """SELECT doc_id, 'GRFT' AS magic,
+        | CAST(16 + doc_id % 64 AS INTEGER) AS width,
+        | CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+        | CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+        | CAST(length(text) AS INTEGER) AS payload_bytes
+        | FROM documents ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

@@ -132,7 +132,7 @@ object Dedup {
     * that appear in a candidate pair (left-semi join first): at 100 TB the
     * candidate set is a vanishing fraction of the corpus, so collecting
     * every document's shingle set would dominate the job. */
-  def ngramJaccard(spark: SparkSession, dir: String, minMatch: Int = 8): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = corpusWithDups(spark, dir)
     val cands = cachedCands(spark, dir)
     val candIds = cands.select(col("doc_a").as("doc_id"))

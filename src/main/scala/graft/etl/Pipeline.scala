@@ -24,6 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Runnable entry point: `sbt "runMain graft.etl.Pipeline <sfDir> [outDir]"`
+    * — the single-driver replacement for the reference's Airflow
+    * master DAG. Exits non-zero on a FAILED verification score. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val status = run(spark, dir, out)
+    println(s"""{"pipeline_status":"$status","warehouse":"$out"}""")
+    spark.stop()
+    if (status == "FAILED") sys.exit(1)
+  }
+
   /** E10: `strftime('%Y%m%d_%H%M')`-style run id
     * (reference `dags/dag2_clean_validate.py:163`). */
   def runId(now: Instant = Instant.now()): String =

@@ -60,6 +60,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: restart resumes without duplicating output") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    def start() = Streams.hourlyRollup(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // append mode only emits finalized windows: watermark must pass hour+2h
+    val q1 = start()
+    try {
+      input.addData((ts("10:05"), "click", 1.0), (ts("10:10"), "click", 2.0))
+      input.addData((ts("13:30"), "view", 1.0)) // watermark -> 11:30, closes 10:00
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst >= 1, "10:00 window flushed to the file sink")
+    // restart from the checkpoint; old batches must not re-emit
+    val q2 = start()
+    try {
+      input.addData((ts("16:30"), "view", 1.0)) // closes the 13:00 window
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === rows.distinct.length, "no duplicated windows after restart")
+    assert(rows.count(_._1 == ts("10:00")) === 1)
+    assert(rows.exists(_._1 == ts("13:00")), "13:00 window emitted after restart")
+  }
+
   test("streaming sessionize times out idle users via the watermark") {
     val spark0 = spark
     import spark0.implicits._

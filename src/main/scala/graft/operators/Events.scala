@@ -33,9 +33,13 @@ object Events {
   /** Gap-based sessionization (30-min inactivity): lag marks session
     * starts, a running sum assigns session ids, then per-session rollup.
     * Deterministic tiebreak on (ts, event_id). */
-  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionize(Tables.events(spark, dir), gapMinutes)
+
+  /** DataFrame-level form: any (user_id, ts, event_id, value) input. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
@@ -63,10 +67,14 @@ object Events {
     * points, and the same gap rule decides each cut, so the composition
     * equals the single-pass result. Money stays DECIMAL through both
     * phases, DOUBLE at the boundary. */
-  def sessionizeScalable(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionizeScalable(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionizeScalable(Tables.events(spark, dir), gapMinutes)
+
+  /** DataFrame-level form: any (user_id, ts, event_id, value) input. */
+  def sessionizeScalable(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gap = expr(s"INTERVAL $gapMinutes MINUTES")
     val byUserDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    val daySessions = Tables.events(spark, dir)
+    val daySessions = events
       .withColumn("day", to_date(col("ts")))
       .withColumn("prev_ts", lag("ts", 1).over(byUserDay))
       .withColumn("new_sess",

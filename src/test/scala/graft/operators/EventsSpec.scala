@@ -48,6 +48,36 @@ class EventsSpec extends AnyFunSuite {
     assert(top.intersect(all).size >= 8)
   }
 
+  test("sessionize and sessionizeScalable agree on arbitrary event sets (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // events clustered around midnight boundaries — the stitching edge case
+    val eventGen = for {
+      user <- Gen.choose(1L, 3L)
+      // minutes offset around several midnights, including exact-gap spacings
+      dayBase <- Gen.choose(0, 2)
+      offset <- Gen.choose(-90, 90)
+      id <- Gen.choose(1L, 1000000L)
+      value <- Gen.choose(0, 9999).map(_ / 100.0)
+    } yield (id, new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime +
+        dayBase * 86400000L + offset * 60000L), user, value)
+    val setGen = Gen.nonEmptyListOf(eventGen)
+    val prop = Prop.forAll(setGen) { evs0 =>
+      // unique event ids: ties on (ts, event_id) would make the window
+      // order — and thus value attribution — legitimately ambiguous
+      val evs = evs0.zipWithIndex.map { case ((_, ts, u, v), i) => (i.toLong, ts, u, v) }
+      val df = evs.toDF("event_id", "ts", "user_id", "value")
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getDouble(5))).toSeq.sorted
+      canon(Events.sessionize(df, 30)) == canon(Events.sessionizeScalable(df, 30))
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("dailyActive day count matches the distinct calendar days present") {
     val days = graft.Tables.events(spark, sf).select(to_date(col("ts"))).distinct().count()
     assert(Events.dailyActive(spark, sf).count() === days)

@@ -137,6 +137,8 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => ext.ApproxStats.distinctStats(s, d)),
     "q_checks" -> ((s, d) => Pipeline.checks(s, d)),
     "q_run_summary" -> ((s, d) => Pipeline.runSummary(s, d)),
+    // K6 at engine scope: a reference-style SQL string through the catalog
+    "q_sql_interface" -> ((s, d) => Views.sqlInterface(s, d)),
   )
 
   private val stageCountsOracle: String =
@@ -234,6 +236,13 @@ object SparkEntry {
          | FROM (SELECT MAX(CAST(invoice_date AS DATE)) AS staging_max_date FROM cleaned),
          |      (SELECT MAX(CAST(invoice_date AS DATE)) AS fact_max_date FROM fact_sales)""".stripMargin,
     "q_checks" -> s"${Oracle.warehouseCte} ${Oracle.checksSelect}",
+    "q_sql_interface" ->
+      s"""${Oracle.warehouseCte} SELECT d.year, d.quarter,
+         | COUNT(*) AS n_sales,
+         | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+         | COUNT(DISTINCT f.invoice_no) AS n_invoices
+         | FROM fact_sales f JOIN dim_date d ON f.date_key = d.date_key
+         | GROUP BY d.year, d.quarter ORDER BY d.year, d.quarter""".stripMargin,
     "q_run_summary" ->
       s"""${Oracle.warehouseCte},
          | checks AS (${Oracle.checksSelect}),

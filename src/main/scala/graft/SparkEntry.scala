@@ -270,8 +270,10 @@ object SparkEntry {
       |)""".stripMargin
 
   private val opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // deduplication family (exact is oracle-checked; fuzzy are rows-only +
-    // planted-pair asserts in DedupSpec — xxhash64 has no DuckDB analogue)
+    // deduplication family — ALL oracle-checked: hashing is the portable
+    // md5-prefix hash ([[operators.Dedup.portableHash60]]), so DuckDB
+    // replays MinHash/LSH/SimHash value-for-value; DedupSpec additionally
+    // asserts planted-pair recovery
     "exact_dedup" -> ((s, d) => operators.Dedup.exactDedup(s, d)),
     "minhash_pairs" -> ((s, d) => operators.Dedup.minhashPairs(s, d)),
     "simhash_pairs" -> ((s, d) => operators.Dedup.simhashPairs(s, d)),
@@ -282,8 +284,10 @@ object SparkEntry {
     "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
     "term_stats" -> ((s, d) => operators.TextAnalysis.termStats(s, d)),
-    // multimodal binary-column plumbing (rows-only: binary synthesis has
-    // no clean DuckDB replay; MultimodalSpec asserts the parse contracts)
+    // multimodal binary-column plumbing: media_meta and media_features are
+    // formula-oracle-checked (the latter through a REAL javax.imageio
+    // PNG encode/decode roundtrip); media_frames is rows-only (crc32 has
+    // no DuckDB analogue) + MultimodalSpec coverage asserts
     "media_meta" -> ((s, d) => operators.Multimodal.mediaMeta(s, d)),
     "media_frames" -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     "media_features" -> ((s, d) =>
@@ -352,6 +356,9 @@ object SparkEntry {
   private val opsOracles: Map[String, String] = Map(
     "sessionize" -> sessionizeOracle,
     "sessionize_scalable" -> sessionizeOracle,
+    "minhash_pairs" -> operators.Dedup.minhashOracleSql(corpusCte),
+    "simhash_pairs" -> operators.Dedup.simhashOracleSql(corpusCte),
+    "ngram_jaccard" -> operators.Dedup.ngramJaccardOracleSql(corpusCte),
     "exact_dedup" ->
       s"""$corpusCte SELECT keep_id, n_copies FROM (
          |  SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -405,6 +412,7 @@ object SparkEntry {
         | CAST(1 + doc_id % 3 AS INTEGER) AS channels,
         | CAST(length(text) AS INTEGER) AS payload_bytes
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "media_features" -> operators.Multimodal.decodeFeaturesOracleSql(),
     "fingerprint" ->
       """SELECT doc_id,
         | list_reduce(
@@ -450,8 +458,8 @@ object SparkEntry {
     etlQueries ++ qualityQueries ++ opsQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for non-SQL-expressible ops (minhash/
-    * simhash/ngram-jaccard use xxhash64 — rows-only + DedupSpec asserts). */
+    * same parquet tables. Omitted only for genuinely non-replayable ops
+    * (seeded ANN indexes, approximate sketches) — see ContractSpec. */
   def oracleSql: Map[String, String] =
     etlOracles ++ qualityOracles ++ opsOracles
 }

@@ -13,16 +13,21 @@ import org.apache.spark.sql.functions._
   * *injected* corpus ([[corpusWithDups]]): exact copies of every 10th doc
   * and lightly-padded copies of every (10k+5)th doc, both added with offset
   * ids. The injection is plain SQL arithmetic so the DuckDB oracle replays
-  * it for the exact path (`SparkEntry.oracleSql("exact_dedup")`); the fuzzy
-  * paths (MinHash/SimHash use xxhash64, which DuckDB lacks) are rows-only
-  * query entries plus `DedupSpec` planted-pair recovery asserts.
+  * it, and ALL hashing is the portable 60-bit md5 prefix ([[portableHash60]])
+  * plus integer universal-hash arithmetic — every path here (exact, MinHash
+  * signatures, LSH banding, SimHash, Jaccard verify) is replayed
+  * value-for-value by the DuckDB oracle SQL emitted by
+  * [[minhashOracleSql]]/[[simhashOracleSql]]/[[ngramJaccardOracleSql]].
   *
   * Scale notes:
   * - exact dedup = one hash shuffle of (digest -> min id); at 100 TB
   *   group on the digest only (never the text) so shuffle rows are ~48 B.
   * - MinHash: the shingle explode multiplies rows by ~tokens/doc, but the
   *   per-seed `min` aggregates map-side, so the shuffle carries one
-  *   32-long signature per doc, not the shingles.
+  *   32-long signature per doc, not the shingles. One md5 per shingle
+  *   (seed permutations are arithmetic on the same base hash, the classic
+  *   universal-hash family) keeps the hash cost flat in the seed count;
+  *   md5 is ~2x an xxhash64 but the explode dominates the stage.
   * - LSH band join is the classic bucket self-join; [[maxBucketSize]]
   *   caps degenerate buckets (boilerplate shingles produce popular band
   *   hashes whose buckets would otherwise join quadratically).
@@ -31,7 +36,33 @@ object Dedup {
 
   val numHashes = 32
   val numBands = 8 // x 4 rows/band: catches Jaccard >~ 0.5 w.h.p.
+  val rowsPerBand: Int = numHashes / numBands
   val maxBucketSize = 100
+
+  /** Mersenne prime 2^31-1: the modulus of the universal-hash family.
+    * Small enough that `a * h + b` (a, h < 2^31) stays under 2^63 in both
+    * engines; at 100 TB corpus sizes, widen to a 2^61-1 modulus with
+    * split-limb multiplication. */
+  val hashPrime = 2147483647L
+
+  /** Portable 60-bit string hash: integer value of the first 15 hex digits
+    * of md5. Spark computes it with codegen'd `conv`; DuckDB replays it as
+    * `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)` — verified
+    * bit-identical (both engines hash the UTF-8 bytes). */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def hashSql(s: String): String =
+    s"CAST('0x' || substring(md5($s), 1, 15) AS BIGINT)"
+
+  /** (a, b) pairs of the permutation family pi_i(h) = (a*h + b) mod P,
+    * from a fixed LCG: both the Spark plan and the oracle SQL interpolate
+    * the same literals, so there is no cross-engine RNG to keep in sync. */
+  val minhashSeeds: IndexedSeq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 3 }
+    (0 until numHashes).map(_ => (next() % (hashPrime - 1) + 1, next() % hashPrime))
+  }
 
   /** Fixture corpus + planted duplicates (replayed in oracle SQL). */
   def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
@@ -62,25 +93,37 @@ object Dedup {
                |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))""".stripMargin)
           .as("shingle"))
 
-  /** MinHash signatures: 32 independent permutations approximated by
-    * seed-prefixed xxhash64; one map-side-combined min per seed. */
+  /** MinHash signatures: 32 permutations of one portable base hash per
+    * shingle; one map-side-combined min per permutation. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m_$i"))
+    val mins = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("_hp") + lit(b)) % hashPrime).as(s"m_$i")
+    }
     shingles(docs)
+      .withColumn("_hp", portableHash60(col("shingle")) % hashPrime)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
   }
 
+  /** Polynomial band hash over the band's signature slots, seeded by the
+    * band index — pure modular arithmetic, identical in the oracle. */
+  private def bandHash(j: Int): Column =
+    (0 until rowsPerBand).foldLeft(lit((100 + j).toLong): Column) { (acc, r) =>
+      (acc * 31 + col("sig")(j * rowsPerBand + r)) % hashPrime
+    }
+
+  private def bandHashSql(j: Int): String =
+    (0 until rowsPerBand).foldLeft(s"CAST(${100 + j} AS BIGINT)") { (acc, r) =>
+      s"(($acc) * 31 + m_${j * rowsPerBand + r}) % $hashPrime"
+    }
+
   /** LSH banding: hash each band of 4 signature slots, bucket-join docs
     * sharing any (band, hash) bucket. Oversized buckets are dropped before
     * the self-join (skew guard). */
   def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until numBands).map(j =>
-      xxhash64(lit(100 + j), col("sig")(j * 4), col("sig")(j * 4 + 1),
-        col("sig")(j * 4 + 2), col("sig")(j * 4 + 3)).as(s"b_$j"))
+    val bandCols = (0 until numBands).map(j => bandHash(j).as(s"b_$j"))
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         posexplode(array((0 until numBands).map(j => col(s"b_$j")): _*)))
@@ -97,8 +140,6 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** MinHash near-dup pairs: LSH candidates filtered by signature
-    * agreement (n_match/32 estimates Jaccard; >= 16 ~ J >= 0.5). */
   /** Signatures + candidates memoized per (session, dir): minhashPairs and
     * ngramJaccard share them, and the shingle explosion is the expensive
     * stage. */
@@ -110,6 +151,8 @@ object Dedup {
     graft.functions.Memo(spark, dir, "lsh_cands")(
       lshCandidates(cachedSigs(spark, dir)))
 
+  /** MinHash near-dup pairs: LSH candidates filtered by signature
+    * agreement (n_match/32 estimates Jaccard; >= 16 ~ J >= 0.5). */
   def minhashPairs(spark: SparkSession, dir: String, minMatch: Int = 16): DataFrame = {
     val sigs = cachedSigs(spark, dir)
     val cands = cachedCands(spark, dir)
@@ -151,30 +194,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash: per-token hash bit votes; near-dups share a 16-bit
-    * band and have Hamming distance <= 12. Bit votes aggregate map-side
-    * (64 int sums), so the shuffle is one 64-int row per doc. */
+  val simhashBits = 60 // 60 = the portable hash width; 4 bands x 15 bits
+  val simhashBands = 4
+  val bandBits: Int = simhashBits / simhashBands
+
+  /** 60-bit SimHash: per-token portable-hash bit votes; near-dups share a
+    * 15-bit band and have Hamming distance <= 12. Bit votes aggregate
+    * map-side (60 int sums), so the shuffle is one 60-int row per doc. */
   def simhash(docs: DataFrame): DataFrame = {
-    val votes = (0 until 64).map(i =>
+    val votes = (0 until simhashBits).map(i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v_$i"))
-    val assembled = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+    val assembled = (0 until simhashBits).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(shiftleft(when(col(s"v_$i") > 0, lit(1L)).otherwise(lit(0L)), i))
     }
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
+      .withColumn("th", portableHash60(col("tok")))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup pairs via 4x16-bit band LSH + Hamming verify. */
+  /** SimHash near-dup pairs via 4x15-bit band LSH + Hamming verify. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
     val hashed = simhash(corpusWithDups(spark, dir))
     val banded = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until simhashBands).map(j =>
+        shiftright(col("simhash"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
     val left = banded.toDF("doc_a", "sim_a", "band_idx", "band_val")
     val right = banded.toDF("doc_b", "sim_b", "band_idx", "band_val")
@@ -185,5 +233,90 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------- oracle SQL
+  // DuckDB replays of the exact lineages above, interpolating the same
+  // seed constants. Shared CTE chain: corpus -> shingles -> base hash ->
+  // signatures -> banded buckets -> skew-capped candidate pairs.
+
+  private def lshCtes(corpusCte: String): String = {
+    val minExprs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * hp + $b) % $hashPrime) AS m_$i"
+    }.mkString(", ")
+    val bhList = (0 until numBands).map(bandHashSql).mkString("[", ", ", "]")
+    s"""$corpusCte,
+       | toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       | shing AS (
+       |   SELECT doc_id, unnest(list_distinct(list_transform(
+       |     generate_series(1, greatest(len(tk) - 2, 1)),
+       |     i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS shingle
+       |   FROM toks),
+       | hashed AS (SELECT doc_id, ${hashSql("shingle")} % $hashPrime AS hp FROM shing),
+       | sigs AS (SELECT doc_id, $minExprs FROM hashed GROUP BY doc_id),
+       | banded AS (
+       |   SELECT doc_id, j AS band_idx, bhs[j + 1] AS band_hash FROM
+       |     (SELECT doc_id, $bhList AS bhs FROM sigs)
+       |     CROSS JOIN UNNEST(generate_series(0, ${numBands - 1})) AS t(j)),
+       | small AS (SELECT band_idx, band_hash FROM banded
+       |   GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize AND COUNT(*) > 1),
+       | inb AS (SELECT b.doc_id, b.band_idx, b.band_hash
+       |   FROM banded b JOIN small s USING (band_idx, band_hash)),
+       | cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |   FROM inb l JOIN inb r USING (band_idx, band_hash)
+       |   WHERE l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  def minhashOracleSql(corpusCte: String, minMatch: Int = 16): String = {
+    val sigList = (0 until numHashes).map(i => s"m_$i").mkString("[", ", ", "]")
+    s"""${lshCtes(corpusCte)},
+       | sigl AS (SELECT doc_id, $sigList AS sig FROM sigs)
+       | SELECT doc_a, doc_b, n_match FROM (
+       |   SELECT c.doc_a, c.doc_b,
+       |     CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS INTEGER) AS n_match
+       |   FROM cands c
+       |   JOIN sigl sa ON sa.doc_id = c.doc_a
+       |   JOIN sigl sb ON sb.doc_id = c.doc_b)
+       | WHERE n_match >= $minMatch ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def ngramJaccardOracleSql(corpusCte: String): String =
+    s"""${lshCtes(corpusCte)},
+       | inter AS (
+       |   SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS INTEGER) AS n_inter
+       |   FROM cands c
+       |   JOIN shing sa ON sa.doc_id = c.doc_a
+       |   JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |   GROUP BY 1, 2),
+       | sizes AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n FROM shing GROUP BY doc_id)
+       | SELECT doc_a, doc_b, n_inter, n_union FROM (
+       |   SELECT c.doc_a, c.doc_b, COALESCE(i.n_inter, 0) AS n_inter,
+       |     za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union
+       |   FROM cands c
+       |   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |   JOIN sizes za ON za.doc_id = c.doc_a
+       |   JOIN sizes zb ON zb.doc_id = c.doc_b)
+       | WHERE n_inter * 4 >= n_union ORDER BY doc_a, doc_b""".stripMargin
+
+  def simhashOracleSql(corpusCte: String, maxHamming: Int = 12): String = {
+    val votes = (0 until simhashBits).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v_$i").mkString(", ")
+    val assembled = (0 until simhashBits).map(i =>
+      s"(CASE WHEN v_$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""$corpusCte,
+       | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+       | th AS (SELECT doc_id, ${hashSql("tok")} AS h FROM toks),
+       | votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       | sh AS (SELECT doc_id, $assembled AS simhash FROM votes),
+       | banded AS (SELECT doc_id, simhash, j AS band_idx,
+       |     (simhash >> (j * $bandBits)) & ${(1L << bandBits) - 1} AS band_val
+       |   FROM sh CROSS JOIN UNNEST(generate_series(0, ${simhashBands - 1})) AS t(j))
+       | SELECT doc_a, doc_b, hamming FROM (
+       |   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |     CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+       |   FROM banded l JOIN banded r USING (band_idx, band_val)
+       |   WHERE l.doc_id < r.doc_id)
+       | WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 }

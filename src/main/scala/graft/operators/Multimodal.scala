@@ -10,21 +10,23 @@ import org.apache.spark.sql.types.BinaryType
   * (decode / feature-extract / frame-sample) runs as narrow per-row or
   * per-partition transforms — never a shuffle of the payload bytes.
   *
-  * The container ships no media codecs and no multimodal fixture table, so
-  * the corpus is SYNTHESIZED deterministically from `documents`
-  * ([[syntheticMedia]]: a GRFT header + dimension fields + the text bytes
-  * as payload) and the decode step is a DETERMINISTIC FAKE — see the
-  * clearly marked stub in [[decodeFeatures]], which is where a real codec
-  * (JNI libjpeg, javax.imageio, ffmpeg pipe) plugs into the partition
-  * iterator. Everything around the stub — schema, binary slicing, batch
-  * shape, partition-iterator plumbing — is real and tested
-  * (MultimodalSpec).
+  * The container ships no multimodal fixture table, so two corpora are
+  * SYNTHESIZED deterministically from `documents`:
+  *  - [[syntheticMedia]]: a GRFT header + dimension fields + the text
+  *    bytes as payload — the opaque-container path ([[mediaMeta]] header
+  *    slicing, [[frameSample]] fixed-stride framing).
+  *  - [[syntheticImages]]: REAL PNG bytes (encoded with `javax.imageio`,
+  *    pixel values a pure function of (doc_id, x, y)), genuinely decoded
+  *    back by [[decodeFeatures]] — so the codec boundary is exercised for
+  *    real, and the extracted pixel statistics are replayed by a DuckDB
+  *    formula oracle. Video/audio codecs don't ship in the JDK; an
+  *    ffmpeg-pipe or JNI decoder plugs into the same partition iterator.
   *
   * Scale notes: payload bytes stay columnar in parquet and are only
   * materialized inside the map task that consumes them; metadata-only
   * queries ([[mediaMeta]]) never read the payload column thanks to parquet
   * column pruning. Frame sampling is `sequence`+`transform` HOFs — codegen,
-  * no UDF — and feature extraction is `mapPartitions` (one iterator per
+  * no UDF — and encode/decode are `mapPartitions` (one iterator per
   * partition, the Scala analogue of `mapInPandas` batch processing).
   */
 object Multimodal {
@@ -73,21 +75,84 @@ object Multimodal {
         crc32(col("frame")).as("frame_crc"))
       .orderBy("doc_id", "frame_idx")
 
-  final case class MediaFeature(doc_id: Long, n_bytes: Int, checksum: Long)
+  /** Image dimensions as pure functions of doc_id (shared by the GRFT
+    * header, the PNG synthesis, and the DuckDB formula oracle). */
+  def imgWidth(id: Long): Int = (16 + id % 64).toInt
+  def imgHeight(id: Long): Int = (16 + (id * 7) % 64).toInt
 
-  /** Per-partition decode/feature-extract plumbing. The iterator shape is
-    * the real contract (batch in, batch out, no driver round-trip). */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+  /** Grayscale pixel value at (x, y) — pure in (doc_id, x, y) so the
+    * decoded statistics are formula-replayable. */
+  def pixelValue(id: Long, x: Int, y: Int): Int = ((x + 3L * y + 7L * id) % 256L).toInt
+
+  /** Deterministic REAL-image corpus: one losslessly-encoded PNG per
+    * document, built with `javax.imageio` inside the partition iterator
+    * (encode is per-item work exactly like decode — no driver round-trip,
+    * no shuffle of pixel data). */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    syntheticMedia(spark, dir).as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        // STUB: a real pipeline hands `bytes` to a codec here (decode,
-        // resize, spectrogram, ...). No media libs ship in this container,
-        // so a deterministic rolling checksum stands in for the extracted
-        // feature — same signature, same batch shape.
-        val checksum = bytes.foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-        MediaFeature(id, bytes.length, checksum)
+    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory encode, no /tmp spill
+      it.map { id =>
+        val (w, h) = (imgWidth(id), imgHeight(id))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = pixelValue(id, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
       }
     }
   }
+
+  final case class MediaFeature(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, px_sum: Long)
+
+  /** Per-partition REAL decode + feature extraction: `javax.imageio` parses
+    * the PNG bytes back to pixels, and the emitted statistics (dimensions,
+    * pixel-value sum) are checked two independent ways — MultimodalSpec
+    * asserts them against [[pixelValue]] in-process, and the registered
+    * `media_features` query hash-matches a DuckDB oracle that recomputes
+    * the same sums by formula. The iterator shape is the production
+    * contract (batch in, batch out, no driver round-trip). */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    syntheticImages(spark, dir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (img.getRGB(x, y) & 0xff) // gray: any channel
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeature(id, w, h, w * h, sum)
+      }
+    }
+  }
+
+  /** DuckDB formula oracle for [[decodeFeatures]]: recomputes the decoded
+    * pixel statistics from the defining formulas — a hash match proves the
+    * encode -> PNG -> decode roundtrip is lossless end to end. */
+  def decodeFeaturesOracleSql(): String =
+    """SELECT doc_id, width, height, width * height AS n_pixels,
+      | CAST(list_sum(list_transform(generate_series(0, width * height - 1),
+      |   i -> (i % width + 3 * (i // width) + 7 * doc_id) % 256)) AS BIGINT) AS px_sum
+      | FROM (SELECT doc_id, CAST(16 + doc_id % 64 AS INTEGER) AS width,
+      |         CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height FROM documents)
+      | ORDER BY doc_id""".stripMargin
 }

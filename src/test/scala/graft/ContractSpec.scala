@@ -16,10 +16,9 @@ class ContractSpec extends AnyFunSuite {
   test("rows-only queries are exactly the documented hash-free set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
-      "minhash_pairs", "simhash_pairs", "ngram_jaccard", // xxhash64-based
-      "ann_topk", "ivf_topk", "embedding_near_dups",     // seeded constants / index build
-      "media_frames", "media_features",                  // crc32 / stubbed decode
-      "q_approx_distinct")                               // different sketch in DuckDB
+      "ann_topk", "ivf_topk", "embedding_near_dups", // seeded constants / index build
+      "media_frames",                                // crc32 has no DuckDB analogue
+      "q_approx_distinct")                           // different sketch in DuckDB
     assert(rowsOnly === expected,
       s"unexpected rows-only set: ${rowsOnly -- expected} / missing: ${expected -- rowsOnly}")
   }

@@ -34,14 +34,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(docsWithFrames === graft.Tables.documents(spark, sf).count())
   }
 
-  test("decodeFeatures is deterministic and consistent with payload size") {
-    val a = Multimodal.decodeFeatures(spark, sf).collect().map(f => (f.doc_id, f.checksum)).toSet
-    val b = Multimodal.decodeFeatures(spark, sf).collect().map(f => (f.doc_id, f.checksum)).toSet
-    assert(a === b)
-    val meta = Multimodal.mediaMeta(spark, sf).select("doc_id", "payload_bytes")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    Multimodal.decodeFeatures(spark, sf).collect().foreach { f =>
-      assert(f.n_bytes === meta(f.doc_id) + Multimodal.headerBytes)
+  test("syntheticImages emits genuine PNG bytes") {
+    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    Multimodal.syntheticImages(spark, sf).take(20).foreach { case (id, bytes) =>
+      assert(bytes.take(4).sameElements(pngMagic), s"doc $id: not a PNG")
+      assert(bytes.length > 50, s"doc $id: implausibly small PNG")
+    }
+  }
+
+  test("decodeFeatures really decodes: dimensions and pixel sums match the formulas") {
+    val feats = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width === Multimodal.imgWidth(f.doc_id))
+      assert(f.height === Multimodal.imgHeight(f.doc_id))
+      assert(f.n_pixels === f.width * f.height)
+      val expected = (for {
+        y <- 0 until f.height; x <- 0 until f.width
+      } yield Multimodal.pixelValue(f.doc_id, x, y).toLong).sum
+      assert(f.px_sum === expected,
+        s"doc ${f.doc_id}: decoded pixel sum ${f.px_sum} != formula $expected")
     }
   }
 }

@@ -4,8 +4,21 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line of per-query seconds. A query that throws is
   * reported in "failed" and the process exits non-zero — a broken query
-  * must never read as a (fast) timing. */
+  * must never read as a (fast) timing.
+  *
+  * An untimed warm-up first forces the shared one-time builds (Warehouse
+  * persist, MinHash signatures, LSH/hyperplane codes, IVF index, checks
+  * memo) so the per-query numbers are steady-state marginal costs —
+  * without it, whichever query alphabetically touches a cache first
+  * absorbs its whole build and regressions hide in the attribution noise.
+  * "value" stays the honest end-to-end total (warm-up + timed pass);
+  * "warmup_sec" and the per-query map separate the two. */
 object Bench {
+
+  /** Queries whose first run builds a shared cache (see object doc). */
+  val warmupQueries: List[String] = List(
+    "staging", "clean_dedup", "minhash_pairs", "ann_topk", "ivf_topk", "q_checks")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +29,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failed = List.empty[String]
+    val w0 = System.nanoTime()
+    warmupQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () } // the timed run reports the failure
+    }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -27,9 +46,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = warmupSec + results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

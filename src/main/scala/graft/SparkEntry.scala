@@ -60,27 +60,32 @@ object SparkEntry {
     // S1-S3/E9: dump the staging view as raw CSV (nulls as pandas-style
     // 'nan'), re-ingest through the typed CSV path, and prove the
     // roundtrip is lossless against the parquet-side staging oracle.
+    // Dump dirs are scoped per Spark application: two concurrent processes
+    // (e.g. Bench and Verify on the same fixture) must not race on a
+    // shared overwrite-vs-read path.
     "ingest_csv" -> ((s, d) => {
-      val csvDir = s"/tmp/graft_csv_${new java.io.File(d).getName}"
+      val csvDir = dumpDir(s, d, "csv")
       Ingest.dumpCsv(s, d, csvDir)
       orderedAsc(
         moneyDouble(Ingest.readCsv(s, csvDir).drop("loaded_at"), Seq("unit_price")),
         stagingCols)
     }),
     "ingest_json" -> ((s, d) => {
-      val jsonDir = s"/tmp/graft_json_${new java.io.File(d).getName}"
+      val jsonDir = dumpDir(s, d, "json")
       Ingest.dumpJson(s, d, jsonDir)
       orderedAsc(
         moneyDouble(Ingest.readJson(s, jsonDir).drop("loaded_at"), Seq("unit_price")),
         stagingCols)
     }),
     "ingest_orc" -> ((s, d) => {
-      val orcDir = s"/tmp/graft_orc_${new java.io.File(d).getName}"
       orderedAsc(
-        moneyDouble(Ingest.roundtripOrc(s, d, orcDir), Seq("unit_price")),
+        moneyDouble(Ingest.roundtripOrc(s, d, dumpDir(s, d, "orc")), Seq("unit_price")),
         stagingCols)
     }),
   )
+
+  private def dumpDir(s: SparkSession, d: String, fmt: String): String =
+    s"/tmp/graft_${fmt}_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
 
   private val etlOracles: Map[String, String] = Map(
     "staging" ->
@@ -129,6 +134,8 @@ object SparkEntry {
     "q_top_products" -> ((s, d) => Quality.topProducts(s, d)),
     "q_monthly_sales" -> ((s, d) => Quality.monthlySales(s, d)),
     "q_country_sales" -> ((s, d) => Quality.countrySales(s, d)),
+    // same result through the salted hot-key join; same oracle SQL
+    "q_country_sales_salted" -> ((s, d) => Quality.countrySalesSalted(s, d)),
     "q_region_sales" -> ((s, d) => Quality.regionSales(s, d)),
     "q_sample" -> ((s, d) => moneyDouble(Quality.sampleRows(s, d), Seq("unit_price"))),
     "q_consistency" -> ((s, d) => Quality.consistency(s, d)),
@@ -154,6 +161,14 @@ object SparkEntry {
        |   UNION ALL SELECT '4_qty', COUNT(*) FROM s4
        |   UNION ALL SELECT '5_price', COUNT(*) FROM s5
        | ) ORDER BY stage""".stripMargin
+
+  /** One SQL serves both country-sales variants: the salted-join
+    * implementation must be OUTPUT-identical to the broadcast one. */
+  private val countrySalesOracle: String =
+    s"""${Oracle.warehouseCte} SELECT c.country, COUNT(*) AS n_sales,
+       | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+       | FROM fact_sales f JOIN dim_customer c ON f.customer_key = c.customer_key
+       | GROUP BY c.country ORDER BY c.country""".stripMargin
 
   private val qualityOracles: Map[String, String] = Map(
     "q_stage_counts" -> stageCountsOracle,
@@ -208,11 +223,8 @@ object SparkEntry {
          | COUNT(*) AS n_sales,
          | CAST(CAST(SUM(total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
          | FROM fact_sales GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
-    "q_country_sales" ->
-      s"""${Oracle.warehouseCte} SELECT c.country, COUNT(*) AS n_sales,
-         | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
-         | FROM fact_sales f JOIN dim_customer c ON f.customer_key = c.customer_key
-         | GROUP BY c.country ORDER BY c.country""".stripMargin,
+    "q_country_sales" -> countrySalesOracle,
+    "q_country_sales_salted" -> countrySalesOracle,
     "q_region_sales" ->
       s"""${Oracle.warehouseCte} SELECT COALESCE(r.r_name, 'UNKNOWN') AS region,
          | COUNT(*) AS n_sales,

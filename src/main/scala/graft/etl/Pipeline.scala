@@ -52,8 +52,14 @@ object Pipeline {
 
   /** The reference's verification checks (`scripts/verify_ingestion.py`)
     * as one deterministic (check_name, passed) DataFrame — Q2 null-profile,
-    * Q3 consistency, Q4 freshness, plus staging/value/dedup rules. */
-  def checks(spark: SparkSession, dir: String): DataFrame = {
+    * Q3 consistency, Q4 freshness, plus staging/value/dedup rules.
+    * Memoized per (session, dir): the q_checks query, [[runSummary]], and
+    * [[run]] all consume it, and each rebuild costs six full-scan
+    * aggregates over the cached warehouse. */
+  def checks(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "pipeline_checks")(checksBuild(spark, dir))
+
+  private def checksBuild(spark: SparkSession, dir: String): DataFrame = {
     val wh = Warehouse(spark, dir)
     def one(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("check_name"), col("passed"))
@@ -97,7 +103,13 @@ object Pipeline {
   /** O1: the full run. Writes the warehouse (gated, [[Transform.writeWarehouse]])
     * and appends pipeline_runs / stage_metrics / data_quality_log parquet
     * under `outDir/meta`, then (re)registers the `recent_pipeline_runs`
-    * top-k view. Returns the run's final status. */
+    * top-k view. Returns the run's final status.
+    *
+    * Failure contract (reference `metadata_tracker.py` records failed runs
+    * too): a throwing stage or gate is recorded as a FAILED stage_metrics
+    * row and a FAILED pipeline_runs row BEFORE the exception propagates —
+    * an ops table that only ever contains successes can't answer "what
+    * broke last night". */
   def run(spark: SparkSession, dir: String, outDir: String): String = {
     import spark.implicits._
     val id = runId()
@@ -107,50 +119,68 @@ object Pipeline {
     var stages = List.empty[(String, String, Long, Long, Double, String)]
     def stage[A](name: String, rowsIn: => Long, rowsOut: => Long)(body: => A): A = {
       val s0 = Instant.now()
-      val r = body
-      val secs = Duration.between(s0, Instant.now()).toMillis / 1000.0
-      stages ::= ((id, name, rowsIn, rowsOut, secs, "SUCCESS"))
-      r
+      def secs = Duration.between(s0, Instant.now()).toMillis / 1000.0
+      try {
+        val r = body
+        stages ::= ((id, name, rowsIn, rowsOut, secs, "SUCCESS"))
+        r
+      } catch {
+        case e: Throwable =>
+          stages ::= ((id, name, -1L, -1L, secs, "FAILED"))
+          throw e
+      }
     }
 
-    val rawCount = stage("1_ingest", wh.staging.count(), wh.staging.count()) {
-      wh.staging.count()
-    }
-    val cleanedCount = stage("2_clean", rawCount, wh.cleaned.count()) {
-      wh.cleaned.count() // Q1 gate enforced below and inside writeWarehouse
-    }
-    require(Clean.rowCountGate(rawCount, cleanedCount),
-      s"Q1 gate: cleaned $cleanedCount of $rawCount below 73.8% retention")
-    stage("3_transform", cleanedCount, wh.fact.count()) {
-      Transform.writeWarehouse(spark, dir, outDir)
-    }
-    val checkRows = stage("4_verify", cleanedCount, 6L) {
-      checks(spark, dir).collect()
+    def writeMeta(status: String, records: Long,
+        checkRows: Array[org.apache.spark.sql.Row]): Unit = {
+      // O5 metadata appends (reference metadata_tracker.py / dq log)
+      if (checkRows.nonEmpty)
+        checkRows.map(r => (id, r.getString(0),
+            if (r.getBoolean(1)) "PASS" else "FAIL"))
+          .toSeq.toDF("run_id", "check_name", "status")
+          .write.mode("append").parquet(s"$outDir/meta/data_quality_log")
+      stages.reverse
+        .toDF("run_id", "stage", "rows_in", "rows_out", "duration_sec", "status")
+        .write.mode("append").parquet(s"$outDir/meta/stage_metrics")
+      Seq((id, "master_pipeline", t0.toString, Instant.now().toString,
+          Duration.between(t0, Instant.now()).toMillis / 60000.0, status, records))
+        .toDF("run_id", "dag_id", "start_ts", "end_ts", "duration_minutes", "status", "records_processed")
+        .write.mode("append").parquet(s"$outDir/meta/pipeline_runs")
     }
 
-    val summary = runSummary(spark, dir).head()
-    val status = summary.getAs[String]("status")
-    val endTs = Instant.now()
+    try {
+      val rawCount = stage("1_ingest", wh.staging.count(), wh.staging.count()) {
+        wh.staging.count()
+      }
+      val cleanedCount = stage("2_clean", rawCount, wh.cleaned.count()) {
+        val n = wh.cleaned.count()
+        require(Clean.rowCountGate(rawCount, n),
+          s"Q1 gate: cleaned $n of $rawCount below 73.8% retention")
+        n
+      }
+      stage("3_transform", cleanedCount, wh.fact.count()) {
+        Transform.writeWarehouse(spark, dir, outDir)
+      }
+      val checkRows = stage("4_verify", cleanedCount, 6L) {
+        checks(spark, dir).collect()
+      }
 
-    // O5 metadata appends (reference metadata_tracker.py / dq log)
-    checkRows.map(r => (id, r.getString(0),
-        if (r.getBoolean(1)) "PASS" else "FAIL"))
-      .toSeq.toDF("run_id", "check_name", "status")
-      .write.mode("append").parquet(s"$outDir/meta/data_quality_log")
-    stages.reverse
-      .toDF("run_id", "stage", "rows_in", "rows_out", "duration_sec", "status")
-      .write.mode("append").parquet(s"$outDir/meta/stage_metrics")
-    Seq((id, "master_pipeline", t0.toString, endTs.toString,
-        Duration.between(t0, endTs).toMillis / 60000.0, status, cleanedCount))
-      .toDF("run_id", "dag_id", "start_ts", "end_ts", "duration_minutes", "status", "records_processed")
-      .write.mode("append").parquet(s"$outDir/meta/pipeline_runs")
+      val summary = runSummary(spark, dir).head()
+      val status = summary.getAs[String]("status")
+      writeMeta(status, cleanedCount, checkRows)
 
-    // K6/K4: last-10-runs view; S8: catalog existence probe
-    spark.read.parquet(s"$outDir/meta/pipeline_runs")
-      .orderBy(desc("start_ts")).limit(10)
-      .createOrReplaceTempView("recent_pipeline_runs")
-    require(spark.catalog.tableExists("recent_pipeline_runs"),
-      "S8 catalog probe: recent_pipeline_runs missing")
-    status
+      // K6/K4: last-10-runs view; S8: catalog existence probe
+      spark.read.parquet(s"$outDir/meta/pipeline_runs")
+        .orderBy(desc("start_ts")).limit(10)
+        .createOrReplaceTempView("recent_pipeline_runs")
+      require(spark.catalog.tableExists("recent_pipeline_runs"),
+        "S8 catalog probe: recent_pipeline_runs missing")
+      status
+    } catch {
+      case e: Throwable =>
+        try writeMeta("FAILED", -1L, Array.empty)
+        catch { case meta: Throwable => e.addSuppressed(meta) }
+        throw e
+    }
   }
 }

@@ -126,6 +126,26 @@ object Quality {
       .orderBy("country")
   }
 
+  /** [[countrySales]] through an explicitly salted join — identical output
+    * (the driver checks both against the same oracle SQL), skew-spread
+    * physical shape. The UNKNOWN-customer sentinel concentrates every
+    * null-customer fact row on ONE customer_key — at 100 TB that key is a
+    * canonical hot key, and when the dim outgrows the broadcast threshold
+    * the unsalted join puts the whole sentinel bucket on one task.
+    * [[graft.functions.Salt.saltedJoin]] spreads it over 8 salt buckets
+    * keyed by invoice_no (deterministic, retry-stable). The DECIMAL-sum
+    * boundary keeps revenue bit-identical under the changed row order. */
+  def countrySalesSalted(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Warehouse(spark, dir)
+    graft.functions.Salt.saltedJoin(
+        wh.fact, wh.dimCustomer.select("customer_key", "country"),
+        "customer_key", col("invoice_no"), k = 8)
+      .groupBy("country")
+      .agg(count(lit(1)).as("n_sales"),
+        sum(col("total_amount")).cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
+      .orderBy("country")
+  }
+
   /** Region rollup: country -> nation -> region through two broadcast
     * dimension hops — the full star-depth drill of the fixture geography
     * (and the one query family touching region/nation beyond the staging

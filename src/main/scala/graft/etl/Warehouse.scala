@@ -34,6 +34,21 @@ object Warehouse {
   def apply(spark: SparkSession, dir: String): Warehouse =
     cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), build(spark, dir))
 
+  /** Evict this session's cached warehouse stages (and the rank
+    * intermediates they pin) — the release path for long-lived sessions.
+    * Rebuilds transparently on next [[apply]]. */
+  def evict(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    cache.keys.filter(_._1 == app).foreach { k =>
+      cache.remove(k).foreach { wh =>
+        Seq(wh.fact, wh.dimDate, wh.dimCustomer, wh.dimProduct, wh.cleaned, wh.staging)
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+    graft.functions.Keys.release(spark)
+    graft.functions.Memo.evict(spark)
+  }
+
   private def build(spark: SparkSession, dir: String): Warehouse = {
     def p(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
     val staging = p(Staging.staging(spark, dir))

@@ -19,4 +19,14 @@ object Memo {
   def apply(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Evict this session's memoized intermediates (long-lived sessions that
+    * cycle through many sf-dirs would otherwise accumulate storage without
+    * bound). Entries rebuild transparently on next use. */
+  def evict(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    cache.keys.filter(_._1 == app).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 }

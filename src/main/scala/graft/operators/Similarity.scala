@@ -215,16 +215,23 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Final centroid vectors (cluster id -> mean), recomputed from the
-    * memoized assignments so probing uses exactly the index's geometry. */
-  private def ivfCentroidVectors(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] = {
-    val assigned = ivfAssignments(spark, dir)
-    val dims = (0 until dim).map(j => avg(col("embedding")(j).cast("double")).as(s"c_$j"))
-    assigned.groupBy("cluster").agg(dims.head, dims.tail: _*)
-      .collect()
-      .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble(_)).toSeq.asInstanceOf[Seq[Double]])
-      .sortBy(_._1)
-  }
+  /** Final centroid vectors (cluster id -> mean), computed once from the
+    * memoized assignments so probing uses exactly the index's geometry —
+    * cached per (session, dir) like the assignments themselves (index
+    * metadata, <= 16 x 64 doubles; re-aggregating per ivfTopK call would
+    * re-scan the corpus). */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[(Int, Seq[Double])]]
+
+  private def ivfCentroidVectors(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
+    centroidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val assigned = ivfAssignments(spark, dir)
+      val dims = (0 until dim).map(j => avg(col("embedding")(j).cast("double")).as(s"c_$j"))
+      assigned.groupBy("cluster").agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble(_)).toSeq.asInstanceOf[Seq[Double]])
+        .sortBy(_._1)
+    })
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
     * the training-data brief, next to exact/MinHash/SimHash/n-gram): all

@@ -45,4 +45,37 @@ class PlanContractSpec extends AnyFunSuite {
     val plan = planOf(etl.Quality.topProducts(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$plan")
   }
+
+  test("salted country-sales joins on (customer_key, _salt) — the skew-spread shape") {
+    val plan = etl.Quality.countrySalesSalted(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), s"salted join shape missing from plan:\n$plan")
+  }
+
+  test("written fact: (year, month) predicates prune partitions; invoice_date range pushes down") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    etl.Transform.writeWarehouse(spark, sf, out)
+    val fact = spark.read.parquet(s"$out/fact_sales")
+    val target = fact.select("year", "month").head()
+    val (y, m) = (target.getInt(0), target.getInt(1))
+
+    val pruned = fact.filter(col("year") === y && col("month") === m).select("invoice_no")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan found")
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "year"))),
+      s"year predicate did not become a PartitionFilter:\n${planOf(pruned)}")
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "month"))),
+      s"month predicate did not become a PartitionFilter:\n${planOf(pruned)}")
+
+    // row-group skipping within partitions: the invoice_date range must
+    // reach the parquet reader as a pushed filter (min/max stats skip)
+    val ranged = fact
+      .filter(col("invoice_date") >= "2024-01-01" && col("invoice_date") < "2024-02-01")
+      .select("invoice_no")
+    val rplan = planOf(ranged)
+    assert(rplan.contains("PushedFilters") && rplan.contains("GreaterThanOrEqual(invoice_date"),
+      s"invoice_date range not pushed to the scan:\n$rplan")
+  }
 }

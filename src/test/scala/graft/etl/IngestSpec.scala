@@ -21,6 +21,54 @@ class IngestSpec extends AnyFunSuite {
     assert(back.columns.contains("loaded_at"), "E9 audit column present")
   }
 
+  test("quoted fields with embedded commas, quotes, and newlines survive the CSV reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quotecsv")
+    java.nio.file.Files.writeString(dir.resolve("q.csv"),
+      "invoice_no,stock_code,description,quantity,invoice_date,unit_price,customer_id,country\n" +
+        "1,A,\"red, large, boxed\",2,2024-01-01 10:00:00,3.50,7,France\n" +
+        "2,B,\"says \"\"fragile\"\"\",1,2024-01-02 11:00:00,4.25,8,Spain\n" +
+        "3,C,\"line one\nline two\",5,2024-01-03 12:00:00,1.10,9,Italy\n")
+    // multiLine: quoted newlines span physical lines (trade-off: such files
+    // are not arbitrarily splittable — keep them out of the 100 TB path).
+    // escape=": RFC-4180 doubled quotes (Spark's default escape is \).
+    val df = spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(Ingest.csvSchema).csv(dir.toString + "/q.csv")
+      .orderBy("invoice_no").collect()
+    assert(df.length === 3)
+    assert(df(0).getAs[String]("description") === "red, large, boxed")
+    assert(df(1).getAs[String]("description") === "says \"fragile\"")
+    assert(df(2).getAs[String]("description") === "line one\nline two")
+    assert(df(2).getAs[Int]("quantity") === 5)
+  }
+
+  test("malformed numeric/timestamp rows coerce to null and flow to the F1 drop (PERMISSIVE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_malcsv")
+    java.nio.file.Files.writeString(dir.resolve("m.csv"),
+      """invoice_no,stock_code,description,quantity,invoice_date,unit_price,customer_id,country
+        |1,A,ok,2,2024-01-01 10:00:00,3.50,7,France
+        |2,B,bad qty,many,2024-01-02 10:00:00,4.25,8,Spain
+        |3,C,bad price,1,2024-01-03 10:00:00,cheap,9,Italy
+        |4,D,bad date,1,31/12/2024,2.00,10,Malta
+        |""".stripMargin)
+    val back = Ingest.readCsv(spark, dir.toString + "/m.csv")
+    assert(back.count() === 4, "PERMISSIVE mode keeps every row")
+    val byInv = back.collect().map(r => r.getAs[String]("invoice_no") -> r).toMap
+    assert(byInv("2").getAs[Integer]("quantity") == null)
+    assert(byInv("3").getAs[java.math.BigDecimal]("unit_price") == null)
+    assert(byInv("4").getAs[java.sql.Timestamp]("invoice_date") == null)
+    // and the F1 null-drop removes exactly the coerced rows
+    assert(Clean.dropNulls(back).count() === 1)
+  }
+
+  test("an empty CSV (header only) and a zero-byte file yield zero rows, not a failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptycsv")
+    java.nio.file.Files.writeString(dir.resolve("header_only.csv"),
+      "invoice_no,stock_code,description,quantity,invoice_date,unit_price,customer_id,country\n")
+    java.nio.file.Files.writeString(dir.resolve("zero_byte.csv"), "")
+    assert(Ingest.readCsv(spark, dir.toString).count() === 0)
+  }
+
   test("unparseable timestamps coerce to null instead of failing (S2, errors='coerce')") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
     val csv = dir.resolve("bad.csv")

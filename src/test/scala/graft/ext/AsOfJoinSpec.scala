@@ -30,6 +30,20 @@ class AsOfJoinSpec extends AnyFunSuite {
       "l3" -> Some(30.0), "l4" -> None))
   }
 
+  test("a most-recent right row with NULL payload wins (no resurrection of older values)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, ts(40), "l")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(10), Some(10.0)),
+      (1L, ts(30), None: Option[Double]) // most recent, but payload NULL
+    ).toDF("k", "ts", "v")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts").collect()
+    // DuckDB ASOF returns the ts(30) row -> v is NULL, not the older 10.0
+    assert(out.length === 1 && out.head.isNullAt(3),
+      s"expected NULL payload from the most recent right row, got ${out.head}")
+  }
+
   test("no future leak: right rows strictly after every left row never match") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -78,6 +78,33 @@ class EventsSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("skew: a bot user owning 90% of events across many days — two-phase equals single-window") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
+    // Bot user 1: 9,000 events at ~5-min cadence with a 45-min silence
+    // every 7th step — continuous runs repeatedly straddle midnights, the
+    // exact case the (user, day) cut + stitch has to get right.
+    var t = base
+    val bot = (0 until 9000).map { i =>
+      t += (if (i % 7 == 6) 45L else 5L) * 60000L
+      (i.toLong, new java.sql.Timestamp(t), 1L, (i % 100) / 10.0)
+    }
+    // 100 normal users with 10 events each, spread thinly
+    val normal = (0 until 1000).map { i =>
+      (10000L + i, new java.sql.Timestamp(
+        base + (i % 10) * 86400000L + (i / 10) * 1800000L), 2L + i % 100, 1.0)
+    }
+    val df = (bot ++ normal).toDF("event_id", "ts", "user_id", "value").repartition(32)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime, r.getDouble(5))).toSeq.sorted
+    val single = canon(Events.sessionize(df, 30))
+    val twoPhase = canon(Events.sessionizeScalable(df, 30))
+    assert(twoPhase === single)
+    // sanity: the bot really did split across many days and sessions
+    assert(single.count(_._1 == 1L) > 1000, "fixture should cut the bot into many sessions")
+  }
+
   test("dailyActive day count matches the distinct calendar days present") {
     val days = graft.Tables.events(spark, sf).select(to_date(col("ts"))).distinct().count()
     assert(Events.dailyActive(spark, sf).count() === days)

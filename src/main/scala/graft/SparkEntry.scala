@@ -304,8 +304,11 @@ object SparkEntry {
     "media_frames" -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     "media_features" -> ((s, d) =>
       operators.Multimodal.decodeFeatures(s, d).toDF().orderBy("doc_id")),
-    // similarity search (ANN is rows-only: seeded hyperplane constants
-    // make a SQL replay impractical; SimilaritySpec asserts recall)
+    // similarity search — brute force, hyperplane-LSH ANN, and embedding
+    // near-dups are all oracle-checked (the seeded planes are literal
+    // constants DuckDB replays); only the iterative k-means IVF index is
+    // rows-only (cross-engine float-sum order differs in centroid
+    // averages), covered by SimilaritySpec recall + determinism asserts
     "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),
     "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
     "ivf_topk" -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
@@ -433,6 +436,8 @@ object SparkEntry {
         |   (acc, x) -> (acc * 31 + x + 1) % 1000000007) AS fingerprint
         | FROM documents ORDER BY doc_id""".stripMargin,
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
+    "ann_topk" -> operators.Similarity.annOracleSql(),
+    "embedding_near_dups" -> operators.Similarity.nearDupsOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,
          | COUNT(*) AS n_events,

@@ -107,7 +107,10 @@ object Similarity {
   }
 
   /** Seeded-deterministic Gaussian hyperplanes (same constants every run —
-    * scala.util.Random's generator is spec-fixed). */
+    * scala.util.Random's generator is spec-fixed). The plane values are
+    * plain Double CONSTANTS by the time the plan is built, so the DuckDB
+    * oracle replays them as literals ([[annOracleSql]]) — shortest-repr
+    * `Double.toString` round-trips exactly through DuckDB's parser. */
   def hyperplanes(seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nTables * bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
@@ -295,4 +298,75 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
       .orderBy("query_id", "rank")
   }
+
+  // ------------------------------------------------------- oracle SQL
+  // The hyperplane-LSH family is fully deterministic given the seeded
+  // plane constants, so DuckDB replays it end to end: codes as sign-bit
+  // sums against literal planes, the same bucket joins and caps, and the
+  // same left-fold double cosine (bit-identical, as similarity_topk
+  // already proves for the fold itself).
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |   (acc, v) -> acc + v)""".stripMargin
+
+  /** `codes` CTE: one (vec_id, table, code) row per vector per table, plus
+    * the precomputed norm — the SQL mirror of [[codes]]. */
+  private def codesCtes: String = {
+    val planes = hyperplanes()
+    val tableCodes = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        val lits = planes(t * bitsPerTable + b).map(java.lang.Double.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN ${dotSql("embedding", lits)} >= 0 THEN ${1L << b} ELSE 0 END)"
+      }
+      bits.mkString("(", " + ", s") AS code_$t")
+    }.mkString(", ")
+    val codeList = (0 until nTables).map(t => s"code_$t").mkString("[", ", ", "]")
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       | pc AS (SELECT vec_id, embedding, norm, $tableCodes FROM normed),
+       | codes AS (
+       |  SELECT vec_id, embedding, norm, t AS tbl, ($codeList)[t + 1] AS code
+       |  FROM pc CROSS JOIN UNNEST(generate_series(0, ${nTables - 1})) AS u(t))""".stripMargin
+  }
+
+  /** DuckDB replay of [[annTopK]]. */
+  def annOracleSql(k: Int = defaultK, nQueries: Int = defaultNQueries): String =
+    s"""$codesCtes,
+       | cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
+       |  FROM codes q JOIN codes v ON q.tbl = v.tbl AND q.code = v.code
+       |  WHERE q.vec_id < $nQueries AND v.vec_id <> q.vec_id),
+       | scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    ${dotSql("qe.embedding", "ve.embedding")} / (qe.norm * ve.norm) AS sim
+       |  FROM cands c
+       |  JOIN normed qe ON qe.vec_id = c.query_id
+       |  JOIN normed ve ON ve.vec_id = c.vec_id),
+       | ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       | SELECT query_id, vec_id, sim, rank FROM ranked
+       | WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of [[embeddingNearDups]] (bucket cap included). */
+  def nearDupsOracleSql(minCosine: Double = 0.25): String =
+    s"""$codesCtes,
+       | small AS (SELECT tbl, code FROM codes
+       |   GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize AND COUNT(*) > 1),
+       | inb AS (SELECT c.* FROM codes c JOIN small s ON c.tbl = s.tbl AND c.code = s.code),
+       | pairs AS (
+       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM inb l JOIN inb r ON l.tbl = r.tbl AND l.code = r.code
+       |  WHERE l.vec_id < r.vec_id)
+       | SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT p.vec_a, p.vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |  FROM pairs p
+       |  JOIN normed a ON a.vec_id = p.vec_a
+       |  JOIN normed b ON b.vec_id = p.vec_b)
+       | WHERE cosine >= $minCosine ORDER BY vec_a, vec_b""".stripMargin
 }

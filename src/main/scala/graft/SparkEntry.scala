@@ -146,6 +146,13 @@ object SparkEntry {
     "q_run_summary" -> ((s, d) => Pipeline.runSummary(s, d)),
     // K6 at engine scope: a reference-style SQL string through the catalog
     "q_sql_interface" -> ((s, d) => Views.sqlInterface(s, d)),
+    // OLAP analytics pack (etl/Analytics.scala) — all oracle-checked
+    "q_sales_rollup" -> ((s, d) => Analytics.salesRollup(s, d)),
+    "q_running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
+    "q_price_quantiles" -> ((s, d) => Analytics.priceQuantiles(s, d)),
+    "q_fk_orphans" -> ((s, d) => Analytics.fkOrphans(s, d)),
+    "q_top_per_country" -> ((s, d) => Analytics.topProductPerCountry(s, d)),
+    "q_quarter_pivot" -> ((s, d) => Analytics.quarterPivot(s, d)),
   )
 
   private val stageCountsOracle: String =
@@ -248,6 +255,12 @@ object SparkEntry {
          | FROM (SELECT MAX(CAST(invoice_date AS DATE)) AS staging_max_date FROM cleaned),
          |      (SELECT MAX(CAST(invoice_date AS DATE)) AS fact_max_date FROM fact_sales)""".stripMargin,
     "q_checks" -> s"${Oracle.warehouseCte} ${Oracle.checksSelect}",
+    "q_sales_rollup" -> Analytics.salesRollupOracleSql,
+    "q_running_revenue" -> Analytics.runningRevenueOracleSql,
+    "q_price_quantiles" -> Analytics.priceQuantilesOracleSql,
+    "q_fk_orphans" -> Analytics.fkOrphansOracleSql,
+    "q_top_per_country" -> Analytics.topProductPerCountryOracleSql(),
+    "q_quarter_pivot" -> Analytics.quarterPivotOracleSql,
     "q_sql_interface" ->
       s"""${Oracle.warehouseCte} SELECT d.year, d.quarter,
          | COUNT(*) AS n_sales,

@@ -1,0 +1,73 @@
+package graft.etl
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("salesRollup: the grand total row equals the sum of the detail rows") {
+    val r = Analytics.salesRollup(spark, sf)
+    val grand = r.filter(col("year").isNull && col("quarter").isNull).head()
+    val detail = r.filter(col("year").isNotNull && col("quarter").isNotNull)
+      .agg(sum("n_sales"), sum("revenue")).head()
+    assert(grand.getAs[Long]("n_sales") === detail.getLong(0))
+    assert(math.abs(grand.getAs[Double]("revenue") - detail.getDouble(1)) < 1e-6)
+    // every year subtotal equals the sum of its quarter rows
+    val rows = r.collect()
+    val subtotals = rows.filter(x => !x.isNullAt(0) && x.isNullAt(1))
+      .map(x => x.getInt(0) -> x.getAs[Long]("n_sales")).toMap
+    val quarterSums = rows.filter(x => !x.isNullAt(0) && !x.isNullAt(1))
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getAs[Long]("n_sales")).sum).toMap
+    assert(subtotals === quarterSums)
+  }
+
+  test("runningRevenue is monotone and ends at the total") {
+    val rows = Analytics.runningRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val running = rows.map(_.getAs[Double]("running_revenue"))
+    assert(running.zip(running.tail).forall { case (a, b) => b >= a - 1e-9 })
+    val total = Quality.revenueTotal(spark, sf).head().getAs[Double]("total_revenue")
+    assert(math.abs(running.last - total) < 1e-6)
+  }
+
+  test("priceQuantiles are ordered and are real price points covering the right mass") {
+    val q = Analytics.priceQuantiles(spark, sf).head()
+    val (p25, p50, p75) = (q.getDouble(0), q.getDouble(1), q.getDouble(2))
+    assert(p25 <= p50 && p50 <= p75)
+    val cleaned = Warehouse(spark, sf).cleaned
+    val n = cleaned.count()
+    // at least a quarter of rows at or below p25; strictly less below it
+    assert(cleaned.filter(col("unit_price") <= p25).count() * 4 >= n)
+    assert(cleaned.filter(col("unit_price") < p25).count() * 4 < n)
+    assert(cleaned.filter(col("unit_price") <= p50).count() * 2 >= n)
+  }
+
+  test("fkOrphans is all-zero on the constructively consistent warehouse") {
+    val r = Analytics.fkOrphans(spark, sf).head()
+    assert(r.getLong(0) === 0 && r.getLong(1) === 0 && r.getLong(2) === 0)
+  }
+
+  test("topProductPerCountry: ranks 1..k per country, revenue non-increasing") {
+    val rows = Analytics.topProductPerCountry(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("country")).foreach { case (c, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to byRank.length))
+      val revs = byRank.map(_.getAs[Double]("revenue"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b - 1e-9 }, s"country $c")
+    }
+  }
+
+  test("quarterPivot row sums equal countrySales revenue") {
+    val piv = Analytics.quarterPivot(spark, sf)
+      .select(col("country"),
+        (col("q1") + col("q2") + col("q3") + col("q4")).as("total"))
+    val cs = Quality.countrySales(spark, sf).select(col("country"), col("revenue"))
+    val bad = piv.join(cs, Seq("country"))
+      .filter(abs(col("total") - col("revenue")) > 1e-6)
+    assert(bad.count() === 0)
+    assert(piv.count() === cs.count())
+  }
+}

@@ -37,6 +37,22 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup (the streaming twin of the batch dedup family,
+    * [[graft.operators.Dedup.exactDedup]] / `Clean.dedup`): drop any record
+    * whose content digest was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps ONE state entry per distinct
+    * digest and evicts it once the watermark passes — state is bounded by
+    * unique keys per horizon, not by throughput, which is the only dedup
+    * contract that survives an unbounded stream. (Exactly-once global
+    * dedup over all history needs an external key store; within-horizon is
+    * the standard streaming-ingest guarantee.) */
+  def dedupWithinWatermark(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", delay)
+      .withColumn("digest", md5(col("text")))
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -46,6 +46,45 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$plan")
   }
 
+  /** AQE wraps subplans in AdaptiveSparkPlan/QueryStage LEAF nodes, so
+    * neither traversal nor toString reaches the real operators — execute
+    * first, then recursively unwrap every adaptive boundary. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val sb = new StringBuilder
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      sb.append(p.toString).append('\n')
+      p.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case _ => ()
+      }
+    }
+    go(df.queryExecution.executedPlan)
+    sb.toString
+  }
+
+  test("fkOrphans probes dims via broadcast LEFT ANTI joins — no fact shuffle") {
+    val plan = finalPlanOf(etl.Analytics.fkOrphans(spark, sf))
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"anti-join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join expected in the FK audit")
+  }
+
+  test("salesRollup plans grouping sets as one Expand pass, no re-scan per level") {
+    val plan = finalPlanOf(etl.Analytics.salesRollup(spark, sf))
+    assert(plan.contains("Expand"), s"rollup did not use Expand grouping sets:\n$plan")
+  }
+
+  test("per-group top-k windows inside country partitions (no global sort before rank)") {
+    val plan = finalPlanOf(etl.Analytics.topProductPerCountry(spark, sf))
+    // windowspecdefinition(country, ...) = partitioned spec; a global rank
+    // would open with the sort columns instead of the partition column
+    assert(plan.contains("windowspecdefinition(country"),
+      s"rank window must be partitioned by country, not global:\n$plan")
+  }
+
   test("salted country-sales joins on (customer_key, _salt) — the skew-spread shape") {
     val plan = etl.Quality.countrySalesSalted(spark, sf)
       .queryExecution.optimizedPlan.toString

@@ -93,6 +93,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.exists(_._1 == ts("13:00")), "13:00 window emitted after restart")
   }
 
+  test("streaming dedup drops repeats within the watermark horizon, readmits after it") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.dedupWithinWatermark(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("10:00"), "alpha"), (ts("10:05"), "alpha"), // duplicate in-batch
+        (ts("10:10"), "beta"))
+      q.processAllAvailable()
+      input.addData((ts("10:20"), "alpha")) // still inside the 1h horizon
+      q.processAllAvailable()
+      val early = spark.sql("SELECT text FROM dedup_out").collect().map(_.getString(0))
+      assert(early.sorted.toSeq === Seq("alpha", "beta"), "one alpha, one beta within horizon")
+      // advance the watermark far past alpha's digest state, then repeat it:
+      // the key was evicted, so the record is readmitted
+      input.addData((ts("14:00"), "gamma"))
+      q.processAllAvailable()
+      input.addData((ts("14:05"), "alpha"))
+      q.processAllAvailable()
+      val late = spark.sql("SELECT text FROM dedup_out").collect().map(_.getString(0))
+      assert(late.count(_ == "alpha") === 2, "evicted key readmits after the horizon")
+    } finally q.stop()
+  }
+
   test("streaming sessionize times out idle users via the watermark") {
     val spark0 = spark
     import spark0.implicits._

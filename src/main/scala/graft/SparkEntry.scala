@@ -326,6 +326,10 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
     "ivf_topk" -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
     "embedding_near_dups" -> ((s, d) => operators.Similarity.embeddingNearDups(s, d)),
+    // training-corpus assembly (operators/Corpus.scala) — all oracle-checked
+    "train_split" -> ((s, d) => operators.Corpus.trainSplit(s, d)),
+    "pack_documents" -> ((s, d) => operators.Corpus.packDocuments(s, d)),
+    "clean_corpus" -> ((s, d) => operators.Corpus.cleanCorpus(s, d)),
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
@@ -448,6 +452,9 @@ object SparkEntry {
         |     list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))),
         |   (acc, x) -> (acc * 31 + x + 1) % 1000000007) AS fingerprint
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "train_split" -> operators.Corpus.trainSplitOracleSql,
+    "pack_documents" -> operators.Corpus.packDocumentsOracleSql(),
+    "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
     "ann_topk" -> operators.Similarity.annOracleSql(),
     "embedding_near_dups" -> operators.Similarity.nearDupsOracleSql(),

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly (SURVEY §7.5): the operators between "raw
+  * documents" and "training batches" in an LLM data pipeline, each
+  * deterministic and DuckDB-oracle-checked.
+  *
+  *  - [[trainSplit]]: reproducible train/val/test assignment by content-
+  *    independent key hash ([[Dedup.portableHash60]] of the doc id):
+  *    80/10/10, stable under corpus growth — a doc's split never changes
+  *    when other docs are added, the property random shuffles lack.
+  *  - [[packDocuments]]: sequence packing — fill fixed token-budget packs
+  *    with documents. Packing is SHARD-LOCAL: the window runs inside
+  *    `doc_id % nShards` partitions, so at 100 TB each shard packs
+  *    independently (global greedy packing is inherently sequential; the
+  *    shard cut is the standard parallel trade and costs at most one
+  *    underfull pack per shard).
+  *  - [[cleanCorpus]]: the end-to-end filter a pretraining pipeline
+  *    composes from this library's operators — quality gate
+  *    ([[TextAnalysis.qualityScore]] rules) ∧ exact-dedup keep-first —
+  *    in ONE pass over the corpus (the dedup keep-decision is a window
+  *    min over the content digest, not a join back against a dedup
+  *    table; a language gate chains the same way via
+  *    [[TextAnalysis.languageId]]).
+  */
+object Corpus {
+
+  /** Deterministic split: hash the key, bucket into [0,100). */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      Dedup.portableHash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  def trainSplitOracleSql: String =
+    """SELECT doc_id, bucket,
+      | CASE WHEN bucket < 80 THEN 'train'
+      |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      | FROM (SELECT doc_id,
+      |   CAST(CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |     % 100 AS INTEGER) AS bucket
+      |   FROM documents)
+      | ORDER BY doc_id""".stripMargin
+
+  val defaultPackBudget = 512
+  val defaultShards = 16
+
+  /** Contiguous-fill packing: within a shard, docs in doc_id order fill
+    * packs of `budget` whitespace tokens; a doc starts a new pack when the
+    * running total would overflow — expressed as `(cum - n) div budget`
+    * over the PRE-doc cumulative sum, pure integer arithmetic both engines
+    * replay. Oversized docs (> budget) get a pack of their own. */
+  def packDocuments(spark: SparkSession, dir: String,
+      budget: Int = defaultPackBudget, nShards: Int = defaultShards): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (col("doc_id") % nShards).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("pack_id"))
+      .orderBy("shard", "doc_id")
+  }
+
+  def packDocumentsOracleSql(budget: Int = defaultPackBudget,
+      nShards: Int = defaultShards): String =
+    s"""SELECT shard, doc_id, n_tokens, (cum - n_tokens) // $budget AS pack_id
+       | FROM (
+       |   SELECT shard, doc_id, n_tokens,
+       |     CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |   FROM (SELECT doc_id,
+       |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |     doc_id % $nShards AS shard FROM documents))
+       | ORDER BY shard, doc_id""".stripMargin
+
+  /** One-pass pretraining filter: quality rules ∧ language confidence ∧
+    * exact-dedup keep-first (digest-window min — no self-join). */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      expr(s"size(filter(split(text, ' '), w -> w IN (${
+        TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")})))").as("n_stopwords"),
+      length(col("text")).as("n_chars"))
+    val keepFirst = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+    docs
+      .withColumn("keep_id", keepFirst)
+      .filter(col("doc_id") === col("keep_id"))
+      .filter(col("n_chars") >= 40 && col("n_chars") <= 20000 &&
+        col("n_tokens") >= 8 && col("n_stopwords") * 20 >= col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def cleanCorpusOracleSql: String =
+    s"""SELECT doc_id, n_tokens, n_chars FROM (
+       | SELECT doc_id,
+       |   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |   CAST(len(list_filter(string_split(text, ' '), w -> w IN (${
+            TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS n_stopwords,
+       |   CAST(length(text) AS INTEGER) AS n_chars,
+       |   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       | FROM documents)
+       | WHERE doc_id = keep_id AND n_chars >= 40 AND n_chars <= 20000
+       |   AND n_tokens >= 8 AND n_stopwords * 20 >= n_tokens
+       | ORDER BY doc_id""".stripMargin
+}

@@ -309,10 +309,10 @@ object SparkEntry {
     "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
     "term_stats" -> ((s, d) => operators.TextAnalysis.termStats(s, d)),
-    // multimodal binary-column plumbing: media_meta and media_features are
-    // formula-oracle-checked (the latter through a REAL javax.imageio
-    // PNG encode/decode roundtrip); media_frames is rows-only (crc32 has
-    // no DuckDB analogue) + MultimodalSpec coverage asserts
+    // multimodal binary-column plumbing — all three oracle-checked:
+    // media_meta and media_frames replay the binary container as VARCHAR
+    // formulas; media_features replays a REAL javax.imageio PNG
+    // encode/decode roundtrip by pixel formula
     "media_meta" -> ((s, d) => operators.Multimodal.mediaMeta(s, d)),
     "media_frames" -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     "media_features" -> ((s, d) =>
@@ -445,6 +445,7 @@ object SparkEntry {
         | CAST(length(text) AS INTEGER) AS payload_bytes
         | FROM documents ORDER BY doc_id""".stripMargin,
     "media_features" -> operators.Multimodal.decodeFeaturesOracleSql(),
+    "media_frames" -> operators.Multimodal.frameSampleOracleSql(),
     "fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

@@ -58,8 +58,9 @@ object Multimodal {
       .orderBy("doc_id")
 
   /** Frame sampling: split the payload into fixed-size frames, keep every
-    * `every`-th, fingerprint each with crc32. HOFs only — stays in
-    * whole-stage codegen. */
+    * `every`-th, fingerprint each with the portable md5-prefix hash
+    * ([[Dedup.portableHash60]]) so the DuckDB oracle replays the whole
+    * slice-and-hash pipeline. HOFs only — stays in whole-stage codegen. */
   def frameSample(spark: SparkSession, dir: String,
       frameBytes: Int = 64, every: Int = 4): DataFrame =
     syntheticMedia(spark, dir)
@@ -72,8 +73,33 @@ object Multimodal {
       .filter(col("frame_idx") % every === 0)
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame")).as("frame_bytes"),
-        crc32(col("frame")).as("frame_crc"))
+        Dedup.portableHash60(col("frame")).as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
+
+  /** DuckDB replay of [[frameSample]]: rebuilds the GRFT container as
+    * VARCHAR and re-slices it. Byte-positions equal char-positions because
+    * the fixture corpus is ASCII — the same equivalence [[mediaMeta]]'s
+    * green oracle (payload_bytes = length(text)) already relies on. */
+  def frameSampleOracleSql(frameBytes: Int = 64, every: Int = 4): String =
+    s"""WITH media AS (
+       |  SELECT doc_id,
+       |    'GRFT' || lpad(CAST(16 + doc_id % 64 AS VARCHAR), 4, '0')
+       |           || lpad(CAST(16 + (doc_id * 7) % 64 AS VARCHAR), 4, '0')
+       |           || lpad(CAST(1 + doc_id % 3 AS VARCHAR), 4, '0')
+       |           || text AS m
+       |  FROM documents),
+       | frames AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, (length(m) - ${headerBytes + 1}) // $frameBytes))
+       |      AS frame_idx,
+       |    m FROM media)
+       | SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |   CAST(length(f) AS INTEGER) AS frame_bytes,
+       |   CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) AS frame_hash
+       | FROM (SELECT doc_id, frame_idx,
+       |         substring(m, ${headerBytes + 1} + frame_idx * $frameBytes, $frameBytes) AS f
+       |       FROM frames WHERE frame_idx % $every = 0)
+       | ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Image dimensions as pure functions of doc_id (shared by the GRFT
     * header, the PNG synthesis, and the DuckDB formula oracle). */

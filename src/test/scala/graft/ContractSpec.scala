@@ -17,7 +17,6 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
       "ivf_topk",           // k-means centroid averages aren't bit-stable cross-engine
-      "media_frames",       // crc32 has no DuckDB analogue
       "q_approx_distinct")  // different sketch in DuckDB
     assert(rowsOnly === expected,
       s"unexpected rows-only set: ${rowsOnly -- expected} / missing: ${expected -- rowsOnly}")

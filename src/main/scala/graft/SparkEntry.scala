@@ -142,6 +142,8 @@ object SparkEntry {
     "q_freshness" -> ((s, d) => Quality.freshness(s, d)),
     // rows-only: DuckDB's approx sketch differs; ApproxStatsSpec bounds it
     "q_approx_distinct" -> ((s, d) => ext.ApproxStats.distinctStats(s, d)),
+    // KMV: the approximate sketch that IS deterministic cross-engine
+    "q_kmv_distinct" -> ((s, d) => ext.ApproxStats.kmvDistinct(s, d)),
     "q_checks" -> ((s, d) => Pipeline.checks(s, d)),
     "q_run_summary" -> ((s, d) => Pipeline.runSummary(s, d)),
     // K6 at engine scope: a reference-style SQL string through the catalog
@@ -255,6 +257,7 @@ object SparkEntry {
          | FROM (SELECT MAX(CAST(invoice_date AS DATE)) AS staging_max_date FROM cleaned),
          |      (SELECT MAX(CAST(invoice_date AS DATE)) AS fact_max_date FROM fact_sales)""".stripMargin,
     "q_checks" -> s"${Oracle.warehouseCte} ${Oracle.checksSelect}",
+    "q_kmv_distinct" -> ext.ApproxStats.kmvDistinctOracleSql(),
     "q_sales_rollup" -> Analytics.salesRollupOracleSql,
     "q_running_revenue" -> Analytics.runningRevenueOracleSql,
     "q_price_quantiles" -> Analytics.priceQuantilesOracleSql,

@@ -155,6 +155,7 @@ object SparkEntry {
     "q_fk_orphans" -> ((s, d) => Analytics.fkOrphans(s, d)),
     "q_top_per_country" -> ((s, d) => Analytics.topProductPerCountry(s, d)),
     "q_quarter_pivot" -> ((s, d) => Analytics.quarterPivot(s, d)),
+    "q_quarter_unpivot" -> ((s, d) => Analytics.quarterUnpivot(s, d)),
   )
 
   private val stageCountsOracle: String =
@@ -264,6 +265,7 @@ object SparkEntry {
     "q_fk_orphans" -> Analytics.fkOrphansOracleSql,
     "q_top_per_country" -> Analytics.topProductPerCountryOracleSql(),
     "q_quarter_pivot" -> Analytics.quarterPivotOracleSql,
+    "q_quarter_unpivot" -> Analytics.quarterUnpivotOracleSql,
     "q_sql_interface" ->
       s"""${Oracle.warehouseCte} SELECT d.year, d.quarter,
          | COUNT(*) AS n_sales,
@@ -333,6 +335,7 @@ object SparkEntry {
     "train_split" -> ((s, d) => operators.Corpus.trainSplit(s, d)),
     "pack_documents" -> ((s, d) => operators.Corpus.packDocuments(s, d)),
     "clean_corpus" -> ((s, d) => operators.Corpus.cleanCorpus(s, d)),
+    "interleave_sources" -> ((s, d) => operators.Corpus.interleaveSources(s, d)),
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
@@ -457,6 +460,7 @@ object SparkEntry {
         |   (acc, x) -> (acc * 31 + x + 1) % 1000000007) AS fingerprint
         | FROM documents ORDER BY doc_id""".stripMargin,
     "train_split" -> operators.Corpus.trainSplitOracleSql,
+    "interleave_sources" -> operators.Corpus.interleaveSourcesOracleSql,
     "pack_documents" -> operators.Corpus.packDocumentsOracleSql(),
     "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),

@@ -207,14 +207,38 @@ object Analytics {
       .orderBy("country")
   }
 
-  def quarterPivotOracleSql: String = {
+  /** UNPIVOT (melt): the inverse of [[quarterPivot]] — wide quarter
+    * columns back to (country, quarter, revenue) long form, keeping the
+    * filled zero cells. Spark's native `unpivot`; the oracle replays it
+    * as the portable UNION ALL form. */
+  def quarterUnpivot(spark: SparkSession, dir: String): DataFrame =
+    quarterPivot(spark, dir)
+      .unpivot(
+        Array(col("country")),
+        Array(col("q1"), col("q2"), col("q3"), col("q4")),
+        "quarter", "revenue")
+      .orderBy("country", "quarter")
+
+  def quarterUnpivotOracleSql: String = {
+    val arms = (1 to 4).map(q =>
+      s"SELECT country, 'q$q' AS quarter, q$q AS revenue FROM piv").mkString(" UNION ALL ")
+    s"""${Oracle.warehouseCte}, piv AS ($pivotSelect)
+       | SELECT country, quarter, revenue FROM ($arms)
+       | ORDER BY country, quarter""".stripMargin
+  }
+
+  /** The pivot SELECT without its CTE prefix, shared by both oracles. */
+  private def pivotSelect: String = {
     val qs = (1 to 4).map(q =>
       s"""CAST(CAST(COALESCE(SUM(CASE WHEN d.quarter = $q THEN f.total_amount END), 0)
          | AS DECIMAL(18,2)) AS DOUBLE) AS q$q""".stripMargin).mkString(", ")
-    s"""${Oracle.warehouseCte} SELECT c.country, $qs
+    s"""SELECT c.country, $qs
        | FROM fact_sales f
        | JOIN dim_customer c ON f.customer_key = c.customer_key
        | JOIN dim_date d ON f.date_key = d.date_key
-       | GROUP BY c.country ORDER BY c.country""".stripMargin
+       | GROUP BY c.country""".stripMargin
   }
+
+  def quarterPivotOracleSql: String =
+    s"${Oracle.warehouseCte} $pivotSelect ORDER BY country"
 }

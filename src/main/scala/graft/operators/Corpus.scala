@@ -87,6 +87,47 @@ object Corpus {
        |     doc_id % $nShards AS shard FROM documents))
        | ORDER BY shard, doc_id""".stripMargin
 
+  /** Weighted source interleaving — deterministic dataset MIXING (the
+    * "sample source s with weight w_s" step of assembling a training
+    * mixture) via stride scheduling: doc r of source s gets priority
+    * (2r-1)/(2*w_s), and the global order sorts by priority. Exact
+    * fairness property (asserted in CorpusSpec): every prefix of
+    * sum(weights)*k positions contains exactly w_s*k docs of each
+    * unexhausted source; per-source document order is preserved. Weights
+    * derive deterministically from the source id (1 + idx%3) so the
+    * DuckDB oracle replays the whole schedule. The global position window
+    * runs over the corpus — at 100 TB, mix within shards exactly like
+    * [[packDocuments]] and concatenate shards. */
+  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("weight", lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+    val r = row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    val priority = ((lit(2) * col("r") - 1).cast("double") /
+      (lit(2) * col("weight")).cast("double"))
+    docs
+      .withColumn("r", r)
+      .withColumn("priority", priority)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(lit(0)) // deliberate: global mixing order
+          .orderBy(col("priority"), col("source"), col("doc_id"))))
+      .select("pos", "source", "weight", "doc_id")
+      .orderBy("pos")
+  }
+
+  def interleaveSourcesOracleSql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY priority, source, doc_id) AS INTEGER) AS pos,
+      |   source, weight, doc_id
+      | FROM (
+      |   SELECT doc_id, source, weight,
+      |     CAST(2 * r - 1 AS DOUBLE) / CAST(2 * weight AS DOUBLE) AS priority
+      |   FROM (
+      |     SELECT doc_id, source,
+      |       1 + CAST(substring(source, 4) AS INTEGER) % 3 AS weight,
+      |       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS r
+      |     FROM documents))
+      | ORDER BY pos""".stripMargin
+
   /** One-pass pretraining filter: quality rules ∧ language confidence ∧
     * exact-dedup keep-first (digest-window min — no self-join). */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {

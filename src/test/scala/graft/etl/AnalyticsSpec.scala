@@ -60,6 +60,17 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("quarterUnpivot is the exact inverse of quarterPivot") {
+    val wide = Analytics.quarterPivot(spark, sf).collect()
+      .flatMap(r => Seq(
+        (r.getString(0), "q1", r.getDouble(1)), (r.getString(0), "q2", r.getDouble(2)),
+        (r.getString(0), "q3", r.getDouble(3)), (r.getString(0), "q4", r.getDouble(4))))
+      .toSet
+    val long = Analytics.quarterUnpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(long === wide)
+  }
+
   test("quarterPivot row sums equal countrySales revenue") {
     val piv = Analytics.quarterPivot(spark, sf)
       .select(col("country"),

@@ -41,6 +41,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("interleaveSources: exact stride fairness and per-source order preservation") {
+    val rows = Corpus.interleaveSources(spark, sf).collect()
+    assert(rows.length === graft.Tables.documents(spark, sf).count())
+    // stride property: priorities < 1 are exactly ranks r <= weight, so the
+    // first sum(weights) positions contain each source exactly weight times
+    val weights = rows.map(r => r.getString(1) -> r.getInt(2)).toMap
+    val totalW = weights.values.sum
+    val prefix = rows.sortBy(_.getInt(0)).take(totalW)
+    val bySource = prefix.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    weights.foreach { case (s, w) =>
+      assert(bySource.getOrElse(s, 0) === w, s"source $s: expected $w in first $totalW")
+    }
+    // per-source document order is preserved along the global position
+    rows.groupBy(_.getString(1)).foreach { case (s, rs) =>
+      val ids = rs.sortBy(_.getInt(0)).map(_.getLong(3))
+      assert(ids.sameElements(ids.sorted), s"source $s order broken")
+    }
+  }
+
   test("cleanCorpus is a subset of documents: deduped and quality-gated") {
     val clean = Corpus.cleanCorpus(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()

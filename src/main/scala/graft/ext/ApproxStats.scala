@@ -44,7 +44,7 @@ object ApproxStats {
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = kmvK): DataFrame = {
     val hashes = Warehouse(spark, dir).cleaned
       .filter(col("invoice_no").isNotNull)
-      .select(graft.operators.Dedup.portableHash60(col("invoice_no")).as("h"))
+      .select(graft.operators.Dedup.fastHash60(spark, col("invoice_no")).as("h"))
       .distinct()
       .orderBy("h").limit(k)
     hashes.agg(max(col("h")).as("h_k"), count(lit(1)).as("n_mins"))

@@ -32,7 +32,7 @@ object Corpus {
   /** Deterministic split: hash the key, bucket into [0,100). */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(
-      Dedup.portableHash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+      Dedup.fastHash60(spark, concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
     Tables.documents(spark, dir)
       .select(col("doc_id"), bucket.cast("int").as("bucket"))
       .withColumn("split",

@@ -52,6 +52,15 @@ object Dedup {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Native fast path of [[portableHash60]] — identical value (pinned by
+    * HashExprsSpec), no hex-string round-trip: the codegen'd
+    * [[graft.functions.Md5Prefix60]] reads the 60 bits straight from the
+    * digest. Used in the per-shingle/per-token/per-frame hot paths. */
+  def fastHash60(spark: SparkSession, c: Column): Column = {
+    graft.functions.HashExprs.register(spark)
+    call_function("md5_prefix60", c.cast("binary"))
+  }
+
   private def hashSql(s: String): String =
     s"CAST('0x' || substring(md5($s), 1, 15) AS BIGINT)"
 
@@ -100,7 +109,7 @@ object Dedup {
       min((lit(a) * col("_hp") + lit(b)) % hashPrime).as(s"m_$i")
     }
     shingles(docs)
-      .withColumn("_hp", portableHash60(col("shingle")) % hashPrime)
+      .withColumn("_hp", fastHash60(docs.sparkSession, col("shingle")) % hashPrime)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -210,7 +219,7 @@ object Dedup {
     }
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", portableHash60(col("tok")))
+      .withColumn("th", fastHash60(docs.sparkSession, col("tok")))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), assembled.as("simhash"))

@@ -73,7 +73,7 @@ object Multimodal {
       .filter(col("frame_idx") % every === 0)
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame")).as("frame_bytes"),
-        Dedup.portableHash60(col("frame")).as("frame_hash"))
+        Dedup.fastHash60(spark, col("frame")).as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
 
   /** DuckDB replay of [[frameSample]]: rebuilds the GRFT container as

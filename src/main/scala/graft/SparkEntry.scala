@@ -460,7 +460,7 @@ object SparkEntry {
         |   (acc, x) -> (acc * 31 + x + 1) % 1000000007) AS fingerprint
         | FROM documents ORDER BY doc_id""".stripMargin,
     "train_split" -> operators.Corpus.trainSplitOracleSql,
-    "interleave_sources" -> operators.Corpus.interleaveSourcesOracleSql,
+    "interleave_sources" -> operators.Corpus.interleaveSourcesOracleSql(),
     "pack_documents" -> operators.Corpus.packDocumentsOracleSql(),
     "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),

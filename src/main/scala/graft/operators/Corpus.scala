@@ -56,10 +56,13 @@ object Corpus {
   val defaultShards = 16
 
   /** Contiguous-fill packing: within a shard, docs in doc_id order fill
-    * packs of `budget` whitespace tokens; a doc starts a new pack when the
-    * running total would overflow — expressed as `(cum - n) div budget`
-    * over the PRE-doc cumulative sum, pure integer arithmetic both engines
-    * replay. Oversized docs (> budget) get a pack of their own. */
+    * packs that are fixed budget-sized WINDOWS of the cumulative token
+    * line — a doc belongs to the window its pre-doc cumulative sum falls
+    * in, expressed as `(cum - n) div budget`, pure integer arithmetic both
+    * engines replay. A pack's token total may exceed the budget only by
+    * its last (straddling) doc: pack_tokens - last_doc_tokens < budget
+    * always holds (asserted in CorpusSpec). Oversized docs (> budget)
+    * straddle a whole window and get a pack of their own. */
   def packDocuments(spark: SparkSession, dir: String,
       budget: Int = defaultPackBudget, nShards: Int = defaultShards): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -89,44 +92,50 @@ object Corpus {
 
   /** Weighted source interleaving — deterministic dataset MIXING (the
     * "sample source s with weight w_s" step of assembling a training
-    * mixture) via stride scheduling: doc r of source s gets priority
-    * (2r-1)/(2*w_s), and the global order sorts by priority. Exact
-    * fairness property (asserted in CorpusSpec): every prefix of
-    * sum(weights)*k positions contains exactly w_s*k docs of each
-    * unexhausted source; per-source document order is preserved. Weights
-    * derive deterministically from the source id (1 + idx%3) so the
-    * DuckDB oracle replays the whole schedule. The global position window
-    * runs over the corpus — at 100 TB, mix within shards exactly like
-    * [[packDocuments]] and concatenate shards. */
-  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    * mixture) via stride scheduling. Mixing is SHARD-LOCAL, exactly like
+    * [[packDocuments]]: within each `doc_id % nShards` shard, doc r of
+    * source s gets priority (2r-1)/(2*w_s) and the shard's order sorts by
+    * priority — every window partitions on the shard, so at 100 TB each
+    * shard mixes independently and a trainer consumes shards concatenated
+    * (or round-robin). Exact fairness property (asserted in CorpusSpec,
+    * per shard): the first sum_s min(w_s, n_s) positions of a shard
+    * contain exactly min(w_s, n_s) docs of each source present in it;
+    * per-source document order is preserved. Weights derive
+    * deterministically from the source id (1 + idx%3) so the DuckDB
+    * oracle replays the whole schedule. */
+  def interleaveSources(spark: SparkSession, dir: String,
+      nShards: Int = defaultShards): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
+      .select(col("doc_id"), col("source"), (col("doc_id") % nShards).as("shard"))
       .withColumn("weight", lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
-    val r = row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    val r = row_number().over(Window.partitionBy("shard", "source").orderBy("doc_id"))
     val priority = ((lit(2) * col("r") - 1).cast("double") /
       (lit(2) * col("weight")).cast("double"))
     docs
       .withColumn("r", r)
       .withColumn("priority", priority)
       .withColumn("pos", row_number().over(
-        Window.partitionBy(lit(0)) // deliberate: global mixing order
+        Window.partitionBy("shard")
           .orderBy(col("priority"), col("source"), col("doc_id"))))
-      .select("pos", "source", "weight", "doc_id")
-      .orderBy("pos")
+      .select("shard", "pos", "source", "weight", "doc_id")
+      .orderBy("shard", "pos")
   }
 
-  def interleaveSourcesOracleSql: String =
-    """SELECT CAST(row_number() OVER (ORDER BY priority, source, doc_id) AS INTEGER) AS pos,
-      |   source, weight, doc_id
-      | FROM (
-      |   SELECT doc_id, source, weight,
-      |     CAST(2 * r - 1 AS DOUBLE) / CAST(2 * weight AS DOUBLE) AS priority
-      |   FROM (
-      |     SELECT doc_id, source,
-      |       1 + CAST(substring(source, 4) AS INTEGER) % 3 AS weight,
-      |       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS r
-      |     FROM documents))
-      | ORDER BY pos""".stripMargin
+  def interleaveSourcesOracleSql(nShards: Int = defaultShards): String =
+    s"""SELECT shard,
+       |   CAST(row_number() OVER (PARTITION BY shard ORDER BY priority, source, doc_id)
+       |     AS INTEGER) AS pos,
+       |   source, weight, doc_id
+       | FROM (
+       |   SELECT doc_id, source, shard, weight,
+       |     CAST(2 * r - 1 AS DOUBLE) / CAST(2 * weight AS DOUBLE) AS priority
+       |   FROM (
+       |     SELECT doc_id, source, doc_id % $nShards AS shard,
+       |       1 + CAST(substring(source, 4) AS INTEGER) % 3 AS weight,
+       |       CAST(row_number() OVER (PARTITION BY doc_id % $nShards, source
+       |         ORDER BY doc_id) AS INTEGER) AS r
+       |     FROM documents))
+       | ORDER BY shard, pos""".stripMargin
 
   /** One-pass pretraining filter: quality rules ∧ language confidence ∧
     * exact-dedup keep-first (digest-window min — no self-join). */

@@ -91,6 +91,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("_salt"), s"salted join shape missing from plan:\n$plan")
   }
 
+  test("interleaveSources mixes shard-locally — no single-partition exchange on the corpus") {
+    val df = operators.Corpus.interleaveSources(spark, sf)
+    val plan = finalPlanOf(df)
+    // every window must partition on the shard; a global mixing order
+    // would plan an Exchange SinglePartition over the whole corpus. The
+    // only allowed non-hash exchange is the final presentation ORDER BY
+    // (rangepartitioning), which a trainer consuming shards would drop.
+    assert(!plan.contains("SinglePartition"),
+      s"corpus-wide single-partition exchange in the mixing plan:\n$plan")
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"mixing windows must partition by shard:\n$plan")
+  }
+
   test("written fact: (year, month) predicates prune partitions; invoice_date range pushes down") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     etl.Transform.writeWarehouse(spark, sf, out)

@@ -466,6 +466,7 @@ object SparkEntry {
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
     "ann_topk" -> operators.Similarity.annOracleSql(),
     "embedding_near_dups" -> operators.Similarity.nearDupsOracleSql(),
+    "ivf_topk" -> operators.Similarity.ivfOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,
          | COUNT(*) AS n_events,

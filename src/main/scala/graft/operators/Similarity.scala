@@ -138,37 +138,84 @@ object Similarity {
   /** IVF (inverted-file) ANN — the clustering-based alternative to
     * hyperplane LSH from the brief. Index build: k-means over the corpus
     * in pure DataFrame ops (centroids broadcast each Lloyd iteration;
-    * assignment is an argmin over k codegen'd [[graft.functions.VecDot]]
-    * scores; update is one groupBy-mean shuffle of (cluster, vector)).
-    * Deterministic: seeds are the first k vectors, fixed iteration count.
-    * Query: probe the `nprobe` nearest centroid posting lists only —
-    * at scale the scan shrinks from the corpus to ~nprobe/k of it, the
-    * classic IVF trade. Recall vs brute force asserted in SimilaritySpec.
-    */
+    * assignment is an argmin over k scores; update is the two-level
+    * ordered fold of [[deterministicCentroids]] — two shuffles of
+    * (cluster, shard, 64-double) partials). Fully deterministic: seeds
+    * are the first k vectors, fixed iteration count, and the fold's
+    * reduction tree is partitioning-independent — so the whole Lloyd
+    * loop replays bit-identically in DuckDB ([[ivfOracleSql]]) and
+    * `ivf_topk` is hash-checked end to end. Query: probe the `nprobe`
+    * nearest centroid posting lists only — at scale the scan shrinks
+    * from the corpus to ~nprobe/k of it, the classic IVF trade. Recall
+    * vs brute force asserted in SimilaritySpec. */
   val ivfK = 16
   val ivfIters = 5
   val ivfNProbe = 4
 
-  /** (vec_id, embedding, norm, cluster): corpus with IVF cluster ids. */
-  def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.Memo(spark, dir, "ivf_assignments") {
-      val emb = withNorm(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
-      graft.functions.VectorExprs.register(spark)
+  /** Shard count for the deterministic two-level centroid sum. */
+  val ivfSumShards = 16
+
+  /** Deterministic per-cluster mean: a TWO-LEVEL ordered fold. Vectors
+    * sum in `vec_id` order within a `vec_id % ivfSumShards` shard, then
+    * shard partials sum in shard order — ONE fixed reduction tree for the
+    * double-precision sum regardless of partitioning, so centroids are
+    * bit-identical across runs AND engines (floating-point addition is
+    * not associative; a plain `avg` sums in shuffle arrival order). The
+    * shard level keeps the per-group fold bounded at ~|cluster|/shards
+    * vectors — raise `ivfSumShards` with corpus size; the shape stays two
+    * shuffles of (cluster, shard, 64 doubles) partials. */
+  private def deterministicCentroids(assigned: DataFrame): Array[(Int, Seq[Double])] = {
+    val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
+    val partials = assigned
+      .withColumn("sum_shard", pmod(col("vec_id"), lit(ivfSumShards.toLong)))
+      .groupBy("cluster", "sum_shard")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          zeros,
+          (acc, v) => zip_with(acc, v.getField("embedding"), (a, b) => a + b.cast("double"))
+        ).as("psum"),
+        count(lit(1)).as("pn"))
+    partials.groupBy("cluster")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("sum_shard"), col("psum")))),
+          zeros,
+          (acc, v) => zip_with(acc, v.getField("psum"), (a, b) => a + b)
+        ).as("csum"),
+        sum("pn").as("n"))
+      .select(col("cluster"),
+        transform(col("csum"), x => x / col("n").cast("double")).as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+  }
+
+  /** Final (post-iteration) centroids — the index geometry both the
+    * corpus assignment and query probing use. Cached per (session, dir):
+    * index metadata, <= 16 x 64 doubles. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[(Int, Seq[Double])]]
+
+  private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
+    centroidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       // seeds: first k vectors (deterministic)
       var centroids: Array[(Int, Seq[Double])] = emb.filter(col("vec_id") < ivfK)
         .orderBy("vec_id").collect()
         .zipWithIndex
         .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq.asInstanceOf[Seq[Double]] }
-      for (_ <- 0 until ivfIters) {
-        val assigned = assignToCentroids(emb, centroids)
-        // update step: one shuffle of (cluster, 64 doubles) partials
-        val dims = (0 until dim).map(j => avg(col("embedding")(j).cast("double")).as(s"c_$j"))
-        centroids = assigned.groupBy("cluster").agg(dims.head, dims.tail: _*)
-          .collect()
-          .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble(_)).toSeq.asInstanceOf[Seq[Double]])
-          .sortBy(_._1)
-      }
-      assignToCentroids(emb, centroids)
+      for (_ <- 0 until ivfIters)
+        centroids = deterministicCentroids(assignToCentroids(emb, centroids))
+      centroids
+    })
+
+  /** (vec_id, embedding, norm, cluster): corpus with IVF cluster ids. */
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "ivf_assignments") {
+      graft.functions.VectorExprs.register(spark)
+      val emb = withNorm(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      assignToCentroids(emb, ivfCentroids(spark, dir))
     }
 
   /** argmin over broadcast centroid literals — narrow, no shuffle. */
@@ -193,7 +240,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
         col("norm").as("q_norm"))
     // rank centroids per query via the same argmin scores, explode top nprobe
-    val cVecs = ivfCentroidVectors(spark, dir)
+    val cVecs = ivfCentroids(spark, dir)
     val probeStructs = cVecs.map { case (cid, c) =>
       val cArr = array(c.map(lit): _*)
       val cNorm2 = c.map(x => x * x).sum
@@ -217,24 +264,6 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
       .orderBy("query_id", "rank")
   }
-
-  /** Final centroid vectors (cluster id -> mean), computed once from the
-    * memoized assignments so probing uses exactly the index's geometry —
-    * cached per (session, dir) like the assignments themselves (index
-    * metadata, <= 16 x 64 doubles; re-aggregating per ivfTopK call would
-    * re-scan the corpus). */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Array[(Int, Seq[Double])]]
-
-  private def ivfCentroidVectors(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
-    centroidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val assigned = ivfAssignments(spark, dir)
-      val dims = (0 until dim).map(j => avg(col("embedding")(j).cast("double")).as(s"c_$j"))
-      assigned.groupBy("cluster").agg(dims.head, dims.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble(_)).toSeq.asInstanceOf[Seq[Double]])
-        .sortBy(_._1)
-    })
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
     * the training-data brief, next to exact/MinHash/SimHash/n-gram): all
@@ -369,4 +398,85 @@ object Similarity {
        |  JOIN normed a ON a.vec_id = p.vec_a
        |  JOIN normed b ON b.vec_id = p.vec_b)
        | WHERE cosine >= $minCosine ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB replay of [[ivfTopK]] — the ENTIRE fixed-iteration Lloyd
+    * loop as chained CTEs, not data-derived literals: seeds are the
+    * first k vectors, each iteration re-derives assignment (argmax of
+    * `dot - |c|²/2`, ties to the higher cluster id like Spark's
+    * `greatest` over (score, cid) structs) and centroids (the same
+    * two-level vec_id-then-shard ordered fold as
+    * [[deterministicCentroids]]), then the probe/score/rank phase
+    * mirrors [[ivfTopK]]. Every double-precision sum folds in the same
+    * order in both engines, so the final hash matches bit-for-bit. */
+  def ivfOracleSql(k: Int = defaultK, nQueries: Int = defaultNQueries): String = {
+    val zeros = Seq.fill(dim)("CAST(0 AS DOUBLE)").mkString("[", ", ", "]")
+    val foldAdd = "(acc, v) -> list_transform(list_zip(acc, v), p -> p[1] + p[2])"
+    // argmax assignment of `rel` rows against the `cent` CTE, Spark
+    // tie-break (higher cluster id wins on equal score)
+    def assignSql(rel: String, cent: String) =
+      s"""(
+         |  SELECT vec_id, embedding, cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (${dotSql("e.embedding", "c.centroid")} -
+         |         ${dotSql("c.centroid", "c.centroid")} / 2) DESC,
+         |        c.cluster DESC) AS rn
+         |    FROM $rel e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    val iterCtes = (0 until ivfIters).flatMap { i =>
+      Seq(
+        s"asg$i AS ${assignSql("embeddings", s"cent$i")}",
+        s"""p$i AS (
+           |  SELECT cluster, vec_id % $ivfSumShards AS sum_shard,
+           |    list_reduce(list_prepend($zeros,
+           |      list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id)),
+           |      $foldAdd) AS psum,
+           |    COUNT(*) AS pn
+           |  FROM asg$i GROUP BY 1, 2)""".stripMargin,
+        s"""cent${i + 1} AS (
+           |  SELECT cluster, list_transform(csum, x -> x / CAST(n AS DOUBLE)) AS centroid FROM (
+           |    SELECT cluster,
+           |      list_reduce(list_prepend($zeros, list(psum ORDER BY sum_shard)),
+           |        $foldAdd) AS csum,
+           |      SUM(pn) AS n
+           |    FROM p$i GROUP BY 1))""".stripMargin)
+    }
+    val ctes = Seq(
+      s"""cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM embeddings WHERE vec_id < $ivfK)""".stripMargin) ++
+      iterCtes ++ Seq(
+      s"""normed AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+         |  FROM embeddings)""".stripMargin,
+      s"asgF AS ${assignSql("embeddings", s"cent$ivfIters")}",
+      """assigned AS (
+        |  SELECT a.vec_id, a.embedding, n.norm, a.cluster
+        |  FROM asgF a JOIN normed n USING (vec_id))""".stripMargin,
+      s"""queries AS (
+         |  SELECT vec_id AS query_id, embedding AS q_embedding, norm AS q_norm
+         |  FROM assigned WHERE vec_id < $nQueries)""".stripMargin,
+      s"""probes AS (
+         |  SELECT query_id, q_embedding, q_norm, cluster FROM (
+         |    SELECT q.query_id, q.q_embedding, q.q_norm, c.cluster,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (${dotSql("q.q_embedding", "c.centroid")} -
+         |         ${dotSql("c.centroid", "c.centroid")} / 2) DESC,
+         |        c.cluster DESC) AS rn
+         |    FROM queries q CROSS JOIN cent$ivfIters c) WHERE rn <= $ivfNProbe)""".stripMargin,
+      """cands AS (
+        |  SELECT p.query_id, p.q_embedding, p.q_norm, a.vec_id, a.embedding, a.norm
+        |  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        |  WHERE a.vec_id <> p.query_id)""".stripMargin,
+      s"""scored AS (
+         |  SELECT query_id, vec_id,
+         |    ${dotSql("q_embedding", "embedding")} / (q_norm * norm) AS sim FROM cands)""".stripMargin,
+      """ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT query_id, vec_id, sim, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -16,8 +16,7 @@ class ContractSpec extends AnyFunSuite {
   test("rows-only queries are exactly the documented hash-free set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
-      "ivf_topk",           // k-means centroid averages aren't bit-stable cross-engine
-      "q_approx_distinct")  // different sketch in DuckDB
+      "q_approx_distinct")  // different HLL sketch in DuckDB
     assert(rowsOnly === expected,
       s"unexpected rows-only set: ${rowsOnly -- expected} / missing: ${expected -- rowsOnly}")
   }

@@ -17,7 +17,8 @@ object Bench {
 
   /** Queries whose first run builds a shared cache (see object doc). */
   val warmupQueries: List[String] = List(
-    "staging", "clean_dedup", "minhash_pairs", "ann_topk", "ivf_topk", "q_checks")
+    "staging", "clean_dedup", "minhash_pairs", "ann_topk", "ivf_topk", "q_checks",
+    "fact_roundtrip") // first run performs the one-time warehouse write
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,7 +33,11 @@ object Bench {
     val w0 = System.nanoTime()
     warmupQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () } // the timed run reports the failure
+      catch { case e: Throwable =>
+        // the timed run still reports the failure; surface it here too so
+        // a warm-up that half-builds a cache never blurs the timed signal
+        System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
+      }
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

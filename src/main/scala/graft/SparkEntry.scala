@@ -57,6 +57,9 @@ object SparkEntry {
     "dim_date" -> ((s, d) => Warehouse(s, d).dimDate.orderBy("date_key")),
     "fact_sales" -> ((s, d) =>
       orderedAsc(moneyDouble(Warehouse(s, d).fact, Seq("unit_price", "total_amount")), factCols)),
+    // S4/S6 write path: writeWarehouse then read the partitioned fact back
+    "fact_roundtrip" -> ((s, d) =>
+      orderedAsc(moneyDouble(Transform.factRoundtrip(s, d), Seq("unit_price", "total_amount")), factCols)),
     // S1-S3/E9: dump the staging view as raw CSV (nulls as pandas-style
     // 'nan'), re-ingest through the typed CSV path, and prove the
     // roundtrip is lossless against the parquet-side staging oracle.
@@ -116,6 +119,12 @@ object SparkEntry {
     "dim_date" ->
       s"${Oracle.warehouseCte} SELECT * FROM dim_date ORDER BY date_key",
     "fact_sales" ->
+      s"""${Oracle.warehouseCte} SELECT invoice_no, product_key, customer_key, date_key,
+         | invoice_date, quantity, CAST(unit_price AS DOUBLE) AS unit_price,
+         | CAST(total_amount AS DOUBLE) AS total_amount
+         | FROM fact_sales ORDER BY ${orderBySql(factCols)}""".stripMargin,
+    // identical SQL to fact_sales: the roundtrip must preserve content exactly
+    "fact_roundtrip" ->
       s"""${Oracle.warehouseCte} SELECT invoice_no, product_key, customer_key, date_key,
          | invoice_date, quantity, CAST(unit_price AS DOUBLE) AS unit_price,
          | CAST(total_amount AS DOUBLE) AS total_amount

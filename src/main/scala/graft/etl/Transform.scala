@@ -128,4 +128,25 @@ object Transform {
       .write.mode("overwrite").partitionBy("year", "month")
       .parquet(s"$outDir/fact_sales")
   }
+
+  private val roundtripDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The S4/S6 write path as an oracle-checked query: run the full
+    * [[writeWarehouse]] (Overwrite + (year, month) partitioning), read
+    * `fact_sales` back from disk, and project the original fact columns.
+    * Hash-checked against the SAME oracle SQL as `fact_sales`, proving
+    * the partitioned parquet roundtrip preserves content bit-for-bit —
+    * the write happens once per (session, sf-dir); later calls only
+    * re-read. */
+  def factRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft_wh_roundtrip").toString
+      writeWarehouse(spark, dir, d)
+      d
+    })
+    spark.read.parquet(s"$out/fact_sales")
+      .select("invoice_no", "product_key", "customer_key", "date_key",
+        "invoice_date", "quantity", "unit_price", "total_amount")
+  }
 }

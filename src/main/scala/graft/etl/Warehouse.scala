@@ -36,7 +36,18 @@ object Warehouse {
 
   /** Evict this session's cached warehouse stages (and the rank
     * intermediates they pin) — the release path for long-lived sessions.
-    * Rebuilds transparently on next [[apply]]. */
+    * Rebuilds transparently on next [[apply]].
+    *
+    * PRECONDITION: no still-unmaterialized consumer of a PRE-evict
+    * DataFrame may run afterwards. Eviction chains
+    * [[graft.functions.Keys.release]], and a stale ranked lineage that
+    * recomputes after its range-partitioned intermediate is unpersisted
+    * re-samples partition boundaries under a new RDD id — partition ids
+    * can then disagree with the already-collected rank offsets and
+    * silently corrupt surrogate keys. Call evict only at a quiescent
+    * point (outputs written or collected); AFTER evict, obtain fresh
+    * frames via [[apply]] — never re-run held references. The
+    * evict-then-reuse contract is exercised by TransformSpec. */
   def evict(spark: SparkSession): Unit = {
     val app = spark.sparkContext.applicationId
     cache.keys.filter(_._1 == app).foreach { k =>

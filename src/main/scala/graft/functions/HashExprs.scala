@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Native form of the portable 60-bit hash (preference ladder (b), like
   * [[VecDot]]): `conv(substring(md5(x), 1, 15), 16, 10)` materializes a
@@ -22,6 +23,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class Md5Prefix60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  // analysis-time contract: argument must be binary — a mistyped call
+  // fails analysis instead of ClassCastException at runtime. (The
+  // ExpectsInputTypes trait would also add an implicit cast, but its
+  // AbstractDataType signature is private[sql], so an external
+  // expression pins types via checkInputDataTypes; callers cast
+  // explicitly, see Dedup.fastHash60.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix60 requires a BINARY argument, got ${child.dataType.catalogString}")
   override def prettyName: String = "md5_prefix60"
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -53,5 +64,9 @@ object HashExprs {
     * pattern as [[VectorExprs.register]]). Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
+      "md5_prefix60", exprs => {
+        require(exprs.length == 1,
+          s"md5_prefix60 expects exactly 1 argument, got ${exprs.length}")
+        Md5Prefix60(exprs.head)
+      }, "built-in")
 }

@@ -39,11 +39,57 @@ object Dedup {
   val rowsPerBand: Int = numHashes / numBands
   val maxBucketSize = 100
 
-  /** Mersenne prime 2^31-1: the modulus of the universal-hash family.
-    * Small enough that `a * h + b` (a, h < 2^31) stays under 2^63 in both
-    * engines; at 100 TB corpus sizes, widen to a 2^61-1 modulus with
-    * split-limb multiplication. */
+  /** Mersenne prime 2^31-1: the modulus of the DEFAULT universal-hash
+    * family. Small enough that `a * h + b` (a, h < 2^31) stays under 2^63
+    * in both engines — which is what lets the DuckDB oracle replay it as
+    * plain arithmetic. At 100 TB corpus sizes (where 2^31 buckets collide
+    * too often) switch to the tested 2^61-1 family below
+    * ([[permuteWide61]]); the default stays 2^31-1 for oracle parity. */
   val hashPrime = 2147483647L
+
+  /** Mersenne prime 2^61-1 — the widened modulus for 100 TB corpora. */
+  val hashPrime61: Long = (1L << 61) - 1
+
+  /** pi(h) = (a*h + b) mod 2^61-1 WITHOUT 128-bit arithmetic: split both
+    * operands into 31-bit limbs (every partial product fits a signed
+    * long), reduce each partial by the Mersenne identity 2^61 ≡ 1 — a
+    * shift-mask fold, so `x * 2^k mod p` is a 61-bit rotation. Parity
+    * against BigInt arithmetic is pinned by DedupSpec (ScalaCheck), and
+    * [[permuteWide61Col]] is the identical Column form for use inside
+    * [[minhashSignatures]]-shaped plans. Preconditions: 0 <= h, b < p
+    * and 0 < a < p. */
+  def permuteWide61(h: Long, a: Long, b: Long): Long = {
+    val p = hashPrime61
+    def fold(x: Long): Long = { val r = (x & p) + (x >>> 61); if (r >= p) r - p else r }
+    def rot(x: Long, k: Int): Long = fold(((x << k) & p) + (x >>> (61 - k)))
+    val a1 = a >>> 31; val a0 = a & 0x7FFFFFFFL
+    val h1 = h >>> 31; val h0 = h & 0x7FFFFFFFL
+    // a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0, and 2^62 ≡ 2
+    val hi = rot(fold(a1 * h1), 1)
+    val mid = rot(fold(a1 * h0 + a0 * h1), 31)
+    val low = fold(a0 * h0)
+    fold(hi + mid + low + b)
+  }
+
+  /** Column twin of [[permuteWide61]] — same limb algebra in codegen'd
+    * built-in expressions (shifts, masks, one conditional), so the wide
+    * family drops into the signature pipeline with no UDF. */
+  def permuteWide61Col(h: Column, a: Long, b: Long): Column = {
+    val p = hashPrime61
+    def fold(x: Column): Column = {
+      val r = x.bitwiseAND(lit(p)) + shiftrightunsigned(x, 61)
+      when(r >= p, r - p).otherwise(r)
+    }
+    def rot(x: Column, k: Int): Column =
+      fold(shiftleft(x, k).bitwiseAND(lit(p)) + shiftrightunsigned(x, 61 - k))
+    val a1 = a >>> 31; val a0 = a & 0x7FFFFFFFL
+    val h1 = shiftrightunsigned(h, 31)
+    val h0 = h.bitwiseAND(lit(0x7FFFFFFFL))
+    val hi = rot(fold(lit(a1) * h1), 1)
+    val mid = rot(fold(lit(a1) * h0 + lit(a0) * h1), 31)
+    val low = fold(lit(a0) * h0)
+    fold(hi + mid + low + lit(b))
+  }
 
   /** Portable 60-bit string hash: integer value of the first 15 hex digits
     * of md5. Spark computes it with codegen'd `conv`; DuckDB replays it as

@@ -66,4 +66,23 @@ class TransformSpec extends AnyFunSuite {
     Transform.writeWarehouse(spark, TestSpark.sf, out)
     assert(spark.read.parquet(s"$out/fact_sales").count() === wh.fact.count())
   }
+
+  // LAST in the suite: evicts the shared warehouse cache, so the suite's
+  // pre-evict `wh` references must not be materialized after this point
+  test("evict-then-reuse: a fresh Warehouse rebuilds with identical surrogate keys") {
+    // materialize (quiescent point), snapshot, then evict
+    val before = wh.dimProduct.orderBy("product_key")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val factBefore = wh.fact.count()
+    Warehouse.evict(spark)
+    // fresh frames via apply — the documented post-evict path
+    val fresh = Warehouse(spark, TestSpark.sf)
+    val after = fresh.dimProduct.orderBy("product_key")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.sameElements(before), "rebuilt dim keys differ from pre-evict keys")
+    assert(fresh.fact.count() === factBefore)
+    // and the rebuilt keys are still dense 1..n in natural-key order
+    assert(after.map(_._1).sameElements(1L to after.length.toLong))
+    assert(after.map(_._2).sameElements(after.map(_._2).sorted))
+  }
 }

@@ -35,4 +35,14 @@ class HashExprsSpec extends AnyFunSuite {
     val viaDf = spark.sql("SELECT md5_prefix60(CAST('hello' AS BINARY))").head().getLong(0)
     assert(viaDf === expected)
   }
+
+  test("mistyped or misarity calls fail at analysis, not with a runtime cast error") {
+    HashExprs.register(spark)
+    // non-binary argument -> checkInputDataTypes failure at analysis time
+    val typeErr = intercept[Exception](spark.sql("SELECT md5_prefix60(42)").collect())
+    assert(typeErr.getMessage.toLowerCase.contains("binary"), typeErr.getMessage)
+    // wrong arity -> builder rejects before any expression is constructed
+    val arityErr = intercept[Exception](spark.sql("SELECT md5_prefix60('a', 'b')").collect())
+    assert(arityErr.getMessage.contains("exactly 1 argument"), arityErr.getMessage)
+  }
 }

@@ -58,4 +58,39 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("n_inter") =!= col("n_union"))
     assert(exactRows.count() === 0)
   }
+
+  test("permuteWide61 split-limb arithmetic equals BigInt mod 2^61-1 (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val p = Dedup.hashPrime61
+    val inP = Gen.choose(0L, p - 1)
+    // include the boundary-heavy corners a plain uniform draw rarely hits
+    val edgy = Gen.oneOf(0L, 1L, 2L, (1L << 31) - 1, 1L << 31, (1L << 31) + 1,
+      (1L << 60) - 1, 1L << 60, p - 2, p - 1)
+    val operand = Gen.frequency(4 -> inP, 1 -> edgy)
+    val prop = Prop.forAll(operand, Gen.choose(1L, p - 1), operand) { (h, a, b) =>
+      val expected = ((BigInt(a) * BigInt(h) + BigInt(b)) mod BigInt(p)).toLong
+      Dedup.permuteWide61(h, a, b) == expected
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("permuteWide61Col (codegen Column form) equals the Scala reference on a sampled grid") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    val p = Dedup.hashPrime61
+    val hs = Seq(0L, 1L, (1L << 31) - 1, 1L << 31, p - 1, p - 2) ++
+      Seq.fill(200)(math.abs(rnd.nextLong()) % p)
+    val seeds = Seq((1L, 0L), (p - 1, p - 1), ((1L << 31) + 7, 1L << 31)) ++
+      Seq.fill(5)((math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    for ((a, b) <- seeds) {
+      val got = hs.toDF("h")
+        .select(col("h"), Dedup.permuteWide61Col(col("h"), a, b).as("perm"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hs.foreach { h =>
+        assert(got(h) === Dedup.permuteWide61(h, a, b), s"mismatch at h=$h a=$a b=$b")
+      }
+    }
+  }
 }

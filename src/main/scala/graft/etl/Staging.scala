@@ -49,9 +49,28 @@ object Staging {
     "invoice_date", "unit_price", "customer_id", "country")
 
   /** The staging table: fixture join + deterministic dirt injection. */
-  def staging(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
+  def staging(spark: SparkSession, dir: String): DataFrame =
+    stagingFrom(spark, dir, Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  /** Bucketing-aware staging build — the opt-in 100 TB amortization path.
+    * When lineitem/orders have been registered as bucketed-and-sorted
+    * tables ([[graft.ext.Bucketing.writeBucketed]]), consume THOSE for the
+    * fact sides: the one real exchange of the staging lineage
+    * (lineitem ⋈ orders on orderkey) disappears — bucket i joins bucket i
+    * locally — and every downstream stage (clean, dims, fact) inherits the
+    * shuffle-free plan. Falls back to the raw-parquet [[staging]] when the
+    * bucketed tables are absent, so callers can adopt it unconditionally.
+    * Output is identical either way (BucketingSpec asserts equality and
+    * the zero-exchange plan shape). */
+  def stagingBucketed(spark: SparkSession, dir: String): DataFrame =
+    if (spark.catalog.tableExists("lineitem_bucketed") &&
+        spark.catalog.tableExists("orders_bucketed"))
+      stagingFrom(spark, dir,
+        spark.table("lineitem_bucketed"), spark.table("orders_bucketed"))
+    else staging(spark, dir)
+
+  private def stagingFrom(spark: SparkSession, dir: String,
+      l: DataFrame, o: DataFrame): DataFrame = {
     val p = Tables.part(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)

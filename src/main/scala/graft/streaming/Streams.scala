@@ -54,24 +54,37 @@ object Streams {
       .drop("digest")
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** start/end are epoch MICROSECONDS: Spark timestamps are micro-precision,
+    * and tracking `Timestamp.getTime` millis would silently truncate
+    * session bounds (caught by the batch-equivalence fixture test). */
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Stateful gap-based sessionization (streaming
     * [[graft.operators.Events.sessionize]]): one open session per user in
     * `flatMapGroupsWithState`, closed either by an event beyond the gap or
-    * by event-time timeout once the watermark passes the gap horizon. */
+    * by event-time timeout once the watermark passes the gap horizon.
+    * Output equality with the batch operator on the fixture events is
+    * asserted in StreamsSpec. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (userId, batch, state) =>
         def emit(s: SessionState) =
-          Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+          Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.total)
         if (state.hasTimedOut) {
           val out = state.getOption.map(emit).iterator
           state.remove()
@@ -79,10 +92,10 @@ object Streams {
         } else {
           var closed = List.empty[Session]
           var cur = state.getOption
-          for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
-            val t = e.ts.getTime
+          for (e <- batch.toSeq.sortBy(e => toMicros(e.ts))) {
+            val t = toMicros(e.ts)
             cur match {
-              case Some(s) if t <= s.end + gapMs =>
+              case Some(s) if t <= s.end + gapUs =>
                 cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
               case Some(s) =>
                 closed ::= emit(s)
@@ -93,9 +106,10 @@ object Streams {
           }
           cur.foreach { s =>
             state.update(s)
-            // timeout must sit beyond the current watermark
+            // timeout API is millisecond-granular and must sit beyond the
+            // current watermark
             state.setTimeoutTimestamp(
-              math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+              math.max((s.end + gapUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
           }
           closed.reverse.iterator
         }

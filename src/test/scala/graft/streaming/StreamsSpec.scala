@@ -120,6 +120,77 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ------------------------------------------------------------------
+  // Batch equivalence on the REAL fixture: the streaming twins must
+  // produce exactly what the batch operators compute over the same
+  // events (sf0.001: 1,000 events, 15 users, 30 days). This is the
+  // streaming counterpart of the DuckDB oracle — the batch operator IS
+  // the oracle.
+  // ------------------------------------------------------------------
+
+  private val fixtureSf = "/root/testdata/sf0.001"
+
+  test("streaming hourlyRollup == batch hourlyRollup on the sf0.001 events fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, fixtureSf)
+      .select("ts", "event_type", "value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.hourlyRollup(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("rollup_fixture").outputMode("complete").start()
+    try {
+      // one batch -> nothing is late, so the watermark drops nothing and
+      // complete-mode state equals the batch aggregation
+      input.addData(fixture.toSeq)
+      q.processAllAvailable()
+      val streaming = spark.sql("SELECT * FROM rollup_fixture").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.operators.Events.hourlyRollup(spark, fixtureSf).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch.nonEmpty && streaming === batch)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize == batch sessionize on the sf0.001 events fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, fixtureSf)
+      .select("user_id", "ts", "value")
+      .collect().map(r => Streams.Event(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions_fixture").outputMode("append").start()
+    try {
+      input.addData(fixture.toSeq)
+      q.processAllAvailable()
+      // two sentinel batches from a fake user: the first advances the
+      // watermark past every real session's timeout, the second triggers
+      // the timeout flush of all still-open sessions
+      input.addData(Streams.Event(-1L, ts2("2024-03-01 00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(-1L, ts2("2024-03-02 00:00"), 0.0))
+      q.processAllAvailable()
+      // totals: streaming accumulates doubles incrementally, batch sums
+      // DECIMAL(12,2) — compare at the cent, where both are exact
+      def cents(v: Double): Long = math.rint(v * 100).toLong
+      val streaming = spark.sql("SELECT * FROM sessions_fixture WHERE user_id >= 0").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), cents(r.getDouble(4)))).toSet
+      val batch = graft.operators.Events.sessionize(spark, fixtureSf)
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), cents(r.getDouble(4)))).toSet
+      assert(batch.nonEmpty && streaming === batch,
+        s"streaming-only: ${(streaming -- batch).take(3)}; batch-only: ${(batch -- streaming).take(3)}")
+    } finally q.stop()
+  }
+
+  private def ts2(s: String): Timestamp = Timestamp.valueOf(s + ":00")
+
   test("streaming sessionize times out idle users via the watermark") {
     val spark0 = spark
     import spark0.implicits._

@@ -159,6 +159,8 @@ object SparkEntry {
     "q_sql_interface" -> ((s, d) => Views.sqlInterface(s, d)),
     // OLAP analytics pack (etl/Analytics.scala) — all oracle-checked
     "q_sales_rollup" -> ((s, d) => Analytics.salesRollup(s, d)),
+    "q_sales_cube" -> ((s, d) => Analytics.salesCube(s, d)),
+    "q_daily_delta" -> ((s, d) => Analytics.dailyDelta(s, d)),
     "q_running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
     "q_price_quantiles" -> ((s, d) => Analytics.priceQuantiles(s, d)),
     "q_fk_orphans" -> ((s, d) => Analytics.fkOrphans(s, d)),
@@ -269,6 +271,8 @@ object SparkEntry {
     "q_checks" -> s"${Oracle.warehouseCte} ${Oracle.checksSelect}",
     "q_kmv_distinct" -> ext.ApproxStats.kmvDistinctOracleSql(),
     "q_sales_rollup" -> Analytics.salesRollupOracleSql,
+    "q_sales_cube" -> Analytics.salesCubeOracleSql,
+    "q_daily_delta" -> Analytics.dailyDeltaOracleSql,
     "q_running_revenue" -> Analytics.runningRevenueOracleSql,
     "q_price_quantiles" -> Analytics.priceQuantilesOracleSql,
     "q_fk_orphans" -> Analytics.fkOrphansOracleSql,

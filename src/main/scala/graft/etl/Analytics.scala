@@ -133,6 +133,92 @@ object Analytics {
        |   CAST(MIN(CASE WHEN cum * 4 >= n * 3 THEN unit_price END) AS DOUBLE) AS p75
        | FROM cum, tot""".stripMargin
 
+  /** CUBE(country, year): all four grouping combinations (cells, per-
+    * country totals, per-year totals, grand total) — completes the
+    * grouping-sets family next to [[salesRollup]]. Two-phase shape:
+    * pre-aggregate the fact to (country, year) CELLS with a plain
+    * groupBy (the only heavy shuffle), then cube over the tiny cell
+    * grid — Expand multiplies hundreds of cells instead of every fact
+    * row, which is how a 100 TB cube should run anyway. The grouping()
+    * flags disambiguate subtotal NULLs from (impossible here) data
+    * NULLs, the convention both engines share.
+    *
+    * `failAmbiguousSelfJoin` is scope-disabled during construction:
+    * fact and dims share one cached lineage, and DetectAmbiguousSelfJoin
+    * false-positives on any rollup/cube above such a join even when
+    * every attribute name is unique (the Expand copies re-trigger the
+    * dataset-id heuristic); the plan itself is unambiguous — all
+    * grouping columns are freshly aliased. */
+  def salesCube(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Warehouse(spark, dir)
+    val flag = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    val old = spark.conf.get(flag)
+    spark.conf.set(flag, "false")
+    try {
+      val c = wh.dimCustomer.select(col("customer_key").as("c_key"),
+        col("country").as("c_country"))
+      val d = wh.dimDate.select(col("date_key").as("d_key"), col("year").as("d_year"))
+      val cells = wh.fact
+        .join(broadcast(c), col("customer_key") === col("c_key"))
+        .join(broadcast(d), col("date_key") === col("d_key"))
+        .groupBy("c_country", "d_year")
+        .agg(count(lit(1)).as("cell_n"), sum(col("total_amount")).as("cell_rev"))
+      cells
+        .cube("c_country", "d_year")
+        .agg(
+          sum(col("cell_n")).as("n_sales"),
+          money(sum(col("cell_rev"))).as("revenue"),
+          grouping(col("c_country")).cast(IntegerType).as("g_country"),
+          grouping(col("d_year")).cast(IntegerType).as("g_year"))
+        .withColumnRenamed("c_country", "country")
+        .withColumnRenamed("d_year", "year")
+        .orderBy(col("g_country"), col("g_year"),
+          col("country").asc_nulls_first, col("year").asc_nulls_first)
+    } finally spark.conf.set(flag, old)
+  }
+
+  def salesCubeOracleSql: String =
+    s"""${Oracle.warehouseCte} SELECT c.country, d.year, COUNT(*) AS n_sales,
+       | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       | CAST(GROUPING(c.country) AS INTEGER) AS g_country,
+       | CAST(GROUPING(d.year) AS INTEGER) AS g_year
+       | FROM fact_sales f
+       | JOIN dim_customer c ON f.customer_key = c.customer_key
+       | JOIN dim_date d ON f.date_key = d.date_key
+       | GROUP BY CUBE (c.country, d.year)
+       | ORDER BY g_country, g_year, country NULLS FIRST, year NULLS FIRST""".stripMargin
+
+  /** Day-over-day revenue deltas: lag over the GROUPED daily series
+    * (hundreds of rows — the deliberate tiny global window, same shape as
+    * [[runningRevenue]]); the delta subtracts in exact DECIMAL before the
+    * output-boundary DOUBLE cast. First day's previous/delta are NULL. */
+  def dailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Warehouse(spark, dir).fact
+      .groupBy(to_date(col("invoice_date")).as("day"))
+      .agg(sum(col("total_amount")).as("rev_dec"))
+    val w = Window.partitionBy(lit(0)).orderBy("day")
+    daily
+      .select(
+        col("day"),
+        money(col("rev_dec")).as("revenue"),
+        money(lag(col("rev_dec"), 1).over(w)).as("prev_revenue"),
+        money(col("rev_dec") - lag(col("rev_dec"), 1).over(w)).as("delta"))
+      .orderBy("day")
+  }
+
+  def dailyDeltaOracleSql: String =
+    s"""${Oracle.warehouseCte},
+       | daily AS (
+       |   SELECT CAST(invoice_date AS DATE) AS day, SUM(total_amount) AS rev_dec
+       |   FROM fact_sales GROUP BY 1)
+       | SELECT day,
+       |   CAST(CAST(rev_dec AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       |   CAST(CAST(LAG(rev_dec, 1) OVER (ORDER BY day) AS DECIMAL(18,2)) AS DOUBLE)
+       |     AS prev_revenue,
+       |   CAST(CAST(rev_dec - LAG(rev_dec, 1) OVER (ORDER BY day) AS DECIMAL(18,2)) AS DOUBLE)
+       |     AS delta
+       | FROM daily ORDER BY day""".stripMargin
+
   /** Referential-integrity audit: fact keys with no dimension row, per
     * dim. Constructively zero here (the dims derive from the same cleaned
     * lineage) — the point is the operator: three broadcast LEFT ANTI

@@ -199,15 +199,22 @@ object Similarity {
 
   private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
     centroidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      // cache the corpus for the duration of the build: every Lloyd
+      // iteration scans it once for assignment + partial sums, and
+      // re-reading parquet per iteration would multiply the scan cost by
+      // the iteration count at 100 TB
       val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      // seeds: first k vectors (deterministic)
-      var centroids: Array[(Int, Seq[Double])] = emb.filter(col("vec_id") < ivfK)
-        .orderBy("vec_id").collect()
-        .zipWithIndex
-        .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq.asInstanceOf[Seq[Double]] }
-      for (_ <- 0 until ivfIters)
-        centroids = deterministicCentroids(assignToCentroids(emb, centroids))
-      centroids
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // seeds: first k vectors (deterministic)
+        var centroids: Array[(Int, Seq[Double])] = emb.filter(col("vec_id") < ivfK)
+          .orderBy("vec_id").collect()
+          .zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq.asInstanceOf[Seq[Double]] }
+        for (_ <- 0 until ivfIters)
+          centroids = deterministicCentroids(assignToCentroids(emb, centroids))
+        centroids
+      } finally emb.unpersist(blocking = false)
     })
 
   /** (vec_id, embedding, norm, cluster): corpus with IVF cluster ids. */

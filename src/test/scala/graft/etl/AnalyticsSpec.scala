@@ -71,6 +71,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(long === wide)
   }
 
+  test("salesCube: grouping levels are internally consistent") {
+    val rows = Analytics.salesCube(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+    // exactly one grand-total row, marked by both grouping flags
+    val grand = rows.filter(r => r._5 == 1 && r._6 == 1)
+    assert(grand.length === 1 && grand.head._1.isEmpty && grand.head._2.isEmpty)
+    // per-country subtotals sum to the grand total (counts exactly,
+    // revenue to the cent)
+    val countrySub = rows.filter(r => r._5 == 0 && r._6 == 1)
+    assert(countrySub.map(_._3).sum === grand.head._3)
+    assert(math.abs(countrySub.map(_._4).sum - grand.head._4) < 1e-4)
+    // cells sum to their country subtotal
+    val cells = rows.filter(r => r._5 == 0 && r._6 == 0)
+    countrySub.foreach { sub =>
+      val mine = cells.filter(_._1 == sub._1)
+      assert(mine.map(_._3).sum === sub._3, s"count mismatch for ${sub._1}")
+    }
+    // and the cube agrees with the independent per-year rollup level
+    val yearSub = rows.filter(r => r._5 == 1 && r._6 == 0)
+    assert(yearSub.map(_._3).sum === grand.head._3)
+  }
+
+  test("dailyDelta: delta equals revenue - prev_revenue, first day NULL") {
+    val rows = Analytics.dailyDelta(spark, sf).collect()
+    assert(rows.length > 1)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3), "first day has no previous")
+    rows.tail.zip(rows).foreach { case (cur, prev) =>
+      assert(math.abs(cur.getDouble(2) - prev.getDouble(1)) < 1e-9,
+        s"prev_revenue must be yesterday's revenue on ${cur.getDate(0)}")
+      assert(math.abs(cur.getDouble(3) - (cur.getDouble(1) - cur.getDouble(2))) < 1e-6)
+    }
+  }
+
   test("quarterPivot row sums equal countrySales revenue") {
     val piv = Analytics.quarterPivot(spark, sf)
       .select(col("country"),

@@ -292,14 +292,25 @@ object Similarity {
       .filter(col("bucket_n") <= maxBucketSize && col("bucket_n") > 1)
       .select("table", "code")
     val inBuckets = coded.join(smallBuckets, Seq("table", "code"))
-      .select("vec_id", "embedding", "norm", "table", "code")
-    val left = inBuckets.toDF("vec_a", "emb_a", "norm_a", "table", "code")
-    val right = inBuckets.toDF("vec_b", "emb_b", "norm_b", "table", "code")
-    left.join(right, Seq("table", "code"))
+      .select("vec_id", "table", "code")
+    // enumerate + dedup BARE id-pairs (16 B/row): a pair can surface in
+    // up to nTables buckets, and shuffling the two 64-float embeddings
+    // through the dedup exchange per duplicate candidate was ~97% of the
+    // exchange volume. The embeddings join back ONCE per distinct pair —
+    // two joins keyed on vec_id (broadcastable here; hash joins against
+    // the corpus at 100 TB, each touching one side's vectors once).
+    val pairs = inBuckets.toDF("vec_a", "table", "code")
+      .join(inBuckets.toDF("vec_b", "table", "code"), Seq("table", "code"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
+    val vecs = withNorm(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+    val a = vecs.toDF("vec_a", "emb_a", "norm_a")
+    val b = vecs.toDF("vec_b", "emb_b", "norm_b")
+    val joined = pairs.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+    joined
       .select(col("vec_a"), col("vec_b"),
-        (vecDot(coded, "emb_a", "emb_b") /
+        (vecDot(joined, "emb_a", "emb_b") /
           (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy("vec_a", "vec_b")

@@ -104,6 +104,18 @@ class PlanContractSpec extends AnyFunSuite {
       s"mixing windows must partition by shard:\n$plan")
   }
 
+  test("salesCube expands CELLS, not fact rows: Expand sits above the pre-aggregation") {
+    val plan = finalPlanOf(etl.Analytics.salesCube(spark, sf))
+    assert(plan.contains("Expand"), s"cube did not use Expand grouping sets:\n$plan")
+    // the Expand operator's subtree must contain the cell aggregation —
+    // i.e. somewhere below Expand there is a HashAggregate, proving the
+    // 4x row multiplication applies to the grouped cells, not the fact
+    val expandIdx = plan.indexOf("Expand")
+    val below = plan.substring(expandIdx)
+    assert(below.contains("HashAggregate"),
+      s"no aggregation below Expand — cube is multiplying raw fact rows:\n$plan")
+  }
+
   test("written fact: (year, month) predicates prune partitions; invoice_date range pushes down") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     etl.Transform.writeWarehouse(spark, sf, out)

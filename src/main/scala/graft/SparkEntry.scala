@@ -349,6 +349,12 @@ object SparkEntry {
     "pack_documents" -> ((s, d) => operators.Corpus.packDocuments(s, d)),
     "clean_corpus" -> ((s, d) => operators.Corpus.cleanCorpus(s, d)),
     "interleave_sources" -> ((s, d) => operators.Corpus.interleaveSources(s, d)),
+    "decontaminate" -> ((s, d) => operators.Corpus.decontaminate(s, d)),
+    "stratified_sample" -> ((s, d) => operators.Corpus.stratifiedSample(s, d)),
+    // corpus scrubbing (operators/Scrub.scala) — PII redaction and
+    // boilerplate chunk detection, both over deterministic injections
+    "pii_scrub" -> ((s, d) => operators.Scrub.piiScrub(s, d)),
+    "boilerplate_stats" -> ((s, d) => operators.Scrub.boilerplateStats(s, d)),
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
@@ -476,6 +482,10 @@ object SparkEntry {
     "interleave_sources" -> operators.Corpus.interleaveSourcesOracleSql(),
     "pack_documents" -> operators.Corpus.packDocumentsOracleSql(),
     "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,
+    "decontaminate" -> operators.Corpus.decontaminateOracleSql(corpusCte),
+    "stratified_sample" -> operators.Corpus.stratifiedSampleOracleSql,
+    "pii_scrub" -> operators.Scrub.piiScrubOracleSql,
+    "boilerplate_stats" -> operators.Scrub.boilerplateOracleSql(corpusCte),
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
     "ann_topk" -> operators.Similarity.annOracleSql(),
     "embedding_near_dups" -> operators.Similarity.nearDupsOracleSql(),

@@ -137,6 +137,79 @@ object Corpus {
        |     FROM documents))
        | ORDER BY shard, pos""".stripMargin
 
+  /** Eval-set size for [[decontaminate]]: the first `evalN` doc_ids play
+    * the benchmark/eval set the training corpus must not contain. */
+  val evalN = 50
+  /** Contamination n-gram width — 8 tokens, the common decontamination
+    * window (long enough that chance collisions are negligible). */
+  val contamN = 8
+
+  private def ngramDigests(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+           |  i -> md5(concat_ws(' ', slice(split(text, ' '), i, $n)))))""".stripMargin))
+        .as("digest"))
+
+  /** Eval-set decontamination — the standard "did the training corpus
+    * leak the benchmark?" audit: flag every training doc sharing at least
+    * one `contamN`-token n-gram with the eval set (doc_id < evalN over
+    * the planted-duplicate corpus, whose copies of eval docs make the
+    * result non-vacuous). Shapes for 100 TB: n-grams travel as md5
+    * DIGESTS (never text), the eval side is tiny and broadcasts, and the
+    * per-doc count aggregates map-side. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.corpusWithDups(spark, dir)
+    val eval = ngramDigests(corpus.filter(col("doc_id") < evalN), contamN)
+      .select(col("digest")).distinct()
+    ngramDigests(corpus.filter(col("doc_id") >= evalN), contamN)
+      .join(broadcast(eval), Seq("digest"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateOracleSql(corpusCte: String): String = {
+    def grams(src: String) =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - ${contamN - 1}, 1)),
+         |    i -> md5(array_to_string(list_slice(tk, i, i + ${contamN - 1}), ' '))))) AS digest
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus $src)""".stripMargin
+    s"""$corpusCte,
+       | eg AS (SELECT DISTINCT digest FROM (${grams(s"WHERE doc_id < $evalN")})),
+       | tg AS (${grams(s"WHERE doc_id >= $evalN")})
+       | SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_shared
+       | FROM tg JOIN eg USING (digest)
+       | GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic stratified sampling — downsample each source at its
+    * own rate (10/20/30% by the same source-index convention the mixing
+    * weights use) with the content-independent key hash of
+    * [[trainSplit]]: a doc's keep/drop decision never changes as the
+    * corpus grows, and rates are exact in expectation with no RNG state
+    * to coordinate across executors. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = (lit(1) + substring(col("source"), 4, 10).cast("int") % 3) * 10
+    val bucket = pmod(
+      Dedup.fastHash60(spark, concat(lit("sample:"), col("doc_id").cast("string"))), lit(100L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), rate.as("rate_pct"), bucket.cast("int").as("bucket"))
+      .filter(col("bucket") < col("rate_pct"))
+      .select("doc_id", "source", "rate_pct")
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleOracleSql: String =
+    """SELECT doc_id, source, rate_pct FROM (
+      |  SELECT doc_id, source,
+      |    (1 + CAST(substring(source, 4) AS INTEGER) % 3) * 10 AS rate_pct,
+      |    CAST(CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 100 AS INTEGER) AS bucket
+      |  FROM documents)
+      | WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin
+
   /** One-pass pretraining filter: quality rules ∧ language confidence ∧
     * exact-dedup keep-first (digest-window min — no self-join). */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {

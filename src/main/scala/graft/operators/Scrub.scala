@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus scrubbing operators for a training-data pipeline (SURVEY §7.5
+  * extensions): PII redaction and boilerplate (repeated-chunk) detection —
+  * the two standard "clean the web dump" passes that run between raw
+  * ingestion and dedup in production pretraining pipelines.
+  *
+  * The fixture corpus contains no PII and no cross-document repetition, so
+  * both operators run over deterministic injections the DuckDB oracle
+  * replays exactly (the [[Dedup.corpusWithDups]] pattern): PII strings are
+  * appended by doc_id arithmetic, repetition comes from the planted
+  * duplicate corpus.
+  *
+  * Scale notes: PII scrubbing is per-row narrow regex work (scan-speed
+  * codegen, no shuffle). Boilerplate detection shuffles (chunk-digest,
+  * doc_id) pairs only — never text — and aggregates map-side first.
+  */
+object Scrub {
+
+  /** Dialect-neutral PII patterns (Java regex and DuckDB RE2 agree on
+    * this subset: char classes, +, {n}, no lookaround). */
+  val emailPattern = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+  val phonePattern = "555-[0-9]{4}"
+
+  /** Fixture corpus + deterministically injected PII: every doc_id % 7 == 1
+    * gains an email, every doc_id % 7 == 3 a phone number. */
+  def corpusWithPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 1,
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+
+  /** Redact emails and phone numbers; report per-doc counts plus the md5
+    * of the scrubbed text (so the oracle hash-checks the full redacted
+    * CONTENT, not just the counts, without dumping text). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    corpusWithPii(spark, dir).select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$emailPattern', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$phonePattern', 0)")).as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  def piiScrubOracleSql: String =
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 1
+       |           THEN text || ' contact user' || doc_id || '@example.com now'
+       |         WHEN doc_id % 7 = 3
+       |           THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE text END AS text
+       |  FROM documents)
+       | SELECT doc_id,
+       |   CAST(len(regexp_extract_all(text, '$emailPattern')) AS INTEGER) AS n_emails,
+       |   CAST(len(regexp_extract_all(text, '$phonePattern')) AS INTEGER) AS n_phones,
+       |   md5(regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+       |     '$phonePattern', '<PHONE>', 'g')) AS scrubbed_md5
+       | FROM pii ORDER BY doc_id""".stripMargin
+
+  /** Chunk size (tokens) for boilerplate detection — the "line" unit of
+    * line-level dedup, fixed-width here because the fixture text has no
+    * newlines. */
+  val chunkTokens = 10
+
+  /** (doc_id, chunk) rows: consecutive `chunkTokens`-token windows. */
+  private def chunks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil(size(split(text, ' ')) / $chunkTokens.0) as int) - 1, 0)),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i * $chunkTokens + 1, $chunkTokens)))""".stripMargin))
+        .as("chunk"))
+
+  /** Boilerplate profile per document: how many of its fixed-width token
+    * chunks also appear (by digest) in at least one OTHER document. The
+    * planted duplicate corpus guarantees non-vacuous repetition; integer
+    * percentage so the oracle hash-matches. */
+  def boilerplateStats(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(Dedup.corpusWithDups(spark, dir))
+      .select(col("doc_id"), md5(col("chunk")).as("digest"))
+    // digest -> number of distinct docs containing it (digest-only shuffle)
+    val freq = ch.distinct().groupBy("digest")
+      .agg(count(lit(1)).as("n_docs"))
+    ch.join(freq, Seq("digest"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1).otherwise(0)).cast("int").as("n_boiler"))
+      .withColumn("boiler_pct", expr("cast((n_boiler * 100) div n_chunks as int)"))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateOracleSql(corpusCte: String): String =
+    s"""$corpusCte,
+       | toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       | ch AS (
+       |   SELECT doc_id, md5(array_to_string(
+       |     list_slice(tk, i * $chunkTokens + 1, i * $chunkTokens + $chunkTokens), ' ')) AS digest
+       |   FROM toks CROSS JOIN UNNEST(generate_series(0,
+       |     greatest(CAST(ceil(len(tk) / $chunkTokens.0) AS INTEGER) - 1, 0))) AS u(i)),
+       | freq AS (SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |   FROM (SELECT DISTINCT doc_id, digest FROM ch) GROUP BY digest)
+       | SELECT doc_id,
+       |   CAST(COUNT(*) AS INTEGER) AS n_chunks,
+       |   CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
+       |   CAST(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS INTEGER) * 100
+       |     // CAST(COUNT(*) AS INTEGER) AS INTEGER) AS boiler_pct
+       | FROM ch JOIN freq USING (digest)
+       | GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

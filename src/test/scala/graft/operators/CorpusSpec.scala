@@ -74,6 +74,42 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate flags every planted copy of an eval doc") {
+    val flagged = Corpus.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exact copies of eval docs (id%10==0, id<evalN -> id+100000) and
+    // near copies (id%10==5, id<evalN -> id+200000) must all be flagged
+    val evalIds = (0L until Corpus.evalN.toLong)
+    val exact = evalIds.filter(_ % 10 == 0).map(_ + 100000L)
+    val near = evalIds.filter(_ % 10 == 5).map(_ + 200000L)
+    exact.foreach(id => assert(flagged.contains(id), s"exact copy $id not flagged"))
+    near.foreach(id => assert(flagged.contains(id), s"near copy $id not flagged"))
+    // an exact copy shares EVERY eval 8-gram of its original
+    assert(exact.forall(flagged(_) > 10), "exact copies share many n-grams")
+    // no eval doc flags itself (corpus side excludes doc_id < evalN)
+    assert(flagged.keys.forall(_ >= Corpus.evalN))
+  }
+
+  test("stratifiedSample: per-source rates near nominal, decisions growth-stable") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sampled = Corpus.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // empirical rate per source within a loose binomial tolerance
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sampled.groupBy(_._2).foreach { case (src, rows) =>
+      val nominal = rows.head._3 / 100.0
+      val actual = rows.length.toDouble / perSource(src)
+      assert(math.abs(actual - nominal) < 0.2 + nominal,
+        s"source $src: actual $actual vs nominal $nominal")
+    }
+    // growth stability: restricting the corpus never flips a decision
+    val kept = sampled.map(_._1).toSet
+    val keptEven = Corpus.stratifiedSample(spark, sf)
+      .filter(col("doc_id") % 2 === 0).collect().map(_.getLong(0)).toSet
+    assert(keptEven.subsetOf(kept))
+  }
+
   test("cleanCorpus is a subset of documents: deduped and quality-gated") {
     val clean = Corpus.cleanCorpus(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()

@@ -321,6 +321,7 @@ object SparkEntry {
     "minhash_pairs" -> ((s, d) => operators.Dedup.minhashPairs(s, d)),
     "simhash_pairs" -> ((s, d) => operators.Dedup.simhashPairs(s, d)),
     "ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccard(s, d)),
+    "dup_clusters" -> ((s, d) => operators.Dedup.dupClusters(s, d)),
     // text analysis
     "token_stats" -> ((s, d) => operators.TextAnalysis.tokenStats(s, d)),
     "quality_score" -> ((s, d) => operators.TextAnalysis.qualityScore(s, d)),
@@ -416,6 +417,7 @@ object SparkEntry {
     "minhash_pairs" -> operators.Dedup.minhashOracleSql(corpusCte),
     "simhash_pairs" -> operators.Dedup.simhashOracleSql(corpusCte),
     "ngram_jaccard" -> operators.Dedup.ngramJaccardOracleSql(corpusCte),
+    "dup_clusters" -> operators.Dedup.dupClustersOracleSql(corpusCte),
     "exact_dedup" ->
       s"""$corpusCte SELECT keep_id, n_copies FROM (
          |  SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -223,6 +223,66 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate CLUSTERING — the step after pair generation in every dedup
+    * pipeline: collapse the verified MinHash pair graph into connected
+    * components and assign each member its canonical representative (the
+    * component's minimum doc_id — the keep-first convention of D1/
+    * [[exactDedup]]). Iterative min-label propagation: every round each
+    * node takes the min of its own and its neighbors' labels, converging
+    * in O(component diameter) rounds — duplicate clusters are near-
+    * cliques, so 2-3 rounds in practice (a `while` with a convergence
+    * count, each round one join + one aggregation; at 100 TB the
+    * large-star/small-star variant halves the diameter per round, same
+    * loop skeleton). Deterministic (min is order-free), so the DuckDB
+    * oracle replays it with a recursive reachability CTE. Output: one row
+    * per doc that HAS a duplicate (singletons are trivially their own
+    * representative). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
+          .groupBy("doc_a").agg(min("label").as("nbr_label"))
+        val updated = labels
+          .join(nbrMin.select(col("doc_a").as("node"), col("nbr_label")), Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = updated
+          .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
+          .filter(col("label") =!= col("old_label")).count()
+        labels.unpersist(blocking = false)
+        labels = updated
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+        .orderBy("doc_id")
+    } finally edges.unpersist(blocking = false)
+  }
+
+  def dupClustersOracleSql(corpusCte: String): String =
+    s"""${minhashPairsCte(corpusCte).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       | nodes AS (SELECT DISTINCT doc_id FROM (
+       |   SELECT doc_a AS doc_id FROM dpairs UNION ALL SELECT doc_b FROM dpairs)),
+       | e2 AS (SELECT doc_a AS a, doc_b AS b FROM dpairs
+       |   UNION ALL SELECT doc_b, doc_a FROM dpairs),
+       | reach AS (
+       |   SELECT doc_id AS node, doc_id AS lab FROM nodes
+       |   UNION
+       |   SELECT e2.a AS node, r.lab FROM e2 JOIN reach r ON r.node = e2.b)
+       | SELECT node AS doc_id, MIN(lab) AS cluster_rep
+       | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** Exact n-gram Jaccard on the LSH candidate pairs (the verify step of
     * MinHash dedup): |A ∩ B| / |A ∪ B| over distinct shingle sets, emitted
     * as exact integer counts. Only candidates are verified — never the
@@ -320,6 +380,23 @@ object Dedup {
        | cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |   FROM inb l JOIN inb r USING (band_idx, band_hash)
        |   WHERE l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** CTE chain ending in `dpairs(doc_a, doc_b)` — the verified MinHash
+    * pair graph as a relation, for consumers that compose on the pairs
+    * ([[dupClusters]]' oracle). */
+  def minhashPairsCte(corpusCte: String, minMatch: Int = 16): String = {
+    val sigList = (0 until numHashes).map(i => s"m_$i").mkString("[", ", ", "]")
+    s"""${lshCtes(corpusCte)},
+       | sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
+       | dpairs AS (
+       |   SELECT doc_a, doc_b FROM (
+       |     SELECT c.doc_a, c.doc_b,
+       |       CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS INTEGER) AS n_match
+       |     FROM cands c
+       |     JOIN sigl sa ON sa.doc_id = c.doc_a
+       |     JOIN sigl sb ON sb.doc_id = c.doc_b)
+       |   WHERE n_match >= $minMatch)""".stripMargin
   }
 
   def minhashOracleSql(corpusCte: String, minMatch: Int = 16): String = {

@@ -59,6 +59,26 @@ class DedupSpec extends AnyFunSuite {
     assert(exactRows.count() === 0)
   }
 
+  test("dupClusters: pair endpoints share a cluster; representative is the component min") {
+    val labels = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs(Dedup.minhashPairs(spark, sf))
+    assert(edges.nonEmpty && labels.nonEmpty)
+    // both endpoints of every verified pair carry the same label
+    edges.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // representative is a member of its own cluster and is the minimum
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min === rep, s"cluster $rep min is ${members.keys.min}")
+    }
+    // transitivity on the planted family: doc, its exact copy, and (when
+    // the verify step kept it) its near copy all collapse to doc
+    plantedExact.foreach { case (orig, copy) =>
+      if (labels.contains(copy)) assert(labels(copy) === labels(orig))
+    }
+  }
+
   test("permuteWide61 split-limb arithmetic equals BigInt mod 2^61-1 (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val p = Dedup.hashPrime61

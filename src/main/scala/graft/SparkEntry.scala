@@ -328,6 +328,7 @@ object SparkEntry {
     "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
     "term_stats" -> ((s, d) => operators.TextAnalysis.termStats(s, d)),
+    "tokenize_ids" -> ((s, d) => operators.TextAnalysis.tokenizeIds(s, d)),
     // multimodal binary-column plumbing — all three oracle-checked:
     // media_meta and media_frames replay the binary container as VARCHAR
     // formulas; media_features replays a REAL javax.imageio PNG
@@ -461,6 +462,7 @@ object SparkEntry {
         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         | GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
         | ORDER BY term""".stripMargin,
+    "tokenize_ids" -> operators.TextAnalysis.tokenizeIdsOracleSql,
     // media_meta's outputs are defined by formulas over (doc_id, text), so
     // the oracle replays the formulas — verifying the binary encode ->
     // slice -> decode roundtrip end to end

@@ -102,6 +102,67 @@ object TextAnalysis {
       .filter(col("doc_freq") >= minDocFreq)
       .orderBy("term")
 
+  /** Vocabulary size for [[tokenizeIds]]. */
+  val vocabSize = 64
+
+  /** Top-[[vocabSize]] terms by (document frequency desc, term asc) — a
+    * deterministic corpus-derived vocabulary. Collected to the driver as
+    * INDEX METADATA (64 rows, same contract as the IVF centroids): the
+    * encode step needs the whole vocab per row, and a 64-entry literal
+    * map inlines into codegen where a join would shuffle every token. */
+  private def vocab(spark: SparkSession, dir: String): Seq[(String, Int)] =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(vocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + 1) } // ids 1..V; 0 = UNK
+
+  /** Tokenize-to-ids — the encode step between corpus assembly and
+    * training batches: map each whitespace token to its vocabulary id
+    * (0 = unknown), report the unknown count and a positional polynomial
+    * fingerprint of the id sequence (so the oracle hash-checks the FULL
+    * encoded sequence without dumping arrays). Per-row narrow codegen
+    * work; the vocabulary is a broadcast-free literal map. */
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    val entries = vocab(spark, dir).flatMap { case (t, i) => Seq(lit(t), lit(i)) }
+    val vocabMap = map(entries: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("ids", transform(col("tk"),
+        w => coalesce(element_at(vocabMap, w), lit(0))))
+      .select(
+        col("doc_id"),
+        size(col("ids")).as("n_tokens"),
+        size(filter(col("ids"), _ === 0)).as("n_unk"),
+        expr("""aggregate(ids, CAST(7 AS BIGINT),
+               |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin).as("ids_fp"))
+      .orderBy("doc_id")
+  }
+
+  def tokenizeIdsOracleSql: String =
+    s"""WITH df AS (
+       |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term),
+       | vocab AS (
+       |  SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term) AS INTEGER) AS id
+       |  FROM df ORDER BY df DESC, term LIMIT $vocabSize),
+       | toks AS (
+       |  SELECT doc_id, i AS ord, tk[i] AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+       |  CROSS JOIN UNNEST(generate_series(1, len(tk))) AS u(i)),
+       | ids AS (
+       |  SELECT t.doc_id, t.ord, COALESCE(v.id, 0) AS id
+       |  FROM toks t LEFT JOIN vocab v ON v.term = t.tok)
+       | SELECT doc_id,
+       |   CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       |   CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+       |   list_reduce(list_prepend(CAST(7 AS BIGINT), list(CAST(id AS BIGINT) ORDER BY ord)),
+       |     (acc, v) -> (acc * 131 + v) % 1000000007) AS ids_fp
+       | FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over token lengths in
     * modular arithmetic — portable (no engine-specific hash), so the DuckDB
     * oracle replays it with list_reduce. Used as a cheap shard-stable

@@ -242,32 +242,49 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the pair graph is orders of magnitude smaller than the corpus, so
+    // the iteration's shuffles should be sized to the EDGE count, not the
+    // session default tuned for corpus scans — per-iteration scheduling
+    // overhead otherwise dominates (each round is joins over a few
+    // hundred rows spread across 32 partitions). ~500k edges/partition;
+    // restored after the loop.
+    val nEdges = edges.count()
+    val parts = math.max(1L, math.min(10000L, nEdges / 500000L + 1)).toString
+    val confKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(confKey)
+    spark.conf.set(confKey, parts)
     try {
-      var labels = edges.select(col("doc_a").as("node")).distinct()
+      var cached = edges.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = cached
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
         val nbrMin = edges
           .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
           .groupBy("doc_a").agg(min("label").as("nbr_label"))
+        // carry the pre-update label so convergence is a filter over the
+        // SAME cached frame — one materializing job per round, not two
         val updated = labels
           .join(nbrMin.select(col("doc_a").as("node"), col("nbr_label")), Seq("node"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            col("label").as("old_label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = updated
-          .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
-          .filter(col("label") =!= col("old_label")).count()
-        labels.unpersist(blocking = false)
-        labels = updated
+        val changed = updated.filter(col("label") =!= col("old_label")).count()
+        cached.unpersist(blocking = false)
+        cached = updated
+        labels = updated.select("node", "label")
         converged = changed == 0
         iter += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy("doc_id")
-    } finally edges.unpersist(blocking = false)
+    } finally {
+      spark.conf.set(confKey, oldParts)
+      edges.unpersist(blocking = false)
+    }
   }
 
   def dupClustersOracleSql(corpusCte: String): String =

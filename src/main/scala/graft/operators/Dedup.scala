@@ -245,19 +245,27 @@ object Dedup {
     // the pair graph is orders of magnitude smaller than the corpus, so
     // the iteration's shuffles should be sized to the EDGE count, not the
     // session default tuned for corpus scans — per-iteration scheduling
-    // overhead otherwise dominates (each round is joins over a few
-    // hundred rows spread across 32 partitions). ~500k edges/partition;
-    // restored after the loop.
+    // overhead otherwise dominates tiny graphs, while too few partitions
+    // serialize big ones. ~25k edges/task, floored at 1 (a few hundred
+    // edges run as single-task rounds), capped at 10k tasks; restored
+    // after the loop.
     val nEdges = edges.count()
-    val parts = math.max(1L, math.min(10000L, nEdges / 500000L + 1)).toString
+    val parts = math.max(1L, math.min(10000L, nEdges / 25000L + 1)).toString
     val confKey = "spark.sql.shuffle.partitions"
     val oldParts = spark.conf.get(confKey)
     spark.conf.set(confKey, parts)
     try {
-      var cached = edges.select(col("doc_a").as("node")).distinct()
+      // each round MUST truncate lineage (localCheckpoint), not merely
+      // cache: a persisted frame still carries its full logical plan, so
+      // by round k the optimizer re-analyzes a k-deep join tree per
+      // action and planning time compounds superlinearly (measured: 2.5 →
+      // 23.6 s/round by round 4 at the 10× stretch). localCheckpoint
+      // materializes to executor blocks and drops the plan — the standard
+      // tool for iterative algorithms; a cluster deployment that must
+      // survive executor loss uses reliable checkpointing instead.
+      var labels = edges.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = cached
+        .localCheckpoint(true)
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -265,16 +273,14 @@ object Dedup {
           .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
           .groupBy("doc_a").agg(min("label").as("nbr_label"))
         // carry the pre-update label so convergence is a filter over the
-        // SAME cached frame — one materializing job per round, not two
+        // same materialized frame — one materializing job per round
         val updated = labels
           .join(nbrMin.select(col("doc_a").as("node"), col("nbr_label")), Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
             col("label").as("old_label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val changed = updated.filter(col("label") =!= col("old_label")).count()
-        cached.unpersist(blocking = false)
-        cached = updated
         labels = updated.select("node", "label")
         converged = changed == 0
         iter += 1

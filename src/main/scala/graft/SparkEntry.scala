@@ -353,6 +353,7 @@ object SparkEntry {
     "interleave_sources" -> ((s, d) => operators.Corpus.interleaveSources(s, d)),
     "decontaminate" -> ((s, d) => operators.Corpus.decontaminate(s, d)),
     "stratified_sample" -> ((s, d) => operators.Corpus.stratifiedSample(s, d)),
+    "corpus_append" -> ((s, d) => operators.Corpus.appendBatch(s, d)),
     // corpus scrubbing (operators/Scrub.scala) — PII redaction and
     // boilerplate chunk detection, both over deterministic injections
     "pii_scrub" -> ((s, d) => operators.Scrub.piiScrub(s, d)),
@@ -488,6 +489,7 @@ object SparkEntry {
     "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,
     "decontaminate" -> operators.Corpus.decontaminateOracleSql(corpusCte),
     "stratified_sample" -> operators.Corpus.stratifiedSampleOracleSql,
+    "corpus_append" -> operators.Corpus.appendBatchOracleSql,
     "pii_scrub" -> operators.Scrub.piiScrubOracleSql,
     "boilerplate_stats" -> operators.Scrub.boilerplateOracleSql(corpusCte),
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),

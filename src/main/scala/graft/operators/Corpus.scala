@@ -210,6 +210,43 @@ object Corpus {
       |  FROM documents)
       | WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin
 
+  /** Incremental corpus ingestion — the append-only twin of the batch
+    * dedup family: admit a new batch of documents only where the content
+    * digest is NOT already in the existing corpus (the `ON CONFLICT DO
+    * NOTHING` of corpus building, reference K3 re-expressed for opaque
+    * content). The "new batch" is synthesized deterministically so the
+    * oracle replays it: every doc_id % 13 == 2 resubmits verbatim
+    * (must be rejected) and every doc_id % 13 == 6 arrives with a
+    * fresh suffix (must be admitted). Physical shape: LEFT ANTI hash
+    * join on the md5 digest only — at 100 TB both sides shuffle ~48 B
+    * digests, never text, and the incoming batch (always the small
+    * side) broadcasts when it fits. */
+  def appendBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val batch = docs
+      .filter(col("doc_id") % 13 === 2 || col("doc_id") % 13 === 6)
+      .select(
+        (col("doc_id") + 300000).as("doc_id"),
+        when(col("doc_id") % 13 === 6,
+          concat(col("text"), lit(" fresh revision"))).otherwise(col("text")).as("text"))
+    val existing = docs.select(md5(col("text")).as("digest"))
+    batch
+      .withColumn("digest", md5(col("text")))
+      .join(existing, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+      .orderBy("doc_id")
+  }
+
+  def appendBatchOracleSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 300000 AS doc_id,
+      |    CASE WHEN doc_id % 13 = 6 THEN text || ' fresh revision' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 = 2 OR doc_id % 13 = 6)
+      | SELECT b.doc_id, md5(b.text) AS digest
+      | FROM batch b
+      | WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+      | ORDER BY doc_id""".stripMargin
+
   /** One-pass pretraining filter: quality rules ∧ language confidence ∧
     * exact-dedup keep-first (digest-window min — no self-join). */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {

@@ -110,6 +110,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(keptEven.subsetOf(kept))
   }
 
+  test("appendBatch: verbatim resubmissions rejected, revised docs admitted") {
+    val admitted = Corpus.appendBatch(spark, sf).collect().map(_.getLong(0)).toSet
+    val ids = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val resubmitted = ids.filter(_ % 13 == 2).map(_ + 300000L)
+    val revised = ids.filter(_ % 13 == 6).map(_ + 300000L)
+    resubmitted.foreach(id => assert(!admitted.contains(id), s"duplicate $id admitted"))
+    revised.foreach(id => assert(admitted.contains(id), s"revision $id rejected"))
+    assert(admitted === revised.toSet)
+  }
+
   test("cleanCorpus is a subset of documents: deduped and quality-gated") {
     val clean = Corpus.cleanCorpus(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()

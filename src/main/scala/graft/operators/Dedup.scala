@@ -227,69 +227,115 @@ object Dedup {
     * pipeline: collapse the verified MinHash pair graph into connected
     * components and assign each member its canonical representative (the
     * component's minimum doc_id — the keep-first convention of D1/
-    * [[exactDedup]]). Iterative min-label propagation: every round each
-    * node takes the min of its own and its neighbors' labels, converging
-    * in O(component diameter) rounds — duplicate clusters are near-
-    * cliques, so 2-3 rounds in practice (a `while` with a convergence
-    * count, each round one join + one aggregation; at 100 TB the
-    * large-star/small-star variant halves the diameter per round, same
-    * loop skeleton). Deterministic (min is order-free), so the DuckDB
-    * oracle replays it with a recursive reachability CTE. Output: one row
-    * per doc that HAS a duplicate (singletons are trivially their own
-    * representative). */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    * [[exactDedup]]). Delegates to [[connectedComponents]] (alternating
+    * large-star/small-star, O(log n) rounds, hard convergence guard).
+    * Deterministic (min is order-free), so the DuckDB oracle replays it
+    * with a recursive reachability CTE. Output: one row per doc that HAS
+    * a duplicate (singletons are trivially their own representative). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashPairs(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Connected components over an undirected edge list `(doc_a, doc_b)`
+    * via the ALTERNATING large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * literature): repeatedly rewrite the edge set so every node points at
+    * ever-smaller labels, until each component is a star centered on its
+    * minimum node.
+    *
+    *  - large-star: each node u attaches every STRICTLY LARGER neighbor
+    *    to `m = min(N(u) ∪ {u})` — long chains halve per round, which is
+    *    what bounds the loop at O(log n) rounds where plain min-label
+    *    propagation needs O(diameter) (a 10^6-hop chain of near-dup
+    *    shingles would need 10^6 propagation rounds but ~20 star rounds).
+    *  - small-star: each node u attaches its smaller-or-equal neighbors
+    *    (and itself) to their minimum — flattening the partial stars.
+    *
+    * Convergence is CHECKED, not assumed: the loop compares the round's
+    * edge set against the previous one (distinct-count equality + a
+    * one-row left-anti probe — together set equality, two cheap jobs on
+    * checkpointed frames) and THROWS [[IllegalStateException]] if
+    * `maxRounds` passes without a fixed point — a loud failure instead of
+    * the silent partial labels a capped propagation loop would emit on a
+    * graph whose diameter exceeds the cap. 64 rounds bounds components of
+    * ~2^64 nodes, i.e. unreachable by real data; hitting it means a bug,
+    * and wrong clusters must never be returned as if converged.
+    *
+    * Scale notes: every round is two self-contained groupBy+join passes
+    * over the EDGE set (orders of magnitude smaller than the corpus for
+    * dedup graphs); shuffle partitions are sized to the edge count and
+    * restored after; each round `localCheckpoint`s to truncate lineage —
+    * a persisted-but-not-checkpointed frame still carries its full
+    * logical plan, so by round k the optimizer re-analyzes a k-deep join
+    * tree per action and planning time compounds superlinearly (measured
+    * on the propagation predecessor: 2.5 → 23.6 s/round by round 4 at the
+    * 10× stretch; a cluster deployment that must survive executor loss
+    * uses reliable checkpointing instead).
+    *
+    * Output: `(doc_id, cluster_rep)` for every node that appears in an
+    * edge, component representatives included (rep maps to itself). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical directed form: u > v, distinct
+    val initial = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the pair graph is orders of magnitude smaller than the corpus, so
-    // the iteration's shuffles should be sized to the EDGE count, not the
-    // session default tuned for corpus scans — per-iteration scheduling
-    // overhead otherwise dominates tiny graphs, while too few partitions
-    // serialize big ones. ~25k edges/task, floored at 1 (a few hundred
-    // edges run as single-task rounds), capped at 10k tasks; restored
-    // after the loop.
-    val nEdges = edges.count()
+    val nEdges = initial.count()
+    // ~25k edges/task, floored at 1, capped at 10k tasks; restored after.
     val parts = math.max(1L, math.min(10000L, nEdges / 25000L + 1)).toString
     val confKey = "spark.sql.shuffle.partitions"
     val oldParts = spark.conf.get(confKey)
     spark.conf.set(confKey, parts)
     try {
-      // each round MUST truncate lineage (localCheckpoint), not merely
-      // cache: a persisted frame still carries its full logical plan, so
-      // by round k the optimizer re-analyzes a k-deep join tree per
-      // action and planning time compounds superlinearly (measured: 2.5 →
-      // 23.6 s/round by round 4 at the 10× stretch). localCheckpoint
-      // materializes to executor blocks and drops the plan — the standard
-      // tool for iterative algorithms; a cluster deployment that must
-      // survive executor loss uses reliable checkpointing instead.
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint(true)
+      var edges = initial.localCheckpoint(true)
+      var prevCount = edges.count()
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
-        val nbrMin = edges
-          .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
-          .groupBy("doc_a").agg(min("label").as("nbr_label"))
-        // carry the pre-update label so convergence is a filter over the
-        // same materialized frame — one materializing job per round
-        val updated = labels
-          .join(nbrMin.select(col("doc_a").as("node"), col("nbr_label")), Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-            col("label").as("old_label"))
+      while (!converged && iter < maxRounds) {
+        // large-star over the symmetrized neighborhood: emit (v, m) for
+        // every neighbor v > u, where m = min(N(u) ∪ {u}) <= u < v.
+        val sym = edges.unionByName(
+          edges.select(col("v").as("u"), col("u").as("v")))
+        val lsMin = sym.groupBy("u").agg(min(col("v")).as("nbr_min"))
+          .select(col("u"), least(col("u"), col("nbr_min")).as("m"))
+        val ls = sym.join(lsMin, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
           .localCheckpoint(true)
-        val changed = updated.filter(col("label") =!= col("old_label")).count()
-        labels = updated.select("node", "label")
-        converged = changed == 0
+        // small-star on the canonical form: every out-neighbor of u is
+        // <= u, so attach them all (and u) to their minimum.
+        val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+        val joined = ls.join(ssMin, "u")
+        val ss = joined.select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .unionByName(joined.select(col("u"), col("m").as("v")))
+          .distinct()
+          .localCheckpoint(true)
+        // fixed point iff same distinct count AND no row outside the old
+        // set (both sets are distinct, so containment + equal cardinality
+        // is set equality; the anti-join probe stops at the first witness)
+        val newCount = ss.count()
+        converged = newCount == prevCount &&
+          ss.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+        edges = ss
+        prevCount = newCount
         iter += 1
       }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
-        .orderBy("doc_id")
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            s"($nEdges input edges, $prevCount current) — refusing to emit " +
+            "partial cluster labels")
+      edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
+        .unionByName(
+          edges.select(col("v").as("doc_id"), col("v").as("cluster_rep")).distinct())
+        .distinct()
     } finally {
       spark.conf.set(confKey, oldParts)
-      edges.unpersist(blocking = false)
+      initial.unpersist(blocking = false)
     }
   }
 

@@ -79,6 +79,55 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: planted chain with diameter 40 (> any propagation cap) fully collapses") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a duplicate CHAIN A~B~C~... 41 nodes long — the shape that silently
+    // defeats a capped min-label-propagation loop (needs 40 rounds there;
+    // the large-star/small-star loop needs O(log 41))
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 41)
+    (0L to 40L).foreach(n => assert(labels(n) === 0L, s"node $n labeled ${labels(n)}"))
+  }
+
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 200 + trial * 100
+      // sparse random graph + a long chain grafted on, to mix shapes
+      val randomEdges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val chainEdges = (n.toLong until n + 30L).map(i => (i, i + 1))
+      val all = randomEdges ++ chainEdges
+      // reference: classic union-find on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      all.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(all.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: component labels diverge")
+    }
+  }
+
+  test("connectedComponents throws (not partial labels) when denied enough rounds") {
+    val spark0 = spark
+    import spark0.implicits._
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](Dedup.connectedComponents(chain, maxRounds = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("permuteWide61 split-limb arithmetic equals BigInt mod 2^61-1 (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val p = Dedup.hashPrime61

@@ -104,6 +104,21 @@ class PlanContractSpec extends AnyFunSuite {
       s"mixing windows must partition by shard:\n$plan")
   }
 
+  test("corpus append is incremental: existing corpus enters as digests only, no text rescan") {
+    val df = operators.Corpus.appendBatch(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scans in the append plan")
+    // exactly ONE scan may read a text column — the incoming batch; the
+    // existing corpus must arrive via the persisted digest index
+    val textScans = scans.filter(_.schema.fieldNames.contains("text"))
+    assert(textScans.size === 1,
+      s"existing corpus text rescanned:\n${df.queryExecution.sparkPlan}")
+    assert(scans.exists(_.schema.fieldNames.sameElements(Array("digest"))),
+      s"no digests-only index scan in the append plan:\n${df.queryExecution.sparkPlan}")
+  }
+
   test("salesCube expands CELLS, not fact rows: Expand sits above the pre-aggregation") {
     val plan = finalPlanOf(etl.Analytics.salesCube(spark, sf))
     assert(plan.contains("Expand"), s"cube did not use Expand grouping sets:\n$plan")

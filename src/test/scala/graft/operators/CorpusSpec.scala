@@ -121,6 +121,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(admitted === revised.toSet)
   }
 
+  test("admitAndCommit: each committed batch rejects against corpus + all prior batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    // private index seeded from a 3-doc corpus
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    Seq("alpha body", "beta body", "gamma body").toDF("text")
+      .select(md5(col("text")).as("digest"))
+      .write.mode("overwrite").parquet(indexDir)
+
+    // batch 1: one dupe of the corpus, two new docs
+    val b1 = Seq((10L, "alpha body"), (11L, "delta body"), (12L, "epsilon body"))
+      .toDF("doc_id", "text")
+    val a1 = Corpus.admitAndCommit(spark, indexDir, b1)
+      .collect().map(_.getLong(0)).toSet
+    assert(a1 === Set(11L, 12L), s"batch 1 admitted $a1")
+
+    // batch 2: resubmits a batch-1 doc (must now be rejected WITHOUT any
+    // corpus rescan — the index carries batch 1's digests) + one new doc
+    val b2 = Seq((20L, "delta body"), (21L, "zeta body")).toDF("doc_id", "text")
+    val a2 = Corpus.admitAndCommit(spark, indexDir, b2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a2 === Set(21L), s"batch 2 admitted $a2")
+
+    // batch 3: everything seen so far → nothing admitted
+    val b3 = Seq((30L, "alpha body"), (31L, "delta body"), (32L, "zeta body"))
+      .toDF("doc_id", "text")
+    assert(Corpus.admitAndCommit(spark, indexDir, b3).count() === 0)
+
+    // the index now holds exactly corpus + admitted digests, each once
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.count() === idx.distinct().count())
+    assert(idx.count() === 6)
+  }
+
   test("cleanCorpus is a subset of documents: deduped and quality-gated") {
     val clean = Corpus.cleanCorpus(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()

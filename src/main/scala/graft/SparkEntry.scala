@@ -354,6 +354,10 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => operators.Corpus.decontaminate(s, d)),
     "stratified_sample" -> ((s, d) => operators.Corpus.stratifiedSample(s, d)),
     "corpus_append" -> ((s, d) => operators.Corpus.appendBatch(s, d)),
+    // end-to-end corpus pipeline: scrub → quality → dedup (exact + near
+    // clusters) → decontaminate → split → interleave/pack, with per-stage
+    // row metrics — DuckDB replays EVERY stage including the clustering
+    "corpus_run_summary" -> ((s, d) => operators.CorpusPipeline.runSummary(s, d)),
     // corpus scrubbing (operators/Scrub.scala) — PII redaction and
     // boilerplate chunk detection, both over deterministic injections
     "pii_scrub" -> ((s, d) => operators.Scrub.piiScrub(s, d)),
@@ -490,6 +494,7 @@ object SparkEntry {
     "decontaminate" -> operators.Corpus.decontaminateOracleSql(corpusCte),
     "stratified_sample" -> operators.Corpus.stratifiedSampleOracleSql,
     "corpus_append" -> operators.Corpus.appendBatchOracleSql,
+    "corpus_run_summary" -> operators.CorpusPipeline.runSummaryOracleSql,
     "pii_scrub" -> operators.Scrub.piiScrubOracleSql,
     "boilerplate_stats" -> operators.Scrub.boilerplateOracleSql(corpusCte),
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),

@@ -64,8 +64,14 @@ object Corpus {
     * always holds (asserted in CorpusSpec). Oversized docs (> budget)
     * straddle a whole window and get a pack of their own. */
   def packDocuments(spark: SparkSession, dir: String,
+      budget: Int = defaultPackBudget, nShards: Int = defaultShards): DataFrame =
+    packOf(Tables.documents(spark, dir), budget, nShards)
+
+  /** [[packDocuments]] over an ARBITRARY (doc_id, text) corpus — the form
+    * pipeline stages compose on. */
+  def packOf(corpus: DataFrame,
       budget: Int = defaultPackBudget, nShards: Int = defaultShards): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = corpus
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         (col("doc_id") % nShards).as("shard"))
@@ -104,8 +110,13 @@ object Corpus {
     * deterministically from the source id (1 + idx%3) so the DuckDB
     * oracle replays the whole schedule. */
   def interleaveSources(spark: SparkSession, dir: String,
-      nShards: Int = defaultShards): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      nShards: Int = defaultShards): DataFrame =
+    interleaveOf(Tables.documents(spark, dir), nShards)
+
+  /** [[interleaveSources]] over an ARBITRARY (doc_id, source) corpus — the
+    * form pipeline stages compose on. */
+  def interleaveOf(corpus: DataFrame, nShards: Int = defaultShards): DataFrame = {
+    val docs = corpus
       .select(col("doc_id"), col("source"), (col("doc_id") % nShards).as("shard"))
       .withColumn("weight", lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
     val r = row_number().over(Window.partitionBy("shard", "source").orderBy("doc_id"))
@@ -144,7 +155,7 @@ object Corpus {
     * window (long enough that chance collisions are negligible). */
   val contamN = 8
 
-  private def ngramDigests(docs: DataFrame, n: Int): DataFrame =
+  private[operators] def ngramDigests(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       explode(expr(
         s"""array_distinct(transform(

@@ -208,9 +208,18 @@ object Dedup {
 
   /** MinHash near-dup pairs: LSH candidates filtered by signature
     * agreement (n_match/32 estimates Jaccard; >= 16 ~ J >= 0.5). */
-  def minhashPairs(spark: SparkSession, dir: String, minMatch: Int = 16): DataFrame = {
-    val sigs = cachedSigs(spark, dir)
-    val cands = cachedCands(spark, dir)
+  def minhashPairs(spark: SparkSession, dir: String, minMatch: Int = 16): DataFrame =
+    pairsFrom(cachedSigs(spark, dir), cachedCands(spark, dir), minMatch)
+
+  /** [[minhashPairs]] over an ARBITRARY (doc_id, text) corpus — the form
+    * pipeline stages compose on (the registered query keeps the memoized
+    * fixture-corpus path above). */
+  def minhashPairsOf(docs: DataFrame, minMatch: Int = 16): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    pairsFrom(sigs, lshCandidates(sigs), minMatch)
+  }
+
+  private def pairsFrom(sigs: DataFrame, cands: DataFrame, minMatch: Int): DataFrame = {
     val sigA = sigs.toDF("doc_a", "sig_a")
     val sigB = sigs.toDF("doc_b", "sig_b")
     cands.join(sigA, "doc_a").join(sigB, "doc_b")
@@ -339,8 +348,12 @@ object Dedup {
     }
   }
 
-  def dupClustersOracleSql(corpusCte: String): String =
-    s"""${minhashPairsCte(corpusCte).replaceFirst("WITH ", "WITH RECURSIVE ")},
+  /** CTE chain ending in `clusters(doc_id, cluster_rep)` — the cluster
+    * labels as a relation for consumers that compose on them
+    * (CorpusPipeline's near-dedup stage). The surrounding WITH must be
+    * RECURSIVE (the reach CTE). */
+  def dupClustersCte(corpusCte: String): String =
+    s"""${minhashPairsCte(corpusCte)},
        | nodes AS (SELECT DISTINCT doc_id FROM (
        |   SELECT doc_a AS doc_id FROM dpairs UNION ALL SELECT doc_b FROM dpairs)),
        | e2 AS (SELECT doc_a AS a, doc_b AS b FROM dpairs
@@ -348,9 +361,13 @@ object Dedup {
        | reach AS (
        |   SELECT doc_id AS node, doc_id AS lab FROM nodes
        |   UNION
-       |   SELECT e2.a AS node, r.lab FROM e2 JOIN reach r ON r.node = e2.b)
-       | SELECT node AS doc_id, MIN(lab) AS cluster_rep
-       | FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+       |   SELECT e2.a AS node, r.lab FROM e2 JOIN reach r ON r.node = e2.b),
+       | clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_rep
+       |   FROM reach GROUP BY node)""".stripMargin
+
+  def dupClustersOracleSql(corpusCte: String): String =
+    s"""${dupClustersCte(corpusCte).replaceFirst("WITH ", "WITH RECURSIVE ")}
+       | SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id""".stripMargin
 
   /** Exact n-gram Jaccard on the LSH candidate pairs (the verify step of
     * MinHash dedup): |A ∩ B| / |A ∪ B| over distinct shingle sets, emitted

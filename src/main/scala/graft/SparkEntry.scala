@@ -329,6 +329,9 @@ object SparkEntry {
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
     "term_stats" -> ((s, d) => operators.TextAnalysis.termStats(s, d)),
     "tokenize_ids" -> ((s, d) => operators.TextAnalysis.tokenizeIds(s, d)),
+    // the same encode at a realistic 50k vocab via the reference-object
+    // VocabLookup expression (a literal map blows the codegen budget there)
+    "tokenize_ids_50k" -> ((s, d) => operators.TextAnalysis.tokenizeIdsBroadcast(s, d, 50000)),
     // multimodal binary-column plumbing — all three oracle-checked:
     // media_meta and media_frames replay the binary container as VARCHAR
     // formulas; media_features replays a REAL javax.imageio PNG
@@ -468,6 +471,7 @@ object SparkEntry {
         | GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
         | ORDER BY term""".stripMargin,
     "tokenize_ids" -> operators.TextAnalysis.tokenizeIdsOracleSql,
+    "tokenize_ids_50k" -> operators.TextAnalysis.tokenizeIdsOracleSqlAt(50000),
     // media_meta's outputs are defined by formulas over (doc_id, text), so
     // the oracle replays the formulas — verifying the binary encode ->
     // slice -> decode roundtrip end to end

@@ -105,17 +105,16 @@ object TextAnalysis {
   /** Vocabulary size for [[tokenizeIds]]. */
   val vocabSize = 64
 
-  /** Top-[[vocabSize]] terms by (document frequency desc, term asc) — a
+  /** Top-`n` terms by (document frequency desc, term asc) — a
     * deterministic corpus-derived vocabulary. Collected to the driver as
-    * INDEX METADATA (64 rows, same contract as the IVF centroids): the
-    * encode step needs the whole vocab per row, and a 64-entry literal
-    * map inlines into codegen where a join would shuffle every token. */
-  private def vocab(spark: SparkSession, dir: String): Seq[(String, Int)] =
+    * INDEX METADATA (same contract as the IVF centroids): the encode step
+    * needs the whole vocab per row. */
+  private def vocab(spark: SparkSession, dir: String, n: Int = vocabSize): Seq[(String, Int)] =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       .orderBy(desc("df"), asc("term"))
-      .limit(vocabSize)
+      .limit(n)
       .collect().zipWithIndex
       .map { case (r, i) => r.getString(0) -> (i + 1) } // ids 1..V; 0 = UNK
 
@@ -128,10 +127,31 @@ object TextAnalysis {
   def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
     val entries = vocab(spark, dir).flatMap { case (t, i) => Seq(lit(t), lit(i)) }
     val vocabMap = map(entries: _*)
+    encodeWith(spark, dir,
+      tk => transform(tk, w => coalesce(element_at(vocabMap, w), lit(0))))
+  }
+
+  /** [[tokenizeIds]] at REALISTIC vocab sizes: the same encode, but the
+    * vocabulary rides as ONE reference object inside the codegen'd
+    * [[graft.functions.VocabLookup]] expression instead of a literal map
+    * column — a 50k-entry literal map is 100k expression nodes (analysis
+    * blow-up + JVM codegen constant budget), while the reference map is
+    * one O(1) hash probe per token and travels to executors once per
+    * stage with the serialized plan. Output-identical to [[tokenizeIds]]
+    * at equal vocab size (TextAnalysisSpec) and oracle-checked at
+    * V=50000 (`tokenize_ids_50k`). */
+  def tokenizeIdsBroadcast(spark: SparkSession, dir: String,
+      n: Int = vocabSize): DataFrame = {
+    val fn = s"vocab_lookup_$n"
+    graft.functions.VocabExprs.registerVocab(spark, fn, vocab(spark, dir, n).toMap)
+    encodeWith(spark, dir, tk => transform(tk, w => call_function(fn, w)))
+  }
+
+  private def encodeWith(spark: SparkSession, dir: String,
+      encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .withColumn("ids", transform(col("tk"),
-        w => coalesce(element_at(vocabMap, w), lit(0))))
+      .withColumn("ids", encode(col("tk")))
       .select(
         col("doc_id"),
         size(col("ids")).as("n_tokens"),
@@ -139,16 +159,17 @@ object TextAnalysis {
         expr("""aggregate(ids, CAST(7 AS BIGINT),
                |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin).as("ids_fp"))
       .orderBy("doc_id")
-  }
 
-  def tokenizeIdsOracleSql: String =
+  def tokenizeIdsOracleSql: String = tokenizeIdsOracleSqlAt(vocabSize)
+
+  def tokenizeIdsOracleSqlAt(n: Int): String =
     s"""WITH df AS (
        |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
        |  GROUP BY term),
        | vocab AS (
        |  SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term) AS INTEGER) AS id
-       |  FROM df ORDER BY df DESC, term LIMIT $vocabSize),
+       |  FROM df ORDER BY df DESC, term LIMIT $n),
        | toks AS (
        |  SELECT doc_id, i AS ord, tk[i] AS tok
        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)

@@ -25,4 +25,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     assert(rows.sameElements(again))
   }
+
+  test("tokenizeIdsBroadcast equals the literal-map path at equal vocab size") {
+    val literal = TextAnalysis.tokenizeIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val broadcast = TextAnalysis.tokenizeIdsBroadcast(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(literal.sameElements(broadcast),
+      "reference-object lookup must be output-identical to the literal map")
+  }
+
+  test("tokenizeIdsBroadcast at V=50000: the full fixture vocabulary resolves (zero unknowns)") {
+    val rows = TextAnalysis.tokenizeIdsBroadcast(spark, sf, 50000).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // a 50k vocab holds every fixture term (the corpus vocabulary is much
+    // smaller), so no token may encode as UNK
+    assert(rows.map(_._3.toLong).sum === 0L, "50k vocab left unknown tokens")
+  }
+
+  test("VocabLookup handles a genuinely large (50k-entry) vocabulary") {
+    val spark0 = spark
+    import spark0.implicits._
+    // synthetic: 50k distinct terms w0..w49999 -> ids 1..50000; the
+    // fixture corpus can't exercise this (31 distinct terms), so drive
+    // the expression directly at the size the literal map cannot reach
+    val vocab = (0 until 50000).map(i => s"w$i" -> (i + 1)).toMap
+    graft.functions.VocabExprs.registerVocab(spark, "vocab_lookup_spec50k", vocab)
+    val df = Seq("w0 w1 w49999 nope w25000", "nope2 w42 w42")
+      .toDF("text")
+      .selectExpr("transform(split(text, ' '), w -> vocab_lookup_spec50k(w)) AS ids")
+    val got = df.collect().map(_.getSeq[Int](0))
+    assert(got(0) === Seq(1, 2, 50000, 0, 25001))
+    assert(got(1) === Seq(0, 43, 43))
+  }
 }

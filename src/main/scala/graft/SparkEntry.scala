@@ -349,6 +349,10 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
     "ivf_topk" -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
     "embedding_near_dups" -> ((s, d) => operators.Similarity.embeddingNearDups(s, d)),
+    // output-capped variant: each vector's top-k near-dup neighbors —
+    // bounded output on dense duplicate clusters (the all-pairs surface
+    // is output-bound: pairs grew 100.8x at the 10x stretch)
+    "near_dups_topk" -> ((s, d) => operators.Similarity.nearDupsTopK(s, d)),
     // training-corpus assembly (operators/Corpus.scala) — all oracle-checked
     "train_split" -> ((s, d) => operators.Corpus.trainSplit(s, d)),
     "pack_documents" -> ((s, d) => operators.Corpus.packDocuments(s, d)),
@@ -504,6 +508,7 @@ object SparkEntry {
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
     "ann_topk" -> operators.Similarity.annOracleSql(),
     "embedding_near_dups" -> operators.Similarity.nearDupsOracleSql(),
+    "near_dups_topk" -> operators.Similarity.nearDupsTopKOracleSql(),
     "ivf_topk" -> operators.Similarity.ivfOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,

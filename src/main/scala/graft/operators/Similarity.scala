@@ -285,7 +285,35 @@ object Similarity {
   val maxBucketSize = 2000
 
   def embeddingNearDups(spark: SparkSession, dir: String,
+      minCosine: Double = 0.25): DataFrame =
+    scoredNearDupPairs(spark, dir, minCosine).orderBy("vec_a", "vec_b")
+
+  /** The near-dup APPLICATION remedy for output-bound pair growth
+    * (SURVEY §8): the all-pairs surface above grows with the true
+    * duplicate density (100.8× pairs at 10× corpus in the r4 stretch —
+    * output-bound, not plan-bound), while consumers typically only need
+    * each vector's few nearest duplicates. Cap the OUTPUT per vector:
+    * symmetrize the scored pairs and keep each vector's top-k neighbors
+    * by cosine (window rank inside the vec_id partition — no global
+    * sort). The candidate stage is unchanged (bucket-capped LSH
+    * self-join); only the emitted rows are bounded: ≤ k rows per vector
+    * regardless of how dense the duplicate clusters get. */
+  def nearDupsTopK(spark: SparkSession, dir: String, k: Int = defaultK,
       minCosine: Double = 0.25): DataFrame = {
+    val pairs = scoredNearDupPairs(spark, dir, minCosine)
+    val sym = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("cosine"))
+      .unionByName(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"), col("cosine")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "nbr_id", "cosine", "rank")
+      .orderBy("vec_id", "rank")
+  }
+
+  private def scoredNearDupPairs(spark: SparkSession, dir: String,
+      minCosine: Double): DataFrame = {
     val coded = cachedCodes(spark, dir)
     val smallBuckets = coded.groupBy("table", "code")
       .agg(count(lit(1)).as("bucket_n"))
@@ -313,7 +341,6 @@ object Similarity {
         (vecDot(joined, "emb_a", "emb_b") /
           (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** ANN cosine top-k: LSH bucket candidates -> exact cosine -> top-k.
@@ -399,8 +426,9 @@ object Similarity {
        | SELECT query_id, vec_id, sim, rank FROM ranked
        | WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** DuckDB replay of [[embeddingNearDups]] (bucket cap included). */
-  def nearDupsOracleSql(minCosine: Double = 0.25): String =
+  /** Shared CTE chain ending in `sp(vec_a, vec_b, cosine)` — the scored,
+    * threshold-filtered near-dup pairs (bucket cap included). */
+  private def nearDupPairsCtes(minCosine: Double): String =
     s"""$codesCtes,
        | small AS (SELECT tbl, code FROM codes
        |   GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize AND COUNT(*) > 1),
@@ -408,14 +436,30 @@ object Similarity {
        | pairs AS (
        |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
        |  FROM inb l JOIN inb r ON l.tbl = r.tbl AND l.code = r.code
-       |  WHERE l.vec_id < r.vec_id)
-       | SELECT vec_a, vec_b, cosine FROM (
+       |  WHERE l.vec_id < r.vec_id),
+       | sp AS (SELECT vec_a, vec_b, cosine FROM (
        |  SELECT p.vec_a, p.vec_b,
        |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
        |  FROM pairs p
        |  JOIN normed a ON a.vec_id = p.vec_a
        |  JOIN normed b ON b.vec_id = p.vec_b)
-       | WHERE cosine >= $minCosine ORDER BY vec_a, vec_b""".stripMargin
+       |  WHERE cosine >= $minCosine)""".stripMargin
+
+  /** DuckDB replay of [[embeddingNearDups]] (bucket cap included). */
+  def nearDupsOracleSql(minCosine: Double = 0.25): String =
+    s"""${nearDupPairsCtes(minCosine)}
+       | SELECT vec_a, vec_b, cosine FROM sp ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB replay of [[nearDupsTopK]]. */
+  def nearDupsTopKOracleSql(k: Int = defaultK, minCosine: Double = 0.25): String =
+    s"""${nearDupPairsCtes(minCosine)},
+       | sym AS (SELECT vec_a AS vec_id, vec_b AS nbr_id, cosine FROM sp
+       |   UNION ALL SELECT vec_b, vec_a, cosine FROM sp),
+       | rankd AS (SELECT vec_id, nbr_id, cosine,
+       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rank
+       |   FROM sym)
+       | SELECT vec_id, nbr_id, cosine, rank FROM rankd
+       | WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
   /** DuckDB replay of [[ivfTopK]] — the ENTIRE fixed-iteration Lloyd
     * loop as chained CTEs, not data-derived literals: seeds are the

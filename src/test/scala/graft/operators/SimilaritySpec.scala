@@ -77,6 +77,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.45, s"near-dup recall $recall < 0.45 (${exact.size} true pairs)")
   }
 
+  test("nearDupsTopK: bounded per-vector output, consistent with the all-pairs surface") {
+    import org.apache.spark.sql.functions._
+    val k = Similarity.defaultK
+    val topk = Similarity.nearDupsTopK(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(topk.nonEmpty)
+    // output cap: never more than k rows per vector; ranks dense from 1
+    topk.groupBy(_._1).foreach { case (vid, rows) =>
+      assert(rows.length <= k, s"vector $vid exceeds the $k cap")
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length), s"vector $vid ranks")
+      // ranked by descending cosine
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted.reverse))
+    }
+    // consistency: each emitted (vec, nbr) pair exists in the all-pairs
+    // surface, and each vector's rank-1 neighbor is its best pair there
+    val allPairs = Similarity.embeddingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = allPairs.map(p => (p._1, p._2)).toSet
+    topk.foreach { case (v, n, _, _) =>
+      assert(pairSet.contains((math.min(v, n), math.max(v, n))), s"($v,$n) not a near-dup pair")
+    }
+    val bestBy = allPairs.flatMap(p => Seq((p._1, p._2, p._3), (p._2, p._1, p._3)))
+      .groupBy(_._1).view.mapValues(_.maxBy(r => (r._3, -r._2))._2).toMap
+    topk.filter(_._4 == 1).foreach { case (v, n, _, _) =>
+      assert(bestBy(v) === n, s"vector $v rank-1 neighbor $n != best ${bestBy(v)}")
+    }
+  }
+
   test("LSH codes are deterministic across invocations") {
     val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val a = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4))).toSet

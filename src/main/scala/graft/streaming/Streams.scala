@@ -53,6 +53,36 @@ object Streams {
       .dropDuplicatesWithinWatermark("digest")
       .drop("digest")
 
+  /** Streaming corpus append — the streaming twin of
+    * [[graft.operators.Corpus.appendBatch]]/`admitAndCommit`: admit a
+    * document only if its content digest is neither in the EXISTING
+    * corpus's persisted digest index nor already admitted from the
+    * stream. Two stateless-or-bounded pieces:
+    *
+    *  1. stream-static LEFT ANTI join against the digest index parquet —
+    *     stream-static joins keep NO state (each micro-batch probes the
+    *     static side), so corpus-side rejection costs one index probe per
+    *     batch regardless of stream history;
+    *  2. `dropDuplicatesWithinWatermark` on the digest for stream-side
+    *     dupes — one state entry per distinct admitted digest inside the
+    *     horizon, evicted as the watermark passes (the bounded-state
+    *     contract of [[dedupWithinWatermark]]); the batch twin's index
+    *     APPEND plays this role durably, so a deployment periodically
+    *     compacts admitted digests into the index and lets the watermark
+    *     horizon cover the gap between compactions.
+    *
+    * Output: the admitted rows with their digest. Equivalence with the
+    * sequential batch `admitAndCommit` on fixture batches is asserted in
+    * StreamsSpec. */
+  def appendStream(docs: DataFrame, indexDir: String, delay: String = "1 hour"): DataFrame = {
+    val index = docs.sparkSession.read.parquet(indexDir)
+    docs
+      .withWatermark("ts", delay)
+      .withColumn("digest", md5(col("text")))
+      .join(index, Seq("digest"), "left_anti")
+      .dropDuplicatesWithinWatermark("digest")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   /** start/end are epoch MICROSECONDS: Spark timestamps are micro-precision,
     * and tracking `Timestamp.getTime` millis would silently truncate

@@ -120,6 +120,51 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus append == sequential batch admitAndCommit on the same batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    // persisted digest index over a 3-doc corpus (the batch twin's state)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    Seq("alpha body", "beta body", "gamma body").toDF("text")
+      .select(md5(col("text")).as("digest"))
+      .write.mode("overwrite").parquet(indexDir)
+    // two arrival batches: corpus dupes, a cross-batch stream dupe, and
+    // genuinely new docs. (In-batch dupes are excluded: the batch twin
+    // admits all copies of a digest arriving in ONE batch while the
+    // stream keeps the first — a real semantic difference documented on
+    // appendStream; cross-batch behavior is identical.)
+    val batch1 = Seq((10L, "alpha body"), (11L, "delta body"), (12L, "epsilon body"))
+    val batch2 = Seq((20L, "delta body"), (21L, "zeta body"), (22L, "beta body"))
+
+    // batch oracle: sequential admitAndCommit against a twin index copy
+    val batchIdxDir = java.nio.file.Files.createTempDirectory("graft_batch_idx").toString
+    spark.read.parquet(indexDir).write.mode("overwrite").parquet(batchIdxDir)
+    val admittedBatch =
+      graft.operators.Corpus.admitAndCommit(spark, batchIdxDir,
+          batch1.toDF("doc_id", "text")).collect().map(_.getLong(0)) ++
+        graft.operators.Corpus.admitAndCommit(spark, batchIdxDir,
+          batch2.toDF("doc_id", "text")).collect().map(_.getLong(0))
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.appendStream(
+        input.toDF().toDF("ts", "doc_id", "text"), indexDir)
+      .writeStream.format("memory").queryName("append_out").outputMode("append").start()
+    try {
+      input.addData(batch1.map { case (id, t) => (ts("10:00"), id, t) })
+      q.processAllAvailable()
+      input.addData(batch2.map { case (id, t) => (ts("10:30"), id, t) })
+      q.processAllAvailable()
+      val admittedStream = spark.sql("SELECT doc_id FROM append_out").collect()
+        .map(_.getLong(0))
+      // identical admitted rows: corpus dupes (alpha, beta) and the
+      // cross-batch stream dupe (20's delta) rejected on both sides
+      assert(admittedStream.sorted.toSeq === admittedBatch.sorted.toSeq,
+        s"stream admitted ${admittedStream.toSeq}, batch admitted ${admittedBatch.toSeq}")
+      assert(admittedStream.toSet === Set(11L, 12L, 21L))
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------
   // Batch equivalence on the REAL fixture: the streaming twins must
   // produce exactly what the batch operators compute over the same

@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
   * default/sentinel value) that even a split partition hotspots, or when
   * the join must hash-partition for a downstream stage.
   *
+  * Measured against `spark.sql.adaptive.skewJoin` on the same hot-key
+  * fixture (SaltSpec; SURVEY §8b): AQE splits the hot partition with no
+  * code change and is the right default for plain shuffled equi-joins.
+  * Salting remains necessary where the AQE rule does not reach:
+  * `OptimizeSkewedJoin` only matches SMJ over Sort+ShuffleQueryStage on
+  * BOTH sides (an aggregation between shuffle and join — e.g. a
+  * `distinct()`ed dim — silently disables it); AQE skew handling is
+  * join-only (skewed aggregations need the salt → two-phase-agg shape);
+  * and AQE's partition split changes the read geometry, so a join that
+  * must keep a stable hash partitioning for a downstream co-partitioned
+  * stage cannot use it.
+  *
   * Shape: the BIG side gets a deterministic salt in [0, k) hashed from a
   * high-cardinality tiebreak column (stable across retries — never
   * `rand()`, which breaks task retry idempotence); the SMALL side is

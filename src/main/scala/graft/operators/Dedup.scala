@@ -177,12 +177,23 @@ object Dedup {
   /** LSH banding: hash each band of 4 signature slots, bucket-join docs
     * sharing any (band, hash) bucket. Oversized buckets are dropped before
     * the self-join (skew guard). */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  private def bandedOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map(j => bandHash(j).as(s"b_$j"))
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         posexplode(array((0 until numBands).map(j => col(s"b_$j")): _*)))
       .toDF("doc_id", "band_idx", "band_hash")
+  }
+
+  /** (band_idx, band_hash, bucket_n) census of the LSH buckets — the
+    * relation [[lshCandidates]] caps on, exposed for cap-hit telemetry
+    * (PairBench): the dropped-bucket fraction is the signal that the band
+    * code space must grow with the corpus. */
+  def lshBucketSizes(sigs: DataFrame): DataFrame =
+    bandedOf(sigs).groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
+
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = bandedOf(sigs)
     val smallBuckets = banded
       .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize && col("bucket_n") > 1)

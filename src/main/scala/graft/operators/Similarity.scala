@@ -351,6 +351,13 @@ object Similarity {
     graft.functions.Memo(spark, dir, "hyperplane_codes")(
       codes(Tables.embeddings(spark, dir).select("vec_id", "embedding")))
 
+  /** (table, code, bucket_n) census of the hyperplane-LSH buckets —
+    * cap-hit telemetry for [[embeddingNearDups]] (PairBench): the
+    * dropped fraction signals when `bitsPerTable` must grow with the
+    * corpus (see the recall-shape note on [[nTables]]). */
+  def codeBucketSizes(spark: SparkSession, dir: String): DataFrame =
+    cachedCodes(spark, dir).groupBy("table", "code").agg(count(lit(1)).as("bucket_n"))
+
   def annTopK(spark: SparkSession, dir: String,
       k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
     val coded = cachedCodes(spark, dir)

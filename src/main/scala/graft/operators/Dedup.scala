@@ -428,14 +428,26 @@ object Dedup {
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup pairs via 4x15-bit band LSH + Hamming verify. */
+  /** SimHash near-dup pairs via 4x15-bit band LSH + Hamming verify.
+    * Band buckets are CAPPED at [[maxBucketSize]] exactly like the
+    * MinHash path — added after the round-5 100× decade check caught the
+    * uncapped self-join emitting 2.0e9 rows in 812 s (dense duplicate
+    * families share band values, and an uncapped bucket joins
+    * quadratically; the fixture's buckets are all far below the cap, so
+    * the oracle-checked output is unchanged at verify scale). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
     val hashed = simhash(corpusWithDups(spark, dir))
-    val banded = hashed.select(col("doc_id"), col("simhash"),
+    val allBanded = hashed.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until simhashBands).map(j =>
         shiftright(col("simhash"), j * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
+    val smallBuckets = allBanded
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize && col("bucket_n") > 1)
+      .select("band_idx", "band_val")
+    val banded = allBanded.join(smallBuckets, Seq("band_idx", "band_val"))
+      .select("doc_id", "simhash", "band_idx", "band_val")
     val left = banded.toDF("doc_a", "sim_a", "band_idx", "band_val")
     val right = banded.toDF("doc_b", "sim_b", "band_idx", "band_val")
     left.join(right, Seq("band_idx", "band_val"))
@@ -538,9 +550,12 @@ object Dedup {
        | th AS (SELECT doc_id, ${hashSql("tok")} AS h FROM toks),
        | votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
        | sh AS (SELECT doc_id, $assembled AS simhash FROM votes),
-       | banded AS (SELECT doc_id, simhash, j AS band_idx,
+       | banded0 AS (SELECT doc_id, simhash, j AS band_idx,
        |     (simhash >> (j * $bandBits)) & ${(1L << bandBits) - 1} AS band_val
-       |   FROM sh CROSS JOIN UNNEST(generate_series(0, ${simhashBands - 1})) AS t(j))
+       |   FROM sh CROSS JOIN UNNEST(generate_series(0, ${simhashBands - 1})) AS t(j)),
+       | smallb AS (SELECT band_idx, band_val FROM banded0
+       |   GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize AND COUNT(*) > 1),
+       | banded AS (SELECT b.* FROM banded0 b JOIN smallb s USING (band_idx, band_val))
        | SELECT doc_a, doc_b, hamming FROM (
        |   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |     CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming

@@ -111,27 +111,38 @@ object Similarity {
     * plain Double CONSTANTS by the time the plan is built, so the DuckDB
     * oracle replays them as literals ([[annOracleSql]]) — shortest-repr
     * `Double.toString` round-trips exactly through DuckDB's parser. */
-  def hyperplanes(seed: Long = 42L): Seq[Seq[Double]] = {
+  def hyperplanes(seed: Long = 42L): Seq[Seq[Double]] =
+    hyperplanesAt(bitsPerTable, nTables, seed)
+
+  private def hyperplanesAt(bits: Int, tables: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(nTables * bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
   /** (vec_id, embedding, norm, table, code): `nTables` independent
     * sign-bit codes per vector plus the precomputed norm, one narrow pass
     * (no shuffle). */
-  def codes(emb: DataFrame): DataFrame = {
-    val planes = hyperplanes()
-    val tableCols = (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { b =>
-        val plane = array(planes(t * bitsPerTable + b).map(lit): _*)
+  def codes(emb: DataFrame): DataFrame = codesAt(emb, bitsPerTable, nTables)
+
+  /** [[codes]] at an arbitrary code width — `bits` IS the scale knob the
+    * shape note above describes (2^bits buckets per table): the round-5
+    * 100× decade check measured every 4-bit bucket blowing the population
+    * cap at 500k vectors (0 output), while 10 bits (1024 buckets/table)
+    * restored the family. Registered queries stay at the 4-bit default so
+    * oracles are untouched; PairBench drives this variant. */
+  def codesAt(emb: DataFrame, bits: Int, tables: Int = nTables): DataFrame = {
+    val planes = hyperplanesAt(bits, tables)
+    val tableCols = (0 until tables).map { t =>
+      val bitCols = (0 until bits).map { b =>
+        val plane = array(planes(t * bits + b).map(lit): _*)
         when(dot(col("embedding"), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
       }
-      bits.reduce(_ + _).as(s"code_$t")
+      bitCols.reduce(_ + _).as(s"code_$t")
     }
     withNorm(emb)
       .select((col("vec_id") +: col("embedding") +: col("norm") +: tableCols): _*)
       .select(col("vec_id"), col("embedding"), col("norm"),
-        posexplode(array((0 until nTables).map(t => col(s"code_$t")): _*)))
+        posexplode(array((0 until tables).map(t => col(s"code_$t")): _*)))
       .toDF("vec_id", "embedding", "norm", "table", "code")
   }
 
@@ -313,8 +324,20 @@ object Similarity {
   }
 
   private def scoredNearDupPairs(spark: SparkSession, dir: String,
-      minCosine: Double): DataFrame = {
-    val coded = cachedCodes(spark, dir)
+      minCosine: Double): DataFrame =
+    scoredPairsFromCodes(spark, dir, cachedCodes(spark, dir), minCosine)
+
+  /** [[embeddingNearDups]] at an arbitrary code width (see [[codesAt]]) —
+    * the corpus-scaled variant PairBench measures; not registered, so the
+    * 4-bit oracle replay is untouched. */
+  def embeddingNearDupsAt(spark: SparkSession, dir: String, bits: Int,
+      minCosine: Double = 0.25): DataFrame =
+    scoredPairsFromCodes(spark, dir,
+      codesAt(Tables.embeddings(spark, dir).select("vec_id", "embedding"), bits),
+      minCosine).orderBy("vec_a", "vec_b")
+
+  private def scoredPairsFromCodes(spark: SparkSession, dir: String,
+      coded: DataFrame, minCosine: Double): DataFrame = {
     val smallBuckets = coded.groupBy("table", "code")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize && col("bucket_n") > 1)

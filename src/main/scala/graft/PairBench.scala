@@ -91,9 +91,11 @@ object PairBench {
       (name, (System.nanoTime() - t0) / 1e9, n)
     }
     // the corpus-scaled ANN remedy: code width grown so buckets fit the
-    // cap again (2^bits buckets/table; 10 bits ≈ 500 vectors/bucket at
-    // 100× — the knob the 4-bit default run shows saturating)
-    val scaledBits = sys.env.getOrElse("SPARK_GRAFT_ANN_BITS", "10").toInt
+    // cap again (2^bits buckets/table; 14 bits ≈ 30 vectors/bucket at
+    // 100×, candidate volume ~57M not ~1B — 10 bits exhausted /tmp with
+    // ~1e9 candidate-pair shuffle spill; near-identical copies agree on
+    // ~97.5% of sign bits, so 8 tables keep family recall ≈ 1 even at 14)
+    val scaledBits = sys.env.getOrElse("SPARK_GRAFT_ANN_BITS", "14").toInt
     val t0s = System.nanoTime()
     val nScaled = operators.Similarity.embeddingNearDupsAt(spark, dir, scaledBits).count()
     val scaledSec = (System.nanoTime() - t0s) / 1e9

@@ -327,6 +327,8 @@ object SparkEntry {
     "quality_score" -> ((s, d) => operators.TextAnalysis.qualityScore(s, d)),
     "language_id" -> ((s, d) => operators.TextAnalysis.languageId(s, d)),
     "fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprint(s, d)),
+    // Gopher-style intra-doc repetition quality signal (no shuffle)
+    "repetition_stats" -> ((s, d) => operators.TextAnalysis.repetitionStats(s, d)),
     "term_stats" -> ((s, d) => operators.TextAnalysis.termStats(s, d)),
     "tokenize_ids" -> ((s, d) => operators.TextAnalysis.tokenizeIds(s, d)),
     // the same encode at a realistic 50k vocab via the reference-object
@@ -475,6 +477,7 @@ object SparkEntry {
         | GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
         | ORDER BY term""".stripMargin,
     "tokenize_ids" -> operators.TextAnalysis.tokenizeIdsOracleSql,
+    "repetition_stats" -> operators.TextAnalysis.repetitionStatsOracleSql,
     "tokenize_ids_50k" -> operators.TextAnalysis.tokenizeIdsOracleSqlAt(50000),
     // media_meta's outputs are defined by formulas over (doc_id, text), so
     // the oracle replays the formulas — verifying the binary encode ->

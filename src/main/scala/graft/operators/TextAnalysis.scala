@@ -184,6 +184,55 @@ object TextAnalysis {
        |     (acc, v) -> (acc * 131 + v) % 1000000007) AS ids_fp
        | FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition profile — the Gopher-style "fraction of
+    * the document that is repeated n-grams" quality signal standard in
+    * pretraining filters (a looping generator or boilerplate-stuffed page
+    * repeats itself; natural text mostly doesn't). For n ∈ {2, 5}: total
+    * n-gram occurrences, distinct n-grams, and the duplicate fraction as
+    * an integer percentage (occurrences beyond each distinct gram's first
+    * = total - distinct). Pure per-row array arithmetic — `transform` +
+    * `array_distinct` inside whole-stage codegen, NO shuffle (contrast
+    * [[graft.operators.Scrub.boilerplateStats]], the cross-document
+    * repetition profile, which must shuffle digests) — so at 100 TB this
+    * runs at scan speed alongside the other quality gates. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int) = expr(
+      s"""transform(
+         |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+         |  i -> concat_ws(' ', slice(split(text, ' '), i, $n)))""".stripMargin)
+    def stats(n: Int) = Seq(
+      size(grams(n)).as(s"n_grams_$n"),
+      size(array_distinct(grams(n))).as(s"n_distinct_$n"))
+    val df = Tables.documents(spark, dir)
+      .select(col("doc_id") +: (stats(2) ++ stats(5)): _*)
+    df.select(col("doc_id"),
+        col("n_grams_2"), col("n_distinct_2"),
+        expr("cast((n_grams_2 - n_distinct_2) * 100 div n_grams_2 as int)").as("dup_pct_2"),
+        col("n_grams_5"), col("n_distinct_5"),
+        expr("cast((n_grams_5 - n_distinct_5) * 100 div n_grams_5 as int)").as("dup_pct_5"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionStatsOracleSql: String = {
+    def grams(n: Int) =
+      s"""list_transform(
+         |  generate_series(1, greatest(len(tk) - ${n - 1}, 1)),
+         |  i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))""".stripMargin
+    s"""SELECT doc_id,
+       |  n_grams_2, n_distinct_2,
+       |  CAST((n_grams_2 - n_distinct_2) * 100 // n_grams_2 AS INTEGER) AS dup_pct_2,
+       |  n_grams_5, n_distinct_5,
+       |  CAST((n_grams_5 - n_distinct_5) * 100 // n_grams_5 AS INTEGER) AS dup_pct_5
+       | FROM (
+       |  SELECT doc_id,
+       |    CAST(len(${grams(2)}) AS INTEGER) AS n_grams_2,
+       |    CAST(len(list_distinct(${grams(2)})) AS INTEGER) AS n_distinct_2,
+       |    CAST(len(${grams(5)}) AS INTEGER) AS n_grams_5,
+       |    CAST(len(list_distinct(${grams(5)})) AS INTEGER) AS n_distinct_5
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+       | ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprint: polynomial rolling hash over token lengths in
     * modular arithmetic — portable (no engine-specific hash), so the DuckDB
     * oracle replays it with list_reduce. Used as a cheap shard-stable

@@ -119,6 +119,22 @@ class PlanContractSpec extends AnyFunSuite {
       s"no digests-only index scan in the append plan:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("near_dups_topk ranks inside vec_id partitions — no global sort before the cap") {
+    val plan = finalPlanOf(operators.Similarity.nearDupsTopK(spark, sf))
+    assert(plan.contains("windowspecdefinition(vec_id"),
+      s"rank window must be partitioned by vec_id, not global:\n$plan")
+  }
+
+  test("repetition_stats is a shuffle-free scan (presentation sort aside)") {
+    val df = operators.TextAnalysis.repetitionStats(spark, sf)
+    val plan = planOf(df)
+    // the only exchange allowed is the final ORDER BY's rangepartitioning;
+    // a hashpartitioning exchange would mean the per-row arithmetic
+    // escaped into an aggregation/join
+    assert(!plan.contains("hashpartitioning"),
+      s"repetition stats must not shuffle:\n$plan")
+  }
+
   test("salesCube expands CELLS, not fact rows: Expand sits above the pre-aggregation") {
     val plan = finalPlanOf(etl.Analytics.salesCube(spark, sf))
     assert(plan.contains("Expand"), s"cube did not use Expand grouping sets:\n$plan")

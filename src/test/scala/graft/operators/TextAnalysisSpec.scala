@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -42,6 +43,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     // a 50k vocab holds every fixture term (the corpus vocabulary is much
     // smaller), so no token may encode as UNK
     assert(rows.map(_._3.toLong).sum === 0L, "50k vocab left unknown tokens")
+  }
+
+  test("repetitionStats: bounds hold and a planted looping doc scores high") {
+    val rows = TextAnalysis.repetitionStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, g2, d2, p2, g5, d5, p5) =>
+      assert(d2 <= g2 && d5 <= g5, s"doc $id distinct > total")
+      assert(p2 >= 0 && p2 <= 100 && p5 >= 0 && p5 <= 100, s"doc $id pct bounds")
+      // repetition at a longer window is never more frequent than at a
+      // shorter one on the same text
+      assert(p5 <= p2 + 1, s"doc $id: 5-gram dup pct $p5 > 2-gram $p2")
+    }
+    // planted check, driven through the same operator lineage on a tiny
+    // synthetic frame: a looping doc maxes out, unique text scores 0
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (1L, ("spam ham " * 50).trim, "src1", "en"),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "), "src1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = TextAnalysis.repetitionStats(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getInt(6))).toMap
+    assert(planted(1L)._1 > 90 && planted(1L)._2 > 90, s"looping doc ${planted(1L)}")
+    assert(planted(2L) === ((0, 0)), s"unique doc ${planted(2L)}")
   }
 
   test("VocabLookup handles a genuinely large (50k-entry) vocabulary") {

@@ -371,6 +371,11 @@ object SparkEntry {
     // boilerplate chunk detection, both over deterministic injections
     "pii_scrub" -> ((s, d) => operators.Scrub.piiScrub(s, d)),
     "boilerplate_stats" -> ((s, d) => operators.Scrub.boilerplateStats(s, d)),
+    // the rewrite counterpart: drop cross-document repeated chunks and
+    // hash-check the reassembled text (digest-only shuffles)
+    "strip_boilerplate" -> ((s, d) => operators.Scrub.stripBoilerplate(s, d)),
+    // cluster-aware split: near-dup families never straddle train/val
+    "leakage_safe_split" -> ((s, d) => operators.Corpus.leakageSafeSplit(s, d)),
     // event analytics
     "hourly_rollup" -> ((s, d) => operators.Events.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => operators.Events.sessionize(s, d)),
@@ -508,6 +513,8 @@ object SparkEntry {
     "corpus_run_summary" -> operators.CorpusPipeline.runSummaryOracleSql,
     "pii_scrub" -> operators.Scrub.piiScrubOracleSql,
     "boilerplate_stats" -> operators.Scrub.boilerplateOracleSql(corpusCte),
+    "strip_boilerplate" -> operators.Scrub.stripBoilerplateOracleSql(corpusCte),
+    "leakage_safe_split" -> operators.Corpus.leakageSafeSplitOracleSql(corpusCte),
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
     "ann_topk" -> operators.Similarity.annOracleSql(),
     "embedding_near_dups" -> operators.Similarity.nearDupsOracleSql(),

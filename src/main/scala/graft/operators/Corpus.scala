@@ -52,6 +52,47 @@ object Corpus {
       |   FROM documents)
       | ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE split — [[trainSplit]]'s correctness upgrade for
+    * corpora with near-duplicates: hashing each document's own id lets
+    * two near-copies land in different splits (a val doc's twin in train
+    * = evaluation leakage). Here the split key is the document's
+    * duplicate-CLUSTER representative ([[Dedup.dupClusters]]; singletons
+    * represent themselves), so an entire near-dup family moves as one
+    * unit and no family ever straddles a split boundary (asserted in
+    * CorpusSpec against families that doc-id hashing provably splits).
+    * Runs over the planted-duplicate corpus so the property is
+    * non-vacuous; the oracle replays clustering + assignment in one
+    * recursive-CTE chain. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val members = Dedup.dupClusters(spark, dir)
+    val grouped = Dedup.corpusWithDups(spark, dir).select("doc_id")
+      .join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("group_id"))
+    val bucket = pmod(
+      Dedup.fastHash60(spark, concat(lit("split:"), col("group_id").cast("string"))), lit(100L))
+    grouped
+      .select(col("doc_id"), col("group_id"), bucket.cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  def leakageSafeSplitOracleSql(corpusCte: String): String =
+    s"""${Dedup.dupClustersCte(corpusCte).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       | grouped AS (
+       |  SELECT c.doc_id, COALESCE(cl.cluster_rep, c.doc_id) AS group_id
+       |  FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id)
+       | SELECT doc_id, group_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       | FROM (SELECT doc_id, group_id,
+       |   CAST(CAST('0x' || substring(md5('split:' || CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |     % 100 AS INTEGER) AS bucket
+       |   FROM grouped)
+       | ORDER BY doc_id""".stripMargin
+
   val defaultPackBudget = 512
   val defaultShards = 16
 

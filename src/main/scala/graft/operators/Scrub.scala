@@ -98,6 +98,69 @@ object Scrub {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate STRIPPING — the rewrite counterpart of
+    * [[boilerplateStats]] (the C4-style "drop repeated lines" cleanup):
+    * remove every fixed-width chunk whose digest appears in more than
+    * `maxDocFreq` distinct documents, and emit each document's surviving
+    * chunk count plus the md5 of the reassembled text (the oracle checks
+    * the full rewritten CONTENT without dumping text).
+    *
+    * 100 TB shape: only (digest, doc_id, pos) tuples shuffle — the chunk
+    * TEXT never leaves its document. Kept positions join back as ints,
+    * and reassembly re-slices the original text PER ROW (narrow
+    * `transform` over the kept-position array), so the rewrite costs a
+    * digest-frequency aggregation + one small join, not a corpus-sized
+    * text shuffle. */
+  def stripBoilerplate(spark: SparkSession, dir: String, maxDocFreq: Int = 1): DataFrame = {
+    val docs = Dedup.corpusWithDups(spark, dir)
+    val chunkArr = expr(
+      s"""transform(
+         |  sequence(0, greatest(cast(ceil(size(split(text, ' ')) / $chunkTokens.0) as int) - 1, 0)),
+         |  i -> concat_ws(' ', slice(split(text, ' '), i * $chunkTokens + 1, $chunkTokens)))""".stripMargin)
+    val chunked = docs
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos"), md5(col("chunk")).as("digest"))
+    val rare = chunked.select("doc_id", "digest").distinct()
+      .groupBy("digest").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxDocFreq)
+      .select("digest")
+    val keptPos = chunked.join(rare, Seq("digest"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("kept"))
+    docs.join(keptPos, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("kept"), array()))
+      .withColumn("chunks", chunkArr)
+      .select(
+        col("doc_id"),
+        size(col("chunks")).as("n_chunks"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(kept, p -> element_at(chunks, p + 1))"))).as("stripped_md5"))
+      .orderBy("doc_id")
+  }
+
+  def stripBoilerplateOracleSql(corpusCte: String, maxDocFreq: Int = 1): String =
+    s"""$corpusCte,
+       | toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corpus),
+       | ch AS (
+       |   SELECT doc_id, i AS pos,
+       |     array_to_string(list_slice(tk, i * $chunkTokens + 1, i * $chunkTokens + $chunkTokens), ' ') AS chunk
+       |   FROM toks CROSS JOIN UNNEST(generate_series(0,
+       |     greatest(CAST(ceil(len(tk) / $chunkTokens.0) AS INTEGER) - 1, 0))) AS u(i)),
+       | chd AS (SELECT doc_id, pos, chunk, md5(chunk) AS digest FROM ch),
+       | rare AS (SELECT digest FROM (SELECT DISTINCT doc_id, digest FROM chd)
+       |   GROUP BY digest HAVING COUNT(*) <= $maxDocFreq),
+       | kept AS (
+       |   SELECT doc_id, COUNT(*) AS n_kept,
+       |     md5(array_to_string(list(chunk ORDER BY pos), ' ')) AS stripped_md5
+       |   FROM chd JOIN rare USING (digest)
+       |   GROUP BY doc_id),
+       | totals AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks FROM chd GROUP BY doc_id)
+       | SELECT t.doc_id, t.n_chunks,
+       |   CAST(COALESCE(k.n_kept, 0) AS INTEGER) AS n_kept,
+       |   COALESCE(k.stripped_md5, md5('')) AS stripped_md5
+       | FROM totals t LEFT JOIN kept k USING (doc_id)
+       | ORDER BY t.doc_id""".stripMargin
+
   def boilerplateOracleSql(corpusCte: String): String =
     s"""$corpusCte,
        | toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),

@@ -155,6 +155,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(idx.count() === 6)
   }
 
+  test("leakageSafeSplit: no near-dup family straddles a split; doc-id hashing provably would") {
+    val rows = Corpus.leakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    // every family (shared group_id) lands in exactly one split
+    rows.groupBy(_._2).foreach { case (group, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"family $group straddles splits: ${members.map(m => (m._1, m._3)).take(4)}")
+    }
+    // the planted exact copies (id -> id+100000) share a family and a split
+    val families = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val copyPairs = families.keys.filter(id => families.contains(id + 100000L))
+      .map(id => (id, id + 100000L)).toSeq
+    assert(copyPairs.nonEmpty)
+    copyPairs.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"copies ($a,$b) split apart") }
+    // non-vacuous: per-DOC-id hashing (the trainSplit rule applied to
+    // each member independently) diverges on at least one planted pair —
+    // exactly the leakage this operator exists to prevent
+    def docIdSplit(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val bk = java.lang.Long.parseLong(hex, 16) % 100
+      if (bk < 80) "train" else if (bk < 90) "val" else "test"
+    }
+    assert(copyPairs.exists { case (a, b) => docIdSplit(a) != docIdSplit(b) },
+      "fixture never splits a family under doc-id hashing (vacuous test)")
+  }
+
   test("cleanCorpus is a subset of documents: deduped and quality-gated") {
     val clean = Corpus.cleanCorpus(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()

@@ -50,4 +50,34 @@ class ScrubSpec extends AnyFunSuite {
       assert(n > 0 && b >= 0 && b <= n && pct >= 0 && pct <= 100)
     }
   }
+
+  test("stripBoilerplate: planted copies strip to nothing, unique docs keep everything") {
+    val stripped = Scrub.stripBoilerplate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(stripped.nonEmpty)
+    val byId = stripped.map(r => r._1 -> r).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    stripped.foreach { case (id, total, kept, md5) =>
+      assert(kept <= total, s"doc $id kept > total")
+      if (kept == 0) assert(md5 === emptyMd5, s"doc $id empty-strip md5")
+    }
+    // an exact copy shares EVERY chunk with its original -> both strip to 0
+    val copied = stripped.filter(r => byId.contains(r._1 + 100000L))
+    assert(copied.nonEmpty)
+    copied.foreach { case (id, _, kept, _) =>
+      assert(kept === 0, s"duplicated doc $id kept $kept chunks")
+      assert(byId(id + 100000L)._3 === 0, s"copy of $id kept chunks")
+    }
+    // docs with no planted copy mostly survive: whole-document uniqueness
+    // doesn't make every CHUNK unique (the fixture's 31-token vocabulary
+    // produces incidental cross-doc chunk collisions), but the bulk of
+    // their text must remain, and some docs must survive fully intact
+    val untouched = stripped.filter(r =>
+      r._1 < 100000L && r._1 % 10 != 0 && r._1 % 10 != 5)
+    assert(untouched.nonEmpty)
+    val keptFrac = untouched.map(_._3.toLong).sum.toDouble / untouched.map(_._2.toLong).sum
+    assert(keptFrac >= 0.5, s"non-copied docs kept only $keptFrac of their chunks")
+    assert(untouched.exists(r => r._3 === r._2), "no doc survived fully intact")
+  }
 }

@@ -109,7 +109,8 @@ object CorpusPipeline {
 
   private case class Built(
     metrics: Seq[(String, Long, Long, Double)],
-    train: DataFrame, interleaved: DataFrame, packs: DataFrame)
+    train: DataFrame, interleaved: DataFrame, packs: DataFrame,
+    allStages: Seq[DataFrame])
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Built]
@@ -141,8 +142,19 @@ object CorpusPipeline {
       val nPacks = packs.select("shard", "pack_id").distinct().count()
       metrics += (("8_pack", n6, nPacks, (System.nanoTime() - t0) / 1e9))
       raw.unpersist(blocking = false)
-      Built(metrics.result(), s6, inter, packs)
+      Built(metrics.result(), s6, inter, packs,
+        Seq(s1, s2, s3, s4, s5, s6, inter, packs))
     })
+
+  /** Release this session's persisted stage frames (the
+    * [[graft.etl.Warehouse.evict]] convention for long-lived sessions).
+    * Rebuilds transparently on next use; call at a quiescent point. */
+  def evict(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    cache.keys.filter(_._1 == app).foreach { k =>
+      cache.remove(k).foreach(_.allStages.foreach(_.unpersist(blocking = false)))
+    }
+  }
 
   /** Per-stage row metrics as a relation — the oracle-checked surface
     * (`corpus_run_summary`). Durations are deliberately excluded: the

@@ -70,6 +70,15 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .filter(col("status") === "SUCCESS").count() === 1)
   }
 
+  test("evict-then-reuse: a fresh build reproduces identical stage metrics") {
+    val before = CorpusPipeline.runSummary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    CorpusPipeline.evict(spark)
+    val after = CorpusPipeline.runSummary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after.sameElements(before), "rebuilt stage metrics differ from pre-evict")
+  }
+
   test("no eval doc or its duplicate survives into the train corpus") {
     val train = CorpusPipeline.runSummary(spark, sf) // ensure built
     val trainIds = CorpusPipeline.trainStage(spark,

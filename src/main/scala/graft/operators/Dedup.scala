@@ -253,7 +253,8 @@ object Dedup {
     * with a recursive reachability CTE. Output: one row per doc that HAS
     * a duplicate (singletons are trivially their own representative). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhashPairs(spark, dir).select("doc_a", "doc_b"))
+    graft.functions.Memo(spark, dir, "dup_clusters")(
+      connectedComponents(minhashPairs(spark, dir).select("doc_a", "doc_b")))
       .orderBy("doc_id")
 
   /** Connected components over an undirected edge list `(doc_a, doc_b)`

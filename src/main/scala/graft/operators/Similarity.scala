@@ -323,9 +323,13 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Memoized per (session, dir): `embedding_near_dups` and
+    * `near_dups_topk` both consume the same scored pair relation, and the
+    * bucket self-join + cosine verify is the expensive stage. */
   private def scoredNearDupPairs(spark: SparkSession, dir: String,
       minCosine: Double): DataFrame =
-    scoredPairsFromCodes(spark, dir, cachedCodes(spark, dir), minCosine)
+    graft.functions.Memo(spark, dir, s"near_dup_pairs_$minCosine")(
+      scoredPairsFromCodes(spark, dir, cachedCodes(spark, dir), minCosine))
 
   /** [[embeddingNearDups]] at an arbitrary code width (see [[codesAt]]) —
     * the corpus-scaled variant PairBench measures; not registered, so the

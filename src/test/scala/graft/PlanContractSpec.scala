@@ -135,6 +135,20 @@ class PlanContractSpec extends AnyFunSuite {
       s"repetition stats must not shuffle:\n$plan")
   }
 
+  test("decontaminate broadcasts the eval side — training n-grams never shuffle for the probe") {
+    val plan = finalPlanOf(operators.Corpus.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval digest probe must broadcast:\n$plan")
+  }
+
+  test("packDocuments windows inside shard partitions (no corpus-wide cumulative sum)") {
+    val plan = finalPlanOf(operators.Corpus.packDocuments(spark, sf))
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"pack window must partition by shard:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"corpus-wide single-partition exchange in the packing plan:\n$plan")
+  }
+
   test("salesCube expands CELLS, not fact rows: Expand sits above the pre-aggregation") {
     val plan = finalPlanOf(etl.Analytics.salesCube(spark, sf))
     assert(plan.contains("Expand"), s"cube did not use Expand grouping sets:\n$plan")

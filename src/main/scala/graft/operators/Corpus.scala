@@ -317,19 +317,25 @@ object Corpus {
   /** The COMMITTED form of [[appendBatch]]: admit the batch rows whose
     * digest is absent from the index at `indexDir`, then extend the index
     * with the admitted digests — so the next batch is rejected against
-    * corpus + this batch without any rescan. The admitted frame is
-    * materialized (localCheckpoint) BEFORE the index write: its lineage
-    * reads the same parquet directory the write appends to, and an
-    * unmaterialized plan would re-resolve the directory mid-write.
-    * Returns the admitted `(doc_id, digest)` rows. */
+    * corpus + this batch without any rescan. Duplicates WITHIN the batch
+    * collapse keep-first by doc_id (the D1 convention — a digest is
+    * admitted at most once per commit, matching the streaming twin's
+    * one-per-digest guarantee). The admitted frame is materialized
+    * (localCheckpoint) BEFORE the index write: its lineage reads the same
+    * parquet directory the write appends to, and an unmaterialized plan
+    * would re-resolve the directory mid-write. Returns the admitted
+    * `(doc_id, digest)` rows. */
   def admitAndCommit(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     val index = spark.read.parquet(indexDir)
     val admitted = batch
       .withColumn("digest", md5(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("keep_id"))
       .join(index, Seq("digest"), "left_anti")
       .select(col("doc_id"), col("digest"))
       .localCheckpoint(true)
-    admitted.select("digest").distinct().write.mode("append").parquet(indexDir)
+    admitted.select("digest").write.mode("append").parquet(indexDir)
     admitted
   }
 

@@ -130,8 +130,10 @@ class CorpusSpec extends AnyFunSuite {
       .select(md5(col("text")).as("digest"))
       .write.mode("overwrite").parquet(indexDir)
 
-    // batch 1: one dupe of the corpus, two new docs
-    val b1 = Seq((10L, "alpha body"), (11L, "delta body"), (12L, "epsilon body"))
+    // batch 1: one dupe of the corpus, two new docs, and an IN-BATCH dupe
+    // (13 repeats 11's text — keep-first admits the smaller id only)
+    val b1 = Seq((10L, "alpha body"), (11L, "delta body"),
+      (12L, "epsilon body"), (13L, "delta body"))
       .toDF("doc_id", "text")
     val a1 = Corpus.admitAndCommit(spark, indexDir, b1)
       .collect().map(_.getLong(0)).toSet

@@ -130,10 +130,10 @@ class StreamsSpec extends AnyFunSuite {
       .select(md5(col("text")).as("digest"))
       .write.mode("overwrite").parquet(indexDir)
     // two arrival batches: corpus dupes, a cross-batch stream dupe, and
-    // genuinely new docs. (In-batch dupes are excluded: the batch twin
-    // admits all copies of a digest arriving in ONE batch while the
-    // stream keeps the first — a real semantic difference documented on
-    // appendStream; cross-batch behavior is identical.)
+    // genuinely new docs. (In-batch dupes excluded only because the KEEP
+    // CHOICE differs — the batch twin keeps the smallest doc_id, the
+    // stream keeps the first arrival per state-store partition — while
+    // both admit exactly one doc per digest.)
     val batch1 = Seq((10L, "alpha body"), (11L, "delta body"), (12L, "epsilon body"))
     val batch2 = Seq((20L, "delta body"), (21L, "zeta body"), (22L, "beta body"))
 

@@ -342,6 +342,9 @@ object SparkEntry {
     "media_frames" -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     "media_features" -> ((s, d) =>
       operators.Multimodal.decodeFeatures(s, d).toDF().orderBy("doc_id")),
+    // real decode + nearest-neighbor resize, formula-oracle-checked
+    "media_resize" -> ((s, d) =>
+      operators.Multimodal.resizeFeatures(s, d).toDF().orderBy("doc_id")),
     // similarity search — brute force, hyperplane-LSH ANN, and embedding
     // near-dups are all oracle-checked (the seeded planes are literal
     // constants DuckDB replays); only the iterative k-means IVF index is
@@ -495,6 +498,7 @@ object SparkEntry {
         | CAST(length(text) AS INTEGER) AS payload_bytes
         | FROM documents ORDER BY doc_id""".stripMargin,
     "media_features" -> operators.Multimodal.decodeFeaturesOracleSql(),
+    "media_resize" -> operators.Multimodal.resizeFeaturesOracleSql(),
     "media_frames" -> operators.Multimodal.frameSampleOracleSql(),
     "fingerprint" ->
       """SELECT doc_id,

@@ -171,6 +171,52 @@ object Multimodal {
     }
   }
 
+  val resizeTo = 8
+
+  final case class ResizedFeature(doc_id: Long, out_w: Int, out_h: Int, px_sum: Long)
+
+  /** REAL resize (the remaining multimodal verb next to decode /
+    * feature-extract / frame-sample): decode the PNG, nearest-neighbor
+    * downsample to [[resizeTo]]² by index sampling the decoded raster
+    * (source pixel `(x·W/k, y·H/k)`, integer floor — the standard NN
+    * kernel), and emit the resized pixel sum. Same per-partition iterator
+    * contract as [[decodeFeatures]]; the DuckDB oracle replays the
+    * sampled positions by formula, so the hash proves decode + resize
+    * end to end. */
+  def resizeFeatures(spark: SparkSession, dir: String): Dataset[ResizedFeature] = {
+    import spark.implicits._
+    val k = resizeTo
+    syntheticImages(spark, dir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < k) {
+          var x = 0
+          while (x < k) {
+            sum += (img.getRGB(x * w / k, y * h / k) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedFeature(id, k, k, sum)
+      }
+    }
+  }
+
+  def resizeFeaturesOracleSql(): String = {
+    val k = resizeTo
+    s"""SELECT doc_id, $k AS out_w, $k AS out_h,
+       | CAST(list_sum(list_transform(generate_series(0, ${k * k - 1}),
+       |   i -> (((i % $k) * width // $k) + 3 * ((i // $k) * height // $k) + 7 * doc_id) % 256))
+       |   AS BIGINT) AS px_sum
+       | FROM (SELECT doc_id, 16 + doc_id % 64 AS width,
+       |       16 + (doc_id * 7) % 64 AS height FROM documents)
+       | ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB formula oracle for [[decodeFeatures]]: recomputes the decoded
     * pixel statistics from the defining formulas — a hash match proves the
     * encode -> PNG -> decode roundtrip is lossless end to end. */

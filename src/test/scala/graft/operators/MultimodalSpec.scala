@@ -56,4 +56,20 @@ class MultimodalSpec extends AnyFunSuite {
         s"doc ${f.doc_id}: decoded pixel sum ${f.px_sum} != formula $expected")
     }
   }
+
+  test("resizeFeatures: nearest-neighbor samples match the source-pixel formula") {
+    val k = Multimodal.resizeTo
+    val rows = Multimodal.resizeFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(25).foreach { f =>
+      assert(f.out_w === k && f.out_h === k)
+      val (w, h) = (Multimodal.imgWidth(f.doc_id), Multimodal.imgHeight(f.doc_id))
+      val expected = (for {
+        y <- 0 until k
+        x <- 0 until k
+      } yield Multimodal.pixelValue(f.doc_id, x * w / k, y * h / k).toLong).sum
+      assert(f.px_sum === expected,
+        s"doc ${f.doc_id}: resized pixel sum ${f.px_sum} != formula $expected")
+    }
+  }
 }

@@ -91,7 +91,11 @@ object CorpusPipeline {
       .join(flagged, Seq("doc_id"), "left_anti")
   }
 
-  /** Stage 6: keep the train split ([[Corpus.trainSplit]]'s bucket < 80). */
+  /** Stage 6: keep the train split ([[Corpus.trainSplit]]'s bucket < 80).
+    * Doc-id hashing is leakage-safe HERE because stage 4 already
+    * collapsed every near-dup family to its representative — the
+    * cluster-keyed [[Corpus.leakageSafeSplit]] is the tool when a corpus
+    * is split WITHOUT near-dedup running first. */
   def trainStage(spark: SparkSession, docs: DataFrame): DataFrame =
     docs.filter(pmod(
       Dedup.fastHash60(spark, concat(lit("split:"), col("doc_id").cast("string"))),

@@ -398,8 +398,7 @@ object SparkEntry {
     }),
   )
 
-  private val stopwordList =
-    operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+  private val stopwordList = operators.TextAnalysis.stopwordSqlList
 
   private def langScoreSql(code: String): String = {
     val words = operators.TextAnalysis.langProfiles(code).map(w => s"'$w'").mkString(", ")
@@ -456,8 +455,7 @@ object SparkEntry {
          | FROM documents ORDER BY doc_id""".stripMargin,
     "quality_score" ->
       s"""SELECT doc_id, n_tokens, n_stopwords, n_chars,
-         | (n_chars >= 40 AND n_chars <= 20000 AND n_tokens >= 8
-         |  AND n_stopwords * 20 >= n_tokens) AS quality_pass
+         | (${operators.TextAnalysis.qualityGateSql}) AS quality_pass
          | FROM (SELECT doc_id,
          |   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopwordList))) AS INTEGER) AS n_stopwords,

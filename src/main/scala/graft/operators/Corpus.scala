@@ -284,6 +284,19 @@ object Corpus {
       d
     })
 
+  /** Drop this session's digest-index registrations (the Memo/Warehouse
+    * evict convention for long-lived sessions cycling sf-dirs; the temp
+    * parquet dirs themselves are OS-lifetime). NOTE the index is
+    * deliberately frozen at first bootstrap per (session, dir) — the
+    * registered query's determinism depends on that — so a fixture
+    * REWRITTEN in place mid-session requires evictIndexes before its
+    * next append, or the stale index diverges from the oracle's live
+    * replay. */
+  def evictIndexes(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    indexDirs.keys.filter(_._1 == app).foreach(indexDirs.remove)
+  }
+
   /** Incremental corpus ingestion — the append-only twin of the batch
     * dedup family: admit a new batch of documents only where the content
     * digest is NOT already in the persisted digest index (the `ON
@@ -356,14 +369,13 @@ object Corpus {
       col("doc_id"), col("text"),
       size(split(col("text"), " ")).as("n_tokens"),
       expr(s"size(filter(split(text, ' '), w -> w IN (${
-        TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")})))").as("n_stopwords"),
+        TextAnalysis.stopwordSqlList})))").as("n_stopwords"),
       length(col("text")).as("n_chars"))
     val keepFirst = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
     docs
       .withColumn("keep_id", keepFirst)
       .filter(col("doc_id") === col("keep_id"))
-      .filter(col("n_chars") >= 40 && col("n_chars") <= 20000 &&
-        col("n_tokens") >= 8 && col("n_stopwords") * 20 >= col("n_tokens"))
+      .filter(expr(TextAnalysis.qualityGateSql))
       .select("doc_id", "n_tokens", "n_chars")
       .orderBy("doc_id")
   }
@@ -373,11 +385,10 @@ object Corpus {
        | SELECT doc_id,
        |   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN (${
-            TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS n_stopwords,
+            TextAnalysis.stopwordSqlList}))) AS INTEGER) AS n_stopwords,
        |   CAST(length(text) AS INTEGER) AS n_chars,
        |   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
        | FROM documents)
-       | WHERE doc_id = keep_id AND n_chars >= 40 AND n_chars <= 20000
-       |   AND n_tokens >= 8 AND n_stopwords * 20 >= n_tokens
+       | WHERE doc_id = keep_id AND ${TextAnalysis.qualityGateSql}
        | ORDER BY doc_id""".stripMargin
 }

@@ -32,13 +32,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object CorpusPipeline {
 
-  /** Fixture docs + PII injection + planted duplicates (in that order). */
+  /** Fixture docs + PII injection + planted duplicates (in that order;
+    * offsets from [[Dedup.plantUnit]]). */
   def rawCorpus(spark: SparkSession, dir: String): DataFrame = {
     val pii = Scrub.corpusWithPii(spark, dir)
     val exact = pii.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .select((col("doc_id") + Dedup.plantUnit).as("doc_id"), col("text"))
     val near = pii.filter(col("doc_id") % 10 === 5)
-      .select((col("doc_id") + 200000).as("doc_id"),
+      .select((col("doc_id") + 2 * Dedup.plantUnit).as("doc_id"),
         concat(col("text"), lit(" zzz extra trailing pad")).as("text"))
     pii.unionByName(exact).unionByName(near)
   }
@@ -49,17 +50,17 @@ object CorpusPipeline {
       regexp_replace(regexp_replace(col("text"), Scrub.emailPattern, "<EMAIL>"),
         Scrub.phonePattern, "<PHONE>").as("text"))
 
-  /** Stage 2: [[TextAnalysis.qualityScore]]'s gate as a filter. */
-  def qualityStage(docs: DataFrame): DataFrame = {
-    val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+  /** Stage 2: [[TextAnalysis.qualityScore]]'s gate as a filter (the
+    * thresholds and stopword list interpolate from TextAnalysis's single
+    * definitions). */
+  def qualityStage(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("n_stop", expr(s"size(filter(split(text, ' '), w -> w IN ($stop)))"))
+      .withColumn("n_stopwords", expr(
+        s"size(filter(split(text, ' '), w -> w IN (${TextAnalysis.stopwordSqlList})))"))
       .withColumn("n_chars", length(col("text")))
-      .filter(col("n_chars") >= 40 && col("n_chars") <= 20000 &&
-        col("n_tokens") >= 8 && col("n_stop") * 20 >= col("n_tokens"))
+      .filter(expr(TextAnalysis.qualityGateSql))
       .select("doc_id", "text")
-  }
 
   /** Stage 3: exact dedup, keep-first by content digest (window min — no
     * self-join, the [[Corpus.cleanCorpus]] shape). */
@@ -102,11 +103,11 @@ object CorpusPipeline {
       lit(100L)) < 80)
 
   /** Stage 7: source-weighted interleave of the surviving train docs
-    * (source recovered from the original doc via id arithmetic). */
+    * (source recovered by inverting the [[Dedup.plantUnit]] copy offsets). */
   def interleaveStage(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id").as("orig_id"), col("source"))
     Corpus.interleaveOf(
-      docs.withColumn("orig_id", col("doc_id") % 100000)
+      docs.withColumn("orig_id", col("doc_id") % Dedup.plantUnit)
         .join(src, "orig_id")
         .select("doc_id", "source"))
   }
@@ -175,7 +176,7 @@ object CorpusPipeline {
     * (recursive reachability CTE) — composed from the same oracle
     * builders the standalone operator queries use. */
   def runSummaryOracleSql: String = {
-    val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    val stop = TextAnalysis.stopwordSqlList
     val g = Corpus.contamN - 1
     def grams(pred: String) =
       s"""SELECT doc_id, unnest(list_distinct(list_transform(
@@ -194,20 +195,20 @@ object CorpusPipeline {
          | raw AS (
          |  SELECT doc_id, text FROM pii
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM pii WHERE doc_id % 10 = 0
+         |  SELECT doc_id + ${Dedup.plantUnit}, text FROM pii WHERE doc_id % 10 = 0
          |  UNION ALL
-         |  SELECT doc_id + 200000, text || ' zzz extra trailing pad' FROM pii WHERE doc_id % 10 = 5),
+         |  SELECT doc_id + ${2 * Dedup.plantUnit}, text || ' zzz extra trailing pad'
+         |  FROM pii WHERE doc_id % 10 = 5),
          | s1 AS (SELECT doc_id,
          |   regexp_replace(regexp_replace(text, '${Scrub.emailPattern}', '<EMAIL>', 'g'),
          |     '${Scrub.phonePattern}', '<PHONE>', 'g') AS text FROM raw),
          | s2 AS (SELECT doc_id, text FROM (
          |   SELECT doc_id, text,
          |     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-         |     CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS INTEGER) AS n_stop,
+         |     CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS INTEGER) AS n_stopwords,
          |     CAST(length(text) AS INTEGER) AS n_chars
          |   FROM s1)
-         |   WHERE n_chars >= 40 AND n_chars <= 20000 AND n_tokens >= 8
-         |     AND n_stop * 20 >= n_tokens),
+         |   WHERE ${TextAnalysis.qualityGateSql}),
          | s3 AS (SELECT doc_id, text FROM (
          |   SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM s2)
          |   WHERE doc_id = keep_id),
@@ -225,7 +226,8 @@ object CorpusPipeline {
        | s6 AS (SELECT doc_id, text FROM s5
        |   WHERE CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
        |     % 100 < 80),
-       | s7 AS (SELECT s.doc_id FROM s6 s JOIN documents d ON d.doc_id = s.doc_id % 100000),
+       | s7 AS (SELECT s.doc_id FROM s6 s
+       |   JOIN documents d ON d.doc_id = s.doc_id % ${Dedup.plantUnit}),
        | s8 AS (SELECT DISTINCT shard, (cum - n_tokens) // ${Corpus.defaultPackBudget} AS pack_id
        |   FROM (SELECT shard, doc_id, n_tokens,
        |     CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -119,13 +119,20 @@ object Dedup {
     (0 until numHashes).map(_ => (next() % (hashPrime - 1) + 1, next() % hashPrime))
   }
 
+  /** Planted-copy id offset unit, shared by [[corpusWithDups]],
+    * [[graft.operators.CorpusPipeline.rawCorpus]] and the interleave
+    * stage's inversion: copies live at +1·unit and +2·unit, so
+    * `doc_id % plantUnit` recovers the original id. Fixture doc ids must
+    * stay below this (they top out ~50k at sf1). */
+  val plantUnit = 100000L
+
   /** Fixture corpus + planted duplicates (replayed in oracle SQL). */
   def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val exact = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .select((col("doc_id") + plantUnit).as("doc_id"), col("text"))
     val near = docs.filter(col("doc_id") % 10 === 5)
-      .select((col("doc_id") + 200000).as("doc_id"),
+      .select((col("doc_id") + 2 * plantUnit).as("doc_id"),
         concat(col("text"), lit(" zzz extra trailing pad")).as("text"))
     docs.unionByName(exact).unionByName(near)
   }
@@ -295,6 +302,20 @@ object Dedup {
     *
     * Output: `(doc_id, cluster_rep)` for every node that appears in an
     * edge, component representatives included (rep maps to itself). */
+  /** Frees a localCheckpoint'd frame's blocks: `DataFrame.unpersist` is a
+    * no-op for checkpoints (they never register with the CacheManager) —
+    * the blocks belong to the materialized RDD inside the LogicalRDD
+    * leaf, so unpersist THAT. Safe on non-checkpoint frames (no leaf
+    * matches). The final round's labels stay live: the caller's result
+    * plan references them and they release with the session (or Memo
+    * eviction). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     // canonical directed form: u > v, distinct
@@ -341,6 +362,12 @@ object Dedup {
         val newCount = ss.count()
         converged = newCount == prevCount &&
           ss.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+        // release superseded checkpoint blocks NOW — ss is already
+        // materialized, and without this the loop accumulates
+        // O(rounds × |edges|) block-manager storage until the
+        // ContextCleaner gets to the dropped RDDs
+        releaseCheckpoint(ls)
+        releaseCheckpoint(edges)
         edges = ss
         prevCount = newCount
         iter += 1

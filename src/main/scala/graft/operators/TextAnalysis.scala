@@ -25,7 +25,26 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
-  private val stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+  /** Quoted stopword list for SQL interpolation — public so every
+    * consumer (quality gates, pipeline stages, oracle builders) reads
+    * ONE definition. */
+  val stopwordSqlList: String = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The quality gate's thresholds — defined once; [[qualityScore]],
+    * [[graft.operators.Corpus.cleanCorpus]],
+    * [[graft.operators.CorpusPipeline.qualityStage]] and their oracle
+    * SQL all interpolate these (a tweak here moves every consumer AND
+    * every oracle together). */
+  val qMinChars = 40
+  val qMaxChars = 20000
+  val qMinTokens = 8
+  val qStopwordDensity = 20 // pass iff n_stopwords * density >= n_tokens
+
+  /** The gate as one SQL boolean over (n_chars, n_tokens, n_stopwords) —
+    * valid in both Spark SQL and DuckDB. */
+  val qualityGateSql: String =
+    s"n_chars >= $qMinChars AND n_chars <= $qMaxChars AND n_tokens >= $qMinTokens" +
+      s" AND n_stopwords * $qStopwordDensity >= n_tokens"
 
   /** BPE-ish pre-tokenization pattern: letter runs, digit runs, and single
     * other non-space chars — the GPT-2-style split shape, kept to a
@@ -54,10 +73,7 @@ object TextAnalysis {
       size(tokens(col("text"))).as("n_tokens"),
       expr(s"size(filter(split(text, ' '), w -> w IN ($stopwordSqlList)))").as("n_stopwords"),
       length(col("text")).as("n_chars"))
-      .withColumn("quality_pass",
-        col("n_chars") >= 40 && col("n_chars") <= 20000 &&
-          col("n_tokens") >= 8 &&
-          col("n_stopwords") * 20 >= col("n_tokens"))
+      .withColumn("quality_pass", expr(qualityGateSql))
       .orderBy("doc_id")
 
   /** Language ID via stopword-profile scoring: count hits against a
@@ -142,7 +158,11 @@ object TextAnalysis {
     * V=50000 (`tokenize_ids_50k`). */
   def tokenizeIdsBroadcast(spark: SparkSession, dir: String,
       n: Int = vocabSize): DataFrame = {
-    val fn = s"vocab_lookup_$n"
+    // the registry name must identify THIS vocabulary, not just its size:
+    // a name keyed only by n would let a second corpus with the same n
+    // re-bind the function another in-flight encode is about to resolve
+    val fn = s"vocab_lookup_${n}_" +
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
     graft.functions.VocabExprs.registerVocab(spark, fn, vocab(spark, dir, n).toMap)
     encodeWith(spark, dir, tk => transform(tk, w => call_function(fn, w)))
   }

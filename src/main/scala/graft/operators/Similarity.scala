@@ -208,6 +208,15 @@ object Similarity {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Array[(Int, Seq[Double])]]
 
+  /** Drop this session's cached IVF centroids (index metadata; rebuilds
+    * deterministically on next use — the two-level fold guarantees the
+    * SAME centroids regardless of partitioning, which DeterminismSpec
+    * exercises through this hook). */
+  def evictCentroids(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    centroidCache.keys.filter(_._1 == app).foreach(centroidCache.remove)
+  }
+
   private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
     centroidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       // cache the corpus for the duration of the build: every Lloyd

@@ -14,25 +14,29 @@ import org.scalatest.funsuite.AnyFunSuite
   * the second run genuinely rebuilds its lineage under the new
   * partitioning rather than reading the first run's persisted frames.
   * Covered shapes: float aggregation order (`similarity_topk`'s left-fold
-  * cosine), LSH bucketing + rank (`ann_topk`, rebuilt codes), iterative
-  * graph contraction (`dup_clusters`, rebuilt pair graph), window-based
-  * keep-first (`cleaned`), and surrogate-key assignment (`dim_product` —
-  * the rank-offset path that motivated Keys.scala's design). */
+  * cosine), LSH bucketing + rank (`ann_topk`, rebuilt codes), the
+  * iterative k-means build (`ivf_topk` — the two-level ordered centroid
+  * fold must yield bit-identical centroids under any partitioning),
+  * iterative graph contraction (`dup_clusters`, rebuilt pair graph),
+  * window-based keep-first (`cleaned`), and surrogate-key assignment
+  * (`dim_product` — the rank-offset path that motivated Keys.scala's
+  * design). */
 class DeterminismSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
   private val queries =
-    Seq("similarity_topk", "ann_topk", "dup_clusters", "cleaned", "dim_product")
+    Seq("similarity_topk", "ann_topk", "ivf_topk", "dup_clusters", "cleaned", "dim_product")
 
   private def runAll(parts: String): Map[String, Seq[String]] = {
     val confKey = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(confKey)
     spark.conf.set(confKey, parts)
     try {
-      // quiescent point: all prior frames are collected; evict rebuilds
-      // Warehouse + Memo + Keys lineages under the new partitioning
-      etl.Warehouse.evict(spark)
+      // quiescent point: all prior frames are collected; evictAll forces
+      // EVERY cache layer (warehouse, memo, keys, pipeline stages, digest
+      // indexes, IVF centroids) to rebuild under the new partitioning
+      Caches.evictAll(spark)
       queries.map { name =>
         name -> SparkEntry.queries(name)(spark, sf).collect()
           .map(_.mkString("|")).toSeq
@@ -43,7 +47,7 @@ class DeterminismSpec extends AnyFunSuite {
   test("results are identical under 7 vs 4 shuffle partitions (caches evicted between)") {
     val a = runAll("7")
     val b = runAll("4")
-    etl.Warehouse.evict(spark) // leave no odd-partitioned frames for later suites
+    Caches.evictAll(spark) // leave no odd-partitioned frames for later suites
     queries.foreach { name =>
       assert(a(name) == b(name),
         s"$name drifts with the shuffle partition count: " +

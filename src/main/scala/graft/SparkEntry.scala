@@ -386,6 +386,9 @@ object SparkEntry {
     "json_stats" -> ((s, d) => operators.Events.jsonStats(s, d)),
     "top_users" -> ((s, d) => operators.Events.topUsers(s, d)),
     "daily_active" -> ((s, d) => operators.Events.dailyActive(s, d)),
+    // range join: bin-bucketized interval join (no nested-loop cross
+    // product) — clicks inside each user's 2h purchase windows
+    "range_join" -> ((s, d) => ext.RangeJoin.clickInPurchaseWindow(s, d)),
     // as-of join: each click picks up the user's most recent purchase
     "asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -543,6 +546,7 @@ object SparkEntry {
       s"""$eventsCte SELECT CAST(ts AS DATE) AS day,
          | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          | FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
+    "range_join" -> ext.RangeJoin.clickInPurchaseWindowOracleSql,
     "asof_join" ->
       s"""$eventsCte,
          | clicks AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'),

@@ -135,6 +135,12 @@ class PlanContractSpec extends AnyFunSuite {
       s"repetition stats must not shuffle:\n$plan")
   }
 
+  test("range join plans as an equi-join on (key, bin) — never a nested-loop cross product") {
+    val plan = finalPlanOf(ext.RangeJoin.clickInPurchaseWindow(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval predicate fell back to a cross product:\n$plan")
+  }
+
   test("decontaminate broadcasts the eval side — training n-grams never shuffle for the probe") {
     val plan = finalPlanOf(operators.Corpus.decontaminate(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

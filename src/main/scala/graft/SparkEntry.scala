@@ -153,6 +153,8 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => ext.ApproxStats.distinctStats(s, d)),
     // KMV: the approximate sketch that IS deterministic cross-engine
     "q_kmv_distinct" -> ((s, d) => ext.ApproxStats.kmvDistinct(s, d)),
+    // Count-Min: fixed-memory point-frequency estimates, fully replayable
+    "q_cms_terms" -> ((s, d) => ext.CountMin.termEstimates(s, d)),
     "q_checks" -> ((s, d) => Pipeline.checks(s, d)),
     "q_run_summary" -> ((s, d) => Pipeline.runSummary(s, d)),
     // K6 at engine scope: a reference-style SQL string through the catalog
@@ -270,6 +272,7 @@ object SparkEntry {
          |      (SELECT MAX(CAST(invoice_date AS DATE)) AS fact_max_date FROM fact_sales)""".stripMargin,
     "q_checks" -> s"${Oracle.warehouseCte} ${Oracle.checksSelect}",
     "q_kmv_distinct" -> ext.ApproxStats.kmvDistinctOracleSql(),
+    "q_cms_terms" -> ext.CountMin.termEstimatesOracleSql(),
     "q_sales_rollup" -> Analytics.salesRollupOracleSql,
     "q_sales_cube" -> Analytics.salesCubeOracleSql,
     "q_daily_delta" -> Analytics.dailyDeltaOracleSql,

@@ -106,6 +106,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("adaptiveBits: integer staircase keeps expected bucket population at the target") {
+    // floor at the small-fixture shape
+    assert(Similarity.adaptiveBits(1) === Similarity.minBits)
+    assert(Similarity.adaptiveBits(500) === 4) // both small fixtures
+    assert(Similarity.adaptiveBits(Similarity.targetBucketPop.toLong << 4) === 4)
+    assert(Similarity.adaptiveBits((Similarity.targetBucketPop.toLong << 4) + 1) === 5)
+    // the 100x decade-check scale lands in the measured-good band
+    assert(Similarity.adaptiveBits(200000L) === 13)
+    // ceiling
+    assert(Similarity.adaptiveBits(Long.MaxValue) === Similarity.maxCodeBits)
+    // invariant: chosen width keeps n/2^bits <= target (until the ceiling)
+    for (n <- Seq(100L, 1000L, 50000L, 1000000L)) {
+      val b = Similarity.adaptiveBits(n)
+      assert(n <= (Similarity.targetBucketPop.toLong << b), s"n=$n bits=$b")
+    }
+  }
+
+  test("registered near-dup path fails loudly when the corpus outgrows every bucket") {
+    import org.apache.spark.sql.functions._
+    // a pathologically concentrated corpus: > maxBucketSize identical
+    // vectors land in ONE bucket per table at ANY code width, so 100% of
+    // memberships are shed — the operator must throw, not return the
+    // empty "no duplicates" the round-5 100x run observed at fixed width
+    val n = Similarity.maxBucketSize + 50
+    val dir = java.nio.file.Files.createTempDirectory("graft_degenerate").toString
+    spark.range(n)
+      .select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, ${Similarity.dim}), i -> CAST(1.0 AS FLOAT))")
+          .as("embedding"),
+        lit("pad").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      Similarity.embeddingNearDups(spark, dir).count()
+    }
+    assert(e.getMessage.contains("load-shedding"), e.getMessage)
+  }
+
   test("LSH codes are deterministic across invocations") {
     val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val a = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4))).toSet

@@ -73,8 +73,14 @@ object CorpusPipeline {
   /** Stage 4: near-dup removal — MinHash pairs over THIS stage's corpus,
     * star-contracted to clusters ([[Dedup.connectedComponents]]), keep
     * only cluster representatives (and untouched docs). */
-  def nearDedupStage(docs: DataFrame): DataFrame = {
-    val members = Dedup.connectedComponents(Dedup.minhashPairsOf(docs))
+  def nearDedupStage(docs: DataFrame): DataFrame =
+    nearDedupStageFrom(docs, Dedup.minhashSignatures(docs))
+
+  /** [[nearDedupStage]] sharing caller-held signatures — [[build]] computes
+    * them once and reuses them for the shed census, so surfacing the
+    * telemetry costs one aggregate, not a second shingle explosion. */
+  def nearDedupStageFrom(docs: DataFrame, sigs: DataFrame): DataFrame = {
+    val members = Dedup.connectedComponents(Dedup.minhashPairsFromSigs(sigs))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select("doc_id")
     docs.join(members, Seq("doc_id"), "left_anti")
@@ -113,7 +119,7 @@ object CorpusPipeline {
   }
 
   private case class Built(
-    metrics: Seq[(String, Long, Long, Double)],
+    metrics: Seq[(String, Long, Long, Long, Double)],
     train: DataFrame, interleaved: DataFrame, packs: DataFrame,
     allStages: Seq[DataFrame])
 
@@ -122,15 +128,20 @@ object CorpusPipeline {
 
   /** Run the chain once per (session, sf-dir): every stage boundary is
     * persisted, counted (the rows_in/rows_out metrics ARE the stage
-    * actions), and reused by [[runSummary]], [[run]] and the specs. */
+    * actions), and reused by [[runSummary]], [[run]] and the specs.
+    * Stage metrics carry `rows_shed` — the bucket memberships the LSH cap
+    * dropped ([[Dedup.lshShedRows]]) — so a run record distinguishes
+    * "caps engaged" from "few duplicates" (zero for every stage without a
+    * load-shedding guard). */
   private def build(spark: SparkSession, dir: String): Built =
     cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val metrics = Seq.newBuilder[(String, Long, Long, Double)]
-      def staged(name: String, rowsIn: Long)(body: => DataFrame): (DataFrame, Long) = {
+      val metrics = Seq.newBuilder[(String, Long, Long, Long, Double)]
+      def staged(name: String, rowsIn: Long, shed: Long = 0L)(
+          body: => DataFrame): (DataFrame, Long) = {
         val t0 = System.nanoTime()
         val df = body.persist(StorageLevel.MEMORY_AND_DISK)
         val n = df.count()
-        metrics += ((name, rowsIn, n, (System.nanoTime() - t0) / 1e9))
+        metrics += ((name, rowsIn, n, shed, (System.nanoTime() - t0) / 1e9))
         (df, n)
       }
       val raw = rawCorpus(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,14 +149,18 @@ object CorpusPipeline {
       val (s1, n1) = staged("1_scrub", nRaw)(scrubStage(raw))
       val (s2, n2) = staged("2_quality", n1)(qualityStage(s1))
       val (s3, n3) = staged("3_dedup_exact", n2)(exactDedupStage(s2))
-      val (s4, n4) = staged("4_dedup_near", n3)(nearDedupStage(s3))
+      // signatures computed once: pair generation and the shed census share them
+      val sigs4 = Dedup.minhashSignatures(s3).persist(StorageLevel.MEMORY_AND_DISK)
+      val shed4 = Dedup.lshShedRows(sigs4)
+      val (s4, n4) = staged("4_dedup_near", n3, shed4)(nearDedupStageFrom(s3, sigs4))
+      sigs4.unpersist(blocking = false)
       val (s5, n5) = staged("5_decontaminate", n4)(decontaminateStage(s4))
       val (s6, n6) = staged("6_split_train", n5)(trainStage(spark, s5))
       val (inter, _) = staged("7_interleave", n6)(interleaveStage(spark, dir, s6))
       val packs = Corpus.packOf(s6).persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val nPacks = packs.select("shard", "pack_id").distinct().count()
-      metrics += (("8_pack", n6, nPacks, (System.nanoTime() - t0) / 1e9))
+      metrics += (("8_pack", n6, nPacks, 0L, (System.nanoTime() - t0) / 1e9))
       raw.unpersist(blocking = false)
       Built(metrics.result(), s6, inter, packs,
         Seq(s1, s2, s3, s4, s5, s6, inter, packs))
@@ -163,12 +178,14 @@ object CorpusPipeline {
 
   /** Per-stage row metrics as a relation — the oracle-checked surface
     * (`corpus_run_summary`). Durations are deliberately excluded: the
-    * summary must hash-match the DuckDB replay. */
+    * summary must hash-match the DuckDB replay. `rows_shed` IS included —
+    * the cap census is deterministic, so the oracle replays it — making
+    * load-shedding visible in the run record itself. */
   def runSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     build(spark, dir).metrics
-      .map { case (stage, in, out, _) => (stage, in, out) }
-      .toDF("stage", "rows_in", "rows_out")
+      .map { case (stage, in, out, shed, _) => (stage, in, out, shed) }
+      .toDF("stage", "rows_in", "rows_out", "rows_shed")
       .orderBy("stage")
   }
 
@@ -214,6 +231,9 @@ object CorpusPipeline {
          |   WHERE doc_id = keep_id),
          | corpus AS (SELECT doc_id, text FROM s3)""".stripMargin
     s"""${Dedup.dupClustersCte(prefix).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       | shed4 AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM (
+       |   SELECT COUNT(*) AS cnt FROM banded GROUP BY band_idx, band_hash
+       |   HAVING COUNT(*) > ${Dedup.maxBucketSize})),
        | s4 AS (SELECT s3.doc_id, s3.text FROM s3
        |   LEFT JOIN clusters c ON c.doc_id = s3.doc_id
        |   WHERE c.doc_id IS NULL OR c.cluster_rep = s3.doc_id),
@@ -234,16 +254,17 @@ object CorpusPipeline {
        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |   FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |         doc_id % ${Corpus.defaultShards} AS shard FROM s6)))
-       | SELECT stage, rows_in, rows_out FROM (
+       | SELECT stage, rows_in, rows_out, rows_shed FROM (
        |   SELECT '1_scrub' AS stage, (SELECT COUNT(*) FROM raw) AS rows_in,
-       |     (SELECT COUNT(*) FROM s1) AS rows_out
-       |   UNION ALL SELECT '2_quality', (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
-       |   UNION ALL SELECT '3_dedup_exact', (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
-       |   UNION ALL SELECT '4_dedup_near', (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
-       |   UNION ALL SELECT '5_decontaminate', (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5)
-       |   UNION ALL SELECT '6_split_train', (SELECT COUNT(*) FROM s5), (SELECT COUNT(*) FROM s6)
-       |   UNION ALL SELECT '7_interleave', (SELECT COUNT(*) FROM s6), (SELECT COUNT(*) FROM s7)
-       |   UNION ALL SELECT '8_pack', (SELECT COUNT(*) FROM s6), (SELECT COUNT(*) FROM s8)
+       |     (SELECT COUNT(*) FROM s1) AS rows_out, CAST(0 AS BIGINT) AS rows_shed
+       |   UNION ALL SELECT '2_quality', (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2), 0
+       |   UNION ALL SELECT '3_dedup_exact', (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3), 0
+       |   UNION ALL SELECT '4_dedup_near', (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4),
+       |     (SELECT n FROM shed4)
+       |   UNION ALL SELECT '5_decontaminate', (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5), 0
+       |   UNION ALL SELECT '6_split_train', (SELECT COUNT(*) FROM s5), (SELECT COUNT(*) FROM s6), 0
+       |   UNION ALL SELECT '7_interleave', (SELECT COUNT(*) FROM s6), (SELECT COUNT(*) FROM s7), 0
+       |   UNION ALL SELECT '8_pack', (SELECT COUNT(*) FROM s6), (SELECT COUNT(*) FROM s8), 0
        | ) ORDER BY stage""".stripMargin
   }
 
@@ -265,8 +286,8 @@ object CorpusPipeline {
       b.train.write.mode("overwrite").parquet(s"$outDir/corpus_train")
       b.packs.write.mode("overwrite").parquet(s"$outDir/packs")
       b.interleaved.write.mode("overwrite").parquet(s"$outDir/schedule")
-      b.metrics.map { case (st, in, out, sec) => (id, st, in, out, sec, "SUCCESS") }
-        .toDF("run_id", "stage", "rows_in", "rows_out", "duration_sec", "status")
+      b.metrics.map { case (st, in, out, shed, sec) => (id, st, in, out, shed, sec, "SUCCESS") }
+        .toDF("run_id", "stage", "rows_in", "rows_out", "rows_shed", "duration_sec", "status")
         .write.mode("append").parquet(s"$outDir/meta/corpus_stage_metrics")
       val nTrain = b.metrics.find(_._1 == "6_split_train").map(_._3).getOrElse(-1L)
       writeRun("SUCCESS", nTrain)

@@ -232,10 +232,24 @@ object Dedup {
   /** [[minhashPairs]] over an ARBITRARY (doc_id, text) corpus — the form
     * pipeline stages compose on (the registered query keeps the memoized
     * fixture-corpus path above). */
-  def minhashPairsOf(docs: DataFrame, minMatch: Int = 16): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  def minhashPairsOf(docs: DataFrame, minMatch: Int = 16): DataFrame =
+    minhashPairsFromSigs(minhashSignatures(docs), minMatch)
+
+  /** [[minhashPairsOf]] when the caller already holds the signatures —
+    * lets a pipeline compute signatures ONCE and share them between pair
+    * generation and the shed census ([[lshShedRows]]). */
+  def minhashPairsFromSigs(sigs: DataFrame, minMatch: Int = 16): DataFrame =
     pairsFrom(sigs, lshCandidates(sigs), minMatch)
-  }
+
+  /** Rows (bucket memberships) the LSH band join will DROP under
+    * [[maxBucketSize]] — the load-shedding count a pipeline run must
+    * surface: without it, "caps engaged" is indistinguishable from "few
+    * duplicates" in the run record. One aggregate over the band census. */
+  def lshShedRows(sigs: DataFrame): Long =
+    lshBucketSizes(sigs)
+      .filter(col("bucket_n") > maxBucketSize)
+      .agg(coalesce(sum(col("bucket_n")), lit(0L)))
+      .head().getLong(0)
 
   private def pairsFrom(sigs: DataFrame, cands: DataFrame, minMatch: Int): DataFrame = {
     val sigA = sigs.toDF("doc_a", "sig_a")

@@ -72,11 +72,36 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
   test("evict-then-reuse: a fresh build reproduces identical stage metrics") {
     val before = CorpusPipeline.runSummary(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     CorpusPipeline.evict(spark)
     val after = CorpusPipeline.runSummary(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(after.sameElements(before), "rebuilt stage metrics differ from pre-evict")
+  }
+
+  test("rows_shed is recorded per stage and zero on the healthy fixture") {
+    val rows = CorpusPipeline.runSummary(spark, sf).collect()
+    assert(rows.head.schema.fieldNames.contains("rows_shed"))
+    rows.foreach(r => assert(r.getLong(3) === 0L,
+      s"fixture run shed rows at ${r.getString(0)}"))
+  }
+
+  test("a planted degenerate bucket shows up in the shed census, not as 'few duplicates'") {
+    import spark.implicits._
+    // 150 docs sharing 60 common tokens + one unique tail token: most
+    // band hashes collapse to the all-common value, so the dominant
+    // bucket exceeds maxBucketSize (100) and its memberships are shed
+    val common = (0 until 60).map(j => s"c$j").mkString(" ")
+    val docs = (0 until 150).map(i => (i.toLong, s"$common u$i"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val shed = Dedup.lshShedRows(sigs)
+    assert(shed > Dedup.maxBucketSize,
+      s"expected the degenerate bucket's memberships in the census, got $shed")
+    // the stage itself still runs (load-shedding, not failure) — and
+    // without the census the caller would read the survivors as unique
+    val out = CorpusPipeline.nearDedupStageFrom(docs, sigs)
+    assert(out.count() > 0)
   }
 
   test("no eval doc or its duplicate survives into the train corpus") {

@@ -369,6 +369,9 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => operators.Corpus.decontaminate(s, d)),
     "stratified_sample" -> ((s, d) => operators.Corpus.stratifiedSample(s, d)),
     "corpus_append" -> ((s, d) => operators.Corpus.appendBatch(s, d)),
+    // incremental NEAR-dup maintenance: batch LSH-joins the persisted
+    // MinHash band/signature index — no recluster, no corpus text rescan
+    "append_near_dups" -> ((s, d) => operators.Corpus.appendNearDups(s, d)),
     // end-to-end corpus pipeline: scrub → quality → dedup (exact + near
     // clusters) → decontaminate → split → interleave/pack, with per-stage
     // row metrics — DuckDB replays EVERY stage including the clustering
@@ -518,6 +521,7 @@ object SparkEntry {
     "decontaminate" -> operators.Corpus.decontaminateOracleSql(corpusCte),
     "stratified_sample" -> operators.Corpus.stratifiedSampleOracleSql,
     "corpus_append" -> operators.Corpus.appendBatchOracleSql,
+    "append_near_dups" -> operators.Corpus.appendNearDupsOracleSql(corpusCte),
     "corpus_run_summary" -> operators.CorpusPipeline.runSummaryOracleSql,
     "pii_scrub" -> operators.Scrub.piiScrubOracleSql,
     "boilerplate_stats" -> operators.Scrub.boilerplateOracleSql(corpusCte),

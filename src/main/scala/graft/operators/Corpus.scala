@@ -284,17 +284,18 @@ object Corpus {
       d
     })
 
-  /** Drop this session's digest-index registrations (the Memo/Warehouse
-    * evict convention for long-lived sessions cycling sf-dirs; the temp
-    * parquet dirs themselves are OS-lifetime). NOTE the index is
-    * deliberately frozen at first bootstrap per (session, dir) — the
-    * registered query's determinism depends on that — so a fixture
+  /** Drop this session's digest/band-index registrations (the Memo/
+    * Warehouse evict convention for long-lived sessions cycling sf-dirs;
+    * the temp parquet dirs themselves are OS-lifetime). NOTE the indexes
+    * are deliberately frozen at first bootstrap per (session, dir) — the
+    * registered queries' determinism depends on that — so a fixture
     * REWRITTEN in place mid-session requires evictIndexes before its
     * next append, or the stale index diverges from the oracle's live
     * replay. */
   def evictIndexes(spark: SparkSession): Unit = {
     val app = spark.sparkContext.applicationId
     indexDirs.keys.filter(_._1 == app).foreach(indexDirs.remove)
+    bandIndexDirs.keys.filter(_._1 == app).foreach(bandIndexDirs.remove)
   }
 
   /** Incremental corpus ingestion — the append-only twin of the batch
@@ -351,6 +352,163 @@ object Corpus {
     admitted.select("digest").write.mode("append").parquet(indexDir)
     admitted
   }
+
+  private val bandIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Persisted MinHash SIGNATURE + cluster-representative index over the
+    * existing (planted-duplicate) corpus — the state that makes NEAR-dup
+    * maintenance incremental, exactly as [[digestIndexDir]] does for
+    * exact dedup. Bootstrapped once per (session, sf-dir) by the only
+    * full-text scan in the family: the corpus signatures (32 longs/doc —
+    * band hashes derive from them by pure arithmetic) and the
+    * duplicate-cluster representatives land as two text-free parquets.
+    * Every later append LSH-joins the BATCH's bands against the index
+    * bands and signature-verifies against the index signatures —
+    * O(batch + index), never a corpus rescan or recluster
+    * (plan-asserted in PlanContractSpec). At 100 TB the index is ~0.3%
+    * of the corpus (32×8 B + rep row vs ~100 KB per doc). */
+  def bandIndexDir(spark: SparkSession, dir: String): String =
+    bandIndexDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft_band_index").toString
+      Dedup.minhashSignatures(Dedup.corpusWithDups(spark, dir))
+        .write.mode("overwrite").parquet(s"$d/sigs")
+      Dedup.dupClusters(spark, dir)
+        .write.mode("overwrite").parquet(s"$d/reps")
+      d
+    })
+
+  /** Deterministic batch for the REGISTERED append-near-dup query: every
+    * doc_id % 13 == 6 document arrives as a lightly-revised NEAR-duplicate
+    * (the same docs [[appendBatch]] admits as exact-new — the two queries
+    * together show an append being digest-admitted yet near-dup-flagged),
+    * offset +4·plantUnit. */
+  private def nearDupBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 13 === 6)
+      .select((col("doc_id") + 4 * Dedup.plantUnit).as("doc_id"),
+        concat(col("text"), lit(" fresh revision")).as("text"))
+
+  /** The incremental-maintenance core: band the batch signatures, LSH-join
+    * against the index bands (cap on the EXISTING side's bucket population
+    * — a degenerate index bucket would otherwise amplify every future
+    * append), verify candidates by signature agreement, and assign each
+    * batch doc its duplicate-family representative — the MINIMUM
+    * representative over matched index docs, or itself when nothing
+    * matches (the doc is new content). */
+  private def assignAgainst(newSigs: DataFrame, oldSigs: DataFrame,
+      oldReps: DataFrame, minMatch: Int): DataFrame = {
+    val oldBand = Dedup.bandedOf(oldSigs)
+    val ok = oldBand.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= Dedup.maxBucketSize)
+      .select("band_idx", "band_hash")
+    val oldIn = oldBand.join(ok, Seq("band_idx", "band_hash"))
+      .select("doc_id", "band_idx", "band_hash")
+      .toDF("old_id", "band_idx", "band_hash")
+    val newBand = Dedup.bandedOf(newSigs)
+      .toDF("new_id", "band_idx", "band_hash")
+    val cands = newBand.join(oldIn, Seq("band_idx", "band_hash"))
+      .select("new_id", "old_id").distinct()
+    val sigN = newSigs.toDF("new_id", "sig_new")
+    val sigO = oldSigs.toDF("old_id", "sig_old")
+    val verified = cands.join(sigN, "new_id").join(sigO, "old_id")
+      .withColumn("n_match",
+        expr("""aggregate(zip_with(sig_new, sig_old,
+               |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+               |  0, (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("n_match") >= minMatch)
+      .select("new_id", "old_id")
+    val assigned = verified
+      .join(oldReps.toDF("old_id", "old_rep"), Seq("old_id"), "left")
+      .select(col("new_id"), coalesce(col("old_rep"), col("old_id")).as("rep"))
+      .groupBy("new_id")
+      .agg(min("rep").as("matched_rep"), count(lit(1)).cast("int").as("n_matched"))
+    newSigs.select(col("doc_id"))
+      .join(assigned.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("matched_rep"), col("doc_id")).as("assigned_rep"),
+        coalesce(col("n_matched"), lit(0)).as("n_matched"))
+  }
+
+  /** Incremental NEAR-dup maintenance — the round-5 gap: [[admitAndCommit]]
+    * made exact dedup incremental, but near-dup families still required a
+    * full recluster per append. With the persisted [[bandIndexDir]] an
+    * appended batch costs one LSH join against the index: each batch doc
+    * gets its duplicate-family representative (or itself when new). The
+    * whole lineage is deterministic, so the DuckDB oracle replays it end
+    * to end — index contents included ([[appendNearDupsOracleSql]]
+    * recomputes signatures + clusters of the existing corpus in SQL). */
+  def appendNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val idx = bandIndexDir(spark, dir)
+    // materialize the batch signatures ONCE (32 longs/doc): the
+    // assignment consumes them three ways (banding, verify, output base),
+    // and an unmaterialized lineage would re-scan the batch text per use —
+    // after this the final plan contains NO text scan at all
+    val newSigs = Dedup.minhashSignatures(nearDupBatch(spark, dir))
+      .localCheckpoint(true)
+    assignAgainst(newSigs,
+      spark.read.parquet(s"$idx/sigs"),
+      spark.read.parquet(s"$idx/reps"),
+      minMatch = 16)
+      .orderBy("doc_id")
+  }
+
+  /** The COMMITTED form of [[appendNearDups]] (the [[admitAndCommit]]
+    * convention): assign the batch against the index at `indexDir`, then
+    * EXTEND the index with the batch's signatures and assigned
+    * representatives — so the next batch is checked against
+    * corpus + this batch with no recluster. Batch docs verify only
+    * against the INDEX (in-batch near-dup pairs surface at the next
+    * append or compaction — the same horizon contract as the streaming
+    * twin). The outputs are materialized before the index writes: their
+    * lineage reads the same parquet directories the writes extend. */
+  def admitNearDupsAndCommit(spark: SparkSession, indexDir: String,
+      batch: DataFrame, minMatch: Int = 16): DataFrame = {
+    val newSigs = Dedup.minhashSignatures(batch).localCheckpoint(true)
+    val out = assignAgainst(newSigs,
+      spark.read.parquet(s"$indexDir/sigs"),
+      spark.read.parquet(s"$indexDir/reps"), minMatch).localCheckpoint(true)
+    newSigs.write.mode("append").parquet(s"$indexDir/sigs")
+    out.select(col("doc_id"), col("assigned_rep").as("cluster_rep"))
+      .write.mode("append").parquet(s"$indexDir/reps")
+    out
+  }
+
+  /** DuckDB replay of [[appendNearDups]]: the index contents ARE the
+    * existing corpus's signatures and cluster representatives, so the
+    * oracle recomputes both (reusing the dedup family's CTE builders —
+    * `sigs`/`banded`/`sigl`/`clusters` for the corpus, `b`-prefixed twins
+    * for the batch) and then replays the band join, cap, verify, and
+    * assignment arithmetic value-for-value. */
+  def appendNearDupsOracleSql(corpusCte: String): String =
+    s"""${Dedup.dupClustersCte(corpusCte).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       | batch AS (
+       |  SELECT doc_id + ${4 * Dedup.plantUnit} AS doc_id, text || ' fresh revision' AS text
+       |  FROM documents WHERE doc_id % 13 = 6),
+       | ${Dedup.sigCtes("batch", "b")},
+       | ${Dedup.bandedCte("b")},
+       | ${Dedup.siglCte("b")},
+       | ok AS (SELECT band_idx, band_hash FROM banded
+       |   GROUP BY 1, 2 HAVING COUNT(*) <= ${Dedup.maxBucketSize}),
+       | bcands AS (SELECT DISTINCT nb.doc_id AS new_id, o.doc_id AS old_id
+       |   FROM bbanded nb
+       |   JOIN banded o USING (band_idx, band_hash)
+       |   JOIN ok USING (band_idx, band_hash)),
+       | bver AS (SELECT new_id, old_id FROM (
+       |   SELECT c.new_id, c.old_id,
+       |     len(list_filter(list_zip(n.sig, o.sig), p -> p[1] = p[2])) AS n_match
+       |   FROM bcands c
+       |   JOIN bsigl n ON n.doc_id = c.new_id
+       |   JOIN sigl o ON o.doc_id = c.old_id)
+       |   WHERE n_match >= 16),
+       | asg AS (SELECT new_id, MIN(COALESCE(cl.cluster_rep, v.old_id)) AS matched_rep,
+       |     CAST(COUNT(*) AS INTEGER) AS n_matched
+       |   FROM bver v LEFT JOIN clusters cl ON cl.doc_id = v.old_id
+       |   GROUP BY new_id)
+       | SELECT b.doc_id, COALESCE(a.matched_rep, b.doc_id) AS assigned_rep,
+       |   COALESCE(a.n_matched, 0) AS n_matched
+       | FROM batch b LEFT JOIN asg a ON a.new_id = b.doc_id ORDER BY doc_id""".stripMargin
 
   def appendBatchOracleSql: String =
     """WITH batch AS (

@@ -183,8 +183,10 @@ object Dedup {
 
   /** LSH banding: hash each band of 4 signature slots, bucket-join docs
     * sharing any (band, hash) bucket. Oversized buckets are dropped before
-    * the self-join (skew guard). */
-  private def bandedOf(sigs: DataFrame): DataFrame = {
+    * the self-join (skew guard). Package-visible: the incremental append
+    * path ([[Corpus.appendNearDups]]) bands a batch's signatures against
+    * the persisted signature index. */
+  private[operators] def bandedOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map(j => bandHash(j).as(s"b_$j"))
     sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
@@ -506,24 +508,46 @@ object Dedup {
   // seed constants. Shared CTE chain: corpus -> shingles -> base hash ->
   // signatures -> banded buckets -> skew-capped candidate pairs.
 
-  private def lshCtes(corpusCte: String): String = {
+  /** CTE block `${p}toks → ${p}shing → ${p}hashed → ${p}sigs` computing
+    * MinHash signatures (m_0..m_31 columns) of relation `src(doc_id,
+    * text)` under CTE-name prefix `p` — the standalone oracles use p=""
+    * and the append-maintenance oracle ([[Corpus.appendNearDupsOracleSql]])
+    * needs signatures of TWO corpora in one query. */
+  private[operators] def sigCtes(src: String, p: String = ""): String = {
     val minExprs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * hp + $b) % $hashPrime) AS m_$i"
     }.mkString(", ")
-    val bhList = (0 until numBands).map(bandHashSql).mkString("[", ", ", "]")
-    s"""$corpusCte,
-       | toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
-       | shing AS (
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+       | ${p}shing AS (
        |   SELECT doc_id, unnest(list_distinct(list_transform(
        |     generate_series(1, greatest(len(tk) - 2, 1)),
        |     i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS shingle
-       |   FROM toks),
-       | hashed AS (SELECT doc_id, ${hashSql("shingle")} % $hashPrime AS hp FROM shing),
-       | sigs AS (SELECT doc_id, $minExprs FROM hashed GROUP BY doc_id),
-       | banded AS (
+       |   FROM ${p}toks),
+       | ${p}hashed AS (SELECT doc_id, ${hashSql("shingle")} % $hashPrime AS hp FROM ${p}shing),
+       | ${p}sigs AS (SELECT doc_id, $minExprs FROM ${p}hashed GROUP BY doc_id)""".stripMargin
+  }
+
+  /** `${p}banded(doc_id, band_idx, band_hash)` over `${p}sigs` — the SQL
+    * mirror of [[bandedOf]]. */
+  private[operators] def bandedCte(p: String = ""): String = {
+    val bhList = (0 until numBands).map(bandHashSql).mkString("[", ", ", "]")
+    s"""${p}banded AS (
        |   SELECT doc_id, j AS band_idx, bhs[j + 1] AS band_hash FROM
-       |     (SELECT doc_id, $bhList AS bhs FROM sigs)
-       |     CROSS JOIN UNNEST(generate_series(0, ${numBands - 1})) AS t(j)),
+       |     (SELECT doc_id, $bhList AS bhs FROM ${p}sigs)
+       |     CROSS JOIN UNNEST(generate_series(0, ${numBands - 1})) AS t(j))""".stripMargin
+  }
+
+  /** `${p}sigl(doc_id, sig)` — the signature as ONE list column, the form
+    * the verify joins consume. */
+  private[operators] def siglCte(p: String = ""): String = {
+    val sigList = (0 until numHashes).map(i => s"m_$i").mkString("[", ", ", "]")
+    s"${p}sigl AS (SELECT doc_id, $sigList AS sig FROM ${p}sigs)"
+  }
+
+  private def lshCtes(corpusCte: String): String =
+    s"""$corpusCte,
+       | ${sigCtes("corpus")},
+       | ${bandedCte()},
        | small AS (SELECT band_idx, band_hash FROM banded
        |   GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize AND COUNT(*) > 1),
        | inb AS (SELECT b.doc_id, b.band_idx, b.band_hash
@@ -531,15 +555,13 @@ object Dedup {
        | cands AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |   FROM inb l JOIN inb r USING (band_idx, band_hash)
        |   WHERE l.doc_id < r.doc_id)""".stripMargin
-  }
 
   /** CTE chain ending in `dpairs(doc_a, doc_b)` — the verified MinHash
     * pair graph as a relation, for consumers that compose on the pairs
     * ([[dupClusters]]' oracle). */
   def minhashPairsCte(corpusCte: String, minMatch: Int = 16): String = {
-    val sigList = (0 until numHashes).map(i => s"m_$i").mkString("[", ", ", "]")
     s"""${lshCtes(corpusCte)},
-       | sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
+       | ${siglCte()},
        | dpairs AS (
        |   SELECT doc_a, doc_b FROM (
        |     SELECT c.doc_a, c.doc_b,
@@ -551,9 +573,8 @@ object Dedup {
   }
 
   def minhashOracleSql(corpusCte: String, minMatch: Int = 16): String = {
-    val sigList = (0 until numHashes).map(i => s"m_$i").mkString("[", ", ", "]")
     s"""${lshCtes(corpusCte)},
-       | sigl AS (SELECT doc_id, $sigList AS sig FROM sigs)
+       | ${siglCte()}
        | SELECT doc_a, doc_b, n_match FROM (
        |   SELECT c.doc_a, c.doc_b,
        |     CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS INTEGER) AS n_match

@@ -119,6 +119,23 @@ class PlanContractSpec extends AnyFunSuite {
       s"no digests-only index scan in the append plan:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("near-dup append is incremental: existing corpus enters as signature digests only") {
+    val df = operators.Corpus.appendNearDups(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scans in the append plan")
+    // NO scan reads a text column: the batch's text is consumed once in
+    // the materialized signature job, and the existing corpus arrives
+    // via the persisted signature/rep index only
+    val textScans = scans.filter(_.schema.fieldNames.contains("text"))
+    assert(textScans.isEmpty,
+      s"text rescanned in the assignment plan:\n${df.queryExecution.sparkPlan}")
+    assert(scans.exists(s => s.schema.fieldNames.contains("sig")
+        && !s.schema.fieldNames.contains("text")),
+      s"no signature-index scan in the append plan:\n${df.queryExecution.sparkPlan}")
+  }
+
   test("near_dups_topk ranks inside vec_id partitions — no global sort before the cap") {
     val plan = finalPlanOf(operators.Similarity.nearDupsTopK(spark, sf))
     assert(plan.contains("windowspecdefinition(vec_id"),

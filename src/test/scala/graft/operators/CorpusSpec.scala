@@ -157,6 +157,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(idx.count() === 6)
   }
 
+  test("admitNearDupsAndCommit: each batch verifies against corpus + all prior batches, no recluster") {
+    val spark0 = spark
+    import spark0.implicits._
+    // distinct 60-token bodies: long enough that a 1-2 token revision
+    // keeps shingle Jaccard (and signature agreement) high
+    def body(tag: String) = (0 until 60).map(j => s"$tag$j").mkString(" ")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_band_idx_spec").toString
+    val corpus = Seq((1L, body("a")), (2L, body("b"))).toDF("doc_id", "text")
+    Dedup.minhashSignatures(corpus).write.mode("overwrite").parquet(s"$indexDir/sigs")
+    // bootstrap corpus has no duplicates: empty rep index (schema only)
+    corpus.select(col("doc_id"), col("doc_id").as("cluster_rep")).limit(0)
+      .write.mode("overwrite").parquet(s"$indexDir/reps")
+
+    // batch 1: a near-dup of corpus doc 1 + a genuinely new doc
+    val b1 = Seq((10L, body("a") + " tail"), (11L, body("x"))).toDF("doc_id", "text")
+    val r1 = Corpus.admitNearDupsAndCommit(spark, indexDir, b1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(r1(10L) === ((1L, 1)), s"batch-1 near-dup: ${r1(10L)}")
+    assert(r1(11L) === ((11L, 0)), s"batch-1 new doc: ${r1(11L)}")
+
+    // batch 2: a near-dup of BATCH-1 doc 11 (only the extended index can
+    // flag it) + another revision of corpus doc 1 (now matches 1 AND 10,
+    // both resolving to representative 1)
+    val b2 = Seq((20L, body("x") + " tail"), (21L, body("a") + " other tail"))
+      .toDF("doc_id", "text")
+    val r2 = Corpus.admitNearDupsAndCommit(spark, indexDir, b2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(r2(20L)._1 === 11L, s"batch-2 near-dup of a batch-1 doc: ${r2(20L)}")
+    assert(r2(20L)._2 >= 1)
+    assert(r2(21L)._1 === 1L, s"batch-2 family attach: ${r2(21L)}")
+    assert(r2(21L)._2 >= 2, "matches both the original and batch 1's revision")
+
+    // the index grew by exactly the batch rows — signatures and reps
+    assert(spark.read.parquet(s"$indexDir/sigs").count() === 6)
+    assert(spark.read.parquet(s"$indexDir/reps").count() === 4)
+  }
+
   test("leakageSafeSplit: no near-dup family straddles a split; doc-id hashing provably would") {
     val rows = Corpus.leakageSafeSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))

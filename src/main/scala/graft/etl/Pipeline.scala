@@ -114,7 +114,10 @@ object Pipeline {
     import spark.implicits._
     val id = runId()
     val t0 = Instant.now()
-    val wh = Warehouse(spark, dir)
+    // lazy: the warehouse lineage first materializes INSIDE stage 1, so a
+    // broken input dir is recorded as a FAILED 1_ingest stage row (the
+    // failure contract below) instead of escaping before any bookkeeping
+    lazy val wh = Warehouse(spark, dir)
 
     var stages = List.empty[(String, String, Long, Long, Double, String)]
     def stage[A](name: String, rowsIn: => Long, rowsOut: => Long)(body: => A): A = {

@@ -308,13 +308,18 @@ object Dedup {
     * Scale notes: every round is two self-contained groupBy+join passes
     * over the EDGE set (orders of magnitude smaller than the corpus for
     * dedup graphs); shuffle partitions are sized to the edge count and
-    * restored after; each round `localCheckpoint`s to truncate lineage —
-    * a persisted-but-not-checkpointed frame still carries its full
-    * logical plan, so by round k the optimizer re-analyzes a k-deep join
-    * tree per action and planning time compounds superlinearly (measured
-    * on the propagation predecessor: 2.5 → 23.6 s/round by round 4 at the
-    * 10× stretch; a cluster deployment that must survive executor loss
-    * uses reliable checkpointing instead).
+    * restored after; each round checkpoints to truncate lineage — a
+    * persisted-but-not-checkpointed frame still carries its full logical
+    * plan, so by round k the optimizer re-analyzes a k-deep join tree per
+    * action and planning time compounds superlinearly (measured on the
+    * propagation predecessor: 2.5 → 23.6 s/round by round 4 at the 10×
+    * stretch). By default rounds `localCheckpoint` (executor-local blocks
+    * — fast, but lost with an executor); a cluster deployment that must
+    * survive executor loss passes `checkpointDir` and every round writes
+    * a RELIABLE checkpoint there instead (same labels, spec-asserted).
+    * The caller owns the directory lifecycle: round files accumulate in
+    * it and outlive the call (that durability is the point), so point it
+    * at a per-job path and delete it when the labels are consumed.
     *
     * Output: `(doc_id, cluster_rep)` for every node that appears in an
     * edge, component representatives included (rep maps to itself). */
@@ -332,8 +337,14 @@ object Dedup {
       case _ => ()
     }
 
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    // reliable-checkpoint mode: rounds write to the caller's directory and
+    // survive executor loss; default mode keeps executor-local blocks
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     // canonical directed form: u > v, distinct
     val initial = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -347,7 +358,7 @@ object Dedup {
     val oldParts = spark.conf.get(confKey)
     spark.conf.set(confKey, parts)
     try {
-      var edges = initial.localCheckpoint(true)
+      var edges = materialize(initial)
       var prevCount = edges.count()
       var converged = false
       var iter = 0
@@ -358,20 +369,18 @@ object Dedup {
           edges.select(col("v").as("u"), col("u").as("v")))
         val lsMin = sym.groupBy("u").agg(min(col("v")).as("nbr_min"))
           .select(col("u"), least(col("u"), col("nbr_min")).as("m"))
-        val ls = sym.join(lsMin, "u")
+        val ls = materialize(sym.join(lsMin, "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
-          .distinct()
-          .localCheckpoint(true)
+          .distinct())
         // small-star on the canonical form: every out-neighbor of u is
         // <= u, so attach them all (and u) to their minimum.
         val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
         val joined = ls.join(ssMin, "u")
-        val ss = joined.select(col("v").as("u"), col("m").as("v"))
+        val ss = materialize(joined.select(col("v").as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
           .unionByName(joined.select(col("u"), col("m").as("v")))
-          .distinct()
-          .localCheckpoint(true)
+          .distinct())
         // fixed point iff same distinct count AND no row outside the old
         // set (both sets are distinct, so containment + equal cardinality
         // is set equality; the anti-join probe stops at the first witness)

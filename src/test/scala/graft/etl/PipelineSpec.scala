@@ -22,6 +22,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(s.getAs[Long]("pct_passed") === 100L)
   }
 
+  test("a throwing stage lands FAILED stage_metrics and pipeline_runs rows before propagating (O5)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_fail").toString
+    // an empty input dir: the staging read throws inside stage 1
+    val bad = java.nio.file.Files.createTempDirectory("graft_pipe_bad_sf").toString
+    intercept[Throwable](Pipeline.run(spark, bad, out))
+    val stages = spark.read.parquet(s"$out/meta/stage_metrics")
+    val failed = stages.filter(col("status") === "FAILED").collect()
+    assert(failed.length === 1, s"expected one FAILED stage row, got ${failed.length}")
+    assert(failed.head.getAs[String]("stage") === "1_ingest")
+    assert(failed.head.getAs[Long]("rows_in") === -1L)
+    assert(stages.filter(col("status") === "SUCCESS").count() === 0)
+    val runs = spark.read.parquet(s"$out/meta/pipeline_runs")
+    assert(runs.count() === 1)
+    assert(runs.head().getAs[String]("status") === "FAILED")
+    assert(runs.head().getAs[Long]("records_processed") === -1L)
+  }
+
   test("run() writes warehouse + metadata, registers the top-k view, and appends across runs (O1/O5/K6/S8)") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     val status = Pipeline.run(spark, sf, out)

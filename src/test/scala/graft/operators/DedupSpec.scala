@@ -120,6 +120,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: reliable checkpointing yields identical labels on the 40-hop chain") {
+    val spark0 = spark
+    import spark0.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val reliable = Dedup.connectedComponents(chain, checkpointDir = Some(ckDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    (0L to 40L).foreach(n => assert(reliable(n) === 0L))
+    // the durability actually exercised: round files landed in the dir
+    def countFiles(f: java.io.File): Int =
+      if (f.isFile) 1 else Option(f.listFiles()).map(_.map(countFiles).sum).getOrElse(0)
+    assert(countFiles(new java.io.File(ckDir)) > 0, "no reliable checkpoint written")
+  }
+
   test("connectedComponents throws (not partial labels) when denied enough rounds") {
     val spark0 = spark
     import spark0.implicits._

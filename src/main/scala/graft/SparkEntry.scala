@@ -348,6 +348,11 @@ object SparkEntry {
     // real decode + nearest-neighbor resize, formula-oracle-checked
     "media_resize" -> ((s, d) =>
       operators.Multimodal.resizeFeatures(s, d).toDF().orderBy("doc_id")),
+    // binaryFile SOURCE roundtrip: PNGs written as real files, read back
+    // via spark.read.format("binaryFile"), decoded by the same lineage —
+    // hash-matches media_features' formula oracle
+    "media_binary_roundtrip" -> ((s, d) =>
+      operators.Multimodal.binaryIngestFeatures(s, d).toDF().orderBy("doc_id")),
     // similarity search — brute force, hyperplane-LSH ANN, and embedding
     // near-dups are all oracle-checked (the seeded planes are literal
     // constants DuckDB replays); only the iterative k-means IVF index is
@@ -505,6 +510,9 @@ object SparkEntry {
         | CAST(length(text) AS INTEGER) AS payload_bytes
         | FROM documents ORDER BY doc_id""".stripMargin,
     "media_features" -> operators.Multimodal.decodeFeaturesOracleSql(),
+    // identical SQL to media_features: the file roundtrip must preserve
+    // the decoded statistics exactly
+    "media_binary_roundtrip" -> operators.Multimodal.decodeFeaturesOracleSql(),
     "media_resize" -> operators.Multimodal.resizeFeaturesOracleSql(),
     "media_frames" -> operators.Multimodal.frameSampleOracleSql(),
     "fingerprint" ->

@@ -149,9 +149,15 @@ object Multimodal {
     * `media_features` query hash-matches a DuckDB oracle that recomputes
     * the same sums by formula. The iterator shape is the production
     * contract (batch in, batch out, no driver round-trip). */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
-    import spark.implicits._
-    syntheticImages(spark, dir).mapPartitions { it =>
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] =
+    decodeFeaturesOf(syntheticImages(spark, dir))
+
+  /** [[decodeFeatures]] over an ARBITRARY (doc_id, png_bytes) corpus — the
+    * form both the in-engine synthesis and the [[binaryIngestFeatures]]
+    * file-source path feed. */
+  def decodeFeaturesOf(images: Dataset[(Long, Array[Byte])]): Dataset[MediaFeature] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { case (id, bytes) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -169,6 +175,49 @@ object Multimodal {
         MediaFeature(id, w, h, w * h, sum)
       }
     }
+  }
+
+  private val imageDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The synthetic PNG corpus written as REAL FILES, once per (session,
+    * sf-dir) — the fixture for [[binaryIngestFeatures]]'s `binaryFile`
+    * source. Executors write their own partition's files (no driver
+    * round-trip; local mode shares /tmp, a cluster points this at shared
+    * storage). */
+  def imageFilesDir(spark: SparkSession, dir: String): String =
+    imageDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft_images").toString
+      syntheticImages(spark, dir).foreachPartition {
+        it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"img_$id%08d.png"), bytes)
+          }
+      }
+      d
+    })
+
+  /** Real SOURCE operator for the media family (the round-5 gap: decode
+    * lineages ran only on in-engine synthesized bytes): ingest a directory
+    * of image FILES through Spark's `binaryFile` source — one whole-file
+    * row (path, content) per image, doc_id recovered from the file name —
+    * and feed the SAME decode lineage as [[decodeFeatures]]. The
+    * registered roundtrip query hash-matches the formula oracle, proving
+    * file write → binaryFile scan → PNG decode end to end. At 100 TB this
+    * is the ingestion shape for real image corpora (each task reads its
+    * own file split; no payload shuffle), with the compaction step into
+    * parquet binary columns being [[syntheticMedia]]'s layout. */
+  def binaryIngestFeatures(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(imageFilesDir(spark, dir))
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    decodeFeaturesOf(files)
   }
 
   val resizeTo = 8

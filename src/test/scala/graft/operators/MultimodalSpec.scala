@@ -57,6 +57,15 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile ingestion roundtrips: file-source decode equals the in-engine decode") {
+    val viaFiles = Multimodal.binaryIngestFeatures(spark, sf).collect()
+      .map(f => f.doc_id -> f).toMap
+    val direct = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(direct.nonEmpty && viaFiles.size === direct.length)
+    direct.foreach(f => assert(viaFiles(f.doc_id) === f,
+      s"doc ${f.doc_id}: file roundtrip diverged"))
+  }
+
   test("resizeFeatures: nearest-neighbor samples match the source-pixel formula") {
     val k = Multimodal.resizeTo
     val rows = Multimodal.resizeFeatures(spark, sf).collect()

@@ -97,11 +97,12 @@ object PairBench {
     val embBuckets = operators.Similarity.codeBucketSizes(spark, dir)
     val (eb, ebd, er, erd) = capStats(embBuckets, "bucket_n", operators.Similarity.maxBucketSize)
 
-    // the corpus-scaled ANN remedy: code width grown so buckets fit the
-    // cap again (2^bits buckets/table; 14 bits ≈ 30 vectors/bucket at
-    // 100×, candidate volume ~57M not ~1B — 10 bits exhausted /tmp with
-    // ~1e9 candidate-pair shuffle spill; near-identical copies agree on
-    // ~97.5% of sign bits, so 8 tables keep family recall ≈ 1 even at 14)
+    // manual code-width sweep for comparison against the registered
+    // ADAPTIVE width (Similarity.adaptiveBits picks 13 bits at this 100×
+    // scale): 14 bits ≈ 30 vectors/bucket, candidate volume ~57M not ~1B
+    // — 10 bits exhausted /tmp with ~1e9 candidate-pair shuffle spill;
+    // near-identical copies agree on ~97.5% of sign bits, so 8 tables
+    // keep family recall ≈ 1 even at 14
     val scaledBits = sys.env.getOrElse("SPARK_GRAFT_ANN_BITS", "14").toInt
     val t0s = System.nanoTime()
     val nScaled = operators.Similarity.embeddingNearDupsAt(spark, dir, scaledBits).count()

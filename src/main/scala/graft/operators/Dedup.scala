@@ -169,12 +169,41 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
   }
 
+  /** Per-ROW MinHash signature of a `text` column — the narrow
+    * (shuffle-free) twin of [[minhashSignatures]] for STREAMING
+    * consumers: shingling, base hashing, and all 32 permutation minima
+    * fold inside ONE `aggregate` HOF over the row's own shingle array,
+    * so an unbounded stream needs no stateful aggregation to sign its
+    * documents. The shingle hashes are the aggregate's input, evaluated
+    * once per row (not once per permutation). Values are IDENTICAL to
+    * the batch operator's (asserted in StreamsSpec) — same shingles,
+    * same base hash, same permutation arithmetic. */
+  def signatureCol(spark: SparkSession): Column = {
+    graft.functions.HashExprs.register(spark)
+    val accInit = (0 until numHashes).map(_ => s"CAST($hashPrime AS BIGINT)")
+      .mkString("array(", ", ", ")")
+    val step = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      s"least(element_at(acc, ${i + 1}), ($a * h + $b) % $hashPrime)"
+    }.mkString("array(", ", ", ")")
+    expr(
+      s"""aggregate(
+         |  transform(
+         |    array_distinct(transform(
+         |      sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+         |      i -> concat_ws(' ', slice(split(text, ' '), i, 3)))),
+         |    s -> md5_prefix60(cast(s AS binary)) % $hashPrime),
+         |  $accInit,
+         |  (acc, h) -> $step)""".stripMargin)
+  }
+
   /** Polynomial band hash over the band's signature slots, seeded by the
     * band index — pure modular arithmetic, identical in the oracle. */
-  private def bandHash(j: Int): Column =
+  private[graft] def bandHashOf(j: Int, sig: Column): Column =
     (0 until rowsPerBand).foldLeft(lit((100 + j).toLong): Column) { (acc, r) =>
-      (acc * 31 + col("sig")(j * rowsPerBand + r)) % hashPrime
+      (acc * 31 + sig(j * rowsPerBand + r)) % hashPrime
     }
+
+  private def bandHash(j: Int): Column = bandHashOf(j, col("sig"))
 
   private def bandHashSql(j: Int): String =
     (0 until rowsPerBand).foldLeft(s"CAST(${100 + j} AS BIGINT)") { (acc, r) =>
@@ -183,10 +212,11 @@ object Dedup {
 
   /** LSH banding: hash each band of 4 signature slots, bucket-join docs
     * sharing any (band, hash) bucket. Oversized buckets are dropped before
-    * the self-join (skew guard). Package-visible: the incremental append
-    * path ([[Corpus.appendNearDups]]) bands a batch's signatures against
+    * the self-join (skew guard). Library-visible: the incremental append
+    * path ([[Corpus.appendNearDups]]) and the streaming flagger
+    * ([[graft.streaming.Streams.nearDupStream]]) band signatures against
     * the persisted signature index. */
-  private[operators] def bandedOf(sigs: DataFrame): DataFrame = {
+  private[graft] def bandedOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map(j => bandHash(j).as(s"b_$j"))
     sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),

@@ -83,6 +83,60 @@ object Streams {
       .dropDuplicatesWithinWatermark("digest")
   }
 
+  /** Streaming NEAR-dup flagging — the streaming twin of
+    * [[graft.operators.Corpus.appendNearDups]]: sign each arriving
+    * document with the narrow per-row MinHash signature
+    * ([[graft.operators.Dedup.signatureCol]] — one `aggregate` HOF, no
+    * stateful aggregation), band it, and stream-static join the bands
+    * against the persisted signature index ([[graft.operators.Corpus
+    * .bandIndexDir]] layout), then signature-verify the candidates.
+    * State is bounded: the only stateful operator is the
+    * within-watermark dedup of (doc_id, matched_id) pairs (a pair can
+    * surface through several bands). The index is a SNAPSHOT — stream
+    * flags are relative to it, and a deployment periodically compacts
+    * admitted documents into the index exactly like the exact-dedup
+    * twin ([[appendStream]]'s horizon contract).
+    *
+    * Output: one row per (arriving doc, matched index doc) with the
+    * signature-agreement count. Cap semantics mirror the batch path
+    * (index-side buckets over [[graft.operators.Dedup.maxBucketSize]]
+    * are shed). */
+  def nearDupStream(docs: DataFrame, bandIndexDir: String,
+      minMatch: Int = 16, delay: String = "1 hour"): DataFrame = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    // static side, built once and persisted: capped band buckets + sigs
+    val oldSigs = spark.read.parquet(s"$bandIndexDir/sigs")
+    val oldBand = Dedup.bandedOf(oldSigs)
+    val ok = oldBand.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= Dedup.maxBucketSize)
+      .select("band_idx", "band_hash")
+    val oldIn = oldBand.join(ok, Seq("band_idx", "band_hash"))
+      .select("doc_id", "band_idx", "band_hash")
+      .toDF("matched_id", "band_idx", "band_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldSigl = oldSigs.toDF("matched_id", "sig_old")
+    val signed = docs
+      .withWatermark("ts", delay)
+      .withColumn("sig", Dedup.signatureCol(spark))
+    val banded = signed.select(col("ts"), col("doc_id"), col("sig"),
+      posexplode(array((0 until Dedup.numBands).map(j =>
+        Dedup.bandHashOf(j, col("sig"))): _*)))
+      .toDF("ts", "doc_id", "sig", "band_idx", "band_hash")
+    banded
+      .join(oldIn, Seq("band_idx", "band_hash")) // stream-static: stateless
+      .select("ts", "doc_id", "sig", "matched_id")
+      .join(oldSigl, Seq("matched_id"))
+      .withColumn("n_match",
+        expr("""aggregate(zip_with(sig, sig_old,
+               |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+               |  0, (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("n_match") >= minMatch)
+      .select("ts", "doc_id", "matched_id", "n_match")
+      .dropDuplicatesWithinWatermark("doc_id", "matched_id")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   /** start/end are epoch MICROSECONDS: Spark timestamps are micro-precision,
     * and tracking `Timestamp.getTime` millis would silently truncate

@@ -79,6 +79,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("per-row signatureCol equals the batch minhashSignatures values") {
+    val docs = Dedup.corpusWithDups(spark, sf)
+    val viaRow = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.signatureCol(spark).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaRow.size === batch.size)
+    batch.foreach { case (id, sig) =>
+      assert(viaRow(id) === sig, s"doc $id: per-row signature diverges") }
+  }
+
   test("connectedComponents: planted chain with diameter 40 (> any propagation cap) fully collapses") {
     val spark0 = spark
     import spark0.implicits._

@@ -165,6 +165,37 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup flagging against the persisted band index (bounded state)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    def body(tag: String) = (0 until 60).map(j => s"$tag$j").mkString(" ")
+    // band/signature index over a 2-doc corpus (the batch twin's state)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_stream_band_idx").toString
+    val corpus = Seq((1L, body("a")), (2L, body("b"))).toDF("doc_id", "text")
+    graft.operators.Dedup.minhashSignatures(corpus)
+      .write.mode("overwrite").parquet(s"$indexDir/sigs")
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.nearDupStream(input.toDF().toDF("ts", "doc_id", "text"), indexDir)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      // batch 1: a near-dup of corpus doc 1 + a genuinely new doc
+      input.addData((ts("10:00"), 10L, body("a") + " tail"), (ts("10:05"), 11L, body("x")))
+      q.processAllAvailable()
+      // batch 2: a near-dup of corpus doc 2
+      input.addData((ts("10:30"), 20L, body("b") + " tail"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, matched_id, n_match FROM neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.map(r => (r._1, r._2)).toSet === Set((10L, 1L), (20L, 2L)),
+        s"flagged pairs: ${rows.toSeq}")
+      // each pair exactly once despite matching through several bands
+      assert(rows.length === rows.distinct.length && rows.length === 2)
+      assert(rows.forall(_._3 >= 16), "verified by signature agreement")
+    } finally q.stop()
+  }
+
   test("appendStream restart: killed mid-stream, resumes from checkpoint, digests admitted once") {
     val spark0 = spark
     import spark0.implicits._

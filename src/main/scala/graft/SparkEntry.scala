@@ -366,6 +366,10 @@ object SparkEntry {
     // bounded output on dense duplicate clusters (the all-pairs surface
     // is output-bound: pairs grew 100.8x at the 10x stretch)
     "near_dups_topk" -> ((s, d) => operators.Similarity.nearDupsTopK(s, d)),
+    // incremental embedding near-dup maintenance: batch codes join the
+    // persisted LSH code index — no corpus re-code, no self-join
+    "append_embedding_near_dups" -> ((s, d) =>
+      operators.Similarity.appendEmbeddingNearDups(s, d)),
     // training-corpus assembly (operators/Corpus.scala) — all oracle-checked
     "train_split" -> ((s, d) => operators.Corpus.trainSplit(s, d)),
     "pack_documents" -> ((s, d) => operators.Corpus.packDocuments(s, d)),
@@ -539,6 +543,8 @@ object SparkEntry {
     "ann_topk" -> operators.Similarity.annOracleSql(),
     "embedding_near_dups" -> operators.Similarity.nearDupsOracleSql(),
     "near_dups_topk" -> operators.Similarity.nearDupsTopKOracleSql(),
+    "append_embedding_near_dups" ->
+      operators.Similarity.appendEmbeddingNearDupsOracleSql(),
     "ivf_topk" -> operators.Similarity.ivfOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,

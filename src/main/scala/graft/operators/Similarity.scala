@@ -494,6 +494,106 @@ object Similarity {
   def codeBucketSizes(spark: SparkSession, dir: String): DataFrame =
     corpusCodes(spark, dir).groupBy("table", "code").agg(count(lit(1)).as("bucket_n"))
 
+  private val codeIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Persisted LSH CODE index over the existing embedding corpus — the
+    * embedding-modality twin of [[graft.operators.Corpus.bandIndexDir]]:
+    * (vec_id, table, code) rows at the corpus-adaptive width, written
+    * once per (session, sf-dir). An appended vector batch then joins its
+    * own codes against the index buckets instead of re-coding and
+    * self-joining the whole corpus — the re-coding (bits × tables dot
+    * products per vector) and the candidate enumeration both become
+    * O(batch + touched buckets). Vectors themselves are NOT in the index;
+    * the exact-cosine verify joins the candidate ids back to the
+    * embeddings table, touching only candidate rows' vectors. */
+  def codeIndexDir(spark: SparkSession, dir: String): String =
+    codeIndexDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft_code_index").toString
+      corpusCodes(spark, dir).select("vec_id", "table", "code")
+        .write.mode("overwrite").parquet(s"$d/codes")
+      d
+    })
+
+  /** Drop this session's code-index registrations (same contract as
+    * [[graft.operators.Corpus.evictIndexes]]). */
+  def evictCodeIndexes(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    codeIndexDirs.keys.filter(_._1 == app).foreach(codeIndexDirs.remove)
+  }
+
+  /** Deterministic vector batch for the REGISTERED embedding-append
+    * query: every vec_id % 11 == 3 vector arrives as a lightly-perturbed
+    * near-duplicate (a +0.01 shift on every component, computed in DOUBLE
+    * and cast back — bit-identical in both engines), offset +1,000,000. */
+  private def nearDupVecBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 11 === 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))")
+          .as("embedding"))
+
+  /** Incremental near-dup maintenance for the EMBEDDING modality: code
+    * the batch at the INDEX corpus's width, join against the persisted
+    * code buckets (cap on the index side, as everywhere), dedup the bare
+    * id-pairs, and exact-cosine verify — the same shape as
+    * [[embeddingNearDups]] with the corpus self-join replaced by a
+    * batch-vs-index probe. Fully deterministic; the oracle recomputes
+    * the index contents and the batch codes in one query. */
+  def appendEmbeddingNearDups(spark: SparkSession, dir: String,
+      minCosine: Double = 0.25): DataFrame = {
+    val idx = codeIndexDir(spark, dir)
+    val bits = corpusBits(spark, dir) // the width the index was built at
+    val oldCodes = spark.read.parquet(s"$idx/codes")
+    val ok = oldCodes.groupBy("table", "code")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("table", "code")
+    val oldIn = oldCodes.join(ok, Seq("table", "code"))
+      .select("vec_id", "table", "code")
+      .toDF("old_id", "table", "code")
+    val batch = nearDupVecBatch(spark, dir)
+    val newCodes = codesAt(batch, bits)
+      .select(col("vec_id").as("new_id"), col("table"), col("code"))
+    val cands = newCodes.join(oldIn, Seq("table", "code"))
+      .select("new_id", "old_id").distinct()
+    val newVecs = withNorm(batch).toDF("new_id", "emb_n", "norm_n")
+    val oldVecs = withNorm(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+      .toDF("old_id", "emb_o", "norm_o")
+    val joined = cands.join(newVecs, Seq("new_id")).join(oldVecs, Seq("old_id"))
+    joined
+      .select(col("new_id"), col("old_id"),
+        (vecDot(joined, "emb_n", "emb_o") /
+          (col("norm_n") * col("norm_o"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("new_id", "old_id")
+  }
+
+  /** DuckDB replay of [[appendEmbeddingNearDups]]: the shared `nb` width,
+    * the index corpus's codes, the batch's codes (same planes, same
+    * width), bucket cap, candidate probe, and left-fold cosine — all in
+    * one query. */
+  def appendEmbeddingNearDupsOracleSql(minCosine: Double = 0.25): String =
+    s"""$codesCtes,
+       | vbatch AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 11 = 3),
+       | ${codesBlock("vbatch", "b")},
+       | okc AS (SELECT tbl, code FROM codes
+       |   GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize),
+       | vcands AS (SELECT DISTINCT nc.vec_id AS new_id, o.vec_id AS old_id
+       |   FROM bcodes nc
+       |   JOIN codes o ON o.tbl = nc.tbl AND o.code = nc.code
+       |   JOIN okc k ON k.tbl = nc.tbl AND k.code = nc.code)
+       | SELECT new_id, old_id, cosine FROM (
+       |   SELECT c.new_id, c.old_id,
+       |     ${dotSql("bn.embedding", "od.embedding")} / (bn.norm * od.norm) AS cosine
+       |   FROM vcands c
+       |   JOIN bnormed bn ON bn.vec_id = c.new_id
+       |   JOIN normed od ON od.vec_id = c.old_id)
+       | WHERE cosine >= $minCosine ORDER BY new_id, old_id""".stripMargin
+
   /** ANN cosine top-k: LSH bucket candidates -> exact cosine -> top-k.
     * Same output shape as [[bruteForceTopK]]; recall asserted in tests. */
   def annTopK(spark: SparkSession, dir: String,
@@ -536,7 +636,11 @@ object Similarity {
     * COUNT(*) as an integer CASE ladder), so each bit contributes only
     * `WHEN b < bits` — the prefix-stable plane family guarantees that
     * equals Spark's "compute only the first b planes" exactly. */
-  private def codesCtes: String = {
+  /** CTE block `${p}normed → ${p}pc → ${p}codes` coding relation
+    * `src(vec_id, embedding)` — requires the shared `nb` (width) CTE in
+    * scope. Prefixed so the append oracle codes TWO corpora (index +
+    * batch) in one query, both at the INDEX corpus's width. */
+  private def codesBlock(src: String, p: String = ""): String = {
     val planes = hyperplanes()
     val tableCodes = (0 until nTables).map { t =>
       val bitTerms = (0 until maxCodeBits).map { b =>
@@ -546,16 +650,19 @@ object Similarity {
       bitTerms.mkString("(", " + ", s") AS code_$t")
     }.mkString(", ")
     val codeList = (0 until nTables).map(t => s"code_$t").mkString("[", ", ", "]")
-    s"""WITH normed AS (
+    s"""${p}normed AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
-       | nb AS (SELECT ${adaptiveBitsSql("n")} AS bits
-       |   FROM (SELECT COUNT(*) AS n FROM embeddings)),
-       | pc AS (SELECT vec_id, embedding, norm, $tableCodes FROM normed CROSS JOIN nb),
-       | codes AS (
+       |  FROM $src),
+       | ${p}pc AS (SELECT vec_id, embedding, norm, $tableCodes FROM ${p}normed CROSS JOIN nb),
+       | ${p}codes AS (
        |  SELECT vec_id, embedding, norm, t AS tbl, ($codeList)[t + 1] AS code
-       |  FROM pc CROSS JOIN UNNEST(generate_series(0, ${nTables - 1})) AS u(t))""".stripMargin
+       |  FROM ${p}pc CROSS JOIN UNNEST(generate_series(0, ${nTables - 1})) AS u(t))""".stripMargin
   }
+
+  private def codesCtes: String =
+    s"""WITH nb AS (SELECT ${adaptiveBitsSql("n")} AS bits
+       |   FROM (SELECT COUNT(*) AS n FROM embeddings)),
+       | ${codesBlock("embeddings")}""".stripMargin
 
   /** DuckDB replay of [[annTopK]]. */
   def annOracleSql(k: Int = defaultK, nQueries: Int = defaultNQueries): String =

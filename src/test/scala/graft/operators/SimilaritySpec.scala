@@ -143,6 +143,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("load-shedding"), e.getMessage)
   }
 
+  test("appendEmbeddingNearDups: every planted revision recovers its original via the code index") {
+    val rows = Similarity.appendEmbeddingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val origIds = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 11 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // each batch vector (+1e6 offset, +0.01 shift) must at minimum match
+    // its own original, at near-unit cosine
+    origIds.foreach { id =>
+      val self = rows.find(r => r._1 == id + 1000000L && r._2 == id)
+      assert(self.isDefined, s"batch vector of $id missed its original")
+      assert(self.get._3 > 0.95, s"origin cosine ${self.get._3} for $id")
+    }
+    // soundness: ordered unique pairs above the threshold
+    assert(rows.forall(_._3 >= 0.25))
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
+
   test("LSH codes are deterministic across invocations") {
     val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val a = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4))).toSet

@@ -85,12 +85,15 @@ object SparkEntry {
         moneyDouble(Ingest.roundtripOrc(s, d, dumpDir(s, d, "orc")), Seq("unit_price")),
         stagingCols)
     }),
+    // K2-extension: SCD2 change history (upsert keeps latest; this keeps all)
+    "scd2_part_history" -> ((s, d) => Scd.partHistory(s, d)),
   )
 
   private def dumpDir(s: SparkSession, d: String, fmt: String): String =
     s"/tmp/graft_${fmt}_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
 
   private val etlOracles: Map[String, String] = Map(
+    "scd2_part_history" -> Scd.partHistoryOracleSql,
     "staging" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
     "ingest_csv" ->

@@ -395,6 +395,7 @@ object SparkEntry {
     // the rewrite counterpart: drop cross-document repeated chunks and
     // hash-check the reassembled text (digest-only shuffles)
     "strip_boilerplate" -> ((s, d) => operators.Scrub.stripBoilerplate(s, d)),
+    "chunk_dedup_keepfirst" -> ((s, d) => operators.Scrub.chunkDedupKeepFirst(s, d)),
     // cluster-aware split: near-dup families never straddle train/val
     "leakage_safe_split" -> ((s, d) => operators.Corpus.leakageSafeSplit(s, d)),
     // event analytics
@@ -541,6 +542,7 @@ object SparkEntry {
     "pii_scrub" -> operators.Scrub.piiScrubOracleSql,
     "boilerplate_stats" -> operators.Scrub.boilerplateOracleSql(corpusCte),
     "strip_boilerplate" -> operators.Scrub.stripBoilerplateOracleSql(corpusCte),
+    "chunk_dedup_keepfirst" -> operators.Scrub.chunkDedupKeepFirstOracleSql(corpusCte),
     "leakage_safe_split" -> operators.Corpus.leakageSafeSplitOracleSql(corpusCte),
     "similarity_topk" -> operators.Similarity.bruteForceOracleSql(),
     "ann_topk" -> operators.Similarity.annOracleSql(),

@@ -161,6 +161,74 @@ object Scrub {
        | FROM totals t LEFT JOIN kept k USING (doc_id)
        | ORDER BY t.doc_id""".stripMargin
 
+  /** Global KEEP-FIRST chunk dedup — the repeated-SPAN dedup of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better"
+    * (re-expressed at fixed-width chunk granularity): every repeated
+    * chunk keeps exactly ONE occurrence corpus-wide — the first in
+    * (doc_id, pos) order — and later occurrences are dropped. Contrast
+    * [[stripBoilerplate]], which drops ALL occurrences of any chunk seen
+    * in >maxDocFreq docs (including the first): stripping removes
+    * boilerplate entirely; keep-first preserves one copy of every span,
+    * the semantics a pretraining pipeline wants for content that should
+    * stay in the corpus exactly once.
+    *
+    * 100 TB shape: identical to [[stripBoilerplate]] — only (digest,
+    * doc_id, pos) tuples shuffle, and the keep-set is ONE aggregation
+    * (min struct per digest, map-side combined); the chunk text never
+    * leaves its document, and reassembly re-slices the original text per
+    * row from the kept-position ints. */
+  def chunkDedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.corpusWithDups(spark, dir)
+    val chunkArr = expr(
+      s"""transform(
+         |  sequence(0, greatest(cast(ceil(size(split(text, ' ')) / $chunkTokens.0) as int) - 1, 0)),
+         |  i -> concat_ws(' ', slice(split(text, ' '), i * $chunkTokens + 1, $chunkTokens)))""".stripMargin)
+    val chunked = docs
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos"), md5(col("chunk")).as("digest"))
+    // exactly one survivor per digest: the minimum (doc_id, pos) pair
+    val keptPos = chunked
+      .groupBy("digest")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.pos").as("pos"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("kept"))
+    docs.join(keptPos, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("kept"), array()))
+      .withColumn("chunks", chunkArr)
+      .select(
+        col("doc_id"),
+        size(col("chunks")).as("n_chunks"),
+        size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(kept, p -> element_at(chunks, p + 1))"))).as("dedup_md5"))
+      .orderBy("doc_id")
+  }
+
+  def chunkDedupKeepFirstOracleSql(corpusCte: String): String =
+    s"""$corpusCte,
+       | toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corpus),
+       | ch AS (
+       |   SELECT doc_id, i AS pos,
+       |     array_to_string(list_slice(tk, i * $chunkTokens + 1, i * $chunkTokens + $chunkTokens), ' ') AS chunk
+       |   FROM toks CROSS JOIN UNNEST(generate_series(0,
+       |     greatest(CAST(ceil(len(tk) / $chunkTokens.0) AS INTEGER) - 1, 0))) AS u(i)),
+       | chd AS (SELECT doc_id, pos, chunk, md5(chunk) AS digest FROM ch),
+       | firsts AS (
+       |   SELECT doc_id, pos, chunk FROM (
+       |     SELECT doc_id, pos, chunk,
+       |       row_number() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
+       |     FROM chd) WHERE rn = 1),
+       | kept AS (
+       |   SELECT doc_id, COUNT(*) AS n_kept,
+       |     md5(array_to_string(list(chunk ORDER BY pos), ' ')) AS dedup_md5
+       |   FROM firsts GROUP BY doc_id),
+       | totals AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks FROM chd GROUP BY doc_id)
+       | SELECT t.doc_id, t.n_chunks,
+       |   CAST(COALESCE(k.n_kept, 0) AS INTEGER) AS n_kept,
+       |   COALESCE(k.dedup_md5, md5('')) AS dedup_md5
+       | FROM totals t LEFT JOIN kept k USING (doc_id)
+       | ORDER BY t.doc_id""".stripMargin
+
   def boilerplateOracleSql(corpusCte: String): String =
     s"""$corpusCte,
        | toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),

@@ -80,4 +80,39 @@ class ScrubSpec extends AnyFunSuite {
     assert(keptFrac >= 0.5, s"non-copied docs kept only $keptFrac of their chunks")
     assert(untouched.exists(r => r._3 === r._2), "no doc survived fully intact")
   }
+
+  test("chunkDedupKeepFirst: every distinct chunk survives exactly once, first occurrence wins") {
+    val rows = Scrub.chunkDedupKeepFirst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // global invariant: total kept chunks == number of DISTINCT chunk digests
+    val distinctChunks = {
+      import org.apache.spark.sql.functions._
+      val docs = Dedup.corpusWithDups(spark, sf)
+      docs.select(explode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil(size(split(text, ' ')) / ${Scrub.chunkTokens}.0) as int) - 1, 0)),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i * ${Scrub.chunkTokens} + 1, ${Scrub.chunkTokens})))""".stripMargin))
+        .as("chunk")).distinct().count()
+    }
+    assert(rows.map(_._3.toLong).sum === distinctChunks)
+    // an exact planted copy (id + 100000) repeats every chunk of its
+    // original, and the original has the smaller doc_id -> the copy keeps 0
+    // and the original keeps its whole text (it precedes all repeats of
+    // its own chunks: originals < 100000 come first in (doc_id, pos) order
+    // unless an earlier small-id doc shares the chunk)
+    val copies = rows.filter(r => r._1 >= 100000L && r._1 < 200000L)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, _, kept, _) => assert(kept === 0, s"copy $id kept $kept") }
+    // keep-first is strictly more preserving than strip: stripBoilerplate
+    // drops ALL occurrences of repeated chunks, keep-first retains one
+    val strip = Scrub.stripBoilerplate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach { case (id, _, kept, _) =>
+      assert(kept >= strip(id), s"doc $id keep-first kept less than strip")
+    }
+    assert(rows.map(_._3.toLong).sum > strip.values.map(_.toLong).sum,
+      "keep-first must preserve strictly more than stripping on a corpus with repeats")
+  }
 }

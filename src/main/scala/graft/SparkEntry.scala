@@ -364,6 +364,8 @@ object SparkEntry {
     "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),
     "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
     "ivf_topk" -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
+    "q8_codes" -> ((s, d) => operators.Similarity.quantizeCodes(s, d)),
+    "q8_topk" -> ((s, d) => operators.Similarity.quantizedTopK(s, d)),
     "embedding_near_dups" -> ((s, d) => operators.Similarity.embeddingNearDups(s, d)),
     // output-capped variant: each vector's top-k near-dup neighbors —
     // bounded output on dense duplicate clusters (the all-pairs surface
@@ -551,6 +553,8 @@ object SparkEntry {
     "append_embedding_near_dups" ->
       operators.Similarity.appendEmbeddingNearDupsOracleSql(),
     "ivf_topk" -> operators.Similarity.ivfOracleSql(),
+    "q8_codes" -> operators.Similarity.quantizeCodesOracleSql,
+    "q8_topk" -> operators.Similarity.quantizedTopKOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,
          | COUNT(*) AS n_events,

@@ -799,4 +799,145 @@ object Similarity {
        |SELECT query_id, vec_id, sim, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Scalar (per-dimension affine) int8 quantization of the embedding
+    * column — the standard 4× memory/shuffle-byte reduction for
+    * billion-vector ANN (float32 → uint8 code per dimension, as in
+    * FAISS's SQ8 / ScaNN's fixed-point leaves). Per-dim min/max define
+    * the affine map; codes are `floor((x-mn)·255/(mx-mn)+0.5)` clamped to
+    * [0,255]. min/max involve NO arithmetic (exact on floats), and the
+    * quantize formula is evaluated in DOUBLE in the same textual
+    * operation order by both engines, so codes are oracle-exact.
+    *
+    * 100 TB design: the parameter pass is one map-side-combined
+    * (dimension → min/max) aggregation — 64 groups, constant-size result
+    * broadcast back as two arrays (the repo's broadcast-scalar crossJoin
+    * pattern, index-metadata-sized like the IVF centroids). The encode
+    * pass is then narrow per-row `transform` work at scan speed; nothing
+    * about the corpus shuffles. */
+  private def quantParams(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x")).cast("double").as("mn"), max(col("x")).cast("double").as("mx"))
+      .groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)").as("mins"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("maxs"))
+
+  /** Quantization code expression over `embedding`/`mins`/`maxs` columns:
+    * 1-based positional map, constant-dim guard for mx == mn. */
+  private val q8CodesExpr =
+    """transform(sequence(1, size(embedding)), j ->
+      |  cast(if(element_at(maxs, j) = element_at(mins, j), 0,
+      |    least(255, greatest(0,
+      |      floor((cast(element_at(embedding, j) as double) - element_at(mins, j))
+      |        * 255.0 / (element_at(maxs, j) - element_at(mins, j)) + 0.5d)))) as int))""".stripMargin
+
+  /** Per-vector quantization report: code checksum + content digest (the
+    * oracle checks the full CODE CONTENT without dumping 64-int arrays
+    * through the compare harness). */
+  def quantizeCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    emb.crossJoin(broadcast(quantParams(emb)))
+      .withColumn("q", expr(q8CodesExpr))
+      .select(
+        col("vec_id"),
+        size(col("q")).as("n_dims"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("code_sum"),
+        md5(concat_ws(",", col("q").cast("array<string>"))).as("code_md5"))
+      .orderBy("vec_id")
+  }
+
+  /** Exact top-k over the DEQUANTIZED vectors — the fidelity probe for
+    * [[quantizeCodes]]: same plan shape as [[bruteForceTopK]] (broadcast
+    * queries, corpus scan, per-query window), but every dot product runs
+    * over `mn[j] + q[j]·(mx[j]-mn[j])/255` reconstructions. At scale this
+    * is the kernel that runs over the 4×-smaller stored codes;
+    * SimilaritySpec asserts recall@k against the exact float path. */
+  def quantizedTopK(spark: SparkSession, dir: String,
+      k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val deq = emb.crossJoin(broadcast(quantParams(emb)))
+      .withColumn("q", expr(q8CodesExpr))
+      .withColumn("xhat", expr(
+        """transform(sequence(1, size(q)), j ->
+          |  element_at(mins, j) + cast(element_at(q, j) as double)
+          |    * (element_at(maxs, j) - element_at(mins, j)) / 255.0)""".stripMargin))
+      .select(col("vec_id"), col("xhat"))
+    val withN = deq.withColumn("norm",
+      sqrt(aggregate(zip_with(col("xhat"), col("xhat"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)))
+    val queries = withN.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "q_xhat", "q_norm")
+    val scored = withN.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        (aggregate(zip_with(col("q_xhat"), col("xhat"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) /
+          (col("q_norm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared oracle CTEs: per-dim params + int8 codes, mirroring
+    * [[quantParams]]/[[q8CodesExpr]] textually so every double op runs in
+    * the same order. */
+  private def q8OracleCtes: String =
+    """WITH dims AS (
+      |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      |  FROM embeddings),
+      | params AS (
+      |  SELECT i, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx
+      |  FROM dims GROUP BY i),
+      | parr AS (
+      |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM params),
+      | codes AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(range(1, len(embedding) + 1), j ->
+      |      CAST(CASE WHEN maxs[j] = mins[j] THEN 0 ELSE
+      |        least(255, greatest(0,
+      |          floor((CAST(embedding[j] AS DOUBLE) - mins[j])
+      |            * 255.0 / (maxs[j] - mins[j]) + 0.5))) END AS INTEGER)) AS q,
+      |    mins, maxs
+      |  FROM embeddings CROSS JOIN parr)""".stripMargin
+
+  def quantizeCodesOracleSql: String =
+    s"""$q8OracleCtes
+       | SELECT vec_id,
+       |   CAST(len(q) AS INTEGER) AS n_dims,
+       |   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q), (acc, v) -> acc + v) AS BIGINT) AS code_sum,
+       |   md5(array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')) AS code_md5
+       | FROM codes ORDER BY vec_id""".stripMargin
+
+  def quantizedTopKOracleSql(k: Int = defaultK, nQueries: Int = defaultNQueries): String = {
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+         |   (acc, v) -> acc + v)""".stripMargin
+    s"""$q8OracleCtes,
+       | deq AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(q) + 1), j ->
+       |      mins[j] + CAST(q[j] AS DOUBLE) * (maxs[j] - mins[j]) / 255.0) AS xhat
+       |  FROM codes),
+       | normed AS (
+       |  SELECT vec_id, xhat, sqrt(${dotSql("xhat", "xhat")}) AS norm FROM deq),
+       | scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       |    ${dotSql("q.xhat", "v.xhat")} / (q.norm * v.norm) AS sim
+       |  FROM normed q, normed v
+       |  WHERE q.vec_id < $nQueries AND v.vec_id <> q.vec_id),
+       | ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       | SELECT query_id, vec_id, sim, rank FROM ranked
+       | WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -168,4 +168,29 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.codes(emb).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4))).toSet
     assert(a === b)
   }
+
+  test("quantizeCodes: every code in [0,255], full dim coverage, deterministic") {
+    val rows = Similarity.quantizeCodes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dims, sum) = (r.getAs[Int]("n_dims"), r.getAs[Long]("code_sum"))
+      assert(dims === 64, s"vec ${r.getLong(0)} dims")
+      assert(sum >= 0L && sum <= 255L * dims, s"vec ${r.getLong(0)} checksum out of range")
+    }
+    // affine map hits both ends: some dimension of some vector must code
+    // 0 and some 255 (min/max attained by construction)
+    assert(rows.exists(_.getAs[Long]("code_sum") > 0))
+    val again = Similarity.quantizeCodes(spark, sf).collect().map(_.toSeq).toSet
+    assert(again === rows.map(_.toSeq).toSet)
+  }
+
+  test("quantizedTopK: int8 reconstruction preserves the exact neighbor ranking almost everywhere") {
+    val exact = resultPairs(Similarity.bruteForceTopK(spark, sf))
+    val quant = resultPairs(Similarity.quantizedTopK(spark, sf))
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    // 8-bit scalar quantization on dim-64 vectors loses ~1e-2 relative
+    // dot-product precision — neighbor sets should be near-identical;
+    // the bound guards the encode/decode path, not quantization physics
+    assert(recall >= 0.9, s"q8 recall $recall < 0.9")
+  }
 }

@@ -87,6 +87,13 @@ object SparkEntry {
     }),
     // K2-extension: SCD2 change history (upsert keeps latest; this keeps all)
     "scd2_part_history" -> ((s, d) => Scd.partHistory(s, d)),
+    // S5-extension: schema evolution across parquet batches (mergeSchema)
+    "ingest_evolve" -> ((s, d) => {
+      val merged = Ingest.evolvedRoundtrip(s, d, dumpDir(s, d, "evolve"))
+      orderedAsc(
+        moneyDouble(merged.select((stagingCols :+ "channel").map(col): _*), Seq("unit_price")),
+        stagingCols :+ "channel")
+    }),
   )
 
   private def dumpDir(s: SparkSession, d: String, fmt: String): String =
@@ -94,6 +101,7 @@ object SparkEntry {
 
   private val etlOracles: Map[String, String] = Map(
     "scd2_part_history" -> Scd.partHistoryOracleSql,
+    "ingest_evolve" -> Ingest.evolvedOracleSql(orderBySql(stagingCols :+ "channel")),
     "staging" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
     "ingest_csv" ->

@@ -79,4 +79,44 @@ object Ingest {
     Warehouse(spark, dir).staging.write.mode("overwrite").orc(outPath)
     spark.read.orc(outPath)
   }
+
+  /** Schema-EVOLUTION ingestion — the long-lived-pipeline reality the
+    * reference's fixed DDL sidesteps: batch 1 predates the `country`
+    * column, batch 2 carries a new `channel` column. Both land as parquet
+    * as-written; `mergeSchema` unifies the footer schemas on read and
+    * either batch's missing columns surface as NULL — old batches are
+    * never rewritten. At 100 TB this is the only tenable contract:
+    * schema changes must not trigger a corpus rewrite, and the unified
+    * read stays a plain parquet scan (footer merge is per-file metadata
+    * work, pushdown/pruning unaffected).
+    *
+    * The batch split is deterministic (stock_code parity) so the DuckDB
+    * oracle replays the evolution as a UNION of column-projected halves. */
+  def evolvedRoundtrip(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    val st = Warehouse(spark, dir).staging
+    val even = col("stock_code").cast("int") % 2 === 0
+    st.filter(even).drop("country")
+      .write.mode("overwrite").parquet(s"$outPath/b1")
+    st.filter(!even)
+      .withColumn("channel",
+        concat(lit("web-"), (col("stock_code").cast("int") % 3).cast("string")))
+      .write.mode("overwrite").parquet(s"$outPath/b2")
+    spark.read.option("mergeSchema", "true").parquet(s"$outPath/b1", s"$outPath/b2")
+  }
+
+  def evolvedOracleSql(orderBy: String): String =
+    s"""${Oracle.stagingCte},
+       | evolved AS (
+       |  SELECT invoice_no, stock_code, description, quantity, invoice_date,
+       |    unit_price, customer_id, CAST(NULL AS VARCHAR) AS country,
+       |    CAST(NULL AS VARCHAR) AS channel
+       |  FROM staging WHERE CAST(stock_code AS INTEGER) % 2 = 0
+       |  UNION ALL
+       |  SELECT invoice_no, stock_code, description, quantity, invoice_date,
+       |    unit_price, customer_id, country,
+       |    'web-' || CAST(CAST(stock_code AS INTEGER) % 3 AS VARCHAR) AS channel
+       |  FROM staging WHERE CAST(stock_code AS INTEGER) % 2 = 1)
+       | SELECT invoice_no, stock_code, description, quantity, invoice_date,
+       |   CAST(unit_price AS DOUBLE) AS unit_price, customer_id, country, channel
+       | FROM evolved ORDER BY $orderBy""".stripMargin
 }

@@ -85,4 +85,24 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("customer_id") == null, "'nan' normalizes to null (S3)")
     assert(rows(0).getAs[String]("customer_id") === "7")
   }
+
+  test("schema evolution: mergeSchema unifies batches, missing columns surface as NULL") {
+    val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val merged = Ingest.evolvedRoundtrip(spark, TestSpark.sf, out)
+    val cols = merged.columns.toSet
+    assert(cols.contains("country") && cols.contains("channel"),
+      s"unified schema missing evolved columns: $cols")
+    val staging = Warehouse(spark, TestSpark.sf).staging
+    assert(merged.count() === staging.count(), "evolution must not lose rows")
+    import org.apache.spark.sql.functions._
+    val even = merged.filter(col("stock_code").cast("int") % 2 === 0)
+    val odd = merged.filter(col("stock_code").cast("int") % 2 === 1)
+    assert(even.count() > 0 && odd.count() > 0)
+    // batch 1 predates country and never saw channel
+    assert(even.filter(col("country").isNotNull || col("channel").isNotNull).count() === 0)
+    // batch 2 carries both; channel follows the deterministic formula
+    assert(odd.filter(col("channel").isNull).count() === 0)
+    assert(odd.filter(col("channel") =!=
+      concat(lit("web-"), (col("stock_code").cast("int") % 3).cast("string"))).count() === 0)
+  }
 }

@@ -418,6 +418,7 @@ object SparkEntry {
     // range join: bin-bucketized interval join (no nested-loop cross
     // product) — clicks inside each user's 2h purchase windows
     "range_join" -> ((s, d) => ext.RangeJoin.clickInPurchaseWindow(s, d)),
+    "layout_zorder" -> ((s, d) => ext.Layout.zorderKeys(s, d)),
     // as-of join: each click picks up the user's most recent purchase
     "asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -585,6 +586,7 @@ object SparkEntry {
          | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          | FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
     "range_join" -> ext.RangeJoin.clickInPurchaseWindowOracleSql,
+    "layout_zorder" -> ext.Layout.zorderKeysOracleSql,
     "asof_join" ->
       s"""$eventsCte,
          | clicks AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'),

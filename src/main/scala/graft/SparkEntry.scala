@@ -390,6 +390,7 @@ object SparkEntry {
     "interleave_sources" -> ((s, d) => operators.Corpus.interleaveSources(s, d)),
     "decontaminate" -> ((s, d) => operators.Corpus.decontaminate(s, d)),
     "stratified_sample" -> ((s, d) => operators.Corpus.stratifiedSample(s, d)),
+    "temperature_mix" -> ((s, d) => operators.Corpus.temperatureMix(s, d)),
     "corpus_append" -> ((s, d) => operators.Corpus.appendBatch(s, d)),
     // incremental NEAR-dup maintenance: batch LSH-joins the persisted
     // MinHash band/signature index — no recluster, no corpus text rescan
@@ -547,6 +548,7 @@ object SparkEntry {
     "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,
     "decontaminate" -> operators.Corpus.decontaminateOracleSql(corpusCte),
     "stratified_sample" -> operators.Corpus.stratifiedSampleOracleSql,
+    "temperature_mix" -> operators.Corpus.temperatureMixOracleSql,
     "corpus_append" -> operators.Corpus.appendBatchOracleSql,
     "append_near_dups" -> operators.Corpus.appendNearDupsOracleSql(corpusCte),
     "corpus_run_summary" -> operators.CorpusPipeline.runSummaryOracleSql,

@@ -189,6 +189,72 @@ object Corpus {
        |     FROM documents))
        | ORDER BY shard, pos""".stripMargin
 
+  /** Temperature-based source resampling (the multilingual/LLM mixing
+    * rule of mBERT/XLM-R and the Pile: upsample underrepresented sources
+    * by `(n_max/n_s)^(1-T)`; T=0.5 here, i.e. sqrt): each document is
+    * emitted `floor(e_s)` times plus one more with probability
+    * `frac(e_s)`, decided by a deterministic per-doc hash fraction — so
+    * the largest source stays at exactly 1 epoch and a 100× smaller
+    * source repeats ~10×. Contrast [[interleaveOf]] (ORDERS a fixed
+    * corpus fairly) and [[stratifiedSample]] (DOWNsamples): this is the
+    * UPsampling leg of mixture design.
+    *
+    * 100 TB shape: per-source counts are a map-side-combined aggregate
+    * (3 rows) broadcast back; the epoch expansion is a narrow per-row
+    * `explode(sequence(...))` at scan speed — the corpus never shuffles.
+    * All replay-critical arithmetic (sqrt of a ratio of exact counts,
+    * the 2^-60 hash fraction) is IEEE-identical in DuckDB.
+    *
+    * The fixture's 20 sources are perfectly balanced (upsampling would be
+    * vacuous), so the mixing runs over a deterministic imbalanced
+    * REGROUPING — 12 sources pool to 'big', 6 to 'mid', 2 to 'small'
+    * (6:3:1) — the [[Dedup.corpusWithDups]] plant pattern, replayed by
+    * the oracle. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(substring(col("source"), 4, 10).cast("int") < 12, "big")
+          .when(substring(col("source"), 4, 10).cast("int") < 18, "mid")
+          .otherwise("small").as("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nMax = counts.groupBy().agg(max(col("n_s")).as("n_max"))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(nMax))
+      .withColumn("e", sqrt(col("n_max").cast("double") / col("n_s").cast("double")))
+      .withColumn("u",
+        (Dedup.fastHash60(spark, concat(lit("tmix:"), col("doc_id").cast("string")))
+          .cast("double") / lit(1152921504606846976.0)))
+      .withColumn("n_copies",
+        (floor(col("e")) + when(col("u") < col("e") - floor(col("e")), 1).otherwise(0))
+          .cast("int"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, n_copies)")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  def temperatureMixOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(substring(source, 4) AS INTEGER) < 12 THEN 'big'
+      |         WHEN CAST(substring(source, 4) AS INTEGER) < 18 THEN 'mid'
+      |         ELSE 'small' END AS source
+      |  FROM documents),
+      | counts AS (SELECT source, COUNT(*) AS n_s FROM docs GROUP BY source),
+      | m AS (SELECT MAX(n_s) AS n_max FROM counts),
+      | scored AS (
+      |  SELECT d.doc_id, d.source,
+      |    sqrt(CAST(n_max AS DOUBLE) / CAST(n_s AS DOUBLE)) AS e,
+      |    CAST(CAST('0x' || substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+      |      / 1152921504606846976.0 AS u
+      |  FROM docs d JOIN counts USING (source) CROSS JOIN m),
+      | copies AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(e) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+      |  FROM scored)
+      | SELECT doc_id, source, CAST(g.epoch AS INTEGER) AS epoch
+      | FROM copies CROSS JOIN UNNEST(generate_series(1, n_copies)) AS g(epoch)
+      | ORDER BY doc_id, epoch""".stripMargin
+
   /** Eval-set size for [[decontaminate]]: the first `evalN` doc_ids play
     * the benchmark/eval set the training corpus must not contain. */
   val evalN = 50

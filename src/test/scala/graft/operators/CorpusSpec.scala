@@ -241,4 +241,34 @@ class CorpusSpec extends AnyFunSuite {
     val cleanSet = clean.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(cleanSet === passSet)
   }
+
+  test("temperatureMix: sqrt upsampling per source, largest source untouched, deterministic") {
+    val mix = Corpus.temperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(mix.nonEmpty)
+    val perDoc = mix.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // epochs are dense 1..n per doc
+    perDoc.foreach { case (id, es) => assert(es === (1 to es.length), s"doc $id epochs") }
+    val srcOf = mix.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val counts = srcOf.groupBy(_._2).view.mapValues(_.size).toMap
+    val nMax = counts.values.max
+    counts.foreach { case (src, n) =>
+      val e = math.sqrt(nMax.toDouble / n)
+      val copies = mix.count(_._2 == src)
+      // every doc appears at least floor(e) and at most ceil(e) times
+      val byDoc = mix.filter(_._2 == src).groupBy(_._1).view.mapValues(_.size)
+      byDoc.foreach { case (id, c) =>
+        assert(c >= e.floor.toInt && c <= e.ceil.toInt, s"doc $id of $src has $c copies")
+      }
+      // realized copy total tracks e * n within binomial noise
+      val expect = e * n
+      assert(math.abs(copies - expect) <= math.max(5.0, 4 * math.sqrt(n.toDouble)),
+        s"source $src copies $copies vs expected $expect")
+      if (n == nMax)
+        assert(copies === n, s"largest source $src must stay at exactly 1 epoch")
+    }
+    val again = Corpus.temperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq === mix.toSeq)
+  }
 }

@@ -210,4 +210,62 @@ class PlanContractSpec extends AnyFunSuite {
     assert(rplan.contains("PushedFilters") && rplan.contains("GreaterThanOrEqual(invoice_date"),
       s"invoice_date range not pushed to the scan:\n$rplan")
   }
+
+  /** Exchange output schemas from the EXECUTED plan — exchanges only
+    * exist after EnsureRequirements/AQE, so `sparkPlan` never has them;
+    * unwrap adaptive boundaries like [[finalPlanOf]]. */
+  private def shuffleOutputs(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    df.collect()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        buf += e.output.map(_.name).toSeq
+      case _ => ()
+    }
+    go(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  test("chunk keep-first dedup shuffles digests and positions, never text") {
+    val df = operators.Scrub.chunkDedupKeepFirst(spark, sf)
+    val shuffles = shuffleOutputs(df)
+    assert(shuffles.nonEmpty)
+    // the presentation ORDER BY exchange carries the md5 report columns
+    // only; no exchange may move document text or chunk strings
+    shuffles.foreach { out =>
+      assert(!out.contains("text") && !out.contains("chunk") && !out.contains("chunks"),
+        s"text-bearing shuffle in keep-first dedup: $out")
+    }
+  }
+
+  test("q8 quantization: corpus never shuffles, the code book broadcasts") {
+    val df = operators.Similarity.quantizeCodes(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("SortMergeJoin"), s"code book joined by shuffle:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"code book not broadcast:\n$plan")
+    // exchanges may carry the 64-row dimension params and the final
+    // report, never embedding vectors
+    shuffleOutputs(df).foreach { out =>
+      assert(!out.contains("embedding") && !out.contains("q"),
+        s"vector-bearing shuffle in the quantize plan: $out")
+    }
+  }
+
+  test("scd2 windows partition by key — no corpus-wide single-partition window") {
+    val plan = finalPlanOf(etl.Scd.partHistory(spark, sf))
+    assert(plan.contains("windowspecdefinition(part_key"),
+      s"SCD2 windows must partition by part_key:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in the SCD2 plan:\n$plan")
+  }
+
+  test("temperature mix joins its count tables by broadcast, corpus side unshuffled") {
+    val df = operators.Corpus.temperatureMix(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"counts not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to meet the counts:\n$plan")
+  }
 }

@@ -416,6 +416,8 @@ object SparkEntry {
     "json_stats" -> ((s, d) => operators.Events.jsonStats(s, d)),
     "top_users" -> ((s, d) => operators.Events.topUsers(s, d)),
     "daily_active" -> ((s, d) => operators.Events.dailyActive(s, d)),
+    "funnel_stages" -> ((s, d) => operators.Events.funnelStages(s, d)),
+    "cohort_retention" -> ((s, d) => operators.Events.cohortRetention(s, d)),
     // range join: bin-bucketized interval join (no nested-loop cross
     // product) — clicks inside each user's 2h purchase windows
     "range_join" -> ((s, d) => ext.RangeJoin.clickInPurchaseWindow(s, d)),
@@ -589,6 +591,8 @@ object SparkEntry {
          | FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
     "range_join" -> ext.RangeJoin.clickInPurchaseWindowOracleSql,
     "layout_zorder" -> ext.Layout.zorderKeysOracleSql,
+    "funnel_stages" -> operators.Events.funnelOracleSql(eventsCte),
+    "cohort_retention" -> operators.Events.cohortOracleSql(eventsCte),
     "asof_join" ->
       s"""$eventsCte,
          | clicks AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'),

@@ -135,4 +135,96 @@ object Events {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
       .orderBy("day")
+
+  /** Conversion-window for [[funnelStages]]: the final step must land
+    * within this many days of the funnel's first step. */
+  val funnelWindowDays = 7
+
+  /** Ordered funnel (view → click → purchase): per user, the earliest
+    * chain — first view, first click AFTER that view, first purchase
+    * AFTER that click — plus whether the chain completed inside
+    * [[funnelWindowDays]]. The product-analytics staple (Amplitude-style
+    * ordered funnels) expressed as three keyed min-aggregations chained
+    * by joins: every stage shuffles on user_id, so Catalyst plans ONE
+    * user partitioning reused across stages; nothing is ordered
+    * globally and no per-user array materializes (a bot user with 10^9
+    * events costs an agg, not a collect_list).
+    *
+    * Stage timestamps are exact micros; the window check is integer
+    * microsecond arithmetic both engines replay bit-identically. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    views
+      .join(clicks.select("user_id", "click_ts"), Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+        when(col("purchase_ts").isNotNull
+            && unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))
+               <= lit(funnelWindowDays * 86400L * 1000000L), 1)
+          .otherwise(0).cast("int").as("converted"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB replay of [[funnelStages]] over a `WITH ev AS (...)` events
+    * CTE exposing (user_id, event_type, ts). */
+  def funnelOracleSql(eventsCte: String): String =
+    s"""$eventsCte,
+       | v AS (SELECT user_id, MIN(ts) AS view_ts FROM ev
+       |   WHERE event_type = 'view' GROUP BY user_id),
+       | c AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+       |   FROM ev e JOIN v USING (user_id)
+       |   WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY e.user_id),
+       | p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+       |   FROM ev e JOIN c USING (user_id)
+       |   WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id)
+       | SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       |   CAST(CASE WHEN p.purchase_ts IS NOT NULL
+       |     AND epoch_us(p.purchase_ts) - epoch_us(v.view_ts)
+       |         <= ${funnelWindowDays * 86400L * 1000000L}
+       |     THEN 1 ELSE 0 END AS INTEGER) AS converted
+       | FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       | ORDER BY v.user_id""".stripMargin
+
+  /** Weekly cohort retention: cohort = the user's first active week;
+    * cell (cohort_week, offset) = distinct users of that cohort active
+    * `offset` weeks later — the growth-analytics triangle. Two keyed
+    * aggregations (user grain, then cell grain) and one broadcast-sized
+    * join back of the per-user cohort; distinct-per-cell dedups
+    * map-side on (cohort, offset, user). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, Seq("user_id"))
+      .withColumn("offset_weeks",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
+  def cohortOracleSql(eventsCte: String): String =
+    s"""$eventsCte,
+       | weeks AS (SELECT DISTINCT user_id,
+       |     CAST(date_trunc('week', ts) AS DATE) AS week FROM ev),
+       | cohorts AS (SELECT user_id, MIN(week) AS cohort_week
+       |   FROM weeks GROUP BY user_id)
+       | SELECT cohort_week,
+       |   CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS offset_weeks,
+       |   COUNT(DISTINCT user_id) AS n_users
+       | FROM weeks JOIN cohorts USING (user_id)
+       | GROUP BY cohort_week, offset_weeks
+       | ORDER BY cohort_week, offset_weeks""".stripMargin
 }

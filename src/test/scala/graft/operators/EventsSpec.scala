@@ -109,4 +109,49 @@ class EventsSpec extends AnyFunSuite {
     val days = graft.Tables.events(spark, sf).select(to_date(col("ts"))).distinct().count()
     assert(Events.dailyActive(spark, sf).count() === days)
   }
+
+  test("funnelStages: stage timestamps strictly ordered, conversion respects the window") {
+    val rows = Events.funnelStages(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val windowMicros = Events.funnelWindowDays * 86400L * 1000000L
+    def us(t: java.sql.Timestamp) = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    rows.foreach { r =>
+      val (v, c, p) = (r.getAs[java.sql.Timestamp]("view_ts"),
+        r.getAs[java.sql.Timestamp]("click_ts"), r.getAs[java.sql.Timestamp]("purchase_ts"))
+      assert(v != null, "every funnel row starts at a view")
+      if (c != null) assert(c.after(v), s"user ${r.get(0)} click before view")
+      if (p != null) {
+        assert(c != null && p.after(c), s"user ${r.get(0)} purchase out of order")
+        val conv = r.getAs[Int]("converted")
+        assert(conv === (if (us(p) - us(v) <= windowMicros) 1 else 0),
+          s"user ${r.get(0)} conversion flag")
+      } else assert(r.getAs[Int]("converted") === 0)
+    }
+    // the chain constraint bites: some user must have clicks but none
+    // after their first view... or at least the stage counts are monotone
+    val n = rows.length
+    val nClick = rows.count(_.getAs[java.sql.Timestamp]("click_ts") != null)
+    val nPurchase = rows.count(_.getAs[java.sql.Timestamp]("purchase_ts") != null)
+    assert(n >= nClick && nClick >= nPurchase)
+    assert(nPurchase > 0, "fixture must drive some full conversions")
+  }
+
+  test("cohortRetention: offset-0 cell equals cohort size, cells never exceed it") {
+    val cells = Events.cohortRetention(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week"), r.getAs[Int]("offset_weeks"),
+        r.getAs[Long]("n_users")))
+    assert(cells.nonEmpty)
+    assert(cells.forall(_._2 >= 0))
+    val byCohort = cells.groupBy(_._1)
+    byCohort.foreach { case (wk, cs) =>
+      val base = cs.find(_._2 == 0).map(_._3)
+      assert(base.isDefined, s"cohort $wk has no offset-0 cell")
+      cs.foreach { case (_, off, n) =>
+        assert(n <= base.get, s"cohort $wk offset $off exceeds cohort size")
+      }
+    }
+    // total cohort sizes = total distinct users
+    val users = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum === users)
+  }
 }

@@ -87,6 +87,10 @@ object SparkEntry {
     }),
     // K2-extension: SCD2 change history (upsert keeps latest; this keeps all)
     "scd2_part_history" -> ((s, d) => Scd.partHistory(s, d)),
+    // S6-extension: incremental MV maintenance (truncate-and-reload's
+    // 100 TB replacement) — incremental result must hash-match the
+    // full-recompute oracle
+    "mv_monthly_sales" -> ((s, d) => Mv.monthlySalesViaMv(s, d)),
     // S5-extension: schema evolution across parquet batches (mergeSchema)
     "ingest_evolve" -> ((s, d) => {
       val merged = Ingest.evolvedRoundtrip(s, d, dumpDir(s, d, "evolve"))
@@ -99,8 +103,20 @@ object SparkEntry {
   private def dumpDir(s: SparkSession, d: String, fmt: String): String =
     s"/tmp/graft_${fmt}_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
 
+  /** Full-recompute monthly rollup — shared by q_monthly_sales AND the
+    * incremental-MV query (the whole point: the incremental path must
+    * hash-match the from-scratch answer). */
+  private val monthlySalesOracle: String =
+    s"""${Oracle.warehouseCte} SELECT
+       | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
+       | CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
+       | COUNT(*) AS n_sales,
+       | CAST(CAST(SUM(total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+       | FROM fact_sales GROUP BY 1, 2 ORDER BY year, month""".stripMargin
+
   private val etlOracles: Map[String, String] = Map(
     "scd2_part_history" -> Scd.partHistoryOracleSql,
+    "mv_monthly_sales" -> monthlySalesOracle,
     "ingest_evolve" -> Ingest.evolvedOracleSql(orderBySql(stagingCols :+ "channel")),
     "staging" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
@@ -250,13 +266,7 @@ object SparkEntry {
          | CAST(SUM(quantity) AS BIGINT) AS units
          | FROM fact_sales GROUP BY product_key
          | ORDER BY revenue DESC, product_key LIMIT 10""".stripMargin,
-    "q_monthly_sales" ->
-      s"""${Oracle.warehouseCte} SELECT
-         | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
-         | CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
-         | COUNT(*) AS n_sales,
-         | CAST(CAST(SUM(total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
-         | FROM fact_sales GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+    "q_monthly_sales" -> monthlySalesOracle,
     "q_country_sales" -> countrySalesOracle,
     "q_country_sales_salted" -> countrySalesOracle,
     "q_region_sales" ->

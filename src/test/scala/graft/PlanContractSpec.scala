@@ -262,6 +262,22 @@ class PlanContractSpec extends AnyFunSuite {
       s"single-partition exchange in the SCD2 plan:\n$plan")
   }
 
+  test("MV refresh reads the view and the batch only — history is never rescanned") {
+    val batches = etl.Mv.writeBatches(spark, sf)
+    val mv0 = java.nio.file.Files.createTempDirectory("graft_mv_plan").toString + "/v0"
+    etl.Mv.init(spark, batches.head, mv0)
+    val frame = etl.Mv.refreshFrame(spark, mv0, batches(1))
+    val scanPaths = frame.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanPaths.nonEmpty)
+    assert(!scanPaths.exists(_.contains("/root/testdata")),
+      s"refresh rescans fixture history: $scanPaths")
+    assert(scanPaths.exists(_.contains("v0")) && scanPaths.exists(_.contains("batch_1")),
+      s"refresh must read the MV and the batch: $scanPaths")
+  }
+
   test("temperature mix joins its count tables by broadcast, corpus side unshuffled") {
     val df = operators.Corpus.temperatureMix(spark, sf)
     val plan = planOf(df)

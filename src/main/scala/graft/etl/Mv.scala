@@ -45,18 +45,17 @@ object Mv {
   def writeBatches(spark: SparkSession, dir: String): Seq[String] = {
     val b = base(spark, dir)
     val marker = new java.io.File(s"$b/_batches_done")
-    val paths = (0 until nBatches).map(i => s"$b/batch_$i")
+    // one partitioned write (a single fact scan), not one job per batch;
+    // reading a partition subdir directly yields the data columns only
+    val paths = (0 until nBatches).map(i => s"$b/batches/_b=$i")
     if (!marker.exists()) {
       val fact = Warehouse(spark, dir).fact
       val split = pmod(graft.operators.Dedup.fastHash60(spark,
         concat_ws("|", lit("mv"), col("invoice_no"), col("product_key"),
           col("customer_key"), col("date_key"), col("quantity"),
           col("unit_price").cast("string"))), lit(nBatches.toLong)).cast("int")
-      val tagged = fact.withColumn("_b", split)
-      paths.zipWithIndex.foreach { case (p, i) =>
-        tagged.filter(col("_b") === i).drop("_b")
-          .write.mode("overwrite").parquet(p)
-      }
+      fact.withColumn("_b", split)
+        .write.mode("overwrite").partitionBy("_b").parquet(s"$b/batches")
       marker.mkdirs()
     }
     paths

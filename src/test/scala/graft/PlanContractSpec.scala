@@ -267,15 +267,24 @@ class PlanContractSpec extends AnyFunSuite {
     val mv0 = java.nio.file.Files.createTempDirectory("graft_mv_plan").toString + "/v0"
     etl.Mv.init(spark, batches.head, mv0)
     val frame = etl.Mv.refreshFrame(spark, mv0, batches(1))
-    val scanPaths = frame.queryExecution.sparkPlan.collect {
+    // positive containment, not a blacklist: EVERY leaf must be a file
+    // scan of the MV or the batch — a refresh that unioned in the cached
+    // warehouse lineage would surface as an InMemoryTableScan leaf (whose
+    // inner file scans this traversal can't see), so any non-file-scan
+    // leaf fails the contract too
+    val plan = frame.queryExecution.sparkPlan
+    val leaves = plan.collectLeaves()
+    val scanPaths = leaves.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.relation.location.rootPaths.map(_.toString)
     }.flatten
+    assert(leaves.size === scanPaths.size, s"non-file-scan leaf in the refresh plan:\n$plan")
     assert(scanPaths.nonEmpty)
-    assert(!scanPaths.exists(_.contains("/root/testdata")),
-      s"refresh rescans fixture history: $scanPaths")
-    assert(scanPaths.exists(_.contains("v0")) && scanPaths.exists(_.contains("batch_1")),
-      s"refresh must read the MV and the batch: $scanPaths")
+    val allowed = Set(mv0, batches(1))
+    scanPaths.foreach { p =>
+      assert(allowed.exists(a => p.endsWith(a) || a.endsWith(p) || p.contains(a)),
+        s"refresh scans beyond the MV and the batch: $p\nallowed: $allowed")
+    }
   }
 
   test("temperature mix joins its count tables by broadcast, corpus side unshuffled") {

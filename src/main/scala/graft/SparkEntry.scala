@@ -428,6 +428,7 @@ object SparkEntry {
     "daily_active" -> ((s, d) => operators.Events.dailyActive(s, d)),
     "funnel_stages" -> ((s, d) => operators.Events.funnelStages(s, d)),
     "cohort_retention" -> ((s, d) => operators.Events.cohortRetention(s, d)),
+    "topk_per_user" -> ((s, d) => operators.Events.topValuesPerUser(s, d)),
     // range join: bin-bucketized interval join (no nested-loop cross
     // product) — clicks inside each user's 2h purchase windows
     "range_join" -> ((s, d) => ext.RangeJoin.clickInPurchaseWindow(s, d)),
@@ -603,6 +604,7 @@ object SparkEntry {
     "layout_zorder" -> ext.Layout.zorderKeysOracleSql,
     "funnel_stages" -> operators.Events.funnelOracleSql(eventsCte),
     "cohort_retention" -> operators.Events.cohortOracleSql(eventsCte),
+    "topk_per_user" -> operators.Events.topValuesOracleSql(eventsCte),
     "asof_join" ->
       s"""$eventsCte,
          | clicks AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'),

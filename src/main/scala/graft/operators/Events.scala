@@ -215,6 +215,33 @@ object Events {
       .orderBy("cohort_week", "offset_weeks")
   }
 
+  /** Top-k purchase values per user via the NATIVE bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]) — the shuffle-light form of grouped
+    * top-k: partial heaps combine in the scan stage, the exchange carries
+    * at most k doubles per (user, map task) instead of every event row,
+    * and no per-group sort of raw data ever happens. The window-rank
+    * form ships ALL rows; this ships k per group per partition. */
+  def topValuesPerUser(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.TopKAggExprs.register(spark)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(expr(s"topk_agg(value, $k)").as("top_values"))
+      .select(col("user_id"), posexplode(col("top_values")).as(Seq("pos", "value")))
+      .select(col("user_id"), (col("pos") + 1).cast("int").as("rank"), col("value"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** Oracle replays the aggregate with a rank window — ties are equal
+    * doubles, so the per-user value SEQUENCE is identical either way. */
+  def topValuesOracleSql(eventsCte: String, k: Int = 5): String =
+    s"""$eventsCte
+       | SELECT user_id, CAST(rn AS INTEGER) AS rank, value FROM (
+       |   SELECT user_id, value,
+       |     row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn
+       |   FROM ev WHERE event_type = 'purchase')
+       | WHERE rn <= $k ORDER BY user_id, rank""".stripMargin
+
   def cohortOracleSql(eventsCte: String): String =
     s"""$eventsCte,
        | weeks AS (SELECT DISTINCT user_id,

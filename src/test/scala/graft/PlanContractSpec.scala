@@ -287,6 +287,21 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_agg plans as a partial-final aggregate — no window sort of raw events") {
+    val df = operators.Events.topValuesPerUser(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("windowspecdefinition"),
+      s"grouped top-k fell back to a window:\n$plan")
+    assert(plan.contains("partial_topk_agg"),
+      s"no map-side partial heap in the top-k plan:\n$plan")
+    // the aggregation exchange carries k-sized heap states, not event
+    // rows — only the final presentation ORDER BY (whose output is the
+    // exploded (user_id, rank, value) report) may mention the value col
+    shuffleOutputs(df).filterNot(_.contains("rank")).foreach { out =>
+      assert(!out.contains("value"), s"raw event rows shuffled for top-k: $out")
+    }
+  }
+
   test("temperature mix joins its count tables by broadcast, corpus side unshuffled") {
     val df = operators.Corpus.temperatureMix(spark, sf)
     val plan = planOf(df)

@@ -154,4 +154,27 @@ class EventsSpec extends AnyFunSuite {
     val users = graft.Tables.events(spark, sf).select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum === users)
   }
+
+  test("topk_agg heap aggregate equals the window-rank form exactly") {
+    val agg = Events.topValuesPerUser(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(agg.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc)
+    val windowed = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("user_id", "rank", "value")
+      .orderBy("user_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(agg.toSeq === windowed.toSeq)
+    // ranks dense 1..min(5, n) per user, values non-increasing
+    agg.groupBy(_._1).foreach { case (u, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length), s"user $u ranks")
+      val vs = byRank.map(_._3)
+      assert(vs.zip(vs.tail).forall { case (a, b) => a >= b }, s"user $u order")
+    }
+  }
 }

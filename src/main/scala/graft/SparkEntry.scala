@@ -192,6 +192,7 @@ object SparkEntry {
     "q_daily_delta" -> ((s, d) => Analytics.dailyDelta(s, d)),
     "q_running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
     "q_price_quantiles" -> ((s, d) => Analytics.priceQuantiles(s, d)),
+    "q_country_quantiles" -> ((s, d) => Analytics.countryPriceQuantiles(s, d)),
     "q_fk_orphans" -> ((s, d) => Analytics.fkOrphans(s, d)),
     "q_top_per_country" -> ((s, d) => Analytics.topProductPerCountry(s, d)),
     "q_quarter_pivot" -> ((s, d) => Analytics.quarterPivot(s, d)),
@@ -299,6 +300,7 @@ object SparkEntry {
     "q_daily_delta" -> Analytics.dailyDeltaOracleSql,
     "q_running_revenue" -> Analytics.runningRevenueOracleSql,
     "q_price_quantiles" -> Analytics.priceQuantilesOracleSql,
+    "q_country_quantiles" -> Analytics.countryPriceQuantilesOracleSql,
     "q_fk_orphans" -> Analytics.fkOrphansOracleSql,
     "q_top_per_country" -> Analytics.topProductPerCountryOracleSql(),
     "q_quarter_pivot" -> Analytics.quarterPivotOracleSql,

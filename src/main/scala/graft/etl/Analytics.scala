@@ -120,6 +120,41 @@ object Analytics {
         money(min(when(col("cum") * 4 >= col("n") * 3, col("unit_price")))).as("p75"))
   }
 
+  /** [[priceQuantiles]] PER GROUP: the same exact-histogram pick inside
+    * country partitions. The windows run over (country, distinct price)
+    * — a grouped domain, so no single-partition stage exists at any
+    * scale; per-country totals join back on the same country
+    * partitioning. */
+  def countryPriceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Warehouse(spark, dir)
+    val hist = wh.cleaned.groupBy("country", "unit_price").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("country").orderBy("unit_price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = wh.cleaned.groupBy("country").agg(count(lit(1)).as("n"))
+    cum.join(totals, Seq("country"))
+      .groupBy("country")
+      .agg(
+        money(min(when(col("cum") * 4 >= col("n"), col("unit_price")))).as("p25"),
+        money(min(when(col("cum") * 2 >= col("n"), col("unit_price")))).as("p50"),
+        money(min(when(col("cum") * 4 >= col("n") * 3, col("unit_price")))).as("p75"))
+      .orderBy("country")
+  }
+
+  def countryPriceQuantilesOracleSql: String =
+    s"""${Oracle.cleanedCte},
+       | cum AS (
+       |   SELECT country, unit_price, SUM(cnt) OVER (PARTITION BY country
+       |     ORDER BY unit_price ROWS UNBOUNDED PRECEDING) AS cum
+       |   FROM (SELECT country, unit_price, COUNT(*) AS cnt FROM cleaned GROUP BY 1, 2)),
+       | tot AS (SELECT country, COUNT(*) AS n FROM cleaned GROUP BY country)
+       | SELECT country,
+       |   CAST(MIN(CASE WHEN cum * 4 >= n THEN unit_price END) AS DOUBLE) AS p25,
+       |   CAST(MIN(CASE WHEN cum * 2 >= n THEN unit_price END) AS DOUBLE) AS p50,
+       |   CAST(MIN(CASE WHEN cum * 4 >= n * 3 THEN unit_price END) AS DOUBLE) AS p75
+       | FROM cum JOIN tot USING (country)
+       | GROUP BY country ORDER BY country""".stripMargin
+
   def priceQuantilesOracleSql: String =
     s"""${Oracle.cleanedCte},
        | cum AS (

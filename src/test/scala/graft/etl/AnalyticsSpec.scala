@@ -45,6 +45,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cleaned.filter(col("unit_price") <= p50).count() * 2 >= n)
   }
 
+  test("countryPriceQuantiles: per-country quantiles ordered and mass-covering") {
+    val rows = Analytics.countryPriceQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cleaned = Warehouse(spark, sf).cleaned
+    rows.take(5).foreach { r =>
+      val c = r.getString(0)
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75, s"country $c quantiles unordered")
+      val in = cleaned.filter(col("country") === c)
+      val n = in.count()
+      assert(in.filter(col("unit_price") <= p50).count() * 2 >= n, s"country $c p50 mass")
+      assert(in.filter(col("unit_price") < p50).count() * 2 < n, s"country $c p50 minimality")
+    }
+    // every country present exactly once
+    val countries = cleaned.select("country").distinct().count()
+    assert(rows.length.toLong === countries)
+  }
+
   test("fkOrphans is all-zero on the constructively consistent warehouse") {
     val r = Analytics.fkOrphans(spark, sf).head()
     assert(r.getLong(0) === 0 && r.getLong(1) === 0 && r.getLong(2) === 0)

@@ -91,6 +91,15 @@ object SparkEntry {
     // 100 TB replacement) — incremental result must hash-match the
     // full-recompute oracle
     "mv_monthly_sales" -> ((s, d) => Mv.monthlySalesViaMv(s, d)),
+    // time travel: pin the rollup AS OF its first commit (v0 = batch 0
+    // only) — the oracle replays the hash-bucket membership from scratch
+    "snapshot_monthly_v0" -> ((s, d) => {
+      Mv.monthlySalesViaMv(s, d).count() // build + commit the version chain
+      ext.Snapshots.readAt(s, Mv.chainBase(s, d), 0)
+        .select(col("year"), col("month"), col("n_sales"),
+          expr("cast(cast(rev as decimal(18,2)) as double)").as("revenue"))
+        .orderBy("year", "month")
+    }),
     // S5-extension: schema evolution across parquet batches (mergeSchema)
     "ingest_evolve" -> ((s, d) => {
       val merged = Ingest.evolvedRoundtrip(s, d, dumpDir(s, d, "evolve"))
@@ -114,9 +123,29 @@ object SparkEntry {
        | CAST(CAST(SUM(total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
        | FROM fact_sales GROUP BY 1, 2 ORDER BY year, month""".stripMargin
 
+  /** The batch-0 membership predicate of [[Mv.writeBatches]]'s hash
+    * split, replayed in DuckDB (md5-prefix hash % nBatches = 0). */
+  private val mvBatch0Pred: String =
+    // plain concatenation, not stripMargin: a leading SQL || operator
+    // would donate one pipe to the margin and corrupt the predicate
+    "(CAST('0x' || substring(md5('mv|' || invoice_no || " +
+      "'|' || CAST(product_key AS VARCHAR) || " +
+      "'|' || CAST(customer_key AS VARCHAR) || " +
+      "'|' || CAST(date_key AS VARCHAR) || " +
+      "'|' || CAST(quantity AS VARCHAR) || " +
+      "'|' || CAST(unit_price AS VARCHAR)), 1, 15) AS BIGINT)) % 3 = 0"
+
   private val etlOracles: Map[String, String] = Map(
     "scd2_part_history" -> Scd.partHistoryOracleSql,
     "mv_monthly_sales" -> monthlySalesOracle,
+    "snapshot_monthly_v0" ->
+      s"""${Oracle.warehouseCte} SELECT
+         | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
+         | CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
+         | COUNT(*) AS n_sales,
+         | CAST(CAST(SUM(total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+         | FROM fact_sales WHERE $mvBatch0Pred
+         | GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
     "ingest_evolve" -> Ingest.evolvedOracleSql(orderBySql(stagingCols :+ "channel")),
     "staging" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",

@@ -39,6 +39,10 @@ object Mv {
   private def base(spark: SparkSession, dir: String): String =
     s"/tmp/graft_mv_${spark.sparkContext.applicationId}_${new java.io.File(dir).getName}"
 
+  /** The version-chain root [[monthlySalesViaMv]] commits under — exposed
+    * for time-travel reads ([[graft.ext.Snapshots.readAt]]). */
+  def chainBase(spark: SparkSession, dir: String): String = base(spark, dir)
+
   /** Deterministic 3-way hash split of the fact table (every batch
     * touches every month, so refreshes genuinely merge rather than
     * appending disjoint keys), dumped once per application. */

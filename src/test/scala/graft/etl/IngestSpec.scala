@@ -86,6 +86,25 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("customer_id") === "7")
   }
 
+  test("corrupt file among good parquet: strict mode fails loudly, ignoreCorruptFiles skips it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    val good = Warehouse(spark, TestSpark.sf).staging.limit(100)
+    good.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // a truncated/garbage file wearing the .parquet extension — the
+    // 100 TB reality of a partially-written or bit-rotted object
+    java.nio.file.Files.write(dir.resolve("part-corrupt.parquet"),
+      "not a parquet file at all".getBytes("UTF-8"))
+    val strict = intercept[Exception] {
+      spark.read.parquet(dir.toString).count()
+    }
+    assert(strict != null, "strict mode must fail on a corrupt file")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.parquet(dir.toString).count() === 100,
+        "tolerant mode must read every good row and skip the corrupt file")
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+  }
+
   test("schema evolution: mergeSchema unifies batches, missing columns surface as NULL") {
     val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
     val merged = Ingest.evolvedRoundtrip(spark, TestSpark.sf, out)

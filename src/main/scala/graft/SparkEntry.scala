@@ -100,6 +100,21 @@ object SparkEntry {
           expr("cast(cast(rev as decimal(18,2)) as double)").as("revenue"))
         .orderBy("year", "month")
     }),
+    // right-to-be-forgotten roundtrip: surgical file-level delete, then
+    // read back — the oracle replays NOT(pred) over the clean lineage
+    "delete_roundtrip" -> ((s, d) => {
+      val p = dumpDir(s, d, "del")
+      val marker = new java.io.File(s"${p}_done")
+      if (!marker.exists()) {
+        Warehouse(s, d).cleaned.repartition(8)
+          .write.mode("overwrite").parquet(p)
+        ext.Deletes.deleteWhere(s, p, col("country") === "NATION_7")
+        marker.mkdirs()
+      }
+      orderedAsc(
+        moneyDouble(s.read.parquet(p).select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // S5-extension: schema evolution across parquet batches (mergeSchema)
     "ingest_evolve" -> ((s, d) => {
       val merged = Ingest.evolvedRoundtrip(s, d, dumpDir(s, d, "evolve"))
@@ -138,6 +153,9 @@ object SparkEntry {
   private val etlOracles: Map[String, String] = Map(
     "scd2_part_history" -> Scd.partHistoryOracleSql,
     "mv_monthly_sales" -> monthlySalesOracle,
+    "delete_roundtrip" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE NOT (country = 'NATION_7') ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "snapshot_monthly_v0" ->
       s"""${Oracle.warehouseCte} SELECT
          | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,

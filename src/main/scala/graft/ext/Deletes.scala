@@ -44,23 +44,35 @@ object Deletes {
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .map(_.toString)
     val affected = affectedFiles(spark, path, pred)
+    // survivors are rows where pred is NOT TRUE — a null predicate value
+    // (e.g. a null delete key) must SURVIVE, matching affectedFiles'
+    // filter(pred) which treats null as no-match; a bare !pred would
+    // silently drop null-key rows from rewritten files only
+    val survivorPred = !coalesce(pred, lit(false))
     affected.foreach { f =>
       val local = f.stripPrefix("file:").stripPrefix("//")
       val tmp = s"$path/.rewrite_${new java.io.File(local).getName}"
-      spark.read.parquet(local).filter(!pred)
+      spark.read.parquet(local).filter(survivorPred)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-      java.nio.file.Files.delete(java.nio.file.Paths.get(local))
-      // the original writer left a Hadoop-local-FS checksum shadow; a
-      // replacement with different bytes under the same name would fail
-      // ChecksumException on read unless it goes too
+      // crash-safe order: park the original under a hidden .trash name
+      // FIRST (readers ignore dotfiles; a crash here leaves the trash
+      // recoverable), then move the replacement in, then clear the trash
+      // — at no point are the surviving rows only in a location a crash
+      // would orphan alongside a deleted original
       val orig = new java.io.File(local)
+      val trash = orig.getParentFile.toPath.resolve(".trash_" + orig.getName)
+      java.nio.file.Files.move(orig.toPath, trash)
+      // the original writer's Hadoop-local-FS checksum shadow must not
+      // outlive it — a same-name replacement with different bytes would
+      // fail ChecksumException on read
       java.nio.file.Files.deleteIfExists(
         orig.getParentFile.toPath.resolve("." + orig.getName + ".crc"))
       part.foreach { p =>
         java.nio.file.Files.move(p.toPath, java.nio.file.Paths.get(local))
       }
+      java.nio.file.Files.delete(trash)
       // clear the scratch dir (marker + crc files)
       new java.io.File(tmp).listFiles().foreach(_.delete())
       java.nio.file.Files.delete(java.nio.file.Paths.get(tmp))

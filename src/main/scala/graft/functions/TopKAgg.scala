@@ -48,6 +48,8 @@ case class TopKAgg(
         s"topk_agg requires a DOUBLE value column, got ${child.dataType.catalogString}")
     else if (kExpr.dataType != IntegerType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("topk_agg requires a literal INT k")
+    else if (kExpr.eval(InternalRow.empty).asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("topk_agg requires k >= 1")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Double] =

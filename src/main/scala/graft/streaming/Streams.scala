@@ -156,8 +156,14 @@ object Streams {
       .agg(count(lit(1)).as("n_sales"),
         sum(col("total_amount")).cast(DecimalType(30, 2)).as("rev"))
     val prev = s"$mvBase/v${batchId - 1}"
+    // a missing predecessor for batchId > 0 means the chain is broken
+    // (retention deleted old versions, or markers are disabled) — fail
+    // LOUDLY rather than silently resetting the rollup to one batch's
+    // totals, which readers could not distinguish from real data
+    if (batchId > 0 && !new java.io.File(s"$prev/_SUCCESS").exists())
+      sys.error(s"MV chain broken: $prev was never committed (batch $batchId)")
     val next =
-      if (batchId > 0 && new java.io.File(s"$prev/_SUCCESS").exists())
+      if (batchId > 0)
         spark.read.parquet(prev).unionByName(partial)
           .groupBy("year", "month")
           .agg(sum(col("n_sales")).as("n_sales"),

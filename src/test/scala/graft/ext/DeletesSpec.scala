@@ -47,6 +47,28 @@ class DeletesSpec extends AnyFunSuite {
       s"expected ${total - affected} untouched files, found ${untouched.length}")
   }
 
+  test("null delete keys survive regardless of which file holds them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_null").toString
+    // two plain part files in ONE directory: nulls co-located with a
+    // match (file a) AND in a file the delete never touches (file b)
+    def writeAsFile(rows: Seq[(Int, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_del_null_w").toString
+      rows.toDF("id", "k").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, name))
+    }
+    writeAsFile(Seq((1, "X"), (2, null), (3, "keep")), "a.parquet")
+    writeAsFile(Seq((4, null), (5, "keep")), "b.parquet")
+    val (affected, total) = Deletes.deleteWhere(spark, dir, col("k") === "X")
+    assert(affected === 1 && total === 2)
+    val ids = spark.read.parquet(dir).select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq === Seq(2, 3, 4, 5),
+      "null-key rows must survive in rewritten AND untouched files alike")
+  }
+
   test("deleteWhere on a scattered layout still correct, but touches every file (the contrast)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_del_scatter").toString + "/t"
     Tables.lineitem(spark, sf)

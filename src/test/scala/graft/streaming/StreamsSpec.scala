@@ -369,5 +369,11 @@ class StreamsSpec extends AnyFunSuite {
     val once = snap()
     Streams.commitMvVersion(b1, mv2, 1) // crash-replay of batch 1
     assert(snap() === once, "replayed commit diverged")
+    // a broken chain (missing predecessor) fails loudly instead of
+    // silently resetting the rollup to one batch's totals
+    val ex = intercept[RuntimeException] {
+      Streams.commitMvVersion(b1, mv2, 7)
+    }
+    assert(ex.getMessage.contains("chain broken"))
   }
 }

@@ -115,6 +115,22 @@ object SparkEntry {
         moneyDouble(s.read.parquet(p).select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // small-file compaction roundtrip: 64 fragment files -> 4, content
+    // row-exact against the clean-lineage oracle
+    "compact_roundtrip" -> ((s, d) => {
+      val frag = dumpDir(s, d, "frag")
+      val comp = dumpDir(s, d, "compact")
+      val marker = new java.io.File(s"${comp}_done")
+      if (!marker.exists()) {
+        Warehouse(s, d).cleaned.repartition(64).write.mode("overwrite").parquet(frag)
+        val (b, a) = ext.Layout.compact(s, frag, comp, 4)
+        require(b == 64 && a == 4, s"compaction shape unexpected: $b -> $a files")
+        marker.mkdirs()
+      }
+      orderedAsc(
+        moneyDouble(s.read.parquet(comp).select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // S5-extension: schema evolution across parquet batches (mergeSchema)
     "ingest_evolve" -> ((s, d) => {
       val merged = Ingest.evolvedRoundtrip(s, d, dumpDir(s, d, "evolve"))
@@ -156,6 +172,8 @@ object SparkEntry {
     "delete_roundtrip" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE NOT (country = 'NATION_7') ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    "compact_roundtrip" ->
+      s"${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
     "snapshot_monthly_v0" ->
       s"""${Oracle.warehouseCte} SELECT
          | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
@@ -210,6 +228,7 @@ object SparkEntry {
     "q_stage_counts" -> ((s, d) => Quality.stageCounts(s, d)),
     "q_distinct_stats" -> ((s, d) => Quality.distinctStats(s, d)),
     "q_null_profile" -> ((s, d) => Quality.nullProfile(s, d)),
+    "q_analyze_stats" -> ((s, d) => Quality.analyzeStats(s, d)),
     "q_date_range" -> ((s, d) => Quality.dateRange(s, d)),
     "q_revenue_total" -> ((s, d) => Quality.revenueTotal(s, d)),
     "q_dup_groups" -> ((s, d) => Quality.duplicateGroups(s, d)),
@@ -277,6 +296,7 @@ object SparkEntry {
          | COUNT(DISTINCT customer_id) AS n_customers,
          | COUNT(DISTINCT country) AS n_countries
          | FROM cleaned""".stripMargin,
+    "q_analyze_stats" -> Quality.analyzeStatsOracleSql(Oracle.stagingCte),
     "q_null_profile" ->
       s"""${Oracle.stagingCte} SELECT
          | CAST(SUM(CASE WHEN invoice_no IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_invoice_no,

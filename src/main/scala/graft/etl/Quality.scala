@@ -193,4 +193,33 @@ object Quality {
       col("staging_max_date"), col("fact_max_date"),
       (col("staging_max_date") === col("fact_max_date")).as("in_sync"))
   }
+
+  /** ANALYZE-style per-column statistics — null count and exact NDV for
+    * every staging column, the numbers a cost-based optimizer (and a
+    * data steward) runs on. One logical pass: Spark expands the
+    * multi-distinct aggregate internally (the honest cost of exact NDV;
+    * the sketched alternative is [[graft.ext.ApproxStats]]), and the
+    * single wide result row unpivots to one row per column. */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = Warehouse(spark, dir).staging
+    val cols = Staging.columns
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__ndv")))
+    val stackExpr = cols
+      .map(c => s"'$c', ${c}__nulls, ${c}__ndv").mkString(", ")
+    s.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stackExpr) AS (column_name, n_nulls, n_distinct)"))
+      .orderBy("column_name")
+  }
+
+  def analyzeStatsOracleSql(stagingCte: String): String = {
+    val selects = Staging.columns.map(c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM staging""".stripMargin)
+    s"""$stagingCte ${selects.mkString("\n UNION ALL\n")}
+       | ORDER BY column_name""".stripMargin
+  }
 }

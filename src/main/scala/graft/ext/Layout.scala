@@ -65,6 +65,30 @@ object Layout {
     outPath
   }
 
+  /** Small-file compaction — the standard nightly job on any
+    * streamed-into table: many tiny part files (one per micro-batch or
+    * task) become few target-sized ones. At 100 TB the small-file
+    * problem is a metadata and open()-per-file tax on EVERY subsequent
+    * read; compaction pays one rewrite to remove it. Content is
+    * preserved row-exactly (the oracle-checked roundtrip proves
+    * compacted == original), and the rewrite lands as a NEW directory so
+    * it can publish through [[Snapshots]] atomically rather than
+    * mutating in place. `targetFiles` in a real deployment derives from
+    * total-bytes / desired-file-size. Returns (files before, after). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFiles: Int): (Long, Long) = {
+    val before = countParts(inPath)
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(outPath)
+    (before, countParts(outPath))
+  }
+
+  private def countParts(path: String): Long =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .toLong
+
   /** Distinct files containing rows matching a 2-D box predicate — the
     * files a stats-pruning reader must touch. */
   def filesTouched(spark: SparkSession, path: String,

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.TestSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class QualitySpec extends AnyFunSuite {
@@ -31,5 +32,20 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getAs[Long]("null_customer_id") > 0)
     assert(r.getAs[Long]("null_invoice_no") > 0)
     assert(r.getAs[Long]("null_stock_code") === 0)
+  }
+
+  test("analyzeStats: one row per staging column, consistent with the dedicated profiles") {
+    val rows = Quality.analyzeStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Staging.columns.toSet)
+    val s = Warehouse(spark, sf).staging
+    for (c <- Seq("customer_id", "invoice_no")) {
+      val direct = s.agg(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long"),
+        countDistinct(col(c))).head()
+      assert(rows(c) === ((direct.getLong(0), direct.getLong(1))), s"column $c")
+    }
+    assert(rows("customer_id")._1 > 0, "dirt injection must show up as nulls")
+    rows.values.foreach { case (nulls, ndv) => assert(nulls >= 0 && ndv > 0) }
   }
 }

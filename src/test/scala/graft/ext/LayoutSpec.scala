@@ -40,6 +40,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("compact: file count drops to target, content row-exact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    graft.Tables.lineitem(spark, sf).repartition(32)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    val (before, after) = Layout.compact(spark, s"$base/frag", s"$base/out", 4)
+    assert(before === 32L && after === 4L)
+    val a = spark.read.parquet(s"$base/frag").collect().map(_.toSeq.toString).sorted
+    val b = spark.read.parquet(s"$base/out").collect().map(_.toSeq.toString).sorted
+    assert(a.toSeq === b.toSeq, "compaction must preserve content row-exactly")
+  }
+
   test("z-order clustering: a 2-D box predicate touches few files; scattered layout touches all") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val nFiles = 8

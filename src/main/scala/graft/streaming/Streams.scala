@@ -137,6 +137,31 @@ object Streams {
       .dropDuplicatesWithinWatermark("doc_id", "matched_id")
   }
 
+  /** Stream-STREAM interval join — the streaming twin of
+    * [[graft.ext.RangeJoin.clickInPurchaseWindow]]: attribute every click
+    * to same-user purchase windows `[purchase_ts, +2h)` while BOTH sides
+    * flow. Spark's stream-stream join keeps each side's rows in state
+    * only as long as the watermark + the join's time bound require:
+    * a click can only match purchases at most 2 h older, so once the
+    * purchase watermark passes `click_ts`, the click row is evicted —
+    * state is bounded by (throughput × horizon), never by history. The
+    * batch twin's bin-bucketing trick is unnecessary here: the state
+    * store IS the bucketed index, keyed by user and pruned by time.
+    * Equivalence with the batch inequality join is asserted in
+    * StreamsSpec. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      delay: String = "3 hours"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    c.join(p, expr(
+      s"""user_id = p_user AND click_ts >= purchase_ts
+         |AND click_ts < purchase_ts + INTERVAL ${graft.ext.RangeJoin.windowHours} HOURS"""
+        .stripMargin.replace('\n', ' ')))
+      .select("user_id", "click_ts", "purchase_ts")
+  }
+
   /** Streaming incremental MV maintenance — the streaming twin of
     * [[graft.etl.Mv]]: each micro-batch's partial aggregate merges into
     * the persisted monthly rollup as a NEW version directory keyed by the

@@ -209,6 +209,18 @@ class PlanContractSpec extends AnyFunSuite {
     val rplan = planOf(ranged)
     assert(rplan.contains("PushedFilters") && rplan.contains("GreaterThanOrEqual(invoice_date"),
       s"invoice_date range not pushed to the scan:\n$rplan")
+
+    // DYNAMIC partition pruning: when the partition keys arrive through a
+    // JOIN against a filtered dimension (the star-schema reality — the
+    // literal year/month above is the easy case), the fact scan must
+    // still prune at runtime from the dim's build side rather than read
+    // every partition
+    val dimSide = spark.read.parquet(s"$out/dim_date")
+      .filter(col("quarter") === 1).select("year", "month").distinct()
+    val dpp = fact.join(dimSide, Seq("year", "month")).select("invoice_no")
+    val dplan = planOf(dpp)
+    assert(dplan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the dim-driven fact scan:\n$dplan")
   }
 
   /** Exchange output schemas from the EXECUTED plan — exchanges only

@@ -376,4 +376,40 @@ class StreamsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("chain broken"))
   }
+
+  test("stream-stream interval join == batch inequality join on the same events") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    // clicks at :05 :30 :50 / 11:10; purchases open 2h windows at 10:00, 10:40
+    val clicks = Seq((1L, ts("10:05")), (1L, ts("10:30")), (2L, ts("10:50")),
+      (1L, ts("11:00")), (1L, ts("13:10")), (3L, ts("10:20")))
+    val purchases = Seq((1L, ts("10:00")), (2L, ts("10:40")), (1L, ts("10:40")))
+    val cIn = MemoryStream[(Long, Timestamp)]
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.clickAttribution(
+      cIn.toDF().toDF("user_id", "ts"), pIn.toDF().toDF("user_id", "ts"))
+    val q = joined.writeStream.format("memory")
+      .queryName("attr_out").outputMode("append").start()
+    try {
+      cIn.addData(clicks); pIn.addData(purchases)
+      q.processAllAvailable()
+      // append-mode stream-stream inner joins emit once the WATERMARK
+      // closes the match window; push both watermarks far past the data
+      cIn.addData((9L, ts("23:00"))); pIn.addData((9L, ts("23:00")))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT user_id, click_ts, purchase_ts FROM attr_out WHERE user_id <> 9")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).sorted
+      val batch = clicks.toDF("user_id", "click_ts")
+        .join(purchases.toDF("p_user", "purchase_ts"),
+          expr("user_id = p_user AND click_ts >= purchase_ts " +
+            "AND click_ts < purchase_ts + INTERVAL 2 HOURS"))
+        .select("user_id", "click_ts", "purchase_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).sorted
+      assert(batch.nonEmpty && batch.length >= 4, s"fixture must drive matches: ${batch.length}")
+      assert(streamed.toSeq === batch.toSeq,
+        "stream-stream join must equal the batch inequality join")
+    } finally q.stop()
+  }
 }

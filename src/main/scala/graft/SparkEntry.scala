@@ -498,6 +498,7 @@ object SparkEntry {
     "funnel_stages" -> ((s, d) => operators.Events.funnelStages(s, d)),
     "cohort_retention" -> ((s, d) => operators.Events.cohortRetention(s, d)),
     "topk_per_user" -> ((s, d) => operators.Events.topValuesPerUser(s, d)),
+    "q_daily_kmv" -> ((s, d) => operators.Events.dailyDistinctKmv(s, d)),
     // range join: bin-bucketized interval join (no nested-loop cross
     // product) — clicks inside each user's 2h purchase windows
     "range_join" -> ((s, d) => ext.RangeJoin.clickInPurchaseWindow(s, d)),
@@ -674,6 +675,7 @@ object SparkEntry {
     "funnel_stages" -> operators.Events.funnelOracleSql(eventsCte),
     "cohort_retention" -> operators.Events.cohortOracleSql(eventsCte),
     "topk_per_user" -> operators.Events.topValuesOracleSql(eventsCte),
+    "q_daily_kmv" -> operators.Events.dailyKmvOracleSql(eventsCte),
     "asof_join" ->
       s"""$eventsCte,
          | clicks AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'click'),

@@ -136,6 +136,57 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy("day")
 
+  /** KMV sketch size for [[dailyDistinctKmv]]. */
+  val kmvK = 64
+
+  /** Per-GROUP approximate distinct counting: a KMV (k-minimum-values)
+    * sketch per day via the native [[graft.functions.MinKAgg]] bounded
+    * aggregate — the grouped form of `ext/ApproxStats`' global sketch.
+    * Exact per-group COUNT(DISTINCT) pays a full expand+shuffle of
+    * (group, value) pairs; the sketch ships ≤k longs per (group, map
+    * task) and estimates `(k-1)·2^60 / v_k` from the k-th minimum hash.
+    * Everything is exact integer state + one IEEE division, so the
+    * DuckDB oracle replays the sketch CONTENT (md5 of the min-k array)
+    * and the estimate bit-identically. The exact count rides along for
+    * the accuracy contract (spec asserts relative error, and at sf the
+    * estimator is genuinely engaged: daily actives exceed k). */
+  def dailyDistinctKmv(spark: SparkSession, dir: String, k: Int = kmvK): DataFrame = {
+    graft.functions.TopKAggExprs.registerMinK(spark)
+    val ev = Tables.events(spark, dir)
+    ev.select(to_date(col("ts")).as("day"), col("user_id"),
+        Dedup.fastHash60(spark,
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("day")
+      .agg(expr(s"mink_agg(h, $k)").as("ms"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("day"), col("n_exact"),
+        when(size(col("ms")) < k, size(col("ms")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / element_at(col("ms"), k).cast("double"))
+          .as("kmv_estimate"),
+        md5(concat_ws(",", col("ms").cast("array<string>"))).as("sketch_md5"))
+      .orderBy("day")
+  }
+
+  def dailyKmvOracleSql(eventsCte: String, k: Int = kmvK): String =
+    s"""$eventsCte,
+       | hashes AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+       |   CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |   FROM ev),
+       | ranked AS (SELECT day, h,
+       |   row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM hashes),
+       | mins AS (SELECT day, list(h ORDER BY h) AS ms
+       |   FROM ranked WHERE rn <= $k GROUP BY day),
+       | exact AS (SELECT CAST(ts AS DATE) AS day,
+       |   COUNT(DISTINCT user_id) AS n_exact FROM ev GROUP BY 1)
+       | SELECT day, n_exact,
+       |   CASE WHEN len(ms) < $k THEN CAST(len(ms) AS DOUBLE)
+       |     ELSE CAST(${k - 1} AS DOUBLE) * 1152921504606846976.0
+       |          / CAST(ms[$k] AS DOUBLE) END AS kmv_estimate,
+       |   md5(array_to_string(list_transform(ms, v -> CAST(v AS VARCHAR)), ',')) AS sketch_md5
+       | FROM mins JOIN exact USING (day)
+       | ORDER BY day""".stripMargin
+
   /** Conversion-window for [[funnelStages]]: the final step must land
     * within this many days of the funnel's first step. */
   val funnelWindowDays = 7

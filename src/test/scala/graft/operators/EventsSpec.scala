@@ -155,6 +155,29 @@ class EventsSpec extends AnyFunSuite {
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum === users)
   }
 
+  test("dailyDistinctKmv: estimator engaged, within the sketch error band, deterministic") {
+    // sf0.001 daily actives sit under the registered k=64 (where the
+    // sketch is exact by construction); run the SPEC at k=8 so the
+    // estimator branch is genuinely exercised
+    val k = 8
+    val rows = Events.dailyDistinctKmv(spark, sf, k).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._2 > k), "estimator never engaged — all days under k")
+    rows.foreach { case (day, exact, est, _) =>
+      if (exact <= k)
+        assert(est === exact.toDouble, s"$day: under-k day must be exact")
+      else {
+        // KMV relative error ~ 1/sqrt(k-2) ≈ 41% at k=8; allow 4 sigma
+        val rel = math.abs(est - exact) / exact
+        assert(rel < 1.7, s"$day: estimate $est vs exact $exact (rel $rel)")
+      }
+    }
+    val again = Events.dailyDistinctKmv(spark, sf, k).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("topk_agg heap aggregate equals the window-rank form exactly") {
     val agg = Events.topValuesPerUser(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))

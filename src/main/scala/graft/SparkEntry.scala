@@ -104,12 +104,12 @@ object SparkEntry {
     // read back — the oracle replays NOT(pred) over the clean lineage
     "delete_roundtrip" -> ((s, d) => {
       val p = dumpDir(s, d, "del")
-      val marker = new java.io.File(s"${p}_done")
-      if (!marker.exists()) {
+      val marker = s"${p}_done"
+      if (!ext.Dfs.exists(s, marker)) {
         Warehouse(s, d).cleaned.repartition(8)
           .write.mode("overwrite").parquet(p)
         ext.Deletes.deleteWhere(s, p, col("country") === "NATION_7")
-        marker.mkdirs()
+        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(s.read.parquet(p).select(stagingCols.map(col): _*), Seq("unit_price")),
@@ -120,12 +120,12 @@ object SparkEntry {
     "compact_roundtrip" -> ((s, d) => {
       val frag = dumpDir(s, d, "frag")
       val comp = dumpDir(s, d, "compact")
-      val marker = new java.io.File(s"${comp}_done")
-      if (!marker.exists()) {
+      val marker = s"${comp}_done"
+      if (!ext.Dfs.exists(s, marker)) {
         Warehouse(s, d).cleaned.repartition(64).write.mode("overwrite").parquet(frag)
         val (b, a) = ext.Layout.compact(s, frag, comp, 4)
         require(b == 64 && a == 4, s"compaction shape unexpected: $b -> $a files")
-        marker.mkdirs()
+        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(s.read.parquet(comp).select(stagingCols.map(col): _*), Seq("unit_price")),
@@ -141,7 +141,8 @@ object SparkEntry {
   )
 
   private def dumpDir(s: SparkSession, d: String, fmt: String): String =
-    s"/tmp/graft_${fmt}_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
+    s"${ext.Dfs.scratchBase}/graft_${fmt}_${s.sparkContext.applicationId}_" +
+      new org.apache.hadoop.fs.Path(d).getName
 
   /** Full-recompute monthly rollup — shared by q_monthly_sales AND the
     * incremental-MV query (the whole point: the incremental path must
@@ -171,7 +172,7 @@ object SparkEntry {
     "mv_monthly_sales" -> monthlySalesOracle,
     "delete_roundtrip" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
-         | WHERE NOT (country = 'NATION_7') ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+         | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "compact_roundtrip" ->
       s"${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
     "snapshot_monthly_v0" ->
@@ -229,6 +230,7 @@ object SparkEntry {
     "q_distinct_stats" -> ((s, d) => Quality.distinctStats(s, d)),
     "q_null_profile" -> ((s, d) => Quality.nullProfile(s, d)),
     "q_analyze_stats" -> ((s, d) => Quality.analyzeStats(s, d)),
+    "q_analyze_stats_kmv" -> ((s, d) => Quality.analyzeStatsKmv(s, d)),
     "q_date_range" -> ((s, d) => Quality.dateRange(s, d)),
     "q_revenue_total" -> ((s, d) => Quality.revenueTotal(s, d)),
     "q_dup_groups" -> ((s, d) => Quality.duplicateGroups(s, d)),
@@ -297,6 +299,7 @@ object SparkEntry {
          | COUNT(DISTINCT country) AS n_countries
          | FROM cleaned""".stripMargin,
     "q_analyze_stats" -> Quality.analyzeStatsOracleSql(Oracle.stagingCte),
+    "q_analyze_stats_kmv" -> Quality.analyzeStatsKmvOracleSql(Oracle.stagingCte),
     "q_null_profile" ->
       s"""${Oracle.stagingCte} SELECT
          | CAST(SUM(CASE WHEN invoice_no IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_invoice_no,

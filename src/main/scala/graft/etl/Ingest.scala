@@ -94,12 +94,18 @@ object Ingest {
     * oracle replays the evolution as a UNION of column-projected halves. */
   def evolvedRoundtrip(spark: SparkSession, dir: String, outPath: String): DataFrame = {
     val st = Warehouse(spark, dir).staging
-    val even = col("stock_code").cast("int") % 2 === 0
+    // total split: try_cast yields null (never throws) on a non-numeric
+    // code, and the length fallback makes the predicate NON-NULL for
+    // every row — so batch1 ∪ batch2 is exactly the input even if a
+    // future source ships alphanumeric stock codes (a bare cast%2 would
+    // silently drop such rows into neither batch)
+    val codeNum = expr("try_cast(stock_code AS int)")
+    val even = coalesce(codeNum % 2 === 0, length(col("stock_code")) % 2 === 0)
     st.filter(even).drop("country")
       .write.mode("overwrite").parquet(s"$outPath/b1")
     st.filter(!even)
       .withColumn("channel",
-        concat(lit("web-"), (col("stock_code").cast("int") % 3).cast("string")))
+        concat(lit("web-"), (codeNum % 3).cast("string")))
       .write.mode("overwrite").parquet(s"$outPath/b2")
     spark.read.option("mergeSchema", "true").parquet(s"$outPath/b1", s"$outPath/b2")
   }
@@ -110,12 +116,16 @@ object Ingest {
        |  SELECT invoice_no, stock_code, description, quantity, invoice_date,
        |    unit_price, customer_id, CAST(NULL AS VARCHAR) AS country,
        |    CAST(NULL AS VARCHAR) AS channel
-       |  FROM staging WHERE CAST(stock_code AS INTEGER) % 2 = 0
+       |  FROM staging
+       |  WHERE COALESCE(TRY_CAST(stock_code AS INTEGER) % 2 = 0,
+       |                 LENGTH(stock_code) % 2 = 0)
        |  UNION ALL
        |  SELECT invoice_no, stock_code, description, quantity, invoice_date,
        |    unit_price, customer_id, country,
-       |    'web-' || CAST(CAST(stock_code AS INTEGER) % 3 AS VARCHAR) AS channel
-       |  FROM staging WHERE CAST(stock_code AS INTEGER) % 2 = 1)
+       |    'web-' || CAST(TRY_CAST(stock_code AS INTEGER) % 3 AS VARCHAR) AS channel
+       |  FROM staging
+       |  WHERE NOT COALESCE(TRY_CAST(stock_code AS INTEGER) % 2 = 0,
+       |                     LENGTH(stock_code) % 2 = 0))
        | SELECT invoice_no, stock_code, description, quantity, invoice_date,
        |   CAST(unit_price AS DOUBLE) AS unit_price, customer_id, country, channel
        | FROM evolved ORDER BY $orderBy""".stripMargin

@@ -37,7 +37,8 @@ object Mv {
   private val revStore = DecimalType(30, 2)
 
   private def base(spark: SparkSession, dir: String): String =
-    s"/tmp/graft_mv_${spark.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+    s"${graft.ext.Dfs.scratchBase}/graft_mv_${spark.sparkContext.applicationId}_" +
+      new org.apache.hadoop.fs.Path(dir).getName
 
   /** The version-chain root [[monthlySalesViaMv]] commits under — exposed
     * for time-travel reads ([[graft.ext.Snapshots.readAt]]). */
@@ -48,11 +49,11 @@ object Mv {
     * appending disjoint keys), dumped once per application. */
   def writeBatches(spark: SparkSession, dir: String): Seq[String] = {
     val b = base(spark, dir)
-    val marker = new java.io.File(s"$b/_batches_done")
+    val marker = s"$b/_batches_done"
     // one partitioned write (a single fact scan), not one job per batch;
     // reading a partition subdir directly yields the data columns only
     val paths = (0 until nBatches).map(i => s"$b/batches/_b=$i")
-    if (!marker.exists()) {
+    if (!graft.ext.Dfs.exists(spark, marker)) {
       val fact = Warehouse(spark, dir).fact
       val split = pmod(graft.operators.Dedup.fastHash60(spark,
         concat_ws("|", lit("mv"), col("invoice_no"), col("product_key"),
@@ -60,7 +61,7 @@ object Mv {
           col("unit_price").cast("string"))), lit(nBatches.toLong)).cast("int")
       fact.withColumn("_b", split)
         .write.mode("overwrite").partitionBy("_b").parquet(s"$b/batches")
-      marker.mkdirs()
+      graft.ext.Dfs.touch(spark, marker)
     }
     paths
   }

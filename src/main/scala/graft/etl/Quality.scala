@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -219,6 +219,78 @@ object Quality {
       s"""SELECT '$c' AS column_name,
          |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM staging""".stripMargin)
+    s"""$stagingCte ${selects.mkString("\n UNION ALL\n")}
+       | ORDER BY column_name""".stripMargin
+  }
+
+  /** KMV sketch size for [[analyzeStatsKmv]] — rel. error ~1/√(k−2) ≈ 6%. */
+  val analyzeKmvK = 256
+
+  /** One render per column, shared by the Spark plan and the oracle so
+    * the hashed byte streams are identical: timestamps get a pinned
+    * format (cast-to-string second-fraction rules differ per engine);
+    * everything else is the engines' agreeing plain cast. */
+  private def kmvRender(c: String): Column =
+    if (c == "invoice_date") date_format(col(c), "yyyy-MM-dd HH:mm:ss")
+    else col(c).cast("string")
+
+  private def kmvRenderSql(c: String): String =
+    if (c == "invoice_date") "strftime(invoice_date, '%Y-%m-%d %H:%M:%S')"
+    else s"CAST($c AS VARCHAR)"
+
+  /** The SCALE path for [[analyzeStats]]: per-column null count + KMV
+    * NDV estimate in ONE un-expanded pass. Exact multi-column
+    * COUNT(DISTINCT) makes Spark Expand every row |cols|× before the
+    * shuffle — a 9×-amplified shuffle of the full table for a 9-row
+    * answer at 100 TB. Here every column contributes a fixed-size
+    * [[graft.functions.MinKAgg]] sketch instead: map-side partials carry
+    * ≤k longs per (column, task), the exchange is a single-row merge,
+    * and the scan stays one WholeStageCodegen pass (hash exprs are the
+    * codegen'd md5-prefix). Sketch state is exact integers, so the
+    * DuckDB oracle replays content AND estimate bit-identically —
+    * `sketch_md5` pins the whole min-k array, not just the estimate. */
+  def analyzeStatsKmv(spark: SparkSession, dir: String,
+      k: Int = analyzeKmvK): DataFrame = {
+    graft.functions.TopKAggExprs.registerMinK(spark)
+    val s = Warehouse(spark, dir).staging
+    val cols = Staging.columns
+    val withHashes = s.select(cols.map(col) ++ cols.map(c =>
+      graft.operators.Dedup.fastHash60(spark,
+        concat(lit(s"ndv:$c:"), kmvRender(c))).as(s"__h_$c")): _*)
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
+      expr(s"mink_agg(__h_$c, $k)").as(s"${c}__ms")))
+    val one = withHashes.agg(aggs.head, aggs.tail: _*)
+    val posts = cols.flatMap { c =>
+      val ms = col(s"${c}__ms")
+      Seq(
+        when(size(ms) < k, size(ms).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / element_at(ms, k).cast("double")).as(s"${c}__est"),
+        md5(concat_ws(",", ms.cast("array<string>"))).as(s"${c}__md5"))
+    }
+    val stackExpr = cols
+      .map(c => s"'$c', ${c}__nulls, ${c}__est, ${c}__md5").mkString(", ")
+    one.select(cols.map(c => col(s"${c}__nulls")) ++ posts: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stackExpr) AS (column_name, n_nulls, ndv_estimate, sketch_md5)"))
+      .orderBy("column_name")
+  }
+
+  def analyzeStatsKmvOracleSql(stagingCte: String,
+      k: Int = analyzeKmvK): String = {
+    val selects = Staging.columns.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM staging) AS n_nulls,
+         |  CASE WHEN len(ms) < $k THEN CAST(len(ms) AS DOUBLE)
+         |    ELSE CAST(${k - 1} AS DOUBLE) * 1152921504606846976.0
+         |         / CAST(ms[$k] AS DOUBLE) END AS ndv_estimate,
+         |  md5(array_to_string(list_transform(ms, v -> CAST(v AS VARCHAR)), ',')) AS sketch_md5
+         |FROM (SELECT list(h ORDER BY h) AS ms FROM (
+         |  SELECT DISTINCT CAST('0x' || substring(md5('ndv:$c:' || ${kmvRenderSql(c)}), 1, 15) AS BIGINT) AS h
+         |  FROM staging WHERE $c IS NOT NULL ORDER BY h LIMIT $k))""".stripMargin
+    }
     s"""$stagingCte ${selects.mkString("\n UNION ALL\n")}
        | ORDER BY column_name""".stripMargin
   }

@@ -141,7 +141,7 @@ object Transform {
     * re-read. */
   def factRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = roundtripDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft_wh_roundtrip").toString
+      val d = graft.ext.Dfs.scratchDir(spark, "graft_wh_roundtrip")
       writeWarehouse(spark, dir, d)
       d
     })

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,14 +15,27 @@ import org.apache.spark.sql.functions._
   * [[Layout]] z-order / footer stats narrow the scan; worst case it is a
   * key-column-only scan), and the rewrite touches `|affected files|`
   * only — for a clustered key that is a handful of files regardless of
-  * table size. Deletion is atomic per file (write replacement, then
-  * swap); a version-directory wrapper ([[Snapshots]]) turns the whole
-  * delete into one atomic publish when readers must never see a partial
-  * delete.
+  * table size. Affected files are rewritten CONCURRENTLY (one Spark job
+  * per file, submitted from a bounded driver pool — Spark's scheduler
+  * interleaves them across executors), so a scattered predicate touching
+  * many files costs ~max-file wall, not sum-of-files. All file
+  * manipulation goes through the Hadoop [[Dfs]] layer: the table may
+  * live on `hdfs:`/`s3a:`, not just the driver's disk.
+  *
+  * Atomicity: each file swap is rename-based (park original under a
+  * hidden `.trash_` name, rename the replacement in, clear the trash) —
+  * a crash at any point leaves the survivors recoverable and never
+  * leaves a truncated visible file. A directory reader racing the swap
+  * can transiently miss the in-flight file's rows; when readers must
+  * never observe a partial delete, publish the delete through the
+  * [[Snapshots]] version protocol instead (commit the post-delete frame
+  * as the next version) — in-place mutation cannot be made atomic
+  * table-wide without a manifest log, which is exactly what Snapshots
+  * provides.
   *
   * DeletesSpec proves the two contracts: (1) survivors are exactly
-  * `NOT predicate`, (2) files without matches are NOT rewritten
-  * (same path, same bytes). */
+  * `NOT predicate` (null predicate values SURVIVE), (2) files without
+  * matches are NOT rewritten (same path, same bytes). */
 object Deletes {
 
   /** Files under `path` containing at least one row matching `pred` —
@@ -35,48 +49,54 @@ object Deletes {
       .map(_.getString(0))
       .toSeq
 
+  /** How many rewrite jobs run at once. Each is a small one-file read→
+    * filter→write; the pool bounds DRIVER-side job submission, the
+    * cluster scheduler does the real interleaving. */
+  private val rewriteParallelism = 8
+
   /** Delete matching rows in place: rewrite each affected file without
-    * its matching rows (into a sibling replacement), delete the
+    * its matching rows (into a sibling replacement), swap it over the
     * original. Untouched files are not opened for write. Returns
     * (affected, total) file counts. */
   def deleteWhere(spark: SparkSession, path: String, pred: Column): (Int, Int) = {
-    val all = new java.io.File(path).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .map(_.toString)
+    val total = Dfs.dataFiles(spark, path).size
     val affected = affectedFiles(spark, path, pred)
     // survivors are rows where pred is NOT TRUE — a null predicate value
     // (e.g. a null delete key) must SURVIVE, matching affectedFiles'
     // filter(pred) which treats null as no-match; a bare !pred would
     // silently drop null-key rows from rewritten files only
     val survivorPred = !coalesce(pred, lit(false))
-    affected.foreach { f =>
-      val local = f.stripPrefix("file:").stripPrefix("//")
-      val tmp = s"$path/.rewrite_${new java.io.File(local).getName}"
-      spark.read.parquet(local).filter(survivorPred)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-      // crash-safe order: park the original under a hidden .trash name
-      // FIRST (readers ignore dotfiles; a crash here leaves the trash
-      // recoverable), then move the replacement in, then clear the trash
-      // — at no point are the surviving rows only in a location a crash
-      // would orphan alongside a deleted original
-      val orig = new java.io.File(local)
-      val trash = orig.getParentFile.toPath.resolve(".trash_" + orig.getName)
-      java.nio.file.Files.move(orig.toPath, trash)
-      // the original writer's Hadoop-local-FS checksum shadow must not
-      // outlive it — a same-name replacement with different bytes would
-      // fail ChecksumException on read
-      java.nio.file.Files.deleteIfExists(
-        orig.getParentFile.toPath.resolve("." + orig.getName + ".crc"))
-      part.foreach { p =>
-        java.nio.file.Files.move(p.toPath, java.nio.file.Paths.get(local))
-      }
-      java.nio.file.Files.delete(trash)
-      // clear the scratch dir (marker + crc files)
-      new java.io.File(tmp).listFiles().foreach(_.delete())
-      java.nio.file.Files.delete(java.nio.file.Paths.get(tmp))
-    }
-    (affected.size, all.length)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(rewriteParallelism, affected.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val jobs = affected.map { f => scala.concurrent.Future {
+        // input_file_name() yields a URI; Path(URI) keeps the scheme so
+        // the swap lands on the same filesystem the table lives on
+        val orig = new Path(new java.net.URI(f))
+        val dir = orig.getParent
+        val tmp = new Path(dir, s".rewrite_${orig.getName}").toString
+        spark.read.parquet(orig.toString).filter(survivorPred)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Dfs.list(spark, tmp).map(_.getPath)
+          .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+        // crash-safe order: park the original under a hidden .trash name
+        // FIRST (readers ignore dotfiles; a crash here leaves the trash
+        // recoverable), then move the replacement in, then clear the
+        // trash — at no point are the surviving rows only in a location
+        // a crash would orphan alongside a deleted original. Hadoop
+        // renames carry the local-FS checksum shadow with the file, so
+        // no stale .crc can outlive its original.
+        val trash = new Path(dir, s".trash_${orig.getName}")
+        Dfs.rename(spark, orig.toString, trash.toString)
+        part.foreach(p => Dfs.rename(spark, p.toString, orig.toString))
+        Dfs.delete(spark, trash.toString)
+        Dfs.delete(spark, tmp, recursive = true)
+      }}
+      import scala.concurrent.duration.Duration
+      scala.concurrent.Await.result(scala.concurrent.Future.sequence(jobs), Duration.Inf)
+    } finally pool.shutdown()
+    (affected.size, total)
   }
 }

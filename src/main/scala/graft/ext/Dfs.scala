@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The ONE place this library touches a filesystem for its storage
+  * protocols (version markers, commit claims, file swaps, scratch
+  * dirs). Everything goes through `org.apache.hadoop.fs.FileSystem`
+  * resolved per-path from the session's Hadoop configuration, so the
+  * same code runs against `file:`, `hdfs:`, `s3a:`, `viewfs:` — i.e.
+  * wherever a 100 TB table actually lives — not just the driver's
+  * local disk. `java.io.File` never appears on a protocol path
+  * (DfsSpec proves it by running a full snapshot/delete flow through a
+  * non-`file:` scheme that `java.io` cannot resolve).
+  *
+  * Scale notes: each helper is one namenode/object-store metadata RPC
+  * (list, exists, rename, create) — no data movement happens here; the
+  * data path stays Spark's own committers. [[createExclusive]] is the
+  * compare-and-swap primitive (atomic create-if-absent on HDFS and
+  * local; conditional-put on modern object stores) that
+  * [[Snapshots.commit]] builds its concurrent-writer claim on. */
+object Dfs {
+
+  private def conf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(conf(spark))
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  def mkdirs(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).mkdirs(new Path(path))
+
+  /** Children of `path`; empty when the directory is missing. */
+  def list(spark: SparkSession, path: String): Seq[FileStatus] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (f.exists(p)) f.listStatus(p).toSeq else Seq.empty
+  }
+
+  /** Visible data part-files under a directory (the reader's view:
+    * dotfiles and `_`-prefixed metadata are not data). */
+  def dataFiles(spark: SparkSession, path: String): Seq[FileStatus] =
+    list(spark, path).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }
+
+  /** Hadoop rename — atomic on HDFS and local FS; fails (returns false
+    * → we throw) rather than clobbering an existing destination. */
+  def rename(spark: SparkSession, src: String, dst: String): Unit = {
+    val f = fs(spark, src)
+    require(f.rename(new Path(src), new Path(dst)),
+      s"rename failed: $src -> $dst")
+  }
+
+  def delete(spark: SparkSession, path: String, recursive: Boolean = false): Boolean =
+    fs(spark, path).delete(new Path(path), recursive)
+
+  /** Atomic create-if-absent: true iff this caller created `path`
+    * (an empty marker file). The CAS primitive for commit claims —
+    * exactly one of N concurrent callers wins a given path. */
+  def createExclusive(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.mkdirs(p.getParent)
+    try { f.create(p, /* overwrite = */ false).close(); true }
+    catch { case _: java.io.IOException => false }
+  }
+
+  /** Create (or truthfully report) an empty marker file — the
+    * idempotent "this one-time build is done" flag the fixture
+    * roundtrips gate on. */
+  def touch(spark: SparkSession, path: String): Unit = {
+    if (!exists(spark, path)) createExclusive(spark, path)
+  }
+
+  def writeBytes(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    val out = fs(spark, path).create(new Path(path), /* overwrite = */ true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Scratch root for persisted indexes / fixture dumps: local tmp by
+    * default, any Hadoop scheme via GRAFT_SCRATCH (a deployment points
+    * this at the table's filesystem so index commits are cluster-
+    * visible, not driver-local). */
+  def scratchBase: String =
+    sys.env.getOrElse("GRAFT_SCRATCH", sys.props("java.io.tmpdir"))
+
+  /** A fresh unique directory under [[scratchBase]]. */
+  def scratchDir(spark: SparkSession, prefix: String): String = {
+    val d = s"$scratchBase/${prefix}_${spark.sparkContext.applicationId}_${scratchSeq.getAndIncrement()}"
+    mkdirs(spark, d)
+    d
+  }
+}

@@ -77,17 +77,15 @@ object Layout {
     * total-bytes / desired-file-size. Returns (files before, after). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFiles: Int): (Long, Long) = {
-    val before = countParts(inPath)
+    val before = countParts(spark, inPath)
     spark.read.parquet(inPath)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(outPath)
-    (before, countParts(outPath))
+    (before, countParts(spark, outPath))
   }
 
-  private def countParts(path: String): Long =
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .toLong
+  private def countParts(spark: SparkSession, path: String): Long =
+    Dfs.dataFiles(spark, path).size.toLong
 
   /** Distinct files containing rows matching a 2-D box predicate — the
     * files a stats-pruning reader must touch. */

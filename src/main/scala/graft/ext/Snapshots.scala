@@ -16,41 +16,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    makes a crashed writer invisible and a re-run (overwriting the
   *    same version) a no-op for readers;
   *  - [[readAt]] is time travel: historical versions are immutable, so
-  *    an auditor pins `v0` while production reads latest.
+  *    an auditor pins `v0` while production reads latest;
+  *  - CONCURRENT writers coordinate through a compare-and-swap claim:
+  *    [[commit]] first wins `base/_claims/v<i>` with an atomic
+  *    create-if-absent ([[Dfs.createExclusive]]); a loser observes the
+  *    taken claim and retries at the next version, so two simultaneous
+  *    committers land as v_i and v_{i+1} — neither overwrites the other
+  *    (SnapshotsSpec interleaves two and proves both survive). A claim
+  *    whose writer crashed before `_SUCCESS` burns a version number and
+  *    nothing else — readers skip it.
   *
   * At 100 TB the protocol costs one directory listing per read and
   * nothing per row — the data files are ordinary parquet with full
-  * pushdown/pruning. (What it deliberately does NOT provide: concurrent
-  * WRITER coordination — that needs a log with compare-and-swap, the one
-  * piece plain object storage cannot express.) */
+  * pushdown/pruning, and all protocol I/O goes through the Hadoop
+  * [[Dfs]] layer so the base may live on `hdfs:`/`s3a:`/`viewfs:`
+  * alongside the data. */
 object Snapshots {
 
   private val vPattern = "v(\\d+)".r
 
-  def latestVersion(base: String): Option[Int] =
-    Option(new java.io.File(base).listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case vPattern(n) if new java.io.File(f, "_SUCCESS").exists() => Some(n.toInt)
+  def latestVersion(spark: SparkSession, base: String): Option[Int] =
+    Dfs.list(spark, base)
+      .flatMap(s => s.getPath.getName match {
+        case vPattern(n) if Dfs.exists(spark, s"${s.getPath}/_SUCCESS") => Some(n.toInt)
         case _ => None
       }) match {
       case Seq() => None
       case vs => Some(vs.max)
     }
 
-  /** Publish `df` as the next version; returns the version written. */
+  /** Publish `df` as the next version; returns the version written.
+    * Safe under concurrent committers: the version number is WON via
+    * the `_claims` CAS before any data is written. */
   def commit(df: DataFrame, base: String): Int = {
-    val v = latestVersion(base).map(_ + 1).getOrElse(0)
+    val spark = df.sparkSession
+    var v = latestVersion(spark, base).map(_ + 1).getOrElse(0)
+    while (!Dfs.createExclusive(spark, s"$base/_claims/v$v")) v += 1
     df.write.mode("overwrite").parquet(s"$base/v$v")
     v
   }
 
   def readAt(spark: SparkSession, base: String, version: Int): DataFrame = {
-    require(new java.io.File(s"$base/v$version/_SUCCESS").exists(),
+    require(Dfs.exists(spark, s"$base/v$version/_SUCCESS"),
       s"version $version was never committed under $base")
     spark.read.parquet(s"$base/v$version")
   }
 
   def readLatest(spark: SparkSession, base: String): DataFrame =
-    readAt(spark, base,
-      latestVersion(base).getOrElse(sys.error(s"no committed version under $base")))
+    readAt(spark, base, latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base")))
 }

@@ -72,6 +72,11 @@ case class TopKAgg(
   }
 
   private def offer(buf: java.util.PriorityQueue[java.lang.Double], v: Double): Unit = {
+    // NaN is dropped like null: the primitive eviction test (`peek < v`,
+    // always false for NaN), the boxed heap ordering (NaN greatest), and
+    // the oracle's ORDER BY disagree on NaN — admitting one while the
+    // heap is underfull would permanently occupy a top-k slot
+    if (v.isNaN) return
     if (buf.size < k) buf.offer(v)
     else if (buf.peek() < v) { buf.poll(); buf.offer(v) }
   }

@@ -343,7 +343,7 @@ object Corpus {
     * per doc). */
   def digestIndexDir(spark: SparkSession, dir: String): String =
     indexDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft_digest_index").toString
+      val d = graft.ext.Dfs.scratchDir(spark, "graft_digest_index")
       Tables.documents(spark, dir)
         .select(md5(col("text")).as("digest"))
         .write.mode("overwrite").parquet(d)
@@ -436,7 +436,7 @@ object Corpus {
     * of the corpus (32×8 B + rep row vs ~100 KB per doc). */
   def bandIndexDir(spark: SparkSession, dir: String): String =
     bandIndexDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft_band_index").toString
+      val d = graft.ext.Dfs.scratchDir(spark, "graft_band_index")
       Dedup.minhashSignatures(Dedup.corpusWithDups(spark, dir))
         .write.mode("overwrite").parquet(s"$d/sigs")
       Dedup.dupClusters(spark, dir)

@@ -180,19 +180,40 @@ object Multimodal {
   private val imageDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** Hadoop `Configuration` is not `Serializable`; this minimal wrapper
+    * ships it to executor tasks via its own Writable form so
+    * [[imageFilesDir]]'s per-partition writers can resolve the scratch
+    * filesystem exactly as the driver would (any scheme, not just
+    * `file:`). */
+  private class SerConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** The synthetic PNG corpus written as REAL FILES, once per (session,
     * sf-dir) — the fixture for [[binaryIngestFeatures]]'s `binaryFile`
     * source. Executors write their own partition's files (no driver
-    * round-trip; local mode shares /tmp, a cluster points this at shared
-    * storage). */
+    * round-trip) through the Hadoop filesystem of the scratch scheme —
+    * local mode shares /tmp, a cluster points GRAFT_SCRATCH at shared
+    * storage. */
   def imageFilesDir(spark: SparkSession, dir: String): String =
     imageDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft_images").toString
+      val d = graft.ext.Dfs.scratchDir(spark, "graft_images")
+      val serConf = new SerConf(spark.sessionState.newHadoopConf())
       syntheticImages(spark, dir).foreachPartition {
         it: Iterator[(Long, Array[Byte])] =>
+          val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(serConf.conf)
           it.foreach { case (id, bytes) =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(d, f"img_$id%08d.png"), bytes)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(d, f"img_$id%08d.png"), true)
+            try out.write(bytes) finally out.close()
           }
       }
       d

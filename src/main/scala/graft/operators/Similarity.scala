@@ -509,7 +509,7 @@ object Similarity {
     * embeddings table, touching only candidate rows' vectors. */
   def codeIndexDir(spark: SparkSession, dir: String): String =
     codeIndexDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val d = java.nio.file.Files.createTempDirectory("graft_code_index").toString
+      val d = graft.ext.Dfs.scratchDir(spark, "graft_code_index")
       corpusCodes(spark, dir).select("vec_id", "table", "code")
         .write.mode("overwrite").parquet(s"$d/codes")
       d

@@ -185,7 +185,7 @@ object Streams {
     // (retention deleted old versions, or markers are disabled) — fail
     // LOUDLY rather than silently resetting the rollup to one batch's
     // totals, which readers could not distinguish from real data
-    if (batchId > 0 && !new java.io.File(s"$prev/_SUCCESS").exists())
+    if (batchId > 0 && !graft.ext.Dfs.exists(spark, s"$prev/_SUCCESS"))
       sys.error(s"MV chain broken: $prev was never committed (batch $batchId)")
     val next =
       if (batchId > 0)
@@ -221,6 +221,117 @@ object Streams {
     val t = new Timestamp(us / 1000L)
     t.setNanos(((us % 1000000L) * 1000L).toInt)
     t
+  }
+
+  final case class StageEvent(user_id: Long, event_type: String, ts: Timestamp)
+  /** Stage micros, -1 = not reached; lastTs drives the idle timeout. */
+  final case class FunnelState(view: Long, click: Long, purchase: Long, lastTs: Long)
+  final case class FunnelRow(user_id: Long, view_ts: Timestamp,
+      click_ts: Option[Timestamp], purchase_ts: Option[Timestamp], converted: Int)
+
+  /** Streaming ordered funnel — the stateful twin of
+    * [[graft.operators.Events.funnelStages]]: per user, ONE compact
+    * state record (three stage micros + last activity) advanced
+    * monotonically as events arrive; the funnel row is emitted when the
+    * user has been idle past `idleDays` of event time (event-time
+    * timeout), at which point the within-window conversion verdict is
+    * final. State is O(active users) — no event buffering, so a bot
+    * user with 10^9 events still costs 32 bytes — and eviction rides
+    * the watermark exactly like [[sessionize]].
+    *
+    * Ordering contract: stage advancement (`first click AFTER the first
+    * view`, strict >) folds events in event-time order WITHIN each
+    * micro-batch; across batches the state is advance-only, so
+    * equivalence with the batch operator holds under per-user
+    * event-time-ordered delivery — the guarantee a user-keyed Kafka
+    * topic provides (per-key log order), and the streaming norm this
+    * twin documents rather than hides. StreamsSpec proves equality
+    * against `funnelStages` on the fixture events. */
+  def funnelStream(events: Dataset[StageEvent],
+      idleDays: Int = 30): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val idleUs = idleDays * 86400L * 1000000L
+    val windowUs =
+      graft.operators.Events.funnelWindowDays * 86400L * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (userId, batch, state) =>
+        def emit(s: FunnelState): Iterator[FunnelRow] =
+          if (s.view < 0) Iterator.empty
+          else Iterator.single(FunnelRow(
+            userId, fromMicros(s.view),
+            if (s.click < 0) None else Some(fromMicros(s.click)),
+            if (s.purchase < 0) None else Some(fromMicros(s.purchase)),
+            if (s.purchase >= 0 && s.purchase - s.view <= windowUs) 1 else 0))
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(emit).getOrElse(Iterator.empty)
+          state.remove()
+          out
+        } else {
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          for (e <- batch.toSeq.sortBy(e => toMicros(e.ts))) {
+            val t = toMicros(e.ts)
+            e.event_type match {
+              case "view" if s.view < 0 => s = s.copy(view = t)
+              case "click" if s.view >= 0 && t > s.view && s.click < 0 =>
+                s = s.copy(click = t)
+              case "purchase" if s.click >= 0 && t > s.click && s.purchase < 0 =>
+                s = s.copy(purchase = t)
+              case _ => ()
+            }
+            s = s.copy(lastTs = math.max(s.lastTs, t))
+          }
+          state.update(s)
+          state.setTimeoutTimestamp(
+            math.max((s.lastTs + idleUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+      }
+  }
+
+  final case class WeekHit(user_id: Long, week: java.sql.Date)
+  /** cohortDays = the user's first active week as epoch DAYS;
+    * seenOffsets = week offsets already emitted (bounded by the program
+    * horizon in weeks — a 5-year product history is ≤261 ints). */
+  final case class CohortState(cohortDays: Long, seenOffsets: List[Int])
+  final case class CohortHit(user_id: Long, cohort_week: java.sql.Date, offset_weeks: Int)
+
+  /** Streaming cohort retention — the stateful half of
+    * [[graft.operators.Events.cohortRetention]]: per user, remember the
+    * FIRST active week (the cohort) and emit one `(user, cohort_week,
+    * offset_weeks)` hit the first time each later week is seen.
+    * Exactly-once hit emission is the stateful work; the retention
+    * triangle itself is then an ordinary `GROUP BY cohort_week, offset
+    * COUNT(user)` over the emitted hits (each hit is already distinct
+    * per (user, offset), so the count needs no further dedup) — the
+    * StreamsSpec equivalence aggregates the hits and matches the batch
+    * triangle cell for cell. Week truncation happens in the DataFrame
+    * layer (`date_trunc('week', ts)`) BEFORE the typed fold, so both
+    * twins share one week definition. Same per-user ordering contract
+    * as [[funnelStream]]. */
+  def cohortHits(weeks: Dataset[WeekHit]): Dataset[CohortHit] = {
+    import weeks.sparkSession.implicits._
+    weeks
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (userId, batch, state) =>
+        var s = state.getOption.getOrElse(CohortState(-1L, Nil))
+        val out = List.newBuilder[CohortHit]
+        for (w <- batch.toSeq.sortBy(_.week.getTime)) {
+          val days = w.week.toLocalDate.toEpochDay
+          if (s.cohortDays < 0) s = s.copy(cohortDays = days)
+          val off = ((days - s.cohortDays) / 7).toInt
+          if (!s.seenOffsets.contains(off)) {
+            out += CohortHit(userId,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.cohortDays)), off)
+            s = s.copy(seenOffsets = off :: s.seenOffsets)
+          }
+        }
+        state.update(s)
+        out.result().iterator
+      }
   }
 
   /** Stateful gap-based sessionization (streaming

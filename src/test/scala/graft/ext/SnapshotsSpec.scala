@@ -9,11 +9,11 @@ class SnapshotsSpec extends AnyFunSuite {
   test("commit/readAt/readLatest: versions immutable, latest advances, time travel pins") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_snap").toString
-    assert(Snapshots.latestVersion(base).isEmpty)
+    assert(Snapshots.latestVersion(spark, base).isEmpty)
     val v0 = Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "s"), base)
     val v1 = Snapshots.commit(Seq((1, "a"), (2, "B"), (3, "c")).toDF("id", "s"), base)
     assert(v0 === 0 && v1 === 1)
-    assert(Snapshots.latestVersion(base) === Some(1))
+    assert(Snapshots.latestVersion(spark, base) === Some(1))
     assert(Snapshots.readLatest(spark, base).count() === 3)
     // time travel: v0 unchanged by the later commit
     val pinned = Snapshots.readAt(spark, base, 0).orderBy("id").collect()
@@ -32,7 +32,7 @@ class SnapshotsSpec extends AnyFunSuite {
     dead.mkdirs()
     java.nio.file.Files.write(dead.toPath.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3))
-    assert(Snapshots.latestVersion(base) === Some(0),
+    assert(Snapshots.latestVersion(spark, base) === Some(0),
       "a crashed, marker-less write must not become the visible latest")
     assert(Snapshots.readLatest(spark, base).count() === 3)
     // the next commit OVERWRITES the dead directory and publishes cleanly

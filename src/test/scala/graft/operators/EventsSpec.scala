@@ -200,4 +200,15 @@ class EventsSpec extends AnyFunSuite {
       assert(vs.zip(vs.tail).forall { case (a, b) => a >= b }, s"user $u order")
     }
   }
+
+  test("topk_agg drops NaN like null — a NaN admitted early must not hold a slot") {
+    import spark.implicits._
+    graft.functions.TopKAggExprs.register(spark)
+    // NaN arrives FIRST (underfull heap) and mid-stream; finite values
+    // must still fill all k slots in descending order
+    val vals = Seq(Double.NaN, 1.0, Double.NaN, 5.0, 3.0, 2.0, 4.0)
+    val out = vals.toDF("v").selectExpr("topk_agg(v, 3) AS top").collect()
+      .head.getSeq[Double](0)
+    assert(out.toSeq === Seq(5.0, 4.0, 3.0))
+  }
 }

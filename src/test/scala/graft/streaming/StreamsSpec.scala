@@ -412,4 +412,102 @@ class StreamsSpec extends AnyFunSuite {
         "stream-stream join must equal the batch inequality join")
     } finally q.stop()
   }
+
+  test("streaming funnel == batch funnelStages on the sf0.001 events fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    // per-user event-time order (the user-keyed Kafka contract the
+    // operator documents); one batch, so the in-batch sort covers it
+    val fixture = graft.Tables.events(spark, fixtureSf)
+      .select("user_id", "event_type", "ts")
+      .collect().map(r => Streams.StageEvent(r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val input = MemoryStream[Streams.StageEvent]
+    val q = Streams.funnelStream(input.toDS()).writeStream
+      .format("memory").queryName("funnel_fixture").outputMode("append").start()
+    try {
+      input.addData(fixture.toSeq)
+      q.processAllAvailable()
+      // sentinels: advance the watermark past every user's idle horizon,
+      // then trigger the timeout flush (the sessionize fixture pattern)
+      input.addData(Streams.StageEvent(-1L, "view", ts2("2027-01-01 00:00")))
+      q.processAllAvailable()
+      input.addData(Streams.StageEvent(-1L, "view", ts2("2027-01-02 00:00")))
+      q.processAllAvailable()
+      val streaming = spark.sql("SELECT * FROM funnel_fixture WHERE user_id >= 0").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4))).toSet
+      val batch = graft.operators.Events.funnelStages(spark, fixtureSf).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4))).toSet
+      assert(batch.nonEmpty && streaming === batch,
+        s"streaming-only: ${(streaming -- batch).take(3)}; batch-only: ${(batch -- streaming).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel: idle timeout seals the verdict; later stages start no new funnel") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streams.StageEvent]
+    val q = Streams.funnelStream(input.toDS(), idleDays = 1).writeStream
+      .format("memory").queryName("funnel_timeout").outputMode("append").start()
+    try {
+      input.addData(
+        Streams.StageEvent(1L, "view", ts("09:00")),
+        Streams.StageEvent(1L, "click", ts("09:05")))
+      q.processAllAvailable()
+      // user 2's much-later activity pushes the watermark past user 1's
+      // idle horizon; the next batch flushes the sealed funnel
+      input.addData(Streams.StageEvent(2L, "view", ts2("2026-01-05 00:00")))
+      q.processAllAvailable()
+      input.addData(Streams.StageEvent(2L, "view", ts2("2026-01-06 00:00")))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM funnel_timeout WHERE user_id = 1").collect()
+      assert(out.length === 1)
+      assert(out.head.getTimestamp(2) === ts("09:05") && out.head.isNullAt(3)
+        && out.head.getInt(4) === 0, "click reached, no purchase, not converted")
+      // a purchase arriving after the flush must NOT resurrect the chain:
+      // purchase without a view/click in state is ignored
+      input.addData(Streams.StageEvent(1L, "purchase", ts2("2026-01-06 01:00")))
+      q.processAllAvailable()
+      input.addData(Streams.StageEvent(2L, "view", ts2("2026-01-09 00:00")))
+      q.processAllAvailable()
+      input.addData(Streams.StageEvent(2L, "view", ts2("2026-01-10 00:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM funnel_timeout WHERE user_id = 1").count() === 1)
+    } finally q.stop()
+  }
+
+  test("streaming cohort hits aggregate to the batch retention triangle") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, fixtureSf)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+      .collect().map(r => Streams.WeekHit(r.getLong(0), r.getDate(1)))
+    val input = MemoryStream[Streams.WeekHit]
+    val q = Streams.cohortHits(input.toDS()).writeStream
+      .format("memory").queryName("cohort_fixture").outputMode("append").start()
+    try {
+      input.addData(fixture.toSeq)
+      q.processAllAvailable()
+      // hits are exactly-once per (user, offset): the triangle is a plain
+      // COUNT over them — no distinct needed
+      val streaming = spark.sql(
+        """SELECT cohort_week, offset_weeks, CAST(COUNT(user_id) AS BIGINT) AS n_users
+          |FROM cohort_fixture GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+        .map(r => (r.getDate(0), r.getInt(1), r.getLong(2)))
+      val batch = graft.operators.Events.cohortRetention(spark, fixtureSf).collect()
+        .map(r => (r.getDate(0), r.getInt(1), r.getLong(2)))
+      assert(batch.nonEmpty && streaming.toSeq === batch.toSeq)
+      // exactly-once: replaying a week for an existing user adds no hit
+      val before = spark.sql("SELECT COUNT(*) FROM cohort_fixture").collect().head.getLong(0)
+      input.addData(fixture.head)
+      q.processAllAvailable()
+      val after = spark.sql("SELECT COUNT(*) FROM cohort_fixture").collect().head.getLong(0)
+      assert(after === before, "replayed week must not re-emit a hit")
+    } finally q.stop()
+  }
 }

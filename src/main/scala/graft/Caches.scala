@@ -24,5 +24,7 @@ object Caches {
     operators.CorpusPipeline.evict(spark)
     operators.Corpus.evictIndexes(spark)
     operators.Similarity.evictCentroids(spark)
+    operators.Similarity.evictPqCodebooks(spark)
+    operators.Similarity.evictCodeIndexes(spark)
   }
 }

@@ -456,6 +456,9 @@ object SparkEntry {
     "ivf_topk" -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
     "q8_codes" -> ((s, d) => operators.Similarity.quantizeCodes(s, d)),
     "q8_topk" -> ((s, d) => operators.Similarity.quantizedTopK(s, d)),
+    "pq_codes" -> ((s, d) => operators.Similarity.pqCodes(s, d)),
+    "ivfpq_topk" -> ((s, d) => operators.Similarity.ivfpqTopK(s, d)),
+    "ivfpq_rerank_topk" -> ((s, d) => operators.Similarity.ivfpqRerankTopK(s, d)),
     "embedding_near_dups" -> ((s, d) => operators.Similarity.embeddingNearDups(s, d)),
     // output-capped variant: each vector's top-k near-dup neighbors —
     // bounded output on dense duplicate clusters (the all-pairs surface
@@ -652,6 +655,9 @@ object SparkEntry {
     "ivf_topk" -> operators.Similarity.ivfOracleSql(),
     "q8_codes" -> operators.Similarity.quantizeCodesOracleSql,
     "q8_topk" -> operators.Similarity.quantizedTopKOracleSql(),
+    "pq_codes" -> operators.Similarity.pqCodesOracleSql,
+    "ivfpq_topk" -> operators.Similarity.ivfpqOracleSql(),
+    "ivfpq_rerank_topk" -> operators.Similarity.ivfpqRerankOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,
          | COUNT(*) AS n_events,

@@ -58,6 +58,15 @@ object Dfs {
   def delete(spark: SparkSession, path: String, recursive: Boolean = false): Boolean =
     fs(spark, path).delete(new Path(path), recursive)
 
+  /** One monitor per claim path: the create-no-overwrite primitive is
+    * an atomic namenode op on HDFS (and a conditional put on modern
+    * object stores), but Hadoop's LOCAL filesystems implement it as
+    * check-then-create — two same-process claimers could both pass.
+    * Same-JVM claimers serialize here; cross-process exclusivity is
+    * the filesystem's own contract. */
+  private val claimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Atomic create-if-absent: true iff this caller created `path`
     * (an empty marker file). The CAS primitive for commit claims —
     * exactly one of N concurrent callers wins a given path. */
@@ -65,8 +74,13 @@ object Dfs {
     val f = fs(spark, path)
     val p = new Path(path)
     f.mkdirs(p.getParent)
-    try { f.create(p, /* overwrite = */ false).close(); true }
-    catch { case _: java.io.IOException => false }
+    val lock = claimLocks.computeIfAbsent(
+      f.makeQualified(p).toString, _ => new Object)
+    lock.synchronized {
+      if (f.exists(p)) false
+      else try { f.create(p, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
   }
 
   /** Create (or truthfully report) an empty marker file — the

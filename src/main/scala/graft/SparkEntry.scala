@@ -509,6 +509,10 @@ object SparkEntry {
     // product) — clicks inside each user's 2h purchase windows
     "range_join" -> ((s, d) => ext.RangeJoin.clickInPurchaseWindow(s, d)),
     "layout_zorder" -> ((s, d) => ext.Layout.zorderKeys(s, d)),
+    // zone-map data skipping over the z-clustered copy: the grouped box
+    // aggregate is answered from a file-PRUNED read, so the full-scan
+    // oracle checks the pruning logic end to end
+    "skipping_scan" -> ((s, d) => ext.Skipping.skippingScan(s, d)),
     // as-of join: each click picks up the user's most recent purchase
     "asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -681,6 +685,7 @@ object SparkEntry {
          | FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
     "range_join" -> ext.RangeJoin.clickInPurchaseWindowOracleSql,
     "layout_zorder" -> ext.Layout.zorderKeysOracleSql,
+    "skipping_scan" -> ext.Skipping.skippingScanOracleSql,
     "funnel_stages" -> operators.Events.funnelOracleSql(eventsCte),
     "cohort_retention" -> operators.Events.cohortOracleSql(eventsCte),
     "topk_per_user" -> operators.Events.topValuesOracleSql(eventsCte),

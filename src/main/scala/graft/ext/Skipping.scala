@@ -1,0 +1,154 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping via a persisted zone-map index — the other
+  * half of the [[Layout]] story: z-order clustering makes each file
+  * cover a compact box of the key space, and THIS module turns that
+  * into files actually not read. Spark's parquet reader already skips
+  * row groups whose footer stats miss the predicate, but it still has
+  * to open every file to learn that; at 100 TB / millions of objects
+  * the open()+footer round trips ARE the scan cost for a selective
+  * query. A zone-map table (per file: min/max/null-count per indexed
+  * expression) answers "which files can match?" with one small
+  * metadata scan, and the real read plans over only those files —
+  * exactly the data-skipping index of Delta/Iceberg, rebuilt on plain
+  * parquet.
+  *
+  * Scale shape: building stats is ONE column-pruned distributed scan
+  * (group by `input_file_name()`, min/max agg — no shuffle wider than
+  * one row per file); the stats table is ~a row per file (thousands of
+  * rows for a 100 TB table — broadcastable metadata, same class as
+  * [[Deletes.affectedFiles]]); pruning collects only matching FILE
+  * NAMES to the driver, never data. Stats publish atomically through
+  * the [[Snapshots]] version protocol, so a stats refresh racing a
+  * reader is never observed half-written, and a table rewrite
+  * invalidates stats by committing the next version.
+  *
+  * Correctness contract (what the oracle checks end to end): a range
+  * conjunction evaluated over the pruned read must equal the same
+  * query over the full table. Pruning drops a file only when EVERY
+  * matching row is provably absent: `min > hi` or `max < lo` for some
+  * conjunct. Rows where an indexed expression is null fail a range
+  * conjunct anyway, so all-null zones (null min/max) are safely
+  * droppable — SkippingSpec pins that edge. */
+object Skipping {
+
+  /** Per-file zone maps for the named key expressions: one row per
+    * data file with `<name>_min`, `<name>_max`, `<name>_nulls`, plus
+    * the file's row count. One column-pruned scan, map-side-combined
+    * min/max — the exchange carries a row per (file, task). */
+  def buildStats(df: DataFrame, keys: Seq[(String, Column)]): DataFrame =
+    df.select(input_file_name().as("file") +: keys.map { case (n, c) => c.as(n) }: _*)
+      .groupBy("file")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        keys.flatMap { case (n, _) => Seq(
+          min(col(n)).as(s"${n}_min"),
+          max(col(n)).as(s"${n}_max"),
+          sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"))
+        }: _*)
+
+  /** Files whose zones can contain a row satisfying EVERY
+    * `lo <= key <= hi` conjunct. A null zone bound means the file has
+    * no non-null value for that key — no row there can pass a range
+    * conjunct, so the file is pruned (`<=>`-free comparisons drop it
+    * naturally: `null >= lo` is null → filter false). */
+  def candidateFiles(stats: DataFrame,
+      box: Seq[(String, Any, Any)]): Seq[String] = {
+    val pred = box.map { case (n, lo, hi) =>
+      col(s"${n}_max") >= lit(lo) && col(s"${n}_min") <= lit(hi)
+    }.reduce(_ && _)
+    stats.filter(pred).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** The pruned scan: read ONLY the candidate files, then re-apply the
+    * exact predicate (zones admit whole files; the row-level filter
+    * still runs — and still pushes down into the parquet scan of the
+    * files that are read). Returns an empty frame with the right
+    * schema when every file is pruned. */
+  def prunedRead(spark: SparkSession, allFilesSample: String,
+      files: Seq[String], exact: Column): DataFrame = {
+    val base =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(allFilesSample).limit(0)
+    base.filter(exact)
+  }
+
+  // ---------------------------------------------------------------
+  // Registered demo over the z-clustered lineitem copy
+  // ---------------------------------------------------------------
+
+  /** The 2-D box the registered query probes — a quarter of the
+    * OBSERVED partkey domain × half of the suppkey domain (the same
+    * modular coordinates [[Layout]] z-orders by), so the box is
+    * selective at every scale factor instead of swallowing the tiny
+    * fixtures whole. Derived from two MAX aggregates (a scan-speed
+    * metadata query, same class as the adaptive-bits corpus count) and
+    * replayed in the oracle as scalar subqueries. */
+  def boxBounds(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.lineitem(spark, dir)
+      .agg(max(pmod(col("l_partkey"), lit(65536L))),
+        max(pmod(col("l_suppkey"), lit(65536L)))).head
+    (r.getLong(0) / 4, r.getLong(1) / 2)
+  }
+
+  private val zoneKeys: Seq[(String, Column)] = Seq(
+    "pk" -> pmod(col("l_partkey"), lit(65536L)),
+    "sk" -> pmod(col("l_suppkey"), lit(65536L)))
+
+  private val fixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  /** One-time per (session, sf-dir): write the z-clustered lineitem
+    * copy and commit its zone maps as [[Snapshots]] version 0 of the
+    * stats table. Returns (clustered dir, stats base). */
+  private def clusteredWithStats(spark: SparkSession, dir: String): (String, String) =
+    fixtures.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val data = Dfs.scratchDir(spark, "graft_skip_data")
+      val stats = s"${Dfs.scratchDir(spark, "graft_skip_stats")}/zones"
+      Layout.writeClustered(spark, dir, data)
+      Snapshots.commit(buildStats(spark.read.parquet(data), zoneKeys), stats)
+      (data, stats)
+    })
+
+  /** Registered query: a grouped aggregate over the 2-D box predicate,
+    * answered from the PRUNED read of the clustered copy. Every row of
+    * the answer depends on pruning keeping exactly the right files, so
+    * the full-scan DuckDB oracle checks the zone-map logic itself —
+    * a file wrongly dropped loses rows, wrongly kept adds none (the
+    * exact filter still runs). SkippingSpec separately asserts the
+    * pruning is REAL (candidate set strictly smaller than the file
+    * set on the clustered layout, and not on the scattered one). */
+  def skippingScan(spark: SparkSession, dir: String): DataFrame = {
+    val (data, statsBase) = clusteredWithStats(spark, dir)
+    val (pkHi, skHi) = boxBounds(spark, dir)
+    val stats = Snapshots.readLatest(spark, statsBase)
+    val files = candidateFiles(stats,
+      Seq(("pk", 0L, pkHi), ("sk", 0L, skHi)))
+    val exact = pmod(col("l_partkey"), lit(65536L)) <= pkHi &&
+      pmod(col("l_suppkey"), lit(65536L)) <= skHi
+    prunedRead(spark, data, files, exact)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  def skippingScanOracleSql: String =
+    s"""WITH box AS (
+       |  SELECT CAST(MAX(l_partkey % 65536) // 4 AS BIGINT) AS pk_hi,
+       |         CAST(MAX(l_suppkey % 65536) // 2 AS BIGINT) AS sk_hi
+       |  FROM lineitem)
+       |SELECT l_returnflag,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       |  COUNT(DISTINCT l_partkey) AS n_parts
+       |FROM lineitem, box
+       |WHERE l_partkey % 65536 <= box.pk_hi AND l_suppkey % 65536 <= box.sk_hi
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}

@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("pruned read equals full scan exactly under the box predicate") {
+    import spark.implicits._
+    val base = tmp("graft_skip_eq")
+    graft.Tables.lineitem(spark, sf)
+      .withColumn("pkm", pmod(col("l_partkey"), lit(65536L)))
+      .repartitionByRange(8, col("pkm"))
+      .write.mode("overwrite").parquet(base)
+    val df = spark.read.parquet(base)
+    val stats = Skipping.buildStats(df, Seq("pk" -> col("pkm")))
+    val files = Skipping.candidateFiles(stats, Seq(("pk", 100L, 5000L)))
+    val exact = col("pkm") >= 100L && col("pkm") <= 5000L
+    val pruned = Skipping.prunedRead(spark, base, files, exact)
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().sorted
+    val full = df.filter(exact)
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().sorted
+    assert(full.nonEmpty)
+    assert(pruned.toSeq === full.toSeq)
+  }
+
+  test("range-clustered layout prunes files; hash-scattered layout cannot (the contrast)") {
+    val clustered = tmp("graft_skip_clu")
+    val scattered = tmp("graft_skip_sca")
+    val li = graft.Tables.lineitem(spark, sf)
+      .withColumn("pkm", pmod(col("l_partkey"), lit(65536L)))
+    li.repartitionByRange(8, col("pkm")).write.mode("overwrite").parquet(clustered)
+    li.repartition(8, col("l_orderkey")).write.mode("overwrite").parquet(scattered)
+    // the bottom eighth of the observed domain: selective at any SF
+    val hi = li.agg(max(col("pkm"))).head.getLong(0) / 8
+    def candidates(path: String): (Int, Int) = {
+      val df = spark.read.parquet(path)
+      val stats = Skipping.buildStats(df, Seq("pk" -> col("pkm")))
+      (Skipping.candidateFiles(stats, Seq(("pk", 0L, hi))).size,
+        Dfs.dataFiles(spark, path).size)
+    }
+    val (cluCand, cluTotal) = candidates(clustered)
+    val (scaCand, scaTotal) = candidates(scattered)
+    // a narrow range over the clustering key touches few range files;
+    // every hash-scattered file spans the whole domain
+    assert(cluCand < cluTotal,
+      s"clustered layout must prune ($cluCand/$cluTotal)")
+    assert(scaCand === scaTotal,
+      s"scattered layout has nothing to prune ($scaCand/$scaTotal)")
+  }
+
+  test("all-null zones are pruned for range predicates; mixed-null files keep their rows") {
+    import spark.implicits._
+    val base = tmp("graft_skip_null")
+    // file A: all-null key; file B: mixed nulls; file C: in-range values
+    Seq[(java.lang.Long, String)]((null, "a1"), (null, "a2")).toDF("k", "tag")
+      .coalesce(1).write.parquet(s"$base/p=0")
+    Seq[(java.lang.Long, String)]((5L, "b1"), (null, "b2")).toDF("k", "tag")
+      .coalesce(1).write.parquet(s"$base/p=1")
+    Seq[(java.lang.Long, String)]((100L, "c1")).toDF("k", "tag")
+      .coalesce(1).write.parquet(s"$base/p=2")
+    val df = spark.read.parquet(s"$base/p=0", s"$base/p=1", s"$base/p=2")
+    val stats = Skipping.buildStats(df, Seq("k" -> col("k")))
+    val files = Skipping.candidateFiles(stats, Seq(("k", 0L, 10L)))
+    assert(files.size === 1, s"only the mixed file zone overlaps [0,10]: $files")
+    val out = Skipping.prunedRead(spark, s"$base/p=1", files,
+      col("k") >= 0L && col("k") <= 10L)
+      .select("tag").as[String].collect().toSeq
+    assert(out === Seq("b1"))
+  }
+
+  test("empty candidate set yields an empty frame with the data schema") {
+    val base = tmp("graft_skip_none")
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "tag").write.parquet(s"$base/d")
+    val df = spark.read.parquet(s"$base/d")
+    val stats = Skipping.buildStats(df, Seq("k" -> col("k")))
+    val files = Skipping.candidateFiles(stats, Seq(("k", 100L, 200L)))
+    assert(files.isEmpty)
+    val out = Skipping.prunedRead(spark, s"$base/d", files, col("k") >= 100L)
+    assert(out.columns.toSeq === Seq("k", "tag") && out.count() === 0L)
+  }
+
+  test("registered skipping_scan: stats versioned via Snapshots, result matches direct scan") {
+    import spark.implicits._
+    val got = Skipping.skippingScan(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val (pkHi, skHi) = Skipping.boxBounds(spark, sf)
+    val expect = graft.Tables.lineitem(spark, sf)
+      .filter(pmod(col("l_partkey"), lit(65536L)) <= pkHi &&
+        pmod(col("l_suppkey"), lit(65536L)) <= skHi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+}

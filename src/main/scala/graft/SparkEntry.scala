@@ -474,6 +474,10 @@ object SparkEntry {
     "clean_corpus" -> ((s, d) => operators.Corpus.cleanCorpus(s, d)),
     "interleave_sources" -> ((s, d) => operators.Corpus.interleaveSources(s, d)),
     "decontaminate" -> ((s, d) => operators.Corpus.decontaminate(s, d)),
+    // bloom-prefiltered twin for eval sets too big to broadcast exactly:
+    // scan-stage bloom probe kills ~99% of grams, exact join re-verifies
+    // the hits — must hash-match the exact path's oracle
+    "decontaminate_bloom" -> ((s, d) => operators.Corpus.decontaminateBloom(s, d)),
     "stratified_sample" -> ((s, d) => operators.Corpus.stratifiedSample(s, d)),
     "temperature_mix" -> ((s, d) => operators.Corpus.temperatureMix(s, d)),
     "corpus_append" -> ((s, d) => operators.Corpus.appendBatch(s, d)),
@@ -640,6 +644,7 @@ object SparkEntry {
     "pack_documents" -> operators.Corpus.packDocumentsOracleSql(),
     "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,
     "decontaminate" -> operators.Corpus.decontaminateOracleSql(corpusCte),
+    "decontaminate_bloom" -> operators.Corpus.decontaminateOracleSql(corpusCte),
     "stratified_sample" -> operators.Corpus.stratifiedSampleOracleSql,
     "temperature_mix" -> operators.Corpus.temperatureMixOracleSql,
     "corpus_append" -> operators.Corpus.appendBatchOracleSql,

@@ -262,7 +262,7 @@ object Corpus {
     * window (long enough that chance collisions are negligible). */
   val contamN = 8
 
-  private[operators] def ngramDigests(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def ngramDigests(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       explode(expr(
         s"""array_distinct(transform(
@@ -286,6 +286,52 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_shared"))
       .orderBy("doc_id")
+  }
+
+  /** Bloom sizing for [[decontaminateBloom]]: ~10 bits per expected
+    * item ≈ 1% false positives at the aggregate's optimal hash count. */
+  val bloomBitsPerItem = 10L
+
+  /** [[decontaminate]] for when the eval set is too big to broadcast
+    * EXACTLY: a multi-benchmark eval suite's distinct n-gram digests
+    * run to billions — tens of GB as a broadcast hash set, but a few
+    * hundred MB as a bloom filter at 10 bits/item. Three stages, each
+    * shuffle-bounded: (1) fold the eval digests into ONE serialized
+    * bloom via Spark's own `BloomFilterAggregate` (fixed bytes
+    * regardless of cardinality, partials OR together map-side); (2)
+    * probe every training n-gram with the codegen'd
+    * `bloom_might_contain` as a SCAN-STAGE predicate — no join, no
+    * shuffle, ~99% of grams die here at the configured fp rate; (3)
+    * re-verify the survivors with the exact digest join, which now
+    * shuffles only bloom HITS instead of the whole training side, so
+    * false positives cannot reach the answer. Result is bit-identical
+    * to [[decontaminate]] — same DuckDB oracle. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomExprs.register(spark)
+    val corpus = Dedup.corpusWithDups(spark, dir)
+    val eval = ngramDigests(corpus.filter(col("doc_id") < evalN), contamN)
+      .select(col("digest")).distinct()
+    val bloom = evalBloomBytes(spark, eval)
+    val hits = ngramDigests(corpus.filter(col("doc_id") >= evalN), contamN)
+      .filter(call_function("bloom_might_contain",
+        lit(bloom), xxhash64(col("digest"))))
+    hits.join(eval, Seq("digest")) // exact re-verify: only bloom hits shuffle
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** The serialized eval-side bloom filter — `n_items·10/8` bytes of
+    * bounded driver metadata (the same class as a broadcast plan's
+    * size estimate, NOT data-proportional driver traffic). */
+  private[graft] def evalBloomBytes(spark: SparkSession,
+      eval: DataFrame): Array[Byte] = {
+    val n = math.max(eval.count(), 1L)
+    val bits = math.min(n * bloomBitsPerItem, 8L * 1024 * 1024 * 8)
+    val row = eval
+      .agg(expr(s"bloom_agg(xxhash64(digest), ${n}L, ${bits}L)")).head
+    require(!row.isNullAt(0), "bloom aggregate over a non-empty eval side returned null")
+    row.getAs[Array[Byte]](0)
   }
 
   def decontaminateOracleSql(corpusCte: String): String = {

@@ -164,6 +164,23 @@ class PlanContractSpec extends AnyFunSuite {
       s"eval digest probe must broadcast:\n$plan")
   }
 
+  test("decontaminate_bloom probes in the scan stage — no shuffle below the bloom filter") {
+    graft.functions.BloomExprs.register(spark)
+    val corpus = operators.Dedup.corpusWithDups(spark, sf)
+    val eval = operators.Corpus.ngramDigests(
+      corpus.filter(col("doc_id") < operators.Corpus.evalN), operators.Corpus.contamN)
+      .select(col("digest")).distinct()
+    val bytes = operators.Corpus.evalBloomBytes(spark, eval)
+    val hits = operators.Corpus.ngramDigests(
+      corpus.filter(col("doc_id") >= operators.Corpus.evalN), operators.Corpus.contamN)
+      .filter(call_function("bloom_might_contain", lit(bytes), xxhash64(col("digest"))))
+    val plan = finalPlanOf(hits)
+    assert(plan.contains("might_contain"),
+      s"probe must survive into the physical plan:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the bloom probe is a scan-stage predicate — no shuffle, no join:\n$plan")
+  }
+
   test("packDocuments windows inside shard partitions (no corpus-wide cumulative sum)") {
     val plan = finalPlanOf(operators.Corpus.packDocuments(spark, sf))
     assert(plan.contains("windowspecdefinition(shard"),

@@ -90,6 +90,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(flagged.keys.forall(_ >= Corpus.evalN))
   }
 
+  test("decontaminateBloom: bit-identical to the exact path; the prefilter actually prunes") {
+    val exact = Corpus.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val bloom = Corpus.decontaminateBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(exact.nonEmpty)
+    // false positives are killed by the exact re-verify join; false
+    // negatives are impossible by the bloom contract — so EQUAL
+    assert(bloom === exact)
+    // and the scan-stage probe must do real work: bloom hits are a
+    // small fraction of the training grams (fp rate ~1% + true hits)
+    graft.functions.BloomExprs.register(spark)
+    val corpus = Dedup.corpusWithDups(spark, sf)
+    val evalDigests = Corpus.ngramDigests(
+      corpus.filter(col("doc_id") < Corpus.evalN), Corpus.contamN)
+      .select(col("digest")).distinct()
+    val bytes = Corpus.evalBloomBytes(spark, evalDigests)
+    val train = Corpus.ngramDigests(
+      corpus.filter(col("doc_id") >= Corpus.evalN), Corpus.contamN)
+    val total = train.count()
+    val hits = train.filter(call_function("bloom_might_contain",
+      lit(bytes), xxhash64(col("digest")))).count()
+    assert(hits < total / 2,
+      s"bloom prefilter should prune most training grams ($hits/$total survived)")
+  }
+
   test("stratifiedSample: per-source rates near nominal, decisions growth-stable") {
     val docs = graft.Tables.documents(spark, sf)
     val sampled = Corpus.stratifiedSample(spark, sf).collect()

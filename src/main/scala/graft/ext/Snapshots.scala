@@ -65,4 +65,44 @@ object Snapshots {
   def readLatest(spark: SparkSession, base: String): DataFrame =
     readAt(spark, base, latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base")))
+
+  /** Retention: delete every version older than the newest `keepLast`
+    * committed ones — the VACUUM every versioned table eventually
+    * needs, because time travel otherwise retains one full table copy
+    * per commit forever. Also sweeps marker-less (crashed-writer)
+    * directories and burned claims below the retention floor; claims
+    * at or above it stay, so the CAS ordering of in-flight committers
+    * is untouched. New commits always claim above the retained latest,
+    * so vacuuming can never resurrect a version number.
+    *
+    * This DEFINES the time-travel horizon: a reader pinned below it
+    * fails loudly in [[readAt]]'s committed-version check rather than
+    * seeing partial data. Cost is pure metadata + deletes of the
+    * dropped copies; retained versions are untouched (immutability
+    * contract preserved). Returns the vacuumed version numbers. */
+  def vacuum(spark: SparkSession, base: String, keepLast: Int = 2): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must retain at least the latest ($keepLast)")
+    val committed = Dfs.list(spark, base)
+      .flatMap(_.getPath.getName match {
+        case vPattern(n) if Dfs.exists(spark, s"$base/v$n/_SUCCESS") => Some(n.toInt)
+        case _ => None
+      }).sorted
+    if (committed.isEmpty) return Seq.empty
+    val floor = committed.takeRight(keepLast).head
+    // any v-dir below the floor — committed (expired) or marker-less
+    // (crashed before _SUCCESS) — is garbage now
+    val dropDirs = Dfs.list(spark, base)
+      .flatMap(_.getPath.getName match {
+        case vPattern(n) if n.toInt < floor => Some(n.toInt)
+        case _ => None
+      }).sorted
+    dropDirs.foreach(v => Dfs.delete(spark, s"$base/v$v", recursive = true))
+    Dfs.list(spark, s"$base/_claims")
+      .foreach(_.getPath.getName match {
+        case vPattern(n) if n.toInt < floor =>
+          Dfs.delete(spark, s"$base/_claims/v$n")
+        case _ => ()
+      })
+    dropDirs.toSeq
+  }
 }

@@ -39,4 +39,36 @@ class SnapshotsSpec extends AnyFunSuite {
     val v = Snapshots.commit(Seq(4, 5).toDF("id"), base)
     assert(v === 1 && Snapshots.readLatest(spark, base).count() === 2)
   }
+
+  test("vacuum: expired + crashed versions swept, retained window immutable, horizon loud") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_vac").toString
+    (0 to 3).foreach(i => Snapshots.commit(Seq.fill(i + 1)(i).toDF("id"), base))
+    val dropped = Snapshots.vacuum(spark, base, keepLast = 2)
+    assert(dropped === Seq(0, 1))
+    // retained: v2, v3 readable and intact; latest unchanged
+    assert(Snapshots.latestVersion(spark, base) === Some(3))
+    assert(Snapshots.readAt(spark, base, 2).count() === 3)
+    assert(Snapshots.readAt(spark, base, 3).count() === 4)
+    // below the horizon: loud failure, not silent emptiness
+    intercept[IllegalArgumentException](Snapshots.readAt(spark, base, 0))
+    intercept[IllegalArgumentException](Snapshots.readAt(spark, base, 1))
+    // a new commit lands strictly above the retained latest
+    val v = Snapshots.commit(Seq(7, 7, 7, 7, 7).toDF("id"), base)
+    assert(v === 4 && Snapshots.readLatest(spark, base).count() === 5)
+  }
+
+  test("vacuum sweeps a marker-less crashed directory below the floor") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_vac2").toString
+    (0 to 2).foreach(i => Snapshots.commit(Seq(i).toDF("id"), base))
+    // fake a crashed writer at v1's era: marker-less dir v0 replaced by
+    // hand (delete marker from v0)
+    Dfs.delete(spark, s"$base/v0/_SUCCESS")
+    val dropped = Snapshots.vacuum(spark, base, keepLast = 1)
+    // v0 is now marker-less (crashed-looking) and v1 expired: both swept
+    assert(dropped === Seq(0, 1))
+    assert(!Dfs.exists(spark, s"$base/v0") && !Dfs.exists(spark, s"$base/v1"))
+    assert(Snapshots.readLatest(spark, base).count() === 1)
+  }
 }

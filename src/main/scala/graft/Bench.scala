@@ -24,8 +24,8 @@ object Bench {
     // the write-roundtrip family's marker-guarded one-time builds (fixture
     // dump + delete, fragment + compaction, MV batches, image files) —
     // forced here so their /tmp I/O never lands inside a timed window
-    "delete_roundtrip", "compact_roundtrip", "mv_monthly_sales",
-    "snapshot_monthly_v0", "media_binary_roundtrip")
+    "delete_roundtrip", "delete_versioned", "compact_roundtrip",
+    "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip")
 
   /** Deliberately write-heavy roundtrips, timed as their OWN phase after
     * the analytical pass: interleaving them alphabetically let their
@@ -33,9 +33,9 @@ object Bench {
     * 12.7× in-run vs isolated with identical plans). Phase-separating
     * makes an analytical regression attributable again. */
   val writeRoundtrips: Set[String] = Set(
-    "delete_roundtrip", "compact_roundtrip", "mv_monthly_sales",
-    "snapshot_monthly_v0", "media_binary_roundtrip", "ingest_evolve",
-    "fact_roundtrip")
+    "delete_roundtrip", "delete_versioned", "compact_roundtrip",
+    "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
+    "ingest_evolve", "fact_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

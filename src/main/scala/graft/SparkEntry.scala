@@ -115,6 +115,24 @@ object SparkEntry {
         moneyDouble(s.read.parquet(p).select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // the same right-to-be-forgotten through the MANIFEST protocol:
+    // one-job rewrite of affected files, atomic version swap, untouched
+    // files carried by reference — and the pre-delete version still
+    // resolves (ManifestsSpec proves history + sharing; the oracle
+    // checks the post-delete content equals NOT(pred) exactly)
+    "delete_versioned" -> ((s, d) => {
+      val b = dumpDir(s, d, "mandel")
+      val marker = s"${b}_done"
+      if (!ext.Dfs.exists(s, marker)) {
+        ext.Manifests.commitData(Warehouse(s, d).cleaned.repartition(8), b)
+        ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7")
+        ext.Dfs.touch(s, marker)
+      }
+      orderedAsc(
+        moneyDouble(ext.Manifests.readLatest(s, b).select(stagingCols.map(col): _*),
+          Seq("unit_price")),
+        stagingCols)
+    }),
     // small-file compaction roundtrip: 64 fragment files -> 4, content
     // row-exact against the clean-lineage oracle
     "compact_roundtrip" -> ((s, d) => {
@@ -171,6 +189,9 @@ object SparkEntry {
     "scd2_part_history" -> Scd.partHistoryOracleSql,
     "mv_monthly_sales" -> monthlySalesOracle,
     "delete_roundtrip" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    "delete_versioned" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "compact_roundtrip" ->

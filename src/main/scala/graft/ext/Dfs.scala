@@ -95,6 +95,24 @@ object Dfs {
     try out.write(bytes) finally out.close()
   }
 
+  def readBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val in = fs(spark, path).open(new Path(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** One canonical spelling for a file path: `input_file_name()`
+    * yields percent-encoded `scheme://` URIs while [[list]] yields
+    * Hadoop `scheme:/` path strings — set operations across the two
+    * sources need both mapped here first. */
+  def canonical(path: String): String =
+    new Path(new java.net.URI(path)).toString
+
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Scratch root for persisted indexes / fixture dumps: local tmp by

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based snapshots — the missing piece between [[Snapshots]]
+  * (atomic, but each version is a COMPLETE directory, so publishing a
+  * version that changes 0.1% of a 100 TB table copies the other 99.9%)
+  * and [[Deletes]] (rewrites only affected files, but mutates in place,
+  * so table-wide atomicity and time travel are lost). Here a version is
+  * a MANIFEST: a tiny file listing the data files that make up the
+  * table, while the data files themselves are immutable and live where
+  * they were first written. Publishing a surgical change writes only
+  * the new files plus one manifest; unchanged files are carried BY
+  * REFERENCE into the next version — the Delta/Iceberg log shape,
+  * rebuilt on plain parquet.
+  *
+  * Protocol (all I/O through [[Dfs]], any Hadoop scheme):
+  *  - data files: immutable parquet anywhere on the table's filesystem
+  *    (convention: `base/data_*`);
+  *  - version `i` is `base/v<i>/_manifest` (one absolute file URI per
+  *    line) gated by `base/v<i>/_SUCCESS` — the marker creation IS the
+  *    commit point, a crash before it leaves an invisible version;
+  *  - version numbers are won via the same `_claims` CAS as
+  *    [[Snapshots.commit]], so concurrent committers land as distinct
+  *    versions;
+  *  - a reader resolves the manifest (one small file read) and scans
+  *    the listed parquet directly — full pushdown/pruning, no
+  *    indirection on the data path.
+  *
+  * [[deleteWhere]] is why this exists: the 100 TB right-to-be-forgotten
+  * is "rewrite the affected 0.01% of files, publish a manifest that
+  * swaps them in" — one distributed job for all rewrites (no driver
+  * pool, no per-file jobs), table-wide atomic (readers see the old
+  * version until the marker lands), history intact (the pre-delete
+  * version still resolves — audit "what did we store?" and prove "it
+  * is gone now" against adjacent versions), and zero bytes copied for
+  * untouched files. ManifestsSpec pins each property. */
+object Manifests {
+
+  private val vPattern = "v(\\d+)".r
+
+  def latestVersion(spark: SparkSession, base: String): Option[Int] =
+    Dfs.list(spark, base)
+      .flatMap(_.getPath.getName match {
+        case vPattern(n) if Dfs.exists(spark, s"$base/v$n/_SUCCESS") => Some(n.toInt)
+        case _ => None
+      }) match {
+      case Seq() => None
+      case vs => Some(vs.max)
+    }
+
+  /** Files of version `v` (absolute URIs, manifest order). */
+  def files(spark: SparkSession, base: String, v: Int): Seq[String] = {
+    require(Dfs.exists(spark, s"$base/v$v/_SUCCESS"),
+      s"version $v was never committed under $base")
+    new String(Dfs.readBytes(spark, s"$base/v$v/_manifest"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Publish `dataFiles` as the next version; returns it. The version
+    * number is won via the `_claims` CAS before anything is written;
+    * the `_SUCCESS` marker lands only after the manifest is fully
+    * written, so readers never resolve a partial manifest. */
+  def commit(spark: SparkSession, base: String, dataFiles: Seq[String]): Int = {
+    require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
+    var v = latestVersion(spark, base).map(_ + 1).getOrElse(0)
+    while (!Dfs.createExclusive(spark, s"$base/_claims/v$v")) v += 1
+    Dfs.mkdirs(spark, s"$base/v$v")
+    Dfs.writeBytes(spark, s"$base/v$v/_manifest",
+      dataFiles.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
+    Dfs.touch(spark, s"$base/v$v/_SUCCESS")
+    v
+  }
+
+  /** Bootstrap: write `df` as a fresh immutable data directory and
+    * commit its part files as the next version. */
+  def commitData(df: DataFrame, base: String): Int = {
+    val spark = df.sparkSession
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(dir)
+    commit(spark, base, Dfs.dataFiles(spark, dir).map(_.getPath.toString))
+  }
+
+  def readAt(spark: SparkSession, base: String, v: Int): DataFrame =
+    spark.read.parquet(files(spark, base, v): _*)
+
+  def readLatest(spark: SparkSession, base: String): DataFrame =
+    readAt(spark, base, latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base")))
+
+  /** Surgical delete as a manifest swap: one discovery scan finds the
+    * affected files, ONE distributed job rewrites their survivors into
+    * a fresh data directory (survivor rows need no file-boundary
+    * preservation — they repartition freely), and the next version's
+    * manifest carries `untouched ++ rewritten`. Readers atomically see
+    * the whole delete or none of it; the previous version still
+    * resolves for audit. Returns (affected, total, new version). */
+  def deleteWhere(spark: SparkSession, base: String,
+      pred: Column): (Int, Int, Int) = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val cur = files(spark, base, v).map(Dfs.canonical)
+    val affected = spark.read.parquet(cur: _*)
+      .filter(pred)
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
+    if (affected.isEmpty) return (0, cur.size, v)
+    // null predicate values SURVIVE (same contract as Deletes)
+    val survivorPred = !coalesce(pred, lit(false))
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(affected.toSeq: _*)
+      .filter(survivorPred)
+      .repartition(math.max(1, affected.size))
+      .write.mode("errorifexists").parquet(dir)
+    val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    val untouched = cur.filterNot(affected.contains)
+    val nv = commit(spark, base, untouched ++ rewritten)
+    (affected.size, cur.size, nv)
+  }
+}

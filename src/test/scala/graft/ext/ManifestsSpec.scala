@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ManifestsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def base(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("commitData/readAt roundtrip; versions advance; marker-less manifest invisible") {
+    import spark.implicits._
+    val b = base("graft_man_rt")
+    val v0 = Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k"), b)
+    val v1 = Manifests.commitData(
+      (1 to 5).map(i => (i.toLong, 0)).toDF("id", "k"), b)
+    assert(v0 === 0 && v1 === 1)
+    assert(Manifests.readAt(spark, b, 0).count() === 100)
+    assert(Manifests.readLatest(spark, b).count() === 5)
+    // a crashed committer: manifest written, no _SUCCESS -> invisible
+    Dfs.mkdirs(spark, s"$b/v7")
+    Dfs.writeBytes(spark, s"$b/v7/_manifest", "file:/nope\n".getBytes("UTF-8"))
+    assert(Manifests.latestVersion(spark, b) === Some(1))
+    intercept[IllegalArgumentException](Manifests.files(spark, b, 7))
+  }
+
+  test("deleteWhere: atomic manifest swap — survivors exact, history intact, untouched files shared by reference") {
+    import spark.implicits._
+    val b = base("graft_man_del")
+    // range-cluster by k so the delete key is contained in few files
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    val before = Manifests.files(spark, b, 0)
+    val (affected, total, nv) = Manifests.deleteWhere(spark, b, col("k") === 3)
+    assert(nv === 1 && total === before.size)
+    assert(affected >= 1 && affected < total,
+      s"clustered key must touch a strict subset ($affected/$total)")
+    // new version: survivors are exactly NOT(pred)
+    val now = Manifests.readLatest(spark, b)
+    assert(now.filter(col("k") === 3).count() === 0)
+    assert(now.count() === 180)
+    // history: the pre-delete version still reads complete
+    assert(Manifests.readAt(spark, b, 0).count() === 200)
+    // untouched files carried by reference — same path strings, no copy
+    val after = Manifests.files(spark, b, 1)
+    val shared = before.toSet.intersect(after.toSet)
+    assert(shared.size === total - affected,
+      s"every untouched file must be shared verbatim (${shared.size})")
+  }
+
+  test("deleteWhere: null delete keys survive; no-match predicate returns same version") {
+    import spark.implicits._
+    val b = base("graft_man_null")
+    Manifests.commitData(
+      Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, "a"))
+        .toDF("k", "s"), b)
+    val (_, _, nv) = Manifests.deleteWhere(spark, b, col("k") === 1L)
+    assert(nv === 1)
+    val left = Manifests.readLatest(spark, b).collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("null")).sorted
+    assert(left.toSeq === Seq("3", "null"), "null key must survive a delete")
+    val (a2, _, nv2) = Manifests.deleteWhere(spark, b, col("k") === 999L)
+    assert(a2 === 0 && nv2 === 1, "no-op delete must not burn a version")
+  }
+
+  test("manifest protocol end to end on a non-file: scheme") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val b = "graftfs:" + java.nio.file.Files.createTempDirectory("graft_man_fs").toString
+    Manifests.commitData((1 to 50).map(i => (i.toLong, i % 5)).toDF("id", "k"), b)
+    val (affected, total, nv) = Manifests.deleteWhere(spark, b, col("k") === 2)
+    assert(nv === 1 && affected >= 1)
+    assert(Manifests.readLatest(spark, b).count() === 40)
+    assert(Manifests.readAt(spark, b, 0).count() === 50)
+  }
+}

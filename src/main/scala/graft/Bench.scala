@@ -25,7 +25,8 @@ object Bench {
     // dump + delete, fragment + compaction, MV batches, image files) —
     // forced here so their /tmp I/O never lands inside a timed window
     "delete_roundtrip", "delete_versioned", "compact_roundtrip",
-    "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip")
+    "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
+    "skipping_scan") // first run writes the z-clustered copy + stats
 
   /** Deliberately write-heavy roundtrips, timed as their OWN phase after
     * the analytical pass: interleaving them alphabetically let their

@@ -36,7 +36,13 @@ object Bench {
   val writeRoundtrips: Set[String] = Set(
     "delete_roundtrip", "delete_versioned", "compact_roundtrip",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
-    "ingest_evolve", "fact_roundtrip")
+    "ingest_evolve", "fact_roundtrip",
+    // these three re-DUMP the staging view in their source format on
+    // every call (deliberately: the dump is the operation under test),
+    // so they are write-bound at any SF — the r7 100x run showed their
+    // in-analytical writes (48 s orc, 28 s json at 60M rows) polluting
+    // neighbors exactly like the marker-guarded family used to
+    "ingest_csv", "ingest_json", "ingest_orc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,11 +27,12 @@ import org.apache.spark.sql.functions._
   * a crash at any point leaves the survivors recoverable and never
   * leaves a truncated visible file. A directory reader racing the swap
   * can transiently miss the in-flight file's rows; when readers must
-  * never observe a partial delete, publish the delete through the
-  * [[Snapshots]] version protocol instead (commit the post-delete frame
-  * as the next version) — in-place mutation cannot be made atomic
-  * table-wide without a manifest log, which is exactly what Snapshots
-  * provides.
+  * never observe a partial delete, use [[Manifests.deleteWhere]]
+  * instead — the same affected-files-only rewrite, published as an
+  * atomic manifest swap with the pre-delete version kept readable
+  * (in-place mutation cannot be made atomic table-wide without a
+  * manifest log, which is exactly what Manifests provides). This
+  * in-place variant remains for plain directories no protocol owns.
   *
   * DeletesSpec proves the two contracts: (1) survivors are exactly
   * `NOT predicate` (null predicate values SURVIVE), (2) files without

@@ -89,6 +89,54 @@ object Manifests {
     readAt(spark, base, latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base")))
 
+  /** GC — the companion every log-based format ships: [[deleteWhere]]
+    * replaces files by reference, so the replaced bytes leak until
+    * something reclaims them. Drops every version below the
+    * newest-`keepLast` floor, then deletes the data files those
+    * versions referenced UNLESS a retained manifest still references
+    * them (shared files survive — reference counting by set
+    * difference, all of it manifest-sized metadata). Claims below the
+    * floor are swept like [[Snapshots.vacuum]]. Orphaned data
+    * directories from committers that crashed before their manifest
+    * landed are deliberately NOT collected here: distinguishing a
+    * crashed writer from an in-flight one requires age-based retention
+    * (mtime horizons), not set arithmetic — a deployment runs that as
+    * a separate, clock-aware janitor. Returns (versions dropped, data
+    * files deleted). */
+  def vacuum(spark: SparkSession, base: String,
+      keepLast: Int = 2): (Seq[Int], Int) = {
+    require(keepLast >= 1, s"keepLast must retain at least the latest ($keepLast)")
+    val committed = Dfs.list(spark, base)
+      .flatMap(_.getPath.getName match {
+        case vPattern(n) if Dfs.exists(spark, s"$base/v$n/_SUCCESS") => Some(n.toInt)
+        case _ => None
+      }).sorted
+    if (committed.isEmpty) return (Seq.empty, 0)
+    val floor = committed.takeRight(keepLast).head
+    val keepFiles = committed.filter(_ >= floor)
+      .flatMap(v => files(spark, base, v)).map(Dfs.canonical).toSet
+    val droppedCommitted = committed.filter(_ < floor)
+    val dropFiles = droppedCommitted
+      .flatMap(v => files(spark, base, v)).map(Dfs.canonical).toSet
+      .diff(keepFiles)
+    dropFiles.foreach(f => Dfs.delete(spark, f))
+    // version dirs below the floor — committed (expired) or marker-less
+    // (crashed before _SUCCESS, manifest unreadable/absent) — go whole
+    val dropDirs = Dfs.list(spark, base)
+      .flatMap(_.getPath.getName match {
+        case vPattern(n) if n.toInt < floor => Some(n.toInt)
+        case _ => None
+      }).sorted
+    dropDirs.foreach(v => Dfs.delete(spark, s"$base/v$v", recursive = true))
+    Dfs.list(spark, s"$base/_claims")
+      .foreach(_.getPath.getName match {
+        case vPattern(n) if n.toInt < floor =>
+          Dfs.delete(spark, s"$base/_claims/v$n")
+        case _ => ()
+      })
+    (dropDirs.toSeq, dropFiles.size)
+  }
+
   /** Surgical delete as a manifest swap: one discovery scan finds the
     * affected files, ONE distributed job rewrites their survivors into
     * a fresh data directory (survivor rows need no file-boundary

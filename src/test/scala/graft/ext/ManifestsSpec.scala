@@ -67,6 +67,34 @@ class ManifestsSpec extends AnyFunSuite {
     assert(a2 === 0 && nv2 === 1, "no-op delete must not burn a version")
   }
 
+  test("vacuum: replaced files reclaimed, shared files survive, retained versions intact") {
+    import spark.implicits._
+    val b = base("graft_man_vac")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.deleteWhere(spark, b, col("k") === 3) // v1
+    Manifests.deleteWhere(spark, b, col("k") === 7) // v2
+    val v0Files = Manifests.files(spark, b, 0).map(Dfs.canonical).toSet
+    val v2Files = Manifests.files(spark, b, 2).map(Dfs.canonical).toSet
+    val (droppedVs, deletedFiles) = Manifests.vacuum(spark, b, keepLast = 1)
+    assert(droppedVs === Seq(0, 1))
+    assert(deletedFiles > 0, "replaced originals must actually be reclaimed")
+    // every file referenced only by dropped versions is gone; every
+    // retained-referenced file (including ones v0 SHARED with v2) stays
+    v2Files.foreach(f => assert(Dfs.exists(spark, f), s"retained file deleted: $f"))
+    v0Files.diff(v2Files).foreach(f =>
+      assert(!Dfs.exists(spark, f), s"unreferenced file leaked: $f"))
+    // the retained version still reads completely
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 160)
+    assert(now.filter(col("k") === 3 || col("k") === 7).count() === 0)
+    // history below the horizon is loud, and new commits land above
+    intercept[IllegalArgumentException](Manifests.readAt(spark, b, 0))
+    val (_, _, nv) = Manifests.deleteWhere(spark, b, col("k") === 5)
+    assert(nv === 3 && Manifests.readLatest(spark, b).count() === 140)
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

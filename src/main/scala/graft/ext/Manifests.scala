@@ -89,6 +89,29 @@ object Manifests {
     readAt(spark, base, latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base")))
 
+  /** Small-file compaction through the manifest protocol — the
+    * OPTIMIZE to [[vacuum]]'s VACUUM: rewrite the current version's
+    * files into `targetFiles` right-sized ones and publish the result
+    * as the next version. Unlike [[Layout.compact]] (which writes a
+    * new directory a caller must swap in), the publish is atomic and
+    * the pre-compaction version remains readable until vacuumed —
+    * compaction never risks the table. Content is row-exact by
+    * construction (one repartition, no filter). Returns
+    * (files before, files after, new version). */
+  def compact(spark: SparkSession, base: String,
+      targetFiles: Int): (Int, Int, Int) = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val cur = files(spark, base, v)
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(cur: _*)
+      .repartition(targetFiles)
+      .write.mode("errorifexists").parquet(dir)
+    val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    val nv = commit(spark, base, rewritten)
+    (cur.size, rewritten.size, nv)
+  }
+
   /** GC — the companion every log-based format ships: [[deleteWhere]]
     * replaces files by reference, so the replaced bytes leak until
     * something reclaims them. Drops every version below the

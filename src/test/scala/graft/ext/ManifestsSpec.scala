@@ -95,6 +95,23 @@ class ManifestsSpec extends AnyFunSuite {
     assert(nv === 3 && Manifests.readLatest(spark, b).count() === 140)
   }
 
+  test("compact: atomic file-count drop, row-exact content, old version readable until vacuumed") {
+    import spark.implicits._
+    val b = base("graft_man_cmp")
+    Manifests.commitData(
+      (1 to 500).map(i => (i.toLong, i % 7)).toDF("id", "k").repartition(32), b)
+    assert(Manifests.files(spark, b, 0).size === 32)
+    val (before, after, nv) = Manifests.compact(spark, b, 4)
+    assert(before === 32 && after === 4 && nv === 1)
+    val a = Manifests.readAt(spark, b, 0).collect().map(_.toSeq.toString).sorted
+    val c = Manifests.readLatest(spark, b).collect().map(_.toSeq.toString).sorted
+    assert(c.toSeq === a.toSeq, "compaction must be row-exact")
+    // OPTIMIZE then VACUUM: the 32 fragments reclaim, the 4 survive
+    val (dropped, reclaimed) = Manifests.vacuum(spark, b, keepLast = 1)
+    assert(dropped === Seq(0) && reclaimed === 32)
+    assert(Manifests.readLatest(spark, b).count() === 500)
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -26,5 +26,6 @@ object Caches {
     operators.Similarity.evictCentroids(spark)
     operators.Similarity.evictPqCodebooks(spark)
     operators.Similarity.evictCodeIndexes(spark)
+    ext.Skipping.evictFixtures(spark)
   }
 }

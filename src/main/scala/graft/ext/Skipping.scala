@@ -102,6 +102,15 @@ object Skipping {
   private val fixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
+  /** [[graft.Caches]] hook: forget this session's clustered-copy/stats
+    * registration so the next call rebuilds both under the CURRENT
+    * partitioning — DeterminismSpec uses this to prove the pruned
+    * answer doesn't depend on how the layout write was parallelized. */
+  def evictFixtures(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    fixtures.keys.filter(_._1 == app).foreach(fixtures.remove)
+  }
+
   /** One-time per (session, sf-dir): write the z-clustered lineitem
     * copy and commit its zone maps as [[Snapshots]] version 0 of the
     * stats table. Returns (clustered dir, stats base). */

@@ -26,7 +26,11 @@ class DeterminismSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
   private val queries =
-    Seq("similarity_topk", "ann_topk", "ivf_topk", "dup_clusters", "cleaned", "dim_product")
+    Seq("similarity_topk", "ann_topk", "ivf_topk", "dup_clusters", "cleaned", "dim_product",
+      // r7: per-subspace Lloyd folds; zone-map pruning over a layout
+      // REBUILT under each partitioning (range boundaries differ — the
+      // pruned answer may not)
+      "pq_codes", "skipping_scan")
 
   private def runAll(parts: String): Map[String, Seq[String]] = {
     val confKey = "spark.sql.shuffle.partitions"

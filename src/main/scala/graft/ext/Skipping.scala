@@ -102,6 +102,36 @@ object Skipping {
   private val fixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
+  /** Incremental stats maintenance — the zone-map index must not cost
+    * a full-table scan per refresh on a table that only APPENDS: stats
+    * for the new files union with the retained stats of files still
+    * present, and the result publishes as the next Snapshots version.
+    * Cost is O(batch + stats-table): the only data scanned is the new
+    * files (the old stats rows are a per-file metadata table, not
+    * data). Files that disappeared (compacted/deleted) drop out of the
+    * index by the same set difference. */
+  def refreshStats(spark: SparkSession, dataPath: String, statsBase: String,
+      keys: Seq[(String, Column)]): Int = {
+    val prev = Snapshots.readLatest(spark, statsBase)
+    val present = dataFileNames(spark, dataPath).toSet
+    // the stats table's `file` column carries input_file_name() URIs,
+    // listings carry Hadoop path strings — compare canonical forms
+    // (driver-side: the stats table is per-file metadata, so its file
+    // column is bounded the same way candidateFiles' collect is)
+    val prevFiles = prev.select("file").collect().map(_.getString(0))
+    val known = prevFiles.map(Dfs.canonical).toSet
+    val fresh = present.diff(known)
+    val keptRaw = prevFiles.filter(f => present.contains(Dfs.canonical(f)))
+    val kept = prev.filter(col("file").isin(keptRaw.toSeq: _*))
+    val next =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(buildStats(spark.read.parquet(fresh.toSeq: _*), keys))
+    Snapshots.commit(next, statsBase)
+  }
+
+  private def dataFileNames(spark: SparkSession, path: String): Seq[String] =
+    Dfs.dataFiles(spark, path).map(s => Dfs.canonical(s.getPath.toString))
+
   /** [[graft.Caches]] hook: forget this session's clustered-copy/stats
     * registration so the next call rebuilds both under the CURRENT
     * partitioning — DeterminismSpec uses this to prove the pruned

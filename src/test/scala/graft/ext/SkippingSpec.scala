@@ -87,6 +87,42 @@ class SkippingSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("k", "tag") && out.count() === 0L)
   }
 
+  test("refreshStats: appended files indexed, vanished files dropped, full rebuild equivalence") {
+    import spark.implicits._
+    val dataDir = tmp("graft_skip_inc") + "/t"
+    val statsBase = tmp("graft_skip_incs") + "/zones"
+    val keys = Seq("k" -> col("k"))
+    (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k")
+      .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(dataDir)
+    Snapshots.commit(Skipping.buildStats(spark.read.parquet(dataDir), keys), statsBase)
+    // append a batch with a NEW key range (k in 20..29)
+    (1 to 50).map(i => (1000L + i, 20 + i % 10)).toDF("id", "k")
+      .repartitionByRange(2, col("k")).write.mode("append").parquet(dataDir)
+    val v1 = Skipping.refreshStats(spark, dataDir, statsBase, keys)
+    assert(v1 === 1)
+    val stats1 = Snapshots.readAt(spark, statsBase, 1)
+    // equivalent to a from-scratch rebuild (same rows, any order)
+    val scratch = Skipping.buildStats(spark.read.parquet(dataDir), keys)
+    assert(stats1.collect().map(_.toSeq.toString).sorted.toSeq ===
+      scratch.collect().map(_.toSeq.toString).sorted.toSeq)
+    // and pruning over the refreshed stats answers the new range
+    val files = Skipping.candidateFiles(stats1, Seq(("k", 25L, 29L)))
+    assert(files.nonEmpty && files.size < Dfs.dataFiles(spark, dataDir).size)
+    val got = Skipping.prunedRead(spark, dataDir, files, col("k").between(25L, 29L))
+      .count()
+    val want = spark.read.parquet(dataDir).filter(col("k").between(25L, 29L)).count()
+    assert(got === want && want === 25L)
+    // compaction: vanished originals drop out of the index
+    val all = spark.read.parquet(dataDir)
+    val compacted = tmp("graft_skip_cmp") + "/t"
+    all.repartition(2).write.mode("overwrite").parquet(compacted)
+    Snapshots.commit(Skipping.buildStats(spark.read.parquet(dataDir), keys),
+      s"${statsBase}2")
+    val v = Skipping.refreshStats(spark, compacted, s"${statsBase}2", keys)
+    val after = Snapshots.readAt(spark, s"${statsBase}2", v)
+    assert(after.count() === 2, "only the compacted files may remain indexed")
+  }
+
   test("registered skipping_scan: stats versioned via Snapshots, result matches direct scan") {
     import spark.implicits._
     val got = Skipping.skippingScan(spark, sf)

@@ -25,6 +25,7 @@ object Caches {
     operators.Corpus.evictIndexes(spark)
     operators.Similarity.evictCentroids(spark)
     operators.Similarity.evictPqCodebooks(spark)
+    operators.Similarity.evictResidualBooks(spark)
     operators.Similarity.evictCodeIndexes(spark)
     ext.Skipping.evictFixtures(spark)
   }

@@ -480,6 +480,11 @@ object SparkEntry {
     "pq_codes" -> ((s, d) => operators.Similarity.pqCodes(s, d)),
     "ivfpq_topk" -> ((s, d) => operators.Similarity.ivfpqTopK(s, d)),
     "ivfpq_rerank_topk" -> ((s, d) => operators.Similarity.ivfpqRerankTopK(s, d)),
+    // residual encoding (by_residual=true): PQ books quantize
+    // vector - coarse_centroid; ADC anchors on the exact query-centroid
+    // dot and approximates only the residual
+    "pq_residual_codes" -> ((s, d) => operators.Similarity.pqResidualCodes(s, d)),
+    "ivfpq_residual_topk" -> ((s, d) => operators.Similarity.ivfpqResidualTopK(s, d)),
     "embedding_near_dups" -> ((s, d) => operators.Similarity.embeddingNearDups(s, d)),
     // output-capped variant: each vector's top-k near-dup neighbors —
     // bounded output on dense duplicate clusters (the all-pairs surface
@@ -688,6 +693,8 @@ object SparkEntry {
     "pq_codes" -> operators.Similarity.pqCodesOracleSql,
     "ivfpq_topk" -> operators.Similarity.ivfpqOracleSql(),
     "ivfpq_rerank_topk" -> operators.Similarity.ivfpqRerankOracleSql(),
+    "pq_residual_codes" -> operators.Similarity.pqResidualCodesOracleSql,
+    "ivfpq_residual_topk" -> operators.Similarity.ivfpqResidualOracleSql(),
     "hourly_rollup" ->
       s"""$eventsCte SELECT date_trunc('hour', ts) AS hour, event_type,
          | COUNT(*) AS n_events,

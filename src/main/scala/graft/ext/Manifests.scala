@@ -160,6 +160,82 @@ object Manifests {
     (dropDirs.toSeq, dropFiles.size)
   }
 
+  /** Copy-on-write MERGE (upsert) as a manifest swap — the table-format
+    * MERGE INTO: update rows whose key matches an `updates` row are
+    * replaced by it, unmatched `updates` rows are inserted, and every
+    * other target row survives untouched. The plan is [[deleteWhere]]'s
+    * shape with the source joined in: one discovery scan (key semi-join
+    * against the update keys — AQE broadcasts the key side when the
+    * batch is small, the common case) finds the affected files; ONE
+    * distributed job rewrites `affected ∖ matched ∪ updates` into a
+    * fresh data directory; the manifest carries untouched files by
+    * reference. A 100-row upsert against a 100 TB table rewrites only
+    * the files those 100 keys live in.
+    *
+    * Contract edges, each pinned by ManifestsSpec:
+    *  - duplicate keys in `updates` THROW (the result would depend on
+    *    row order — the same refusal Delta/Iceberg MERGE makes);
+    *  - null keys never match (SQL join equality), so a null-key update
+    *    row inserts and null-key target rows always survive;
+    *  - a pure insert batch (no key matches) rewrites zero target files.
+    * Returns (files rewritten, rows inserted-or-updated, new version). */
+  def merge(spark: SparkSession, base: String, updates: DataFrame,
+      keyCols: Seq[String]): (Int, Long, Int) = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val cur = files(spark, base, v).map(Dfs.canonical)
+    val dupKeys = updates.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"updates carry duplicate keys on (${keyCols.mkString(", ")}) — " +
+        "the merge result would depend on source row order")
+    val keys = updates.select(keyCols.map(col): _*)
+    val affected = spark.read.parquet(cur: _*)
+      .join(keys, keyCols, "left_semi")
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
+    val survivors =
+      if (affected.isEmpty) updates
+      else spark.read.parquet(affected.toSeq: _*)
+        .join(keys, keyCols, "left_anti")
+        .unionByName(updates)
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    survivors
+      .repartition(math.max(1, affected.size))
+      .write.mode("errorifexists").parquet(dir)
+    val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    val untouched = cur.filterNot(affected.contains)
+    val nv = commit(spark, base, untouched ++ rewritten)
+    (affected.size, updates.count(), nv)
+  }
+
+  /** Change feed between two committed versions, tagged
+    * `_change_type` ∈ {insert, delete} (an update surfaces as
+    * delete + insert — row identity without a declared key is content
+    * identity). The manifest makes this METADATA-pruned: files shared
+    * by both versions cannot contribute (A = S ⊎ X, B = S ⊎ Y ⇒
+    * B ∖ A = Y ∖ X and A ∖ B = X ∖ Y in multiset arithmetic), so only
+    * the files unique to either side are read — a version that touched
+    * 0.1% of a 100 TB table diffs 0.1% of it, and a no-op diff reads
+    * nothing. The exceptAll shuffles are over those residual files
+    * only. */
+  def changesBetween(spark: SparkSession, base: String,
+      from: Int, to: Int): DataFrame = {
+    val fa = files(spark, base, from).map(Dfs.canonical)
+    val fb = files(spark, base, to).map(Dfs.canonical)
+    val onlyA = fa.filterNot(fb.toSet)
+    val onlyB = fb.filterNot(fa.toSet)
+    def read(fs: Seq[String]) =
+      if (fs.isEmpty) readAt(spark, base, from).limit(0)
+      else spark.read.parquet(fs: _*)
+    read(onlyB).exceptAll(read(onlyA))
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(
+        read(onlyA).exceptAll(read(onlyB))
+          .withColumn("_change_type", lit("delete")))
+  }
+
   /** Surgical delete as a manifest swap: one discovery scan finds the
     * affected files, ONE distributed job rewrites their survivors into
     * a fresh data directory (survivor rows need no file-boundary

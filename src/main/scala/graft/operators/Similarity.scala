@@ -1070,8 +1070,14 @@ object Similarity {
     * 256-byte floats on every candidate — with SQ8's 4× this is the 64×
     * storage stage of the same funnel, and the exact float rerank
     * ([[ivfTopK]]) is the refinement stage over the survivors.
-    * Approximate cosine = ADC dot / (true query norm × reconstruction
-    * norm). Recall vs exact is asserted in SimilaritySpec; the whole
+    * Approximate cosine = ADC dot / (true query norm × true candidate
+    * norm) — the candidate norm is read from the assignments index (8
+    * bytes of index metadata per vector, the FAISS convention for
+    * cosine/IP metrics), NOT from the reconstruction: quantization
+    * shrinks reconstruction norms systematically (measured +0.017 sim
+    * bias raw, +0.058 residual on the fixture), and dividing by a
+    * biased norm corrupts the ranking the LUT worked to preserve.
+    * Recall vs exact is asserted in SimilaritySpec; the whole
     * lineage (both Lloyd chains, codes, LUTs, ranks) hash-checks
     * against [[ivfpqOracleSql]]. */
   def ivfpqTopK(spark: SparkSession, dir: String,
@@ -1118,7 +1124,7 @@ object Similarity {
         explode(expr(s"slice(ranked, 1, $ivfNProbe)")).as("probe"))
       .select(col("query_id"), col("q_embedding"), col("q_norm"), col("lut"),
         col("probe.cid").as("cluster"))
-    val cands = assigned.select("vec_id", "cluster")
+    val cands = assigned.select("vec_id", "cluster", "norm")
       .join(broadcast(probed), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(enc, Seq("vec_id"))
@@ -1127,7 +1133,7 @@ object Similarity {
       element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
     cands.select(col("query_id"), col("q_embedding"), col("q_norm"),
-      col("vec_id"), (adc / (col("q_norm") * col("rnorm"))).as("sim"))
+      col("vec_id"), (adc / (col("q_norm") * col("norm"))).as("sim"))
   }
 
   /** Shortlist over-fetch factor for [[ivfpqRerankTopK]]: the ADC stage
@@ -1163,6 +1169,159 @@ object Similarity {
         (col("q_norm") * col("norm"))).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  // --------------------------------------------- residual quantization
+
+  /** Residual encoding (FAISS `by_residual=true`) — the refinement the
+    * raw-vector PQ scaladoc promises: PQ books quantize
+    * `vector − coarse_centroid(assigned cluster)` instead of the raw
+    * vector. Residuals concentrate near the origin with most of the
+    * coarse structure removed, so the same code budget spends its
+    * precision on the part of the vector IVF has not already explained;
+    * the ADC then reads `dot(q, v) ≈ dot(q, c) + Σ_j lut_j[code_j]`
+    * where the first term is exact (the probe already computes it) and
+    * only the residual is approximated. All arithmetic is double
+    * (residual = float − double centroid), so the DuckDB replay is
+    * bit-identical with no float-rounding surface. */
+  private def residualFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "pq_residuals") {
+      val cents = ivfCentroids(spark, dir).sortBy(_._1)
+      val centArr = array(cents.map { case (_, c) => array(c.map(lit): _*) }: _*)
+      ivfAssignments(spark, dir)
+        .withColumn("residual",
+          zip_with(col("embedding"), element_at(centArr, col("cluster") + 1),
+            (x, c) => x.cast("double") - c))
+        .select("vec_id", "cluster", "residual")
+    }
+
+  private val pqResidualBookCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[Array[(Int, Seq[Double])]]]
+
+  /** Per-subspace codebooks over RESIDUAL sub-vectors — same
+    * deterministic Lloyd fold and cache contract as [[pqCodebooks]]. */
+  private def pqResidualCodebooks(spark: SparkSession,
+      dir: String): Array[Array[(Int, Seq[Double])]] =
+    pqResidualBookCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val res = residualFrame(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        (0 until pqM).map { j =>
+          val sub = res.select(col("vec_id"), subVec(j, col("residual")).as("embedding"))
+          var cents: Array[(Int, Seq[Double])] = sub.filter(col("vec_id") < pqK)
+            .orderBy("vec_id").collect()
+            .zipWithIndex
+            .map { case (r, i) => i -> r.getSeq[Double](1).toSeq }
+          for (_ <- 0 until pqIters)
+            cents = deterministicCentroids(assignToCentroids(sub, cents), pqSubDim)
+          cents
+        }.toArray
+      } finally res.unpersist(blocking = false)
+    })
+
+  /** [[graft.Caches]] hook, same contract as [[evictPqCodebooks]]. */
+  def evictResidualBooks(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    pqResidualBookCache.keys.filter(_._1 == app).foreach(pqResidualBookCache.remove)
+  }
+
+  /** (vec_id, cluster, codes, rnorm) under residual encoding. The
+    * reconstruction is `centroid_c + concat_j(book_j[code_j])`, so its
+    * norm decomposes as |c|² + Σ_j (2·⟨c_sub_j, r_j⟩ + |r_j|²) — the
+    * cross terms come from a per-subspace (cluster × code) literal
+    * table (ivfK × pqK doubles per subspace: index metadata, not
+    * data), and everything is still computed from codes alone. */
+  def pqResidualEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Memo(spark, dir, "pq_residual_encoded") {
+      val books = pqResidualCodebooks(spark, dir)
+      val coarse = ivfCentroids(spark, dir).sortBy(_._1)
+      val res = residualFrame(spark, dir)
+      val codeCols = (0 until pqM).map { j =>
+        val scored = books(j).map { case (cid, c) =>
+          val cArr = array(c.map(lit): _*)
+          val cNorm2 = c.map(x => x * x).sum
+          struct((dot(subVec(j, col("residual")), cArr) - lit(cNorm2 / 2)).as("score"),
+            lit(cid).as("cid"))
+        }
+        greatest(scored: _*).getField("cid")
+      }
+      val coded = res.withColumn("codes", array(codeCols: _*))
+      val coarseNormSq = array(coarse.map { case (_, c) =>
+        lit(c.map(x => x * x).sum) }: _*)
+      // Σ_j in fixed j order (left-to-right + chain, oracle-identical)
+      val terms = (0 until pqM).map { j =>
+        val cross = array(coarse.map { case (_, c) =>
+          val cSub = c.slice(j * pqSubDim, (j + 1) * pqSubDim)
+          array(books(j).map { case (_, r) =>
+            lit(cSub.zip(r).map { case (a, b) => a * b }.sum) }: _*)
+        }: _*)
+        val rsq = array(books(j).map { case (_, r) =>
+          lit(r.map(x => x * x).sum) }: _*)
+        val code = element_at(col("codes"), j + 1)
+        lit(2.0) * element_at(element_at(cross, col("cluster") + 1), code + 1) +
+          element_at(rsq, code + 1)
+      }
+      coded.withColumn("rnorm",
+        sqrt(terms.foldLeft(element_at(coarseNormSq, col("cluster") + 1))(_ + _)))
+        .select("vec_id", "cluster", "codes", "rnorm")
+    }
+
+  /** Registered residual-PQ encode report — [[pqCodes]]'s shape. */
+  def pqResidualCodes(spark: SparkSession, dir: String): DataFrame =
+    pqResidualEncoded(spark, dir).select(
+      col("vec_id"),
+      size(col("codes")).as("n_sub"),
+      aggregate(col("codes"), lit(0L), (acc, v) => acc + v).as("code_sum"),
+      md5(concat_ws(",", col("codes").cast("array<string>"))).as("code_md5"),
+      col("rnorm"))
+      .orderBy("vec_id")
+
+  /** Residual-ADC IVF-PQ top-k: the probe's exact `dot(q, centroid_c)`
+    * anchors the score and the LUT approximates only the residual —
+    * same plan shape as [[ivfpqTopK]] (codes-only candidate reads plus
+    * the stored true norm, see that scaladoc for the denominator
+    * convention), better precision per code bit. */
+  def ivfpqResidualTopK(spark: SparkSession, dir: String,
+      k: Int = defaultK, nQueries: Int = defaultNQueries): DataFrame = {
+    val assigned = ivfAssignments(spark, dir)
+    val enc = pqResidualEncoded(spark, dir)
+    val books = pqResidualCodebooks(spark, dir)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        col("norm").as("q_norm"))
+    val lutCol = array((0 until pqM).map { j =>
+      array(books(j).map { case (_, c) =>
+        dot(subVec(j, col("q_embedding")), array(c.map(lit): _*))
+      }: _*)
+    }: _*)
+    val cVecs = ivfCentroids(spark, dir)
+    val probeStructs = cVecs.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      val cNorm2 = c.map(x => x * x).sum
+      val qc = dot(col("q_embedding"), cArr)
+      struct((qc - lit(cNorm2 / 2)).as("score"), lit(cid).as("cid"), qc.as("qc"))
+    }
+    val probed = queries
+      .withColumn("lut", lutCol)
+      .withColumn("ranked", sort_array(array(probeStructs: _*), asc = false))
+      .select(col("query_id"), col("q_norm"), col("lut"),
+        explode(expr(s"slice(ranked, 1, $ivfNProbe)")).as("probe"))
+      .select(col("query_id"), col("q_norm"), col("lut"),
+        col("probe.cid").as("cluster"), col("probe.qc").as("qc"))
+    val cands = assigned.select("vec_id", "cluster", "norm")
+      .join(broadcast(probed), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(enc.select("vec_id", "codes"), Seq("vec_id"))
+    val adc = (0 until pqM).map { j =>
+      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.foldLeft(col("qc"))(_ + _)
+    val scored = cands.select(col("query_id"), col("vec_id"),
+      (adc / (col("q_norm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
       .orderBy("query_id", "rank")
@@ -1205,6 +1364,130 @@ object Similarity {
         s"JOIN q${j}_nsq n$j USING (vec_id)").mkString(" ")})""".stripMargin)
   }
 
+  /** Residual-PQ CTEs: residuals from the FINAL coarse assignment, pqM
+    * Lloyd chains over residual sub-vectors, codes, and reconstruction
+    * norms including the coarse-residual cross terms — every stage the
+    * same ordered folds as the Spark side. Requires [[ivfCandCtes]]'s
+    * names (`asgF`, `cent$ivfIters`, `assigned`, `queries`, `probes`)
+    * in scope. */
+  private def residualChainCtes: Seq[String] = {
+    // MATERIALIZED is load-bearing throughout: DuckDB inlines plain
+    // CTEs, and the residual lineage references the COARSE chain's
+    // outputs (`asgF`, `cent$ivfIters`) from ~20 places (res, one term
+    // CTE per subspace, rnormsR, the probe CTEs) — inlined, each
+    // reference re-expands the full 5-iteration 64-dim Lloyd chain and
+    // the planner OOMs. Materialized aliases (`asgM`, `centM`) compute
+    // the coarse chain once; the per-subspace finals get the same
+    // treatment (3 references each × pqM). Execution hints only —
+    // results are unchanged.
+    val aliases = Seq(
+      "asgM AS MATERIALIZED (SELECT * FROM asgF)",
+      s"centM AS MATERIALIZED (SELECT * FROM cent$ivfIters)")
+    val resCte =
+      s"""res AS MATERIALIZED (
+         |  SELECT a.vec_id,
+         |    list_transform(list_zip(a.embedding, c.centroid),
+         |      p -> CAST(p[1] AS DOUBLE) - p[2]) AS embedding
+         |  FROM asgM a JOIN centM c USING (cluster))""".stripMargin
+    val subCtes = (0 until pqM).map { j =>
+      val lo = j * pqSubDim + 1
+      val hi = (j + 1) * pqSubDim
+      s"""rsub$j AS MATERIALIZED (
+         |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM res)""".stripMargin
+    }
+    val chains = (0 until pqM).flatMap(j =>
+      lloydChainCtes(s"rsub$j", s"r${j}_", pqK, pqIters, pqSubDim))
+    val centFinals = (0 until pqM).map(j =>
+      s"r${j}_centM AS MATERIALIZED (SELECT * FROM r${j}_cent$pqIters)")
+    val finals = (0 until pqM).map(j =>
+      s"r${j}_asgF AS MATERIALIZED ${assignSql(s"rsub$j", s"r${j}_centM")}")
+    val codesu = (0 until pqM)
+      .map(j => s"SELECT vec_id, $j AS j, cluster FROM r${j}_asgF")
+      .mkString("\n  UNION ALL ")
+    // per-subspace rnorm term: 2·⟨coarse_sub_j, r_code⟩ + |r_code|²
+    val terms = (0 until pqM).map { j =>
+      val lo = j * pqSubDim + 1
+      val hi = (j + 1) * pqSubDim
+      s"""r${j}_t AS (
+         |  SELECT a.vec_id,
+         |    2 * ${dotSql(s"cc.centroid[$lo:$hi]", "rc.centroid")} +
+         |    ${dotSql("rc.centroid", "rc.centroid")} AS t
+         |  FROM asgM a
+         |  JOIN centM cc USING (cluster)
+         |  JOIN r${j}_asgF aj ON aj.vec_id = a.vec_id
+         |  JOIN r${j}_centM rc ON rc.cluster = aj.cluster)""".stripMargin
+    }
+    val termJoins = (0 until pqM).map(j => s"JOIN r${j}_t t$j ON t$j.vec_id = a.vec_id")
+      .mkString("\n  ")
+    val termSum = (0 until pqM).map(j => s"t$j.t").mkString(" + ")
+    Seq(aliases.mkString(",\n"), resCte, subCtes.mkString(",\n"),
+      chains.mkString(",\n"), centFinals.mkString(",\n"),
+      finals.mkString(",\n"),
+      s"""rcodesu AS (
+         |  $codesu)""".stripMargin,
+      """rpqcodes AS (
+        |  SELECT vec_id, list(cluster ORDER BY j) AS codes FROM rcodesu GROUP BY vec_id)""".stripMargin,
+      terms.mkString(",\n"),
+      s"""rnormsR AS (
+         |  SELECT a.vec_id,
+         |    sqrt(${dotSql("cc.centroid", "cc.centroid")} + $termSum) AS rnorm
+         |  FROM asgM a
+         |  JOIN centM cc USING (cluster)
+         |  $termJoins)""".stripMargin)
+  }
+
+  def pqResidualCodesOracleSql: String = {
+    val ctes = ivfCandCtes(defaultNQueries) ++ residualChainCtes
+    s"""WITH ${ctes.mkString(",\n")}
+       | SELECT c.vec_id,
+       |   CAST(len(c.codes) AS INTEGER) AS n_sub,
+       |   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c.codes), (acc, v) -> acc + v) AS BIGINT) AS code_sum,
+       |   md5(array_to_string(list_transform(c.codes, v -> CAST(v AS VARCHAR)), ',')) AS code_md5,
+       |   r.rnorm
+       | FROM rpqcodes c JOIN rnormsR r USING (vec_id)
+       | ORDER BY c.vec_id""".stripMargin
+  }
+
+  def ivfpqResidualOracleSql(k: Int = defaultK,
+      nQueries: Int = defaultNQueries): String = {
+    // queries is an `assigned` derivative referenced by every LUT CTE —
+    // materialize it for the same inlining reason as residualChainCtes
+    val luts = Seq("queriesM AS MATERIALIZED (SELECT * FROM queries)") ++
+      (0 until pqM).map { j =>
+        val lo = j * pqSubDim + 1
+        val hi = (j + 1) * pqSubDim
+        s"""rlut$j AS (
+           |  SELECT q.query_id, list(${dotSql(s"q.q_embedding[$lo:$hi]", "c.centroid")}
+           |      ORDER BY c.cluster) AS lut
+           |  FROM queriesM q CROSS JOIN r${j}_centM c GROUP BY q.query_id)""".stripMargin
+      }
+    val adc = (0 until pqM).map(j => s"l$j.lut[k.codes[${j + 1}] + 1]").mkString(" + ")
+    val lutJoins = (0 until pqM).map(j => s"JOIN rlut$j l$j ON l$j.query_id = c.query_id")
+      .mkString("\n  ")
+    val ctes = ivfCandCtes(nQueries) ++ residualChainCtes ++ luts ++ Seq(
+      s"""probesq AS (
+         |  SELECT p.query_id, p.q_norm, p.cluster,
+         |    ${dotSql("p.q_embedding", "c.centroid")} AS qc
+         |  FROM probes p JOIN centM c USING (cluster))""".stripMargin,
+      """candsR AS (
+        |  SELECT p.query_id, p.q_norm, p.qc, a.vec_id, a.norm
+        |  FROM assigned a JOIN probesq p ON a.cluster = p.cluster
+        |  WHERE a.vec_id <> p.query_id)""".stripMargin,
+      s"""adcsR AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    (c.qc + $adc) / (c.q_norm * c.norm) AS sim
+         |  FROM candsR c
+         |  JOIN rpqcodes k ON k.vec_id = c.vec_id
+         |  $lutJoins)""".stripMargin,
+      """ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM adcsR)""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT query_id, vec_id, sim, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def pqCodesOracleSql: String =
     s"""WITH ${pqChainCtes.mkString(",\n")}
        | SELECT c.vec_id,
@@ -1231,10 +1514,9 @@ object Similarity {
       .mkString("\n  ")
     ivfCandCtes(nQueries) ++ pqChainCtes ++ luts ++ Seq(
       s"""adcs AS (
-         |  SELECT c.query_id, c.vec_id, ($adc) / (c.q_norm * r.rnorm) AS sim
+         |  SELECT c.query_id, c.vec_id, ($adc) / (c.q_norm * c.norm) AS sim
          |  FROM cands c
          |  JOIN pqcodes k ON k.vec_id = c.vec_id
-         |  JOIN rnorms r ON r.vec_id = c.vec_id
          |  $lutJoins)""".stripMargin)
   }
 

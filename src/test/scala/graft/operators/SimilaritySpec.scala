@@ -227,4 +227,53 @@ class SimilaritySpec extends AnyFunSuite {
     // candidate, exact float math for the 8k-deep shortlist only
     assert(recall >= 0.8, s"IVF-PQ+rerank recall $recall < 0.8")
   }
+
+  test("pqResidualCodes: in-range codes and positive reconstruction norms") {
+    val rows = Similarity.pqResidualCodes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) === Similarity.pqM)
+      assert(r.getLong(2) >= 0L &&
+        r.getLong(2) <= Similarity.pqM.toLong * (Similarity.pqK - 1))
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  /** RMSE of a top-k result's `sim` against the exact cosine of the
+    * same (query, candidate) pairs — measures ADC approximation error
+    * directly, independent of how crowded the top-k margin is. */
+  private def adcRmse(df: org.apache.spark.sql.DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id"), col("embedding").as("ce"))
+    def n(v: String) = sqrt(aggregate(col(v), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.join(q, "query_id").join(c, "vec_id")
+      .withColumn("ex", aggregate(zip_with(col("qe"), col("ce"),
+        (a, b) => a.cast("double") * b.cast("double")), lit(0.0),
+        (acc, x) => acc + x) / (n("qe") * n("ce")))
+      .agg(sqrt(avg(pow(col("sim") - col("ex"), 2))))
+      .collect()(0).getDouble(0)
+  }
+
+  test("ivfpqResidualTopK: residual coding approximates the true cosine better than raw PQ") {
+    // by_residual's actual claim: the same code budget spent on
+    // `v - coarse_centroid` approximates dot(q, v) more precisely than
+    // spent on raw v (the coarse term is carried exactly by the probe's
+    // qc anchor). Assert that directly as approximation RMSE over each
+    // variant's 40-deep candidate ranking — top-5 recall on this
+    // margin-poor isotropic fixture flips on ~1e-2 sim noise in either
+    // direction (raw 0.52 vs residual 0.46 measured) and does not
+    // discriminate a working residual path from a broken one, while a
+    // wrong LUT index, anchor, or codebook multiplies RMSE.
+    val rawErr = adcRmse(Similarity.ivfpqTopK(spark, sf, k = 40))
+    val resErr = adcRmse(Similarity.ivfpqResidualTopK(spark, sf, k = 40))
+    info(s"raw ADC rmse $rawErr, residual ADC rmse $resErr")
+    assert(resErr < rawErr, s"residual rmse $resErr !< raw rmse $rawErr")
+    val exact = resultPairs(Similarity.bruteForceTopK(spark, sf))
+    val res = resultPairs(Similarity.ivfpqResidualTopK(spark, sf))
+    val recall = exact.count(res.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"residual ADC recall $recall < 0.3")
+  }
 }

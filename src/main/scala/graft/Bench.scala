@@ -24,7 +24,9 @@ object Bench {
     // the write-roundtrip family's marker-guarded one-time builds (fixture
     // dump + delete, fragment + compaction, MV batches, image files) —
     // forced here so their /tmp I/O never lands inside a timed window
-    "delete_roundtrip", "delete_versioned", "compact_roundtrip",
+    "delete_roundtrip", "delete_versioned", "merge_versioned",
+    "change_feed", // shares delete_versioned's fixture; listed for subset runs
+    "compact_roundtrip",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
     "skipping_scan") // first run writes the z-clustered copy + stats
 
@@ -34,7 +36,7 @@ object Bench {
     * 12.7× in-run vs isolated with identical plans). Phase-separating
     * makes an analytical regression attributable again. */
   val writeRoundtrips: Set[String] = Set(
-    "delete_roundtrip", "delete_versioned", "compact_roundtrip",
+    "delete_roundtrip", "delete_versioned", "merge_versioned", "compact_roundtrip",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
     "ingest_evolve", "fact_roundtrip",
     // these three re-DUMP the staging view in their source format on

@@ -121,16 +121,43 @@ object SparkEntry {
     // resolves (ManifestsSpec proves history + sharing; the oracle
     // checks the post-delete content equals NOT(pred) exactly)
     "delete_versioned" -> ((s, d) => {
-      val b = dumpDir(s, d, "mandel")
-      val marker = s"${b}_done"
-      if (!ext.Dfs.exists(s, marker)) {
-        ext.Manifests.commitData(Warehouse(s, d).cleaned.repartition(8), b)
-        ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7")
-        ext.Dfs.touch(s, marker)
-      }
+      val b = mandelFixture(s, d)
       orderedAsc(
         moneyDouble(ext.Manifests.readLatest(s, b).select(stagingCols.map(col): _*),
           Seq("unit_price")),
+        stagingCols)
+    }),
+    // copy-on-write MERGE through the manifest protocol: dim_customer
+    // upserted with relocations + brand-new customers in one atomic
+    // version; the oracle replays upsert semantics as
+    // updates UNION ALL (target ANTI JOIN updates)
+    "merge_versioned" -> ((s, d) => {
+      val b = dumpDir(s, d, "manmerge")
+      val marker = s"${b}_done"
+      if (!ext.Dfs.exists(s, marker)) {
+        ext.Manifests.commitData(Warehouse(s, d).dimCustomer.repartition(8), b)
+        val dim = ext.Manifests.readAt(s, b, 0)
+        val updates = dim.filter(col("country") === "NATION_3")
+          .withColumn("country", lit("RELOCATED"))
+          .unionByName(dim.filter(col("country") === "NATION_5")
+            .select((col("customer_key") + 1000000L).as("customer_key"),
+              concat(col("customer_id"), lit("_B")).as("customer_id"),
+              lit("NATION_5B").as("country")))
+        ext.Manifests.merge(s, b, updates, Seq("customer_id"))
+        ext.Dfs.touch(s, marker)
+      }
+      ext.Manifests.readLatest(s, b)
+        .select("customer_key", "customer_id", "country")
+        .orderBy("customer_id")
+    }),
+    // change-data-feed between manifest versions: the v0->v1 diff of the
+    // delete_versioned table is exactly the deleted rows tagged
+    // 'delete' — and the manifest prunes the diff to non-shared files
+    "change_feed" -> ((s, d) => {
+      val b = mandelFixture(s, d)
+      orderedAsc(
+        moneyDouble(ext.Manifests.changesBetween(s, b, 0, 1)
+          .select((stagingCols :+ "_change_type").map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
     // small-file compaction roundtrip: 64 fragment files -> 4, content
@@ -161,6 +188,20 @@ object SparkEntry {
   private def dumpDir(s: SparkSession, d: String, fmt: String): String =
     s"${ext.Dfs.scratchBase}/graft_${fmt}_${s.sparkContext.applicationId}_" +
       new org.apache.hadoop.fs.Path(d).getName
+
+  /** The versioned-delete fixture manifest table (v0 = cleaned, v1 =
+    * post-delete), shared by `delete_versioned` (reads v1) and
+    * `change_feed` (diffs v0 -> v1). */
+  private def mandelFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mandel")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(Warehouse(s, d).cleaned.repartition(8), b)
+      ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
 
   /** Full-recompute monthly rollup — shared by q_monthly_sales AND the
     * incremental-MV query (the whole point: the incremental path must
@@ -194,6 +235,27 @@ object SparkEntry {
     "delete_versioned" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // upsert semantics replayed exactly: updates win on key match,
+    // everything else survives, new keys append
+    "merge_versioned" ->
+      s"""${Oracle.warehouseCte}, upd AS (
+         |  SELECT customer_key, customer_id, 'RELOCATED' AS country
+         |  FROM dim_customer WHERE country = 'NATION_3'
+         |  UNION ALL
+         |  SELECT customer_key + 1000000, customer_id || '_B', 'NATION_5B'
+         |  FROM dim_customer WHERE country = 'NATION_5')
+         | SELECT customer_key, customer_id, country FROM upd
+         | UNION ALL
+         | SELECT t.customer_key, t.customer_id, t.country FROM dim_customer t
+         | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = t.customer_id)
+         | ORDER BY customer_id""".stripMargin,
+    // the v0->v1 diff is exactly the rows the delete removed: pred-TRUE
+    // rows only (null-country rows survive deletes, so they never
+    // appear in the feed)
+    "change_feed" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble},
+         | 'delete' AS _change_type FROM cleaned
+         | WHERE country = 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "compact_roundtrip" ->
       s"${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
     "snapshot_monthly_v0" ->

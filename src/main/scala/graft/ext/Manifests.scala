@@ -191,9 +191,13 @@ object Manifests {
       s"updates carry duplicate keys on (${keyCols.mkString(", ")}) — " +
         "the merge result would depend on source row order")
     val keys = updates.select(keyCols.map(col): _*)
+    // input_file_name() is pinned to the target scan by projecting it
+    // BELOW the join — the update batch is often itself a file source
+    // (Spark refuses the expression when two sources could answer it)
     val affected = spark.read.parquet(cur: _*)
+      .select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
       .join(keys, keyCols, "left_semi")
-      .select(input_file_name().as("f"))
+      .select(col("__file"))
       .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
     val survivors =
       if (affected.isEmpty) updates

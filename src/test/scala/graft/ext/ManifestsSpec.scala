@@ -112,6 +112,94 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.readLatest(spark, b).count() === 500)
   }
 
+  test("merge: matched rows replaced, new keys inserted, untouched files shared by reference") {
+    import spark.implicits._
+    val b = base("graft_man_mrg")
+    // range-cluster so the update keys live in a strict file subset
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10, s"old_$i")).toDF("id", "k", "s")
+        .repartitionByRange(5, col("k")), b)
+    val before = Manifests.files(spark, b, 0)
+    val updates = Seq((3L, 99, "upd_3"), (7L, 99, "upd_7"), (1000L, 99, "new_1000"))
+      .toDF("id", "k", "s")
+    val (rewrote, nRows, nv) = Manifests.merge(spark, b, updates, Seq("id"))
+    assert(nv === 1 && nRows === 3)
+    assert(rewrote >= 1 && rewrote < before.size,
+      s"clustered keys must touch a strict file subset ($rewrote/${before.size})")
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 201, "2 updates in place + 1 insert")
+    assert(now.filter(col("s").startsWith("upd_")).count() === 2)
+    assert(now.filter(col("id") === 1000L).count() === 1)
+    assert(now.filter(col("id") === 3L && col("s") === "old_3").count() === 0)
+    // history + sharing: pre-merge version intact, untouched files verbatim
+    assert(Manifests.readAt(spark, b, 0).filter(col("s") === "old_3").count() === 1)
+    val shared = before.toSet.intersect(Manifests.files(spark, b, 1).toSet)
+    assert(shared.size === before.size - rewrote)
+  }
+
+  test("merge: duplicate source keys throw; null-key rows insert without matching") {
+    import spark.implicits._
+    val b = base("graft_man_mrgn")
+    Manifests.commitData(
+      Seq[(java.lang.Long, String)]((1L, "a"), (null, "b")).toDF("id", "s"), b)
+    intercept[IllegalArgumentException](Manifests.merge(spark, b,
+      Seq((1L, "x"), (1L, "y")).toDF("id", "s"), Seq("id")))
+    // a null-key update row never matches anything — it inserts, and the
+    // null-key target row survives
+    val (_, _, nv) = Manifests.merge(spark, b,
+      Seq[(java.lang.Long, String)]((null, "c")).toDF("id", "s"), Seq("id"))
+    assert(nv === 1)
+    val rows = Manifests.readLatest(spark, b).collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"), r.getString(1)))
+      .sortBy(_._2)
+    assert(rows.toSeq === Seq(("1", "a"), ("null", "b"), ("null", "c")))
+  }
+
+  test("merge: pure-insert batch rewrites zero target files") {
+    import spark.implicits._
+    val b = base("graft_man_mrgi")
+    Manifests.commitData((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "s"), b)
+    val before = Manifests.files(spark, b, 0)
+    val (rewrote, _, nv) = Manifests.merge(spark, b,
+      Seq((900L, "new")).toDF("id", "s"), Seq("id"))
+    assert(rewrote === 0 && nv === 1)
+    assert(before.toSet.subsetOf(Manifests.files(spark, b, 1).toSet),
+      "every pre-merge file must carry by reference")
+    assert(Manifests.readLatest(spark, b).count() === 51)
+  }
+
+  test("changesBetween: diff reads only non-shared files; inserts/deletes tagged; no-op diff is empty") {
+    import spark.implicits._
+    val b = base("graft_man_cdf")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10, s"s$i")).toDF("id", "k", "s")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.deleteWhere(spark, b, col("k") === 3) // v1
+    Manifests.merge(spark, b,
+      Seq((5L, 99, "upd_5"), (2000L, 99, "new")).toDF("id", "k", "s"),
+      Seq("id")) // v2
+    // v0 -> v1: exactly the 20 deleted rows, tagged delete
+    val d01 = Manifests.changesBetween(spark, b, 0, 1)
+    assert(d01.filter(col("_change_type") === "insert").count() === 0)
+    val dels = d01.filter(col("_change_type") === "delete")
+    assert(dels.count() === 20 && dels.filter(col("k") === 3).count() === 20)
+    // v1 -> v2: the update surfaces as delete+insert, the new row as insert
+    val d12 = Manifests.changesBetween(spark, b, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+    assert(d12 === Set((5L, "s5", "delete"), (5L, "upd_5", "insert"),
+      (2000L, "new", "insert")))
+    // metadata pruning: the diff's scan touches only non-shared files
+    val fa = Manifests.files(spark, b, 1).toSet
+    val fb = Manifests.files(spark, b, 2).toSet
+    val scanned = Manifests.changesBetween(spark, b, 1, 2)
+      .inputFiles.map(Dfs.canonical).toSet
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => !(fa.contains(f) && fb.contains(f))),
+      s"diff must never read a file shared by both manifests")
+    // identical versions: nothing read, nothing returned
+    assert(Manifests.changesBetween(spark, b, 2, 2).count() === 0)
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

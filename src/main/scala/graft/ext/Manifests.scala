@@ -214,6 +214,39 @@ object Manifests {
     (affected.size, updates.count(), nv)
   }
 
+  /** Idempotent batch append — the commit primitive behind the
+    * exactly-once streaming sink ([[graft.streaming.Streams.manifestSink]]).
+    * foreachBatch delivers at-least-once; exactly-once comes from the
+    * MANIFEST being the batch-done record: batch `i`'s data directory is
+    * named `data_batch_<i>`, and an append first checks whether the
+    * latest manifest already references that directory — a replayed
+    * batch that finds its files committed does nothing. The crash
+    * windows resolve cleanly: crash before the data write replays from
+    * scratch; crash after the write but before the commit leaves an
+    * unreferenced directory the replay overwrites; crash after the
+    * commit is the already-committed case. Empty batches are skipped
+    * (no version burned). Assumes the streaming query is the table's
+    * only concurrent WRITER (Spark guarantees batch ids are sequential
+    * per query; cross-writer conflict detection is a transaction
+    * protocol this library does not implement — readers are always
+    * safe). Returns the committed version, if any. */
+  def appendBatch(batch: DataFrame, base: String, batchId: Long): Option[Int] = {
+    val spark = batch.sparkSession
+    val tag = s"data_batch_$batchId"
+    val replayed = latestVersion(spark, base).exists(v =>
+      files(spark, base, v).exists(_.contains(s"/$tag/")))
+    if (replayed) return None
+    // an empty micro-batch still writes a zero-row part file — skip it
+    // BEFORE writing so no version (or directory) is burned
+    if (batch.isEmpty) return None
+    val dir = s"$base/$tag"
+    batch.write.mode("overwrite").parquet(dir)
+    val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    if (newFiles.isEmpty) return None
+    val cur = latestVersion(spark, base).map(files(spark, base, _)).getOrElse(Seq.empty)
+    Some(commit(spark, base, cur ++ newFiles))
+  }
+
   /** Change feed between two committed versions, tagged
     * `_change_type` ∈ {insert, delete} (an update surfaces as
     * delete + insert — row identity without a declared key is content

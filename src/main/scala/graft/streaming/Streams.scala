@@ -207,6 +207,25 @@ object Streams {
       }
       .start()
 
+  /** Exactly-once streaming append into a [[graft.ext.Manifests]] table —
+    * the landing-zone sink a versioned warehouse table ingests through:
+    * each micro-batch lands as one atomic manifest version, readers time
+    * travel over batch boundaries, and [[graft.ext.Manifests.deleteWhere]]/
+    * `merge`/`compact`/`vacuum` run against the same table the stream
+    * feeds. Idempotence (and so exactly-once on top of foreachBatch's
+    * at-least-once) is [[graft.ext.Manifests.appendBatch]]'s contract:
+    * the manifest itself records which batch directories are in, so a
+    * replayed batch no-ops. StreamsSpec proves replay stability and the
+    * crashed-attempt window. */
+  def manifestSink(rows: DataFrame, base: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Manifests.appendBatch(batch, base, batchId): Unit
+      }
+      .start()
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   /** start/end are epoch MICROSECONDS: Spark timestamps are micro-precision,
     * and tracking `Timestamp.getTime` millis would silently truncate

@@ -510,4 +510,62 @@ class StreamsSpec extends AnyFunSuite {
       assert(after === before, "replayed week must not re-emit a hit")
     } finally q.stop()
   }
+
+  test("manifestSink: each batch is one atomic version; restart from checkpoint never duplicates") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mansink").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    def start() = Streams.manifestSink(
+      input.toDF().toDF("id", "s"), base, ckpt)
+    val q1 = start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+      input.addData((3L, "c"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(graft.ext.Manifests.latestVersion(spark, base) === Some(1),
+      "two non-empty batches -> two versions")
+    assert(graft.ext.Manifests.readLatest(spark, base).count() === 3)
+    // time travel across batch boundaries
+    assert(graft.ext.Manifests.readAt(spark, base, 0).count() === 2)
+    // restart from the checkpoint: committed batches must not re-append
+    val q2 = start()
+    try {
+      input.addData((4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = graft.ext.Manifests.readLatest(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "restart appends only the new batch, exactly once")
+  }
+
+  test("appendBatch: replay no-ops; a crashed pre-commit attempt is overwritten, not duplicated") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_manappend").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    assert(graft.ext.Manifests.appendBatch(b0, base, 0L) === Some(0))
+    // at-least-once replay of a COMMITTED batch: manifest already
+    // references data_batch_0 -> no write, no version
+    assert(graft.ext.Manifests.appendBatch(b0, base, 0L) === None)
+    assert(graft.ext.Manifests.latestVersion(spark, base) === Some(0))
+    // crash window: batch 1's data landed but the commit never did —
+    // the replay overwrites the orphan directory and commits once
+    Seq((9L, "stale")).toDF("id", "s")
+      .write.mode("overwrite").parquet(s"$base/data_batch_1")
+    val b1 = Seq((3L, "c")).toDF("id", "s")
+    assert(graft.ext.Manifests.appendBatch(b1, base, 1L) === Some(1))
+    val rows = graft.ext.Manifests.readLatest(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "stale crashed attempt must not leak into the table")
+    // empty batch: skipped, no version burned
+    assert(graft.ext.Manifests.appendBatch(b1.limit(0), base, 2L) === None)
+    assert(graft.ext.Manifests.latestVersion(spark, base) === Some(1))
+  }
 }

@@ -17,7 +17,12 @@ object Bench {
 
   /** Queries whose first run builds a shared cache (see object doc). */
   val warmupQueries: List[String] = List(
-    "staging", "clean_dedup", "minhash_pairs", "ann_topk", "ivf_topk", "q_checks",
+    "staging", "clean_dedup", "minhash_pairs", "ann_topk", "ivf_topk",
+    // PQ codebook training (raw + residual) is a one-time index build
+    // (16 subspaces x 5 Lloyd jobs each) — without these, whichever
+    // ivfpq_* query runs first absorbs ~minutes of training at 100x
+    "pq_codes", "pq_residual_codes",
+    "q_checks",
     "fact_roundtrip", // first run performs the one-time warehouse write
     "corpus_run_summary", // first run materializes the corpus pipeline stages
     "dup_clusters", // first run fills the cluster-label memo leakage_safe_split shares

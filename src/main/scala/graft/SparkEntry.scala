@@ -191,12 +191,19 @@ object SparkEntry {
 
   /** The versioned-delete fixture manifest table (v0 = cleaned, v1 =
     * post-delete), shared by `delete_versioned` (reads v1) and
-    * `change_feed` (diffs v0 -> v1). */
+    * `change_feed` (diffs v0 -> v1). Range-clustered on the delete key:
+    * the production layout for a table that takes surgical deletes —
+    * the delete rewrites ONE file and the change feed diffs one file
+    * pair instead of the whole table (measured at 100x: a scattered
+    * layout made the v0-v1 diff exceptAll 60M rows a side, 176 s;
+    * clustered it reads only the affected pair). Content is identical
+    * either way — the oracle does not see the layout. */
   private def mandelFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mandel")
     val marker = s"${b}_done"
     if (!ext.Dfs.exists(s, marker)) {
-      ext.Manifests.commitData(Warehouse(s, d).cleaned.repartition(8), b)
+      ext.Manifests.commitData(
+        Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
       ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7")
       ext.Dfs.touch(s, marker)
     }

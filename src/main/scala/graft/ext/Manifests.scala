@@ -61,17 +61,33 @@ object Manifests {
   /** Publish `dataFiles` as the next version; returns it. The version
     * number is won via the `_claims` CAS before anything is written;
     * the `_SUCCESS` marker lands only after the manifest is fully
-    * written, so readers never resolve a partial manifest. */
-  def commit(spark: SparkSession, base: String, dataFiles: Seq[String]): Int = {
+    * written, so readers never resolve a partial manifest. An optional
+    * `tag` (e.g. a micro-batch id) is recorded beside the manifest and
+    * readable via [[latestTag]] — the hook idempotent writers key
+    * replay detection on. */
+  def commit(spark: SparkSession, base: String, dataFiles: Seq[String],
+      tag: Option[String] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     var v = latestVersion(spark, base).map(_ + 1).getOrElse(0)
     while (!Dfs.createExclusive(spark, s"$base/_claims/v$v")) v += 1
     Dfs.mkdirs(spark, s"$base/v$v")
     Dfs.writeBytes(spark, s"$base/v$v/_manifest",
       dataFiles.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
+    tag.foreach(t =>
+      Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
     v
   }
+
+  /** The committed tag of version `v`, if any. */
+  def tagOf(spark: SparkSession, base: String, v: Int): Option[String] =
+    if (Dfs.exists(spark, s"$base/v$v/_tag"))
+      Some(new String(Dfs.readBytes(spark, s"$base/v$v/_tag"), "UTF-8"))
+    else None
+
+  /** The latest committed version's tag, if any. */
+  def latestTag(spark: SparkSession, base: String): Option[String] =
+    latestVersion(spark, base).flatMap(tagOf(spark, base, _))
 
   /** Bootstrap: write `df` as a fresh immutable data directory and
     * commit its part files as the next version. */
@@ -180,7 +196,7 @@ object Manifests {
     *  - a pure insert batch (no key matches) rewrites zero target files.
     * Returns (files rewritten, rows inserted-or-updated, new version). */
   def merge(spark: SparkSession, base: String, updates: DataFrame,
-      keyCols: Seq[String]): (Int, Long, Int) = {
+      keyCols: Seq[String], tag: Option[String] = None): (Int, Long, Int) = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base"))
@@ -210,8 +226,37 @@ object Manifests {
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val untouched = cur.filterNot(affected.contains)
-    val nv = commit(spark, base, untouched ++ rewritten)
+    val nv = commit(spark, base, untouched ++ rewritten, tag)
     (affected.size, updates.count(), nv)
+  }
+
+  /** Exactly-once CDC apply — one upsert micro-batch against the table,
+    * keyed by `batchId` for replay detection: the batch id is committed
+    * as the version's tag, and a replay whose id matches the LATEST tag
+    * skips (foreachBatch replays only the last uncommitted batch, so one
+    * tag of lookback is exactly enough). A merge replayed after a crash
+    * between commit and checkpoint would otherwise burn a version on a
+    * content-identical rewrite — with the tag it does nothing at all.
+    * Bootstraps an empty table from the first batch. Duplicate keys
+    * within a batch throw ([[merge]]'s contract); ordering ACROSS
+    * batches is the stream's own guarantee. Returns the committed
+    * version, if the batch was not a replay. */
+  def cdcApply(batch: DataFrame, base: String, keyCols: Seq[String],
+      batchId: Long): Option[Int] = {
+    val spark = batch.sparkSession
+    val tag = s"cdc_batch_$batchId"
+    if (latestTag(spark, base).contains(tag)) return None
+    if (batch.isEmpty) return None
+    latestVersion(spark, base) match {
+      case None =>
+        val dir = s"$base/data_batch_$batchId"
+        batch.write.mode("overwrite").parquet(dir)
+        Some(commit(spark, base,
+          Dfs.dataFiles(spark, dir).map(_.getPath.toString), Some(tag)))
+      case Some(_) =>
+        val (_, _, nv) = merge(spark, base, batch, keyCols, Some(tag))
+        Some(nv)
+    }
   }
 
   /** Idempotent batch append — the commit primitive behind the

@@ -226,6 +226,23 @@ object Streams {
       }
       .start()
 
+  /** Exactly-once CDC apply — the upsert twin of [[manifestSink]]: a
+    * stream of keyed change rows (the Debezium/CDC shape after
+    * projection to latest-image-per-key) MERGEs into a manifest table,
+    * one atomic version per micro-batch, replays skipped via
+    * [[graft.ext.Manifests.cdcApply]]'s batch-id tag. Each batch must
+    * carry at most one row per key — dedupe upstream (e.g.
+    * [[dedupWithinWatermark]] or a last-image aggregation) or the merge
+    * throws rather than guess an order. */
+  def cdcSink(changes: DataFrame, base: String, keyCols: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Manifests.cdcApply(batch, base, keyCols, batchId): Unit
+      }
+      .start()
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   /** start/end are epoch MICROSECONDS: Spark timestamps are micro-precision,
     * and tracking `Timestamp.getTime` millis would silently truncate

@@ -568,4 +568,61 @@ class StreamsSpec extends AnyFunSuite {
     assert(graft.ext.Manifests.appendBatch(b1.limit(0), base, 2L) === None)
     assert(graft.ext.Manifests.latestVersion(spark, base) === Some(1))
   }
+
+  test("cdcSink: streamed upserts merge one atomic version per batch; restart replays nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcsink").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    def start() = Streams.cdcSink(
+      input.toDF().toDF("id", "s"), base, Seq("id"), ckpt)
+    val q1 = start()
+    try {
+      input.addData((1L, "a"), (2L, "b")) // bootstrap batch
+      q1.processAllAvailable()
+      input.addData((2L, "b2"), (3L, "c")) // update + insert
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(graft.ext.Manifests.readLatest(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // the pre-update image is one version back
+    assert(graft.ext.Manifests.readAt(spark, base, 0)
+      .filter(col("s") === "b").count() === 1)
+    val versionsBefore = graft.ext.Manifests.latestVersion(spark, base)
+    // restart from the checkpoint: committed batches must not re-merge
+    val q2 = start()
+    try {
+      input.addData((1L, "a9")) // fresh update for key 1
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(graft.ext.Manifests.readLatest(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "a9"), (2L, "b2"), (3L, "c")))
+    assert(graft.ext.Manifests.latestVersion(spark, base) ===
+      versionsBefore.map(_ + 1), "exactly one new version after restart")
+  }
+
+  test("cdcApply: replayed batch id no-ops; tag survives only on its own version") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/t"
+    assert(graft.ext.Manifests.cdcApply(
+      Seq((1L, "a")).toDF("id", "s"), base, Seq("id"), 0L) === Some(0))
+    assert(graft.ext.Manifests.latestTag(spark, base) === Some("cdc_batch_0"))
+    // at-least-once replay of the committed batch: tag matches -> no-op
+    assert(graft.ext.Manifests.cdcApply(
+      Seq((1L, "a")).toDF("id", "s"), base, Seq("id"), 0L) === None)
+    assert(graft.ext.Manifests.latestVersion(spark, base) === Some(0))
+    // next batch merges and moves the tag
+    assert(graft.ext.Manifests.cdcApply(
+      Seq((1L, "a2")).toDF("id", "s"), base, Seq("id"), 1L) === Some(1))
+    assert(graft.ext.Manifests.latestTag(spark, base) === Some("cdc_batch_1"))
+    assert(graft.ext.Manifests.tagOf(spark, base, 0) === Some("cdc_batch_0"))
+    // an untagged maintenance commit clears the latest tag view
+    graft.ext.Manifests.compact(spark, base, 1)
+    assert(graft.ext.Manifests.latestTag(spark, base) === None)
+  }
 }

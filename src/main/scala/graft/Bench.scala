@@ -31,6 +31,8 @@ object Bench {
     // forced here so their /tmp I/O never lands inside a timed window
     "delete_roundtrip", "delete_versioned", "merge_versioned",
     "change_feed", // shares delete_versioned's fixture; listed for subset runs
+    "delete_mor", // merge-on-read fixture build (clustered dump + DV write)
+    "change_feed_mor",
     "compact_roundtrip",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
     "skipping_scan") // first run writes the z-clustered copy + stats
@@ -42,6 +44,7 @@ object Bench {
     * makes an analytical regression attributable again. */
   val writeRoundtrips: Set[String] = Set(
     "delete_roundtrip", "delete_versioned", "merge_versioned", "compact_roundtrip",
+    "delete_mor",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
     "ingest_evolve", "fact_roundtrip",
     // these three re-DUMP the staging view in their source format on

@@ -127,6 +127,29 @@ object SparkEntry {
           Seq("unit_price")),
         stagingCols)
     }),
+    // the same delete as a MERGE-ON-READ deletion vector: zero data
+    // files rewritten, the version carries a (file, pos) sidecar and
+    // the read anti-joins it against only the touched files
+    // (ManifestsSpec pins zero-rewrite + accumulation + materialize;
+    // the oracle checks the read equals NOT(pred) exactly, same as the
+    // copy-on-write twin)
+    "delete_mor" -> ((s, d) => {
+      val b = morFixture(s, d)
+      orderedAsc(
+        moneyDouble(ext.Manifests.readLatest(s, b).select(stagingCols.map(col): _*),
+          Seq("unit_price")),
+        stagingCols)
+    }),
+    // change feed across a merge-on-read delete: no data file changed,
+    // so the diff comes entirely from deletion-vector churn — rows are
+    // read from the touched files at the churned positions only
+    "change_feed_mor" -> ((s, d) => {
+      val b = morFixture(s, d)
+      orderedAsc(
+        moneyDouble(ext.Manifests.changesBetween(s, b, 0, 1)
+          .select((stagingCols :+ "_change_type").map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // copy-on-write MERGE through the manifest protocol: dim_customer
     // upserted with relocations + brand-new customers in one atomic
     // version; the oracle replays upsert semantics as
@@ -210,6 +233,23 @@ object SparkEntry {
     b
   }
 
+  /** The merge-on-read twin of [[mandelFixture]]: same clustered v0,
+    * but the NATION_7 delete is a deletion vector — v1 lists the SAME
+    * data files plus a (file, pos) sidecar. Clustering bounds the
+    * vector's file footprint to the one file the key lives in, so
+    * reads and the change feed anti-join/position-read one file. */
+  private def morFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mordel")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(
+        Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
+      ext.Manifests.deleteWhereMor(s, b, col("country") === "NATION_7")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Full-recompute monthly rollup — shared by q_monthly_sales AND the
     * incremental-MV query (the whole point: the incremental path must
     * hash-match the from-scratch answer). */
@@ -242,6 +282,16 @@ object SparkEntry {
     "delete_versioned" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // merge-on-read delete: same logical content as the copy-on-write
+    // twin — the deletion vector is invisible to the oracle
+    "delete_mor" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // DV-churn feed: exactly the pred-TRUE rows, tagged delete
+    "change_feed_mor" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble},
+         | 'delete' AS _change_type FROM cleaned
+         | WHERE country = 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // upsert semantics replayed exactly: updates win on key match,
     // everything else survives, new keys append
     "merge_versioned" ->

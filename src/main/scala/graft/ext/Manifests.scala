@@ -66,17 +66,32 @@ object Manifests {
     * readable via [[latestTag]] — the hook idempotent writers key
     * replay detection on. */
   def commit(spark: SparkSession, base: String, dataFiles: Seq[String],
-      tag: Option[String] = None): Int = {
+      tag: Option[String] = None, dv: Seq[String] = Nil): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     var v = latestVersion(spark, base).map(_ + 1).getOrElse(0)
     while (!Dfs.createExclusive(spark, s"$base/_claims/v$v")) v += 1
     Dfs.mkdirs(spark, s"$base/v$v")
     Dfs.writeBytes(spark, s"$base/v$v/_manifest",
       dataFiles.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
+    if (dv.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_deletes",
+        dv.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
     v
+  }
+
+  /** Deletion-vector sidecar files of version `v` (absolute URIs);
+    * empty when the version carries none. Each sidecar is a tiny
+    * parquet of `(__file, __pos)` rows marking deleted positions in
+    * otherwise-untouched data files (see [[deleteWhereMor]]). */
+  def dvFiles(spark: SparkSession, base: String, v: Int): Seq[String] = {
+    require(Dfs.exists(spark, s"$base/v$v/_SUCCESS"),
+      s"version $v was never committed under $base")
+    if (!Dfs.exists(spark, s"$base/v$v/_deletes")) Seq.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_deletes"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** The committed tag of version `v`, if any. */
@@ -98,8 +113,43 @@ object Manifests {
     commit(spark, base, Dfs.dataFiles(spark, dir).map(_.getPath.toString))
   }
 
+  /** Data rows tagged with their physical address: parquet's hidden
+    * `_metadata` struct gives the file path and the row's position
+    * within it — stable coordinates because data files are immutable.
+    * The anchor every deletion-vector operation joins on. */
+  private def withPos(df: DataFrame): DataFrame =
+    df.select(col("*"), col("_metadata.file_path").as("__file"),
+      col("_metadata.row_index").as("__pos"))
+
+  /** Read `data` with deletion vectors `dvs` applied — file-pruned:
+    * only files a vector actually touches pay the anti-join; every
+    * other file streams through scan-only, exactly as if no delete had
+    * happened. The touched-file list is DV metadata (one collect of
+    * distinct file names, bounded by the delete footprint — the same
+    * scale as the manifest itself). */
+  private def liveRead(spark: SparkSession, data: Seq[String],
+      dvs: Seq[String]): DataFrame = {
+    if (dvs.isEmpty) return spark.read.parquet(data: _*)
+    val dv = spark.read.parquet(dvs: _*)
+    val touched = dv.select("__file").distinct().collect()
+      .map(r => Dfs.canonical(r.getString(0))).toSet
+    val (hit, clean) = data.partition(f => touched.contains(Dfs.canonical(f)))
+    val applied =
+      if (hit.isEmpty) None
+      else Some(withPos(spark.read.parquet(hit: _*))
+        .join(dv, Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos"))
+    val plain = if (clean.isEmpty) None else Some(spark.read.parquet(clean: _*))
+    (applied, plain) match {
+      case (Some(a), Some(p)) => a.unionByName(p)
+      case (Some(a), None) => a
+      case (None, Some(p)) => p
+      case (None, None) => spark.read.parquet(data: _*)
+    }
+  }
+
   def readAt(spark: SparkSession, base: String, v: Int): DataFrame =
-    spark.read.parquet(files(spark, base, v): _*)
+    liveRead(spark, files(spark, base, v), dvFiles(spark, base, v))
 
   def readLatest(spark: SparkSession, base: String): DataFrame =
     readAt(spark, base, latestVersion(spark, base)
@@ -120,12 +170,60 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     val cur = files(spark, base, v)
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.read.parquet(cur: _*)
+    // reads through the version's deletion vectors, so compaction is
+    // also the MATERIALIZE step: the rewritten files carry no deleted
+    // rows and the new version carries no vectors
+    readAt(spark, base, v)
       .repartition(targetFiles)
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val nv = commit(spark, base, rewritten)
     (cur.size, rewritten.size, nv)
+  }
+
+  /** Merge-on-read surgical delete — the O(deleted rows) twin of
+    * [[deleteWhere]]'s O(affected files) copy-on-write: instead of
+    * rewriting every file the predicate touches, write a DELETION
+    * VECTOR — a tiny parquet sidecar of `(file, position)` pairs — and
+    * publish a version whose manifest carries the SAME data files plus
+    * the vector. Zero data bytes move; a reader anti-joins the vector
+    * against only the touched files ([[liveRead]]), untouched files
+    * stream through unchanged. The Delta/Iceberg v2 position-delete
+    * shape, rebuilt on plain parquet via `_metadata.row_index`.
+    *
+    * Contract (matches [[deleteWhere]], pinned by ManifestsSpec):
+    * null predicate rows survive; a predicate matching nothing burns
+    * no version; successive deletes accumulate vectors (each computed
+    * over LIVE rows only, so vectors never overlap); [[compact]]
+    * materializes vectors away; [[vacuum]] reclaims superseded ones.
+    * The write-amplification trade: MoR makes deletes cheap and reads
+    * pay one bounded anti-join until the next compaction — the right
+    * side of the trade when deletes are frequent and small (CDC,
+    * right-to-be-forgotten) on a 100 TB table. Returns
+    * (rows deleted, new version). */
+  def deleteWhereMor(spark: SparkSession, base: String,
+      pred: Column): (Long, Int) = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val cur = files(spark, base, v)
+    val prevDvs = dvFiles(spark, base, v)
+    val raw = withPos(spark.read.parquet(cur: _*))
+    val live =
+      if (prevDvs.isEmpty) raw
+      else raw.join(spark.read.parquet(prevDvs: _*),
+        Seq("__file", "__pos"), "left_anti")
+    val dir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
+    // null predicate values SURVIVE (same contract as deleteWhere)
+    live.filter(coalesce(pred, lit(false)))
+      .select(col("__file"), col("__pos"))
+      .write.mode("errorifexists").parquet(dir)
+    val written = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    val deleted = spark.read.parquet(dir).count() // footer row counts only
+    if (deleted == 0L) {
+      Dfs.delete(spark, dir, recursive = true)
+      return (0L, v)
+    }
+    (deleted, commit(spark, base, cur, None, prevDvs ++ written))
   }
 
   /** GC — the companion every log-based format ships: [[deleteWhere]]
@@ -152,11 +250,15 @@ object Manifests {
       }).sorted
     if (committed.isEmpty) return (Seq.empty, 0)
     val floor = committed.takeRight(keepLast).head
+    // deletion-vector sidecars are reference-counted exactly like data
+    // files: a vector superseded by compaction dies with its versions,
+    // one still referenced by a retained manifest survives
+    def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v)
     val keepFiles = committed.filter(_ >= floor)
-      .flatMap(v => files(spark, base, v)).map(Dfs.canonical).toSet
+      .flatMap(refs).map(Dfs.canonical).toSet
     val droppedCommitted = committed.filter(_ < floor)
     val dropFiles = droppedCommitted
-      .flatMap(v => files(spark, base, v)).map(Dfs.canonical).toSet
+      .flatMap(refs).map(Dfs.canonical).toSet
       .diff(keepFiles)
     dropFiles.foreach(f => Dfs.delete(spark, f))
     // version dirs below the floor — committed (expired) or marker-less
@@ -200,6 +302,10 @@ object Manifests {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base"))
+    require(dvFiles(spark, base, v).isEmpty,
+      s"version $v carries deletion vectors — compact($base) first to " +
+        "materialize them; merge's file arithmetic assumes every row " +
+        "in a data file is live")
     val cur = files(spark, base, v).map(Dfs.canonical)
     val dupKeys = updates.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()
@@ -278,7 +384,8 @@ object Manifests {
   def appendBatch(batch: DataFrame, base: String, batchId: Long): Option[Int] = {
     val spark = batch.sparkSession
     val tag = s"data_batch_$batchId"
-    val replayed = latestVersion(spark, base).exists(v =>
+    val prev = latestVersion(spark, base)
+    val replayed = prev.exists(v =>
       files(spark, base, v).exists(_.contains(s"/$tag/")))
     if (replayed) return None
     // an empty micro-batch still writes a zero-row part file — skip it
@@ -288,8 +395,11 @@ object Manifests {
     batch.write.mode("overwrite").parquet(dir)
     val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     if (newFiles.isEmpty) return None
-    val cur = latestVersion(spark, base).map(files(spark, base, _)).getOrElse(Seq.empty)
-    Some(commit(spark, base, cur ++ newFiles))
+    val cur = prev.map(files(spark, base, _)).getOrElse(Seq.empty)
+    // deletion vectors stay valid across an append (they address
+    // existing files only) — carry them by reference like the data
+    Some(commit(spark, base, cur ++ newFiles, None,
+      prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty)))
   }
 
   /** Change feed between two committed versions, tagged
@@ -306,15 +416,50 @@ object Manifests {
       from: Int, to: Int): DataFrame = {
     val fa = files(spark, base, from).map(Dfs.canonical)
     val fb = files(spark, base, to).map(Dfs.canonical)
+    val dvA = dvFiles(spark, base, from)
+    val dvB = dvFiles(spark, base, to)
     val onlyA = fa.filterNot(fb.toSet)
     val onlyB = fb.filterNot(fa.toSet)
-    def read(fs: Seq[String]) =
-      if (fs.isEmpty) readAt(spark, base, from).limit(0)
-      else spark.read.parquet(fs: _*)
-    read(onlyB).exceptAll(read(onlyA))
+    val shared = fa.toSet.intersect(fb.toSet)
+    val schema = spark.read.parquet(fa.head).schema // one footer read
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // each side's unique files read under ITS version's vectors, so a
+    // rewritten file contributes live rows only
+    def side(fs: Seq[String], dvs: Seq[String]) =
+      if (fs.isEmpty) empty else liveRead(spark, fs, dvs)
+    val fileInserts = side(onlyB, dvB).exceptAll(side(onlyA, dvA))
+    val fileDeletes = side(onlyA, dvA).exceptAll(side(onlyB, dvB))
+    // deletion-vector churn on files BOTH versions carry: a position
+    // newly covered in `to` is a delete, a released one a re-insert —
+    // resolved by reading ONLY the churned files at the churned
+    // positions (a merge-on-read delete changes no data file, so the
+    // file diff above cannot see it)
+    def dvOf(dvs: Seq[String]) =
+      if (dvs.isEmpty)
+        spark.range(0).select(col("id").cast("string").as("__file"),
+          col("id").as("__pos"))
+      else spark.read.parquet(dvs: _*)
+    val (dvDeletes, dvInserts) =
+      if (dvA.isEmpty && dvB.isEmpty) (empty, empty)
+      else {
+        val a = dvOf(dvA)
+        val b = dvOf(dvB)
+        def rowsAt(pos: DataFrame) = {
+          val touched = pos.select("__file").distinct().collect()
+            .map(_.getString(0)).map(Dfs.canonical).distinct
+            .filter(shared.contains)
+          if (touched.isEmpty) empty
+          else withPos(spark.read.parquet(touched: _*))
+            .join(pos, Seq("__file", "__pos"), "left_semi")
+            .drop("__file", "__pos")
+        }
+        (rowsAt(b.exceptAll(a)), rowsAt(a.exceptAll(b)))
+      }
+    fileInserts.unionByName(dvInserts)
       .withColumn("_change_type", lit("insert"))
       .unionByName(
-        read(onlyA).exceptAll(read(onlyB))
+        fileDeletes.unionByName(dvDeletes)
           .withColumn("_change_type", lit("delete")))
   }
 
@@ -329,6 +474,9 @@ object Manifests {
       pred: Column): (Int, Int, Int) = {
     val v = latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base"))
+    require(dvFiles(spark, base, v).isEmpty,
+      s"version $v carries deletion vectors — compact($base) first to " +
+        "materialize them, or keep using deleteWhereMor")
     val cur = files(spark, base, v).map(Dfs.canonical)
     val affected = spark.read.parquet(cur: _*)
       .filter(pred)

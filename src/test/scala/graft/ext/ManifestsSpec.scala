@@ -200,6 +200,115 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.changesBetween(spark, b, 2, 2).count() === 0)
   }
 
+  test("deleteWhereMor: zero files rewritten, vector applied on read, history intact, vectors accumulate disjointly") {
+    import spark.implicits._
+    val b = base("graft_man_mor")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    val before = Manifests.files(spark, b, 0)
+    val (n1, v1) = Manifests.deleteWhereMor(spark, b, col("k") === 3)
+    assert(n1 === 20 && v1 === 1)
+    // the whole point: the data files are IDENTICAL — only a sidecar landed
+    assert(Manifests.files(spark, b, 1) === before,
+      "merge-on-read must rewrite zero data files")
+    assert(Manifests.dvFiles(spark, b, 1).nonEmpty)
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 180 && now.filter(col("k") === 3).count() === 0)
+    assert(Manifests.readAt(spark, b, 0).count() === 200, "history intact")
+    // second delete: vectors accumulate; overlap-free because the new
+    // vector is computed over live rows only
+    val (n2, v2) = Manifests.deleteWhereMor(spark, b, col("k") < 2)
+    assert(n2 === 40 && v2 === 2)
+    assert(Manifests.files(spark, b, 2) === before)
+    assert(Manifests.dvFiles(spark, b, 2).size > Manifests.dvFiles(spark, b, 1).size)
+    assert(Manifests.readLatest(spark, b).count() === 140)
+    // a delete of already-deleted rows matches nothing live
+    val (n3, v3) = Manifests.deleteWhereMor(spark, b, col("k") === 3)
+    assert(n3 === 0 && v3 === 2, "dead rows must not re-delete or burn a version")
+  }
+
+  test("deleteWhereMor: null predicate rows survive; compact materializes vectors away") {
+    import spark.implicits._
+    val b = base("graft_man_mor_null")
+    Manifests.commitData(
+      Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, "a"))
+        .toDF("k", "s"), b)
+    val (n, _) = Manifests.deleteWhereMor(spark, b, col("k") === 1L)
+    assert(n === 1)
+    val left = Manifests.readLatest(spark, b).collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("null")).sorted
+    assert(left.toSeq === Seq("3", "null"), "null key must survive a MoR delete")
+    // compact reads THROUGH the vector and publishes a vector-free version
+    val (_, _, cv) = Manifests.compact(spark, b, 1)
+    assert(Manifests.dvFiles(spark, b, cv).isEmpty,
+      "compaction must materialize deletion vectors")
+    assert(Manifests.readLatest(spark, b).count() === 2)
+  }
+
+  test("vectored version: merge and copy-on-write delete refuse; append carries vectors; vacuum reclaims superseded ones") {
+    import spark.implicits._
+    val b = base("graft_man_mor_ops")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i % 10, s"s$i")).toDF("id", "k", "s")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.deleteWhereMor(spark, b, col("k") === 3) // v1
+    // file-arithmetic ops assume every row in a file is live — refuse
+    intercept[IllegalArgumentException](Manifests.merge(spark, b,
+      Seq((5L, 99, "x")).toDF("id", "k", "s"), Seq("id")))
+    intercept[IllegalArgumentException](
+      Manifests.deleteWhere(spark, b, col("k") === 4))
+    // append: new files land, existing vector carried by reference
+    Manifests.appendBatch(
+      (1001 to 1010).map(i => (i.toLong, 99, s"s$i")).toDF("id", "k", "s"),
+      b, 0L) // v2
+    assert(Manifests.dvFiles(spark, b, 2) === Manifests.dvFiles(spark, b, 1))
+    val r = Manifests.readLatest(spark, b)
+    assert(r.count() === 100 && r.filter(col("k") === 3).count() === 0)
+    // compact (v3) supersedes the vector; vacuum to latest reclaims it
+    Manifests.compact(spark, b, 2)
+    val dvPaths = Manifests.dvFiles(spark, b, 2)
+    val (_, _) = Manifests.vacuum(spark, b, keepLast = 1)
+    assert(dvPaths.forall(p => !Dfs.exists(spark, p)),
+      "superseded deletion vectors must be reclaimed")
+    assert(Manifests.readLatest(spark, b).count() === 100)
+  }
+
+  test("changesBetween across a MoR delete: feed comes from vector churn, reads only touched files") {
+    import spark.implicits._
+    val b = base("graft_man_mor_cdf")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10, s"s$i")).toDF("id", "k", "s")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.deleteWhereMor(spark, b, col("k") === 3) // v1
+    val d01 = Manifests.changesBetween(spark, b, 0, 1)
+    assert(d01.filter(col("_change_type") === "insert").count() === 0)
+    val dels = d01.filter(col("_change_type") === "delete")
+    assert(dels.count() === 20 && dels.filter(col("k") === 3).count() === 20)
+    // pruning: no data file changed, so the only DATA read is the
+    // file(s) the vector touches — clean files never appear in the scan
+    val touched = spark.read
+      .parquet(Manifests.files(spark, b, 0): _*)
+      .filter(col("k") === 3)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => Dfs.canonical(r.getString(0))).toSet
+    val scanned = Manifests.changesBetween(spark, b, 0, 1)
+      .inputFiles.map(Dfs.canonical).toSet
+    val dataScanned = scanned.intersect(
+      Manifests.files(spark, b, 0).map(Dfs.canonical).toSet)
+    assert(dataScanned.nonEmpty && dataScanned.subsetOf(touched),
+      s"vector-churn feed must read only vector-touched files ($dataScanned)")
+    // across delete THEN append: feed shows both churn kinds
+    Manifests.appendBatch(
+      Seq((5000L, 99, "new")).toDF("id", "k", "s"), b, 0L) // v2
+    val d12 = Manifests.changesBetween(spark, b, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(d12 === Set((5000L, "insert")))
+    val d02 = Manifests.changesBetween(spark, b, 0, 2)
+    assert(d02.filter(col("_change_type") === "delete").count() === 20)
+    assert(d02.filter(col("_change_type") === "insert").count() === 1)
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

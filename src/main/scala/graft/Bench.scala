@@ -33,6 +33,7 @@ object Bench {
     "change_feed", // shares delete_versioned's fixture; listed for subset runs
     "delete_mor", // merge-on-read fixture build (clustered dump + DV write)
     "change_feed_mor",
+    "evolve_manifest", // one-time two-batch evolved table build
     "compact_roundtrip",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
     "skipping_scan") // first run writes the z-clustered copy + stats

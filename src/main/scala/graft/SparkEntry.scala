@@ -199,6 +199,30 @@ object SparkEntry {
         moneyDouble(s.read.parquet(comp).select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // schema evolution through the MANIFEST: the append records the
+    // union schema in the version metadata, so the read null-fills old
+    // files from ONE manifest-level schema — no mergeSchema footer
+    // sweep over 100k files (same logical result as ingest_evolve, a
+    // different — and at scale the only tenable — mechanism)
+    "evolve_manifest" -> ((s, d) => {
+      val b = dumpDir(s, d, "manevolve")
+      val marker = s"${b}_done"
+      if (!ext.Dfs.exists(s, marker)) {
+        val st = Warehouse(s, d).staging
+        val codeNum = expr("try_cast(stock_code AS int)")
+        val even = coalesce(codeNum % 2 === 0,
+          length(col("stock_code")) % 2 === 0)
+        ext.Manifests.commitData(st.filter(even).drop("country"), b)
+        ext.Manifests.appendBatch(
+          st.filter(!even).withColumn("channel",
+            concat(lit("web-"), (codeNum % 3).cast("string"))), b, 0L)
+        ext.Dfs.touch(s, marker)
+      }
+      orderedAsc(
+        moneyDouble(ext.Manifests.readLatest(s, b)
+          .select((stagingCols :+ "channel").map(col): _*), Seq("unit_price")),
+        stagingCols :+ "channel")
+    }),
     // S5-extension: schema evolution across parquet batches (mergeSchema)
     "ingest_evolve" -> ((s, d) => {
       val merged = Ingest.evolvedRoundtrip(s, d, dumpDir(s, d, "evolve"))
@@ -324,6 +348,8 @@ object SparkEntry {
          | FROM fact_sales WHERE $mvBatch0Pred
          | GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
     "ingest_evolve" -> Ingest.evolvedOracleSql(orderBySql(stagingCols :+ "channel")),
+    // same logical evolution, manifest-schema mechanism
+    "evolve_manifest" -> Ingest.evolvedOracleSql(orderBySql(stagingCols :+ "channel")),
     "staging" ->
       s"${Oracle.stagingCte} SELECT ${Oracle.stagingSelectDouble} FROM staging ORDER BY ${orderBySql(stagingCols)}",
     "ingest_csv" ->

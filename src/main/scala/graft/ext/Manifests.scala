@@ -66,7 +66,8 @@ object Manifests {
     * readable via [[latestTag]] — the hook idempotent writers key
     * replay detection on. */
   def commit(spark: SparkSession, base: String, dataFiles: Seq[String],
-      tag: Option[String] = None, dv: Seq[String] = Nil): Int = {
+      tag: Option[String] = None, dv: Seq[String] = Nil,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     var v = latestVersion(spark, base).map(_ + 1).getOrElse(0)
     while (!Dfs.createExclusive(spark, s"$base/_claims/v$v")) v += 1
@@ -76,10 +77,40 @@ object Manifests {
     if (dv.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_deletes",
         dv.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
+    schema.foreach(s =>
+      Dfs.writeBytes(spark, s"$base/v$v/_schema", s.json.getBytes("UTF-8")))
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
     v
+  }
+
+  /** The table schema version `v` was committed with, if recorded.
+    * Schema lives in the MANIFEST, not the files — a reader never
+    * sweeps 100k parquet footers (`mergeSchema`) to learn that one
+    * append added a column; old files null-fill missing columns via
+    * the explicit reader schema, per parquet's own contract. */
+  def schemaOf(spark: SparkSession, base: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    if (!Dfs.exists(spark, s"$base/v$v/_schema")) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(Dfs.readBytes(spark, s"$base/v$v/_schema"), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Additive schema evolution: new columns append, existing columns
+    * must keep their type (a silent INT→STRING rewrite would corrupt
+    * every reader — refuse, like Delta without overwriteSchema). */
+  private[ext] def evolveSchema(
+      old: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = old.fields.map(f => f.name -> f).toMap
+    add.fields.foreach(f => byName.get(f.name).foreach(o =>
+      require(o.dataType == f.dataType,
+        s"column ${f.name}: incompatible type evolution " +
+          s"${o.dataType.simpleString} -> ${f.dataType.simpleString}")))
+    org.apache.spark.sql.types.StructType(
+      old.fields ++ add.fields.filterNot(f => byName.contains(f.name)))
   }
 
   /** Deletion-vector sidecar files of version `v` (absolute URIs);
@@ -110,7 +141,8 @@ object Manifests {
     val spark = df.sparkSession
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(dir)
-    commit(spark, base, Dfs.dataFiles(spark, dir).map(_.getPath.toString))
+    commit(spark, base, Dfs.dataFiles(spark, dir).map(_.getPath.toString),
+      schema = Some(df.schema))
   }
 
   /** Data rows tagged with their physical address: parquet's hidden
@@ -128,28 +160,33 @@ object Manifests {
     * distinct file names, bounded by the delete footprint — the same
     * scale as the manifest itself). */
   private def liveRead(spark: SparkSession, data: Seq[String],
-      dvs: Seq[String]): DataFrame = {
-    if (dvs.isEmpty) return spark.read.parquet(data: _*)
+      dvs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def rd(fs: Seq[String]) =
+      schema.fold(spark.read)(spark.read.schema(_)).parquet(fs: _*)
+    if (dvs.isEmpty) return rd(data)
     val dv = spark.read.parquet(dvs: _*)
     val touched = dv.select("__file").distinct().collect()
       .map(r => Dfs.canonical(r.getString(0))).toSet
     val (hit, clean) = data.partition(f => touched.contains(Dfs.canonical(f)))
     val applied =
       if (hit.isEmpty) None
-      else Some(withPos(spark.read.parquet(hit: _*))
+      else Some(withPos(rd(hit))
         .join(dv, Seq("__file", "__pos"), "left_anti")
         .drop("__file", "__pos"))
-    val plain = if (clean.isEmpty) None else Some(spark.read.parquet(clean: _*))
+    val plain = if (clean.isEmpty) None else Some(rd(clean))
     (applied, plain) match {
       case (Some(a), Some(p)) => a.unionByName(p)
       case (Some(a), None) => a
       case (None, Some(p)) => p
-      case (None, None) => spark.read.parquet(data: _*)
+      case (None, None) => rd(data)
     }
   }
 
   def readAt(spark: SparkSession, base: String, v: Int): DataFrame =
-    liveRead(spark, files(spark, base, v), dvFiles(spark, base, v))
+    liveRead(spark, files(spark, base, v), dvFiles(spark, base, v),
+      schemaOf(spark, base, v))
 
   def readLatest(spark: SparkSession, base: String): DataFrame =
     readAt(spark, base, latestVersion(spark, base)
@@ -173,11 +210,11 @@ object Manifests {
     // reads through the version's deletion vectors, so compaction is
     // also the MATERIALIZE step: the rewritten files carry no deleted
     // rows and the new version carries no vectors
-    readAt(spark, base, v)
-      .repartition(targetFiles)
+    val live = readAt(spark, base, v)
+    live.repartition(targetFiles)
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    val nv = commit(spark, base, rewritten)
+    val nv = commit(spark, base, rewritten, schema = Some(live.schema))
     (cur.size, rewritten.size, nv)
   }
 
@@ -207,7 +244,8 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     val cur = files(spark, base, v)
     val prevDvs = dvFiles(spark, base, v)
-    val raw = withPos(spark.read.parquet(cur: _*))
+    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
+    val raw = withPos(rd.parquet(cur: _*))
     val live =
       if (prevDvs.isEmpty) raw
       else raw.join(spark.read.parquet(prevDvs: _*),
@@ -313,17 +351,18 @@ object Manifests {
       s"updates carry duplicate keys on (${keyCols.mkString(", ")}) — " +
         "the merge result would depend on source row order")
     val keys = updates.select(keyCols.map(col): _*)
+    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
     // input_file_name() is pinned to the target scan by projecting it
     // BELOW the join — the update batch is often itself a file source
     // (Spark refuses the expression when two sources could answer it)
-    val affected = spark.read.parquet(cur: _*)
+    val affected = rd.parquet(cur: _*)
       .select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
       .join(keys, keyCols, "left_semi")
       .select(col("__file"))
       .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
     val survivors =
       if (affected.isEmpty) updates
-      else spark.read.parquet(affected.toSeq: _*)
+      else rd.parquet(affected.toSeq: _*)
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -332,7 +371,8 @@ object Manifests {
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val untouched = cur.filterNot(affected.contains)
-    val nv = commit(spark, base, untouched ++ rewritten, tag)
+    val nv = commit(spark, base, untouched ++ rewritten, tag,
+      schema = schemaOf(spark, base, v))
     (affected.size, updates.count(), nv)
   }
 
@@ -358,7 +398,8 @@ object Manifests {
         val dir = s"$base/data_batch_$batchId"
         batch.write.mode("overwrite").parquet(dir)
         Some(commit(spark, base,
-          Dfs.dataFiles(spark, dir).map(_.getPath.toString), Some(tag)))
+          Dfs.dataFiles(spark, dir).map(_.getPath.toString), Some(tag),
+          schema = Some(batch.schema)))
       case Some(_) =>
         val (_, _, nv) = merge(spark, base, batch, keyCols, Some(tag))
         Some(nv)
@@ -388,6 +429,14 @@ object Manifests {
     val replayed = prev.exists(v =>
       files(spark, base, v).exists(_.contains(s"/$tag/")))
     if (replayed) return None
+    // additive schema evolution: a batch may bring new columns; the
+    // union schema is recorded in the manifest so readers null-fill
+    // the old files without a footer sweep. Resolved (and possibly
+    // REFUSED, on a type conflict) before any bytes land.
+    val tableSchema = prev.flatMap(schemaOf(spark, base, _)) match {
+      case None => batch.schema
+      case Some(old) => evolveSchema(old, batch.schema)
+    }
     // an empty micro-batch still writes a zero-row part file — skip it
     // BEFORE writing so no version (or directory) is burned
     if (batch.isEmpty) return None
@@ -399,7 +448,8 @@ object Manifests {
     // deletion vectors stay valid across an append (they address
     // existing files only) — carry them by reference like the data
     Some(commit(spark, base, cur ++ newFiles, None,
-      prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty)))
+      prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty),
+      Some(tableSchema)))
   }
 
   /** Change feed between two committed versions, tagged
@@ -421,13 +471,20 @@ object Manifests {
     val onlyA = fa.filterNot(fb.toSet)
     val onlyB = fb.filterNot(fa.toSet)
     val shared = fa.toSet.intersect(fb.toSet)
-    val schema = spark.read.parquet(fa.head).schema // one footer read
+    // both sides read under the UNION schema so an evolution commit
+    // diffs cleanly: an old row's null-filled image on one side equals
+    // its null-filled image on the other
+    val schema = (schemaOf(spark, base, from), schemaOf(spark, base, to)) match {
+      case (Some(a), Some(b)) => evolveSchema(a, b)
+      case (a, b) => a.orElse(b)
+        .getOrElse(spark.read.parquet(fa.head).schema) // one footer read
+    }
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // each side's unique files read under ITS version's vectors, so a
     // rewritten file contributes live rows only
     def side(fs: Seq[String], dvs: Seq[String]) =
-      if (fs.isEmpty) empty else liveRead(spark, fs, dvs)
+      if (fs.isEmpty) empty else liveRead(spark, fs, dvs, Some(schema))
     val fileInserts = side(onlyB, dvB).exceptAll(side(onlyA, dvA))
     val fileDeletes = side(onlyA, dvA).exceptAll(side(onlyB, dvB))
     // deletion-vector churn on files BOTH versions carry: a position
@@ -450,7 +507,7 @@ object Manifests {
             .map(_.getString(0)).map(Dfs.canonical).distinct
             .filter(shared.contains)
           if (touched.isEmpty) empty
-          else withPos(spark.read.parquet(touched: _*))
+          else withPos(spark.read.schema(schema).parquet(touched: _*))
             .join(pos, Seq("__file", "__pos"), "left_semi")
             .drop("__file", "__pos")
         }
@@ -478,7 +535,8 @@ object Manifests {
       s"version $v carries deletion vectors — compact($base) first to " +
         "materialize them, or keep using deleteWhereMor")
     val cur = files(spark, base, v).map(Dfs.canonical)
-    val affected = spark.read.parquet(cur: _*)
+    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
+    val affected = rd.parquet(cur: _*)
       .filter(pred)
       .select(input_file_name().as("f"))
       .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
@@ -486,13 +544,14 @@ object Manifests {
     // null predicate values SURVIVE (same contract as Deletes)
     val survivorPred = !coalesce(pred, lit(false))
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.read.parquet(affected.toSeq: _*)
+    rd.parquet(affected.toSeq: _*)
       .filter(survivorPred)
       .repartition(math.max(1, affected.size))
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val untouched = cur.filterNot(affected.contains)
-    val nv = commit(spark, base, untouched ++ rewritten)
+    val nv = commit(spark, base, untouched ++ rewritten,
+      schema = schemaOf(spark, base, v))
     (affected.size, cur.size, nv)
   }
 }

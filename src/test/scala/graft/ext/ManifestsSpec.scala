@@ -309,6 +309,57 @@ class ManifestsSpec extends AnyFunSuite {
     assert(d02.filter(col("_change_type") === "insert").count() === 1)
   }
 
+  test("schema evolution: appended column recorded in manifest, old files null-fill, time travel keeps old schema") {
+    import spark.implicits._
+    val b = base("graft_man_evo")
+    Manifests.commitData(
+      (1 to 50).map(i => (i.toLong, s"s$i")).toDF("id", "s"), b)
+    Manifests.appendBatch(
+      (51 to 60).map(i => (i.toLong, s"s$i", i * 10)).toDF("id", "s", "extra"),
+      b, 0L) // v1 evolves
+    val now = Manifests.readLatest(spark, b)
+    assert(now.columns.toSeq === Seq("id", "s", "extra"))
+    assert(now.count() === 60)
+    assert(now.filter(col("extra").isNull).count() === 50,
+      "pre-evolution rows must null-fill the new column")
+    assert(now.filter(col("extra") === 550).count() === 1)
+    // time travel: v0 reads with ITS schema — the column doesn't exist yet
+    assert(Manifests.readAt(spark, b, 0).columns.toSeq === Seq("id", "s"))
+    // incompatible type change refuses
+    intercept[IllegalArgumentException](Manifests.appendBatch(
+      Seq(("oops", "x", 1)).toDF("id", "s", "extra"), b, 1L))
+    // a batch MISSING a column also null-fills (additive union keeps it)
+    Manifests.appendBatch(Seq((100L, 5)).toDF("id", "extra"), b, 2L)
+    val all = Manifests.readLatest(spark, b)
+    assert(all.columns.toSeq === Seq("id", "s", "extra"))
+    assert(all.filter(col("id") === 100L && col("s").isNull).count() === 1)
+  }
+
+  test("schema evolution composes with deletion vectors and the change feed") {
+    import spark.implicits._
+    val b = base("graft_man_evo_dv")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.deleteWhereMor(spark, b, col("k") === 3) // v1: vector
+    Manifests.appendBatch(
+      Seq((1000L, 99, "tagged")).toDF("id", "k", "note"), b, 0L) // v2: evolves
+    val now = Manifests.readLatest(spark, b)
+    assert(now.columns.toSeq === Seq("id", "k", "note"))
+    assert(now.count() === 91, "vector still applied under the evolved schema")
+    assert(now.filter(col("k") === 3).count() === 0)
+    // MoR delete on the evolved table, predicate on the NEW column:
+    // old files null-fill note -> predicate null -> rows survive
+    val (n, _) = Manifests.deleteWhereMor(spark, b, col("note") === "tagged")
+    assert(n === 1)
+    assert(Manifests.readLatest(spark, b).count() === 90)
+    // feed across the evolution commit carries the union schema
+    val d12 = Manifests.changesBetween(spark, b, 1, 2)
+    assert(d12.columns.contains("note"))
+    assert(d12.collect().map(r => (r.getLong(0), r.getString(3))).toSet ===
+      Set((1000L, "insert")))
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

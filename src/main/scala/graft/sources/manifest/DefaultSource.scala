@@ -1,0 +1,121 @@
+package graft.sources.manifest
+
+import graft.ext.{Dfs, Manifests}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[graft.ext.Manifests]] table —
+  * the read twin of the exactly-once sinks: `manifestSink`/`cdcSink`
+  * stream INTO a manifest table, this streams OUT of one, so a bronze
+  * table written by one query feeds a silver query downstream with no
+  * re-listing of the data directory (the medallion relay). Offsets ARE
+  * manifest versions: micro-batch (a, b] reads exactly the data files
+  * version b lists that version a did not — manifest set arithmetic,
+  * no directory scans, no modification-time races, and replay-exact
+  * after restart because manifests and data files are immutable.
+  *
+  * Usage: `spark.readStream.format("graft.sources.manifest")
+  * .option("path", base).load()`. Options:
+  *  - `startingVersion`: absent → the first batch is a full snapshot
+  *    of the latest version (read MoR-aware through its deletion
+  *    vectors), then increments; an integer v → start diffing from
+  *    committed version v; `latest` → appends only, no backfill.
+  *  - `allowNonAppend`: a version that REMOVED files (compaction,
+  *    copy-on-write delete) or changed deletion vectors is refused by
+  *    default — a streaming read of appends cannot represent a
+  *    retraction. `true` reads just the added files of such a version
+  *    (rewritten rows re-emit, removed rows stay — Delta's
+  *    ignoreChanges trade, caller dedups downstream).
+  *
+  * The schema is pinned at query start (the recorded manifest schema):
+  * batches read under it, so files from before a column was added
+  * null-fill, and columns added after the query started surface on
+  * restart — Structured Streaming's own schema contract. */
+class DefaultSource extends StreamSourceProvider {
+
+  private def basePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("graft.sources.manifest requires .option(\"path\", <table base>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val base = basePath(parameters)
+    val v = Manifests.latestVersion(spark, base).getOrElse(
+      sys.error(s"no committed version under $base — commit before streaming"))
+    val s = schema.orElse(Manifests.schemaOf(spark, base, v)).getOrElse(
+      spark.read.parquet(Manifests.files(spark, base, v).head).schema)
+    ("graft-manifest", s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ManifestSource(sqlContext, basePath(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters)
+}
+
+/** Offset = committed manifest version. `json` is the wire format the
+  * engine checkpoints; a restart hands it back as a SerializedOffset,
+  * so version recovery is `json.toInt` on whichever Offset arrives. */
+private[manifest] case class VersionOffset(v: Int) extends OffsetV1 {
+  override def json: String = v.toString
+}
+
+private[manifest] class ManifestSource(sqlContext: SQLContext,
+    base: String, override val schema: StructType,
+    parameters: Map[String, String]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val allowNonAppend =
+    parameters.get("allowNonAppend").exists(_.toBoolean)
+  // None → full snapshot first; Some(v) → diff from version v
+  private val startingVersion: Option[Int] =
+    parameters.get("startingVersion").map {
+      case "latest" => Manifests.latestVersion(spark, base).getOrElse(
+        sys.error(s"no committed version under $base"))
+      case n => n.toInt
+    }
+
+  private def ver(o: OffsetV1): Int = o.json.toInt
+
+  override def getOffset: Option[OffsetV1] =
+    Manifests.latestVersion(spark, base).map(VersionOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = ver(end)
+    val df = (start.map(ver).orElse(startingVersion)) match {
+      case None =>
+        // initial backfill: the whole table as of `to`, vectors applied
+        Manifests.readAt(spark, base, to)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case Some(from) if from >= to => emptyBatch
+      case Some(from) =>
+        val fa = Manifests.files(spark, base, from).map(Dfs.canonical)
+        val fb = Manifests.files(spark, base, to).map(Dfs.canonical)
+        val removed = fa.filterNot(fb.toSet)
+        val dvChanged = Manifests.dvFiles(spark, base, from).map(Dfs.canonical) !=
+          Manifests.dvFiles(spark, base, to).map(Dfs.canonical)
+        if ((removed.nonEmpty || dvChanged) && !allowNonAppend)
+          sys.error(s"versions ($from, $to] of $base are not append-only " +
+            s"(${removed.size} files removed, vectors changed: $dvChanged); " +
+            "a streaming read emits appends — restart from a snapshot, or " +
+            "set allowNonAppend=true to re-emit rewritten files")
+        val added = fb.filterNot(fa.toSet)
+        if (added.isEmpty) emptyBatch
+        else spark.read.schema(schema).parquet(added: _*)
+    }
+    // MicroBatchExecution asserts getBatch returns isStreaming=true
+    org.apache.spark.sql.graft.StreamShim.asStreaming(spark, df)
+  }
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}

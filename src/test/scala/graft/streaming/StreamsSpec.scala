@@ -605,6 +605,132 @@ class StreamsSpec extends AnyFunSuite {
       versionsBefore.map(_ + 1), "exactly one new version after restart")
   }
 
+  test("manifest source: snapshot then appends, restart resumes from checkpointed version") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mansrc").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    graft.ext.Manifests.commitData(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), base)
+    val got = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    def start() = spark.readStream.format("graft.sources.manifest")
+      .option("path", base).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+        }: Unit
+      }
+      .start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // batch 0: full snapshot
+      assert(got.sorted.toSeq === Seq((1L, "a"), (2L, "b")))
+      graft.ext.Manifests.appendBatch(
+        Seq((3L, "c")).toDF("id", "s"), base, 0L)
+      q1.processAllAvailable() // batch 1: only the appended file
+      assert(got.sorted.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q1.stop()
+    // offline appends, then restart from the checkpoint: no re-emission
+    graft.ext.Manifests.appendBatch(Seq((4L, "d")).toDF("id", "s"), base, 1L)
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.sorted.toSeq === Seq((4L, "d")),
+        "restart must emit only versions after the checkpointed offset")
+    } finally q2.stop()
+  }
+
+  test("manifest source: non-append version fails the stream; allowNonAppend reads past it; startingVersion=latest skips backfill") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mansrc_na").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    graft.ext.Manifests.commitData(
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("id", "k"), base)
+    val n = new java.util.concurrent.atomic.AtomicLong(0)
+    def start(opts: Map[String, String] = Map.empty) = {
+      val r = spark.readStream.format("graft.sources.manifest")
+        .option("path", base)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load().writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          n.addAndGet(b.count()): Unit
+        }
+        .start()
+    }
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(n.get() === 20)
+    // a merge-on-read delete is not an append — the stream must refuse
+    graft.ext.Manifests.deleteWhereMor(spark, base, col("k") === 0)
+    val q2 = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("not append-only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not append-only")))
+    q2.stop()
+    // opting in reads past the delete (nothing added), then appends flow
+    val q3 = start(Map("allowNonAppend" -> "true"))
+    try {
+      q3.processAllAvailable()
+      assert(n.get() === 20)
+      graft.ext.Manifests.appendBatch(Seq((100L, 7)).toDF("id", "k"), base, 0L)
+      q3.processAllAvailable()
+      assert(n.get() === 21)
+    } finally q3.stop()
+    // a fresh query from `latest` sees only what comes after it starts
+    val m = new java.util.concurrent.atomic.AtomicLong(0)
+    val q4 = spark.readStream.format("graft.sources.manifest")
+      .option("path", base).option("startingVersion", "latest").load()
+      .writeStream.option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        m.addAndGet(b.count()): Unit
+      }
+      .start()
+    try {
+      q4.processAllAvailable()
+      assert(m.get() === 0, "latest must skip the backfill")
+      graft.ext.Manifests.appendBatch(Seq((200L, 8)).toDF("id", "k"), base, 1L)
+      q4.processAllAvailable()
+      assert(m.get() === 1)
+    } finally q4.stop()
+  }
+
+  test("medallion relay: manifest source through a transform into a manifest sink, exactly-once across restart") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_medal").toString
+    val (bronze, silver, ckpt) = (s"$root/bronze", s"$root/silver", s"$root/ckpt")
+    graft.ext.Manifests.commitData(
+      (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), bronze)
+    def relay() = Streams.manifestSink(
+      spark.readStream.format("graft.sources.manifest")
+        .option("path", bronze).load()
+        .filter(col("id") % 2 === 0)
+        .withColumn("v2", col("v") * 2),
+      silver, ckpt)
+    val q1 = relay()
+    try {
+      q1.processAllAvailable()
+      graft.ext.Manifests.appendBatch(
+        Seq((11L, 11.0), (12L, 12.0)).toDF("id", "v"), bronze, 0L)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart; nothing new -> silver must not grow or burn versions
+    val vBefore = graft.ext.Manifests.latestVersion(spark, silver)
+    val q2 = relay()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(graft.ext.Manifests.latestVersion(spark, silver) === vBefore,
+      "an idle restart must not re-append")
+    val out = graft.ext.Manifests.readLatest(spark, silver)
+    assert(out.columns.toSeq === Seq("id", "v", "v2"))
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq ===
+      Seq((2L, 4.0), (4L, 8.0), (6L, 12.0), (8L, 16.0), (10L, 20.0), (12L, 24.0)))
+  }
+
   test("cdcApply: replayed batch id no-ops; tag survives only on its own version") {
     val spark0 = spark
     import spark0.implicits._

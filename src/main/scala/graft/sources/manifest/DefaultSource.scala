@@ -48,7 +48,12 @@ class DefaultSource extends StreamSourceProvider {
       sys.error(s"no committed version under $base — commit before streaming"))
     val s = schema.orElse(Manifests.schemaOf(spark, base, v)).getOrElse(
       spark.read.parquet(Manifests.files(spark, base, v).head).schema)
-    ("graft-manifest", s)
+    val out =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        s.add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else s
+    ("graft-manifest", out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -73,6 +78,10 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
   private val spark = sqlContext.sparkSession
   private val allowNonAppend =
     parameters.get("allowNonAppend").exists(_.toBoolean)
+  // change-feed mode: every version — append, delete, rewrite — streams
+  // as tagged change rows instead of refusing; deletes become DATA
+  private val readChangeFeed =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
   // None → full snapshot first; Some(v) → diff from version v
   private val startingVersion: Option[Int] =
     parameters.get("startingVersion").map {
@@ -87,13 +96,22 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
     Manifests.latestVersion(spark, base).map(VersionOffset(_))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val to = ver(end)
     val df = (start.map(ver).orElse(startingVersion)) match {
       case None =>
         // initial backfill: the whole table as of `to`, vectors applied
-        Manifests.readAt(spark, base, to)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        val snap = Manifests.readAt(spark, base, to)
+        if (readChangeFeed)
+          snap.withColumn("_change_type", lit("insert"))
+            .select(schema.fieldNames.map(col): _*)
+        else snap.select(schema.fieldNames.map(col): _*)
       case Some(from) if from >= to => emptyBatch
+      case Some(from) if readChangeFeed =>
+        // every commit kind is representable as change rows — the
+        // DV-aware, schema-aware version diff does the pruning
+        Manifests.changesBetween(spark, base, from, to)
+          .select(schema.fieldNames.map(col): _*)
       case Some(from) =>
         val fa = Manifests.files(spark, base, from).map(Dfs.canonical)
         val fb = Manifests.files(spark, base, to).map(Dfs.canonical)
@@ -103,15 +121,21 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
         if ((removed.nonEmpty || dvChanged) && !allowNonAppend)
           sys.error(s"versions ($from, $to] of $base are not append-only " +
             s"(${removed.size} files removed, vectors changed: $dvChanged); " +
-            "a streaming read emits appends — restart from a snapshot, or " +
-            "set allowNonAppend=true to re-emit rewritten files")
+            "a streaming read emits appends — restart from a snapshot, set " +
+            "allowNonAppend=true to re-emit rewritten files, or consume " +
+            "readChangeFeed=true to receive deletes as change rows")
         val added = fb.filterNot(fa.toSet)
         if (added.isEmpty) emptyBatch
-        else spark.read.schema(schema).parquet(added: _*)
+        else spark.read.schema(dataSchema).parquet(added: _*)
     }
     // MicroBatchExecution asserts getBatch returns isStreaming=true
     org.apache.spark.sql.graft.StreamShim.asStreaming(spark, df)
   }
+
+  /** The on-disk schema: source schema minus the feed's tag column. */
+  private def dataSchema: StructType =
+    if (readChangeFeed) StructType(schema.filterNot(_.name == "_change_type"))
+    else schema
 
   private def emptyBatch: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -731,6 +731,45 @@ class StreamsSpec extends AnyFunSuite {
       Seq((2L, 4.0), (4L, 8.0), (6L, 12.0), (8L, 16.0), (10L, 20.0), (12L, 24.0)))
   }
 
+  test("manifest change-feed stream: deletes arrive as data, and a downstream mirror stays row-exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfsrc").toString
+    val (base, mirror, ckpt) = (s"$root/table", s"$root/mirror", s"$root/ckpt")
+    graft.ext.Manifests.commitData(
+      (1 to 10).map(i => (i.toLong, i % 2)).toDF("id", "k")
+        .repartitionByRange(4, col("k")), base)
+    // downstream applies the feed: inserts merge in, deletes fall out —
+    // incremental view maintenance driven entirely by change rows
+    def apply(b: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val ins = b.filter(col("_change_type") === "insert").drop("_change_type")
+      val del = b.filter(col("_change_type") === "delete").drop("_change_type")
+      val cur = graft.ext.Manifests.latestVersion(spark, mirror)
+        .map(_ => graft.ext.Manifests.readLatest(spark, mirror))
+        .getOrElse(ins.limit(0))
+      val next = cur.exceptAll(del).unionByName(ins)
+      if (!next.isEmpty) graft.ext.Manifests.commitData(next, mirror): Unit
+    }
+    def start() = spark.readStream.format("graft.sources.manifest")
+      .option("path", base).option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(apply _).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // snapshot arrives tagged insert
+      // a MoR delete is a legal feed event, not a failure
+      graft.ext.Manifests.deleteWhereMor(spark, base, col("k") === 0)
+      graft.ext.Manifests.appendBatch(
+        Seq((100L, 7), (101L, 8)).toDF("id", "k"), base, 0L)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def ids(b: String) = graft.ext.Manifests.readLatest(spark, b)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(mirror) === ids(base),
+      "mirror maintained from the change feed must equal the source table")
+    assert(ids(mirror) === Seq(1L, 3L, 5L, 7L, 9L, 100L, 101L))
+  }
+
   test("cdcApply: replayed batch id no-ops; tag survives only on its own version") {
     val spark0 = spark
     import spark0.implicits._

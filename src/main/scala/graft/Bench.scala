@@ -34,6 +34,7 @@ object Bench {
     "delete_mor", // merge-on-read fixture build (clustered dump + DV write)
     "change_feed_mor",
     "evolve_manifest", // one-time two-batch evolved table build
+    "skipping_manifest", // one-time clustered dump + ANALYZE
     "compact_roundtrip",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
     "skipping_scan") // first run writes the z-clustered copy + stats

@@ -150,6 +150,26 @@ object SparkEntry {
           .select((stagingCols :+ "_change_type").map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // zone-map stats recorded IN the manifest (ANALYZE -> _statsfile):
+    // the pruned read plans only files whose zones can match the box —
+    // no data footer is opened to decide (ManifestsSpec asserts the
+    // strict-subset scan; the oracle checks content equals the exact
+    // row filter, pruning being invisible to results by contract)
+    "skipping_manifest" -> ((s, d) => {
+      val b = dumpDir(s, d, "manskip")
+      val marker = s"${b}_done"
+      if (!ext.Dfs.exists(s, marker)) {
+        ext.Manifests.commitData(
+          Warehouse(s, d).cleaned.repartitionByRange(8, col("quantity")), b)
+        ext.Manifests.analyze(s, b, Seq("quantity"))
+        ext.Dfs.touch(s, marker)
+      }
+      orderedAsc(
+        moneyDouble(ext.Manifests.readWhere(s, b, Seq(("quantity", 10, 20)))
+          .filter(col("quantity").between(10, 20))
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // copy-on-write MERGE through the manifest protocol: dim_customer
     // upserted with relocations + brand-new customers in one atomic
     // version; the oracle replays upsert semantics as
@@ -311,6 +331,10 @@ object SparkEntry {
     "delete_mor" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // stats pruning is metadata-only: result = the exact row filter
+    "skipping_manifest" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE quantity BETWEEN 10 AND 20 ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // DV-churn feed: exactly the pred-TRUE rows, tagged delete
     "change_feed_mor" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble},

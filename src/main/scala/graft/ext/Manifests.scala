@@ -67,7 +67,8 @@ object Manifests {
     * replay detection on. */
   def commit(spark: SparkSession, base: String, dataFiles: Seq[String],
       tag: Option[String] = None, dv: Seq[String] = Nil,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      stats: Option[(Seq[String], String)] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     var v = latestVersion(spark, base).map(_ + 1).getOrElse(0)
     while (!Dfs.createExclusive(spark, s"$base/_claims/v$v")) v += 1
@@ -79,6 +80,12 @@ object Manifests {
         dv.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     schema.foreach(s =>
       Dfs.writeBytes(spark, s"$base/v$v/_schema", s.json.getBytes("UTF-8")))
+    stats.foreach { case (keys, statsFile) =>
+      Dfs.writeBytes(spark, s"$base/v$v/_statskeys",
+        keys.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Dfs.writeBytes(spark, s"$base/v$v/_statsfile",
+        Dfs.canonical(statsFile).getBytes("UTF-8"))
+    }
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
@@ -96,6 +103,96 @@ object Manifests {
     else Some(org.apache.spark.sql.types.DataType.fromJson(
       new String(Dfs.readBytes(spark, s"$base/v$v/_schema"), "UTF-8"))
       .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Zone-map file statistics recorded in the manifest — the
+    * Iceberg-style data-skipping half of the table format. Version
+    * metadata carries the indexed column names plus a pointer to a
+    * stats parquet (one row per data file: min/max/null-count per key,
+    * [[Skipping.buildStats]]'s shape), so a selective read answers
+    * "which files can match?" from manifest metadata without opening a
+    * single data footer. Maintained INCREMENTALLY by every write path:
+    * appends stat only the new files, merge-on-read deletes carry
+    * stats untouched (zones stay conservatively wide over deleted
+    * rows), rewrites re-stat only the rewritten files. */
+  def statsOf(spark: SparkSession, base: String,
+      v: Int): Option[(Seq[String], String)] =
+    if (!Dfs.exists(spark, s"$base/v$v/_statsfile")) None
+    else Some((
+      new String(Dfs.readBytes(spark, s"$base/v$v/_statskeys"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq,
+      new String(Dfs.readBytes(spark, s"$base/v$v/_statsfile"), "UTF-8").trim))
+
+  private def statsFor(spark: SparkSession, data: Seq[String],
+      keys: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    Skipping.buildStats(
+      schema.fold(spark.read)(spark.read.schema(_)).parquet(data: _*),
+      keys.map(k => k -> col(k)))
+
+  private def writeStats(spark: SparkSession, base: String,
+      st: DataFrame): String = {
+    val dir = s"$base/stats_${java.util.UUID.randomUUID().toString.take(8)}"
+    st.write.mode("errorifexists").parquet(dir)
+    dir
+  }
+
+  /** Carry stats across a rewrite: keep the rows of untouched files,
+    * re-stat only the rewritten ones. Metadata-sized throughout. */
+  private def statsAfterRewrite(spark: SparkSession, base: String, v: Int,
+      untouched: Seq[String], rewritten: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[(Seq[String], String)] =
+    statsOf(spark, base, v).map { case (keys, sf) =>
+      val st = spark.read.parquet(sf)
+      val unt = untouched.map(Dfs.canonical).toSet
+      val keepRaw = st.select("file").collect().map(_.getString(0))
+        .filter(f => unt.contains(Dfs.canonical(f))).toSeq
+      val keepDf = spark.createDataset(keepRaw)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")
+      val merged = st.join(keepDf, Seq("file"), "left_semi")
+        .unionByName(statsFor(spark, rewritten, keys, schema))
+      (keys, writeStats(spark, base, merged))
+    }
+
+  /** ANALYZE: stat every file of the latest version for `keys` and
+    * publish as the next version (same data, vectors, schema). Stats
+    * are computed over raw files, not vector-applied — conservative
+    * and exactly as valid for pruning. */
+  def analyze(spark: SparkSession, base: String, keys: Seq[String]): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val fs = files(spark, base, v)
+    val dir = writeStats(spark, base,
+      statsFor(spark, fs, keys, schemaOf(spark, base, v)))
+    commit(spark, base, fs, None, dvFiles(spark, base, v),
+      schemaOf(spark, base, v), Some((keys, dir)))
+  }
+
+  /** Stats-pruned read: plan only the files whose zones can satisfy
+    * every `lo <= key <= hi` conjunct — plus any file the stats do not
+    * cover (conservative). Pruning drops a file only when provably
+    * empty for the box; the caller still applies the exact row
+    * predicate, which also pushes down into the surviving scans. */
+  def readWhere(spark: SparkSession, base: String,
+      box: Seq[(String, Any, Any)]): DataFrame = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    statsOf(spark, base, v) match {
+      case None => readAt(spark, base, v)
+      case Some((_, statsFile)) =>
+        val st = spark.read.parquet(statsFile)
+        val cand = Skipping.candidateFiles(st, box).map(Dfs.canonical).toSet
+        val covered = st.select("file").collect()
+          .map(r => Dfs.canonical(r.getString(0))).toSet
+        val keep = files(spark, base, v).filter { f =>
+          val c = Dfs.canonical(f)
+          cand.contains(c) || !covered.contains(c)
+        }
+        if (keep.isEmpty) readAt(spark, base, v).limit(0)
+        else liveRead(spark, keep, dvFiles(spark, base, v),
+          schemaOf(spark, base, v))
+    }
+  }
 
   /** Additive schema evolution: new columns append, existing columns
     * must keep their type (a silent INT→STRING rewrite would corrupt
@@ -214,7 +311,9 @@ object Manifests {
     live.repartition(targetFiles)
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    val nv = commit(spark, base, rewritten, schema = Some(live.schema))
+    val nv = commit(spark, base, rewritten, schema = Some(live.schema),
+      stats = statsAfterRewrite(spark, base, v, Seq.empty, rewritten,
+        Some(live.schema)))
     (cur.size, rewritten.size, nv)
   }
 
@@ -261,7 +360,10 @@ object Manifests {
       Dfs.delete(spark, dir, recursive = true)
       return (0L, v)
     }
-    (deleted, commit(spark, base, cur, None, prevDvs ++ written))
+    // data files unchanged -> schema and stats carry verbatim (zones
+    // stay conservatively wide over the deleted rows)
+    (deleted, commit(spark, base, cur, None, prevDvs ++ written,
+      schemaOf(spark, base, v), statsOf(spark, base, v)))
   }
 
   /** GC — the companion every log-based format ships: [[deleteWhere]]
@@ -288,17 +390,19 @@ object Manifests {
       }).sorted
     if (committed.isEmpty) return (Seq.empty, 0)
     val floor = committed.takeRight(keepLast).head
-    // deletion-vector sidecars are reference-counted exactly like data
-    // files: a vector superseded by compaction dies with its versions,
-    // one still referenced by a retained manifest survives
-    def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v)
+    // deletion-vector and stats sidecars are reference-counted exactly
+    // like data files: superseded ones die with their versions, those
+    // a retained manifest still references survive
+    def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v) ++
+      statsOf(spark, base, v).map(_._2).toSeq
     val keepFiles = committed.filter(_ >= floor)
       .flatMap(refs).map(Dfs.canonical).toSet
     val droppedCommitted = committed.filter(_ < floor)
     val dropFiles = droppedCommitted
       .flatMap(refs).map(Dfs.canonical).toSet
       .diff(keepFiles)
-    dropFiles.foreach(f => Dfs.delete(spark, f))
+    // recursive: a dropped reference may be a stats DIRECTORY
+    dropFiles.foreach(f => Dfs.delete(spark, f, recursive = true))
     // version dirs below the floor — committed (expired) or marker-less
     // (crashed before _SUCCESS, manifest unreadable/absent) — go whole
     val dropDirs = Dfs.list(spark, base)
@@ -372,7 +476,9 @@ object Manifests {
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val untouched = cur.filterNot(affected.contains)
     val nv = commit(spark, base, untouched ++ rewritten, tag,
-      schema = schemaOf(spark, base, v))
+      schema = schemaOf(spark, base, v),
+      stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
+        schemaOf(spark, base, v)))
     (affected.size, updates.count(), nv)
   }
 
@@ -445,11 +551,19 @@ object Manifests {
     val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     if (newFiles.isEmpty) return None
     val cur = prev.map(files(spark, base, _)).getOrElse(Seq.empty)
+    // stats: keep every existing row, stat ONLY the new files — the
+    // incremental contract that makes ANALYZE affordable on appends
+    val stats = prev.flatMap(v => statsOf(spark, base, v)).map {
+      case (keys, sf) =>
+        val merged = spark.read.parquet(sf).unionByName(
+          statsFor(spark, newFiles, keys, Some(tableSchema)))
+        (keys, writeStats(spark, base, merged))
+    }
     // deletion vectors stay valid across an append (they address
     // existing files only) — carry them by reference like the data
     Some(commit(spark, base, cur ++ newFiles, None,
       prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty),
-      Some(tableSchema)))
+      Some(tableSchema), stats))
   }
 
   /** Change feed between two committed versions, tagged
@@ -551,7 +665,9 @@ object Manifests {
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val untouched = cur.filterNot(affected.contains)
     val nv = commit(spark, base, untouched ++ rewritten,
-      schema = schemaOf(spark, base, v))
+      schema = schemaOf(spark, base, v),
+      stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
+        schemaOf(spark, base, v)))
     (affected.size, cur.size, nv)
   }
 }

@@ -360,6 +360,49 @@ class ManifestsSpec extends AnyFunSuite {
       Set((1000L, "insert")))
   }
 
+  test("manifest stats: readWhere prunes by zone, appends stat only new files, rewrites re-stat only rewritten ones") {
+    import spark.implicits._
+    val b = base("graft_man_stats")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.analyze(spark, b, Seq("k")) // v1
+    val all = Manifests.files(spark, b, 1).map(Dfs.canonical).toSet
+    def prunedScan(lo: Int, hi: Int) =
+      Manifests.readWhere(spark, b, Seq(("k", lo, hi)))
+        .filter(col("k").between(lo, hi))
+    val scanned = prunedScan(3, 4).inputFiles.map(Dfs.canonical).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(all) && scanned.size < all.size,
+      s"zone pruning must plan a strict subset (${scanned.size}/${all.size})")
+    assert(prunedScan(3, 4).count() ===
+      Manifests.readLatest(spark, b).filter(col("k").between(3, 4)).count())
+    // append: stats grow by exactly the new files' rows
+    val statsRows0 = spark.read.parquet(Manifests.statsOf(spark, b, 1).get._2).count()
+    Manifests.appendBatch(
+      Seq((1000L, 99), (1001L, 99)).toDF("id", "k"), b, 0L) // v2
+    val (keys2, sf2) = Manifests.statsOf(spark, b, 2).get
+    assert(keys2 === Seq("k"))
+    val added = Manifests.files(spark, b, 2).size - Manifests.files(spark, b, 1).size
+    assert(spark.read.parquet(sf2).count() === statsRows0 + added)
+    val hot = prunedScan(99, 99)
+    assert(hot.count() === 2)
+    assert(hot.inputFiles.length === added,
+      "a box hitting only the appended keys must read only the appended files")
+    // MoR delete: same stats carried verbatim (files unchanged)
+    Manifests.deleteWhereMor(spark, b, col("k") === 7) // v3
+    assert(Manifests.statsOf(spark, b, 3).get._2 === sf2)
+    assert(prunedScan(7, 7).count() === 0, "vector applies under the pruned read")
+    // compact: full re-stat; pruning still correct on the new layout
+    Manifests.compact(spark, b, 2) // v4
+    assert(Manifests.statsOf(spark, b, 4).isDefined)
+    assert(Manifests.statsOf(spark, b, 4).get._2 !== sf2)
+    assert(prunedScan(3, 4).count() === 40)
+    // vacuum: superseded stats parquet reclaimed with its versions
+    Manifests.vacuum(spark, b, keepLast = 1)
+    assert(!Dfs.exists(spark, sf2), "superseded stats must be reclaimed")
+    assert(prunedScan(3, 4).count() === 40)
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -3,6 +3,13 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Thrown when an optimistic commit finds its read-base is no longer
+  * the latest version: another writer committed first, and publishing
+  * content derived from the stale base would silently drop their
+  * changes (a lost update). The caller re-reads and re-runs. */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 /** Manifest-based snapshots — the missing piece between [[Snapshots]]
   * (atomic, but each version is a COMPLETE directory, so publishing a
   * version that changes 0.1% of a 100 TB table copies the other 99.9%)
@@ -64,14 +71,38 @@ object Manifests {
     * written, so readers never resolve a partial manifest. An optional
     * `tag` (e.g. a micro-batch id) is recorded beside the manifest and
     * readable via [[latestTag]] — the hook idempotent writers key
-    * replay detection on. */
+    * replay detection on.
+    *
+    * `parent` is the optimistic-concurrency contract: `Some(p)` means
+    * "this content was DERIVED from version p" — the commit claims
+    * exactly p+1 and throws [[ConcurrentCommitException]] if another
+    * writer got there first, because publishing would drop that
+    * writer's changes (a merge basing on p cannot survive a rewrite
+    * that landed at p+1: it still references the files the rewrite
+    * replaced). `None` means the content depends on no read state
+    * (a bootstrap or whole-table overwrite): any free number serves,
+    * later versions simply supersede earlier ones. Append-shaped
+    * writers re-derive their metadata and retry on conflict
+    * ([[appendBatch]]); rewriting writers surface the exception. */
   def commit(spark: SparkSession, base: String, dataFiles: Seq[String],
       tag: Option[String] = None, dv: Seq[String] = Nil,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      stats: Option[(Seq[String], String)] = None): Int = {
+      stats: Option[(Seq[String], String)] = None,
+      parent: Option[Int] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
-    var v = latestVersion(spark, base).map(_ + 1).getOrElse(0)
-    while (!Dfs.createExclusive(spark, s"$base/_claims/v$v")) v += 1
+    val v = parent match {
+      case Some(p) =>
+        val want = p + 1
+        if (!Dfs.createExclusive(spark, s"$base/_claims/v$want"))
+          throw new ConcurrentCommitException(
+            s"version $want of $base was claimed by another writer while " +
+              s"this commit was derived from version $p — re-read and re-run")
+        want
+      case None =>
+        var n = latestVersion(spark, base).map(_ + 1).getOrElse(0)
+        while (!Dfs.createExclusive(spark, s"$base/_claims/v$n")) n += 1
+        n
+    }
     Dfs.mkdirs(spark, s"$base/v$v")
     Dfs.writeBytes(spark, s"$base/v$v/_manifest",
       dataFiles.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -165,7 +196,7 @@ object Manifests {
     val dir = writeStats(spark, base,
       statsFor(spark, fs, keys, schemaOf(spark, base, v)))
     commit(spark, base, fs, None, dvFiles(spark, base, v),
-      schemaOf(spark, base, v), Some((keys, dir)))
+      schemaOf(spark, base, v), Some((keys, dir)), parent = Some(v))
   }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
@@ -313,7 +344,7 @@ object Manifests {
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val nv = commit(spark, base, rewritten, schema = Some(live.schema),
       stats = statsAfterRewrite(spark, base, v, Seq.empty, rewritten,
-        Some(live.schema)))
+        Some(live.schema)), parent = Some(v))
     (cur.size, rewritten.size, nv)
   }
 
@@ -363,7 +394,7 @@ object Manifests {
     // data files unchanged -> schema and stats carry verbatim (zones
     // stay conservatively wide over the deleted rows)
     (deleted, commit(spark, base, cur, None, prevDvs ++ written,
-      schemaOf(spark, base, v), statsOf(spark, base, v)))
+      schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v)))
   }
 
   /** GC — the companion every log-based format ships: [[deleteWhere]]
@@ -478,7 +509,7 @@ object Manifests {
     val nv = commit(spark, base, untouched ++ rewritten, tag,
       schema = schemaOf(spark, base, v),
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)))
+        schemaOf(spark, base, v)), parent = Some(v))
     (affected.size, updates.count(), nv)
   }
 
@@ -503,9 +534,14 @@ object Manifests {
       case None =>
         val dir = s"$base/data_batch_$batchId"
         batch.write.mode("overwrite").parquet(dir)
-        Some(commit(spark, base,
+        try Some(commit(spark, base,
           Dfs.dataFiles(spark, dir).map(_.getPath.toString), Some(tag),
-          schema = Some(batch.schema)))
+          schema = Some(batch.schema), parent = Some(-1)))
+        catch {
+          // lost the bootstrap race: the table exists now — merge instead
+          case _: ConcurrentCommitException =>
+            cdcApply(batch, base, keyCols, batchId)
+        }
       case Some(_) =>
         val (_, _, nv) = merge(spark, base, batch, keyCols, Some(tag))
         Some(nv)
@@ -531,39 +567,51 @@ object Manifests {
   def appendBatch(batch: DataFrame, base: String, batchId: Long): Option[Int] = {
     val spark = batch.sparkSession
     val tag = s"data_batch_$batchId"
-    val prev = latestVersion(spark, base)
-    val replayed = prev.exists(v =>
-      files(spark, base, v).exists(_.contains(s"/$tag/")))
-    if (replayed) return None
-    // additive schema evolution: a batch may bring new columns; the
-    // union schema is recorded in the manifest so readers null-fill
-    // the old files without a footer sweep. Resolved (and possibly
-    // REFUSED, on a type conflict) before any bytes land.
-    val tableSchema = prev.flatMap(schemaOf(spark, base, _)) match {
-      case None => batch.schema
-      case Some(old) => evolveSchema(old, batch.schema)
+    // appends COMMUTE, so a concurrent commit is not a conflict — the
+    // batch data is written at most once, and only the metadata
+    // derivation (file list, union schema, carried vectors, stats)
+    // re-derives against the new latest and retries
+    def attempt(remaining: Int, wrote: Boolean): Option[Int] = {
+      val prev = latestVersion(spark, base)
+      val replayed = prev.exists(v =>
+        files(spark, base, v).exists(_.contains(s"/$tag/")))
+      if (replayed) return None
+      // additive schema evolution: a batch may bring new columns; the
+      // union schema is recorded in the manifest so readers null-fill
+      // the old files without a footer sweep. Resolved (and possibly
+      // REFUSED, on a type conflict) before any bytes land.
+      val tableSchema = prev.flatMap(schemaOf(spark, base, _)) match {
+        case None => batch.schema
+        case Some(old) => evolveSchema(old, batch.schema)
+      }
+      val dir = s"$base/$tag"
+      if (!wrote) batch.write.mode("overwrite").parquet(dir)
+      val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      if (newFiles.isEmpty) return None
+      val cur = prev.map(files(spark, base, _)).getOrElse(Seq.empty)
+      // stats: keep every existing row, stat ONLY the new files — the
+      // incremental contract that makes ANALYZE affordable on appends
+      val stats = prev.flatMap(v => statsOf(spark, base, v)).map {
+        case (keys, sf) =>
+          val merged = spark.read.parquet(sf).unionByName(
+            statsFor(spark, newFiles, keys, Some(tableSchema)))
+          (keys, writeStats(spark, base, merged))
+      }
+      // deletion vectors stay valid across an append (they address
+      // existing files only) — carry them by reference like the data
+      try Some(commit(spark, base, cur ++ newFiles, None,
+        prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty),
+        Some(tableSchema), stats, parent = Some(prev.getOrElse(-1))))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (remaining == 0) throw e
+          attempt(remaining - 1, wrote = true)
+      }
     }
     // an empty micro-batch still writes a zero-row part file — skip it
     // BEFORE writing so no version (or directory) is burned
     if (batch.isEmpty) return None
-    val dir = s"$base/$tag"
-    batch.write.mode("overwrite").parquet(dir)
-    val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    if (newFiles.isEmpty) return None
-    val cur = prev.map(files(spark, base, _)).getOrElse(Seq.empty)
-    // stats: keep every existing row, stat ONLY the new files — the
-    // incremental contract that makes ANALYZE affordable on appends
-    val stats = prev.flatMap(v => statsOf(spark, base, v)).map {
-      case (keys, sf) =>
-        val merged = spark.read.parquet(sf).unionByName(
-          statsFor(spark, newFiles, keys, Some(tableSchema)))
-        (keys, writeStats(spark, base, merged))
-    }
-    // deletion vectors stay valid across an append (they address
-    // existing files only) — carry them by reference like the data
-    Some(commit(spark, base, cur ++ newFiles, None,
-      prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty),
-      Some(tableSchema), stats))
+    attempt(remaining = 10, wrote = false)
   }
 
   /** Change feed between two committed versions, tagged
@@ -667,7 +715,7 @@ object Manifests {
     val nv = commit(spark, base, untouched ++ rewritten,
       schema = schemaOf(spark, base, v),
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)))
+        schemaOf(spark, base, v)), parent = Some(v))
     (affected.size, cur.size, nv)
   }
 }

@@ -403,6 +403,50 @@ class ManifestsSpec extends AnyFunSuite {
     assert(prunedScan(3, 4).count() === 40)
   }
 
+  test("optimistic commits: stale-parent rewrite refuses, racing appends both land, racing merges never lose an update") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val b = base("graft_man_occ")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")), b)
+    val fs = Manifests.files(spark, b, 0)
+    // two writers derive from v0; the second to commit must refuse —
+    // its content cannot have seen the first's changes
+    assert(Manifests.commit(spark, b, fs, parent = Some(0)) === 1)
+    intercept[ConcurrentCommitException](
+      Manifests.commit(spark, b, fs, parent = Some(0)))
+    // appends commute: raced, both must land (retry re-derives metadata)
+    val appends = Await.result(Future.sequence(Seq(0L, 1L).map(id =>
+      Future(Manifests.appendBatch(
+        Seq((1000L + id, s"new$id")).toDF("id", "s"), b, id)))), 2.minutes)
+    assert(appends.forall(_.isDefined), s"both racing appends must land ($appends)")
+    assert(Manifests.latestVersion(spark, b) === Some(3))
+    val now = Manifests.readLatest(spark, b)
+    assert(now.filter(col("id") >= 1000L).count() === 2)
+    // racing merges: depending on timing both serialize or one refuses —
+    // but a SUCCEEDED merge's update must never be silently dropped
+    val outcomes = Await.result(Future.sequence(Seq(
+      (5L, "m5"), (50L, "m50")).map { case (k, s0) =>
+      Future(
+        try Right(Manifests.merge(spark, b,
+          Seq((k, s0)).toDF("id", "s"), Seq("id")))
+        catch { case e: ConcurrentCommitException => Left(e) })
+    }), 2.minutes)
+    val after = Manifests.readLatest(spark, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq((5L, "m5"), (50L, "m50")).zip(outcomes).foreach {
+      case ((k, s0), Right(_)) =>
+        assert(after(k) === s0, s"merge of $k succeeded but its update is lost")
+      case ((k, s0), Left(_)) =>
+        assert(after(k) !== s0, s"merge of $k refused but its update landed")
+    }
+    assert(outcomes.exists(_.isRight), "at least one racing merge must succeed")
+    assert(after.size === 102, "merges must not duplicate or drop rows")
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -30,6 +30,7 @@ object Bench {
     // dump + delete, fragment + compaction, MV batches, image files) —
     // forced here so their /tmp I/O never lands inside a timed window
     "delete_roundtrip", "delete_versioned", "merge_versioned",
+    "update_versioned", // one-time clustered dump + CoW update
     "change_feed", // shares delete_versioned's fixture; listed for subset runs
     "delete_mor", // merge-on-read fixture build (clustered dump + DV write)
     "change_feed_mor",

@@ -127,6 +127,28 @@ object SparkEntry {
           Seq("unit_price")),
         stagingCols)
     }),
+    // UPDATE ... SET through the manifest — the third DML leg beside
+    // delete and merge: the table is range-clustered on country, so the
+    // predicate's files are a bounded subset and ONLY those are
+    // rewritten (ManifestsSpec pins the strict-subset rewrite + file
+    // sharing); set-exprs read the OLD row, null-country rows are left
+    // alone, and the oracle replays both as CASE over the clean lineage
+    "update_versioned" -> ((s, d) => {
+      val b = dumpDir(s, d, "manupdate")
+      val marker = s"${b}_done"
+      if (!ext.Dfs.exists(s, marker)) {
+        ext.Manifests.commitData(
+          Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
+        ext.Manifests.updateWhere(s, b, col("country") === "NATION_2",
+          Map("country" -> lit("REDACTED"),
+            "quantity" -> (col("quantity") + lit(1000))))
+        ext.Dfs.touch(s, marker)
+      }
+      orderedAsc(
+        moneyDouble(ext.Manifests.readLatest(s, b).select(stagingCols.map(col): _*),
+          Seq("unit_price")),
+        stagingCols)
+    }),
     // the same delete as a MERGE-ON-READ deletion vector: zero data
     // files rewritten, the version carries a (file, pos) sidecar and
     // the read anti-joins it against only the touched files
@@ -326,6 +348,19 @@ object SparkEntry {
     "delete_versioned" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // UPDATE replayed as CASE with snapshot semantics: both branches
+    // read the pre-update row, unknown predicates leave the row alone
+    "update_versioned" ->
+      s"""${Oracle.cleanedCte}, updated AS (
+         | SELECT invoice_no, stock_code, description,
+         |  CASE WHEN country = 'NATION_2' THEN quantity + 1000
+         |       ELSE quantity END AS quantity,
+         |  invoice_date, unit_price, customer_id,
+         |  CASE WHEN country = 'NATION_2' THEN 'REDACTED'
+         |       ELSE country END AS country
+         | FROM cleaned)
+         | SELECT ${Oracle.stagingSelectDouble} FROM updated
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // merge-on-read delete: same logical content as the copy-on-write
     // twin — the deletion vector is invisible to the oracle
     "delete_mor" ->

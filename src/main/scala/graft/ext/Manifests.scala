@@ -718,4 +718,61 @@ object Manifests {
         schemaOf(spark, base, v)), parent = Some(v))
     (affected.size, cur.size, nv)
   }
+
+  /** Copy-on-write UPDATE ... SET — the third leg of the DML triad
+    * beside [[deleteWhere]] and [[merge]]: rows matching `pred` get the
+    * `set` expressions applied (each evaluated over the OLD row —
+    * standard UPDATE snapshot semantics, so `quantity -> quantity + 1`
+    * never sees its own result), every other row is carried verbatim.
+    * Only the files the predicate touches are rewritten; on a table
+    * clustered by the predicate key an UPDATE rewrites a handful of
+    * files while the manifest carries the other 99.9% of a 100 TB
+    * table by reference, and the swap is atomic with the pre-update
+    * version still resolving for audit.
+    *
+    * NULL predicate rows are NOT updated (CASE semantics — the exact
+    * complement of [[deleteWhere]], where NULL rows SURVIVE: both
+    * treat "unknown" as "leave the row alone"). `set` may not
+    * introduce new columns, and each expression is cast back to the
+    * column's recorded type — an UPDATE that changes the table's shape
+    * is schema evolution, which this protocol only admits through an
+    * explicit [[commit]] with a declared schema. Returns
+    * (files rewritten, rows updated, new version). */
+  def updateWhere(spark: SparkSession, base: String,
+      pred: Column, set: Map[String, Column]): (Int, Long, Int) = {
+    require(set.nonEmpty, "UPDATE with an empty SET list is a no-op")
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    require(dvFiles(spark, base, v).isEmpty,
+      s"version $v carries deletion vectors — compact($base) first to " +
+        "materialize them")
+    val cur = files(spark, base, v).map(Dfs.canonical)
+    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
+    val all = rd.parquet(cur: _*)
+    set.keys.foreach(k => require(all.columns.contains(k),
+      s"UPDATE sets unknown column '$k' — updates cannot add columns"))
+    val hit = coalesce(pred, lit(false))
+    val affected = all.filter(hit)
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
+    if (affected.isEmpty) return (0, 0L, v)
+    val touched = rd.parquet(affected.toSeq: _*)
+    val updatedRows = touched.filter(hit).count()
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    touched.select(touched.schema.fields.map { f =>
+      set.get(f.name)
+        .fold(col(f.name))(e =>
+          when(hit, e.cast(f.dataType)).otherwise(col(f.name)))
+        .as(f.name)
+    }.toSeq: _*)
+      .repartition(math.max(1, affected.size))
+      .write.mode("errorifexists").parquet(dir)
+    val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    val untouched = cur.filterNot(affected.contains)
+    val nv = commit(spark, base, untouched ++ rewritten,
+      schema = schemaOf(spark, base, v),
+      stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
+        schemaOf(spark, base, v)), parent = Some(v))
+    (affected.size, updatedRows, nv)
+  }
 }

@@ -67,6 +67,54 @@ class ManifestsSpec extends AnyFunSuite {
     assert(a2 === 0 && nv2 === 1, "no-op delete must not burn a version")
   }
 
+  test("updateWhere: strict-subset rewrite, set-exprs read the OLD row, null/no-match leave rows alone, history intact") {
+    import spark.implicits._
+    val b = base("graft_man_upd")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i.toLong, i.toLong * 2, i % 10))
+        .toDF("id", "a", "b", "k")
+        .repartitionByRange(5, col("k")), b)
+    val before = Manifests.files(spark, b, 0)
+    // swap a and b where k = 3: proves snapshot semantics — each set
+    // expression must see the pre-update row, not the other's result
+    val (rewritten, updated, nv) = Manifests.updateWhere(spark, b,
+      col("k") === 3, Map("a" -> col("b"), "b" -> col("a")))
+    assert(nv === 1 && updated === 20L)
+    assert(rewritten >= 1 && rewritten < before.size,
+      s"clustered key must touch a strict subset ($rewritten/${before.size})")
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 200)
+    assert(now.filter(col("k") === 3 &&
+      (col("a") =!= col("id") * 2 || col("b") =!= col("id"))).count() === 0,
+      "updated rows must hold swapped values")
+    assert(now.filter(col("k") =!= 3 &&
+      (col("a") =!= col("id") || col("b") =!= col("id") * 2)).count() === 0,
+      "non-matching rows must be byte-identical")
+    // untouched files carried by reference; pre-update version intact
+    val after = Manifests.files(spark, b, 1)
+    assert(before.toSet.intersect(after.toSet).size === before.size - rewritten)
+    assert(Manifests.readAt(spark, b, 0)
+      .filter(col("k") === 3 && col("a") =!= col("id")).count() === 0)
+    // no-match predicate burns no version; unknown column refuses
+    assert(Manifests.updateWhere(spark, b, col("k") === 99,
+      Map("a" -> lit(0L))) === ((0, 0L, 1)))
+    intercept[IllegalArgumentException](Manifests.updateWhere(spark, b,
+      col("k") === 3, Map("nope" -> lit(1))))
+    // null predicate rows are left alone (CASE semantics)
+    val bn = base("graft_man_updnull")
+    Manifests.commitData(Seq[(java.lang.Long, String)](
+      (1L, "a"), (null, "b"), (3L, "c")).toDF("k", "s"), bn)
+    Manifests.updateWhere(spark, bn, col("k") === 1,
+      Map("s" -> lit("X")))
+    val vals = Manifests.readLatest(spark, bn).collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull -> r.getString(1)).toMap
+    assert(vals("1") === "X" && vals(null) === "b" && vals("3") === "c")
+    // a vectored version refuses copy-on-write update, like deleteWhere
+    Manifests.deleteWhereMor(spark, bn, col("k") === 3)
+    intercept[IllegalArgumentException](Manifests.updateWhere(spark, bn,
+      col("k") === 1, Map("s" -> lit("Y"))))
+  }
+
   test("vacuum: replaced files reclaimed, shared files survive, retained versions intact") {
     import spark.implicits._
     val b = base("graft_man_vac")

@@ -90,6 +90,10 @@ object Dfs {
     if (!exists(spark, path)) createExclusive(spark, path)
   }
 
+  /** Filesystem modification time of `path` in epoch millis. */
+  def mtime(spark: SparkSession, path: String): Long =
+    fs(spark, path).getFileStatus(new Path(path)).getModificationTime
+
   def writeBytes(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
     val out = fs(spark, path).create(new Path(path), /* overwrite = */ true)
     try out.write(bytes) finally out.close()

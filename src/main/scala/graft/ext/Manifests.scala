@@ -320,6 +320,41 @@ object Manifests {
     readAt(spark, base, latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base")))
 
+  /** DESCRIBE HISTORY: every committed version with its commit wall
+    * time and tag, ascending. The commit time is the `_SUCCESS`
+    * marker's filesystem mtime — stamped by the filesystem at the
+    * atomic publish instant, so it needs no clock of its own and is
+    * exactly as trustworthy as the commit protocol itself. Listing
+    * cost is one directory scan + one status per version: metadata,
+    * never data. */
+  def history(spark: SparkSession, base: String): Seq[(Int, Long, Option[String])] =
+    Dfs.list(spark, base)
+      .flatMap(_.getPath.getName match {
+        case vPattern(n) if Dfs.exists(spark, s"$base/v$n/_SUCCESS") => Some(n.toInt)
+        case _ => None
+      })
+      .sorted
+      .map(v => (v, Dfs.mtime(spark, s"$base/v$v/_SUCCESS"), tagOf(spark, base, v)))
+
+  /** Timestamp time travel: the latest version whose commit landed at
+    * or before `tsMillis` — "the table as of last Tuesday 09:00",
+    * resolved against commit times rather than version numbers. None
+    * when the table did not exist yet. Monotonicity caveat shared with
+    * every mtime-based format: version order is authoritative, so the
+    * scan takes the HIGHEST qualifying version even if a skewed clock
+    * recorded a later version with an earlier stamp. */
+  def versionAsOf(spark: SparkSession, base: String,
+      tsMillis: Long): Option[Int] =
+    history(spark, base).filter(_._2 <= tsMillis) match {
+      case Seq() => None
+      case hs => Some(hs.map(_._1).max)
+    }
+
+  /** Read the table as of a wall-clock instant ([[versionAsOf]]). */
+  def readAsOf(spark: SparkSession, base: String, tsMillis: Long): DataFrame =
+    readAt(spark, base, versionAsOf(spark, base, tsMillis).getOrElse(
+      sys.error(s"$base has no version committed at or before $tsMillis")))
+
   /** Small-file compaction through the manifest protocol — the
     * OPTIMIZE to [[vacuum]]'s VACUUM: rewrite the current version's
     * files into `targetFiles` right-sized ones and publish the result
@@ -327,10 +362,19 @@ object Manifests {
     * new directory a caller must swap in), the publish is atomic and
     * the pre-compaction version remains readable until vacuumed —
     * compaction never risks the table. Content is row-exact by
-    * construction (one repartition, no filter). Returns
-    * (files before, files after, new version). */
+    * construction (one repartition, no filter).
+    *
+    * `clusterBy` turns the rewrite into OPTIMIZE + CLUSTER: the same
+    * one-shuffle job range-partitions and sorts by the keys instead of
+    * hashing, so each output file covers a narrow key range and the
+    * re-statted zone maps ([[statsAfterRewrite]]) make [[readWhere]]
+    * prune tightly — compaction and re-clustering are the same rewrite,
+    * paid once. (For genuinely multi-dimensional predicates, cluster by
+    * a precomputed Morton column via [[graft.functions.ZOrder2]], as
+    * [[Layout.writeClustered]] does — range-on-zkey composes here
+    * unchanged.) Returns (files before, files after, new version). */
   def compact(spark: SparkSession, base: String,
-      targetFiles: Int): (Int, Int, Int) = {
+      targetFiles: Int, clusterBy: Seq[String] = Nil): (Int, Int, Int) = {
     val v = latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base"))
     val cur = files(spark, base, v)
@@ -339,8 +383,11 @@ object Manifests {
     // also the MATERIALIZE step: the rewritten files carry no deleted
     // rows and the new version carries no vectors
     val live = readAt(spark, base, v)
-    live.repartition(targetFiles)
-      .write.mode("errorifexists").parquet(dir)
+    val shaped =
+      if (clusterBy.isEmpty) live.repartition(targetFiles)
+      else live.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    shaped.write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val nv = commit(spark, base, rewritten, schema = Some(live.schema),
       stats = statsAfterRewrite(spark, base, v, Seq.empty, rewritten,

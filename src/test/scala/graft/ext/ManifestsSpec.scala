@@ -451,6 +451,32 @@ class ManifestsSpec extends AnyFunSuite {
     assert(prunedScan(3, 4).count() === 40)
   }
 
+  test("compact clusterBy: the same rewrite re-clusters, zones tighten from useless to strict-subset pruning") {
+    import spark.implicits._
+    val b = base("graft_man_optz")
+    // hash-scattered layout: every file spans the whole key domain,
+    // so zone maps exist but prune NOTHING — the small-file problem
+    // and the clustering problem in one table
+    Manifests.commitData(
+      (1 to 400).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartition(8, col("id")), b)
+    Manifests.analyze(spark, b, Seq("k")) // v1
+    def prunedScan() = Manifests.readWhere(spark, b, Seq(("k", 3, 3)))
+      .filter(col("k") === 3)
+    val allBefore = Manifests.files(spark, b, 1).size
+    assert(prunedScan().inputFiles.length === allBefore,
+      "scattered layout: zones cover the full domain, nothing prunes")
+    // one rewrite = compaction AND clustering AND re-stat
+    val (before, after, nv) = Manifests.compact(spark, b, 4, Seq("k"))
+    assert(before === 8 && after <= 4 && nv === 2)
+    val allAfter = Manifests.files(spark, b, nv).size
+    val planned = prunedScan().inputFiles.length
+    assert(planned >= 1 && planned < allAfter,
+      s"clustered layout must prune to a strict subset ($planned/$allAfter)")
+    assert(prunedScan().count() === 40, "pruning is invisible to content")
+    assert(Manifests.readLatest(spark, b).count() === 400)
+  }
+
   test("optimistic commits: stale-parent rewrite refuses, racing appends both land, racing merges never lose an update") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -493,6 +519,34 @@ class ManifestsSpec extends AnyFunSuite {
     }
     assert(outcomes.exists(_.isRight), "at least one racing merge must succeed")
     assert(after.size === 102, "merges must not duplicate or drop rows")
+  }
+
+  test("history and timestamp time travel: versions resolve by commit time, version order wins on ties") {
+    import spark.implicits._
+    val b = base("graft_man_asof")
+    Manifests.commitData(Seq((1L, "v0")).toDF("id", "s"), b)
+    Manifests.commitData(Seq((1L, "v1")).toDF("id", "s"), b)
+    // pin the marker mtimes so the test needs no sleeps and exercises
+    // exact boundaries (local FS mtime granularity is a whole second)
+    def stamp(v: Int, t: Long) = {
+      val p = s"$b/v$v/_SUCCESS"
+      Dfs.fs(spark, p).setTimes(new org.apache.hadoop.fs.Path(p), t, -1)
+    }
+    stamp(0, 1000000L); stamp(1, 2000000L)
+    assert(Manifests.history(spark, b).map(h => (h._1, h._2)) ===
+      Seq((0, 1000000L), (1, 2000000L)))
+    assert(Manifests.versionAsOf(spark, b, 999999L) === None)
+    assert(Manifests.versionAsOf(spark, b, 1000000L) === Some(0))
+    assert(Manifests.versionAsOf(spark, b, 1999999L) === Some(0))
+    assert(Manifests.versionAsOf(spark, b, 5000000L) === Some(1))
+    assert(Manifests.readAsOf(spark, b, 1500000L).select("s")
+      .collect().map(_.getString(0)).toSeq === Seq("v0"))
+    intercept[RuntimeException](Manifests.readAsOf(spark, b, 0L))
+    // a skewed clock stamps v1 EARLIER than v0: version order is
+    // authoritative — asking for v0's instant must not resurrect v0
+    // over the later v1 that qualifies at the same cutoff
+    stamp(1, 500000L)
+    assert(Manifests.versionAsOf(spark, b, 1000000L) === Some(1))
   }
 
   test("manifest protocol end to end on a non-file: scheme") {

@@ -52,6 +52,23 @@ object SparkEntry {
       orderedAsc(moneyDouble(Clean.dropZeroQty(Clean.dedup(Clean.dropNulls(Warehouse(s, d).staging))), Seq("unit_price")), stagingCols)),
     "cleaned" -> ((s, d) =>
       orderedAsc(moneyDouble(Warehouse(s, d).cleaned, Seq("unit_price")), stagingCols)),
+    // the clean chain's DROPS, routed instead of discarded: each
+    // quarantined row carries the named rules it broke (row-local
+    // rules only — dedup is cross-row and stays in the clean chain);
+    // pure narrow CASE chains, no extra pass or shuffle
+    "expectations_quarantine" -> ((s, d) => {
+      val exps = Seq(
+        Expectation("required_present",
+          col("invoice_no").isNotNull && col("stock_code").isNotNull &&
+            col("quantity").isNotNull && col("invoice_date").isNotNull &&
+            col("unit_price").isNotNull),
+        Expectation("qty_nonzero", col("quantity") =!= 0),
+        Expectation("price_positive", col("unit_price") > 0))
+      orderedAsc(
+        moneyDouble(Expectations.quarantine(Warehouse(s, d).staging, exps)
+          .select((stagingCols :+ "violations").map(col): _*), Seq("unit_price")),
+        stagingCols :+ "violations")
+    }),
     "dim_product" -> ((s, d) => Warehouse(s, d).dimProduct.orderBy("product_key")),
     "dim_customer" -> ((s, d) => Warehouse(s, d).dimCustomer.orderBy("customer_key")),
     "dim_date" -> ((s, d) => Warehouse(s, d).dimDate.orderBy("date_key")),
@@ -430,6 +447,21 @@ object SparkEntry {
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "cleaned" ->
       s"${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
+    // concat_ws skips NULL arguments in both engines, so the CASE
+    // chain reproduces the violation list in declaration order
+    "expectations_quarantine" ->
+      s"""${Oracle.stagingCte}, q AS (
+         | SELECT *, concat_ws(',',
+         |   CASE WHEN NOT COALESCE((${Oracle.notNullPred}), FALSE)
+         |        THEN 'required_present' END,
+         |   CASE WHEN NOT COALESCE(quantity <> 0, FALSE)
+         |        THEN 'qty_nonzero' END,
+         |   CASE WHEN NOT COALESCE(unit_price > 0, FALSE)
+         |        THEN 'price_positive' END) AS violations
+         | FROM staging)
+         | SELECT ${Oracle.stagingSelectDouble}, violations FROM q
+         | WHERE violations <> ''
+         | ORDER BY ${orderBySql(stagingCols :+ "violations")}""".stripMargin,
     "dim_product" ->
       s"${Oracle.warehouseCte} SELECT * FROM dim_product ORDER BY product_key",
     "dim_customer" ->

@@ -461,13 +461,38 @@ object Manifests {
   def vacuum(spark: SparkSession, base: String,
       keepLast: Int = 2): (Seq[Int], Int) = {
     require(keepLast >= 1, s"keepLast must retain at least the latest ($keepLast)")
-    val committed = Dfs.list(spark, base)
+    val committed = committedVersions(spark, base)
+    if (committed.isEmpty) return (Seq.empty, 0)
+    reclaimBelow(spark, base, committed, committed.takeRight(keepLast).head)
+  }
+
+  /** Age-based retention — the VACUUM ... RETAIN form: drop every
+    * version whose commit landed at or before `horizonMillis`, always
+    * keeping the latest. The floor is the FIRST version younger than
+    * the horizon (suffix retention), so under clock skew the sweep
+    * stays conservative: a young version behind an old-stamped one is
+    * kept, never the reverse made collectable. Time travel and the
+    * streaming source resolve only retained versions afterwards —
+    * exactly the trade Delta documents for its retention window. */
+  def vacuumOlderThan(spark: SparkSession, base: String,
+      horizonMillis: Long): (Seq[Int], Int) = {
+    val committed = committedVersions(spark, base)
+    if (committed.isEmpty) return (Seq.empty, 0)
+    val floor = committed
+      .find(v => Dfs.mtime(spark, s"$base/v$v/_SUCCESS") > horizonMillis)
+      .getOrElse(committed.last)
+    reclaimBelow(spark, base, committed, floor)
+  }
+
+  private def committedVersions(spark: SparkSession, base: String): Seq[Int] =
+    Dfs.list(spark, base)
       .flatMap(_.getPath.getName match {
         case vPattern(n) if Dfs.exists(spark, s"$base/v$n/_SUCCESS") => Some(n.toInt)
         case _ => None
       }).sorted
-    if (committed.isEmpty) return (Seq.empty, 0)
-    val floor = committed.takeRight(keepLast).head
+
+  private def reclaimBelow(spark: SparkSession, base: String,
+      committed: Seq[Int], floor: Int): (Seq[Int], Int) = {
     // deletion-vector and stats sidecars are reference-counted exactly
     // like data files: superseded ones die with their versions, those
     // a retained manifest still references survive

@@ -549,6 +549,42 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.versionAsOf(spark, b, 1000000L) === Some(1))
   }
 
+  test("vacuumOlderThan: age-based retention keeps the latest and every younger version, suffix-conservative under skew") {
+    import spark.implicits._
+    val b = base("graft_man_vage")
+    (0 to 3).foreach(i =>
+      Manifests.commitData(Seq((i.toLong, s"v$i")).toDF("id", "s"), b))
+    def stamp(v: Int, t: Long) = {
+      val p = s"$b/v$v/_SUCCESS"
+      Dfs.fs(spark, p).setTimes(new org.apache.hadoop.fs.Path(p), t, -1)
+    }
+    stamp(0, 1000L); stamp(1, 2000L); stamp(2, 3000L); stamp(3, 4000L)
+    // horizon between v1 and v2: v0,v1 expire, v2,v3 retained
+    val (dropped, _) = Manifests.vacuumOlderThan(spark, b, 2500L)
+    assert(dropped === Seq(0, 1))
+    assert(Manifests.readAt(spark, b, 2).count() === 1)
+    intercept[IllegalArgumentException](Manifests.files(spark, b, 1))
+    // horizon beyond everything: latest always survives
+    val (dropped2, _) = Manifests.vacuumOlderThan(spark, b, Long.MaxValue)
+    assert(dropped2 === Seq(2))
+    assert(Manifests.readLatest(spark, b).select("s")
+      .collect().map(_.getString(0)).toSeq === Seq("v3"))
+    // skew: an old-stamped version AFTER a young one is kept (suffix
+    // retention never collects above the first young version)
+    val b2 = base("graft_man_vskew")
+    (0 to 2).foreach(i =>
+      Manifests.commitData(Seq((i.toLong, s"v$i")).toDF("id", "s"), b2))
+    def stamp2(v: Int, t: Long) = {
+      val p = s"$b2/v$v/_SUCCESS"
+      Dfs.fs(spark, p).setTimes(new org.apache.hadoop.fs.Path(p), t, -1)
+    }
+    stamp2(0, 1000L); stamp2(1, 9000L); stamp2(2, 1500L)
+    val (dropped3, _) = Manifests.vacuumOlderThan(spark, b2, 2000L)
+    assert(dropped3 === Seq(0),
+      "v2 is old-stamped but sits above young v1 — must survive")
+    assert(Manifests.readAt(spark, b2, 1).count() === 1)
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -790,4 +790,35 @@ class StreamsSpec extends AnyFunSuite {
     graft.ext.Manifests.compact(spark, base, 1)
     assert(graft.ext.Manifests.latestTag(spark, base) === None)
   }
+
+  test("expectations route a stream: good rows flow, quarantine carries named violations — narrow, no state, no watermark") {
+    import graft.etl.{Expectation, Expectations}
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Option[Long], Option[Double])]
+    val df = input.toDF().toDF("k", "price")
+    val exps = Seq(
+      Expectation("key_present", col("k").isNotNull),
+      Expectation("price_positive", col("price") > 0))
+    // the same narrow split as batch — stateless, so plain append mode
+    // with no watermark: expectations cost a stream nothing
+    val qGood = Expectations.expectOrDrop(df, exps).writeStream
+      .format("memory").queryName("exp_good").outputMode("append").start()
+    val qBad = Expectations.quarantine(df, exps).writeStream
+      .format("memory").queryName("exp_bad").outputMode("append").start()
+    try {
+      input.addData(
+        (Some(1L), Some(5.0)), (None, Some(3.0)),
+        (Some(2L), Some(-1.0)), (Some(3L), None))
+      qGood.processAllAvailable(); qBad.processAllAvailable()
+      assert(spark.sql("SELECT k FROM exp_good").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+      val bad = spark.sql("SELECT k, violations FROM exp_bad").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+        .toMap
+      assert(bad === Map(-1L -> "key_present", 2L -> "price_positive",
+        3L -> "price_positive"))
+    } finally { qGood.stop(); qBad.stop() }
+  }
 }

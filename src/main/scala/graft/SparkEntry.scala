@@ -195,17 +195,37 @@ object SparkEntry {
     // strict-subset scan; the oracle checks content equals the exact
     // row filter, pruning being invisible to results by contract)
     "skipping_manifest" -> ((s, d) => {
-      val b = dumpDir(s, d, "manskip")
-      val marker = s"${b}_done"
-      if (!ext.Dfs.exists(s, marker)) {
-        ext.Manifests.commitData(
-          Warehouse(s, d).cleaned.repartitionByRange(8, col("quantity")), b)
-        ext.Manifests.analyze(s, b, Seq("quantity"))
-        ext.Dfs.touch(s, marker)
-      }
+      val b = manskipFixture(s, d)
       orderedAsc(
         moneyDouble(ext.Manifests.readWhere(s, b, Seq(("quantity", 10, 20)))
           .filter(col("quantity").between(10, 20))
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // the SAME pruned read, but through Catalyst: the manifest table
+    // mounted as a HadoopFsRelation over a ManifestFileIndex, so the
+    // user-written filter is what prunes files — Catalyst pushes it
+    // down, the index evaluates it against the manifest's zone maps,
+    // and the surviving parquet scans still get codegen + row-group
+    // pushdown (ManifestRelationSpec asserts the scanned-file subset;
+    // the oracle checks the exact row filter, pruning invisible)
+    "manifest_catalyst_scan" -> ((s, d) => {
+      val b = manskipFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.read.format("graft.sources.manifest").load(b)
+          .filter(col("quantity").between(10, 20))
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // time travel through the SAME relation: versionAsOf 0 of the
+    // versioned-delete table is the table BEFORE the delete — the
+    // oracle replays the full clean lineage, proving the deleted rows
+    // are still exactly recoverable from history
+    "manifest_time_travel" -> ((s, d) => {
+      val b = mandelFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.read.format("graft.sources.manifest")
+          .option("versionAsOf", "0").load(b)
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
@@ -316,6 +336,23 @@ object SparkEntry {
     b
   }
 
+  /** The quantity-clustered manifest table with zone maps ANALYZEd
+    * into the version metadata — shared by `skipping_manifest` (pruned
+    * read via the box API) and `manifest_catalyst_scan` (the same
+    * pruning driven by Catalyst's pushed-down filters through
+    * [[graft.ext.ManifestFileIndex]]). */
+  private def manskipFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manskip")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(
+        Warehouse(s, d).cleaned.repartitionByRange(8, col("quantity")), b)
+      ext.Manifests.analyze(s, b, Seq("quantity"))
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** The merge-on-read twin of [[mandelFixture]]: same clustered v0,
     * but the NATION_7 delete is a deletion vector — v1 lists the SAME
     * data files plus a (file, pos) sidecar. Clustering bounds the
@@ -387,6 +424,14 @@ object SparkEntry {
     "skipping_manifest" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE quantity BETWEEN 10 AND 20 ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // Catalyst-planned twin: same contract — pruning cannot change rows
+    "manifest_catalyst_scan" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE quantity BETWEEN 10 AND 20 ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // versionAsOf 0 = before the delete: the full clean lineage
+    "manifest_time_travel" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // DV-churn feed: exactly the pred-TRUE rows, tagged delete
     "change_feed_mor" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble},

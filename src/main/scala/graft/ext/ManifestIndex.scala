@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** [[Manifests]] tables plugged into Catalyst's scan planning — the
+  * Delta `TahoeFileIndex` shape: a custom
+  * `org.apache.spark.sql.execution.datasources.FileIndex` whose file
+  * listing IS one committed manifest version, with zone-map pruning
+  * applied INSIDE the planner from the filters Catalyst pushes down.
+  * Where [[Manifests.readWhere]] needs the caller to hand it a box,
+  * here `df.filter($"quantity" === 7)` — or the same predicate arriving
+  * through SQL — prunes files automatically: `FileSourceScanExec`
+  * passes its `dataFilters` to [[listFiles]], the filters are evaluated
+  * against the version's per-file min/max/null-count stats
+  * ([[Manifests.statsOf]]), and only surviving files are planned. Row
+  * groups of the files that ARE read still get parquet's own footer
+  * skipping plus the pushed predicate — this index only removes whole
+  * files before any of that starts.
+  *
+  * Scale shape: the constructor's listing cost is one manifest read +
+  * one `getFileStatus` per data file (metadata RPCs, manifest-sized);
+  * pruning reads the stats parquet (a row per file) and collects FILE
+  * NAMES only. Everything here is driver-side metadata work — the scan
+  * itself stays Spark's vectorized parquet reader with full
+  * codegen/pushdown, because the relation this index feeds is a plain
+  * `HadoopFsRelation(ParquetFileFormat)`.
+  *
+  * Pruning is CONSERVATIVE by construction: a file is dropped only when
+  * some translated conjunct is provably unsatisfiable over its zone
+  * ([[ManifestFileIndex.zonePredicate]]); filters that do not translate
+  * (non-indexed columns, non-literal comparands, exotic operators) keep
+  * every file, and files the stats table does not cover are always
+  * planned. All-null zones (null min/max) fail range/equality conjuncts
+  * naturally — same null semantics as [[Skipping.candidateFiles]]. */
+final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
+    extends FileIndex {
+
+  private val files: Seq[String] =
+    Manifests.files(spark, base, version).map(Dfs.canonical)
+
+  private val statuses: Map[String, FileStatus] = files.map { f =>
+    f -> Dfs.fs(spark, f).getFileStatus(new Path(f))
+  }.toMap
+
+  private val stats: Option[(Seq[String], String)] =
+    Manifests.statsOf(spark, base, version)
+
+  override def rootPaths: Seq[Path] = Seq(new Path(base))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def inputFiles: Array[String] = files.toArray
+
+  override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+
+  override def refresh(): Unit = () // a committed version is immutable
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = stats match {
+      case None => files
+      case Some((keys, statsFile)) =>
+        ManifestFileIndex.zonePredicate(dataFilters, keys) match {
+          case None => files
+          case Some(pred) =>
+            val st = spark.read.parquet(statsFile)
+            val cand = st.filter(pred).select("file").collect()
+              .map(r => Dfs.canonical(r.getString(0))).toSet
+            val covered = st.select("file").collect()
+              .map(r => Dfs.canonical(r.getString(0))).toSet
+            files.filter(f => cand.contains(f) || !covered.contains(f))
+        }
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      keep.map(statuses).toArray))
+  }
+}
+
+object ManifestFileIndex {
+
+  /** Translate pushed-down Catalyst `dataFilters` into ONE predicate
+    * over the zone-map stats table ("can this file contain a matching
+    * row?"). Conjuncts combine by AND (a file must be possible for
+    * every one); a conjunct that does not translate contributes
+    * nothing (conservative). Returns None when no conjunct translates
+    * — the caller then skips pruning entirely. */
+  private[ext] def zonePredicate(filters: Seq[Expression],
+      keys: Seq[String]): Option[Column] =
+    filters.flatMap(zoneOf(_, keys)) match {
+      case Seq() => None
+      case ps => Some(ps.reduce(_ && _))
+    }
+
+  private def keyFor(keys: Seq[String], a: AttributeReference): Option[String] =
+    keys.find(_.equalsIgnoreCase(a.name))
+
+  private def scalaLit(l: Literal): Option[Column] =
+    scala.util.Try(
+      lit(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+    ).toOption.filter(_ => l.value != null)
+
+  /** The zone test for one expression, or None when it (or a branch of
+    * it) cannot be decided from min/max/null counts. Null zone bounds
+    * (an all-null file) make every range/equality comparison null →
+    * the filter drops the file, which is exactly right: no non-null
+    * value exists there to satisfy it. */
+  private def zoneOf(e: Expression, keys: Seq[String]): Option[Column] = {
+    def mn(k: String) = col(s"${k}_min")
+    def mx(k: String) = col(s"${k}_max")
+    def nulls(k: String) = col(s"${k}_nulls")
+    e match {
+      case And(l, r) => (zoneOf(l, keys), zoneOf(r, keys)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // untranslatable conjunct: keep the other
+      }
+      // OR needs BOTH branches decidable: an undecidable branch could
+      // match anywhere, so the whole disjunction stops pruning
+      case Or(l, r) =>
+        for { a <- zoneOf(l, keys); b <- zoneOf(r, keys) } yield a || b
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        for { k <- keyFor(keys, a); v <- scalaLit(l) }
+          yield mn(k) <= v && mx(k) >= v
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        zoneOf(EqualTo(a, l), keys)
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) keyFor(keys, a).map(k => nulls(k) > 0)
+        else zoneOf(EqualTo(a, l), keys)
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        zoneOf(EqualNullSafe(a, l), keys)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mx(k) > v
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        zoneOf(LessThan(a, l), keys)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mx(k) >= v
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        zoneOf(LessThanOrEqual(a, l), keys)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mn(k) < v
+      case LessThan(l: Literal, a: AttributeReference) =>
+        zoneOf(GreaterThan(a, l), keys)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mn(k) <= v
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        zoneOf(GreaterThanOrEqual(a, l), keys)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        keyFor(keys, a).flatMap { k =>
+          val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
+          if (cs.exists(_.isEmpty)) None // a null/odd element: stay conservative
+          else Some(cs.flatten.map(v => mn(k) <= v && mx(k) >= v).reduce(_ || _))
+        }
+      case InSet(a: AttributeReference, vs) =>
+        keyFor(keys, a).flatMap { k =>
+          val dt = a.dataType
+          val cs = vs.toSeq.map(v =>
+            scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
+              .toOption.filter(_ => v != null))
+          if (cs.isEmpty || cs.exists(_.isEmpty)) None
+          else Some(cs.flatten.map(v => mn(k) <= v && mx(k) >= v).reduce(_ || _))
+        }
+      case IsNull(a: AttributeReference) =>
+        keyFor(keys, a).map(k => nulls(k) > 0)
+      case IsNotNull(a: AttributeReference) =>
+        keyFor(keys, a).map(k => nulls(k) < col("n_rows"))
+      case _ => None
+    }
+  }
+}

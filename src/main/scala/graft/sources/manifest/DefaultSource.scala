@@ -1,9 +1,11 @@
 package graft.sources.manifest
 
-import graft.ext.{Dfs, Manifests}
+import graft.ext.{Dfs, ManifestFileIndex, Manifests}
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.sources.{BaseRelation, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[graft.ext.Manifests]] table —
@@ -33,11 +35,60 @@ import org.apache.spark.sql.types.StructType
   * batches read under it, so files from before a column was added
   * null-fill, and columns added after the query started surface on
   * restart — Structured Streaming's own schema contract. */
-class DefaultSource extends StreamSourceProvider {
+class DefaultSource extends StreamSourceProvider with RelationProvider {
 
   private def basePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       sys.error("graft.sources.manifest requires .option(\"path\", <table base>)"))
+
+  /** BATCH read of a manifest table through Catalyst's own scan
+    * planning: `spark.read.format("graft.sources.manifest").load(base)`
+    * resolves one committed version and hands its file list to a
+    * [[graft.ext.ManifestFileIndex]] inside a plain
+    * `HadoopFsRelation(ParquetFileFormat)` — so the query gets
+    * whole-stage codegen, parquet predicate pushdown, AND manifest-
+    * stats file skipping on whatever filters the user writes, with no
+    * engine-specific read API in sight. Time travel via options:
+    * `versionAsOf` (a committed version number) or `timestampAsOf`
+    * (epoch millis, or an ISO-8601 instant — resolved against commit
+    * times, [[Manifests.versionAsOf]]).
+    *
+    * Versions carrying deletion vectors are REFUSED: a `BaseRelation`
+    * is a pure file scan and cannot express the position anti-join —
+    * run `Manifests.compact` to materialize the vectors (or read
+    * through `Manifests.readAt`, which applies them). Refusal, not a
+    * silent wrong answer: the same stance `merge`/`updateWhere` take. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val base = basePath(parameters)
+    val v = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) =>
+        sys.error("versionAsOf and timestampAsOf are mutually exclusive")
+      case (Some(n), None) => n.toInt
+      case (None, Some(ts)) =>
+        val millis =
+          if (ts.forall(_.isDigit)) ts.toLong
+          else java.time.Instant.parse(ts).toEpochMilli
+        Manifests.versionAsOf(spark, base, millis).getOrElse(
+          sys.error(s"$base has no version committed at or before $ts"))
+      case (None, None) => Manifests.latestVersion(spark, base).getOrElse(
+        sys.error(s"no committed version under $base"))
+    }
+    require(Manifests.dvFiles(spark, base, v).isEmpty,
+      s"version $v of $base carries deletion vectors — a batch relation " +
+        "is a pure file scan; compact() to materialize them, or read " +
+        "via Manifests.readAt")
+    val schema = Manifests.schemaOf(spark, base, v).getOrElse(
+      spark.read.parquet(Manifests.files(spark, base, v).head).schema)
+    HadoopFsRelation(
+      location = new ManifestFileIndex(spark, base, v),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = parameters)(spark)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

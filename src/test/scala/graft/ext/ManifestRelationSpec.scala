@@ -1,0 +1,124 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Catalyst-integrated manifest scan: `spark.read.format(
+  * "graft.sources.manifest")` plans a committed version through
+  * [[ManifestFileIndex]], so pushed-down filters prune FILES from the
+  * manifest's zone-map stats inside the planner — no engine-specific
+  * read API, no caller-supplied box. */
+class ManifestRelationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def base(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rel(b: String): DataFrame =
+    spark.read.format("graft.sources.manifest").load(b)
+
+  /** Files the executed plan actually scanned (post-pruning). */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect() // force execution so the lazy listing is resolved
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec in the plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  /** A 200-row table range-clustered on k (0..9) into 5 files, with
+    * zone maps on k recorded in the manifest. */
+  private def clustered(): String = {
+    import spark.implicits._
+    val b = base("graft_rel_clu")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10, s"s$i")).toDF("id", "k", "s")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.analyze(spark, b, Seq("k"))
+    b
+  }
+
+  test("relation read equals readAt; schema from the manifest") {
+    val b = clustered()
+    val viaRel = rel(b).orderBy("id").collect()
+    val viaApi = Manifests.readLatest(spark, b).orderBy("id").collect()
+    assert(viaRel.toSeq === viaApi.toSeq)
+    assert(rel(b).schema.fieldNames.toSeq === Seq("id", "k", "s"))
+  }
+
+  test("pushed filter on the stat key prunes files inside the planner; result exact") {
+    val b = clustered()
+    val all = scannedFiles(rel(b))
+    val pruned = rel(b).filter(col("k") === 3)
+    assert(scannedFiles(pruned) < all,
+      "a selective filter on the clustered stat key must scan fewer files")
+    assert(pruned.count() === 20)
+    // parquet pushdown still happens below the pruning
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+  }
+
+  test("range, IN, and null-test filters prune; OR with undecidable branch stays conservative") {
+    val b = clustered()
+    val all = scannedFiles(rel(b))
+    assert(scannedFiles(rel(b).filter(col("k") >= 8)) < all)
+    assert(rel(b).filter(col("k") >= 8).count() === 40)
+    assert(scannedFiles(rel(b).filter(col("k").isin(0, 1))) < all)
+    assert(rel(b).filter(col("k").isin(0, 1)).count() === 40)
+    // no nulls in k: IsNull prunes everything, result is empty but exact
+    assert(rel(b).filter(col("k").isNull).count() === 0)
+    // an OR whose other branch references a non-stat column cannot prune
+    val cons = rel(b).filter(col("k") === 3 || col("s") === "s1")
+    assert(scannedFiles(cons) === all)
+    assert(cons.count() === 21)
+  }
+
+  test("filters on non-stat columns and stat-less tables scan everything, correctly") {
+    import spark.implicits._
+    val b = clustered()
+    val q = rel(b).filter(col("s") === "s7")
+    assert(scannedFiles(q) === scannedFiles(rel(b)))
+    assert(q.count() === 1)
+    // a table with no recorded stats: no pruning, full correctness
+    val nb = base("graft_rel_nostats")
+    Manifests.commitData((1 to 50).map(i => (i, i % 5)).toDF("id", "k"), nb)
+    assert(rel(nb).filter(col("k") === 2).count() === 10)
+  }
+
+  test("versionAsOf and timestampAsOf resolve history; DV versions refuse") {
+    import spark.implicits._
+    val b = clustered()
+    Manifests.deleteWhere(spark, b, col("k") === 3)
+    val latest = rel(b)
+    assert(latest.count() === 180)
+    val v0 = spark.read.format("graft.sources.manifest")
+      .option("versionAsOf", "1").load(b) // v1 = analyze republish of v0
+    assert(v0.count() === 200)
+    val ts = Dfs.mtime(spark, s"$b/v1/_SUCCESS")
+    val asOf = spark.read.format("graft.sources.manifest")
+      .option("timestampAsOf", ts.toString).load(b)
+    assert(asOf.count() === 200)
+    // a deletion-vector version is not expressible as a pure file scan
+    Manifests.deleteWhereMor(spark, b, col("k") === 5)
+    val e = intercept[IllegalArgumentException](rel(b).count())
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("pruning survives an append: incremental stats cover the new files") {
+    import spark.implicits._
+    val b = clustered()
+    // k=50 lands in a brand-new file, statted incrementally by appendBatch
+    Manifests.appendBatch(
+      Seq((9001L, 50, "new1"), (9002L, 50, "new2")).toDF("id", "k", "s"),
+      b, batchId = 0L)
+    val q = rel(b).filter(col("k") === 50)
+    assert(q.count() === 2)
+    assert(scannedFiles(q) < scannedFiles(rel(b)),
+      "the append's own zone should confine k=50 to the new file")
+    assert(rel(b).filter(col("k") === 3).count() === 20)
+  }
+}

@@ -234,23 +234,22 @@ object SparkEntry {
     // version; the oracle replays upsert semantics as
     // updates UNION ALL (target ANTI JOIN updates)
     "merge_versioned" -> ((s, d) => {
-      val b = dumpDir(s, d, "manmerge")
-      val marker = s"${b}_done"
-      if (!ext.Dfs.exists(s, marker)) {
-        ext.Manifests.commitData(Warehouse(s, d).dimCustomer.repartition(8), b)
-        val dim = ext.Manifests.readAt(s, b, 0)
-        val updates = dim.filter(col("country") === "NATION_3")
-          .withColumn("country", lit("RELOCATED"))
-          .unionByName(dim.filter(col("country") === "NATION_5")
-            .select((col("customer_key") + 1000000L).as("customer_key"),
-              concat(col("customer_id"), lit("_B")).as("customer_id"),
-              lit("NATION_5B").as("country")))
-        ext.Manifests.merge(s, b, updates, Seq("customer_id"))
-        ext.Dfs.touch(s, marker)
-      }
+      val b = manmergeFixture(s, d)
       ext.Manifests.readLatest(s, b)
         .select("customer_key", "customer_id", "country")
         .orderBy("customer_id")
+    }),
+    // the merge's v0->v1 feed with row identity DECLARED: keyed on
+    // customer_id, the relocated customers' old/new images pair up as
+    // update_preimage/update_postimage while the brand-new customers
+    // stay plain inserts — the Delta-CDF tagging a downstream MERGE
+    // consumer needs (bare delete+insert pairs would transiently drop
+    // updated rows on replication)
+    "change_feed_keyed" -> ((s, d) => {
+      val b = manmergeFixture(s, d)
+      ext.Manifests.changesBetweenKeyed(s, b, 0, 1, Seq("customer_id"))
+        .select("customer_key", "customer_id", "country", "_change_type")
+        .orderBy("customer_id", "_change_type")
     }),
     // change-data-feed between manifest versions: the v0->v1 diff of the
     // delete_versioned table is exactly the deleted rows tagged
@@ -348,6 +347,28 @@ object SparkEntry {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("quantity")), b)
       ext.Manifests.analyze(s, b, Seq("quantity"))
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** The upserted-dim fixture (v0 = dim_customer, v1 = one atomic MERGE
+    * carrying relocations of NATION_3 + brand-new NATION_5B customers) —
+    * shared by `merge_versioned` (reads v1) and `change_feed_keyed`
+    * (classifies the v0->v1 diff by customer_id). */
+  private def manmergeFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manmerge")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(Warehouse(s, d).dimCustomer.repartition(8), b)
+      val dim = ext.Manifests.readAt(s, b, 0)
+      val updates = dim.filter(col("country") === "NATION_3")
+        .withColumn("country", lit("RELOCATED"))
+        .unionByName(dim.filter(col("country") === "NATION_5")
+          .select((col("customer_key") + 1000000L).as("customer_key"),
+            concat(col("customer_id"), lit("_B")).as("customer_id"),
+            lit("NATION_5B").as("country")))
+      ext.Manifests.merge(s, b, updates, Seq("customer_id"))
       ext.Dfs.touch(s, marker)
     }
     b
@@ -451,6 +472,23 @@ object SparkEntry {
          | SELECT t.customer_key, t.customer_id, t.country FROM dim_customer t
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = t.customer_id)
          | ORDER BY customer_id""".stripMargin,
+    // keyed CDF replayed exactly: NATION_3 keys appear on both sides of
+    // the diff -> their images tag update_pre/postimage; NATION_5B keys
+    // are insert-only
+    "change_feed_keyed" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_key, customer_id, country,
+         |        'update_preimage' AS _change_type
+         | FROM dim_customer WHERE country = 'NATION_3'
+         | UNION ALL
+         | SELECT customer_key, customer_id, 'RELOCATED' AS country,
+         |        'update_postimage' AS _change_type
+         | FROM dim_customer WHERE country = 'NATION_3'
+         | UNION ALL
+         | SELECT customer_key + 1000000, customer_id || '_B',
+         |        'NATION_5B' AS country, 'insert' AS _change_type
+         | FROM dim_customer WHERE country = 'NATION_5'
+         | ORDER BY customer_id, _change_type""".stripMargin,
     // the v0->v1 diff is exactly the rows the delete removed: pred-TRUE
     // rows only (null-country rows survive deletes, so they never
     // appear in the feed)

@@ -754,6 +754,49 @@ object Manifests {
           .withColumn("_change_type", lit("delete")))
   }
 
+  /** The change feed with row identity declared: given key columns,
+    * a key present on BOTH sides of [[changesBetween]]'s content diff
+    * is an UPDATE — its old image re-tags `update_preimage`, its new
+    * image `update_postimage` — while one-sided keys stay plain
+    * `delete`/`insert`. This is the Delta CDF tagging downstream MERGE
+    * consumers need: replicating a feed of bare delete+insert pairs
+    * into a keyed table would transiently drop rows an update merely
+    * changed, and an incremental aggregate could not net an update to
+    * zero without pairing the images.
+    *
+    * Contract: a non-null key that appears more than once on one side
+    * THROWS (pairing would depend on row order — [[merge]]'s refusal);
+    * null keys never match (SQL join equality), so null-key rows pass
+    * through as plain insert/delete. Scale: every join here runs over
+    * the FEED, not the table — [[changesBetween]] already pruned to
+    * churned files, and the feed is persisted so the four
+    * classification passes scan the churn once. */
+  def changesBetweenKeyed(spark: SparkSession, base: String,
+      from: Int, to: Int, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyed change feed needs at least one key column")
+    val ch = changesBetween(spark, base, from, to).persist()
+    val del = ch.filter(col("_change_type") === "delete").drop("_change_type")
+    val ins = ch.filter(col("_change_type") === "insert").drop("_change_type")
+    val nonNullKey = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    Seq("delete" -> del, "insert" -> ins).foreach { case (side, df) =>
+      val dup = df.filter(nonNullKey).groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"$side side of the $from->$to feed has duplicate keys on " +
+          s"(${keyCols.mkString(", ")}) — images cannot be paired")
+    }
+    val delKeys = del.select(keyCols.map(col): _*)
+    val insKeys = ins.select(keyCols.map(col): _*)
+    del.join(insKeys, keyCols, "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(ins.join(delKeys, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(del.join(insKeys, keyCols, "left_anti")
+        .withColumn("_change_type", lit("delete")))
+      .unionByName(ins.join(delKeys, keyCols, "left_anti")
+        .withColumn("_change_type", lit("insert")))
+  }
+
   /** Surgical delete as a manifest swap: one discovery scan finds the
     * affected files, ONE distributed job rewrites their survivors into
     * a fresh data directory (survivor rows need no file-boundary

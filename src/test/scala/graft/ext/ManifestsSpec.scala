@@ -585,6 +585,47 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.readAt(spark, b2, 1).count() === 1)
   }
 
+  test("changesBetweenKeyed: both-sided keys pair as update images, one-sided stay insert/delete") {
+    import spark.implicits._
+    val b = base("graft_man_cdf")
+    Manifests.commitData(
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s"), b)
+    // one merge carrying an update (k=2) and an insert (k=100)
+    Manifests.merge(spark, b,
+      Seq((2L, "v2new"), (100L, "brand_new")).toDF("k", "s"), Seq("k"))
+    val feed = Manifests.changesBetweenKeyed(spark, b, 0, 1, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set(
+      (2L, "v2", "update_preimage"),
+      (2L, "v2new", "update_postimage"),
+      (100L, "brand_new", "insert")))
+    // a pure delete hop stays a plain delete
+    Manifests.deleteWhere(spark, b, col("k") === 3)
+    val feed2 = Manifests.changesBetweenKeyed(spark, b, 1, 2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(feed2 === Set((3L, "delete")))
+  }
+
+  test("changesBetweenKeyed: duplicate keys on one side refuse; null keys pass through plain") {
+    import spark.implicits._
+    val b = base("graft_man_cdfdup")
+    Manifests.commitData(Seq((1L, "a")).toDF("k", "s"), b)
+    // a whole-table replace whose new image repeats k=1: unpairable
+    Manifests.commitData(Seq((1L, "x"), (1L, "y")).toDF("k", "s"), b)
+    val e = intercept[IllegalArgumentException](
+      Manifests.changesBetweenKeyed(spark, b, 0, 1, Seq("k")).collect())
+    assert(e.getMessage.contains("duplicate keys"))
+    // null keys never pair: a deleted null-key row is a plain delete
+    val b2 = base("graft_man_cdfnull")
+    Manifests.commitData(
+      Seq[(java.lang.Long, String)]((1L, "keep"), (null, "gone"))
+        .toDF("k", "s"), b2)
+    Manifests.deleteWhere(spark, b2, col("s") === "gone")
+    val feed = Manifests.changesBetweenKeyed(spark, b2, 0, 1, Seq("k"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getString(2)))
+    assert(feed.toSet === Set((None, "gone", "delete")))
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -754,6 +754,10 @@ object SparkEntry {
     // replays MinHash/LSH/SimHash value-for-value; DedupSpec additionally
     // asserts planted-pair recovery
     "exact_dedup" -> ((s, d) => operators.Dedup.exactDedup(s, d)),
+    // sequence-level exact dedup: repeated k-token spans keep their
+    // first occurrence, every other occurrence is excised in place —
+    // the span-level complement of the document-level families
+    "substring_dedup" -> ((s, d) => operators.Dedup.substringDedup(s, d)),
     "minhash_pairs" -> ((s, d) => operators.Dedup.minhashPairs(s, d)),
     "simhash_pairs" -> ((s, d) => operators.Dedup.simhashPairs(s, d)),
     "ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccard(s, d)),
@@ -912,6 +916,7 @@ object SparkEntry {
   private val opsOracles: Map[String, String] = Map(
     "sessionize" -> sessionizeOracle,
     "sessionize_scalable" -> sessionizeOracle,
+    "substring_dedup" -> operators.Dedup.substringDedupOracleSql(corpusCte),
     "minhash_pairs" -> operators.Dedup.minhashOracleSql(corpusCte),
     "simhash_pairs" -> operators.Dedup.simhashOracleSql(corpusCte),
     "ngram_jaccard" -> operators.Dedup.ngramJaccardOracleSql(corpusCte),

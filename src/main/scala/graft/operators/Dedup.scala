@@ -442,6 +442,121 @@ object Dedup {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Exact substring-span dedup (sequence-level, not document-level)
+  // ---------------------------------------------------------------
+
+  /** Span length for [[substringDedup]]: a repeated run of this many
+    * tokens is considered memorizable boilerplate. 8 on the short-doc
+    * fixture; the published pipelines use ~50 tokens at corpus scale —
+    * the lineage is k-independent. */
+  val spanK = 8
+
+  /** Exact substring deduplication — the sequence-level complement of
+    * document-level dedup (reference near-dup families drop whole
+    * documents; training corpora ALSO carry repeated k-token spans
+    * — licenses, headers, templates — inside otherwise-unique docs,
+    * and span-level repeats are what a model memorizes first). Every
+    * k-token window that occurs more than once in the corpus keeps its
+    * FIRST occurrence (smallest (doc_id, position) — D1's keep-first
+    * contract at token granularity) and every other occurrence is
+    * excised: the union of duplicated windows' positions is removed
+    * and the survivors reassemble in order.
+    *
+    * Fully relational — the suffix-array construction of the published
+    * single-node implementation re-expressed as positional-gram
+    * arithmetic Spark distributes (and DuckDB replays):
+    * positional k-grams -> per-gram (count, min position-key) via one
+    * map-side-combinable aggregation (NO windowed rank: a boilerplate
+    * gram with millions of occurrences would put them all in one
+    * window partition, while min/count combine locally) -> non-first
+    * occurrences explode into covered positions (×k, bounded) ->
+    * anti-join against the token stream -> per-doc ordered
+    * reassembly. Shuffles: gram agg, gram join, position anti-join,
+    * doc regroup — all on keys with no driver-side state.
+    *
+    * Output per doc: cleaned text, token counts before/removed. Docs
+    * whose every token was excised survive with empty text (the
+    * caller's quality gate drops them — excision must not silently
+    * change corpus membership). */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = spanK
+    val docs = corpusWithDups(spark, dir)
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // positional grams: (doc, start, gram); docs shorter than k emit none
+    // (sequence() would count DOWN for n-k+1 < 1 — guard, don't clamp)
+    val grams = tk
+      .select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= k,
+          sequence(lit(1), size(col("tk")) - (k - 1)))
+          .otherwise(array())).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("tk"), col("i"), lit(k))).as("gram"))
+    // one scalar position key makes "first occurrence" portable across
+    // engines: positions are 1-based and < 1e6 by contract
+    val posKey = col("doc_id") * lit(1000000L) + col("i")
+    val firsts = grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), min(posKey).as("first_key"))
+      .filter(col("n_occ") >= 2)
+    val excised = grams.join(firsts, "gram")
+      .filter(posKey =!= col("first_key"))
+    val removed = excised
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = tk.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+    val rebuilt = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** [[substringDedup]] replayed in DuckDB: same positional grams, same
+    * scalar first-occurrence key, same position union. */
+  def substringDedupOracleSql(corpusCte: String): String = {
+    val k = spanK
+    s"""$corpusCte,
+       | tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       | grams AS (
+       |   SELECT doc_id, i, array_to_string(list_slice(tk, i, i + ${k - 1}), ' ') AS gram
+       |   FROM tk0 CROSS JOIN UNNEST(generate_series(1, len(tk) - ${k - 1})) AS g(i)),
+       | firsts AS (
+       |   SELECT gram, COUNT(*) AS n_occ, MIN(doc_id * 1000000 + i) AS first_key
+       |   FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+       | excised AS (
+       |   SELECT g.doc_id, g.i FROM grams g JOIN firsts f USING (gram)
+       |   WHERE g.doc_id * 1000000 + g.i <> f.first_key),
+       | removed AS (
+       |   SELECT DISTINCT doc_id, i + o AS pos
+       |   FROM excised CROSS JOIN UNNEST(generate_series(0, ${k - 1})) AS u(o)),
+       | toks AS (
+       |   SELECT doc_id, i AS pos, tk[i] AS token
+       |   FROM tk0 CROSS JOIN UNNEST(generate_series(1, len(tk))) AS t(i)),
+       | kept AS (
+       |   SELECT t.doc_id, t.pos, t.token FROM toks t
+       |   LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.pos = t.pos
+       |   WHERE r.doc_id IS NULL),
+       | reb AS (
+       |   SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+       |          COUNT(*) AS n_kept
+       |   FROM kept GROUP BY doc_id)
+       | SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       |        CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |        CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+       | FROM tk0 t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** CTE chain ending in `clusters(doc_id, cluster_rep)` — the cluster
     * labels as a relation for consumers that compose on them
     * (CorpusPipeline's near-dedup stage). The surrounding WITH must be

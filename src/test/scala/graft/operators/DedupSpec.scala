@@ -31,6 +31,59 @@ class DedupSpec extends AnyFunSuite {
     assert(plantedExact.map(_._2).intersect(keepIds).isEmpty)
   }
 
+  test("substringDedup: planted copies lose their repeated spans, originals keep theirs") {
+    val res = Dedup.substringDedup(spark, sf)
+    val byId = res.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // an exact copy duplicates every k-gram of its original: the copy is
+    // excised (possibly to empty), the original keeps at least the tokens
+    // of its own first-occurring spans
+    plantedExact.foreach { case (orig, copy) =>
+      val (_, nOrig, remOrig) = byId(orig)
+      val (_, nCopy, remCopy) = byId(copy)
+      assert(nCopy === nOrig)
+      assert(remCopy >= remOrig,
+        s"the later copy $copy must lose at least as much as original $orig")
+      if (nCopy >= Dedup.spanK)
+        assert(remCopy > 0, s"copy $copy shares every span yet lost nothing")
+    }
+    // total-token conservation: 0 <= removed <= n_tokens, every doc present
+    val bad = res.filter(col("n_removed") < 0 || col("n_removed") > col("n_tokens")).count()
+    assert(bad === 0)
+    assert(res.count() === Dedup.corpusWithDups(spark, sf).count())
+  }
+
+  test("substringDedup keep-first is positional: the earliest occurrence survives, later ones excise") {
+    // hand corpus: doc 1 owns the span; doc 2 repeats it inside noise;
+    // doc 3 repeats it twice (within-doc repeat also excises)
+    import spark.implicits._
+    val span = (1 to Dedup.spanK).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, span),
+      (2L, s"u1 u2 $span u3"),
+      (3L, s"$span $span")).toDF("doc_id", "text")
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // replicate the lineage over the hand corpus via the public pieces:
+    // substringDedup is corpus-bound, so run its algebra inline
+    val k = Dedup.spanK
+    val grams = tk.select(col("doc_id"), col("tk"),
+        explode(when(size(col("tk")) >= k, sequence(lit(1), size(col("tk")) - (k - 1)))
+          .otherwise(array())).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("tk"), col("i"), lit(k))).as("gram"))
+    val posKey = col("doc_id") * lit(1000000L) + col("i")
+    val firsts = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), min(posKey).as("first_key"))
+      .filter(col("n_occ") >= 2)
+    val excised = grams.join(firsts, "gram").filter(posKey =!= col("first_key"))
+      .select("doc_id", "i").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // doc 1 position 1 is the global first -> never excised
+    assert(!excised.contains((1L, 1)))
+    // doc 2's embedded occurrence (position 3) and doc 3's both occurrences excise
+    assert(excised.contains((2L, 3)))
+    assert(excised.contains((3L, 1)) && excised.contains((3L, k + 1)))
+  }
+
   test("minhashPairs recovers the planted pairs (exact copies always; near-dups w.h.p.)") {
     val found = pairs(Dedup.minhashPairs(spark, sf))
     assert(plantedExact.subsetOf(found), "exact copies have identical signatures")

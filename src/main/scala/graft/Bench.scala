@@ -36,6 +36,7 @@ object Bench {
     "change_feed_mor",
     "evolve_manifest", // one-time two-batch evolved table build
     "skipping_manifest", // one-time clustered dump + ANALYZE
+    "bucketed_join", // one-time bucketed dumps of fact slice + dim
     "compact_roundtrip",
     "mv_monthly_sales", "snapshot_monthly_v0", "media_binary_roundtrip",
     "skipping_scan") // first run writes the z-clustered copy + stats

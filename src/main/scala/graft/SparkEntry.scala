@@ -229,6 +229,22 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // co-bucketed fact⋈dim: both tables were committed bucketed on
+    // stock_code, the relation exposes the layout as a BucketSpec, and
+    // Catalyst plans join AND aggregation with ZERO exchange — the
+    // recurring warehouse shuffle pre-paid once at write time
+    // (ManifestRelationSpec asserts the no-exchange plan; the oracle
+    // replays the join, bucketing being invisible to results)
+    "bucketed_join" -> ((s, d) => {
+      val (bf, bd) = bucketedFixture(s, d)
+      val facts = s.read.format("graft.sources.manifest").load(bf)
+      val dim = s.read.format("graft.sources.manifest").load(bd)
+      facts.join(dim, "stock_code")
+        .groupBy("stock_code", "description")
+        .agg(count(lit(1)).as("n_sales"),
+          sum(col("quantity")).cast("long").as("sum_qty"))
+        .orderBy("stock_code")
+    }),
     // copy-on-write MERGE through the manifest protocol: dim_customer
     // upserted with relocations + brand-new customers in one atomic
     // version; the oracle replays upsert semantics as
@@ -352,6 +368,23 @@ object SparkEntry {
     b
   }
 
+  /** Two manifest tables bucketed the same way on stock_code — the
+    * cleaned lineage (fact side, quantity only) and dim_product — so
+    * the registered join plans without any exchange. */
+  private def bucketedFixture(s: SparkSession, d: String): (String, String) = {
+    val bf = dumpDir(s, d, "bkfact")
+    val bd = dumpDir(s, d, "bkdim")
+    val marker = s"${bf}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      val wh = Warehouse(s, d)
+      ext.Manifests.commitDataBucketed(
+        wh.cleaned.select("stock_code", "quantity"), bf, Seq("stock_code"), 8)
+      ext.Manifests.commitDataBucketed(wh.dimProduct, bd, Seq("stock_code"), 8)
+      ext.Dfs.touch(s, marker)
+    }
+    (bf, bd)
+  }
+
   /** The upserted-dim fixture (v0 = dim_customer, v1 = one atomic MERGE
     * carrying relocations of NATION_3 + brand-new NATION_5B customers) —
     * shared by `merge_versioned` (reads v1) and `change_feed_keyed`
@@ -472,6 +505,14 @@ object SparkEntry {
          | SELECT t.customer_key, t.customer_id, t.country FROM dim_customer t
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = t.customer_id)
          | ORDER BY customer_id""".stripMargin,
+    // bucketing is layout, not semantics: the oracle is the plain join
+    "bucketed_join" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT c.stock_code, p.description,
+         |        COUNT(*) AS n_sales,
+         |        CAST(SUM(c.quantity) AS BIGINT) AS sum_qty
+         | FROM cleaned c JOIN dim_product p ON p.stock_code = c.stock_code
+         | GROUP BY 1, 2 ORDER BY c.stock_code""".stripMargin,
     // keyed CDF replayed exactly: NATION_3 keys appear on both sides of
     // the diff -> their images tag update_pre/postimage; NATION_5B keys
     // are insert-only

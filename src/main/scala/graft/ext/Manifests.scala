@@ -273,6 +273,62 @@ object Manifests {
       schema = Some(df.schema))
   }
 
+  /** Bootstrap a BUCKETED table: rows are hash-partitioned on `keys`
+    * into `numBuckets` files whose names carry Spark's bucket-id suffix,
+    * and the (keys, n) spec is recorded in the version metadata. A
+    * relation read ([[graft.sources.manifest.DefaultSource]]) then
+    * exposes the spec as a `BucketSpec`, and Catalyst treats the scan
+    * as already hash-partitioned on the keys: joins and aggregations
+    * between tables bucketed the same way run with ZERO exchange — at
+    * 100 TB the repeated fact⋈dim shuffle is pre-paid once, here.
+    *
+    * This works because `repartition(n, keys)` and bucketing use the
+    * SAME partition function (`pmod(murmur3(keys), n)`), so output
+    * partition i contains exactly bucket i's rows; the file rename
+    * only makes that explicit in the name Spark's reader parses
+    * (`BucketingUtils.getBucketId`). Rewriting writes (delete, merge,
+    * update, compact) and appends do NOT carry the spec forward: their
+    * output files are not bucket-shaped, and a wrong spec would give
+    * silently wrong joins — losing the no-shuffle property is the safe
+    * failure. Re-bucket with a fresh [[commitDataBucketed]]. */
+  def commitDataBucketed(df: DataFrame, base: String,
+      keys: Seq[String], numBuckets: Int): Int = {
+    require(keys.nonEmpty && numBuckets > 0)
+    val spark = df.sparkSession
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.repartition(numBuckets, keys.map(col): _*)
+      .write.mode("errorifexists").parquet(dir)
+    import org.apache.spark.sql.execution.datasources.BucketingUtils
+    Dfs.dataFiles(spark, dir).foreach { st =>
+      val name = st.getPath.getName
+      // part-<partitionIdx>-<uuid>...: partition idx IS the bucket id
+      val bucket = name.split("-")(1).toInt
+      val dot = name.indexOf('.')
+      val withId = name.substring(0, dot) +
+        BucketingUtils.bucketIdToString(bucket) + name.substring(dot)
+      Dfs.rename(spark, st.getPath.toString, s"$dir/$withId")
+    }
+    // re-list for the manifest: listing paths are filesystem-qualified,
+    // the spelling every other write path's set arithmetic compares by
+    val renamed = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    val v = commit(spark, base, renamed, schema = Some(df.schema))
+    Dfs.writeBytes(spark, s"$base/v$v/_bucketspec",
+      s"$numBuckets\n${keys.mkString(",")}\n".getBytes("UTF-8"))
+    v
+  }
+
+  /** The recorded bucket layout of version `v`, if that version was
+    * written by [[commitDataBucketed]]: (numBuckets, keys). */
+  def bucketSpecOf(spark: SparkSession, base: String,
+      v: Int): Option[(Int, Seq[String])] =
+    if (!Dfs.exists(spark, s"$base/v$v/_bucketspec")) None
+    else {
+      val lines = new String(
+        Dfs.readBytes(spark, s"$base/v$v/_bucketspec"), "UTF-8").split("\n")
+      Some((lines(0).trim.toInt,
+        lines(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    }
+
   /** Data rows tagged with their physical address: parquet's hidden
     * `_metadata` struct gives the file path and the row's position
     * within it — stable coordinates because data files are immutable.

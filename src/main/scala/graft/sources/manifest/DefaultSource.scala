@@ -81,11 +81,18 @@ class DefaultSource extends StreamSourceProvider with RelationProvider {
         "via Manifests.readAt")
     val schema = Manifests.schemaOf(spark, base, v).getOrElse(
       spark.read.parquet(Manifests.files(spark, base, v).head).schema)
+    // a version written by commitDataBucketed exposes its layout as a
+    // BucketSpec: the scan reports HashPartitioning(keys, n), so joins
+    // and aggregations on the bucket keys plan with zero exchange
+    val bucketSpec = Manifests.bucketSpecOf(spark, base, v).map {
+      case (n, keys) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, keys, Nil)
+    }
     HadoopFsRelation(
       location = new ManifestFileIndex(spark, base, v),
       partitionSchema = new StructType(),
       dataSchema = schema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
   }

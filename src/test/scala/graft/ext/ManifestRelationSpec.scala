@@ -108,6 +108,60 @@ class ManifestRelationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("bucketed tables: join and aggregation on the bucket keys plan with zero exchange") {
+    import spark.implicits._
+    def exchanges(df: DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+    }
+    val ba = base("graft_rel_bka")
+    val bb = base("graft_rel_bkb")
+    val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "payload")
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("k", "name")
+    Manifests.commitDataBucketed(facts, ba, Seq("k"), 8)
+    Manifests.commitDataBucketed(dim, bb, Seq("k"), 8)
+    // content survives the bucketed write bit-exact
+    assert(rel(ba).orderBy("payload").collect().toSeq ===
+      facts.orderBy("payload").collect().toSeq)
+    // co-bucketed join: no shuffle on either side
+    val joined = rel(ba).join(rel(bb), "k")
+    assert(exchanges(joined) === 0,
+      joined.queryExecution.executedPlan.toString.take(800))
+    assert(joined.count() === 1000)
+    // grouping on the bucket key rides the same partitioning
+    val agg = rel(ba).groupBy("k").count()
+    assert(exchanges(agg) === 0)
+    assert(agg.count() === 50)
+    // correctness against the unbucketed plan
+    val plain = facts.join(dim, "k").groupBy("name").count()
+      .orderBy("name").collect().toSeq
+    val viaBuckets = rel(ba).join(rel(bb), "k").groupBy("name").count()
+      .orderBy("name").collect().toSeq
+    assert(viaBuckets === plain)
+  }
+
+  test("a rewrite drops the bucket spec: reads stay correct, just re-shuffled") {
+    import spark.implicits._
+    val b = base("graft_rel_bkrw")
+    Manifests.commitDataBucketed(
+      (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "v"), b, Seq("k"), 4)
+    assert(Manifests.bucketSpecOf(spark, b, 0).isDefined)
+    Manifests.deleteWhere(spark, b, col("k") === 3)
+    val v1 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.bucketSpecOf(spark, b, v1).isEmpty,
+      "a rewrite's output files are not bucket-shaped — spec must not survive")
+    assert(rel(b).count() === 90)
+    // the old bucketed version still time-travels with its spec
+    val agg = spark.read.format("graft.sources.manifest")
+      .option("versionAsOf", "0").load(b).groupBy("k").count()
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty)
+  }
+
   test("pruning survives an append: incremental stats cover the new files") {
     import spark.implicits._
     val b = clustered()

@@ -378,8 +378,10 @@ object SparkEntry {
     if (!ext.Dfs.exists(s, marker)) {
       val wh = Warehouse(s, d)
       ext.Manifests.commitDataBucketed(
-        wh.cleaned.select("stock_code", "quantity"), bf, Seq("stock_code"), 8)
-      ext.Manifests.commitDataBucketed(wh.dimProduct, bd, Seq("stock_code"), 8)
+        wh.cleaned.select("stock_code", "quantity"), bf, Seq("stock_code"), 8,
+        sortBy = Seq("stock_code"))
+      ext.Manifests.commitDataBucketed(wh.dimProduct, bd, Seq("stock_code"), 8,
+        sortBy = Seq("stock_code"))
       ext.Dfs.touch(s, marker)
     }
     (bf, bd)

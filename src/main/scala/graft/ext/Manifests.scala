@@ -292,11 +292,18 @@ object Manifests {
     * silently wrong joins — losing the no-shuffle property is the safe
     * failure. Re-bucket with a fresh [[commitDataBucketed]]. */
   def commitDataBucketed(df: DataFrame, base: String,
-      keys: Seq[String], numBuckets: Int): Int = {
+      keys: Seq[String], numBuckets: Int, sortBy: Seq[String] = Nil): Int = {
     require(keys.nonEmpty && numBuckets > 0)
     val spark = df.sparkSession
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.repartition(numBuckets, keys.map(col): _*)
+    // sortBy makes the buckets SORTED buckets: each bucket is one file
+    // (repartition -> one output partition per bucket) written in key
+    // order, the spec records the ordering, and the scan reports it —
+    // so a sort-merge join on the keys skips its SortExecs too: the
+    // join runs exchange-free AND sort-free, a pure streamed merge
+    val shaped = df.repartition(numBuckets, keys.map(col): _*)
+    (if (sortBy.isEmpty) shaped
+     else shaped.sortWithinPartitions(sortBy.map(col): _*))
       .write.mode("errorifexists").parquet(dir)
     import org.apache.spark.sql.execution.datasources.BucketingUtils
     Dfs.dataFiles(spark, dir).foreach { st =>
@@ -313,20 +320,23 @@ object Manifests {
     val renamed = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val v = commit(spark, base, renamed, schema = Some(df.schema))
     Dfs.writeBytes(spark, s"$base/v$v/_bucketspec",
-      s"$numBuckets\n${keys.mkString(",")}\n".getBytes("UTF-8"))
+      s"$numBuckets\n${keys.mkString(",")}\n${sortBy.mkString(",")}\n"
+        .getBytes("UTF-8"))
     v
   }
 
   /** The recorded bucket layout of version `v`, if that version was
-    * written by [[commitDataBucketed]]: (numBuckets, keys). */
+    * written by [[commitDataBucketed]]: (numBuckets, keys, sortCols). */
   def bucketSpecOf(spark: SparkSession, base: String,
-      v: Int): Option[(Int, Seq[String])] =
+      v: Int): Option[(Int, Seq[String], Seq[String])] =
     if (!Dfs.exists(spark, s"$base/v$v/_bucketspec")) None
     else {
       val lines = new String(
         Dfs.readBytes(spark, s"$base/v$v/_bucketspec"), "UTF-8").split("\n")
-      Some((lines(0).trim.toInt,
-        lines(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      def cols(i: Int) =
+        if (lines.length <= i) Seq.empty
+        else lines(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      Some((lines(0).trim.toInt, cols(1), cols(2)))
     }
 
   /** Data rows tagged with their physical address: parquet's hidden
@@ -391,6 +401,42 @@ object Manifests {
       })
       .sorted
       .map(v => (v, Dfs.mtime(spark, s"$base/v$v/_SUCCESS"), tagOf(spark, base, v)))
+
+  /** [[history]] as a DataFrame — DESCRIBE HISTORY for manifest tables:
+    * one row per committed version with its commit time, tag, and file
+    * counts. Metadata-sized (a listing plus one status per version),
+    * never touches data. */
+  def historyDf(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    history(spark, base).map { case (v, t, tag) =>
+      (v, new java.sql.Timestamp(t), tag,
+        files(spark, base, v).size, dvFiles(spark, base, v).size,
+        bucketSpecOf(spark, base, v).isDefined)
+    }.toDF("version", "committed_at", "tag", "n_files", "n_dv_files", "bucketed")
+  }
+
+  /** The files of a version as a DataFrame — DESCRIBE DETAIL's file
+    * listing: path and size, left-joined with the version's zone-map
+    * stats when recorded, so "which files, how big, covering what key
+    * ranges" is one metadata query. */
+  def filesDf(spark: SparkSession, base: String, v: Int): DataFrame = {
+    import spark.implicits._
+    val fs = files(spark, base, v).map { f =>
+      (Dfs.canonical(f),
+        Dfs.fs(spark, f).getFileStatus(
+          new org.apache.hadoop.fs.Path(f)).getLen)
+    }.toDF("file", "size_bytes")
+    statsOf(spark, base, v) match {
+      case None => fs
+      case Some((_, statsFile)) =>
+        val st = spark.read.parquet(statsFile)
+          .withColumn("file", expr("reflect('java.lang.String', 'valueOf', file)"))
+        // canonicalize the stats table's input_file_name() spelling so
+        // the join key matches the listing's Hadoop path strings
+        val canon = udf((s: String) => Dfs.canonical(s))
+        fs.join(st.withColumn("file", canon(col("file"))), Seq("file"), "left")
+    }
+  }
 
   /** Timestamp time travel: the latest version whose commit landed at
     * or before `tsMillis` — "the table as of last Tuesday 09:00",

@@ -85,8 +85,8 @@ class DefaultSource extends StreamSourceProvider with RelationProvider {
     // BucketSpec: the scan reports HashPartitioning(keys, n), so joins
     // and aggregations on the bucket keys plan with zero exchange
     val bucketSpec = Manifests.bucketSpecOf(spark, base, v).map {
-      case (n, keys) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, keys, Nil)
+      case (n, keys, sortCols) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, keys, sortCols)
     }
     HadoopFsRelation(
       location = new ManifestFileIndex(spark, base, v),
@@ -148,12 +148,42 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
       case n => n.toInt
     }
 
+  // admission control: cap how many table versions one micro-batch may
+  // span (Delta's maxFilesPerTrigger shape, in version units — versions
+  // are this source's offsets, so they are what a trigger admits). A
+  // backlogged restart then catches up in bounded batches instead of
+  // one batch spanning the whole backlog. The snapshot batch is exempt:
+  // it is one version read whole, by construction.
+  private val maxVersionsPerTrigger: Option[Int] =
+    parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1 (got $n)")
+      n
+    }
+
+  // the highest version this source has offered or served — the base
+  // the next trigger's cap counts from (getOffset has no start param in
+  // this API; the source tracks its own progress, and getBatch re-syncs
+  // the tracker from the engine's checkpointed offsets on restart)
+  private var lastSeen: Option[Int] = None
+
   private def ver(o: OffsetV1): Int = o.json.toInt
 
-  override def getOffset: Option[OffsetV1] =
-    Manifests.latestVersion(spark, base).map(VersionOffset(_))
+  override def getOffset: Option[OffsetV1] = synchronized {
+    Manifests.latestVersion(spark, base).map { latest =>
+      val capped = (maxVersionsPerTrigger, lastSeen.orElse(startingVersion)) match {
+        case (Some(cap), Some(from)) => math.min(latest, from + cap)
+        case _ => latest // first offer with a snapshot start: one version
+      }
+      lastSeen = Some(math.max(lastSeen.getOrElse(-1), capped))
+      VersionOffset(capped)
+    }
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    synchronized {
+      lastSeen = Some(math.max(lastSeen.getOrElse(-1), ver(end)))
+    }
     import org.apache.spark.sql.functions.{col, lit}
     val to = ver(end)
     val df = (start.map(ver).orElse(startingVersion)) match {

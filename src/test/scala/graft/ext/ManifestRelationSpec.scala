@@ -142,6 +142,27 @@ class ManifestRelationSpec extends AnyFunSuite {
     assert(viaBuckets === plain)
   }
 
+  test("sorted buckets: the merge join plans without exchanges AND without sorts") {
+    import spark.implicits._
+    val ba = base("graft_rel_sba")
+    val bb = base("graft_rel_sbb")
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i)).toDF("k", "v")
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("k", "name")
+    Manifests.commitDataBucketed(facts, ba, Seq("k"), 8, sortBy = Seq("k"))
+    Manifests.commitDataBucketed(dim, bb, Seq("k"), 8, sortBy = Seq("k"))
+    // force a sort-merge join (a broadcast would hide the property)
+    val smj = rel(ba).hint("merge").join(rel(bb).hint("merge"), "k")
+    smj.collect()
+    val plan = smj.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty, plan.toString.take(800))
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "sorted buckets must satisfy the join's ordering:\n" + plan.toString.take(800))
+    assert(smj.count() === 1000)
+  }
+
   test("a rewrite drops the bucket spec: reads stay correct, just re-shuffled") {
     import spark.implicits._
     val b = base("graft_rel_bkrw")

@@ -642,6 +642,35 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("manifest source: maxVersionsPerTrigger drains a backlog in bounded batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mansrc_rate").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    graft.ext.Manifests.commitData(Seq((0L, "v0")).toDF("id", "s"), base)
+    (1 to 3).foreach(i => graft.ext.Manifests.appendBatch(
+      Seq((i.toLong, s"v$i")).toDF("id", "s"), base, i.toLong))
+    // backlog of 4 versions; starting from v0 with a 1-version cap the
+    // catch-up must arrive as 3 single-version batches, never one big one
+    val batches = scala.collection.mutable.ListBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft.sources.manifest")
+      .option("path", base)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.collect().map(_.getLong(0)).toSeq.sorted
+        if (ids.nonEmpty) batches.synchronized { batches += ids }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.toSeq === Seq(Seq(1L), Seq(2L), Seq(3L)),
+        s"each trigger must admit exactly one version: $batches")
+    } finally q.stop()
+  }
+
   test("manifest source: non-append version fails the stream; allowNonAppend reads past it; startingVersion=latest skips backfill") {
     val spark0 = spark
     import spark0.implicits._

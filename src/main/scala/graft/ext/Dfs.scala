@@ -117,6 +117,17 @@ object Dfs {
   def canonical(path: String): String =
     new Path(new java.net.URI(path)).toString
 
+  /** The FULLY qualified spelling (scheme + authority + absolute path)
+    * of `path` under the session's Hadoop conf — the spelling to use
+    * for "is this file under that directory?" prefix checks, where
+    * [[canonical]]'s two inputs may still differ on scheme presence
+    * (`/tmp/x` vs `file:/tmp/x`). One metadata-free resolution, no
+    * RPC. */
+  def qualified(spark: SparkSession, path: String): String = {
+    val p = new Path(new java.net.URI(path))
+    fs(spark, path).makeQualified(p).toString
+  }
+
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Scratch root for persisted indexes / fixture dumps: local tmp by

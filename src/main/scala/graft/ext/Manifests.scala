@@ -603,9 +603,15 @@ object Manifests {
     val keepFiles = committed.filter(_ >= floor)
       .flatMap(refs).map(Dfs.canonical).toSet
     val droppedCommitted = committed.filter(_ < floor)
+    // never delete a file outside this table's own directory: a shallow
+    // clone's manifests reference the SOURCE table's files, and a
+    // clone's vacuum must not reach across and destroy them (the same
+    // rule Delta's VACUUM applies — reclaim only under the table root)
+    val root = Dfs.qualified(spark, base) + "/"
     val dropFiles = droppedCommitted
       .flatMap(refs).map(Dfs.canonical).toSet
       .diff(keepFiles)
+      .filter(f => Dfs.qualified(spark, f).startsWith(root))
     // recursive: a dropped reference may be a stats DIRECTORY
     dropFiles.foreach(f => Dfs.delete(spark, f, recursive = true))
     // version dirs below the floor — committed (expired) or marker-less
@@ -991,5 +997,100 @@ object Manifests {
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
         schemaOf(spark, base, v)), parent = Some(v))
     (affected.size, updatedRows, nv)
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF `v` — roll the table back by
+    * publishing version `v`'s exact content (files, deletion vectors,
+    * schema, zone-map stats, all BY REFERENCE) as a NEW version on top
+    * of the history. Nothing is erased: the bad versions stay
+    * resolvable for audit, the restore itself appears in [[history]],
+    * and a second restore can undo the first — Delta's RESTORE
+    * semantics, metadata-only (zero data bytes move, one manifest
+    * write). OCC-protected: the commit claims latest+1, so a restore
+    * racing any other writer loses cleanly rather than resurrecting
+    * over fresh data. [[vacuum]] interplay is the documented Delta
+    * trade: restoring below a reclaimed horizon throws at read time
+    * because the referenced files are gone — restore targets must be
+    * retained versions. */
+  def restore(spark: SparkSession, base: String, v: Int): Int = {
+    val latest = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    require(Dfs.exists(spark, s"$base/v$v/_SUCCESS"),
+      s"version $v of $base was never committed or is vacuumed")
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"restore:v$v"),
+      dv = dvFiles(spark, base, v),
+      schema = schemaOf(spark, base, v),
+      stats = statsOf(spark, base, v),
+      parent = Some(latest))
+  }
+
+  /** Shallow CLONE: start a NEW table at `dst` whose v0 references
+    * `src`'s files at version `v` by reference — zero data bytes
+    * copied, one manifest write, and from then on the two histories
+    * are fully independent (writes to the clone land under `dst`;
+    * `src` never sees them). The dev/test/experimentation primitive
+    * every table format ships: fork a 100 TB table in milliseconds,
+    * run the risky migration on the fork.
+    *
+    * The one shared-fate caveat is Delta's own: [[vacuum]] on the
+    * SOURCE can reclaim files the clone still references (the source
+    * cannot know about foreign manifests), so clones are working
+    * copies, not backups. The converse is safe by construction:
+    * vacuum on the CLONE never deletes source bytes, because
+    * [[reclaimBelow]] refuses to delete any file outside its own
+    * table directory. */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+      v: Int): Int = {
+    require(latestVersion(spark, dst).isEmpty,
+      s"clone target $dst already has committed versions")
+    require(Dfs.exists(spark, s"$src/v$v/_SUCCESS"),
+      s"version $v of $src was never committed or is vacuumed")
+    commit(spark, dst, files(spark, src, v),
+      tag = Some(s"clone:$src@v$v"),
+      dv = dvFiles(spark, src, v),
+      schema = schemaOf(spark, src, v),
+      stats = statsOf(spark, src, v))
+  }
+
+  /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only
+    * files under `smallBytes` are coalesced (into ~`targetBytes`
+    * outputs); every file already at a healthy size is carried by
+    * reference, untouched. This is what OPTIMIZE means on a 100 TB
+    * table that takes streaming appends: the steady drip of small
+    * micro-batch files gets folded into scan-efficient ones without
+    * ever paying a whole-table rewrite — cost is proportional to the
+    * small-file backlog, not the table. Refuses on a vectored version
+    * (a full [[compact]] is the materialize step; rewriting a subset
+    * under vectors would need per-file vector surgery for no gain).
+    * Returns (files packed, files written, new version) — (0, 0, v)
+    * when fewer than two files qualify, burning no version. */
+  def compactSmall(spark: SparkSession, base: String,
+      smallBytes: Long, targetBytes: Long): (Int, Int, Int) = {
+    require(smallBytes > 0 && targetBytes > 0)
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    require(dvFiles(spark, base, v).isEmpty,
+      s"version $v carries deletion vectors — compact($base) first to " +
+        "materialize them")
+    val cur = files(spark, base, v)
+    val sized = cur.map(f => f -> Dfs.fs(spark, f)
+      .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size < 2) return (0, 0, v)
+    val schema = schemaOf(spark, base, v)
+    val nOut = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    schema.fold(spark.read)(spark.read.schema(_))
+      .parquet(small.map(_._1): _*)
+      .repartition(nOut)
+      .write.mode("errorifexists").parquet(dir)
+    val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    val untouched = big.map(_._1)
+    val nv = commit(spark, base, untouched ++ rewritten, schema = schema,
+      stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
+        schema), parent = Some(v))
+    (small.size, rewritten.size, nv)
   }
 }

@@ -626,6 +626,111 @@ class ManifestsSpec extends AnyFunSuite {
     assert(feed.toSet === Set((None, "gone", "delete")))
   }
 
+  test("restore: rolls back as a NEW version, history intact, files by reference, undoable") {
+    import spark.implicits._
+    val b = base("graft_man_restore")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.deleteWhere(spark, b, col("k") < 5) // the "bad" write
+    assert(Manifests.readLatest(spark, b).count() === 50)
+    val rv = Manifests.restore(spark, b, 0)
+    assert(rv === 2)
+    // content is v0's exactly, and nothing was copied: same file paths
+    assert(Manifests.readLatest(spark, b).count() === 100)
+    assert(Manifests.files(spark, b, 2) === Manifests.files(spark, b, 0))
+    // history kept the bad version resolvable and tagged the restore
+    assert(Manifests.readAt(spark, b, 1).count() === 50)
+    assert(Manifests.tagOf(spark, b, 2) === Some("restore:v0"))
+    // a restore is itself restorable: undo the undo
+    assert(Manifests.restore(spark, b, 1) === 3)
+    assert(Manifests.readLatest(spark, b).count() === 50)
+    // restore carries deletion vectors: a MoR table restores exactly
+    val b2 = base("graft_man_restmor")
+    Manifests.commitData((1 to 40).map(i => (i.toLong, i % 4)).toDF("id", "k"), b2)
+    Manifests.deleteWhereMor(spark, b2, col("k") === 0)
+    Manifests.commitData(Seq((999L, 9)).toDF("id", "k"), b2) // clobber
+    Manifests.restore(spark, b2, 1)
+    assert(Manifests.readLatest(spark, b2).count() === 30)
+  }
+
+  test("shallowClone: zero-copy fork; histories independent; clone vacuum never reaches source files") {
+    import spark.implicits._
+    val src = base("graft_man_clsrc")
+    val dst = base("graft_man_cldst") + "/t" // empty subdir target
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k"), src)
+    Manifests.deleteWhere(spark, src, col("k") === 0)
+    val cv = Manifests.shallowClone(spark, src, dst, 1)
+    assert(cv === 0)
+    // clone content = source@v1, by reference (same paths)
+    assert(Manifests.readLatest(spark, dst).count() === 90)
+    assert(Manifests.files(spark, dst, 0) === Manifests.files(spark, src, 1))
+    // diverge: write to the clone — source untouched
+    Manifests.deleteWhere(spark, dst, col("k") === 1)
+    assert(Manifests.readLatest(spark, dst).count() === 80)
+    assert(Manifests.readLatest(spark, src).count() === 90)
+    // compact the clone (all-local files now), then vacuum it down to
+    // the latest version: the dropped clone versions referenced SOURCE
+    // files, and the out-of-root guard must leave them alive
+    Manifests.compact(spark, dst, 2)
+    val (dropped, _) = Manifests.vacuum(spark, dst, keepLast = 1)
+    assert(dropped.nonEmpty)
+    assert(Manifests.readLatest(spark, dst).count() === 80)
+    assert(Manifests.readLatest(spark, src).count() === 90,
+      "clone vacuum must never delete the source table's files")
+    assert(Manifests.readAt(spark, src, 0).count() === 100)
+    // refuses to clone onto an existing table
+    intercept[IllegalArgumentException](
+      Manifests.shallowClone(spark, src, dst, 0))
+  }
+
+  test("compactSmall: packs only the small-file backlog, healthy files carried by reference") {
+    import spark.implicits._
+    val b = base("graft_man_binpack")
+    // one healthy file + a drip of 6 tiny appends (the streaming shape)
+    Manifests.commitData(
+      (1 to 20000).map(i => (i.toLong, s"payload_$i")).toDF("id", "s")
+        .coalesce(1), b)
+    (1 to 6).foreach(i => Manifests.appendBatch(
+      Seq((100000L + i, s"drip_$i")).toDF("id", "s"), b, i.toLong))
+    val v = Manifests.latestVersion(spark, b).get
+    val before = Manifests.files(spark, b, v)
+    val bigFile = Manifests.files(spark, b, 0).head
+    val (packed, written, nv) =
+      Manifests.compactSmall(spark, b, smallBytes = 64 * 1024,
+        targetBytes = 128 * 1024 * 1024)
+    assert(packed === 6 && written === 1)
+    val after = Manifests.files(spark, b, nv)
+    assert(after.contains(graft.ext.Dfs.canonical(bigFile)),
+      "the healthy file must survive by reference")
+    assert(after.size === before.size - packed + written)
+    assert(Manifests.readLatest(spark, b).count() === 20006)
+    // below the threshold of 2 qualifying files: no version burned
+    val (p2, w2, v2) = Manifests.compactSmall(spark, b, 64 * 1024,
+      128 * 1024 * 1024)
+    assert(p2 === 0 && w2 === 0 && v2 === nv)
+  }
+
+  test("historyDf/filesDf: the table's own metadata as queryable DataFrames") {
+    import spark.implicits._
+    val b = base("graft_man_meta")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(4, col("k")), b)
+    Manifests.analyze(spark, b, Seq("k"))
+    Manifests.deleteWhereMor(spark, b, col("k") === 3)
+    val h = Manifests.historyDf(spark, b).orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(h.forall(_.getInt(3) === 4)) // n_files constant: no rewrite
+    assert(h.map(_.getInt(4)).toSeq === Seq(0, 0, 1)) // the MoR vector
+    val f = Manifests.filesDf(spark, b, 2)
+    assert(f.count() === 4)
+    // the stats join surfaces zone bounds for every file
+    assert(f.filter(col("k_min").isNull || col("k_max").isNull).count() === 0)
+    assert(f.filter(col("size_bytes") <= 0).count() === 0)
+  }
+
   test("manifest protocol end to end on a non-file: scheme") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -24,16 +24,26 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw long nanos (legacy conf) and truncate
-    * to microseconds — Spark's native timestamp precision — with integer
-    * division (`div`, not `/`: float division would round through a 53-bit
-    * mantissa and corrupt ~1.7e18-scale nanos). The DuckDB oracle applies
-    * the identical `epoch_ns // 1000` truncation. */
+  /** `events.ts` has shipped in two physical spellings across fixture
+    * generations, normalized here to session-zoned TimestampType either
+    * way (the oracle's `make_timestamp(epoch_ns(ts) // 1000)` is the
+    * same normalization: a ns→us truncation on the old fixture, an
+    * identity on the new):
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it,
+    *    so read raw long nanos (legacy conf) and truncate to micros with
+    *    integer division (`div`, not `/` — float division would round
+    *    through a 53-bit mantissa and corrupt ~1.7e18-scale nanos);
+    *  - parquet timestamp[us] (naive): arrives as TIMESTAMP_NTZ; the
+    *    cast interprets the wall-clock value in the session zone (UTC
+    *    everywhere in this library), matching DuckDB's naive read. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle-replay mode: KMV sketches hash with the md5-prefix both
+    // engines compute bit-identically (the engine default is xxhash64,
+    // which DuckDB cannot replay — see Quality.analyzeStatsKmv)
+    spark.conf.set("graft.kmv.portableHash", "true")
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (unset in driver runs -> all queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

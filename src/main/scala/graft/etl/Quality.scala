@@ -250,22 +250,40 @@ object Quality {
     * DuckDB oracle replays content AND estimate bit-identically —
     * `sketch_md5` pins the whole min-k array, not just the estimate.
     *
-    * Measured tradeoff (r7, 60M rows, local[32]): this path is CPU-bound
-    * on the 9-per-row md5 hashes (46 s) while the exact Expand finishes
-    * in 6.8 s — on a single node with free "network", the 9x-amplified
-    * exchange costs nothing and md5 dominates. The sketch is the SCALE
-    * path because on a real cluster the exchange is the scarce resource:
-    * it ships ≤k longs per (column, task) against the Expand's 9x full
-    * row stream. md5 (not a cheaper hash) is the deliberate price of
-    * DuckDB-replayable oracles — a deployment would swap in xxhash64. */
+    * TWO hash modes, selected by `graft.kmv.portableHash` (session
+    * conf):
+    *  - ENGINE (default): `xxhash64` masked to 60 bits — Spark's
+    *    built-in codegen'd hash, the production choice. r7 measured the
+    *    md5 variant CPU-bound at 46 s over 60M rows while the exact
+    *    Expand finished in 6.8 s; xxhash64 removes that CPU wall so the
+    *    sketch twin wins on the same hardware it is benchmarked on,
+    *    on top of its cluster story (exchanges carry ≤k longs per
+    *    (column, task) against the Expand's 9× full-row stream).
+    *  - PORTABLE (`true`, set by [[graft.Verify]]): the md5-prefix hash
+    *    both engines compute bit-identically, so the DuckDB oracle
+    *    replays sketch content AND estimate exactly. Same operator,
+    *    same plan shape — only the hash expression differs. */
   def analyzeStatsKmv(spark: SparkSession, dir: String,
       k: Int = analyzeKmvK): DataFrame = {
     graft.functions.TopKAggExprs.registerMinK(spark)
+    val portable = spark.conf.getOption("graft.kmv.portableHash")
+      .exists(_.toBoolean)
+    // xxhash64(null-free input) >>> 4 is uniform on [0, 2^60) — the same
+    // range the estimator and the portable hash use. Engine mode hashes
+    // the RAW column value (no string render at all — xxhash64 takes any
+    // type, seeded per column by the name literal). The null guard
+    // matters: xxhash64 of a NULL input returns the seed, not NULL, and
+    // would plant a phantom distinct value in every column's sketch.
+    def hashOf(c: String): Column =
+      if (portable)
+        graft.operators.Dedup.fastHash60(spark,
+          concat(lit(s"ndv:$c:"), kmvRender(c)))
+      else when(col(c).isNotNull,
+        shiftrightunsigned(xxhash64(lit(s"ndv:$c:"), col(c)), 4))
     val s = Warehouse(spark, dir).staging
     val cols = Staging.columns
     val withHashes = s.select(cols.map(col) ++ cols.map(c =>
-      graft.operators.Dedup.fastHash60(spark,
-        concat(lit(s"ndv:$c:"), kmvRender(c))).as(s"__h_$c")): _*)
+      hashOf(c).as(s"__h_$c")): _*)
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
       expr(s"mink_agg(__h_$c, $k)").as(s"${c}__ms")))

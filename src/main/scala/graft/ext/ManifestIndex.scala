@@ -66,7 +66,8 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     val keep = stats match {
       case None => files
       case Some((keys, statsFile)) =>
-        ManifestFileIndex.zonePredicate(dataFilters, keys) match {
+        ManifestFileIndex.zonePredicate(dataFilters, keys,
+          spark.sessionState.analyzer.resolver) match {
           case None => files
           case Some(pred) =>
             val st = spark.read.parquet(statsFile)
@@ -90,15 +91,25 @@ object ManifestFileIndex {
     * every one); a conjunct that does not translate contributes
     * nothing (conservative). Returns None when no conjunct translates
     * — the caller then skips pruning entirely. */
+  /** Default resolver for direct [[zonePredicate]] callers in tests:
+    * Spark's default analyzer is case-insensitive. */
+  private val caseInsensitive: (String, String) => Boolean =
+    (a, b) => a.equalsIgnoreCase(b)
+
   private[ext] def zonePredicate(filters: Seq[Expression],
-      keys: Seq[String]): Option[Column] =
-    filters.flatMap(zoneOf(_, keys)) match {
+      keys: Seq[String],
+      resolver: (String, String) => Boolean = caseInsensitive): Option[Column] =
+    filters.flatMap(zoneOf(_, keys, resolver)) match {
       case Seq() => None
       case ps => Some(ps.reduce(_ && _))
     }
 
-  private def keyFor(keys: Seq[String], a: AttributeReference): Option[String] =
-    keys.find(_.equalsIgnoreCase(a.name))
+  /** Attribute-to-stat-column matching defers to the SESSION's resolver:
+    * under `spark.sql.caseSensitive=true` a filter on column `K` must
+    * not prune files using column `k`'s stats. */
+  private def keyFor(keys: Seq[String], a: AttributeReference,
+      resolver: (String, String) => Boolean): Option[String] =
+    keys.find(resolver(_, a.name))
 
   private def scalaLit(l: Literal): Option[Column] =
     scala.util.Try(
@@ -110,53 +121,56 @@ object ManifestFileIndex {
     * (an all-null file) make every range/equality comparison null →
     * the filter drops the file, which is exactly right: no non-null
     * value exists there to satisfy it. */
-  private def zoneOf(e: Expression, keys: Seq[String]): Option[Column] = {
+  private def zoneOf(e: Expression, keys: Seq[String],
+      resolver: (String, String) => Boolean): Option[Column] = {
     def mn(k: String) = col(s"${k}_min")
     def mx(k: String) = col(s"${k}_max")
     def nulls(k: String) = col(s"${k}_nulls")
     e match {
-      case And(l, r) => (zoneOf(l, keys), zoneOf(r, keys)) match {
+      case And(l, r) => (zoneOf(l, keys, resolver), zoneOf(r, keys, resolver)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b) // untranslatable conjunct: keep the other
       }
       // OR needs BOTH branches decidable: an undecidable branch could
       // match anywhere, so the whole disjunction stops pruning
       case Or(l, r) =>
-        for { a <- zoneOf(l, keys); b <- zoneOf(r, keys) } yield a || b
+        for { a <- zoneOf(l, keys, resolver); b <- zoneOf(r, keys, resolver) } yield a || b
       case EqualTo(a: AttributeReference, l: Literal) =>
-        for { k <- keyFor(keys, a); v <- scalaLit(l) }
+        for { k <- keyFor(keys, a, resolver); v <- scalaLit(l) }
           yield mn(k) <= v && mx(k) >= v
       case EqualTo(l: Literal, a: AttributeReference) =>
-        zoneOf(EqualTo(a, l), keys)
+        zoneOf(EqualTo(a, l), keys, resolver)
       case EqualNullSafe(a: AttributeReference, l: Literal) =>
-        if (l.value == null) keyFor(keys, a).map(k => nulls(k) > 0)
-        else zoneOf(EqualTo(a, l), keys)
+        if (l.value == null) keyFor(keys, a, resolver).map(k => nulls(k) > 0)
+        else zoneOf(EqualTo(a, l), keys, resolver)
       case EqualNullSafe(l: Literal, a: AttributeReference) =>
-        zoneOf(EqualNullSafe(a, l), keys)
+        zoneOf(EqualNullSafe(a, l), keys, resolver)
       case GreaterThan(a: AttributeReference, l: Literal) =>
-        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mx(k) > v
+        for { k <- keyFor(keys, a, resolver); v <- scalaLit(l) } yield mx(k) > v
       case GreaterThan(l: Literal, a: AttributeReference) =>
-        zoneOf(LessThan(a, l), keys)
+        zoneOf(LessThan(a, l), keys, resolver)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mx(k) >= v
+        for { k <- keyFor(keys, a, resolver); v <- scalaLit(l) } yield mx(k) >= v
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        zoneOf(LessThanOrEqual(a, l), keys)
+        zoneOf(LessThanOrEqual(a, l), keys, resolver)
       case LessThan(a: AttributeReference, l: Literal) =>
-        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mn(k) < v
+        for { k <- keyFor(keys, a, resolver); v <- scalaLit(l) } yield mn(k) < v
       case LessThan(l: Literal, a: AttributeReference) =>
-        zoneOf(GreaterThan(a, l), keys)
+        zoneOf(GreaterThan(a, l), keys, resolver)
       case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        for { k <- keyFor(keys, a); v <- scalaLit(l) } yield mn(k) <= v
+        for { k <- keyFor(keys, a, resolver); v <- scalaLit(l) } yield mn(k) <= v
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        zoneOf(GreaterThanOrEqual(a, l), keys)
+        zoneOf(GreaterThanOrEqual(a, l), keys, resolver)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        keyFor(keys, a).flatMap { k =>
+        keyFor(keys, a, resolver).flatMap { k =>
           val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
-          if (cs.exists(_.isEmpty)) None // a null/odd element: stay conservative
+          // empty IN normally folds away upstream (OptimizeIn), but an
+          // un-optimized plan must not reach reduce on an empty Seq
+          if (cs.isEmpty || cs.exists(_.isEmpty)) None // null/odd element: stay conservative
           else Some(cs.flatten.map(v => mn(k) <= v && mx(k) >= v).reduce(_ || _))
         }
       case InSet(a: AttributeReference, vs) =>
-        keyFor(keys, a).flatMap { k =>
+        keyFor(keys, a, resolver).flatMap { k =>
           val dt = a.dataType
           val cs = vs.toSeq.map(v =>
             scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
@@ -165,9 +179,9 @@ object ManifestFileIndex {
           else Some(cs.flatten.map(v => mn(k) <= v && mx(k) >= v).reduce(_ || _))
         }
       case IsNull(a: AttributeReference) =>
-        keyFor(keys, a).map(k => nulls(k) > 0)
+        keyFor(keys, a, resolver).map(k => nulls(k) > 0)
       case IsNotNull(a: AttributeReference) =>
-        keyFor(keys, a).map(k => nulls(k) < col("n_rows"))
+        keyFor(keys, a, resolver).map(k => nulls(k) < col("n_rows"))
       case _ => None
     }
   }

@@ -47,15 +47,54 @@ object Manifests {
 
   private val vPattern = "v(\\d+)".r
 
-  def latestVersion(spark: SparkSession, base: String): Option[Int] =
+  /** Latest-version resolution in O(1) RPCs, not O(versions) — the
+    * `_last_checkpoint` idea: every commit records its version in a
+    * tiny `base/_latest` file AFTER the `_SUCCESS` marker lands. The
+    * pointer is a HINT, never the truth (a writer can crash between
+    * marker and pointer; two finishing commits can write it out of
+    * order): a reader verifies the hinted version is committed, then
+    * probes only the versions ABOVE it from one directory listing,
+    * descending, stopping at the first committed one. Fresh hint ⇒
+    * one read + one verify + one listing + zero probes, regardless of
+    * how many thousand commits the table has taken; stale or absent
+    * hint ⇒ the listing-based resolution this method always falls
+    * back to. ManifestsSpec pins the RPC bound through a counting
+    * filesystem over a 100-version table. */
+  def latestVersion(spark: SparkSession, base: String): Option[Int] = {
+    val hint = latestHint(spark, base)
+    val floor = hint.getOrElse(-1)
     Dfs.list(spark, base)
       .flatMap(_.getPath.getName match {
-        case vPattern(n) if Dfs.exists(spark, s"$base/v$n/_SUCCESS") => Some(n.toInt)
+        case vPattern(n) if n.toInt > floor => Some(n.toInt)
         case _ => None
-      }) match {
-      case Seq() => None
-      case vs => Some(vs.max)
-    }
+      })
+      .sorted(Ordering[Int].reverse)
+      .find(n => Dfs.exists(spark, s"$base/v$n/_SUCCESS"))
+      .orElse(hint)
+  }
+
+  /** The `_latest` pointer, verified against its `_SUCCESS` marker;
+    * None when absent, unreadable, or pointing at an uncommitted (or
+    * vacuumed) version — every failure mode degrades to the listing. */
+  private def latestHint(spark: SparkSession, base: String): Option[Int] =
+    try {
+      if (!Dfs.exists(spark, s"$base/_latest")) None
+      else {
+        val h = new String(Dfs.readBytes(spark, s"$base/_latest"), "UTF-8").trim.toInt
+        if (Dfs.exists(spark, s"$base/v$h/_SUCCESS")) Some(h) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Best-effort monotonic advance of the `_latest` hint. Losing a
+    * race (two commits finishing out of order overwrite each other)
+    * only leaves the hint LOW, which readers recover from by probing
+    * above it; a failed write must never fail the commit the hint
+    * merely advertises. */
+  private def advanceHint(spark: SparkSession, base: String, v: Int): Unit =
+    try {
+      if (!latestHint(spark, base).exists(_ >= v))
+        Dfs.writeBytes(spark, s"$base/_latest", s"$v\n".getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Files of version `v` (absolute URIs, manifest order). */
   def files(spark: SparkSession, base: String, v: Int): Seq[String] = {
@@ -119,7 +158,13 @@ object Manifests {
     }
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
+    // summary counts land BEFORE the marker, so they exist for every
+    // committed version: DESCRIBE HISTORY reads this 2-line file, not
+    // the manifest itself
+    Dfs.writeBytes(spark, s"$base/v$v/_counts",
+      s"${dataFiles.size}\n${dv.size}\n".getBytes("UTF-8"))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
+    advanceHint(spark, base, v)
     v
   }
 
@@ -313,6 +358,13 @@ object Manifests {
       val dot = name.indexOf('.')
       val withId = name.substring(0, dot) +
         BucketingUtils.bucketIdToString(bucket) + name.substring(dot)
+      // fail loudly if a committer naming change ever breaks the parse:
+      // a mis-assigned bucket id would mean silently wrong exchange-free
+      // joins, the one failure mode this layout must never admit
+      require(BucketingUtils.getBucketId(withId).contains(bucket),
+        s"bucket-id rename drifted from Spark's parser: $name -> $withId")
+      require(bucket < numBuckets,
+        s"parsed bucket id $bucket out of range for $numBuckets buckets ($name)")
       Dfs.rename(spark, st.getPath.toString, s"$dir/$withId")
     }
     // re-list for the manifest: listing paths are filesystem-qualified,
@@ -402,15 +454,32 @@ object Manifests {
       .sorted
       .map(v => (v, Dfs.mtime(spark, s"$base/v$v/_SUCCESS"), tagOf(spark, base, v)))
 
+  /** The (n data files, n deletion-vector files) summary recorded at
+    * commit time — one 2-line read instead of re-reading the manifest
+    * and delete list. None only for versions committed before the
+    * `_counts` record existed. */
+  def countsOf(spark: SparkSession, base: String, v: Int): Option[(Int, Int)] =
+    try {
+      if (!Dfs.exists(spark, s"$base/v$v/_counts")) None
+      else {
+        val ls = new String(Dfs.readBytes(spark, s"$base/v$v/_counts"), "UTF-8")
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        Some((ls(0).toInt, ls(1).toInt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** [[history]] as a DataFrame — DESCRIBE HISTORY for manifest tables:
     * one row per committed version with its commit time, tag, and file
-    * counts. Metadata-sized (a listing plus one status per version),
-    * never touches data. */
+    * counts. Metadata-sized AND manifest-free: the counts come from the
+    * per-version `_counts` summary, so a thousand-commit history costs
+    * a thousand tiny-file reads, never a thousand manifest parses
+    * (legacy versions without the summary fall back to the manifest). */
   def historyDf(spark: SparkSession, base: String): DataFrame = {
     import spark.implicits._
     history(spark, base).map { case (v, t, tag) =>
-      (v, new java.sql.Timestamp(t), tag,
-        files(spark, base, v).size, dvFiles(spark, base, v).size,
+      val (nf, ndv) = countsOf(spark, base, v).getOrElse(
+        (files(spark, base, v).size, dvFiles(spark, base, v).size))
+      (v, new java.sql.Timestamp(t), tag, nf, ndv,
         bucketSpecOf(spark, base, v).isDefined)
     }.toDF("version", "committed_at", "tag", "n_files", "n_dv_files", "bucketed")
   }
@@ -515,7 +584,18 @@ object Manifests {
     * The write-amplification trade: MoR makes deletes cheap and reads
     * pay one bounded anti-join until the next compaction — the right
     * side of the trade when deletes are frequent and small (CDC,
-    * right-to-be-forgotten) on a 100 TB table. Returns
+    * right-to-be-forgotten) on a 100 TB table.
+    *
+    * Sidecar LAYOUT is a table invariant, not a task-parallelism
+    * accident: exactly ONE sidecar file per touched data file, rows
+    * grouped by the data file they address. Grouping uses an exact
+    * per-file partitioner over the collected touched-file list (DV
+    * metadata, bounded by the delete footprint) — a hash
+    * `repartition(col("__file"))` would make the count deterministic
+    * but could still fold two data files into one sidecar on a bucket
+    * collision, and the per-file grouping is what lets a reader (or a
+    * future per-file vector compaction) address one data file's
+    * deletes without scanning every sidecar. Returns
     * (rows deleted, new version). */
   def deleteWhereMor(spark: SparkSession, base: String,
       pred: Column): (Long, Int) = {
@@ -529,21 +609,31 @@ object Manifests {
       if (prevDvs.isEmpty) raw
       else raw.join(spark.read.parquet(prevDvs: _*),
         Seq("__file", "__pos"), "left_anti")
-    val dir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
     // null predicate values SURVIVE (same contract as deleteWhere)
-    live.filter(coalesce(pred, lit(false)))
-      .select(col("__file"), col("__pos"))
-      .write.mode("errorifexists").parquet(dir)
-    val written = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    val deleted = spark.read.parquet(dir).count() // footer row counts only
-    if (deleted == 0L) {
-      Dfs.delete(spark, dir, recursive = true)
-      return (0L, v)
-    }
-    // data files unchanged -> schema and stats carry verbatim (zones
-    // stay conservatively wide over the deleted rows)
-    (deleted, commit(spark, base, cur, None, prevDvs ++ written,
-      schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v)))
+    val dvRows = live.filter(coalesce(pred, lit(false)))
+      .select(col("__file"), col("__pos")).persist()
+    try {
+      val touched = dvRows.select("__file").distinct().collect()
+        .map(_.getString(0)).sorted
+      if (touched.isEmpty) return (0L, v) // nothing matched: no version burned
+      val deleted = dvRows.count()
+      val index = spark.sparkContext.broadcast(touched.zipWithIndex.toMap)
+      val shaped = dvRows.rdd
+        .map(r => (index.value(r.getString(0)), r))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = touched.length
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+        .map(_._2)
+      val dir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.createDataFrame(shaped, dvRows.schema)
+        .write.mode("errorifexists").parquet(dir)
+      val written = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      // data files unchanged -> schema and stats carry verbatim (zones
+      // stay conservatively wide over the deleted rows)
+      (deleted, commit(spark, base, cur, None, prevDvs ++ written,
+        schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v)))
+    } finally dvRows.unpersist()
   }
 
   /** GC — the companion every log-based format ships: [[deleteWhere]]
@@ -883,26 +973,33 @@ object Manifests {
       from: Int, to: Int, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyed change feed needs at least one key column")
     val ch = changesBetween(spark, base, from, to).persist()
-    val del = ch.filter(col("_change_type") === "delete").drop("_change_type")
-    val ins = ch.filter(col("_change_type") === "insert").drop("_change_type")
-    val nonNullKey = keyCols.map(col(_).isNotNull).reduce(_ && _)
-    Seq("delete" -> del, "insert" -> ins).foreach { case (side, df) =>
-      val dup = df.filter(nonNullKey).groupBy(keyCols.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0,
-        s"$side side of the $from->$to feed has duplicate keys on " +
-          s"(${keyCols.mkString(", ")}) — images cannot be paired")
-    }
-    val delKeys = del.select(keyCols.map(col): _*)
-    val insKeys = ins.select(keyCols.map(col): _*)
-    del.join(insKeys, keyCols, "left_semi")
-      .withColumn("_change_type", lit("update_preimage"))
-      .unionByName(ins.join(delKeys, keyCols, "left_semi")
-        .withColumn("_change_type", lit("update_postimage")))
-      .unionByName(del.join(insKeys, keyCols, "left_anti")
-        .withColumn("_change_type", lit("delete")))
-      .unionByName(ins.join(delKeys, keyCols, "left_anti")
-        .withColumn("_change_type", lit("insert")))
+    try {
+      val del = ch.filter(col("_change_type") === "delete").drop("_change_type")
+      val ins = ch.filter(col("_change_type") === "insert").drop("_change_type")
+      val nonNullKey = keyCols.map(col(_).isNotNull).reduce(_ && _)
+      Seq("delete" -> del, "insert" -> ins).foreach { case (side, df) =>
+        val dup = df.filter(nonNullKey).groupBy(keyCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0,
+          s"$side side of the $from->$to feed has duplicate keys on " +
+            s"(${keyCols.mkString(", ")}) — images cannot be paired")
+      }
+      val delKeys = del.select(keyCols.map(col): _*)
+      val insKeys = ins.select(keyCols.map(col): _*)
+      // localCheckpoint materializes the four classification passes over
+      // the persisted feed NOW, so the cache can be released before
+      // returning instead of leaking for the session's lifetime — the
+      // result is feed-sized (churned files only), not table-sized
+      del.join(insKeys, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(ins.join(delKeys, keyCols, "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(del.join(insKeys, keyCols, "left_anti")
+          .withColumn("_change_type", lit("delete")))
+        .unionByName(ins.join(delKeys, keyCols, "left_anti")
+          .withColumn("_change_type", lit("insert")))
+        .localCheckpoint()
+    } finally ch.unpersist()
   }
 
   /** Surgical delete as a manifest swap: one discovery scan finds the

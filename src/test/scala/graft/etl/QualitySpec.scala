@@ -48,4 +48,26 @@ class QualitySpec extends AnyFunSuite {
     assert(rows("customer_id")._1 > 0, "dirt injection must show up as nulls")
     rows.values.foreach { case (nulls, ndv) => assert(nulls >= 0 && ndv > 0) }
   }
+
+  test("analyzeStatsKmv: engine (xxhash64) and portable (md5) modes both land in the sketch error band; nulls identical") {
+    val exact = Quality.analyzeStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def run(): Map[String, (Long, Double)] =
+      Quality.analyzeStatsKmv(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val engine = run() // default: xxhash64, no conf set
+    spark.conf.set("graft.kmv.portableHash", "true")
+    val portable = try run() finally spark.conf.unset("graft.kmv.portableHash")
+    for (c <- Staging.columns; m <- Seq("engine" -> engine, "portable" -> portable)) {
+      val (mode, got) = m
+      assert(got(c)._1 === exact(c)._1, s"$mode null count, column $c")
+      val e = exact(c)._2.toDouble
+      // k=256 -> ~6.3% rel error; 3 sigma, and exact below k by contract
+      assert(math.abs(got(c)._2 - e) <= math.max(1.0, 0.19 * e),
+        s"$mode NDV estimate ${got(c)._2} vs exact $e, column $c")
+    }
+    // the two modes are DIFFERENT hash families: estimates agree in
+    // band, sketch content does not (that is the point of the split)
+    assert(engine.keySet === portable.keySet)
+  }
 }

@@ -4,6 +4,54 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A metadata-RPC meter: every namenode-shaped call (status, listing,
+  * open, create, rename, delete, mkdirs) bumps a counter, so a spec can
+  * assert a resolution path costs O(1) calls instead of O(versions).
+  * Lives on its own `graftcnt:` scheme so only protocol I/O routed
+  * through [[Dfs]] is measured. */
+class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import CountingFileSystem._
+  override def getUri: java.net.URI = java.net.URI.create("graftcnt:///")
+  override def getFileStatus(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    // RawLocalFileSystem.listStatus stats each child through this
+    // method; a real namenode answers a listing in ONE call, so nested
+    // statuses inside a counted listing are not separate RPCs
+    if (!inListing.get()) ops.incrementAndGet()
+    super.getFileStatus(p)
+  }
+  override def listStatus(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    ops.incrementAndGet()
+    inListing.set(true)
+    try super.listStatus(p) finally inListing.set(false)
+  }
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    ops.incrementAndGet()
+    if (p.getName == "_manifest") manifestReads.incrementAndGet()
+    super.open(p, bufferSize)
+  }
+  override def create(p: org.apache.hadoop.fs.Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    ops.incrementAndGet()
+    super.create(p, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean = {
+    ops.incrementAndGet(); super.rename(src, dst)
+  }
+  override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean = {
+    ops.incrementAndGet(); super.delete(p, recursive)
+  }
+  override def mkdirs(p: org.apache.hadoop.fs.Path): Boolean = {
+    ops.incrementAndGet(); super.mkdirs(p)
+  }
+}
+object CountingFileSystem {
+  val ops = new java.util.concurrent.atomic.AtomicLong(0)
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
+  val inListing: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+}
+
 class ManifestsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -719,16 +767,32 @@ class ManifestsSpec extends AnyFunSuite {
       (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k")
         .repartitionByRange(4, col("k")), b)
     Manifests.analyze(spark, b, Seq("k"))
+    // sidecar layout invariant: one DV file per data file the delete
+    // touches — computed from the data, not from task parallelism
+    def touchedBy(pred: org.apache.spark.sql.Column): Int =
+      spark.read.parquet(Manifests.files(spark, b, 1): _*)
+        .select(col("k"), col("id"), col("_metadata.file_path").as("f"))
+        .filter(pred).select("f").distinct().count().toInt
+    val t1 = touchedBy(col("k") === 3)
     Manifests.deleteWhereMor(spark, b, col("k") === 3)
     val h = Manifests.historyDf(spark, b).orderBy("version").collect()
     assert(h.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
     assert(h.forall(_.getInt(3) === 4)) // n_files constant: no rewrite
-    assert(h.map(_.getInt(4)).toSeq === Seq(0, 0, 1)) // the MoR vector
+    assert(t1 >= 1)
+    assert(h.map(_.getInt(4)).toSeq === Seq(0, 0, t1)) // one sidecar per touched file
     val f = Manifests.filesDf(spark, b, 2)
     assert(f.count() === 4)
     // the stats join surfaces zone bounds for every file
     assert(f.filter(col("k_min").isNull || col("k_max").isNull).count() === 0)
     assert(f.filter(col("size_bytes") <= 0).count() === 0)
+    // a second, scattered delete: vectors accumulate, and the sidecar
+    // count stays exactly (files touched by delete 1) + (by delete 2)
+    val t2 = touchedBy(col("k") =!= 3 && col("id") % 7 === 0)
+    assert(t2 > 1, "fixture: the scattered predicate must span files")
+    Manifests.deleteWhereMor(spark, b, col("id") % 7 === 0)
+    assert(Manifests.dvFiles(spark, b, 3).size === t1 + t2)
+    assert(Manifests.readLatest(spark, b).count() ===
+      100 - 10 - (1 to 100).count(i => i % 7 == 0 && i % 10 != 3))
   }
 
   test("manifest protocol end to end on a non-file: scheme") {
@@ -741,5 +805,50 @@ class ManifestsSpec extends AnyFunSuite {
     assert(nv === 1 && affected >= 1)
     assert(Manifests.readLatest(spark, b).count() === 40)
     assert(Manifests.readAt(spark, b, 0).count() === 50)
+  }
+
+  test("latestVersion is O(1) RPCs and historyDf manifest-free on a 120-commit table; stale/garbage/vacuumed hints degrade to the listing") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    val b = "graftcnt:" +
+      java.nio.file.Files.createTempDirectory("graft_man_many").toString + "/t"
+    Manifests.commitData((1 to 20).map(i => (i.toLong, i % 5)).toDF("id", "k"), b)
+    // 119 metadata-only commits: same files carried by reference — the
+    // thousand-commit table shape, built in seconds
+    val fs0 = Manifests.files(spark, b, 0)
+    (1 to 119).foreach(i =>
+      Manifests.commit(spark, b, fs0, parent = Some(i - 1)))
+    def rpcs(f: => Unit): Long = {
+      val s = CountingFileSystem.ops.get(); f
+      CountingFileSystem.ops.get() - s
+    }
+    // fresh hint: one read + one verify + one listing + zero probes —
+    // the bound must NOT scale with the 120 versions (the old
+    // resolution probed _SUCCESS once per version: >120 calls here)
+    val n = rpcs(assert(Manifests.latestVersion(spark, b) === Some(119)))
+    assert(n <= 12, s"latestVersion cost $n metadata RPCs on a 120-version table")
+    // DESCRIBE HISTORY is O(versions) tiny reads but ZERO manifest
+    // parses: counts come from the per-version _counts summary
+    val mBefore = CountingFileSystem.manifestReads.get()
+    val h = Manifests.historyDf(spark, b).collect()
+    assert(h.length === 120)
+    assert(h.forall(_.getInt(3) === fs0.size))
+    assert(CountingFileSystem.manifestReads.get() === mBefore,
+      "historyDf must not re-read manifests")
+    // stale hint (points low): probing above it recovers the truth
+    Dfs.writeBytes(spark, s"$b/_latest", "5\n".getBytes("UTF-8"))
+    assert(Manifests.latestVersion(spark, b) === Some(119))
+    // garbage hint: unreadable content degrades to the listing
+    Dfs.writeBytes(spark, s"$b/_latest", "bogus".getBytes("UTF-8"))
+    assert(Manifests.latestVersion(spark, b) === Some(119))
+    // hint above any committed version (e.g. its target was vacuumed):
+    // verification fails, listing answers
+    Dfs.writeBytes(spark, s"$b/_latest", "999\n".getBytes("UTF-8"))
+    assert(Manifests.latestVersion(spark, b) === Some(119))
+    // the next commit heals the pointer
+    val v120 = Manifests.commit(spark, b, fs0, parent = Some(119))
+    assert(v120 === 120)
+    assert(rpcs(assert(Manifests.latestVersion(spark, b) === Some(120))) <= 12)
   }
 }

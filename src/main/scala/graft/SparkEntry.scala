@@ -217,6 +217,34 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // PARTITIONED manifest table (Iceberg shape: per-file partition
+    // tuples in the manifest, columns stay in the data): the partition
+    // predicate prunes files from manifest metadata ALONE — this
+    // fixture records no zone maps, so the strict-subset scan
+    // ManifestRelationSpec asserts comes entirely from partition
+    // pruning (the oracle checks the exact row filter, as ever)
+    "manifest_partition_scan" -> ((s, d) => {
+      val b = manpartFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.read.format("manifest").load(b)
+          .filter(col("country").isin("NATION_3", "NATION_7"))
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // the SAME relation addressed from PURE SQL: the manifest table
+    // registers as a view (shortName "manifest" + the Catalyst
+    // relation), and the registered query is one spark.sql string —
+    // partition pruning, pushdown and codegen all arrive through the
+    // SQL path unchanged
+    "manifest_sql_scan" -> ((s, d) => {
+      val b = manpartFixture(s, d)
+      s.read.format("manifest").load(b).createOrReplaceTempView("man_sales")
+      s.sql("""SELECT country, COUNT(*) AS n_sales,
+              |       CAST(SUM(quantity) AS BIGINT) AS sum_qty
+              |FROM man_sales
+              |WHERE country IN ('NATION_1', 'NATION_2')
+              |GROUP BY country ORDER BY country""".stripMargin)
+    }),
     // time travel through the SAME relation: versionAsOf 0 of the
     // versioned-delete table is the table BEFORE the delete — the
     // oracle replays the full clean lineage, proving the deleted rows
@@ -368,6 +396,22 @@ object SparkEntry {
     b
   }
 
+  /** Country-partitioned manifest table (Iceberg shape:
+    * [[graft.ext.Manifests.commitDataPartitioned]]) — shared by
+    * `manifest_partition_scan` (Catalyst read pruned by partition
+    * metadata alone; deliberately NO zone maps here) and
+    * `manifest_sql_scan` (the same relation from pure SQL). */
+  private def manpartFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manpart")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitDataPartitioned(
+        Warehouse(s, d).cleaned, b, Seq("country"), filesPerWrite = 8)
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Two manifest tables bucketed the same way on stock_code — the
     * cleaned lineage (fact side, quantity only) and dim_product — so
     * the registered join plans without any exchange. */
@@ -484,6 +528,16 @@ object SparkEntry {
     "manifest_catalyst_scan" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE quantity BETWEEN 10 AND 20 ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // partition pruning is metadata-only: result = the exact row filter
+    "manifest_partition_scan" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE country IN ('NATION_3', 'NATION_7') ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // the SQL-addressed relation: same content as the DataFrame path
+    "manifest_sql_scan" ->
+      s"""${Oracle.cleanedCte} SELECT country, COUNT(*) AS n_sales,
+         | CAST(SUM(quantity) AS BIGINT) AS sum_qty FROM cleaned
+         | WHERE country IN ('NATION_1', 'NATION_2')
+         | GROUP BY country ORDER BY country""".stripMargin,
     // versionAsOf 0 = before the delete: the full clean lineage
     "manifest_time_travel" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned

@@ -51,6 +51,9 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
   private val stats: Option[(Seq[String], String)] =
     Manifests.statsOf(spark, base, version)
 
+  private val partMeta: Option[(Seq[String], String)] =
+    Manifests.partitionedBy(spark, base, version)
+
   override def rootPaths: Seq[Path] = Seq(new Path(base))
 
   override def partitionSchema: StructType = new StructType()
@@ -63,19 +66,41 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = stats match {
+    val resolver = spark.sessionState.analyzer.resolver
+    // 1) PARTITION pruning — exact, metadata-only, FIRST: the manifest
+    //    records per file the distinct partition tuples it contains
+    //    ([[Manifests.commitDataPartitioned]]), so an equality/IN/range
+    //    predicate on a partition column keeps exactly the files holding
+    //    a satisfying tuple. No per-file stats consulted, no data read.
+    //    (Partition columns live in the data, Iceberg-style, so the
+    //    predicates arrive as dataFilters — partitionSchema stays empty.)
+    val afterPart = partMeta match {
       case None => files
-      case Some((keys, statsFile)) =>
-        ManifestFileIndex.zonePredicate(dataFilters, keys,
-          spark.sessionState.analyzer.resolver) match {
+      case Some((pcols, pvFile)) =>
+        ManifestFileIndex.valuePredicate(dataFilters, pcols, resolver) match {
           case None => files
+          case Some(pred) =>
+            val pv = spark.read.parquet(pvFile)
+            val cand = pv.filter(pred).select("file").collect()
+              .map(r => Dfs.canonical(r.getString(0))).toSet
+            val covered = pv.select("file").collect()
+              .map(r => Dfs.canonical(r.getString(0))).toSet
+            files.filter(f => cand.contains(f) || !covered.contains(f))
+        }
+    }
+    // 2) zone-map pruning on whatever survives
+    val keep = stats match {
+      case None => afterPart
+      case Some((keys, statsFile)) =>
+        ManifestFileIndex.zonePredicate(dataFilters, keys, resolver) match {
+          case None => afterPart
           case Some(pred) =>
             val st = spark.read.parquet(statsFile)
             val cand = st.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = st.select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
-            files.filter(f => cand.contains(f) || !covered.contains(f))
+            afterPart.filter(f => cand.contains(f) || !covered.contains(f))
         }
     }
     Seq(PartitionDirectory(InternalRow.empty,
@@ -115,6 +140,76 @@ object ManifestFileIndex {
     scala.util.Try(
       lit(CatalystTypeConverters.convertToScala(l.value, l.dataType))
     ).toOption.filter(_ => l.value != null)
+
+  /** Translate pushed-down filters into ONE predicate over the
+    * partition-values table — the EXACT sibling of [[zonePredicate]]:
+    * the table holds real values, not ranges, so equality/IN/range
+    * conjuncts evaluate directly against the value columns (a file
+    * survives iff some tuple it contains satisfies every translated
+    * conjunct). Untranslatable conjuncts contribute nothing
+    * (conservative); None when nothing translates. */
+  private[ext] def valuePredicate(filters: Seq[Expression],
+      pcols: Seq[String],
+      resolver: (String, String) => Boolean = caseInsensitive): Option[Column] =
+    filters.flatMap(valueOf(_, pcols, resolver)) match {
+      case Seq() => None
+      case ps => Some(ps.reduce(_ && _))
+    }
+
+  private def valueOf(e: Expression, pcols: Seq[String],
+      resolver: (String, String) => Boolean): Option[Column] = e match {
+    case And(l, r) => (valueOf(l, pcols, resolver), valueOf(r, pcols, resolver)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b) // untranslatable conjunct: keep the other
+    }
+    case Or(l, r) =>
+      for { a <- valueOf(l, pcols, resolver); b <- valueOf(r, pcols, resolver) } yield a || b
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) === v
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      valueOf(EqualTo(a, l), pcols, resolver)
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      if (l.value == null) pcols.find(resolver(_, a.name)).map(col(_).isNull)
+      else valueOf(EqualTo(a, l), pcols, resolver)
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      valueOf(EqualNullSafe(a, l), pcols, resolver)
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) > v
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      valueOf(LessThan(a, l), pcols, resolver)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) >= v
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      valueOf(LessThanOrEqual(a, l), pcols, resolver)
+    case LessThan(a: AttributeReference, l: Literal) =>
+      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) < v
+    case LessThan(l: Literal, a: AttributeReference) =>
+      valueOf(GreaterThan(a, l), pcols, resolver)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) <= v
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      valueOf(GreaterThanOrEqual(a, l), pcols, resolver)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      pcols.find(resolver(_, a.name)).flatMap { k =>
+        val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
+        if (cs.isEmpty || cs.exists(_.isEmpty)) None
+        else Some(cs.flatten.map(col(k) === _).reduce(_ || _))
+      }
+    case InSet(a: AttributeReference, vs) =>
+      pcols.find(resolver(_, a.name)).flatMap { k =>
+        val dt = a.dataType
+        val cs = vs.toSeq.map(v =>
+          scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
+            .toOption.filter(_ => v != null))
+        if (cs.isEmpty || cs.exists(_.isEmpty)) None
+        else Some(cs.flatten.map(col(k) === _).reduce(_ || _))
+      }
+    case IsNull(a: AttributeReference) =>
+      pcols.find(resolver(_, a.name)).map(col(_).isNull)
+    case IsNotNull(a: AttributeReference) =>
+      pcols.find(resolver(_, a.name)).map(col(_).isNotNull)
+    case _ => None
+  }
 
   /** The zone test for one expression, or None when it (or a branch of
     * it) cannot be decided from min/max/null counts. Null zone bounds

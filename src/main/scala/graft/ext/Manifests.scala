@@ -127,7 +127,8 @@ object Manifests {
       tag: Option[String] = None, dv: Seq[String] = Nil,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       stats: Option[(Seq[String], String)] = None,
-      parent: Option[Int] = None): Int = {
+      parent: Option[Int] = None,
+      partValues: Option[(Seq[String], String)] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -155,6 +156,12 @@ object Manifests {
         keys.mkString("", "\n", "\n").getBytes("UTF-8"))
       Dfs.writeBytes(spark, s"$base/v$v/_statsfile",
         Dfs.canonical(statsFile).getBytes("UTF-8"))
+    }
+    partValues.foreach { case (cols, pvFile) =>
+      Dfs.writeBytes(spark, s"$base/v$v/_partcols",
+        cols.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Dfs.writeBytes(spark, s"$base/v$v/_partvalues",
+        Dfs.canonical(pvFile).getBytes("UTF-8"))
     }
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
@@ -241,7 +248,8 @@ object Manifests {
     val dir = writeStats(spark, base,
       statsFor(spark, fs, keys, schemaOf(spark, base, v)))
     commit(spark, base, fs, None, dvFiles(spark, base, v),
-      schemaOf(spark, base, v), Some((keys, dir)), parent = Some(v))
+      schemaOf(spark, base, v), Some((keys, dir)), parent = Some(v),
+      partValues = partitionedBy(spark, base, v))
   }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
@@ -390,6 +398,88 @@ object Manifests {
         else lines(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       Some((lines(0).trim.toInt, cols(1), cols(2)))
     }
+
+  /** The version's partition metadata, if committed with any:
+    * (partition column names, path of the partition-values parquet —
+    * one row per (file, distinct partition tuple) the file contains). */
+  def partitionedBy(spark: SparkSession, base: String,
+      v: Int): Option[(Seq[String], String)] =
+    if (!Dfs.exists(spark, s"$base/v$v/_partcols")) None
+    else Some((
+      new String(Dfs.readBytes(spark, s"$base/v$v/_partcols"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq,
+      new String(Dfs.readBytes(spark, s"$base/v$v/_partvalues"), "UTF-8").trim))
+
+  /** One distributed scan: the distinct partition tuples each of
+    * `data`'s files contains, written as a tiny parquet keyed by file
+    * path. Metadata-sized output: a row per (file, tuple) — with a
+    * clustered write that is ~1 tuple per file. */
+  private def writePartValues(spark: SparkSession, base: String,
+      data: Seq[String], cols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): String = {
+    val dir = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
+    schema.fold(spark.read)(spark.read.schema(_)).parquet(data: _*)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .distinct()
+      .write.mode("errorifexists").parquet(dir)
+    dir
+  }
+
+  /** Carry partition metadata across a rewrite: keep the tuples of
+    * untouched files, re-derive only the rewritten ones — the same
+    * incremental contract as [[statsAfterRewrite]]. */
+  private def partValuesAfterRewrite(spark: SparkSession, base: String,
+      v: Int, untouched: Seq[String], rewritten: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[(Seq[String], String)] =
+    partitionedBy(spark, base, v).map { case (cols, pvFile) =>
+      val pv = spark.read.parquet(pvFile)
+      val unt = untouched.map(Dfs.canonical).toSet
+      val keepRaw = pv.select("file").distinct().collect()
+        .map(_.getString(0)).filter(f => unt.contains(Dfs.canonical(f))).toSeq
+      val keepDf = spark.createDataset(keepRaw)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")
+      val kept = pv.join(keepDf, Seq("file"), "left_semi")
+      val merged =
+        if (rewritten.isEmpty) kept
+        else kept.unionByName(spark.read.parquet(
+          writePartValues(spark, base, rewritten, cols, schema)): DataFrame)
+      val dir = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
+      merged.write.mode("errorifexists").parquet(dir)
+      (cols, dir)
+    }
+
+  /** Bootstrap a PARTITIONED table — the manifest twin of Hive/Delta
+    * `PARTITIONED BY`, in the ICEBERG shape: partition columns stay IN
+    * the data files (no path-encoded values, no schema surgery), and
+    * the manifest records per file the distinct partition tuples it
+    * contains. A partition predicate then prunes files from manifest
+    * metadata alone — before zone maps, before any data footer — which
+    * is how a date-partitioned 100 TB table answers "last week only"
+    * reading a handful of files. The write range-clusters rows by the
+    * partition columns so each file covers ~one tuple; pruning power
+    * degrades gracefully (never correctness) if the clustering is
+    * loose, because the metadata is derived from file CONTENT, not
+    * from the layout promise. Every rewrite path maintains the
+    * metadata incrementally ([[partValuesAfterRewrite]]); appends
+    * derive tuples for the new files only. */
+  def commitDataPartitioned(df: DataFrame, base: String,
+      partCols: Seq[String], filesPerWrite: Int = 0): Int = {
+    require(partCols.nonEmpty, "partitioned commit needs partition columns")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' is not in the schema"))
+    val spark = df.sparkSession
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = if (filesPerWrite > 0) filesPerWrite
+      else spark.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(n, partCols.map(col): _*)
+      .sortWithinPartitions(partCols.map(col): _*)
+      .write.mode("errorifexists").parquet(dir)
+    val files = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    commit(spark, base, files, schema = Some(df.schema),
+      partValues = Some((partCols,
+        writePartValues(spark, base, files, partCols, Some(df.schema)))))
+  }
 
   /** Data rows tagged with their physical address: parquet's hidden
     * `_metadata` struct gives the file path and the row's position
@@ -562,7 +652,9 @@ object Manifests {
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val nv = commit(spark, base, rewritten, schema = Some(live.schema),
       stats = statsAfterRewrite(spark, base, v, Seq.empty, rewritten,
-        Some(live.schema)), parent = Some(v))
+        Some(live.schema)), parent = Some(v),
+      partValues = partValuesAfterRewrite(spark, base, v, Seq.empty,
+        rewritten, Some(live.schema)))
     (cur.size, rewritten.size, nv)
   }
 
@@ -632,7 +724,8 @@ object Manifests {
       // data files unchanged -> schema and stats carry verbatim (zones
       // stay conservatively wide over the deleted rows)
       (deleted, commit(spark, base, cur, None, prevDvs ++ written,
-        schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v)))
+        schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v),
+        partValues = partitionedBy(spark, base, v)))
     } finally dvRows.unpersist()
   }
 
@@ -689,7 +782,8 @@ object Manifests {
     // like data files: superseded ones die with their versions, those
     // a retained manifest still references survive
     def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v) ++
-      statsOf(spark, base, v).map(_._2).toSeq
+      statsOf(spark, base, v).map(_._2).toSeq ++
+      partitionedBy(spark, base, v).map(_._2).toSeq
     val keepFiles = committed.filter(_ >= floor)
       .flatMap(refs).map(Dfs.canonical).toSet
     val droppedCommitted = committed.filter(_ < floor)
@@ -779,7 +873,9 @@ object Manifests {
     val nv = commit(spark, base, untouched ++ rewritten, tag,
       schema = schemaOf(spark, base, v),
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)), parent = Some(v))
+        schemaOf(spark, base, v)), parent = Some(v),
+      partValues = partValuesAfterRewrite(spark, base, v, untouched,
+        rewritten, schemaOf(spark, base, v)))
     (affected.size, updates.count(), nv)
   }
 
@@ -867,11 +963,23 @@ object Manifests {
             statsFor(spark, newFiles, keys, Some(tableSchema)))
           (keys, writeStats(spark, base, merged))
       }
+      // partition metadata: tuples of existing files carry, only the
+      // new files are scanned — same incremental shape as the stats
+      val pvMeta = prev.flatMap(pv => partitionedBy(spark, base, pv)).map {
+        case (cols, pvFile) =>
+          val merged = spark.read.parquet(pvFile).unionByName(
+            spark.read.parquet(writePartValues(spark, base, newFiles, cols,
+              Some(tableSchema))): DataFrame)
+          val d = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
+          merged.write.mode("errorifexists").parquet(d)
+          (cols, d)
+      }
       // deletion vectors stay valid across an append (they address
       // existing files only) — carry them by reference like the data
       try Some(commit(spark, base, cur ++ newFiles, None,
         prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty),
-        Some(tableSchema), stats, parent = Some(prev.getOrElse(-1))))
+        Some(tableSchema), stats, parent = Some(prev.getOrElse(-1)),
+        partValues = pvMeta))
       catch {
         case e: ConcurrentCommitException =>
           if (remaining == 0) throw e
@@ -1035,7 +1143,9 @@ object Manifests {
     val nv = commit(spark, base, untouched ++ rewritten,
       schema = schemaOf(spark, base, v),
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)), parent = Some(v))
+        schemaOf(spark, base, v)), parent = Some(v),
+      partValues = partValuesAfterRewrite(spark, base, v, untouched,
+        rewritten, schemaOf(spark, base, v)))
     (affected.size, cur.size, nv)
   }
 
@@ -1092,7 +1202,9 @@ object Manifests {
     val nv = commit(spark, base, untouched ++ rewritten,
       schema = schemaOf(spark, base, v),
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)), parent = Some(v))
+        schemaOf(spark, base, v)), parent = Some(v),
+      partValues = partValuesAfterRewrite(spark, base, v, untouched,
+        rewritten, schemaOf(spark, base, v)))
     (affected.size, updatedRows, nv)
   }
 
@@ -1119,7 +1231,8 @@ object Manifests {
       dv = dvFiles(spark, base, v),
       schema = schemaOf(spark, base, v),
       stats = statsOf(spark, base, v),
-      parent = Some(latest))
+      parent = Some(latest),
+      partValues = partitionedBy(spark, base, v))
   }
 
   /** Shallow CLONE: start a NEW table at `dst` whose v0 references
@@ -1147,7 +1260,8 @@ object Manifests {
       tag = Some(s"clone:$src@v$v"),
       dv = dvFiles(spark, src, v),
       schema = schemaOf(spark, src, v),
-      stats = statsOf(spark, src, v))
+      stats = statsOf(spark, src, v),
+      partValues = partitionedBy(spark, src, v))
   }
 
   /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only
@@ -1187,7 +1301,9 @@ object Manifests {
     val untouched = big.map(_._1)
     val nv = commit(spark, base, untouched ++ rewritten, schema = schema,
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schema), parent = Some(v))
+        schema), parent = Some(v),
+      partValues = partValuesAfterRewrite(spark, base, v, untouched,
+        rewritten, schema))
     (small.size, rewritten.size, nv)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.sources.{BaseRelation, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[graft.ext.Manifests]] table —
@@ -35,7 +35,21 @@ import org.apache.spark.sql.types.StructType
   * batches read under it, so files from before a column was added
   * null-fill, and columns added after the query started surface on
   * restart — Structured Streaming's own schema contract. */
-class DefaultSource extends StreamSourceProvider with RelationProvider {
+class DefaultSource extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
+
+  /** SQL addressability: registering the provider under a dot-free
+    * short name makes a manifest table reachable from PURE SQL via
+    * Spark's `provider`.`path` table syntax —
+    * {{{ spark.sql("SELECT ... FROM manifest.`/table/base`") }}} —
+    * the same resolution path `FROM parquet.`/dir`` uses, landing on
+    * [[createRelation]] and therefore on the full Catalyst scan:
+    * pushdown, codegen, partition pruning, zone-map skipping, bucket
+    * layout. Time travel from SQL goes through a reader-options view:
+    * `spark.read.format("manifest").option("versionAsOf", v)` then
+    * `createOrReplaceTempView` (Spark's SQL grammar has no option
+    * syntax for v1 sources). */
+  override def shortName(): String = "manifest"
 
   private def basePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

@@ -196,4 +196,78 @@ class ManifestRelationSpec extends AnyFunSuite {
       "the append's own zone should confine k=50 to the new file")
     assert(rel(b).filter(col("k") === 3).count() === 20)
   }
+
+  /** A 200-row PARTITIONED table on p (0..9): no zone maps anywhere,
+    * so any file subset in these tests comes from the manifest's
+    * partition-value metadata alone. */
+  private def partitioned(): String = {
+    import spark.implicits._
+    val b = base("graft_rel_part")
+    Manifests.commitDataPartitioned(
+      (1 to 200).map(i => (i.toLong, i % 10, s"s$i")).toDF("id", "p", "s"),
+      b, Seq("p"), filesPerWrite = 5)
+    b
+  }
+
+  test("partition predicates prune files from manifest metadata alone; results exact") {
+    val b = partitioned()
+    assert(Manifests.statsOf(spark, b, 0).isEmpty, "fixture must carry no zone maps")
+    val all = scannedFiles(rel(b))
+    assert(all === 5)
+    val eq = rel(b).filter(col("p") === 3)
+    assert(scannedFiles(eq) < all, "equality on the partition column must prune")
+    assert(eq.count() === 20)
+    val in = rel(b).filter(col("p").isin(0, 9))
+    assert(scannedFiles(in) < all)
+    assert(in.count() === 40)
+    val range = rel(b).filter(col("p") >= 8)
+    assert(scannedFiles(range) < all)
+    assert(range.count() === 40)
+    // non-partition filter: no pruning, full correctness
+    val non = rel(b).filter(col("s") === "s7")
+    assert(scannedFiles(non) === all)
+    assert(non.count() === 1)
+    // short name registration: format("manifest") is the same relation
+    assert(spark.read.format("manifest").load(b).count() === 200)
+  }
+
+  test("the SQL surface: a registered manifest view answers pure spark.sql with partition pruning") {
+    val b = partitioned()
+    spark.read.format("manifest").load(b).createOrReplaceTempView("rel_part_sql")
+    val q = spark.sql(
+      "SELECT p, COUNT(*) AS n FROM rel_part_sql WHERE p IN (2, 4) GROUP BY p ORDER BY p")
+    assert(q.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((2, 20L), (4, 20L)))
+    val scanned = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    assert(scanned < 5, s"SQL path must prune by partition metadata (scanned $scanned)")
+    // versionAsOf arrives through reader options on the registered view
+    spark.read.format("manifest").option("versionAsOf", "0").load(b)
+      .createOrReplaceTempView("rel_part_sql_v0")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM rel_part_sql_v0").head().getLong(0) === 200)
+  }
+
+  test("partition metadata survives DML and appends: rewrites re-derive, appends extend") {
+    import spark.implicits._
+    val b = partitioned()
+    // copy-on-write delete rewrites the p=3 file; metadata re-derives
+    Manifests.deleteWhere(spark, b, col("p") === 3 && col("id") <= 100)
+    val v1 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.partitionedBy(spark, b, v1).isDefined,
+      "partition metadata must survive a rewrite")
+    val q1 = rel(b).filter(col("p") === 3)
+    assert(q1.count() === 10)
+    assert(scannedFiles(q1) < scannedFiles(rel(b)))
+    // append brings p=77: its tuples recorded incrementally
+    Manifests.appendBatch(
+      Seq((9001L, 77, "n1"), (9002L, 77, "n2")).toDF("id", "p", "s"),
+      b, batchId = 0L)
+    val q2 = rel(b).filter(col("p") === 77)
+    assert(q2.count() === 2)
+    assert(scannedFiles(q2) < scannedFiles(rel(b)),
+      "append tuples must confine p=77 to the new file")
+    // untouched partitions unaffected throughout
+    assert(rel(b).filter(col("p") === 5).count() === 20)
+  }
 }

@@ -166,10 +166,23 @@ object Manifests {
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     // summary counts land BEFORE the marker, so they exist for every
-    // committed version: DESCRIBE HISTORY reads this 2-line file, not
-    // the manifest itself
+    // committed version: DESCRIBE HISTORY reads this tiny file, not the
+    // manifest itself. Line 3 is the version's ADDED bytes (files not in
+    // the parent manifest) — the streaming source's byte-based admission
+    // control reads it instead of statusing data files per trigger; -1
+    // records "unknown" (a file was unreachable at commit time), which
+    // admission treats as cap-exceeding, conservatively.
+    val addedBytes: Long =
+      try {
+        val prev: Set[String] = parent.filter(_ >= 0)
+          .map(p => files(spark, base, p).map(Dfs.canonical).toSet)
+          .getOrElse(Set.empty)
+        dataFiles.map(Dfs.canonical).filterNot(prev)
+          .map(f => Dfs.fs(spark, f)
+            .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     Dfs.writeBytes(spark, s"$base/v$v/_counts",
-      s"${dataFiles.size}\n${dv.size}\n".getBytes("UTF-8"))
+      s"${dataFiles.size}\n${dv.size}\n$addedBytes\n".getBytes("UTF-8"))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
     advanceHint(spark, base, v)
     v
@@ -544,6 +557,17 @@ object Manifests {
       .sorted
       .map(v => (v, Dfs.mtime(spark, s"$base/v$v/_SUCCESS"), tagOf(spark, base, v)))
 
+  /** The bytes version `v`'s commit ADDED to the table (sizes of files
+    * not carried from the parent manifest), recorded at commit time.
+    * None when unrecorded (legacy version) or unknown (-1). */
+  def addedBytesOf(spark: SparkSession, base: String, v: Int): Option[Long] =
+    try {
+      if (!Dfs.exists(spark, s"$base/v$v/_counts")) None
+      else new String(Dfs.readBytes(spark, s"$base/v$v/_counts"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        .lift(2).map(_.toLong).filter(_ >= 0)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The (n data files, n deletion-vector files) summary recorded at
     * commit time — one 2-line read instead of re-reading the manifest
     * and delete list. None only for versions committed before the
@@ -743,12 +767,38 @@ object Manifests {
     * (mtime horizons), not set arithmetic — a deployment runs that as
     * a separate, clock-aware janitor. Returns (versions dropped, data
     * files deleted). */
+  /** `minAgeMillis` is the in-flight-reader guard — the classic table-
+    * format TOCTOU: a reader resolves version v, then vacuum collects v
+    * a second later, and the reader's scan throws mid-query on missing
+    * files. Delta solves it with retention duration ≥ max query time;
+    * same contract here: versions whose commit is younger than
+    * `minAgeMillis` are NOT collectable regardless of `keepLast` (the
+    * floor clamps down to the oldest retained-by-age version), so a
+    * keepLast-only vacuum of a table someone just read refuses to pull
+    * those versions out from under them. The default comes from the
+    * session conf `graft.vacuum.minAgeMillis` (0 when unset — local
+    * tests and fixtures collect immediately; a deployment sets it to
+    * its max expected query duration). */
   def vacuum(spark: SparkSession, base: String,
-      keepLast: Int = 2): (Seq[Int], Int) = {
+      keepLast: Int = 2, minAgeMillis: Option[Long] = None): (Seq[Int], Int) = {
     require(keepLast >= 1, s"keepLast must retain at least the latest ($keepLast)")
     val committed = committedVersions(spark, base)
     if (committed.isEmpty) return (Seq.empty, 0)
-    reclaimBelow(spark, base, committed, committed.takeRight(keepLast).head)
+    val byCount = committed.takeRight(keepLast).head
+    val minAge = minAgeMillis.getOrElse(
+      spark.conf.getOption("graft.vacuum.minAgeMillis").map(_.toLong).getOrElse(0L))
+    val floor =
+      if (minAge <= 0L) byCount
+      else {
+        val horizon = System.currentTimeMillis() - minAge
+        // oldest version still inside the protected window (suffix
+        // retention, conservative under clock skew like vacuumOlderThan)
+        val byAge = committed
+          .find(v => Dfs.mtime(spark, s"$base/v$v/_SUCCESS") > horizon)
+          .getOrElse(committed.last)
+        math.min(byCount, byAge)
+      }
+    reclaimBelow(spark, base, committed, floor)
   }
 
   /** Age-based retention — the VACUUM ... RETAIN form: drop every

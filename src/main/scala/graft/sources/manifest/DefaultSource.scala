@@ -175,6 +175,23 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
       n
     }
 
+  // byte-based admission — the cap that actually bounds a trigger's
+  // WORK: a version can be one row or one terabyte, so counting
+  // versions (above) bounds only metadata. Each version's added bytes
+  // were recorded at commit time in its manifest summary
+  // (Manifests.addedBytesOf), so admission costs one tiny read per
+  // candidate version, no data-file statusing. Versions admit in order
+  // while the running sum stays within the cap; the version that would
+  // exceed it waits for the next trigger — except the FIRST, which
+  // always admits (an oversized or unknown-size version must make
+  // progress alone, Delta's maxBytesPerTrigger soft-max semantics).
+  private val maxBytesPerTrigger: Option[Long] =
+    parameters.get("maxBytesPerTrigger").map { v =>
+      val n = v.toLong
+      require(n >= 1, s"maxBytesPerTrigger must be >= 1 (got $n)")
+      n
+    }
+
   // the highest version this source has offered or served — the base
   // the next trigger's cap counts from (getOffset has no start param in
   // this API; the source tracks its own progress, and getBatch re-syncs
@@ -185,9 +202,25 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
 
   override def getOffset: Option[OffsetV1] = synchronized {
     Manifests.latestVersion(spark, base).map { latest =>
-      val capped = (maxVersionsPerTrigger, lastSeen.orElse(startingVersion)) match {
-        case (Some(cap), Some(from)) => math.min(latest, from + cap)
+      val from = lastSeen.orElse(startingVersion)
+      val byVersions = (maxVersionsPerTrigger, from) match {
+        case (Some(cap), Some(f)) => math.min(latest, f + cap)
         case _ => latest // first offer with a snapshot start: one version
+      }
+      val capped = (maxBytesPerTrigger, from) match {
+        case (Some(maxB), Some(f)) =>
+          var v = f
+          var acc = 0L
+          var stop = false
+          while (!stop && v < byVersions) {
+            val nb = Manifests.addedBytesOf(spark, base, v + 1)
+              .getOrElse(Long.MaxValue) // unknown size: cap-exceeding
+            if (acc == 0L || (nb < Long.MaxValue - acc && acc + nb <= maxB)) {
+              acc += math.min(nb, Long.MaxValue / 4); v += 1
+            } else stop = true
+          }
+          v
+        case _ => byVersions
       }
       lastSeen = Some(math.max(lastSeen.getOrElse(-1), capped))
       VersionOffset(capped)

@@ -633,6 +633,37 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.readAt(spark, b2, 1).count() === 1)
   }
 
+  test("vacuum minAge guard: young versions are not collectable under keepLast; aged ones collect; conf default honored") {
+    import spark.implicits._
+    val b = base("graft_man_vguard")
+    (0 to 2).foreach(i =>
+      Manifests.commitData(Seq((i.toLong, s"v$i")).toDF("id", "s"), b))
+    // all three versions committed seconds ago: a keepLast=1 vacuum with
+    // an in-flight-reader horizon refuses to collect any of them
+    val (refused, n0) = Manifests.vacuum(spark, b, keepLast = 1,
+      minAgeMillis = Some(3600L * 1000))
+    assert(refused.isEmpty && n0 === 0,
+      "versions younger than the horizon must survive a keepLast-only vacuum")
+    assert(Manifests.readAt(spark, b, 0).count() === 1)
+    // the same horizon through the session conf (deployment default)
+    spark.conf.set("graft.vacuum.minAgeMillis", (3600L * 1000).toString)
+    try {
+      val (refused2, _) = Manifests.vacuum(spark, b, keepLast = 1)
+      assert(refused2.isEmpty)
+    } finally spark.conf.unset("graft.vacuum.minAgeMillis")
+    // age v0/v1 beyond the horizon: now keepLast=1 collects exactly them
+    def stamp(v: Int, t: Long) = {
+      val p = s"$b/v$v/_SUCCESS"
+      Dfs.fs(spark, p).setTimes(new org.apache.hadoop.fs.Path(p), t, -1)
+    }
+    stamp(0, 1000L); stamp(1, 2000L)
+    val (dropped, _) = Manifests.vacuum(spark, b, keepLast = 1,
+      minAgeMillis = Some(3600L * 1000))
+    assert(dropped === Seq(0, 1))
+    assert(Manifests.readLatest(spark, b).select("s")
+      .collect().map(_.getString(0)).toSeq === Seq("v2"))
+  }
+
   test("changesBetweenKeyed: both-sided keys pair as update images, one-sided stay insert/delete") {
     import spark.implicits._
     val b = base("graft_man_cdf")

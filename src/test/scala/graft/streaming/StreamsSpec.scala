@@ -671,6 +671,46 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifest source: maxBytesPerTrigger admits mixed-size versions in bounded-byte batches; oversized versions progress alone") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mansrc_bytes").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    graft.ext.Manifests.commitData(Seq((0L, "v0")).toDF("id", "s"), base)
+    // backlog: two tiny versions, one version ~3 orders bigger, one tiny
+    graft.ext.Manifests.appendBatch(Seq((1L, "v1")).toDF("id", "s"), base, 1L)
+    graft.ext.Manifests.appendBatch(Seq((2L, "v2")).toDF("id", "s"), base, 2L)
+    graft.ext.Manifests.appendBatch(
+      (100L until 4100L).map(i => (i, "v3")).toDF("id", "s").repartition(4),
+      base, 3L)
+    graft.ext.Manifests.appendBatch(Seq((4L, "v4")).toDF("id", "s"), base, 4L)
+    val s1 = graft.ext.Manifests.addedBytesOf(spark, base, 1).get
+    val s2 = graft.ext.Manifests.addedBytesOf(spark, base, 2).get
+    val s3 = graft.ext.Manifests.addedBytesOf(spark, base, 3).get
+    assert(s1 > 0 && s2 > 0 && s3 > s1 + s2,
+      s"fixture: the big version ($s3 B) must exceed the cap (${s1 + s2} B)")
+    // cap admits exactly the two tiny versions together; the big one
+    // exceeds it and must land ALONE (first-version progress rule), and
+    // the trailing tiny one waits behind it
+    val batches = scala.collection.mutable.ListBuffer.empty[Set[String]]
+    val q = spark.readStream.format("graft.sources.manifest")
+      .option("path", base)
+      .option("startingVersion", "0")
+      .option("maxBytesPerTrigger", (s1 + s2).toString)
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val tags = b.select("s").distinct().collect().map(_.getString(0)).toSet
+        if (tags.nonEmpty) batches.synchronized { batches += tags }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.toSeq === Seq(Set("v1", "v2"), Set("v3"), Set("v4")),
+        s"bounded-byte admission grouped: $batches")
+    } finally q.stop()
+  }
+
   test("manifest source: non-append version fails the stream; allowNonAppend reads past it; startingVersion=latest skips backfill") {
     val spark0 = spark
     import spark0.implicits._

@@ -826,6 +826,103 @@ object Manifests {
         case _ => None
       }).sorted
 
+  /** The data files ADDED by committed versions in `(p, latest]`, iff
+    * every one of those versions was a pure append: removed nothing,
+    * left deletion vectors untouched, kept the schema byte-identical to
+    * version `p`'s. `None` means some winner rewrote table state (DML,
+    * compaction, schema evolution, MoR delete) — a rewrite derived from
+    * `p` cannot commute with it. Never-committed holes in the version
+    * sequence (crashed claimants) contributed no content and are
+    * skipped. Metadata-sized: manifest set arithmetic only, no data
+    * reads. */
+  private def pureAppendedSince(spark: SparkSession, base: String,
+      p: Int, latest: Int): Option[Seq[String]] =
+    try {
+      var prev = files(spark, base, p).map(Dfs.canonical).toSet
+      val dv0 = dvFiles(spark, base, p).map(Dfs.canonical).toSet
+      val sch0 = schemaOf(spark, base, p).map(_.json)
+      val added = Seq.newBuilder[String]
+      for (w <- committedVersions(spark, base).filter(w => w > p && w <= latest)) {
+        val cur = files(spark, base, w).map(Dfs.canonical).toSet
+        if (!prev.subsetOf(cur)) return None
+        if (dvFiles(spark, base, w).map(Dfs.canonical).toSet != dv0) return None
+        if (schemaOf(spark, base, w).map(_.json) != sch0) return None
+        added ++= (cur -- prev).toSeq.sorted
+        prev = cur
+      }
+      Some(added.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Commit a copy-on-write rewrite derived from snapshot version
+    * `snapshot`, REBASING across concurrent appends when serial
+    * equivalence is proved — the WriteSerializable half of the OCC
+    * protocol (Delta's isolation-level shape). On losing the version
+    * CAS, the loser asks two questions instead of giving up:
+    *
+    *  1. did every winner only APPEND? ([[pureAppendedSince]] — a
+    *     concurrent rewrite, vector change, or schema evolution still
+    *     refuses, conservatively);
+    *  2. can the appended rows conflict with this rewrite?
+    *     (`conflictsWith` over the appended files only — the delete/
+    *     update form scans them for predicate matches with parquet
+    *     pushdown, the merge form semi-joins them against the update
+    *     keys; cost is proportional to the CONCURRENTLY APPENDED bytes,
+    *     never the table).
+    *
+    * If both answers clear, the rebased manifest is literally the
+    * serial result (appends, then the rewrite): winners' files carry
+    * into the untouched set, the rewrite's output replaces its touched
+    * set, and stats/partition metadata re-derive only for the rewritten
+    * files. Appended files are checked ONCE across retries. Bounded by
+    * `graft.occ.maxRebases` (default 3); a conflict or a non-append
+    * winner throws [[ConcurrentCommitException]] exactly as before. */
+  private def commitRewrite(spark: SparkSession, base: String,
+      snapshot: Int, touched: Set[String], rewritten: Seq[String],
+      tag: Option[String],
+      conflictsWith: Seq[String] => Boolean): Int = {
+    val sch = schemaOf(spark, base, snapshot)
+    val maxRebases = spark.conf.getOption("graft.occ.maxRebases")
+      .map(_.toInt).getOrElse(3)
+    var parent = snapshot
+    var rebases = 0
+    var cleared = Set.empty[String]
+    while (true) {
+      val untouched = files(spark, base, parent).map(Dfs.canonical)
+        .filterNot(touched)
+      try {
+        return commit(spark, base, untouched ++ rewritten, tag,
+          schema = sch,
+          stats = statsAfterRewrite(spark, base, parent, untouched,
+            rewritten, sch),
+          parent = Some(parent),
+          partValues = partValuesAfterRewrite(spark, base, parent, untouched,
+            rewritten, sch))
+      } catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (rebases > maxRebases) throw e
+          val latest = latestVersion(spark, base).getOrElse(throw e)
+          // claim taken but nothing committed above us: a crashed or
+          // in-flight claimant, not a rebase target — surface as-is
+          if (latest <= parent) throw e
+          val added = pureAppendedSince(spark, base, parent, latest)
+            .getOrElse(throw new ConcurrentCommitException(
+              s"a concurrent writer rewrote $base past version $parent — " +
+                "this rewrite's snapshot cannot commute with it; " +
+                "re-read and re-run"))
+          val fresh = added.filterNot(cleared)
+          if (fresh.nonEmpty && conflictsWith(fresh))
+            throw new ConcurrentCommitException(
+              s"a concurrent append to $base added rows this rewrite's " +
+                "predicate or keys would have touched — committing would " +
+                "not be serializable; re-read and re-run")
+          cleared ++= fresh
+          parent = latest
+      }
+    }
+    sys.error("unreachable: commitRewrite loop always returns or throws")
+  }
+
   private def reclaimBelow(spark: SparkSession, base: String,
       committed: Seq[Int], floor: Int): (Seq[Int], Int) = {
     // deletion-vector and stats sidecars are reference-counted exactly
@@ -883,11 +980,17 @@ object Manifests {
     *  - null keys never match (SQL join equality), so a null-key update
     *    row inserts and null-key target rows always survive;
     *  - a pure insert batch (no key matches) rewrites zero target files.
-    * Returns (files rewritten, rows inserted-or-updated, new version). */
+    * Returns (files rewritten, rows inserted-or-updated, new version).
+    *
+    * `asOf` pins the snapshot (defaults to latest); the commit rebases
+    * across concurrent appends that share NO key with `updates`
+    * ([[commitRewrite]] — key overlap would change both the update and
+    * the insert decisions, so it refuses). */
   def merge(spark: SparkSession, base: String, updates: DataFrame,
-      keyCols: Seq[String], tag: Option[String] = None): (Int, Long, Int) = {
+      keyCols: Seq[String], tag: Option[String] = None,
+      asOf: Option[Int] = None): (Int, Long, Int) = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    val v = latestVersion(spark, base)
+    val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
     require(dvFiles(spark, base, v).isEmpty,
       s"version $v carries deletion vectors — compact($base) first to " +
@@ -919,13 +1022,10 @@ object Manifests {
       .repartition(math.max(1, affected.size))
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    val untouched = cur.filterNot(affected.contains)
-    val nv = commit(spark, base, untouched ++ rewritten, tag,
-      schema = schemaOf(spark, base, v),
-      stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)), parent = Some(v),
-      partValues = partValuesAfterRewrite(spark, base, v, untouched,
-        rewritten, schemaOf(spark, base, v)))
+    val nv = commitRewrite(spark, base, v, affected, rewritten, tag,
+      added => rd.parquet(added: _*)
+        .select(keyCols.map(col): _*)
+        .join(keys, keyCols, "left_semi").limit(1).count() > 0)
     (affected.size, updates.count(), nv)
   }
 
@@ -1166,10 +1266,17 @@ object Manifests {
     * preservation — they repartition freely), and the next version's
     * manifest carries `untouched ++ rewritten`. Readers atomically see
     * the whole delete or none of it; the previous version still
-    * resolves for audit. Returns (affected, total, new version). */
+    * resolves for audit. Returns (affected, total, new version).
+    *
+    * `asOf` pins the snapshot the delete derives from (defaults to
+    * latest). Losing the version race no longer refuses outright: the
+    * commit rebases across concurrent PURE APPENDS whose rows the
+    * predicate provably never matches ([[commitRewrite]]) — disjoint
+    * writers commute, overlapping ones still throw
+    * [[ConcurrentCommitException]]. */
   def deleteWhere(spark: SparkSession, base: String,
-      pred: Column): (Int, Int, Int) = {
-    val v = latestVersion(spark, base)
+      pred: Column, asOf: Option[Int] = None): (Int, Int, Int) = {
+    val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
     require(dvFiles(spark, base, v).isEmpty,
       s"version $v carries deletion vectors — compact($base) first to " +
@@ -1189,13 +1296,9 @@ object Manifests {
       .repartition(math.max(1, affected.size))
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    val untouched = cur.filterNot(affected.contains)
-    val nv = commit(spark, base, untouched ++ rewritten,
-      schema = schemaOf(spark, base, v),
-      stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)), parent = Some(v),
-      partValues = partValuesAfterRewrite(spark, base, v, untouched,
-        rewritten, schemaOf(spark, base, v)))
+    val nv = commitRewrite(spark, base, v, affected, rewritten, None,
+      added => rd.parquet(added: _*)
+        .filter(coalesce(pred, lit(false))).limit(1).count() > 0)
     (affected.size, cur.size, nv)
   }
 
@@ -1217,11 +1320,16 @@ object Manifests {
     * column's recorded type — an UPDATE that changes the table's shape
     * is schema evolution, which this protocol only admits through an
     * explicit [[commit]] with a declared schema. Returns
-    * (files rewritten, rows updated, new version). */
+    * (files rewritten, rows updated, new version).
+    *
+    * `asOf` pins the snapshot (defaults to latest); the commit rebases
+    * across concurrent appends the predicate provably never matches
+    * ([[commitRewrite]]), refusing otherwise. */
   def updateWhere(spark: SparkSession, base: String,
-      pred: Column, set: Map[String, Column]): (Int, Long, Int) = {
+      pred: Column, set: Map[String, Column],
+      asOf: Option[Int] = None): (Int, Long, Int) = {
     require(set.nonEmpty, "UPDATE with an empty SET list is a no-op")
-    val v = latestVersion(spark, base)
+    val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
     require(dvFiles(spark, base, v).isEmpty,
       s"version $v carries deletion vectors — compact($base) first to " +
@@ -1248,13 +1356,9 @@ object Manifests {
       .repartition(math.max(1, affected.size))
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    val untouched = cur.filterNot(affected.contains)
-    val nv = commit(spark, base, untouched ++ rewritten,
-      schema = schemaOf(spark, base, v),
-      stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
-        schemaOf(spark, base, v)), parent = Some(v),
-      partValues = partValuesAfterRewrite(spark, base, v, untouched,
-        rewritten, schemaOf(spark, base, v)))
+    val nv = commitRewrite(spark, base, v, affected, rewritten, None,
+      added => rd.parquet(added: _*)
+        .filter(hit).limit(1).count() > 0)
     (affected.size, updatedRows, nv)
   }
 

@@ -569,6 +569,70 @@ class ManifestsSpec extends AnyFunSuite {
     assert(after.size === 102, "merges must not duplicate or drop rows")
   }
 
+  test("WriteSerializable rebase: rewrites commute with disjoint appends; predicate/key overlap and non-append winners refuse") {
+    import spark.implicits._
+    val b = base("graft_man_rebase")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, if (i <= 50) "keep" else "drop"))
+        .toDF("id", "s").repartitionByRange(4, col("id")), b)
+    // winner: a pure append whose rows the delete predicate never matches
+    assert(Manifests.appendBatch(
+      Seq((1001L, "keep")).toDF("id", "s"), b, 0L) === Some(1))
+    // loser: a delete derived from snapshot 0 — must REBASE, not refuse
+    val (aff, _, nv) =
+      Manifests.deleteWhere(spark, b, col("s") === "drop", asOf = Some(0))
+    assert(aff > 0 && nv === 2)
+    val now = Manifests.readLatest(spark, b).collect()
+      .map(_.getLong(0)).toSet
+    assert(!now.exists(id => id > 50 && id <= 100), "deleted rows stay deleted")
+    assert(now.contains(1001L), "the concurrent append survives the rebase")
+    assert(now.count(_ <= 50) === 50, "untouched rows carry")
+    // the winner's file is carried BY REFERENCE into the rebased manifest
+    val winnerAdded = Manifests.files(spark, b, 1).map(graft.ext.Dfs.canonical).toSet --
+      Manifests.files(spark, b, 0).map(graft.ext.Dfs.canonical).toSet
+    assert(winnerAdded.nonEmpty &&
+      winnerAdded.subsetOf(Manifests.files(spark, b, 2).map(graft.ext.Dfs.canonical).toSet))
+    // overlap: the appended row WOULD match the predicate → not
+    // serializable → refuse
+    assert(Manifests.appendBatch(
+      Seq((2000L, "x")).toDF("id", "s"), b, 1L) === Some(3))
+    intercept[ConcurrentCommitException](
+      Manifests.deleteWhere(spark, b, col("id") >= 1000L, asOf = Some(2)))
+    // non-append winner: a compact rewrote the table → a rewrite derived
+    // below it refuses even with a disjoint predicate
+    val vc = Manifests.compact(spark, b, 2)._3
+    intercept[ConcurrentCommitException](
+      Manifests.deleteWhere(spark, b, col("id") <= 10L, asOf = Some(vc - 1)))
+    // UPDATE rebases the same way
+    assert(Manifests.appendBatch(
+      Seq((3000L, "app")).toDF("id", "s"), b, 2L) === Some(vc + 1))
+    val (_, updated, uv) = Manifests.updateWhere(spark, b,
+      col("s") === "keep", Map("s" -> lit("kept")), asOf = Some(vc))
+    assert(updated === 51 && uv === vc + 2, s"($updated, $uv)") // 50 base keeps + appended 1001
+    val afterUpd = Manifests.readLatest(spark, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterUpd.count(_._2 == "kept") === 51)
+    assert(afterUpd(3000L) === "app", "appended row survives unmutated")
+    // MERGE rebases when the appended keys are disjoint from the batch…
+    assert(Manifests.appendBatch(
+      Seq((4000L, "m")).toDF("id", "s"), b, 3L) === Some(uv + 1))
+    val (_, _, mv) = Manifests.merge(spark, b,
+      Seq((1L, "merged"), (9999L, "ins")).toDF("id", "s"), Seq("id"),
+      asOf = Some(uv))
+    assert(mv === uv + 2)
+    val afterMerge = Manifests.readLatest(spark, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterMerge(1L) === "merged" && afterMerge(9999L) === "ins" &&
+      afterMerge(4000L) === "m")
+    // …and refuses when an appended key collides (both the update and
+    // the insert decision would change)
+    assert(Manifests.appendBatch(
+      Seq((5000L, "z")).toDF("id", "s"), b, 4L) === Some(mv + 1))
+    intercept[ConcurrentCommitException](
+      Manifests.merge(spark, b, Seq((5000L, "clash")).toDF("id", "s"),
+        Seq("id"), asOf = Some(mv)))
+  }
+
   test("history and timestamp time travel: versions resolve by commit time, version order wins on ties") {
     import spark.implicits._
     val b = base("graft_man_asof")

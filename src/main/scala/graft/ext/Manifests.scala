@@ -712,10 +712,16 @@ object Manifests {
     * collision, and the per-file grouping is what lets a reader (or a
     * future per-file vector compaction) address one data file's
     * deletes without scanning every sidecar. Returns
-    * (rows deleted, new version). */
+    * (rows deleted, new version).
+    *
+    * `asOf` pins the snapshot (defaults to latest); losing the version
+    * race rebases across concurrent pure appends whose rows the
+    * predicate never matches ([[rebaseLoop]]) — the vectors address
+    * only snapshot-era files, which every winner carried untouched, so
+    * the rebased commit is the serial result verbatim. */
   def deleteWhereMor(spark: SparkSession, base: String,
-      pred: Column): (Long, Int) = {
-    val v = latestVersion(spark, base)
+      pred: Column, asOf: Option[Int] = None): (Long, Int) = {
+    val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
     val cur = files(spark, base, v)
     val prevDvs = dvFiles(spark, base, v)
@@ -746,10 +752,19 @@ object Manifests {
         .write.mode("errorifexists").parquet(dir)
       val written = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
       // data files unchanged -> schema and stats carry verbatim (zones
-      // stay conservatively wide over the deleted rows)
-      (deleted, commit(spark, base, cur, None, prevDvs ++ written,
-        schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v),
-        partValues = partitionedBy(spark, base, v)))
+      // stay conservatively wide over the deleted rows); on rebase the
+      // winners' appended files and their metadata carry from the new
+      // parent, with this delete's vectors stacked on top
+      (deleted, rebaseLoop(spark, base, v,
+        added => rd.parquet(added: _*)
+          .filter(coalesce(pred, lit(false))).limit(1).count() > 0) {
+        parent =>
+          commit(spark, base, files(spark, base, parent), None,
+            dvFiles(spark, base, parent) ++ written,
+            schemaOf(spark, base, parent), statsOf(spark, base, parent),
+            parent = Some(parent),
+            partValues = partitionedBy(spark, base, parent))
+      })
     } finally dvRows.unpersist()
   }
 
@@ -881,23 +896,34 @@ object Manifests {
       tag: Option[String],
       conflictsWith: Seq[String] => Boolean): Int = {
     val sch = schemaOf(spark, base, snapshot)
+    rebaseLoop(spark, base, snapshot, conflictsWith) { parent =>
+      val untouched = files(spark, base, parent).map(Dfs.canonical)
+        .filterNot(touched)
+      commit(spark, base, untouched ++ rewritten, tag,
+        schema = sch,
+        stats = statsAfterRewrite(spark, base, parent, untouched,
+          rewritten, sch),
+        parent = Some(parent),
+        partValues = partValuesAfterRewrite(spark, base, parent, untouched,
+          rewritten, sch))
+    }
+  }
+
+  /** The retry skeleton under [[commitRewrite]] and the MoR delete:
+    * run `attempt(parent)` starting from `snapshot`; on losing the CAS,
+    * advance `parent` to the latest version iff every winner was a pure
+    * append whose files clear `conflictsWith` — each appended file is
+    * checked exactly once across retries. */
+  private def rebaseLoop(spark: SparkSession, base: String, snapshot: Int,
+      conflictsWith: Seq[String] => Boolean)(attempt: Int => Int): Int = {
     val maxRebases = spark.conf.getOption("graft.occ.maxRebases")
       .map(_.toInt).getOrElse(3)
     var parent = snapshot
     var rebases = 0
     var cleared = Set.empty[String]
     while (true) {
-      val untouched = files(spark, base, parent).map(Dfs.canonical)
-        .filterNot(touched)
-      try {
-        return commit(spark, base, untouched ++ rewritten, tag,
-          schema = sch,
-          stats = statsAfterRewrite(spark, base, parent, untouched,
-            rewritten, sch),
-          parent = Some(parent),
-          partValues = partValuesAfterRewrite(spark, base, parent, untouched,
-            rewritten, sch))
-      } catch {
+      try return attempt(parent)
+      catch {
         case e: ConcurrentCommitException =>
           rebases += 1
           if (rebases > maxRebases) throw e
@@ -920,7 +946,7 @@ object Manifests {
           parent = latest
       }
     }
-    sys.error("unreachable: commitRewrite loop always returns or throws")
+    sys.error("unreachable: rebaseLoop always returns or throws")
   }
 
   private def reclaimBelow(spark: SparkSession, base: String,

@@ -633,6 +633,28 @@ class ManifestsSpec extends AnyFunSuite {
         Seq("id"), asOf = Some(mv)))
   }
 
+  test("MoR delete rebases across disjoint appends — vectors stack on the winner's manifest; matching appended rows refuse") {
+    import spark.implicits._
+    val b = base("graft_man_morreb")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k"), b)
+    assert(Manifests.appendBatch(
+      Seq((1000L, 99)).toDF("id", "k"), b, 0L) === Some(1))
+    // derived from snapshot 0, committed over the append at v1
+    val (deleted, nv) =
+      Manifests.deleteWhereMor(spark, b, col("k") === 3, asOf = Some(0))
+    assert(deleted === 10L && nv === 2)
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 91, "100 - 10 deleted + 1 appended")
+    assert(now.filter(col("k") === 3).count() === 0)
+    assert(now.filter(col("k") === 99).count() === 1, "append survives")
+    // an appended row the predicate matches → not serializable → refuse
+    assert(Manifests.appendBatch(
+      Seq((2000L, 4)).toDF("id", "k"), b, 1L) === Some(3))
+    intercept[ConcurrentCommitException](
+      Manifests.deleteWhereMor(spark, b, col("k") === 4, asOf = Some(2)))
+  }
+
   test("history and timestamp time travel: versions resolve by commit time, version order wins on ties") {
     import spark.implicits._
     val b = base("graft_man_asof")

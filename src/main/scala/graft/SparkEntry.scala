@@ -867,6 +867,9 @@ object SparkEntry {
     // Gopher-style intra-doc repetition quality signal (no shuffle)
     "repetition_stats" -> ((s, d) => operators.TextAnalysis.repetitionStats(s, d)),
     "term_stats" -> ((s, d) => operators.TextAnalysis.termStats(s, d)),
+    // lexical retrieval: inverted-index BM25, postings restricted to the
+    // query terms before any aggregation
+    "bm25_topk" -> ((s, d) => operators.TextAnalysis.bm25TopK(s, d)),
     "tokenize_ids" -> ((s, d) => operators.TextAnalysis.tokenizeIds(s, d)),
     // the same encode at a realistic 50k vocab via the reference-object
     // VocabLookup expression (a literal map blows the codegen budget there)
@@ -1060,6 +1063,7 @@ object SparkEntry {
         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         | GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
         | ORDER BY term""".stripMargin,
+    "bm25_topk" -> operators.TextAnalysis.bm25OracleSql(),
     "tokenize_ids" -> operators.TextAnalysis.tokenizeIdsOracleSql,
     "repetition_stats" -> operators.TextAnalysis.repetitionStatsOracleSql,
     "tokenize_ids_50k" -> operators.TextAnalysis.tokenizeIdsOracleSqlAt(50000),

@@ -265,4 +265,117 @@ object TextAnalysis {
              |  (acc, w) -> (acc * 31 + length(w) + 1) % 1000000007)""".stripMargin)
         .as("fingerprint"))
       .orderBy("doc_id")
+
+  /** BM25 constants (Robertson k1/b defaults). Every derived double the
+    * score needs is computed ONCE here in Scala and interpolated into
+    * both engines, so the per-term arithmetic is bit-identical — Scala's
+    * `Double.toString` round-trips, and DuckDB parses it back to the
+    * same IEEE value. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  private val bm25K1p1 = bm25K1 + 1
+  private val bm25OneMinusB = 1 - bm25B
+
+  /** The fixed evaluation query set: (query_id, terms). Terms are drawn
+    * from the synthetic corpus vocabulary so every query has matches. */
+  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "join"),
+    1 -> Seq("window", "agg", "batch"),
+    2 -> Seq("customer", "query", "value"))
+
+  /** BM25 top-k retrieval — the lexical ranking half of an evaluation /
+    * RAG pipeline, beside [[Similarity]]'s vector half. The plan is the
+    * inverted-index access path expressed relationally:
+    *
+    *  1. postings restricted FIRST: explode to (doc, term) and
+    *     broadcast-join against the query-term list, so only the
+    *     postings of queried terms ever reach an aggregation — on a
+    *     100 TB corpus the exploded stream is filtered at scan speed
+    *     and everything downstream is proportional to the MATCHED
+    *     postings, not the corpus;
+    *  2. document frequency per queried term over that restricted set
+    *     (exact: the restriction keeps every (doc, term) pair for those
+    *     terms), broadcast back;
+    *  3. corpus scalars (N, avgdl) from one tiny aggregate, broadcast;
+    *  4. per-(query, doc) score = Σ idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    *     idf = ln(1 + (N−df+0.5)/(df+0.5)), ROUNDED to 4 decimals so the
+    *     float sum is stable across summation orders and engines;
+    *  5. top-k per query by (score desc, doc_id) — row_number over
+    *     #queries partitions, each bounded by the candidate set.
+    *
+    * All built-in codegen expressions, no UDF, no driver loop. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val scalars = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val queryTerms = bm25Queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val postings = docs
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(queryTerms), Seq("term"))
+      .groupBy("query_id", "term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("c",
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(bm25K1p1)) /
+          (col("tf") + lit(bm25K1) *
+            (lit(bm25OneMinusB) + lit(bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] — same postings restriction, same
+    * constants (interpolated from the same Scala doubles), same 4-decimal
+    * round. */
+  def bm25OracleSql(k: Int = 10): String = {
+    val values = bm25Queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), queries(query_id, term) AS (VALUES $values),
+       |scalars AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM docs
+       |), posts AS (
+       |  SELECT query_id, term, doc_id, dl, COUNT(*) AS tf FROM (
+       |    SELECT d.doc_id, len(d.toks) AS dl, unnest(d.toks) AS term
+       |    FROM docs d) p JOIN queries USING (term)
+       |  GROUP BY ALL
+       |), dfreq AS (
+       |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM posts GROUP BY term
+       |), scored AS (
+       |  SELECT query_id, doc_id,
+       |    ROUND(SUM(
+       |      ln(CAST(1.0 AS DOUBLE) +
+       |        (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+       |      (tf * CAST($bm25K1p1 AS DOUBLE)) /
+       |      (tf + CAST($bm25K1 AS DOUBLE) *
+       |        (CAST($bm25OneMinusB AS DOUBLE) +
+       |         CAST($bm25B AS DOUBLE) * dl / avgdl))), 4) AS score
+       |  FROM posts JOIN dfreq USING (term) CROSS JOIN scalars
+       |  GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -89,4 +89,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0) === Seq(1, 2, 50000, 0, 25001))
     assert(got(1) === Seq(0, 43, 43))
   }
+
+  test("bm25TopK: k per query, scores rank-consistent, a hand-computed score matches") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = TextAnalysis.bm25TopK(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === TextAnalysis.bm25Queries.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 10, s"query $q must fill k")
+      val ranked = rs.sortBy(_._4)
+      assert(ranked.map(_._4).toSeq === (1 to 10), s"query $q ranks dense")
+      assert(ranked.sliding(2).forall(p => p(0)._3 >= p(1)._3),
+        s"query $q scores must be non-increasing in rank")
+    }
+    // hand-check one (query, doc) score against the textbook formula
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), org.apache.spark.sql.functions.split(col("text"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val (q, terms) = (TextAnalysis.bm25Queries.head._1, TextAnalysis.bm25Queries.head._2)
+    val top = rows.filter(r => r._1 == q && r._4 == 1).head
+    val toks = docs.toMap.apply(top._2)
+    val expected = terms.map { t =>
+      val df = docs.count(_._2.contains(t)).toDouble
+      val tf = toks.count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        tf * (TextAnalysis.bm25K1 + 1) /
+        (tf + TextAnalysis.bm25K1 *
+          (1 - TextAnalysis.bm25B + TextAnalysis.bm25B * toks.length / avgdl))
+    }.sum
+    assert(math.abs(top._3 - expected) < 1e-3,
+      s"top doc score ${top._3} vs hand-computed $expected")
+  }
 }

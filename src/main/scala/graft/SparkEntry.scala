@@ -231,6 +231,17 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // partition-predicate DELETE: the partitions' files retire from
+    // the manifest without a data byte read or written (pure files
+    // drop whole — ManifestsSpec pins the zero-rewrite invariant); the
+    // oracle replays the row filter over the clean lineage
+    "drop_partitions" -> ((s, d) => {
+      val b = mandropFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.read.format("manifest").load(b)
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // the SAME relation addressed from PURE SQL: the manifest table
     // registers as a view (shortName "manifest" + the Catalyst
     // relation), and the registered query is one spark.sql string —
@@ -412,6 +423,22 @@ object SparkEntry {
     b
   }
 
+  /** Country-partitioned table after a partition-predicate DELETE
+    * ([[graft.ext.Manifests.dropPartitions]]): partition-pure files
+    * retired by manifest arithmetic alone. */
+  private def mandropFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mandrop")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitDataPartitioned(
+        Warehouse(s, d).cleaned, b, Seq("country"), filesPerWrite = 8)
+      ext.Manifests.dropPartitions(s, b,
+        col("country").isin("NATION_3", "NATION_8"))
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Two manifest tables bucketed the same way on stock_code — the
     * cleaned lineage (fact side, quantity only) and dim_product — so
     * the registered join plans without any exchange. */
@@ -532,6 +559,11 @@ object SparkEntry {
     "manifest_partition_scan" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IN ('NATION_3', 'NATION_7') ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // partition-predicate delete: survivors = NOT(pred), NULL survives
+    "drop_partitions" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE NOT COALESCE(country IN ('NATION_3', 'NATION_8'), FALSE)
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // the SQL-addressed relation: same content as the DataFrame path
     "manifest_sql_scan" ->
       s"""${Oracle.cleanedCte} SELECT country, COUNT(*) AS n_sales,

@@ -1328,6 +1328,72 @@ object Manifests {
     (affected.size, cur.size, nv)
   }
 
+  /** Partition-predicate DELETE — metadata-first. Every data file is
+    * classified by evaluating `pred` over its recorded partition
+    * TUPLES (manifest metadata, zero data reads):
+    *
+    *  - every tuple matches → the file DROPS from the manifest whole:
+    *    retiring a day from a date-partitioned 100 TB table is pure
+    *    manifest arithmetic, no byte read or written;
+    *  - no tuple matches (pred FALSE or NULL — unknown never deletes)
+    *    → the file carries by reference;
+    *  - mixed, or missing from the metadata (conservative) → only
+    *    those BOUNDARY files pay [[deleteWhere]]'s survivor rewrite.
+    *
+    * Exact regardless of physical clustering, because the tuples are
+    * derived from file content: a file that intermingles partitions
+    * just lands in the boundary class. `pred` must reference partition
+    * columns only — it is evaluated against the partition-values
+    * table, so an off-partition column fails analysis loudly rather
+    * than misclassifying. Row contract matches [[deleteWhere]]
+    * (pred-TRUE rows go, FALSE and NULL survive), and the commit
+    * rebases across disjoint concurrent appends the same way. Returns
+    * (files dropped whole, files rewritten, new version). */
+  def dropPartitions(spark: SparkSession, base: String,
+      pred: Column, asOf: Option[Int] = None): (Int, Int, Int) = {
+    val v = asOf.orElse(latestVersion(spark, base))
+      .getOrElse(sys.error(s"no committed version under $base"))
+    require(dvFiles(spark, base, v).isEmpty,
+      s"version $v carries deletion vectors — compact($base) first to " +
+        "materialize them")
+    val (_, pvFile) = partitionedBy(spark, base, v)
+      .getOrElse(sys.error(s"$base carries no partition metadata — " +
+        "use deleteWhere, or commit via commitDataPartitioned"))
+    val cur = files(spark, base, v).map(Dfs.canonical)
+    val hit = coalesce(pred, lit(false))
+    val cls = spark.read.parquet(pvFile)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        sum(when(hit, 1L).otherwise(0L)).as("m"))
+      .collect() // manifest-sized metadata: one row per data file
+      .map(r => Dfs.canonical(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val dropped = cur.filter(f =>
+      cls.get(f).exists { case (n, m) => n > 0 && m == n }).toSet
+    val carried = cur.filter(f =>
+      cls.get(f).exists { case (_, m) => m == 0L }).toSet
+    val boundary = cur.filterNot(f => dropped(f) || carried(f))
+    if (dropped.isEmpty && boundary.isEmpty) return (0, 0, v)
+    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    val rewritten =
+      if (boundary.isEmpty && carried.nonEmpty) Seq.empty[String]
+      else {
+        // boundary survivors; when everything drops, this same write
+        // emits the one empty file an empty table's manifest needs
+        rd.parquet((if (boundary.isEmpty) cur else boundary): _*)
+          .filter(!hit)
+          .repartition(math.max(1, boundary.size))
+          .write.mode("errorifexists").parquet(dir)
+        Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      }
+    val nv = commitRewrite(spark, base, v,
+      dropped ++ boundary ++ (if (carried.isEmpty) cur.toSet else Set.empty),
+      rewritten, None,
+      added => rd.parquet(added: _*).filter(hit).limit(1).count() > 0)
+    (dropped.size, boundary.size, nv)
+  }
+
   /** Copy-on-write UPDATE ... SET — the third leg of the DML triad
     * beside [[deleteWhere]] and [[merge]]: rows matching `pred` get the
     * `set` expressions applied (each evaluated over the OLD row —

@@ -633,6 +633,50 @@ class ManifestsSpec extends AnyFunSuite {
         Seq("id"), asOf = Some(mv)))
   }
 
+  test("dropPartitions: partition-pure files retire by manifest arithmetic, boundary files rewrite, NULL partitions survive") {
+    import spark.implicits._
+    val b = base("graft_man_droppart")
+    // range-clustered: each of the 3 files covers exactly one k
+    Manifests.commitDataPartitioned(
+      (1 to 300).map(i => (i.toLong, i % 3)).toDF("id", "k"), b,
+      Seq("k"), filesPerWrite = 3)
+    val before = Manifests.files(spark, b, 0).map(Dfs.canonical).toSet
+    val (dropped, rewritten, nv) =
+      Manifests.dropPartitions(spark, b, col("k") === 1)
+    assert(nv === 1 && dropped >= 1 && rewritten === 0,
+      s"pure layout must drop files whole ($dropped dropped, $rewritten rewritten)")
+    val after = Manifests.files(spark, b, 1).map(Dfs.canonical).toSet
+    assert(after.subsetOf(before), "metadata-only: no new data files")
+    assert(Manifests.readLatest(spark, b).filter(col("k") === 1).count() === 0)
+    assert(Manifests.readLatest(spark, b).count() === 200)
+    // no-match predicate burns no version
+    assert(Manifests.dropPartitions(spark, b, col("k") === 99) === ((0, 0, 1)))
+    // off-partition column fails analysis loudly, never misclassifies
+    intercept[org.apache.spark.sql.AnalysisException](
+      Manifests.dropPartitions(spark, b, col("id") === 5L))
+    // drop everything: the table empties but stays committed/readable
+    val (_, _, nvAll) =
+      Manifests.dropPartitions(spark, b, col("k").isin(0, 2))
+    assert(nvAll === 2 && Manifests.readLatest(spark, b).count() === 0)
+    // mixed layout: one file holds every partition → boundary rewrite
+    val b2 = base("graft_man_droppart2")
+    Manifests.commitDataPartitioned(
+      (1 to 90).map(i => (i.toLong, i % 3)).toDF("id", "k"), b2,
+      Seq("k"), filesPerWrite = 1)
+    val (d2, r2, nv2) = Manifests.dropPartitions(spark, b2, col("k") === 1)
+    assert(d2 === 0 && r2 === 1 && nv2 === 1)
+    assert(Manifests.readLatest(spark, b2).count() === 60)
+    assert(Manifests.readLatest(spark, b2).filter(col("k") === 1).count() === 0)
+    // NULL partition value: unknown never deletes
+    val b3 = base("graft_man_droppart3")
+    Manifests.commitDataPartitioned(
+      Seq[(Long, java.lang.Integer)]((1L, 1), (2L, null), (3L, 2))
+        .toDF("id", "k"), b3, Seq("k"), filesPerWrite = 1)
+    Manifests.dropPartitions(spark, b3, col("k") === 1)
+    assert(Manifests.readLatest(spark, b3).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(2L, 3L), "NULL partition rows survive")
+  }
+
   test("MoR delete rebases across disjoint appends — vectors stack on the winner's manifest; matching appended rows refuse") {
     import spark.implicits._
     val b = base("graft_man_morreb")

@@ -231,6 +231,20 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // point lookup through the per-file BLOOM index on a hash-scattered
+    // layout (zones span the whole domain there; the bloom plans a
+    // strict file subset — ManifestRelationSpec pins the plan). The min
+    // invoice keeps the probe value deterministic at every SF; the
+    // oracle replays it as a scalar subquery
+    "bloom_lookup" -> ((s, d) => {
+      val b = manbloomFixture(s, d)
+      val rel = s.read.format("manifest").load(b)
+      val k = rel.agg(min(col("invoice_no"))).head.getString(0)
+      orderedAsc(
+        moneyDouble(rel.filter(col("invoice_no") === k)
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // partition-predicate DELETE: the partitions' files retire from
     // the manifest without a data byte read or written (pure files
     // drop whole — ManifestsSpec pins the zero-rewrite invariant); the
@@ -423,6 +437,22 @@ object SparkEntry {
     b
   }
 
+  /** Hash-scattered manifest table with a bloom index on invoice_no
+    * ([[graft.ext.Manifests.analyzeBloom]]) — the layout where min/max
+    * zones prune nothing and only the bloom can answer a point
+    * lookup. */
+  private def manbloomFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manbloom")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(
+        Warehouse(s, d).cleaned.repartition(8, hash(col("invoice_no"))), b)
+      ext.Manifests.analyzeBloom(s, b, Seq("invoice_no"))
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Country-partitioned table after a partition-predicate DELETE
     * ([[graft.ext.Manifests.dropPartitions]]): partition-pure files
     * retired by manifest arithmetic alone. */
@@ -559,6 +589,11 @@ object SparkEntry {
     "manifest_partition_scan" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IN ('NATION_3', 'NATION_7') ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // bloom point lookup: pruning invisible to results, as ever
+    "bloom_lookup" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE invoice_no = (SELECT MIN(invoice_no) FROM cleaned)
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // partition-predicate delete: survivors = NOT(pred), NULL survives
     "drop_partitions" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned

@@ -54,6 +54,9 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
   private val partMeta: Option[(Seq[String], String)] =
     Manifests.partitionedBy(spark, base, version)
 
+  private val blooms: Option[(Seq[String], String)] =
+    Manifests.bloomOf(spark, base, version)
+
   override def rootPaths: Seq[Path] = Seq(new Path(base))
 
   override def partitionSchema: StructType = new StructType()
@@ -103,8 +106,28 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
             afterPart.filter(f => cand.contains(f) || !covered.contains(f))
         }
     }
+    // 3) bloom pruning — equality/IN on bloom-indexed keys, applied to
+    //    whatever min/max zones could not decide: the high-cardinality
+    //    point-lookup case where every zone spans the whole domain but
+    //    only a handful of files actually contain the value. False
+    //    positives keep a file (harmless); false negatives cannot
+    //    happen, so dropping is safe.
+    val afterBloom = blooms match {
+      case None => keep
+      case Some((bkeys, bFile)) =>
+        ManifestFileIndex.bloomPredicate(dataFilters, bkeys, resolver) match {
+          case None => keep
+          case Some(pred) =>
+            val bl = spark.read.parquet(bFile)
+            val cand = bl.filter(pred).select("file").collect()
+              .map(r => Dfs.canonical(r.getString(0))).toSet
+            val covered = bl.select("file").collect()
+              .map(r => Dfs.canonical(r.getString(0))).toSet
+            keep.filter(f => cand.contains(f) || !covered.contains(f))
+        }
+    }
     Seq(PartitionDirectory(InternalRow.empty,
-      keep.map(statuses).toArray))
+      afterBloom.map(statuses).toArray))
   }
 }
 
@@ -128,6 +151,86 @@ object ManifestFileIndex {
       case Seq() => None
       case ps => Some(ps.reduce(_ && _))
     }
+
+  /** Per-row bloom membership probe over the sidecar. A Scala UDF is
+    * the RIGHT tool here, exceptionally: the sidecar has one row per
+    * DATA FILE (manifest-sized metadata, never data), each row carries
+    * a DIFFERENT serialized filter, and Spark's own
+    * `BloomFilterMightContain` only accepts a constant filter (it
+    * exists for runtime filters). Deserialization cost is one
+    * `readFrom` per sidecar row. A null filter cell keeps the file —
+    * conservative. */
+  private val bloomProbe = org.apache.spark.sql.functions.udf(
+    (bloom: Array[Byte], h: Long) =>
+      bloom == null || org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bloom))
+        .mightContainLong(h))
+
+  /** The xxhash64 the build side recorded for this literal — computed
+    * driver-side with the SAME Catalyst expression
+    * ([[graft.ext.Manifests]] blooms aggregate `xxhash64(col)`), so
+    * the probe hashes exactly the bytes the build hashed; a type this
+    * hash cannot take refuses to translate (pruning on a mis-hashed
+    * literal would be a false NEGATIVE — wrong, not just slow). */
+  private def hashOf(l: Literal): Option[Long] =
+    if (l.value == null) None
+    else scala.util.Try(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(l))
+        .eval(null).asInstanceOf[Long]).toOption
+
+  /** Translate pushed-down filters into ONE predicate over the bloom
+    * sidecar's `<k>_bloom` columns, or None when nothing is
+    * bloom-decidable. Only equality shapes translate — that is all a
+    * bloom can answer; ranges and null tests belong to the zone maps. */
+  private[ext] def bloomPredicate(filters: Seq[Expression],
+      keys: Seq[String],
+      resolver: (String, String) => Boolean = caseInsensitive): Option[Column] =
+    filters.flatMap(bloomTest(_, keys, resolver)) match {
+      case Seq() => None
+      case ps => Some(ps.reduce(_ && _))
+    }
+
+  private def bloomTest(e: Expression, keys: Seq[String],
+      resolver: (String, String) => Boolean): Option[Column] = {
+    def probe(k: String, l: Literal): Option[Column] =
+      hashOf(l).map(h => bloomProbe(col(s"${k}_bloom"), lit(h)))
+    e match {
+      case And(l, r) =>
+        (bloomTest(l, keys, resolver), bloomTest(r, keys, resolver)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b) // untranslatable conjunct: keep the other
+        }
+      case Or(l, r) =>
+        for { a <- bloomTest(l, keys, resolver)
+              b <- bloomTest(r, keys, resolver) } yield a || b
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        keys.find(resolver(_, a.name)).flatMap(probe(_, l))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        bloomTest(EqualTo(a, l), keys, resolver)
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        bloomTest(EqualTo(a, l), keys, resolver)
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        bloomTest(EqualTo(a, l), keys, resolver)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        keys.find(resolver(_, a.name)).flatMap { k =>
+          val ps = vs.map(v => probe(k, v.asInstanceOf[Literal]))
+          if (ps.exists(_.isEmpty)) None
+          else Some(ps.flatten.reduce(_ || _))
+        }
+      case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+        keys.find(resolver(_, a.name)).flatMap { k =>
+          val dt = a.dataType
+          val ps = vs.toSeq.map { v =>
+            if (v == null) None
+            else scala.util.Try(Literal(v, dt)).toOption.flatMap(probe(k, _))
+          }
+          if (ps.isEmpty || ps.exists(_.isEmpty)) None
+          else Some(ps.flatten.reduce(_ || _))
+        }
+      case _ => None
+    }
+  }
 
   /** Attribute-to-stat-column matching defers to the SESSION's resolver:
     * under `spark.sql.caseSensitive=true` a filter on column `K` must

@@ -128,7 +128,8 @@ object Manifests {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       stats: Option[(Seq[String], String)] = None,
       parent: Option[Int] = None,
-      partValues: Option[(Seq[String], String)] = None): Int = {
+      partValues: Option[(Seq[String], String)] = None,
+      blooms: Option[(Seq[String], String)] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -162,6 +163,12 @@ object Manifests {
         cols.mkString("", "\n", "\n").getBytes("UTF-8"))
       Dfs.writeBytes(spark, s"$base/v$v/_partvalues",
         Dfs.canonical(pvFile).getBytes("UTF-8"))
+    }
+    blooms.foreach { case (cols, bFile) =>
+      Dfs.writeBytes(spark, s"$base/v$v/_bloomkeys",
+        cols.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Dfs.writeBytes(spark, s"$base/v$v/_bloomfile",
+        Dfs.canonical(bFile).getBytes("UTF-8"))
     }
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
@@ -262,7 +269,8 @@ object Manifests {
       statsFor(spark, fs, keys, schemaOf(spark, base, v)))
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), Some((keys, dir)), parent = Some(v),
-      partValues = partitionedBy(spark, base, v))
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v))
   }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
@@ -461,6 +469,101 @@ object Manifests {
       merged.write.mode("errorifexists").parquet(dir)
       (cols, dir)
     }
+
+  /** The per-file bloom index recorded at version `v`, if any:
+    * (indexed keys, sidecar parquet path). The sidecar holds one row
+    * per data file with a serialized bloom filter per key
+    * (`<k>_bloom` BINARY) — Delta's bloom-filter-index shape: the
+    * pruning lever for EQUALITY on a high-cardinality key whose
+    * values scatter across every file, where min/max zones admit
+    * everything. */
+  def bloomOf(spark: SparkSession, base: String,
+      v: Int): Option[(Seq[String], String)] =
+    if (!Dfs.exists(spark, s"$base/v$v/_bloomfile")) None
+    else Some((
+      new String(Dfs.readBytes(spark, s"$base/v$v/_bloomkeys"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq,
+      new String(Dfs.readBytes(spark, s"$base/v$v/_bloomfile"), "UTF-8").trim))
+
+  /** One bloom filter per (data file, key): one column-pruned scan,
+    * map-side-merged by bitwise OR (Spark's own BloomFilterAggregate —
+    * codegen, fixed `graft.bloom.bits` size regardless of cardinality,
+    * so the exchange carries bits/8 bytes per file per key). Rows hash
+    * with xxhash64 over the column's native type; the probe side
+    * hashes its literal identically, so membership is exact up to the
+    * filter's false-positive rate — false negatives impossible, which
+    * is the contract pruning needs. Files can carry different filter
+    * sizes across versions (each row is self-contained), so resizing
+    * the conf never invalidates an existing index. */
+  private def buildBlooms(spark: SparkSession, data: Seq[String],
+      keys: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    graft.functions.BloomExprs.register(spark)
+    val bits = spark.conf.getOption("graft.bloom.bits")
+      .map(_.toLong).getOrElse(1L << 20)
+    val est = spark.conf.getOption("graft.bloom.items")
+      .map(_.toLong).getOrElse(bits / 16)
+    schema.fold(spark.read)(spark.read.schema(_)).parquet(data: _*)
+      .select(input_file_name().as("file") +: keys.map(col): _*)
+      .groupBy("file")
+      .agg(
+        expr(s"bloom_agg(xxhash64(`${keys.head}`), ${est}L, ${bits}L)")
+          .as(s"${keys.head}_bloom"),
+        keys.tail.map(k =>
+          expr(s"bloom_agg(xxhash64(`$k`), ${est}L, ${bits}L)")
+            .as(s"${k}_bloom")): _*)
+  }
+
+  private def writeBlooms(spark: SparkSession, base: String,
+      bl: DataFrame): String = {
+    val dir = s"$base/bloom_${java.util.UUID.randomUUID().toString.take(8)}"
+    bl.write.mode("errorifexists").parquet(dir)
+    dir
+  }
+
+  /** Carry the bloom index across a rewrite: keep untouched files'
+    * rows, rebuild only the rewritten ones — [[statsAfterRewrite]]'s
+    * incremental contract. */
+  private def bloomsAfterRewrite(spark: SparkSession, base: String,
+      v: Int, untouched: Seq[String], rewritten: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[(Seq[String], String)] =
+    bloomOf(spark, base, v).map { case (keys, bf) =>
+      val bl = spark.read.parquet(bf)
+      val unt = untouched.map(Dfs.canonical).toSet
+      val keepRaw = bl.select("file").collect()
+        .map(_.getString(0)).filter(f => unt.contains(Dfs.canonical(f))).toSeq
+      val keepDf = spark.createDataset(keepRaw)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")
+      val kept = bl.join(keepDf, Seq("file"), "left_semi")
+      val merged =
+        if (rewritten.isEmpty) kept
+        else kept.unionByName(buildBlooms(spark, rewritten, keys, schema))
+      (keys, writeBlooms(spark, base, merged))
+    }
+
+  /** ANALYZE ... FOR BLOOM: build the per-file bloom index for `keys`
+    * over the latest version and publish it as the next version (data,
+    * vectors, schema, zone stats, partition metadata all carried BY
+    * REFERENCE — the one rewrite is the sidecar). Every subsequent
+    * write maintains the index incrementally: appends bloom only the
+    * new files, rewrites rebuild only the rewritten ones, MoR deletes
+    * and restores carry it verbatim (a vector hides rows but a bloom
+    * false positive just means one pruned-in file — conservative,
+    * never wrong). */
+  def analyzeBloom(spark: SparkSession, base: String,
+      keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "bloom ANALYZE needs at least one key")
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val fs = files(spark, base, v)
+    val dir = writeBlooms(spark, base,
+      buildBlooms(spark, fs, keys, schemaOf(spark, base, v)))
+    commit(spark, base, fs, None, dvFiles(spark, base, v),
+      schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = Some((keys, dir)))
+  }
 
   /** Bootstrap a PARTITIONED table — the manifest twin of Hive/Delta
     * `PARTITIONED BY`, in the ICEBERG shape: partition columns stay IN
@@ -678,7 +781,9 @@ object Manifests {
       stats = statsAfterRewrite(spark, base, v, Seq.empty, rewritten,
         Some(live.schema)), parent = Some(v),
       partValues = partValuesAfterRewrite(spark, base, v, Seq.empty,
-        rewritten, Some(live.schema)))
+        rewritten, Some(live.schema)),
+      blooms = bloomsAfterRewrite(spark, base, v, Seq.empty, rewritten,
+        Some(live.schema)))
     (cur.size, rewritten.size, nv)
   }
 
@@ -763,7 +868,8 @@ object Manifests {
             dvFiles(spark, base, parent) ++ written,
             schemaOf(spark, base, parent), statsOf(spark, base, parent),
             parent = Some(parent),
-            partValues = partitionedBy(spark, base, parent))
+            partValues = partitionedBy(spark, base, parent),
+            blooms = bloomOf(spark, base, parent))
       })
     } finally dvRows.unpersist()
   }
@@ -905,6 +1011,8 @@ object Manifests {
           rewritten, sch),
         parent = Some(parent),
         partValues = partValuesAfterRewrite(spark, base, parent, untouched,
+          rewritten, sch),
+        blooms = bloomsAfterRewrite(spark, base, parent, untouched,
           rewritten, sch))
     }
   }
@@ -956,7 +1064,8 @@ object Manifests {
     // a retained manifest still references survive
     def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v) ++
       statsOf(spark, base, v).map(_._2).toSeq ++
-      partitionedBy(spark, base, v).map(_._2).toSeq
+      partitionedBy(spark, base, v).map(_._2).toSeq ++
+      bloomOf(spark, base, v).map(_._2).toSeq
     val keepFiles = committed.filter(_ >= floor)
       .flatMap(refs).map(Dfs.canonical).toSet
     val droppedCommitted = committed.filter(_ < floor)
@@ -1150,12 +1259,21 @@ object Manifests {
           merged.write.mode("errorifexists").parquet(d)
           (cols, d)
       }
+      // bloom index: existing rows carry, only the new files are
+      // scanned — the same incremental shape as stats and partitions
+      val blMeta = prev.flatMap(bv => bloomOf(spark, base, bv)).map {
+        case (keys, bf) =>
+          val merged = spark.read.parquet(bf).unionByName(
+            buildBlooms(spark, newFiles, keys, Some(tableSchema)))
+          (keys, writeBlooms(spark, base, merged))
+      }
       // deletion vectors stay valid across an append (they address
       // existing files only) — carry them by reference like the data
       try Some(commit(spark, base, cur ++ newFiles, None,
         prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty),
         Some(tableSchema), stats, parent = Some(prev.getOrElse(-1)),
-        partValues = pvMeta))
+        partValues = pvMeta,
+        blooms = blMeta))
       catch {
         case e: ConcurrentCommitException =>
           if (remaining == 0) throw e
@@ -1478,7 +1596,8 @@ object Manifests {
       schema = schemaOf(spark, base, v),
       stats = statsOf(spark, base, v),
       parent = Some(latest),
-      partValues = partitionedBy(spark, base, v))
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v))
   }
 
   /** Shallow CLONE: start a NEW table at `dst` whose v0 references
@@ -1507,7 +1626,8 @@ object Manifests {
       dv = dvFiles(spark, src, v),
       schema = schemaOf(spark, src, v),
       stats = statsOf(spark, src, v),
-      partValues = partitionedBy(spark, src, v))
+      partValues = partitionedBy(spark, src, v),
+      blooms = bloomOf(spark, src, v))
   }
 
   /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only
@@ -1549,7 +1669,9 @@ object Manifests {
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
         schema), parent = Some(v),
       partValues = partValuesAfterRewrite(spark, base, v, untouched,
-        rewritten, schema))
+        rewritten, schema),
+      blooms = bloomsAfterRewrite(spark, base, v, untouched, rewritten,
+        schema))
     (small.size, rewritten.size, nv)
   }
 }

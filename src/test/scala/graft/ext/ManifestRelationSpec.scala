@@ -270,4 +270,42 @@ class ManifestRelationSpec extends AnyFunSuite {
     // untouched partitions unaffected throughout
     assert(rel(b).filter(col("p") === 5).count() === 20)
   }
+
+  test("bloom index: equality on a scattered high-cardinality key prunes files where zones cannot; maintained across append and delete") {
+    import spark.implicits._
+    val b = base("graft_rel_bloom")
+    // hash-scattered ids: every file's (min, max) spans ~the whole
+    // domain, so zone maps are useless for a point lookup
+    Manifests.commitData(
+      (1 to 2000).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+        .repartition(8, hash(col("id"))), b)
+    Manifests.analyze(spark, b, Seq("id"))
+    val all = scannedFiles(rel(b))
+    assert(all === 8)
+    // zones alone: a point lookup still scans everything
+    assert(scannedFiles(rel(b).filter(col("id") === 1234L)) === all,
+      "scattered layout must defeat min/max zones (the premise)")
+    Manifests.analyzeBloom(spark, b, Seq("id"))
+    val prunedScan = rel(b).filter(col("id") === 1234L)
+    val scanned = scannedFiles(prunedScan)
+    assert(scanned < all, s"bloom must prune a point lookup ($scanned/$all)")
+    assert(prunedScan.count() === 1)
+    assert(rel(b).filter(col("id") === 1234L).select("s").head.getString(0) === "s1234")
+    // IN-list prunes too; a value that exists nowhere plans ~no files
+    assert(scannedFiles(rel(b).filter(col("id").isin(7L, 1900L))) < all)
+    assert(rel(b).filter(col("id").isin(7L, 1900L)).count() === 2)
+    assert(rel(b).filter(col("id") === 999999L).count() === 0)
+    // append: only the new file is bloomed, lookups into it still hit
+    assert(Manifests.appendBatch(
+      Seq((50001L, "new")).toDF("id", "s"), b, 0L).isDefined)
+    assert(rel(b).filter(col("id") === 50001L).count() === 1)
+    assert(rel(b).filter(col("id") === 1234L).count() === 1)
+    assert(scannedFiles(rel(b).filter(col("id") === 50001L)) < scannedFiles(rel(b)))
+    // delete rewrite: index rebuilt only for rewritten files, correct after
+    Manifests.deleteWhere(spark, b, col("id") === 1234L)
+    assert(rel(b).filter(col("id") === 1234L).count() === 0)
+    assert(rel(b).filter(col("id") === 7L).count() === 1)
+    // a filter on a non-bloom column cannot prune (conservative)
+    assert(scannedFiles(rel(b).filter(col("s") === "s7")) === scannedFiles(rel(b)))
+  }
 }

@@ -965,6 +965,9 @@ object SparkEntry {
     "similarity_topk" -> ((s, d) => operators.Similarity.bruteForceTopK(s, d)),
     "ann_topk" -> ((s, d) => operators.Similarity.annTopK(s, d)),
     "ivf_topk" -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
+    // SemDeDup-shaped dedup decision over the same IVF index: within-
+    // cluster keep-first pruning of >= minCosine semantic neighbors
+    "semantic_dedup" -> ((s, d) => operators.Similarity.semanticDedup(s, d)),
     "q8_codes" -> ((s, d) => operators.Similarity.quantizeCodes(s, d)),
     "q8_topk" -> ((s, d) => operators.Similarity.quantizedTopK(s, d)),
     "pq_codes" -> ((s, d) => operators.Similarity.pqCodes(s, d)),
@@ -1180,6 +1183,7 @@ object SparkEntry {
     "append_embedding_near_dups" ->
       operators.Similarity.appendEmbeddingNearDupsOracleSql(),
     "ivf_topk" -> operators.Similarity.ivfOracleSql(),
+    "semantic_dedup" -> operators.Similarity.semanticDedupOracleSql(),
     "q8_codes" -> operators.Similarity.quantizeCodesOracleSql,
     "q8_topk" -> operators.Similarity.quantizedTopKOracleSql(),
     "pq_codes" -> operators.Similarity.pqCodesOracleSql,

@@ -768,7 +768,10 @@ object Similarity {
   /** The IVF index + candidate CTEs (through `cands`), shared by the
     * exact-rerank oracle ([[ivfOracleSql]]) and the PQ/ADC oracle
     * ([[ivfpqOracleSql]]). */
-  private def ivfCandCtes(nQueries: Int): Seq[String] =
+  /** The Lloyd chain through the final `assigned` CTE
+    * (vec_id, embedding, norm, cluster) — shared by the IVF query
+    * oracles and [[semanticDedupOracleSql]]. */
+  private def assignedCtes: Seq[String] =
     lloydChainCtes("embeddings", "", ivfK, ivfIters, dim) ++ Seq(
       s"""normed AS (
          |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
@@ -776,7 +779,10 @@ object Similarity {
       s"asgF AS ${assignSql("embeddings", s"cent$ivfIters")}",
       """assigned AS (
         |  SELECT a.vec_id, a.embedding, n.norm, a.cluster
-        |  FROM asgF a JOIN normed n USING (vec_id))""".stripMargin,
+        |  FROM asgF a JOIN normed n USING (vec_id))""".stripMargin)
+
+  private def ivfCandCtes(nQueries: Int): Seq[String] =
+    assignedCtes ++ Seq(
       s"""queries AS (
          |  SELECT vec_id AS query_id, embedding AS q_embedding, norm AS q_norm
          |  FROM assigned WHERE vec_id < $nQueries)""".stripMargin,
@@ -814,6 +820,59 @@ object Similarity {
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT query_id, vec_id, sim, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SemDeDup-shaped semantic dedup (the cluster-then-prune recipe of
+    * Abbas et al. 2023, arXiv:2303.09540): IVF-cluster the corpus, and
+    * within each cluster DROP every vector that has a `>= minCosine`
+    * neighbor with a smaller id — the keep-first rule this library's
+    * exact dedup family already uses, applied to semantic neighbors.
+    * Returns one decision row per vector: (vec_id, cluster, kept).
+    *
+    * Why clusters: the candidate pair space shrinks from corpus² to
+    * Σ|cluster|² — the paper's point — and the cluster assignment is
+    * the SAME deterministic Lloyd index [[ivfTopK]] already maintains,
+    * so the dedup pass costs one within-cluster self-join. Scale: the
+    * join shuffles on `cluster`; `ivfK` grows with the corpus so
+    * |cluster| stays bounded (the fixture's 16 on 6k vectors ≈ the
+    * 100k-on-billions geometry the paper uses). The domination rule is
+    * transitive-chain aggressive (B dropped by A can still drop C) —
+    * exactly the one-shot within-cluster pass SemDeDup makes. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      minCosine: Double = 0.25): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val a = ivfAssignments(spark, dir)
+      .select("vec_id", "embedding", "norm", "cluster")
+    val nbr = a.select(col("cluster").as("n_cluster"),
+      col("vec_id").as("nbr_id"), col("embedding").as("n_embedding"),
+      col("norm").as("n_norm"))
+    val dominated = a.join(nbr,
+        col("cluster") === col("n_cluster") && col("nbr_id") < col("vec_id"))
+      .filter(dot(col("embedding"), col("n_embedding")) /
+        (col("norm") * col("n_norm")) >= lit(minCosine))
+      .select("vec_id").distinct()
+      .withColumn("dominated", lit(true))
+    a.select("vec_id", "cluster")
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("dominated"), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of [[semanticDedup]] — the full Lloyd chain plus the
+    * within-cluster domination pass, bit-identical dot folds. */
+  def semanticDedupOracleSql(minCosine: Double = 0.25): String = {
+    val ctes = assignedCtes :+
+      s"""dominated AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM assigned x JOIN assigned y
+         |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |  WHERE ${dotSql("x.embedding", "y.embedding")} /
+         |    (x.norm * y.norm) >= $minCosine)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+       |FROM assigned a LEFT JOIN dominated d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   // ------------------------------------------------- int8 quantization

@@ -276,4 +276,35 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = exact.count(res.contains).toDouble / exact.size
     assert(recall >= 0.3, s"residual ADC recall $recall < 0.3")
   }
+
+  test("semanticDedup: every decision matches a driver-side brute-force replay of the rule") {
+    val decisions = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(decisions.nonEmpty)
+    assert(decisions.map(_._1).distinct.length === decisions.length,
+      "one decision row per vector")
+    val dropped = decisions.filterNot(_._3)
+    assert(dropped.nonEmpty, "fixture corpus must contain semantic near-dups")
+    assert(decisions.count(_._3) > dropped.length,
+      "dedup must not drop most of the corpus")
+    // brute-force the rule: dropped iff an earlier same-cluster vector
+    // has cosine >= threshold (sf0.001 is small enough to do exactly)
+    val byId = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val cluster = decisions.map(d => d._1 -> d._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    decisions.foreach { case (id, cl, kept) =>
+      val expectDropped = byId.keys.exists(o =>
+        o < id && cluster(o) == cl && cos(byId(o), byId(id)) >= 0.25 - 1e-9)
+      // 1e-9 slack covers driver-vs-engine fold order on non-boundary data
+      assert(kept === !expectDropped, s"vec $id: kept=$kept, rule says dropped=$expectDropped")
+    }
+  }
 }

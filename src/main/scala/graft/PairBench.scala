@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object PairBench {
 
   val family: Seq[String] = Seq("minhash_pairs", "simhash_pairs", "ngram_jaccard",
-    "dup_clusters", "embedding_near_dups", "near_dups_topk")
+    "dup_clusters", "embedding_near_dups", "near_dups_topk", "semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -96,6 +96,11 @@ object PairBench {
     val (mb, mbd, mr, mrd) = capStats(minhashBuckets, "bucket_n", operators.Dedup.maxBucketSize)
     val embBuckets = operators.Similarity.codeBucketSizes(spark, dir)
     val (eb, ebd, er, erd) = capStats(embBuckets, "bucket_n", operators.Similarity.maxBucketSize)
+    // semantic-dedup cluster census at the corpus-adaptive k (same Memo
+    // entry the timed query filled): clusters over maxClusterPop keep all
+    // members unverified, so "dropped" here = vectors the cap sheds
+    val semClusters = operators.Similarity.semClusterSizes(spark, dir)
+    val (sc, scd, scr, scrd) = capStats(semClusters, "cluster_n", operators.Similarity.maxClusterPop)
 
     // manual code-width sweep for comparison against the registered
     // ADAPTIVE width (Similarity.adaptiveBits picks 13 bits at this 100×
@@ -119,6 +124,7 @@ object PairBench {
     println(s"""{"metric":"pair_family","factor":$factor,"queries":$qs,""" +
       s""""minhash_buckets":{"total":$mb,"dropped":$mbd,"rows":$mr,"rows_dropped":$mrd},""" +
       s""""embedding_buckets":{"total":$eb,"dropped":$ebd,"rows":$er,"rows_dropped":$erd},""" +
+      s""""semantic_clusters":{"total":$sc,"dropped":$scd,"rows":$scr,"rows_dropped":$scrd},""" +
       s""""embedding_buckets_${scaledBits}bits":{"total":$sb,"dropped":$sbd,"rows":$sr,"rows_dropped":$srd},""" +
       s""""failed":$failedJson,"in":"$inDir"}""")
     spark.stop()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the similarity hot path — preference
   * ladder (b) from the build brief: Spark's higher-order functions
@@ -22,10 +22,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are ARRAY<FLOAT> columns by construction (embedding fixtures);
-  // no implicit-cast contract needed
+  // inputs are ARRAY<FLOAT> embedding columns or ARRAY<DOUBLE> centroid
+  // literals; each side's accessor is picked from its static element type,
+  // and every product accumulates in DOUBLE left-to-right — the same fold
+  // the HOF encoding and the DuckDB oracle replay use, so swapping either
+  // element type keeps oracle hashes green
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _)  => false
+    case t => throw new IllegalArgumentException(s"vec_dot: unsupported array type $t")
+  }
+  private lazy val (lDouble, rDouble) = (isDouble(left), isDouble(right))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -34,7 +44,9 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xi = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xi * yi
       i += 1
     }
     acc
@@ -45,11 +57,13 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val xi = if (lDouble) s"$x.getDouble($i)" else s"((double) $x.getFloat($i))"
+      val yi = if (rDouble) s"$y.getDouble($i)" else s"((double) $y.getFloat($i))"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $acc += $xi * $yi;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -268,8 +268,9 @@ object Similarity {
     centroidCache.keys.filter(_._1 == app).foreach(centroidCache.remove)
   }
 
-  private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
-    centroidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+  private def centroidsFor(spark: SparkSession, dir: String,
+      k: Int): Array[(Int, Seq[Double])] =
+    centroidCache.getOrElseUpdate((spark.sparkContext.applicationId, s"$dir#k=$k"), {
       // cache the corpus for the duration of the build: every Lloyd
       // iteration scans it once for assignment + partial sums, and
       // re-reading parquet per iteration would multiply the scan cost by
@@ -278,7 +279,7 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // seeds: first k vectors (deterministic)
-        var centroids: Array[(Int, Seq[Double])] = emb.filter(col("vec_id") < ivfK)
+        var centroids: Array[(Int, Seq[Double])] = emb.filter(col("vec_id") < k)
           .orderBy("vec_id").collect()
           .zipWithIndex
           .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq.asInstanceOf[Seq[Double]] }
@@ -288,21 +289,37 @@ object Similarity {
       } finally emb.unpersist(blocking = false)
     })
 
+  private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
+    centroidsFor(spark, dir, ivfK)
+
   /** (vec_id, embedding, norm, cluster): corpus with IVF cluster ids. */
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.Memo(spark, dir, "ivf_assignments") {
+    assignmentsFor(spark, dir, ivfK)
+
+  /** [[ivfAssignments]] at an arbitrary cluster count — the semantic-dedup
+    * index runs the SAME deterministic Lloyd chain at a corpus-derived k
+    * ([[semClusters]]) instead of the fixture-scaled [[ivfK]]. */
+  private def assignmentsFor(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.functions.Memo(spark, dir, s"ivf_assignments_$k") {
       graft.functions.VectorExprs.register(spark)
       val emb = withNorm(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
-      assignToCentroids(emb, ivfCentroids(spark, dir))
+      assignToCentroids(emb, centroidsFor(spark, dir, k))
     }
 
-  /** argmin over broadcast centroid literals — narrow, no shuffle. */
+  /** argmin over broadcast centroid literals — narrow, no shuffle. Scoring
+    * runs through the codegen'd [[graft.functions.VecDot]] (float column ×
+    * double literal array): at the semantic-dedup cluster counts (up to
+    * [[maxSemK]]) the interpreted HOF lambda would evaluate k × dim boxed
+    * calls per row per Lloyd pass. Accumulation order is identical to the
+    * HOF fold, so oracle hashes are unchanged. */
   private def assignToCentroids(emb: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     // nearest by euclidean distance = max (dot - |c|^2/2) for unit-cost argmin
     val scored = centroids.map { case (cid, c) =>
-      val cArr = array(c.map(lit): _*)
+      val cArr = typedLit(c)
       val cNorm2 = c.map(x => x * x).sum
-      struct((dot(col("embedding"), cArr) - lit(cNorm2 / 2)).as("score"), lit(cid).as("cid"))
+      struct((call_function("vec_dot", col("embedding"), cArr) - lit(cNorm2 / 2)).as("score"),
+        lit(cid).as("cid"))
     }
     emb.withColumn("cluster", greatest(scored: _*).getField("cid"))
   }
@@ -737,7 +754,7 @@ object Similarity {
     * rows of `rel` (cluster id by vec_id order), `iters` rounds of
     * argmax assignment + the two-level ordered fold. CTE names are
     * prefixed so several chains (8 PQ subspaces) coexist in one WITH. */
-  private def lloydChainCtes(rel: String, prefix: String, kCents: Int,
+  private def lloydChainCtes(rel: String, prefix: String, kCents: String,
       iters: Int, d: Int): Seq[String] = {
     val zeros = Seq.fill(d)("CAST(0 AS DOUBLE)").mkString("[", ", ", "]")
     val foldAdd = "(acc, v) -> list_transform(list_zip(acc, v), p -> p[1] + p[2])"
@@ -771,8 +788,13 @@ object Similarity {
   /** The Lloyd chain through the final `assigned` CTE
     * (vec_id, embedding, norm, cluster) — shared by the IVF query
     * oracles and [[semanticDedupOracleSql]]. */
-  private def assignedCtes: Seq[String] =
-    lloydChainCtes("embeddings", "", ivfK, ivfIters, dim) ++ Seq(
+  private def assignedCtes: Seq[String] = assignedCtesAt(ivfK.toString)
+
+  /** The `assigned` chain at an arbitrary cluster-count EXPRESSION (a
+    * literal for the ANN oracles, the `semk` scalar subquery for the
+    * semantic-dedup oracle — DuckDB evaluates it in the seed CTE's WHERE). */
+  private def assignedCtesAt(kCents: String): Seq[String] =
+    lloydChainCtes("embeddings", "", kCents, ivfIters, dim) ++ Seq(
       s"""normed AS (
          |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
          |  FROM embeddings)""".stripMargin,
@@ -822,33 +844,104 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------- semantic dedup (SemDeDup)
+
+  /** Expected cluster population the semantic-dedup index aims for. 128
+    * keeps the within-cluster candidate surface at ~pop²/2 ≈ 8k pairs per
+    * cluster, so the TOTAL candidate count Σ|cluster|² ≈ n·pop stays
+    * LINEAR in the corpus while [[semClusters]] scales k with it. */
+  val targetClusterPop = 128
+
+  /** Cluster-count floor: the 16-cluster shape the 500-vector fixtures
+    * measure well at (pop ≈ 31) — the same geometry as [[ivfK]]. */
+  val minSemK = 16
+
+  /** Cluster-count ceiling. Lloyd assignment evaluates k codegen'd
+    * [[graft.functions.VecDot]] products per row per pass; 512 × 64 dims ≈
+    * 33k flops/row keeps an assignment pass at scan speed. Past
+    * n ≈ targetClusterPop·maxSemK (~65k vectors) populations grow linearly
+    * again and the shed guard ([[maxClusterPop]] + [[maxShedFraction]])
+    * fails LOUDLY — scale k deliberately via [[semanticDedupAt]], the same
+    * explicit-knob contract as [[embeddingNearDupsAt]]. */
+  val maxSemK = 512
+
+  /** Per-cluster population cap for the dedup self-join — the cluster-shaped
+    * twin of [[maxBucketSize]]: one degenerate cluster (padding vectors, a
+    * constant embedding) would contribute pop² candidate pairs and dominate
+    * the job. Over-cap clusters are excluded WHOLE — every member KEEPS,
+    * the conservative answer for a dedup (never drop what was not
+    * verified) — and counts as shed toward [[maxShedFraction]]. */
+  val maxClusterPop = 2000
+
+  /** Corpus-adaptive semantic cluster count: the smallest power-of-two k in
+    * [[[minSemK]], [[maxSemK]]] with n ≤ targetClusterPop·k — the same pure
+    * INTEGER staircase as [[adaptiveBits]] (nothing for the two engines to
+    * disagree on), replayed by the oracle as a CASE ladder over COUNT(*). */
+  def semClusters(n: Long): Int =
+    Iterator.iterate(minSemK)(_ * 2).takeWhile(_ <= maxSemK)
+      .find(k => n <= targetClusterPop.toLong * k).getOrElse(maxSemK)
+
+  /** SQL mirror of [[semClusters]] over a count expression `n`. */
+  private def semClustersSql(n: String): String =
+    Iterator.iterate(minSemK)(_ * 2).takeWhile(_ < maxSemK)
+      .map(k => s"WHEN $n <= ${targetClusterPop.toLong * k} THEN $k")
+      .mkString("CASE ", " ", s" ELSE $maxSemK END")
+
   /** SemDeDup-shaped semantic dedup (the cluster-then-prune recipe of
-    * Abbas et al. 2023, arXiv:2303.09540): IVF-cluster the corpus, and
+    * Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the corpus, and
     * within each cluster DROP every vector that has a `>= minCosine`
     * neighbor with a smaller id — the keep-first rule this library's
     * exact dedup family already uses, applied to semantic neighbors.
     * Returns one decision row per vector: (vec_id, cluster, kept).
     *
-    * Why clusters: the candidate pair space shrinks from corpus² to
-    * Σ|cluster|² — the paper's point — and the cluster assignment is
-    * the SAME deterministic Lloyd index [[ivfTopK]] already maintains,
-    * so the dedup pass costs one within-cluster self-join. Scale: the
-    * join shuffles on `cluster`; `ivfK` grows with the corpus so
-    * |cluster| stays bounded (the fixture's 16 on 6k vectors ≈ the
-    * 100k-on-billions geometry the paper uses). The domination rule is
-    * transitive-chain aggressive (B dropped by A can still drop C) —
-    * exactly the one-shot within-cluster pass SemDeDup makes. */
+    * The default threshold is DUPLICATE-grade (SemDeDup's sweeps prune at
+    * cosine ≈ 0.95; 0.9 is the aggressive end of that band): k-means
+    * clusters gather vectors BY similarity, so a merely-related threshold
+    * would fire on most same-cluster pairs and hollow out every cluster —
+    * on a corpus with no semantic duplicates the correct answer is "keep
+    * everything", which is what 0.9 yields on the near-isotropic fixtures
+    * (max pairwise cosine ≈ 0.5) while planted near-identical copies
+    * (cosine ≥ 0.99, SimilaritySpec) are dropped.
+    *
+    * Scale: cluster count is corpus-derived ([[semClusters]]) so expected
+    * population — and with it the Σ|cluster|² candidate surface — stays
+    * bounded (n·[[targetClusterPop]], linear); candidate id-pairs are
+    * generated on SLIM (cluster, vec_id) rows and embeddings join back per
+    * candidate pair (the r4 near-dups restructure — the cluster shuffle
+    * moves 12-byte ids, not 64-float payloads); degenerate clusters are
+    * capped ([[maxClusterPop]]) with shed accounting that throws past
+    * [[maxShedFraction]] rather than silently reading as "no duplicates".
+    * The domination rule is transitive-chain aggressive (B dropped by A can
+    * still drop C) — exactly the one-shot within-cluster pass SemDeDup
+    * makes. Decade evidence: PairBench runs this at 100× next to the other
+    * pair families. */
   def semanticDedup(spark: SparkSession, dir: String,
-      minCosine: Double = 0.25): DataFrame = {
+      minCosine: Double = 0.9): DataFrame =
+    semanticDedupAt(spark, dir, semClusters(corpusSize(spark, dir)), minCosine)
+
+  /** [[semanticDedup]] at an explicit cluster count — the deliberate knob
+    * for corpora past the [[maxSemK]] staircase ceiling. */
+  def semanticDedupAt(spark: SparkSession, dir: String, k: Int,
+      minCosine: Double): DataFrame = {
     graft.functions.VectorExprs.register(spark)
-    val a = ivfAssignments(spark, dir)
-      .select("vec_id", "embedding", "norm", "cluster")
-    val nbr = a.select(col("cluster").as("n_cluster"),
-      col("vec_id").as("nbr_id"), col("embedding").as("n_embedding"),
-      col("norm").as("n_norm"))
-    val dominated = a.join(nbr,
-        col("cluster") === col("n_cluster") && col("nbr_id") < col("vec_id"))
-      .filter(dot(col("embedding"), col("n_embedding")) /
+    val a = assignmentsFor(spark, dir, k)
+    // cluster census: ≤ k rows; the shed guard runs eagerly here so a
+    // pathologically concentrated corpus throws instead of silently keeping
+    val pops = a.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    assertClustersHealthy(pops, k)
+    val elig = pops.filter(col("cluster_n") <= maxClusterPop).select("cluster")
+    val ids = a.join(broadcast(elig), Seq("cluster")).select("cluster", "vec_id")
+    val nbrIds = ids.select(col("cluster"), col("vec_id").as("nbr_id"))
+    val pairs = ids.join(nbrIds, Seq("cluster"))
+      .filter(col("nbr_id") < col("vec_id"))
+      .select("vec_id", "nbr_id")
+    val e = a.select("vec_id", "embedding", "norm")
+    val scored = pairs
+      .join(e, Seq("vec_id"))
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("n_embedding"),
+        col("norm").as("n_norm")), Seq("nbr_id"))
+    val dominated = scored
+      .filter(vecDot(scored, "embedding", "n_embedding") /
         (col("norm") * col("n_norm")) >= lit(minCosine))
       .select("vec_id").distinct()
       .withColumn("dominated", lit(true))
@@ -859,16 +952,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** DuckDB replay of [[semanticDedup]] — the full Lloyd chain plus the
+  /** Shed guard for [[semanticDedupAt]] — the cluster-shaped twin of
+    * [[assertBucketsHealthy]]. */
+  private def assertClustersHealthy(pops: DataFrame, k: Int): Unit = {
+    val row = pops.agg(
+      coalesce(sum(when(col("cluster_n") > maxClusterPop, col("cluster_n"))), lit(0L))
+        .as("shed"),
+      coalesce(sum(col("cluster_n")), lit(0L)).as("total")).head()
+    val (shed, total) = (row.getLong(0), row.getLong(1))
+    if (total > 0 && shed.toDouble > total.toDouble * maxShedFraction)
+      throw new IllegalStateException(
+        s"semantic dedup is load-shedding $shed of $total vectors at k=$k clusters " +
+          s"(cap $maxClusterPop/cluster, ceiling ${(maxShedFraction * 100).toInt}%) — " +
+          "over-cap clusters keep all members UNVERIFIED, so the result would " +
+          "silently read as 'no duplicates'. Raise k explicitly via " +
+          "semanticDedupAt, or widen maxSemK/targetClusterPop.")
+  }
+
+  /** Cluster-population census at the corpus-adaptive k — PairBench's
+    * cap-telemetry hook, reading the same memoized assignments the timed
+    * query filled. */
+  def semClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    assignmentsFor(spark, dir, semClusters(corpusSize(spark, dir)))
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+
+  /** DuckDB replay of [[semanticDedup]] — the adaptive-k CASE ladder, the
+    * full Lloyd chain at that k, the population cap, and the
     * within-cluster domination pass, bit-identical dot folds. */
-  def semanticDedupOracleSql(minCosine: Double = 0.25): String = {
-    val ctes = assignedCtes :+
+  def semanticDedupOracleSql(minCosine: Double = 0.9): String = {
+    val ctes = Seq(
+      s"semk AS (SELECT ${semClustersSql("(SELECT COUNT(*) FROM embeddings)")} AS k)") ++
+      assignedCtesAt("(SELECT k FROM semk)") ++ Seq(
+      "pops AS (SELECT cluster, COUNT(*) AS cluster_n FROM assigned GROUP BY 1)",
+      s"""elig AS (
+         |  SELECT a.* FROM assigned a JOIN pops p USING (cluster)
+         |  WHERE p.cluster_n <= $maxClusterPop)""".stripMargin,
       s"""dominated AS (
          |  SELECT DISTINCT x.vec_id
-         |  FROM assigned x JOIN assigned y
+         |  FROM elig x JOIN elig y
          |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
          |  WHERE ${dotSql("x.embedding", "y.embedding")} /
-         |    (x.norm * y.norm) >= $minCosine)""".stripMargin
+         |    (x.norm * y.norm) >= $minCosine)""".stripMargin)
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
        |FROM assigned a LEFT JOIN dominated d USING (vec_id)
@@ -1398,7 +1522,7 @@ object Similarity {
          |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)""".stripMargin
     }
     val chains = (0 until pqM).flatMap(j =>
-      lloydChainCtes(s"sub$j", s"q${j}_", pqK, pqIters, pqSubDim))
+      lloydChainCtes(s"sub$j", s"q${j}_", pqK.toString, pqIters, pqSubDim))
     val finals = (0 until pqM).map(j =>
       s"q${j}_asgF AS ${assignSql(s"sub$j", s"q${j}_cent$pqIters")}")
     val codesu = (0 until pqM)
@@ -1455,7 +1579,7 @@ object Similarity {
          |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM res)""".stripMargin
     }
     val chains = (0 until pqM).flatMap(j =>
-      lloydChainCtes(s"rsub$j", s"r${j}_", pqK, pqIters, pqSubDim))
+      lloydChainCtes(s"rsub$j", s"r${j}_", pqK.toString, pqIters, pqSubDim))
     val centFinals = (0 until pqM).map(j =>
       s"r${j}_centM AS MATERIALIZED (SELECT * FROM r${j}_cent$pqIters)")
     val finals = (0 until pqM).map(j =>

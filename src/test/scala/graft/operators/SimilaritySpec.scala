@@ -277,34 +277,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"residual ADC recall $recall < 0.3")
   }
 
+  private def cosDriver(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / math.sqrt(na * nb)
+  }
+
+  /** Brute-force replay of the semantic-dedup rule over a collected
+    * (id -> embedding) map and the engine's own cluster assignments:
+    * dropped iff an earlier same-ELIGIBLE-cluster vector has cosine >=
+    * threshold (over-cap clusters keep everything, replaying the cap). */
+  private def replaySemanticRule(decisions: Array[(Long, Int, Boolean)],
+      byId: Map[Long, Array[Double]], minCosine: Double): Unit = {
+    val cluster = decisions.map(d => d._1 -> d._2).toMap
+    val pops = decisions.groupBy(_._2).view.mapValues(_.length).toMap
+    decisions.foreach { case (id, cl, kept) =>
+      val expectDropped = pops(cl) <= Similarity.maxClusterPop &&
+        byId.keys.exists(o =>
+          o < id && cluster(o) == cl &&
+            cosDriver(byId(o), byId(id)) >= minCosine - 1e-9)
+      // 1e-9 slack covers driver-vs-engine fold order on non-boundary data
+      assert(kept === !expectDropped, s"vec $id: kept=$kept, rule says dropped=$expectDropped")
+    }
+  }
+
+  private def collectEmbeddings(dir: String): Map[Long, Array[Double]] =
+    graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
   test("semanticDedup: every decision matches a driver-side brute-force replay of the rule") {
     val decisions = Similarity.semanticDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
     assert(decisions.nonEmpty)
     assert(decisions.map(_._1).distinct.length === decisions.length,
       "one decision row per vector")
-    val dropped = decisions.filterNot(_._3)
-    assert(dropped.nonEmpty, "fixture corpus must contain semantic near-dups")
-    assert(decisions.count(_._3) > dropped.length,
+    assert(decisions.count(_._3) > decisions.count(!_._3),
       "dedup must not drop most of the corpus")
-    // brute-force the rule: dropped iff an earlier same-cluster vector
-    // has cosine >= threshold (sf0.001 is small enough to do exactly)
-    val byId = graft.Tables.embeddings(spark, sf)
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-      .toMap
-    val cluster = decisions.map(d => d._1 -> d._2).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / math.sqrt(na * nb)
-    }
-    decisions.foreach { case (id, cl, kept) =>
-      val expectDropped = byId.keys.exists(o =>
-        o < id && cluster(o) == cl && cos(byId(o), byId(id)) >= 0.25 - 1e-9)
-      // 1e-9 slack covers driver-vs-engine fold order on non-boundary data
-      assert(kept === !expectDropped, s"vec $id: kept=$kept, rule says dropped=$expectDropped")
-    }
+    replaySemanticRule(decisions, collectEmbeddings(sf), 0.9)
+    // the fixture corpus is near-isotropic (max pairwise cosine ~0.48):
+    // at a duplicate-grade threshold the CORRECT answer is that a corpus
+    // with no semantic duplicates loses nothing
+    assert(decisions.forall(_._3),
+      "no fixture pair clears duplicate-grade cosine; nothing may be dropped")
+  }
+
+  test("semanticDedup: planted near-identical copies are dropped, originals all kept") {
+    import org.apache.spark.sql.functions._
+    // plant exact copies at HIGHER ids: a copy shares its original's argmax
+    // cluster (identical embedding -> identical centroid scores) and scores
+    // cosine ~1.0 against it, so the keep-first rule must drop every copy
+    // and nothing else (the isotropic originals have no >=0.9 pairs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 120)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    emb.unionByName(copies).repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val decisions = Similarity.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(decisions.length === 620)
+    val dropped = decisions.filterNot(_._3).map(_._1).toSet
+    assert(dropped.nonEmpty, "planted copies must be detected as semantic duplicates")
+    assert(dropped === (0L until 120L).map(_ + 1000L).toSet,
+      "exactly the planted copies are dropped; every original keeps")
+    assert(decisions.count(_._3) > dropped.size, "majority kept")
+    replaySemanticRule(decisions, collectEmbeddings(dir), 0.9)
   }
 }

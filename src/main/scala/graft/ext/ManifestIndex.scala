@@ -54,7 +54,7 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
   private val partMeta: Option[(Seq[String], String)] =
     Manifests.partitionedBy(spark, base, version)
 
-  private val blooms: Option[(Seq[String], String)] =
+  private val blooms: Option[(Seq[String], Seq[String])] =
     Manifests.bloomOf(spark, base, version)
 
   override def rootPaths: Seq[Path] = Seq(new Path(base))
@@ -114,11 +114,11 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     //    happen, so dropping is safe.
     val afterBloom = blooms match {
       case None => keep
-      case Some((bkeys, bFile)) =>
+      case Some((bkeys, bSegs)) =>
         ManifestFileIndex.bloomPredicate(dataFilters, bkeys, resolver) match {
           case None => keep
           case Some(pred) =>
-            val bl = spark.read.parquet(bFile)
+            val bl = spark.read.parquet(bSegs: _*)
             val cand = bl.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = bl.select("file").collect()

@@ -129,7 +129,7 @@ object Manifests {
       stats: Option[(Seq[String], String)] = None,
       parent: Option[Int] = None,
       partValues: Option[(Seq[String], String)] = None,
-      blooms: Option[(Seq[String], String)] = None): Int = {
+      blooms: Option[(Seq[String], Seq[String])] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -138,6 +138,19 @@ object Manifests {
           throw new ConcurrentCommitException(
             s"version $want of $base was claimed by another writer while " +
               s"this commit was derived from version $p — re-read and re-run")
+        // winning the claim is necessary but NOT sufficient: vacuum
+        // reclaims `_claims` entries below its retention floor, so a DML
+        // derived from an asOf snapshot that has since been vacuumed past
+        // could win a RECYCLED number below latest — its commit would
+        // "succeed" while being invisible at latest (a silent lost
+        // update, resurrecting an expired version dir). The claimed
+        // number must still be ahead of the whole table; a stale
+        // snapshot enters the rebase/refuse path like any other loser.
+        if (latestVersion(spark, base).exists(_ >= want))
+          throw new ConcurrentCommitException(
+            s"version $want of $base is not ahead of the table — the " +
+              s"snapshot $p this commit derived from has been superseded " +
+              "(and its claim likely vacuumed); re-read and re-run")
         want
       case None =>
         var n = latestVersion(spark, base).map(_ + 1).getOrElse(0)
@@ -164,11 +177,11 @@ object Manifests {
       Dfs.writeBytes(spark, s"$base/v$v/_partvalues",
         Dfs.canonical(pvFile).getBytes("UTF-8"))
     }
-    blooms.foreach { case (cols, bFile) =>
+    blooms.foreach { case (cols, segs) =>
       Dfs.writeBytes(spark, s"$base/v$v/_bloomkeys",
         cols.mkString("", "\n", "\n").getBytes("UTF-8"))
       Dfs.writeBytes(spark, s"$base/v$v/_bloomfile",
-        Dfs.canonical(bFile).getBytes("UTF-8"))
+        segs.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     }
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
@@ -471,19 +484,29 @@ object Manifests {
     }
 
   /** The per-file bloom index recorded at version `v`, if any:
-    * (indexed keys, sidecar parquet path). The sidecar holds one row
-    * per data file with a serialized bloom filter per key
+    * (indexed keys, sidecar parquet SEGMENT paths). Each segment holds
+    * one row per data file with a serialized bloom filter per key
     * (`<k>_bloom` BINARY) — Delta's bloom-filter-index shape: the
     * pruning lever for EQUALITY on a high-cardinality key whose
     * values scatter across every file, where min/max zones admit
-    * everything. */
+    * everything.
+    *
+    * The index is SEGMENTED (append-only, Iceberg-manifest-list shape):
+    * at the default 1<<20 bits a row is ~128 KB per file per key, so
+    * rewriting one merged sidecar per append would write O(files) bloom
+    * bytes per single-file append — O(n²) cumulative. Instead an append
+    * adds a segment covering ONLY its new files ([[appendBatch]]), and
+    * rewrites/ANALYZE compact the list back to one segment. Readers
+    * union the segments; rows are disjoint by construction (a data file
+    * appears in exactly one segment of a version's list). */
   def bloomOf(spark: SparkSession, base: String,
-      v: Int): Option[(Seq[String], String)] =
+      v: Int): Option[(Seq[String], Seq[String])] =
     if (!Dfs.exists(spark, s"$base/v$v/_bloomfile")) None
     else Some((
       new String(Dfs.readBytes(spark, s"$base/v$v/_bloomkeys"), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq,
-      new String(Dfs.readBytes(spark, s"$base/v$v/_bloomfile"), "UTF-8").trim))
+      new String(Dfs.readBytes(spark, s"$base/v$v/_bloomfile"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq))
 
   /** One bloom filter per (data file, key): one column-pruned scan,
     * map-side-merged by bitwise OR (Spark's own BloomFilterAggregate —
@@ -523,13 +546,14 @@ object Manifests {
 
   /** Carry the bloom index across a rewrite: keep untouched files'
     * rows, rebuild only the rewritten ones — [[statsAfterRewrite]]'s
-    * incremental contract. */
+    * incremental contract. Rewrites already pay data I/O, so this is
+    * also where the segment list COMPACTS back to one. */
   private def bloomsAfterRewrite(spark: SparkSession, base: String,
       v: Int, untouched: Seq[String], rewritten: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType])
-      : Option[(Seq[String], String)] =
-    bloomOf(spark, base, v).map { case (keys, bf) =>
-      val bl = spark.read.parquet(bf)
+      : Option[(Seq[String], Seq[String])] =
+    bloomOf(spark, base, v).map { case (keys, segs) =>
+      val bl = spark.read.parquet(segs: _*)
       val unt = untouched.map(Dfs.canonical).toSet
       val keepRaw = bl.select("file").collect()
         .map(_.getString(0)).filter(f => unt.contains(Dfs.canonical(f))).toSeq
@@ -539,7 +563,7 @@ object Manifests {
       val merged =
         if (rewritten.isEmpty) kept
         else kept.unionByName(buildBlooms(spark, rewritten, keys, schema))
-      (keys, writeBlooms(spark, base, merged))
+      (keys, Seq(writeBlooms(spark, base, merged)))
     }
 
   /** ANALYZE ... FOR BLOOM: build the per-file bloom index for `keys`
@@ -562,7 +586,7 @@ object Manifests {
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
-      blooms = Some((keys, dir)))
+      blooms = Some((keys, Seq(dir))))
   }
 
   /** Bootstrap a PARTITIONED table — the manifest twin of Hive/Delta
@@ -580,11 +604,29 @@ object Manifests {
     * metadata incrementally ([[partValuesAfterRewrite]]); appends
     * derive tuples for the new files only. */
   def commitDataPartitioned(df: DataFrame, base: String,
-      partCols: Seq[String], filesPerWrite: Int = 0): Int = {
+      partCols: Seq[String], filesPerWrite: Int = 0,
+      overwrite: Boolean = false): Int = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
     partCols.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' is not in the schema"))
     val spark = df.sparkSession
+    // PARTITION-SPEC EVOLUTION is pinned, not accidental (Delta's refusal
+    // shape): each version records its own spec (`_partcols`), so a
+    // whole-table overwrite MAY legitimately re-partition — but only when
+    // the caller says so. Without `overwrite`, a second partitioned
+    // commit against a live table either silently shadowed the old data
+    // (same spec — probably meant appendBatch) or changed the spec out
+    // from under readers who saw one table with two partitioning stories.
+    // Time travel keeps working either way: every retained version prunes
+    // by the spec IT recorded.
+    latestVersion(spark, base).foreach { v =>
+      require(overwrite,
+        s"$base already has committed version $v — a partitioned commit " +
+          "REPLACES the table (its manifest lists only the new files). " +
+          "Pass overwrite=true to re-partition deliberately, or use " +
+          "appendBatch, which derives tuples for appended files under " +
+          "the recorded spec.")
+    }
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     val n = if (filesPerWrite > 0) filesPerWrite
       else spark.sessionState.conf.numShufflePartitions
@@ -919,7 +961,51 @@ object Manifests {
           .getOrElse(committed.last)
         math.min(byCount, byAge)
       }
-    reclaimBelow(spark, base, committed, floor)
+    val r = reclaimBelow(spark, base, committed, floor)
+    // separate ledger: r counts version-referenced files, the sweep
+    // counts never-referenced attempt residue
+    sweepOrphans(spark, base, minAge)
+    r
+  }
+
+  /** Reclaim table-root payload dirs (`data_*`/`dv_*`/`stats_*`/`pv_*`/
+    * `bloom_*`) that NO committed version references — the residue of
+    * lost rebase attempts, which derive fresh sidecars (and the
+    * rewrite's data dir) BEFORE the version CAS and orphan them on a
+    * retry or refusal. [[reclaimBelow]] cannot reach these: it deletes
+    * only what a DROPPED version referenced, and a never-committed
+    * attempt referenced its output from nowhere. Age-guarded like
+    * vacuum itself: a dir younger than `minAgeMillis` may belong to an
+    * IN-FLIGHT commit whose version has not materialized yet, so it
+    * survives — run vacuum with a retention window in concurrent
+    * deployments (the r8 age-guard contract). Returns dirs deleted. */
+  def sweepOrphans(spark: SparkSession, base: String,
+      minAgeMillis: Long): Int = {
+    val horizon = System.currentTimeMillis() - math.max(0L, minAgeMillis)
+    val live = committedVersions(spark, base)
+      .flatMap(v => files(spark, base, v) ++ dvFiles(spark, base, v) ++
+        statsOf(spark, base, v).map(_._2).toSeq ++
+        partitionedBy(spark, base, v).map(_._2).toSeq ++
+        bloomOf(spark, base, v).toSeq.flatMap(_._2))
+      .map(f => rootSegment(spark, base, f)).flatten.toSet
+    val payload = "^(data|dv|stats|pv|bloom)_.*".r
+    val dead = Dfs.list(spark, base)
+      .filter(st => payload.matches(st.getPath.getName))
+      .filterNot(st => live.contains(st.getPath.getName))
+      .filter(st => st.getModificationTime < horizon)
+    dead.foreach(st => Dfs.delete(spark, st.getPath.toString, recursive = true))
+    dead.size
+  }
+
+  /** The path component directly under `base` that `ref` lives in (a
+    * data file's parent dir, a sidecar dir itself), or None for a ref
+    * outside the table root (shallow-clone sources stay untouched). */
+  private def rootSegment(spark: SparkSession, base: String,
+      ref: String): Option[String] = {
+    val root = Dfs.qualified(spark, base) + "/"
+    val q = Dfs.qualified(spark, ref)
+    if (!q.startsWith(root)) None
+    else q.stripPrefix(root).split("/").headOption.filter(_.nonEmpty)
   }
 
   /** Age-based retention — the VACUUM ... RETAIN form: drop every
@@ -1065,7 +1151,7 @@ object Manifests {
     def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v) ++
       statsOf(spark, base, v).map(_._2).toSeq ++
       partitionedBy(spark, base, v).map(_._2).toSeq ++
-      bloomOf(spark, base, v).map(_._2).toSeq
+      bloomOf(spark, base, v).toSeq.flatMap(_._2)
     val keepFiles = committed.filter(_ >= floor)
       .flatMap(refs).map(Dfs.canonical).toSet
     val droppedCommitted = committed.filter(_ < floor)
@@ -1259,13 +1345,15 @@ object Manifests {
           merged.write.mode("errorifexists").parquet(d)
           (cols, d)
       }
-      // bloom index: existing rows carry, only the new files are
-      // scanned — the same incremental shape as stats and partitions
+      // bloom index: existing SEGMENTS carry by reference — an append
+      // writes one new segment covering only its new files, so the bloom
+      // bytes written are ∝ appended files, not the table (the merged-
+      // sidecar alternative is O(files) per append, O(n²) cumulative at
+      // ~128 KB per file per key). Rewrites and ANALYZE compact the list.
       val blMeta = prev.flatMap(bv => bloomOf(spark, base, bv)).map {
-        case (keys, bf) =>
-          val merged = spark.read.parquet(bf).unionByName(
-            buildBlooms(spark, newFiles, keys, Some(tableSchema)))
-          (keys, writeBlooms(spark, base, merged))
+        case (keys, segs) =>
+          (keys, segs :+ writeBlooms(spark, base,
+            buildBlooms(spark, newFiles, keys, Some(tableSchema))))
       }
       // deletion vectors stay valid across an append (they address
       // existing files only) — carry them by reference like the data
@@ -1496,10 +1584,21 @@ object Manifests {
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     val rewritten =
       if (boundary.isEmpty && carried.nonEmpty) Seq.empty[String]
-      else {
-        // boundary survivors; when everything drops, this same write
-        // emits the one empty file an empty table's manifest needs
-        rd.parquet((if (boundary.isEmpty) cur else boundary): _*)
+      else if (boundary.isEmpty) {
+        // drop-EVERYTHING: no survivor can exist by classification, so
+        // honor the metadata-only contract in this edge too — the one
+        // empty file an empty table's manifest needs is constructed from
+        // the RECORDED schema, not by scanning every data file through a
+        // filter that provably keeps nothing
+        val sch = schemaOf(spark, base, v)
+          .getOrElse(spark.read.parquet(cur.head).schema)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+          .coalesce(1).write.mode("errorifexists").parquet(dir)
+        Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      } else {
+        // boundary survivors only
+        rd.parquet(boundary: _*)
           .filter(!hit)
           .repartition(math.max(1, boundary.size))
           .write.mode("errorifexists").parquet(dir)

@@ -1012,4 +1012,143 @@ class ManifestsSpec extends AnyFunSuite {
     assert(v120 === 120)
     assert(rpcs(assert(Manifests.latestVersion(spark, b) === Some(120))) <= 12)
   }
+
+  test("partition-spec evolution is pinned: a second partitioned commit refuses without overwrite; with it, each version prunes by ITS recorded spec") {
+    import spark.implicits._
+    val b = base("graft_man_specevo")
+    Manifests.commitDataPartitioned(
+      (1 to 90).map(i => (i.toLong, i % 3, s"c${i % 2}")).toDF("id", "k", "c"),
+      b, Seq("k"), filesPerWrite = 3)
+    assert(Manifests.partitionedBy(spark, b, 0).get._1 === Seq("k"))
+    // a live table refuses a silent re-partition (Delta's refusal shape)
+    val ex = intercept[IllegalArgumentException](
+      Manifests.commitDataPartitioned(
+        (1 to 10).map(i => (i.toLong, 0, "cX")).toDF("id", "k", "c"),
+        b, Seq("c"), filesPerWrite = 2))
+    assert(ex.getMessage.contains("overwrite"))
+    assert(Manifests.latestVersion(spark, b) === Some(0), "refusal burns no version")
+    // deliberate re-partition: the new version carries the NEW spec...
+    Manifests.commitDataPartitioned(
+      (1 to 60).map(i => (i.toLong, i % 3, s"c${i % 2}")).toDF("id", "k", "c"),
+      b, Seq("c"), filesPerWrite = 2, overwrite = true)
+    assert(Manifests.partitionedBy(spark, b, 1).get._1 === Seq("c"))
+    assert(Manifests.readLatest(spark, b).count() === 60)
+    // ...and partition DML under the new spec classifies by it
+    val (d, r, nv) = Manifests.dropPartitions(spark, b, col("c") === "c1")
+    assert(nv === 2 && d >= 1 && r === 0)
+    assert(Manifests.readLatest(spark, b).filter(col("c") === "c1").count() === 0)
+    // time travel still answers under the OLD spec (its own _partcols)
+    assert(Manifests.partitionedBy(spark, b, 0).get._1 === Seq("k"))
+    assert(Manifests.readAt(spark, b, 0).count() === 90)
+  }
+
+  test("a DML derived from a vacuumed snapshot refuses loudly instead of committing a recycled version below latest") {
+    import spark.implicits._
+    val b = base("graft_man_stale")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    Manifests.deleteWhere(spark, b, col("k") === 3) // v1
+    Manifests.deleteWhere(spark, b, col("k") === 7) // v2
+    val (dropped, _) = Manifests.vacuum(spark, b, keepLast = 1)
+    assert(dropped === Seq(0, 1))
+    // _claims/v1 was reclaimed with version 1 — a delete derived from
+    // snapshot 0 could now WIN the claim for version 1 and "commit"
+    // below latest=2: readers would never see it (silent lost update).
+    // The commit-side guard must surface this as a conflict instead.
+    intercept[Exception] {
+      // the stale snapshot may already fail at the read (its manifest is
+      // vacuumed) — either way, nothing may succeed silently
+      Manifests.deleteWhere(spark, b, col("k") === 5, asOf = Some(0))
+    }
+    assert(Manifests.latestVersion(spark, b) === Some(2),
+      "no recycled version below latest may appear")
+    assert(Manifests.readLatest(spark, b).count() === 160,
+      "latest content must be untouched by the stale writer")
+  }
+
+  test("stale-claim guard: a parented commit that wins a reclaimed claim below latest refuses") {
+    import spark.implicits._
+    val b = base("graft_man_staleclaim")
+    Manifests.commitData((1 to 50).map(i => (i.toLong, i % 5)).toDF("id", "k"), b)
+    val fs0 = Manifests.files(spark, b, 0)
+    Manifests.commit(spark, b, fs0, parent = Some(0)) // v1
+    Manifests.commit(spark, b, fs0, parent = Some(1)) // v2
+    // simulate vacuum's claim reclamation without dropping the versions:
+    // the guard must hold even when only the CLAIM was recycled
+    Dfs.delete(spark, s"$b/_claims/v1")
+    intercept[ConcurrentCommitException](
+      Manifests.commit(spark, b, fs0, parent = Some(0)))
+    assert(Manifests.latestVersion(spark, b) === Some(2))
+  }
+
+  test("bloom index is segmented: appends add a new-files-only segment, rewrites compact, lookups stay exact") {
+    import spark.implicits._
+    val b = base("graft_man_bloomseg")
+    Manifests.commitData(
+      (1 to 300).map(i => (i.toLong, s"inv_$i")).toDF("id", "inv")
+        .repartition(4), b)
+    Manifests.analyzeBloom(spark, b, Seq("inv")) // v1: one segment
+    val (_, segs1) = Manifests.bloomOf(spark, b, 1).get
+    assert(segs1.size === 1)
+    val seg1Rows = spark.read.parquet(segs1.head).count()
+    // two appends: each adds ONE segment covering only its own files
+    Manifests.appendBatch(
+      Seq((1001L, "inv_1001")).toDF("id", "inv").coalesce(1), b, 1L)
+    Manifests.appendBatch(
+      Seq((1002L, "inv_1002")).toDF("id", "inv").coalesce(1), b, 2L)
+    val v = Manifests.latestVersion(spark, b).get
+    val (_, segs) = Manifests.bloomOf(spark, b, v).get
+    assert(segs.size === 3, s"expected 3 segments, got ${segs.size}")
+    assert(segs.head === segs1.head, "the base segment carries by reference")
+    segs.tail.foreach { s =>
+      assert(spark.read.parquet(s).count() === 1,
+        "an append's segment covers ONLY its new files — bloom bytes " +
+          "written are proportional to the append, not the table")
+    }
+    assert(spark.read.parquet(segs: _*).count() === seg1Rows + 2)
+    // the segmented index still answers: ManifestFileIndex probes the
+    // union of segments (exactness spot-checked through the reader)
+    val rel = spark.read.format("manifest").load(b)
+    assert(rel.filter(col("inv") === "inv_1002").count() === 1)
+    assert(rel.filter(col("inv") === "inv_150").count() === 1)
+    // a rewrite compacts the list back to one segment
+    Manifests.deleteWhere(spark, b, col("id") === 5L)
+    val v2 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.bloomOf(spark, b, v2).get._2.size === 1,
+      "rewrites compact the segment list")
+    val rel2 = spark.read.format("manifest").load(b)
+    assert(rel2.filter(col("inv") === "inv_1002").count() === 1)
+    assert(rel2.filter(col("inv") === "inv_5").count() === 0)
+  }
+
+  test("vacuum sweeps never-referenced attempt residue (orphan sidecars/data dirs), age-guarded") {
+    import spark.implicits._
+    val b = base("graft_man_orphan")
+    Manifests.commitData((1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "k"), b)
+    Manifests.deleteWhere(spark, b, col("k") === 2) // v1 (so vacuum has work)
+    // plant the residue a lost rebase attempt leaves: sidecar + data dirs
+    // referenced by NO version
+    Seq("stats_orphan1", "pv_orphan1", "bloom_orphan1", "data_orphan1")
+      .foreach { d =>
+        Dfs.mkdirs(spark, s"$b/$d")
+        Dfs.writeBytes(spark, s"$b/$d/part-0.parquet", Array[Byte](1, 2, 3))
+      }
+    Thread.sleep(50) // age the orphans past a 0-ms guard
+    val live0 = Manifests.files(spark, b, 0).map(Dfs.canonical).toSet
+    Manifests.vacuum(spark, b, keepLast = 2) // retains v0 and v1
+    Seq("stats_orphan1", "pv_orphan1", "bloom_orphan1", "data_orphan1")
+      .foreach(d => assert(!Dfs.exists(spark, s"$b/$d"), s"orphan $d must be swept"))
+    // everything any retained version references survives
+    live0.foreach(f => assert(Dfs.exists(spark, f), s"live file swept: $f"))
+    assert(Manifests.readAt(spark, b, 0).count() === 100)
+    assert(Manifests.readLatest(spark, b).count() === 80)
+    // age guard: a FRESH dir (possibly an in-flight commit) survives a
+    // vacuum with a retention window
+    Dfs.mkdirs(spark, s"$b/stats_inflight")
+    Manifests.vacuum(spark, b, keepLast = 2,
+      minAgeMillis = Some(60 * 60 * 1000L))
+    assert(Dfs.exists(spark, s"$b/stats_inflight"),
+      "a young dir may be an in-flight commit's output — never swept")
+  }
 }

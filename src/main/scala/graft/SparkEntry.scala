@@ -270,6 +270,18 @@ object SparkEntry {
               |WHERE country IN ('NATION_1', 'NATION_2')
               |GROUP BY country ORDER BY country""".stripMargin)
     }),
+    // the WRITE half of the SQL surface: this table exists only through
+    // df.write.format("manifest") — a bootstrap save plus an append —
+    // so OCC claims, schema recording and the commuting-append metadata
+    // derivation all ran on the SQL path. The oracle replays the full
+    // clean lineage: bootstrap ∪ append must equal it exactly
+    "manifest_writer" -> ((s, d) => {
+      val b = manwriteFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.read.format("manifest").load(b)
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // time travel through the SAME relation: versionAsOf 0 of the
     // versioned-delete table is the table BEFORE the delete — the
     // oracle replays the full clean lineage, proving the deleted rows
@@ -399,6 +411,25 @@ object SparkEntry {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
       ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** The write-path fixture: a manifest table built ENTIRELY through
+    * `df.write.format("manifest")` — bootstrap save of the clean lineage
+    * minus NATION_3, then a mode("append") of the NATION_3 slice — so
+    * `manifest_writer` proves the SQL write surface commits through the
+    * same OCC/schema/metadata protocol as the Scala API. */
+  private def manwriteFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manwrite")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      val cleaned = Warehouse(s, d).cleaned
+      cleaned.filter(!(col("country") <=> "NATION_3")).repartition(8)
+        .write.format("manifest").save(b)
+      cleaned.filter(col("country") <=> "NATION_3").repartition(2)
+        .write.format("manifest").mode("append").save(b)
       ext.Dfs.touch(s, marker)
     }
     b
@@ -559,6 +590,11 @@ object SparkEntry {
     "delete_versioned" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // write-path table = bootstrap (≠ NATION_3) ∪ append (= NATION_3):
+    // the union IS the clean lineage, whatever the physical split
+    "manifest_writer" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // UPDATE replayed as CASE with snapshot semantics: both branches
     // read the pre-update row, unknown predicates leave the row alone
     "update_versioned" ->

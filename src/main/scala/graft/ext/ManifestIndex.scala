@@ -83,7 +83,7 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
         ManifestFileIndex.valuePredicate(dataFilters, pcols, resolver) match {
           case None => files
           case Some(pred) =>
-            val pv = spark.read.parquet(pvFile)
+            val pv = SidecarCache.localDf(spark, Seq(pvFile))
             val cand = pv.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = pv.select("file").collect()
@@ -98,7 +98,7 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
         ManifestFileIndex.zonePredicate(dataFilters, keys, resolver) match {
           case None => afterPart
           case Some(pred) =>
-            val st = spark.read.parquet(statsFile)
+            val st = SidecarCache.localDf(spark, Seq(statsFile))
             val cand = st.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = st.select("file").collect()
@@ -118,7 +118,7 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
         ManifestFileIndex.bloomPredicate(dataFilters, bkeys, resolver) match {
           case None => keep
           case Some(pred) =>
-            val bl = spark.read.parquet(bSegs: _*)
+            val bl = SidecarCache.localDf(spark, bSegs)
             val cand = bl.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = bl.select("file").collect()
@@ -382,5 +382,42 @@ object ManifestFileIndex {
         keyFor(keys, a, resolver).map(k => nulls(k) < col("n_rows"))
       case _ => None
     }
+  }
+}
+
+/** Driver-side memo of PARSED sidecar contents per sidecar path set —
+  * the Delta-snapshot-cache move: a committed version's sidecars are
+  * immutable (UUID-named, never rewritten; vacuum only deletes whole
+  * versions), so invalidation is free and the memo key is just the
+  * canonical path list. Planning a query against an already-planned
+  * version then opens ZERO sidecar files: the pruning predicates
+  * evaluate over a LocalRelation rebuilt from the cached rows
+  * (ManifestsSpec meters this through a counting filesystem). Bounded:
+  * the memo clears itself past [[SidecarCache.maxEntries]] — a cache,
+  * not a ledger; entries rebuild on next plan. */
+private[ext] object SidecarCache {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (StructType, Array[org.apache.spark.sql.Row])]
+
+  /** Evict-all safety valve: per-key bloom rows are ~bits/8 bytes per
+    * file, so an unbounded memo on a many-table session could hold GBs.
+    * 256 path-sets ≈ hundreds of planned (table, version) pairs. */
+  val maxEntries = 256
+
+  def localDf(spark: SparkSession,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    if (cache.size > maxEntries) cache.clear()
+    val key = (spark.sparkContext.applicationId,
+      paths.map(Dfs.canonical).sorted.mkString("\n"))
+    val (sch, rows) = cache.getOrElseUpdate(key, {
+      val df = spark.read.parquet(paths: _*)
+      (df.schema, df.collect())
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+  }
+
+  def evict(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    cache.keys.filter(_._1 == app).foreach(cache.remove)
   }
 }

@@ -1301,9 +1301,28 @@ object Manifests {
     * per query; cross-writer conflict detection is a transaction
     * protocol this library does not implement — readers are always
     * safe). Returns the committed version, if any. */
-  def appendBatch(batch: DataFrame, base: String, batchId: Long): Option[Int] = {
+  def appendBatch(batch: DataFrame, base: String, batchId: Long): Option[Int] =
+    appendTagged(batch, base, s"data_batch_$batchId")
+
+  /** One-shot OCC append — the batch-DML face of [[appendBatch]] (the
+    * `df.write.format("manifest").mode("append")` / INSERT INTO path):
+    * same commuting-append retry loop, same incremental schema/stats/
+    * partition/bloom maintenance, but tagged with a fresh unique id, so
+    * there is no replay identity — each call appends once. Returns the
+    * committed version ([[appendBatch]]'s None cases collapse to the
+    * current latest: an empty frame appends nothing). */
+  def append(df: DataFrame, base: String): Int = {
+    val spark = df.sparkSession
+    appendTagged(df, base,
+      s"data_ins_${java.util.UUID.randomUUID().toString.take(8)}")
+      .orElse(latestVersion(spark, base))
+      .getOrElse(sys.error("empty append cannot bootstrap a table — " +
+        "commit a first version with commitData"))
+  }
+
+  private def appendTagged(batch: DataFrame, base: String,
+      tag: String): Option[Int] = {
     val spark = batch.sparkSession
-    val tag = s"data_batch_$batchId"
     // appends COMMUTE, so a concurrent commit is not a conflict — the
     // batch data is written at most once, and only the metadata
     // derivation (file list, union schema, carried vectors, stats)

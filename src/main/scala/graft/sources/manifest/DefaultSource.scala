@@ -1,11 +1,11 @@
 package graft.sources.manifest
 
 import graft.ext.{Dfs, ManifestFileIndex, Manifests}
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[graft.ext.Manifests]] table —
@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.StructType
   * null-fill, and columns added after the query started surface on
   * restart — Structured Streaming's own schema contract. */
 class DefaultSource extends StreamSourceProvider with RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   /** SQL addressability: registering the provider under a dot-free
     * short name makes a manifest table reachable from PURE SQL via
@@ -109,6 +109,69 @@ class DefaultSource extends StreamSourceProvider with RelationProvider
       bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
+  }
+
+  /** The WRITE half of the SQL surface —
+    * `df.write.format("manifest").mode(...).save(base)` (and the
+    * DataFrameWriterV2 / INSERT routes that resolve to a
+    * CreatableRelationProvider). Every mode lands as a manifest COMMIT,
+    * never a bare file write, so OCC, rebase, schema evolution and the
+    * incremental stats/partition/bloom sidecar maintenance all hold on
+    * the SQL path exactly as on the Scala one:
+    *
+    *  - Append → [[Manifests.append]]: the commuting-append retry loop —
+    *    concurrent appends both land, concurrent rewrites trigger
+    *    re-derivation against the new latest; new columns evolve the
+    *    recorded schema additively (type conflicts refuse);
+    *  - Overwrite → a fresh bootstrap version that supersedes the table
+    *    (old versions stay time-travelable until vacuum — Delta's
+    *    overwrite shape). With `partitionedBy`, re-partitioning goes
+    *    through [[Manifests.commitDataPartitioned]]'s explicit
+    *    `overwrite` contract;
+    *  - ErrorIfExists (the writer default) refuses on a live table;
+    *    Ignore is a no-op on one.
+    *
+    * `option("partitionedBy", "c1,c2")` selects the partitioned commit
+    * (per-file partition tuples in the manifest, Iceberg shape) for
+    * bootstrap/overwrite writes; appends to a partitioned table derive
+    * tuples for the new files under the RECORDED spec automatically. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val base = basePath(parameters)
+    val exists = Manifests.latestVersion(spark, base).isDefined
+    val partCols = parameters.get("partitionedBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    def create(overwrite: Boolean): Unit = partCols match {
+      case Some(cols) =>
+        Manifests.commitDataPartitioned(data, base, cols, overwrite = overwrite)
+      case None => Manifests.commitData(data, base)
+    }
+    mode match {
+      case SaveMode.Append =>
+        if (exists) Manifests.append(data, base) else create(overwrite = false)
+      case SaveMode.Overwrite => create(overwrite = true)
+      case SaveMode.Ignore => if (!exists) create(overwrite = false)
+      case SaveMode.ErrorIfExists =>
+        if (exists) sys.error(s"$base already holds a committed manifest " +
+          "table (mode=ErrorIfExists) — use append, overwrite, or ignore")
+        else create(overwrite = false)
+    }
+    // the write COMMITTED; the returned handle must not re-refuse on a
+    // MoR table (appends carry deletion vectors forward, and the scan
+    // relation refuses DV versions) — save() only needs a schema handle
+    try createRelation(sqlContext, parameters)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        val ctx = sqlContext
+        val v = Manifests.latestVersion(spark, base).get
+        val sch = Manifests.schemaOf(spark, base, v).getOrElse(data.schema)
+        new BaseRelation {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = sch
+        }
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext,

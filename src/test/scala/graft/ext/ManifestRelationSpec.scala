@@ -308,4 +308,124 @@ class ManifestRelationSpec extends AnyFunSuite {
     // a filter on a non-bloom column cannot prune (conservative)
     assert(scannedFiles(rel(b).filter(col("s") === "s7")) === scannedFiles(rel(b)))
   }
+
+  test("plan-time sidecar cache: the second query against a version opens ZERO sidecar files") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    val b = "graftcnt:" +
+      java.nio.file.Files.createTempDirectory("graft_rel_memo").toString + "/t"
+    // a table exercising all three pruning ladders: partition tuples,
+    // zone stats, per-file blooms
+    Manifests.commitDataPartitioned(
+      (1 to 400).map(i => (i.toLong, i % 4, s"inv_$i")).toDF("id", "p", "inv"),
+      b, Seq("p"), filesPerWrite = 4)
+    Manifests.analyze(spark, b, Seq("id"))
+    Manifests.analyzeBloom(spark, b, Seq("inv"))
+    def sidecars(f: => Unit): Long = {
+      val s = CountingFileSystem.sidecarReads.get(); f
+      CountingFileSystem.sidecarReads.get() - s
+    }
+    def q(): Unit = assert(
+      rel(b).filter(col("p") === 2 && col("id") <= 300L &&
+        col("inv") === "inv_202").count() === 1)
+    val first = sidecars(q())
+    assert(first > 0, "the first plan must actually read the sidecars")
+    // same version, fresh relation: every sidecar row comes from the
+    // driver-side memo — zero file opens (the Delta snapshot-cache move)
+    val second = sidecars(q())
+    assert(second === 0L,
+      s"an already-planned version re-read $second sidecar files")
+    // a NEW version has new sidecars: the memo misses exactly once more
+    Manifests.appendBatch(Seq((9001L, 2, "inv_9001")).toDF("id", "p", "inv")
+      .coalesce(1), b, 1L)
+    val afterAppend = sidecars(
+      assert(rel(b).filter(col("p") === 2 && col("id") <= 300L &&
+        col("inv") === "inv_202").count() === 1))
+    assert(afterAppend > 0)
+    assert(sidecars(q()) === 0L, "the new version's sidecars memoize too")
+  }
+
+  test("write path: df.write.format(manifest) creates/appends/overwrites as manifest commits with full sidecar maintenance") {
+    import spark.implicits._
+    val b = base("graft_rel_write")
+    // ErrorIfExists (the writer default) bootstraps...
+    (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "k")
+      .write.format("manifest").save(b)
+    assert(Manifests.latestVersion(spark, b) === Some(0))
+    // ...and refuses a second time
+    intercept[Exception](
+      Seq((999L, 0)).toDF("id", "k").write.format("manifest").save(b))
+    // Ignore on a live table is a no-op
+    Seq((999L, 0)).toDF("id", "k")
+      .write.format("manifest").mode("ignore").save(b)
+    assert(Manifests.latestVersion(spark, b) === Some(0))
+    assert(rel(b).filter(col("id") === 999L).count() === 0)
+    // append lands as a NEW manifest version (never a bare file write):
+    // time travel sees the pre-append table
+    Seq((1001L, 3), (1002L, 7)).toDF("id", "k")
+      .write.format("manifest").mode("append").save(b)
+    assert(Manifests.latestVersion(spark, b) === Some(1))
+    assert(rel(b).count() === 102)
+    assert(spark.read.format("manifest").option("versionAsOf", 0)
+      .load(b).count() === 100)
+    // appends maintain the stats sidecar incrementally on the SQL path
+    Manifests.analyze(spark, b, Seq("k")) // v2: zone maps
+    val filesBefore = Manifests.files(spark, b, 2).size
+    (1 to 50).map(i => (2000L + i, 99)).toDF("id", "k")
+      .repartitionByRange(1, col("k"))
+      .write.format("manifest").mode("append").save(b)
+    val v3 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.files(spark, b, v3).size === filesBefore + 1)
+    val pruned = scannedFiles(rel(b).filter(col("k") === 99))
+    assert(pruned < Manifests.files(spark, b, v3).size,
+      "the appended file's zones must cover it: k=99 prunes to a subset")
+    assert(rel(b).filter(col("k") === 99).count() === 50)
+    // overwrite supersedes, history stays
+    Seq((5L, 5)).toDF("id", "k")
+      .write.format("manifest").mode("overwrite").save(b)
+    assert(rel(b).count() === 1)
+    assert(spark.read.format("manifest").option("versionAsOf", v3)
+      .load(b).count() === 152)
+    // partitionedBy option: a partitioned overwrite records the spec
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "p")
+      .write.format("manifest").mode("overwrite")
+      .option("partitionedBy", "p").save(b)
+    val vp = Manifests.latestVersion(spark, b).get
+    assert(Manifests.partitionedBy(spark, b, vp).get._1 === Seq("p"))
+  }
+
+  test("write path honors OCC: racing appends both land; a schema type conflict refuses") {
+    import spark.implicits._
+    val b = base("graft_rel_writeocc")
+    (1 to 40).map(i => (i.toLong, i % 4)).toDF("id", "k")
+      .write.format("manifest").save(b)
+    // two concurrent SQL-path appends: the commuting-append retry loop
+    // must land BOTH (one wins the claim, the loser re-derives and lands
+    // on the next number)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 2).map { i =>
+      Future {
+        Seq((1000L + i, 40 + i)).toDF("id", "k")
+          .write.format("manifest").mode("append").save(b)
+      }
+    }
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(rel(b).count() === 42)
+    assert(rel(b).filter(col("id") > 1000L).count() === 2)
+    // additive evolution through the write path: new column null-fills
+    Seq((2000L, 9, "fresh")).toDF("id", "k", "note")
+      .write.format("manifest").mode("append").save(b)
+    val withNote = rel(b)
+    assert(withNote.columns.contains("note"))
+    assert(withNote.filter(col("note").isNull).count() === 42)
+    // a type conflict refuses loudly, burning nothing
+    val before = Manifests.latestVersion(spark, b)
+    intercept[Exception](
+      Seq(("oops", 1, "x")).toDF("id", "k", "note")
+        .write.format("manifest").mode("append").save(b))
+    assert(Manifests.latestVersion(spark, b) === before)
+  }
 }

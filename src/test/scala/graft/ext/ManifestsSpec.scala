@@ -27,6 +27,13 @@ class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
     ops.incrementAndGet()
     if (p.getName == "_manifest") manifestReads.incrementAndGet()
+    // a sidecar PARQUET read (zone stats / partition tuples / blooms) —
+    // the cost SidecarCache amortizes to zero for an already-planned
+    // version; the tiny v<N>/_statsfile pointer files don't count
+    val s = p.toString
+    if ((s.contains("/stats_") || s.contains("/pv_") || s.contains("/bloom_"))
+        && !p.getName.startsWith("_"))
+      sidecarReads.incrementAndGet()
     super.open(p, bufferSize)
   }
   override def create(p: org.apache.hadoop.fs.Path, permission: org.apache.hadoop.fs.permission.FsPermission,
@@ -48,6 +55,7 @@ class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
 object CountingFileSystem {
   val ops = new java.util.concurrent.atomic.AtomicLong(0)
   val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
+  val sidecarReads = new java.util.concurrent.atomic.AtomicLong(0)
   val inListing: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 }

@@ -1474,10 +1474,12 @@ object Manifests {
     * Contract: a non-null key that appears more than once on one side
     * THROWS (pairing would depend on row order — [[merge]]'s refusal);
     * null keys never match (SQL join equality), so null-key rows pass
-    * through as plain insert/delete. Scale: every join here runs over
-    * the FEED, not the table — [[changesBetween]] already pruned to
-    * churned files, and the feed is persisted so the four
-    * classification passes scan the churn once. */
+    * through as plain insert/delete. Scale: classification is ONE
+    * full-outer join over the FEED, not the table — [[changesBetween]]
+    * already pruned to churned files; the old/new sides meet once on
+    * the keys and each match class expands to its tagged image rows
+    * (both sides → pre+post pair, one side → plain delete/insert), so
+    * the feed shuffles once instead of once per class. */
   def changesBetweenKeyed(spark: SparkSession, base: String,
       from: Int, to: Int, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyed change feed needs at least one key column")
@@ -1486,28 +1488,32 @@ object Manifests {
       val del = ch.filter(col("_change_type") === "delete").drop("_change_type")
       val ins = ch.filter(col("_change_type") === "insert").drop("_change_type")
       val nonNullKey = keyCols.map(col(_).isNotNull).reduce(_ && _)
-      Seq("delete" -> del, "insert" -> ins).foreach { case (side, df) =>
-        val dup = df.filter(nonNullKey).groupBy(keyCols.map(col): _*)
-          .count().filter(col("count") > 1).limit(1).count()
-        require(dup == 0,
-          s"$side side of the $from->$to feed has duplicate keys on " +
-            s"(${keyCols.mkString(", ")}) — images cannot be paired")
-      }
-      val delKeys = del.select(keyCols.map(col): _*)
-      val insKeys = ins.select(keyCols.map(col): _*)
-      // localCheckpoint materializes the four classification passes over
-      // the persisted feed NOW, so the cache can be released before
-      // returning instead of leaking for the session's lifetime — the
-      // result is feed-sized (churned files only), not table-sized
-      del.join(insKeys, keyCols, "left_semi")
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(ins.join(delKeys, keyCols, "left_semi")
-          .withColumn("_change_type", lit("update_postimage")))
-        .unionByName(del.join(insKeys, keyCols, "left_anti")
-          .withColumn("_change_type", lit("delete")))
-        .unionByName(ins.join(delKeys, keyCols, "left_anti")
-          .withColumn("_change_type", lit("insert")))
-        .localCheckpoint()
+      // one dup-probe job for both sides: pairing must be well-defined
+      val dup = ch.filter(nonNullKey)
+        .groupBy(col("_change_type") +: keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"a side of the $from->$to feed has duplicate keys on " +
+          s"(${keyCols.mkString(", ")}) — images cannot be paired")
+      def packed(df: DataFrame, as: String) =
+        df.select(keyCols.map(col) :+
+          struct(df.columns.map(col): _*).as(as): _*)
+      val joined = packed(del, "__old").join(packed(ins, "__new"),
+        keyCols, "full_outer")
+      val images = joined.select(explode(
+        when(col("__old").isNotNull && col("__new").isNotNull,
+          array(struct(col("__old").as("r"), lit("update_preimage").as("t")),
+            struct(col("__new").as("r"), lit("update_postimage").as("t"))))
+        .when(col("__old").isNotNull,
+          array(struct(col("__old").as("r"), lit("delete").as("t"))))
+        .otherwise(
+          array(struct(col("__new").as("r"), lit("insert").as("t")))))
+        .as("__e"))
+        .select(col("__e.r.*"), col("__e.t").as("_change_type"))
+      // localCheckpoint materializes the classification NOW, so the
+      // cache can be released before returning instead of leaking for
+      // the session's lifetime — the result is feed-sized
+      images.localCheckpoint()
     } finally ch.unpersist()
   }
 

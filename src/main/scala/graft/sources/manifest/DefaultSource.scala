@@ -75,6 +75,10 @@ class DefaultSource extends StreamSourceProvider with RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
+    // arm the INSERT interception before any view over this relation can
+    // exist — without it, SQL INSERT INTO would write bare parquet into
+    // the table root that no manifest version lists (silent data loss)
+    org.apache.spark.sql.graft.ManifestInsertStrategy.install(spark)
     val base = basePath(parameters)
     val v = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(_), Some(_)) =>

@@ -395,6 +395,40 @@ class ManifestRelationSpec extends AnyFunSuite {
     assert(Manifests.partitionedBy(spark, b, vp).get._1 === Seq("p"))
   }
 
+  test("SQL INSERT INTO/OVERWRITE a manifest view commits through the protocol, never a bare root write") {
+    import spark.implicits._
+    val b = base("graft_rel_sqlins")
+    (1 to 20).map(i => (i.toLong, i % 2)).toDF("id", "k")
+      .write.format("manifest").save(b)
+    rel(b).createOrReplaceTempView("graft_sqlins_t")
+    // without the strategy this "succeeded" as parquet part-files in the
+    // table ROOT that no manifest lists — reads kept answering 20 rows
+    spark.sql("INSERT INTO graft_sqlins_t VALUES (999, 9), (1000, 10)")
+    assert(Manifests.latestVersion(spark, b) === Some(1),
+      "the INSERT must land as a manifest COMMIT")
+    assert(rel(b).count() === 22)
+    assert(rel(b).filter(col("id") === 999L).count() === 1)
+    // no stray part-files in the table root: every data file lives in a
+    // version-referenced payload dir
+    val stray = Dfs.list(spark, b).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    assert(stray.isEmpty, s"bare root write leaked: $stray")
+    // INSERT OVERWRITE supersedes; history stays time-travelable
+    spark.sql("INSERT OVERWRITE graft_sqlins_t VALUES (1, 1)")
+    assert(rel(b).count() === 1)
+    assert(spark.read.format("manifest").option("versionAsOf", 1)
+      .load(b).count() === 22)
+    // Hive-style partition clauses refuse loudly
+    intercept[Exception](
+      spark.sql("INSERT INTO graft_sqlins_t PARTITION (k=5) VALUES (7)"))
+    // a NON-manifest parquet insert is untouched by the strategy
+    val plain = base("graft_rel_plainparquet")
+    Seq((1L, 1)).toDF("id", "k").write.parquet(s"$plain/t")
+    spark.read.parquet(s"$plain/t").createOrReplaceTempView("graft_plain_t")
+    spark.sql("INSERT INTO graft_plain_t VALUES (2, 2)")
+    assert(spark.read.parquet(s"$plain/t").count() === 2)
+  }
+
   test("write path honors OCC: racing appends both land; a schema type conflict refuses") {
     import spark.implicits._
     val b = base("graft_rel_writeocc")

@@ -48,10 +48,10 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     f -> Dfs.fs(spark, f).getFileStatus(new Path(f))
   }.toMap
 
-  private val stats: Option[(Seq[String], String)] =
+  private val stats: Option[(Seq[String], Seq[String])] =
     Manifests.statsOf(spark, base, version)
 
-  private val partMeta: Option[(Seq[String], String)] =
+  private val partMeta: Option[(Seq[String], Seq[String])] =
     Manifests.partitionedBy(spark, base, version)
 
   private val blooms: Option[(Seq[String], Seq[String])] =
@@ -79,11 +79,11 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     //    predicates arrive as dataFilters — partitionSchema stays empty.)
     val afterPart = partMeta match {
       case None => files
-      case Some((pcols, pvFile)) =>
+      case Some((pcols, pvSegs)) =>
         ManifestFileIndex.valuePredicate(dataFilters, pcols, resolver) match {
           case None => files
           case Some(pred) =>
-            val pv = SidecarCache.localDf(spark, Seq(pvFile))
+            val pv = SidecarCache.localDf(spark, pvSegs)
             val cand = pv.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = pv.select("file").collect()
@@ -94,11 +94,11 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     // 2) zone-map pruning on whatever survives
     val keep = stats match {
       case None => afterPart
-      case Some((keys, statsFile)) =>
+      case Some((keys, statsSegs)) =>
         ManifestFileIndex.zonePredicate(dataFilters, keys, resolver) match {
           case None => afterPart
           case Some(pred) =>
-            val st = SidecarCache.localDf(spark, Seq(statsFile))
+            val st = SidecarCache.localDf(spark, statsSegs)
             val cand = st.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = st.select("file").collect()

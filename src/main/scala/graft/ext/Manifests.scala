@@ -126,9 +126,9 @@ object Manifests {
   def commit(spark: SparkSession, base: String, dataFiles: Seq[String],
       tag: Option[String] = None, dv: Seq[String] = Nil,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      stats: Option[(Seq[String], String)] = None,
+      stats: Option[(Seq[String], Seq[String])] = None,
       parent: Option[Int] = None,
-      partValues: Option[(Seq[String], String)] = None,
+      partValues: Option[(Seq[String], Seq[String])] = None,
       blooms: Option[(Seq[String], Seq[String])] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
@@ -165,17 +165,17 @@ object Manifests {
         dv.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     schema.foreach(s =>
       Dfs.writeBytes(spark, s"$base/v$v/_schema", s.json.getBytes("UTF-8")))
-    stats.foreach { case (keys, statsFile) =>
+    stats.foreach { case (keys, segs) =>
       Dfs.writeBytes(spark, s"$base/v$v/_statskeys",
         keys.mkString("", "\n", "\n").getBytes("UTF-8"))
       Dfs.writeBytes(spark, s"$base/v$v/_statsfile",
-        Dfs.canonical(statsFile).getBytes("UTF-8"))
+        segs.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     }
-    partValues.foreach { case (cols, pvFile) =>
+    partValues.foreach { case (cols, segs) =>
       Dfs.writeBytes(spark, s"$base/v$v/_partcols",
         cols.mkString("", "\n", "\n").getBytes("UTF-8"))
       Dfs.writeBytes(spark, s"$base/v$v/_partvalues",
-        Dfs.canonical(pvFile).getBytes("UTF-8"))
+        segs.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     }
     blooms.foreach { case (cols, segs) =>
       Dfs.writeBytes(spark, s"$base/v$v/_bloomkeys",
@@ -230,13 +230,19 @@ object Manifests {
     * appends stat only the new files, merge-on-read deletes carry
     * stats untouched (zones stay conservatively wide over deleted
     * rows), rewrites re-stat only the rewritten files. */
+  /** The version's zone-map stats, if committed with any: (indexed
+    * keys, sidecar parquet SEGMENT paths). Segmented like the bloom
+    * index ([[bloomOf]]): appends add a segment covering only their new
+    * files, so per-append sidecar writes are ∝ appended files instead
+    * of O(table files); rewrites and ANALYZE compact back to one. */
   def statsOf(spark: SparkSession, base: String,
-      v: Int): Option[(Seq[String], String)] =
+      v: Int): Option[(Seq[String], Seq[String])] =
     if (!Dfs.exists(spark, s"$base/v$v/_statsfile")) None
     else Some((
       new String(Dfs.readBytes(spark, s"$base/v$v/_statskeys"), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq,
-      new String(Dfs.readBytes(spark, s"$base/v$v/_statsfile"), "UTF-8").trim))
+      new String(Dfs.readBytes(spark, s"$base/v$v/_statsfile"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq))
 
   private def statsFor(spark: SparkSession, data: Seq[String],
       keys: Seq[String],
@@ -253,13 +259,15 @@ object Manifests {
   }
 
   /** Carry stats across a rewrite: keep the rows of untouched files,
-    * re-stat only the rewritten ones. Metadata-sized throughout. */
+    * re-stat only the rewritten ones. Metadata-sized throughout;
+    * rewrites already pay data I/O, so the segment list compacts back
+    * to one here. */
   private def statsAfterRewrite(spark: SparkSession, base: String, v: Int,
       untouched: Seq[String], rewritten: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType])
-      : Option[(Seq[String], String)] =
-    statsOf(spark, base, v).map { case (keys, sf) =>
-      val st = spark.read.parquet(sf)
+      : Option[(Seq[String], Seq[String])] =
+    statsOf(spark, base, v).map { case (keys, segs) =>
+      val st = spark.read.parquet(segs: _*)
       val unt = untouched.map(Dfs.canonical).toSet
       val keepRaw = st.select("file").collect().map(_.getString(0))
         .filter(f => unt.contains(Dfs.canonical(f))).toSeq
@@ -267,7 +275,7 @@ object Manifests {
         org.apache.spark.sql.Encoders.STRING).toDF("file")
       val merged = st.join(keepDf, Seq("file"), "left_semi")
         .unionByName(statsFor(spark, rewritten, keys, schema))
-      (keys, writeStats(spark, base, merged))
+      (keys, Seq(writeStats(spark, base, merged)))
     }
 
   /** ANALYZE: stat every file of the latest version for `keys` and
@@ -281,7 +289,7 @@ object Manifests {
     val dir = writeStats(spark, base,
       statsFor(spark, fs, keys, schemaOf(spark, base, v)))
     commit(spark, base, fs, None, dvFiles(spark, base, v),
-      schemaOf(spark, base, v), Some((keys, dir)), parent = Some(v),
+      schemaOf(spark, base, v), Some((keys, Seq(dir))), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v))
   }
@@ -297,8 +305,8 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     statsOf(spark, base, v) match {
       case None => readAt(spark, base, v)
-      case Some((_, statsFile)) =>
-        val st = spark.read.parquet(statsFile)
+      case Some((_, segs)) =>
+        val st = spark.read.parquet(segs: _*)
         val cand = Skipping.candidateFiles(st, box).map(Dfs.canonical).toSet
         val covered = st.select("file").collect()
           .map(r => Dfs.canonical(r.getString(0))).toSet
@@ -437,12 +445,13 @@ object Manifests {
     * (partition column names, path of the partition-values parquet —
     * one row per (file, distinct partition tuple) the file contains). */
   def partitionedBy(spark: SparkSession, base: String,
-      v: Int): Option[(Seq[String], String)] =
+      v: Int): Option[(Seq[String], Seq[String])] =
     if (!Dfs.exists(spark, s"$base/v$v/_partcols")) None
     else Some((
       new String(Dfs.readBytes(spark, s"$base/v$v/_partcols"), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq,
-      new String(Dfs.readBytes(spark, s"$base/v$v/_partvalues"), "UTF-8").trim))
+      new String(Dfs.readBytes(spark, s"$base/v$v/_partvalues"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq))
 
   /** One distributed scan: the distinct partition tuples each of
     * `data`'s files contains, written as a tiny parquet keyed by file
@@ -465,9 +474,9 @@ object Manifests {
   private def partValuesAfterRewrite(spark: SparkSession, base: String,
       v: Int, untouched: Seq[String], rewritten: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType])
-      : Option[(Seq[String], String)] =
-    partitionedBy(spark, base, v).map { case (cols, pvFile) =>
-      val pv = spark.read.parquet(pvFile)
+      : Option[(Seq[String], Seq[String])] =
+    partitionedBy(spark, base, v).map { case (cols, segs) =>
+      val pv = spark.read.parquet(segs: _*)
       val unt = untouched.map(Dfs.canonical).toSet
       val keepRaw = pv.select("file").distinct().collect()
         .map(_.getString(0)).filter(f => unt.contains(Dfs.canonical(f))).toSeq
@@ -480,7 +489,7 @@ object Manifests {
           writePartValues(spark, base, rewritten, cols, schema)): DataFrame)
       val dir = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
       merged.write.mode("errorifexists").parquet(dir)
-      (cols, dir)
+      (cols, Seq(dir))
     }
 
   /** The per-file bloom index recorded at version `v`, if any:
@@ -636,7 +645,7 @@ object Manifests {
     val files = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     commit(spark, base, files, schema = Some(df.schema),
       partValues = Some((partCols,
-        writePartValues(spark, base, files, partCols, Some(df.schema)))))
+        Seq(writePartValues(spark, base, files, partCols, Some(df.schema))))))
   }
 
   /** Data rows tagged with their physical address: parquet's hidden
@@ -756,8 +765,8 @@ object Manifests {
     }.toDF("file", "size_bytes")
     statsOf(spark, base, v) match {
       case None => fs
-      case Some((_, statsFile)) =>
-        val st = spark.read.parquet(statsFile)
+      case Some((_, segs)) =>
+        val st = spark.read.parquet(segs: _*)
           .withColumn("file", expr("reflect('java.lang.String', 'valueOf', file)"))
         // canonicalize the stats table's input_file_name() spelling so
         // the join key matches the listing's Hadoop path strings
@@ -984,8 +993,8 @@ object Manifests {
     val horizon = System.currentTimeMillis() - math.max(0L, minAgeMillis)
     val live = committedVersions(spark, base)
       .flatMap(v => files(spark, base, v) ++ dvFiles(spark, base, v) ++
-        statsOf(spark, base, v).map(_._2).toSeq ++
-        partitionedBy(spark, base, v).map(_._2).toSeq ++
+        statsOf(spark, base, v).toSeq.flatMap(_._2) ++
+        partitionedBy(spark, base, v).toSeq.flatMap(_._2) ++
         bloomOf(spark, base, v).toSeq.flatMap(_._2))
       .map(f => rootSegment(spark, base, f)).flatten.toSet
     val payload = "^(data|dv|stats|pv|bloom)_.*".r
@@ -1149,8 +1158,8 @@ object Manifests {
     // like data files: superseded ones die with their versions, those
     // a retained manifest still references survive
     def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v) ++
-      statsOf(spark, base, v).map(_._2).toSeq ++
-      partitionedBy(spark, base, v).map(_._2).toSeq ++
+      statsOf(spark, base, v).toSeq.flatMap(_._2) ++
+      partitionedBy(spark, base, v).toSeq.flatMap(_._2) ++
       bloomOf(spark, base, v).toSeq.flatMap(_._2)
     val keepFiles = committed.filter(_ >= floor)
       .flatMap(refs).map(Dfs.canonical).toSet
@@ -1345,24 +1354,20 @@ object Manifests {
       val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
       if (newFiles.isEmpty) return None
       val cur = prev.map(files(spark, base, _)).getOrElse(Seq.empty)
-      // stats: keep every existing row, stat ONLY the new files — the
-      // incremental contract that makes ANALYZE affordable on appends
+      // stats: existing SEGMENTS carry by reference, only the new files
+      // are statted into one new segment — per-append sidecar writes are
+      // ∝ appended files, never the table (same shape as the blooms)
       val stats = prev.flatMap(v => statsOf(spark, base, v)).map {
-        case (keys, sf) =>
-          val merged = spark.read.parquet(sf).unionByName(
-            statsFor(spark, newFiles, keys, Some(tableSchema)))
-          (keys, writeStats(spark, base, merged))
+        case (keys, segs) =>
+          (keys, segs :+ writeStats(spark, base,
+            statsFor(spark, newFiles, keys, Some(tableSchema))))
       }
-      // partition metadata: tuples of existing files carry, only the
-      // new files are scanned — same incremental shape as the stats
+      // partition metadata: same segmented carry, tuples derived for the
+      // new files only
       val pvMeta = prev.flatMap(pv => partitionedBy(spark, base, pv)).map {
-        case (cols, pvFile) =>
-          val merged = spark.read.parquet(pvFile).unionByName(
-            spark.read.parquet(writePartValues(spark, base, newFiles, cols,
-              Some(tableSchema))): DataFrame)
-          val d = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
-          merged.write.mode("errorifexists").parquet(d)
-          (cols, d)
+        case (cols, segs) =>
+          (cols, segs :+ writePartValues(spark, base, newFiles, cols,
+            Some(tableSchema)))
       }
       // bloom index: existing SEGMENTS carry by reference — an append
       // writes one new segment covering only its new files, so the bloom
@@ -1587,12 +1592,12 @@ object Manifests {
     require(dvFiles(spark, base, v).isEmpty,
       s"version $v carries deletion vectors — compact($base) first to " +
         "materialize them")
-    val (_, pvFile) = partitionedBy(spark, base, v)
+    val (_, pvSegs) = partitionedBy(spark, base, v)
       .getOrElse(sys.error(s"$base carries no partition metadata — " +
         "use deleteWhere, or commit via commitDataPartitioned"))
     val cur = files(spark, base, v).map(Dfs.canonical)
     val hit = coalesce(pred, lit(false))
-    val cls = spark.read.parquet(pvFile)
+    val cls = spark.read.parquet(pvSegs: _*)
       .groupBy("file")
       .agg(count(lit(1)).as("n"),
         sum(when(hit, 1L).otherwise(0L)).as("m"))

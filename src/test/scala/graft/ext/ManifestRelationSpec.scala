@@ -339,6 +339,9 @@ class ManifestRelationSpec extends AnyFunSuite {
     // a NEW version has new sidecars: the memo misses exactly once more
     Manifests.appendBatch(Seq((9001L, 2, "inv_9001")).toDF("id", "p", "inv")
       .coalesce(1), b, 1L)
+    // the append carried the partition-tuple sidecar as segments too
+    assert(Manifests.partitionedBy(spark, b,
+      Manifests.latestVersion(spark, b).get).get._2.size === 2)
     val afterAppend = sidecars(
       assert(rel(b).filter(col("p") === 2 && col("id") <= 300L &&
         col("inv") === "inv_202").count() === 1))

@@ -481,13 +481,14 @@ class ManifestsSpec extends AnyFunSuite {
     assert(prunedScan(3, 4).count() ===
       Manifests.readLatest(spark, b).filter(col("k").between(3, 4)).count())
     // append: stats grow by exactly the new files' rows
-    val statsRows0 = spark.read.parquet(Manifests.statsOf(spark, b, 1).get._2).count()
+    val statsRows0 = spark.read.parquet(
+      Manifests.statsOf(spark, b, 1).get._2: _*).count()
     Manifests.appendBatch(
       Seq((1000L, 99), (1001L, 99)).toDF("id", "k"), b, 0L) // v2
     val (keys2, sf2) = Manifests.statsOf(spark, b, 2).get
     assert(keys2 === Seq("k"))
     val added = Manifests.files(spark, b, 2).size - Manifests.files(spark, b, 1).size
-    assert(spark.read.parquet(sf2).count() === statsRows0 + added)
+    assert(spark.read.parquet(sf2: _*).count() === statsRows0 + added)
     val hot = prunedScan(99, 99)
     assert(hot.count() === 2)
     assert(hot.inputFiles.length === added,
@@ -503,7 +504,8 @@ class ManifestsSpec extends AnyFunSuite {
     assert(prunedScan(3, 4).count() === 40)
     // vacuum: superseded stats parquet reclaimed with its versions
     Manifests.vacuum(spark, b, keepLast = 1)
-    assert(!Dfs.exists(spark, sf2), "superseded stats must be reclaimed")
+    sf2.foreach(seg =>
+      assert(!Dfs.exists(spark, seg), "superseded stats must be reclaimed"))
     assert(prunedScan(3, 4).count() === 40)
   }
 
@@ -1097,6 +1099,7 @@ class ManifestsSpec extends AnyFunSuite {
       (1 to 300).map(i => (i.toLong, s"inv_$i")).toDF("id", "inv")
         .repartition(4), b)
     Manifests.analyzeBloom(spark, b, Seq("inv")) // v1: one segment
+    Manifests.analyze(spark, b, Seq("id")) // v2: zone stats, one segment
     val (_, segs1) = Manifests.bloomOf(spark, b, 1).get
     assert(segs1.size === 1)
     val seg1Rows = spark.read.parquet(segs1.head).count()
@@ -1108,6 +1111,8 @@ class ManifestsSpec extends AnyFunSuite {
     val v = Manifests.latestVersion(spark, b).get
     val (_, segs) = Manifests.bloomOf(spark, b, v).get
     assert(segs.size === 3, s"expected 3 segments, got ${segs.size}")
+    // the zone-stats sidecar segments the same way (1 ANALYZE + 2 appends)
+    assert(Manifests.statsOf(spark, b, v).get._2.size === 3)
     assert(segs.head === segs1.head, "the base segment carries by reference")
     segs.tail.foreach { s =>
       assert(spark.read.parquet(s).count() === 1,
@@ -1120,11 +1125,12 @@ class ManifestsSpec extends AnyFunSuite {
     val rel = spark.read.format("manifest").load(b)
     assert(rel.filter(col("inv") === "inv_1002").count() === 1)
     assert(rel.filter(col("inv") === "inv_150").count() === 1)
-    // a rewrite compacts the list back to one segment
+    // a rewrite compacts the lists back to one segment
     Manifests.deleteWhere(spark, b, col("id") === 5L)
     val v2 = Manifests.latestVersion(spark, b).get
     assert(Manifests.bloomOf(spark, b, v2).get._2.size === 1,
       "rewrites compact the segment list")
+    assert(Manifests.statsOf(spark, b, v2).get._2.size === 1)
     val rel2 = spark.read.format("manifest").load(b)
     assert(rel2.filter(col("inv") === "inv_1002").count() === 1)
     assert(rel2.filter(col("inv") === "inv_5").count() === 0)

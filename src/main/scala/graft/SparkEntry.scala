@@ -1025,6 +1025,7 @@ object SparkEntry {
       operators.Similarity.appendEmbeddingNearDups(s, d)),
     // training-corpus assembly (operators/Corpus.scala) — all oracle-checked
     "train_split" -> ((s, d) => operators.Corpus.trainSplit(s, d)),
+    "epoch_order" -> ((s, d) => operators.Corpus.epochOrder(s, d)),
     "pack_documents" -> ((s, d) => operators.Corpus.packDocuments(s, d)),
     "clean_corpus" -> ((s, d) => operators.Corpus.cleanCorpus(s, d)),
     "interleave_sources" -> ((s, d) => operators.Corpus.interleaveSources(s, d)),
@@ -1197,6 +1198,7 @@ object SparkEntry {
         |   (acc, x) -> (acc * 31 + x + 1) % 1000000007) AS fingerprint
         | FROM documents ORDER BY doc_id""".stripMargin,
     "train_split" -> operators.Corpus.trainSplitOracleSql,
+    "epoch_order" -> operators.Corpus.epochOrderOracleSql(),
     "interleave_sources" -> operators.Corpus.interleaveSourcesOracleSql(),
     "pack_documents" -> operators.Corpus.packDocumentsOracleSql(),
     "clean_corpus" -> operators.Corpus.cleanCorpusOracleSql,

@@ -93,6 +93,51 @@ object Corpus {
        |   FROM grouped)
        | ORDER BY doc_id""".stripMargin
 
+  /** Epoch count for [[epochOrder]]'s registered query. */
+  val defaultEpochs = 3
+
+  /** Deterministic per-epoch training order — the data-ORDERING half of
+    * a training run: each epoch permutes the corpus by the content-
+    * independent key hash of `epoch:<e>:<doc_id>`, so the shuffle is
+    * (1) reproducible from the tag alone — a restarted job regenerates
+    * the identical order with no stored permutation table; (2)
+    * decorrelated across epochs (a different epoch tag is an
+    * independent hash draw — no rare-example always-adjacent pathology
+    * a single reused order has); (3) never a single-task global sort:
+    * positions come from [[graft.functions.Keys.withRank]]'s
+    * range-partition + metadata-offset rank over (epoch, hash), and the
+    * per-epoch position is `global rank − (epoch−1)·N` because epochs
+    * are equal-sized blocks of that order. Output:
+    * (epoch, doc_id, position) with position a 1-based permutation of
+    * the corpus per epoch. */
+  def epochOrder(spark: SparkSession, dir: String,
+      epochs: Int = defaultEpochs): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val n = docs.count()
+    val es = spark.range(1, epochs + 1L).select(col("id").cast("int").as("epoch"))
+    val keyed = docs.crossJoin(broadcast(es))
+      .withColumn("ekey", Dedup.fastHash60(spark,
+        concat(lit("epoch:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+    graft.functions.Keys.withRank(keyed, "grank", Seq("epoch", "ekey", "doc_id"))
+      .withColumn("position", col("grank") - (col("epoch").cast("long") - 1L) * lit(n))
+      .select("epoch", "doc_id", "position")
+      .orderBy("epoch", "position")
+  }
+
+  def epochOrderOracleSql(epochs: Int = defaultEpochs): String =
+    s"""SELECT epoch, doc_id, position FROM (
+       |  SELECT epoch, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY epoch ORDER BY ekey, doc_id) AS BIGINT)
+       |      AS position
+       |  FROM (SELECT d.doc_id, e.epoch,
+       |      CAST('0x' || substring(md5('epoch:' || CAST(e.epoch AS VARCHAR)
+       |        || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ekey
+       |    FROM documents d CROSS JOIN (
+       |      SELECT CAST(g AS INTEGER) AS epoch
+       |      FROM generate_series(1, $epochs) AS t(g)) e))
+       | ORDER BY epoch, position""".stripMargin
+
   val defaultPackBudget = 512
   val defaultShards = 16
 

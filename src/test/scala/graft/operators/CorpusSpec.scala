@@ -297,4 +297,26 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(again.toSeq === mix.toSeq)
   }
+
+  test("epochOrder: each epoch is a full 1..N permutation, epochs decorrelate, order deterministic") {
+    val rows = Corpus.epochOrder(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === (1 to Corpus.defaultEpochs).toSet)
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_._2).toSet === ids, s"epoch $e must cover the corpus once")
+      assert(rs.map(_._3).sorted.toSeq === (1L to ids.size).toSeq,
+        s"epoch $e positions must be a 1..N permutation")
+    }
+    // different epochs are independent hash draws: their orders differ
+    def order(e: Int) = byEpoch(e).sortBy(_._3).map(_._2).toSeq
+    assert(order(1) !== order(2))
+    assert(order(2) !== order(3))
+    // reproducible from the tag alone — no stored permutation table
+    val again = Corpus.epochOrder(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }

@@ -1389,6 +1389,16 @@ object Manifests {
       catch {
         case e: ConcurrentCommitException =>
           if (remaining == 0) throw e
+          // a retry is only useful once the table ADVANCED past the
+          // snapshot this attempt derived from — the claim loser would
+          // otherwise spin through every retry inside one winner's
+          // commit window (claim taken, _SUCCESS not yet landed), which
+          // an 8-writer stress reliably triggers. Bounded wait, then
+          // re-derive against the new latest.
+          val deadline = System.currentTimeMillis() + 30000L
+          while (latestVersion(spark, base) == prev &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(20)
           attempt(remaining - 1, wrote = true)
       }
     }

@@ -38,22 +38,32 @@ import org.apache.spark.sql.types.StructType
 class DefaultSource extends StreamSourceProvider with RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
 
-  /** SQL addressability: registering the provider under a dot-free
-    * short name makes a manifest table reachable from PURE SQL via
-    * Spark's `provider`.`path` table syntax —
-    * {{{ spark.sql("SELECT ... FROM manifest.`/table/base`") }}} —
-    * the same resolution path `FROM parquet.`/dir`` uses, landing on
-    * [[createRelation]] and therefore on the full Catalyst scan:
+    /** SQL addressability: the dot-free short name keeps
+    * `format("manifest")` terse, and the SQL route is a one-line view
+    * over the relation (`spark.read.format("manifest").load(base)
+    * .createOrReplaceTempView(...)`) — after which every query is pure
+    * `spark.sql`, landing on [[createRelation]]'s full Catalyst scan:
     * pushdown, codegen, partition pruning, zone-map skipping, bucket
-    * layout. Time travel from SQL goes through a reader-options view:
-    * `spark.read.format("manifest").option("versionAsOf", v)` then
-    * `createOrReplaceTempView` (Spark's SQL grammar has no option
-    * syntax for v1 sources). */
+    * layout. (Spark's direct `FROM provider.`/path`` syntax is reserved
+    * for FileFormat sources by `ResolveSQLOnFile`; a RelationProvider
+    * goes through a view.) Time travel from SQL uses the Delta-style
+    * `@v<N>` PATH SUFFIX — `load(s"$base@v3")` — so a view can pin a
+    * version with no reader-option plumbing. */
   override def shortName(): String = "manifest"
 
   private def basePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       sys.error("graft.sources.manifest requires .option(\"path\", <table base>)"))
+
+  /** Delta's `path@v<N>` time-travel suffix: `manifest.`/table@v3`` in
+    * pure SQL resolves version 3 with no reader-options view — the one
+    * thing the SQL surface previously needed Scala for. A path that
+    * does not end in `@v<digits>` is taken literally. */
+  private def splitVersionSuffix(path: String): (String, Option[Int]) =
+    "^(.*)@v(\\d+)$".r.findFirstMatchIn(path) match {
+      case Some(m) => (m.group(1), Some(m.group(2).toInt))
+      case None => (path, None)
+    }
 
   /** BATCH read of a manifest table through Catalyst's own scan
     * planning: `spark.read.format("graft.sources.manifest").load(base)`
@@ -79,11 +89,12 @@ class DefaultSource extends StreamSourceProvider with RelationProvider
     // exist — without it, SQL INSERT INTO would write bare parquet into
     // the table root that no manifest version lists (silent data loss)
     org.apache.spark.sql.graft.ManifestInsertStrategy.install(spark)
-    val base = basePath(parameters)
-    val v = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+    val (base, atSuffix) = splitVersionSuffix(basePath(parameters))
+    val v = (parameters.get("versionAsOf").map(_.toInt).orElse(atSuffix),
+        parameters.get("timestampAsOf")) match {
       case (Some(_), Some(_)) =>
-        sys.error("versionAsOf and timestampAsOf are mutually exclusive")
-      case (Some(n), None) => n.toInt
+        sys.error("versionAsOf/@v and timestampAsOf are mutually exclusive")
+      case (Some(n), None) => n
       case (None, Some(ts)) =>
         val millis =
           if (ts.forall(_.isDigit)) ts.toLong
@@ -142,7 +153,10 @@ class DefaultSource extends StreamSourceProvider with RelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val base = basePath(parameters)
+    val (base, atSuffix) = splitVersionSuffix(basePath(parameters))
+    require(atSuffix.isEmpty,
+      s"cannot write to time-travel path $base@v${atSuffix.getOrElse(-1)} — " +
+        "versions are immutable; write to the table base")
     val exists = Manifests.latestVersion(spark, base).isDefined
     val partCols = parameters.get("partitionedBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -221,12 +235,27 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
   // as tagged change rows instead of refusing; deletes become DATA
   private val readChangeFeed =
     parameters.get("readChangeFeed").exists(_.toBoolean)
-  // None → full snapshot first; Some(v) → diff from version v
+  // None → full snapshot first; Some(v) → diff from version v.
+  // `startingTimestamp` (epoch millis or ISO-8601) resolves to the LAST
+  // version committed at-or-before the timestamp — the same resolution
+  // batch timestampAsOf uses — so the stream delivers every change
+  // AFTER where the table stood at that time ("resume from T").
   private val startingVersion: Option[Int] =
-    parameters.get("startingVersion").map {
-      case "latest" => Manifests.latestVersion(spark, base).getOrElse(
-        sys.error(s"no committed version under $base"))
-      case n => n.toInt
+    (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) =>
+        sys.error("startingVersion and startingTimestamp are mutually exclusive")
+      case (Some("latest"), None) =>
+        Some(Manifests.latestVersion(spark, base).getOrElse(
+          sys.error(s"no committed version under $base")))
+      case (Some(n), None) => Some(n.toInt)
+      case (None, Some(ts)) =>
+        val millis =
+          if (ts.forall(_.isDigit)) ts.toLong
+          else java.time.Instant.parse(ts).toEpochMilli
+        Some(Manifests.versionAsOf(spark, base, millis).getOrElse(
+          sys.error(s"$base has no version committed at or before $ts — " +
+            "start from a snapshot (omit the option) instead")))
+      case (None, None) => None
     }
 
   // admission control: cap how many table versions one micro-batch may

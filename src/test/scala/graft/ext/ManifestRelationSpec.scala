@@ -309,6 +309,50 @@ class ManifestRelationSpec extends AnyFunSuite {
     assert(scannedFiles(rel(b).filter(col("s") === "s7")) === scannedFiles(rel(b)))
   }
 
+  test("@v path suffix: pure-SQL time travel; writes to a time-travel path refuse") {
+    import spark.implicits._
+    val b = base("graft_rel_atv")
+    (1 to 30).map(i => (i.toLong, i % 3)).toDF("id", "k")
+      .write.format("manifest").save(b)
+    Seq((999L, 9)).toDF("id", "k")
+      .write.format("manifest").mode("append").save(b)
+    // the Delta path suffix: a view over load("path@vN") gives pure-SQL
+    // time travel with no reader-option plumbing
+    assert(spark.read.format("manifest").load(s"$b@v0").count() === 30)
+    spark.read.format("manifest").load(s"$b@v0")
+      .createOrReplaceTempView("graft_atv_v0")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_atv_v0").head.getLong(0) === 30)
+    assert(spark.read.format("manifest").load(s"$b@v1").count() === 31)
+    assert(spark.read.format("manifest").load(b).count() === 31)
+    // suffix and option together refuse; so does writing to the past
+    intercept[Exception](spark.read.format("manifest")
+      .option("timestampAsOf", "0").load(s"$b@v0").count())
+    intercept[Exception](Seq((1L, 1)).toDF("id", "k")
+      .write.format("manifest").mode("append").save(s"$b@v0"))
+    assert(Manifests.latestVersion(spark, b) === Some(1))
+  }
+
+  test("write path under contention: 8 racing appenders all land exactly once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val b = base("graft_rel_race8")
+    (1 to 10).map(i => (i.toLong, 0)).toDF("id", "k")
+      .write.format("manifest").save(b)
+    val fs = (1 to 8).map { i =>
+      Future {
+        Seq((100L + i, i)).toDF("id", "k")
+          .write.format("manifest").mode("append").save(b)
+      }
+    }
+    fs.foreach(Await.result(_, 300.seconds))
+    assert(Manifests.latestVersion(spark, b) === Some(8),
+      "8 appends = 8 committed versions, no holes, no lost updates")
+    assert(rel(b).count() === 18)
+    assert(rel(b).filter(col("id") > 100L).count() === 8)
+  }
+
   test("plan-time sidecar cache: the second query against a version opens ZERO sidecar files") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -642,6 +642,52 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("manifest source: startingTimestamp resumes from where the table stood at T") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mansrc_sts").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    graft.ext.Manifests.commitData(Seq((0L, "v0")).toDF("id", "s"), base)
+    graft.ext.Manifests.appendBatch(Seq((1L, "v1")).toDF("id", "s"), base, 1L)
+    // T = after v1 landed; v2/v3 are the future the stream must deliver
+    val t = graft.ext.Dfs.mtime(spark, s"$base/v1/_SUCCESS")
+    Thread.sleep(1100) // local-fs mtimes are second-granular
+    graft.ext.Manifests.appendBatch(Seq((2L, "v2")).toDF("id", "s"), base, 2L)
+    graft.ext.Manifests.appendBatch(Seq((3L, "v3")).toDF("id", "s"), base, 3L)
+    val got = scala.collection.mutable.ListBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.manifest")
+      .option("path", base)
+      .option("startingTimestamp", t.toString)
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getLong(0)) }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toSeq === Seq(2L, 3L),
+        s"changes AFTER the table's state at T stream; got $got")
+    } finally q.stop()
+    // both starting options together refuse (the source factory runs on
+    // the stream thread, so the refusal surfaces as the query's error)
+    val bad = spark.readStream.format("graft.sources.manifest")
+      .option("path", base)
+      .option("startingVersion", "0")
+      .option("startingTimestamp", t.toString)
+      .load()
+      .writeStream.option("checkpointLocation", s"$root/ckpt_bad")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.processAllAvailable()
+      bad.awaitTermination(30000): Unit
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(_.getMessage.contains("mutually exclusive")))
+    bad.stop()
+  }
+
   test("manifest source: maxVersionsPerTrigger drains a backlog in bounded batches") {
     val spark0 = spark
     import spark0.implicits._

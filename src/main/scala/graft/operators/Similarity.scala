@@ -906,36 +906,122 @@ object Similarity {
     * Scale: cluster count is corpus-derived ([[semClusters]]) so expected
     * population — and with it the Σ|cluster|² candidate surface — stays
     * bounded (n·[[targetClusterPop]], linear); candidate id-pairs are
-    * generated on SLIM (cluster, vec_id) rows and embeddings join back per
-    * candidate pair (the r4 near-dups restructure — the cluster shuffle
-    * moves 12-byte ids, not 64-float payloads); degenerate clusters are
-    * capped ([[maxClusterPop]]) with shed accounting that throws past
-    * [[maxShedFraction]] rather than silently reading as "no duplicates".
-    * The domination rule is transitive-chain aggressive (B dropped by A can
-    * still drop C) — exactly the one-shot within-cluster pass SemDeDup
-    * makes. Decade evidence: PairBench runs this at 100× next to the other
-    * pair families. */
+    * generated on SLIM (cluster, sub, vec_id) rows and embeddings join
+    * back per candidate pair (the r4 near-dups restructure — the cluster
+    * shuffle moves small ids, not 64-float payloads); DEGENERATE clusters
+    * SPLIT instead of shed: a cluster past [[maxClusterPop]] partitions by
+    * the leading [[subBits]] sign bits of a fixed hyperplane family (near-
+    * identical vectors agree on every sign bit w.h.p., so duplicate pairs
+    * stay co-celled while unrelated mass separates), and only cells still
+    * over the cap after the deepest split keep their members unverified —
+    * counted as shed, throwing past [[maxShedFraction]]. The domination
+    * rule is transitive-chain aggressive (B dropped by A can still drop
+    * C) — exactly the one-shot within-cluster pass SemDeDup makes. Decade
+    * evidence: PairBench runs this at 100× next to the other pair
+    * families. */
   def semanticDedup(spark: SparkSession, dir: String,
       minCosine: Double = 0.9): DataFrame =
     semanticDedupAt(spark, dir, semClusters(corpusSize(spark, dir)), minCosine)
 
+  /** Deepest sub-split of an over-cap cluster: 2^6 = 64 cells, holding
+    * populations to [[maxClusterPop]] up to 128k-member clusters; cells
+    * still over the cap after that (e.g. >cap EXACT copies, which share
+    * every sign bit by construction) shed into the guard. */
+  val maxSubBits = 6
+
+  /** Split width for a cluster of `pop` members — 0 for healthy
+    * clusters (the common case: the rule stays "same cluster"). */
+  def subBits(pop: Long, cap: Long = maxClusterPop): Int =
+    (0 to maxSubBits).find(b => pop <= (cap << b))
+      .getOrElse(maxSubBits)
+
+  private def subBitsSql(pop: String, cap: Long = maxClusterPop): String =
+    (0 until maxSubBits).map(b => s"WHEN $pop <= ${cap << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $maxSubBits END")
+
+  /** The fixed splitting planes (table 0's first [[maxSubBits]]
+    * hyperplanes — seeded literals both engines interpolate). */
+  private[graft] def subPlanes: Seq[Seq[Double]] =
+    hyperplanesAt(maxSubBits, 1)
+
+  /** Ordered left-fold dot of a centroid against a plane — the SAME fold
+    * [[dotSql]] replays, so the thresholds below are bit-identical across
+    * engines. */
+  private[graft] def centroidDot(c: Seq[Double], p: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length && i < p.length) { acc += c(i) * p(i); i += 1 }
+    acc
+  }
+
+  /** The per-cluster split thresholds (spec replay hook): threshold b of
+    * cluster c is `dot(centroid_c, plane_b)` in [[dotSql]]'s fold order. */
+  private[graft] def semSplitThresholds(spark: SparkSession, dir: String,
+      k: Int): Map[Int, Seq[Double]] =
+    centroidsFor(spark, dir, k).map { case (cl, c) =>
+      cl -> subPlanes.map(p => centroidDot(c, p))
+    }.toMap
+
+  /** (vec_id, embedding, norm, cluster, sub): the dedup CELLS — cluster
+    * plus the per-cluster-width sign-bit prefix (`sub` = 0 everywhere the
+    * cluster is under the cap, so the split is invisible to healthy
+    * corpora). The splitting planes are ANCHORED AT THE CLUSTER CENTROID:
+    * bit b is `dot(v, p_b) ≥ dot(μ, p_b)` ≡ sign(dot(v − μ, p_b)). A
+    * RAW sign bit barely splits a similarity-gathered cluster (members
+    * all correlate with the centroid direction, so they agree on most
+    * global signs — measured 57/120 planted-copy detections); the
+    * RESIDUAL sign is near-balanced around the mean, and an exact copy
+    * still matches its original on every bit against any threshold.
+    * Shared by [[semanticDedupAt]] and the PairBench census. */
+  private def semCells(spark: SparkSession, dir: String, k: Int,
+      cap: Long = maxClusterPop): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    val a = assignmentsFor(spark, dir, k)
+    val planes = subPlanes
+    val thrDf = centroidsFor(spark, dir, k).toSeq.map { case (cl, c) =>
+      (cl, planes.map(p => centroidDot(c, p)))
+    }.toDF("cluster", "thr")
+    val bitsDf = a.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+      .withColumn("bits", expr(subBitsSql("cluster_n", cap)))
+      .select("cluster", "bits")
+      .join(thrDf, Seq("cluster"))
+    val code = (0 until maxSubBits).map { b =>
+      when(call_function("vec_dot", col("embedding"), typedLit(planes(b)))
+        >= element_at(col("thr"), b + 1), lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    a.join(broadcast(bitsDf), Seq("cluster"))
+      .withColumn("code6", code)
+      .withColumn("sub", expr(s"shiftright(code6, $maxSubBits - bits)"))
+      .select("vec_id", "embedding", "norm", "cluster", "sub")
+  }
+
   /** [[semanticDedup]] at an explicit cluster count — the deliberate knob
     * for corpora past the [[maxSemK]] staircase ceiling. */
   def semanticDedupAt(spark: SparkSession, dir: String, k: Int,
-      minCosine: Double): DataFrame = {
-    graft.functions.VectorExprs.register(spark)
-    val a = assignmentsFor(spark, dir, k)
-    // cluster census: ≤ k rows; the shed guard runs eagerly here so a
-    // pathologically concentrated corpus throws instead of silently keeping
-    val pops = a.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
-    assertClustersHealthy(pops, k)
-    val elig = pops.filter(col("cluster_n") <= maxClusterPop).select("cluster")
-    val ids = a.join(broadcast(elig), Seq("cluster")).select("cluster", "vec_id")
-    val nbrIds = ids.select(col("cluster"), col("vec_id").as("nbr_id"))
-    val pairs = ids.join(nbrIds, Seq("cluster"))
+      minCosine: Double): DataFrame =
+    semanticDedupWith(spark, dir, k, minCosine, maxClusterPop)
+
+  /** [[semanticDedupAt]] with an explicit cell cap — spec hook: fixture
+    * corpora cannot reach the production cap, so the split/shed paths
+    * pin their contracts at a small one. */
+  private[graft] def semanticDedupWith(spark: SparkSession, dir: String,
+      k: Int, minCosine: Double, cap: Long): DataFrame = {
+    val cells = semCells(spark, dir, k, cap)
+    // cell census: ≤ k·2^maxSubBits rows; the shed guard runs eagerly so
+    // a pathologically concentrated corpus throws instead of silently
+    // keeping everything
+    val pops = cells.groupBy("cluster", "sub").agg(count(lit(1)).as("cell_n"))
+    assertCellsHealthy(pops, k, cap)
+    val elig = pops.filter(col("cell_n") <= cap).select("cluster", "sub")
+    val ids = cells.join(broadcast(elig), Seq("cluster", "sub"))
+      .select("cluster", "sub", "vec_id")
+    val nbrIds = ids.select(col("cluster"), col("sub"), col("vec_id").as("nbr_id"))
+    val pairs = ids.join(nbrIds, Seq("cluster", "sub"))
       .filter(col("nbr_id") < col("vec_id"))
       .select("vec_id", "nbr_id")
-    val e = a.select("vec_id", "embedding", "norm")
+    val e = cells.select("vec_id", "embedding", "norm")
     val scored = pairs
       .join(e, Seq("vec_id"))
       .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("n_embedding"),
@@ -945,52 +1031,71 @@ object Similarity {
         (col("norm") * col("n_norm")) >= lit(minCosine))
       .select("vec_id").distinct()
       .withColumn("dominated", lit(true))
-    a.select("vec_id", "cluster")
+    cells.select("vec_id", "cluster")
       .join(dominated, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(!col("dominated"), lit(true)).as("kept"))
       .orderBy("vec_id")
   }
 
-  /** Shed guard for [[semanticDedupAt]] — the cluster-shaped twin of
-    * [[assertBucketsHealthy]]. */
-  private def assertClustersHealthy(pops: DataFrame, k: Int): Unit = {
+  /** Shed guard for [[semanticDedupAt]] — the cell-shaped twin of
+    * [[assertBucketsHealthy]]: only cells the deepest split could not
+    * bring under the cap count as shed. */
+  private def assertCellsHealthy(pops: DataFrame, k: Int, cap: Long): Unit = {
     val row = pops.agg(
-      coalesce(sum(when(col("cluster_n") > maxClusterPop, col("cluster_n"))), lit(0L))
+      coalesce(sum(when(col("cell_n") > cap, col("cell_n"))), lit(0L))
         .as("shed"),
-      coalesce(sum(col("cluster_n")), lit(0L)).as("total")).head()
+      coalesce(sum(col("cell_n")), lit(0L)).as("total")).head()
     val (shed, total) = (row.getLong(0), row.getLong(1))
     if (total > 0 && shed.toDouble > total.toDouble * maxShedFraction)
       throw new IllegalStateException(
         s"semantic dedup is load-shedding $shed of $total vectors at k=$k clusters " +
-          s"(cap $maxClusterPop/cluster, ceiling ${(maxShedFraction * 100).toInt}%) — " +
-          "over-cap clusters keep all members UNVERIFIED, so the result would " +
+          s"even after ${1 << maxSubBits}-way sign-bit splitting (cap " +
+          s"$cap/cell, ceiling ${(maxShedFraction * 100).toInt}%) — " +
+          "over-cap cells keep all members UNVERIFIED, so the result would " +
           "silently read as 'no duplicates'. Raise k explicitly via " +
-          "semanticDedupAt, or widen maxSemK/targetClusterPop.")
+          "semanticDedupAt, or widen maxSemK/targetClusterPop/maxSubBits.")
   }
 
-  /** Cluster-population census at the corpus-adaptive k — PairBench's
-    * cap-telemetry hook, reading the same memoized assignments the timed
-    * query filled. */
+  /** Cell-population census at the corpus-adaptive k — PairBench's
+    * cap-telemetry hook ("dropped" there = cells the deepest split could
+    * not bring under the cap), reading the same memoized assignments the
+    * timed query filled. */
   def semClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    assignmentsFor(spark, dir, semClusters(corpusSize(spark, dir)))
-      .groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    semCells(spark, dir, semClusters(corpusSize(spark, dir)))
+      .groupBy("cluster", "sub").agg(count(lit(1)).as("cluster_n"))
 
   /** DuckDB replay of [[semanticDedup]] — the adaptive-k CASE ladder, the
-    * full Lloyd chain at that k, the population cap, and the
-    * within-cluster domination pass, bit-identical dot folds. */
+    * full Lloyd chain at that k, the per-cluster split-width ladder, the
+    * sign-bit cells, the cell cap, and the within-cell domination pass,
+    * bit-identical dot folds throughout. */
   def semanticDedupOracleSql(minCosine: Double = 0.9): String = {
+    val litsOf = (b: Int) => subPlanes(b).map(java.lang.Double.toString)
+      .mkString("[", ", ", "]")
+    val thrList = (0 until maxSubBits)
+      .map(b => dotSql("centroid", litsOf(b))).mkString("[", ",\n   ", "]")
+    val codeTerms = (0 until maxSubBits).map { b =>
+      s"(CASE WHEN ${dotSql("a.embedding", litsOf(b))} >= c.thr[${b + 1}] " +
+        s"THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
     val ctes = Seq(
       s"semk AS (SELECT ${semClustersSql("(SELECT COUNT(*) FROM embeddings)")} AS k)") ++
       assignedCtesAt("(SELECT k FROM semk)") ++ Seq(
-      "pops AS (SELECT cluster, COUNT(*) AS cluster_n FROM assigned GROUP BY 1)",
+      "cpops AS (SELECT cluster, COUNT(*) AS cluster_n FROM assigned GROUP BY 1)",
+      s"""sbits AS (SELECT cluster, ${subBitsSql("cluster_n")} AS bits FROM cpops)""",
+      s"cthr AS (SELECT cluster, $thrList AS thr FROM cent$ivfIters)",
+      s"""cells AS (
+         |  SELECT a.*, ($codeTerms >> ($maxSubBits - b.bits)) AS sub
+         |  FROM assigned a JOIN sbits b USING (cluster)
+         |  JOIN cthr c USING (cluster))""".stripMargin,
+      "pops AS (SELECT cluster, sub, COUNT(*) AS cell_n FROM cells GROUP BY 1, 2)",
       s"""elig AS (
-         |  SELECT a.* FROM assigned a JOIN pops p USING (cluster)
-         |  WHERE p.cluster_n <= $maxClusterPop)""".stripMargin,
+         |  SELECT c.* FROM cells c JOIN pops p USING (cluster, sub)
+         |  WHERE p.cell_n <= $maxClusterPop)""".stripMargin,
       s"""dominated AS (
          |  SELECT DISTINCT x.vec_id
          |  FROM elig x JOIN elig y
-         |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |    ON x.cluster = y.cluster AND x.sub = y.sub AND y.vec_id < x.vec_id
          |  WHERE ${dotSql("x.embedding", "y.embedding")} /
          |    (x.norm * y.norm) >= $minCosine)""".stripMargin)
     s"""WITH ${ctes.mkString(",\n")}

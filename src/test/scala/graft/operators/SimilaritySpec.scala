@@ -285,17 +285,38 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   /** Brute-force replay of the semantic-dedup rule over a collected
-    * (id -> embedding) map and the engine's own cluster assignments:
-    * dropped iff an earlier same-ELIGIBLE-cluster vector has cosine >=
-    * threshold (over-cap clusters keep everything, replaying the cap). */
+    * (id -> embedding) map and the engine's own cluster assignments,
+    * including the sign-bit SPLIT of over-cap clusters: the cell is
+    * (cluster, leading `subBits(pop)` bits of the fixed-plane code), and
+    * dropped iff an earlier same-ELIGIBLE-cell vector has cosine >=
+    * threshold (cells still over the cap keep everything). */
   private def replaySemanticRule(decisions: Array[(Long, Int, Boolean)],
-      byId: Map[Long, Array[Double]], minCosine: Double): Unit = {
+      byId: Map[Long, Array[Double]], minCosine: Double,
+      thresholds: Map[Int, Seq[Double]],
+      cap: Long = Similarity.maxClusterPop): Unit = {
     val cluster = decisions.map(d => d._1 -> d._2).toMap
-    val pops = decisions.groupBy(_._2).view.mapValues(_.length).toMap
-    decisions.foreach { case (id, cl, kept) =>
-      val expectDropped = pops(cl) <= Similarity.maxClusterPop &&
+    val clusterPops = decisions.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val planes = Similarity.subPlanes
+    def dotD(a: Array[Double], p: Seq[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * p(i); i += 1 }
+      d
+    }
+    def code6(v: Array[Double], cl: Int): Int =
+      (0 until Similarity.maxSubBits)
+        .map(b => if (dotD(v, planes(b)) >= thresholds(cl)(b)) 1 << b else 0).sum
+    def cellOf(id: Long): (Int, Int) = {
+      val cl = cluster(id)
+      val bits = Similarity.subBits(clusterPops(cl), cap)
+      (cl, code6(byId(id), cl) >> (Similarity.maxSubBits - bits))
+    }
+    val cell = byId.keys.map(id => id -> cellOf(id)).toMap
+    val cellPops = cell.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    decisions.foreach { case (id, _, kept) =>
+      val c = cell(id)
+      val expectDropped = cellPops(c) <= cap &&
         byId.keys.exists(o =>
-          o < id && cluster(o) == cl &&
+          o < id && cell(o) == c &&
             cosDriver(byId(o), byId(id)) >= minCosine - 1e-9)
       // 1e-9 slack covers driver-vs-engine fold order on non-boundary data
       assert(kept === !expectDropped, s"vec $id: kept=$kept, rule says dropped=$expectDropped")
@@ -316,7 +337,8 @@ class SimilaritySpec extends AnyFunSuite {
       "one decision row per vector")
     assert(decisions.count(_._3) > decisions.count(!_._3),
       "dedup must not drop most of the corpus")
-    replaySemanticRule(decisions, collectEmbeddings(sf), 0.9)
+    replaySemanticRule(decisions, collectEmbeddings(sf), 0.9,
+      Similarity.semSplitThresholds(spark, sf, Similarity.semClusters(500L)))
     // the fixture corpus is near-isotropic (max pairwise cosine ~0.48):
     // at a duplicate-grade threshold the CORRECT answer is that a corpus
     // with no semantic duplicates loses nothing
@@ -344,6 +366,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dropped === (0L until 120L).map(_ + 1000L).toSet,
       "exactly the planted copies are dropped; every original keeps")
     assert(decisions.count(_._3) > dropped.size, "majority kept")
-    replaySemanticRule(decisions, collectEmbeddings(dir), 0.9)
+    replaySemanticRule(decisions, collectEmbeddings(dir), 0.9,
+      Similarity.semSplitThresholds(spark, dir, Similarity.semClusters(620L)))
+  }
+
+  test("semanticDedup: over-cap clusters SPLIT by sign bits — planted copies still caught where shedding would keep them") {
+    import org.apache.spark.sql.functions._
+    // same planted-copies corpus, but a cell cap small enough that most
+    // clusters exceed it: the old shed rule would keep EVERY over-cap
+    // cluster unverified (copies survive); the split rule partitions each
+    // cluster by sign-bit prefix, and an exact copy shares every sign bit
+    // with its original, so the pair stays co-celled and still drops
+    val dir = java.nio.file.Files.createTempDirectory("graft_semsplit").toString
+    val emb = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 120)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    emb.unionByName(copies).repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cap = 12L
+    val k = Similarity.semClusters(620L)
+    val decisions = Similarity.semanticDedupWith(spark, dir, k, 0.9, cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(decisions.length === 620)
+    // the cell rule replays exactly, cap included
+    replaySemanticRule(decisions, collectEmbeddings(dir), 0.9,
+      Similarity.semSplitThresholds(spark, dir, k), cap)
+    val dropped = decisions.filterNot(_._3).map(_._1).toSet
+    // every drop is a planted copy (originals have no >=0.9 pairs), and
+    // the split preserves MOST detections despite every cluster being
+    // far over a 12-member cap (a pure shed rule would detect zero)
+    assert(dropped.subsetOf((0L until 120L).map(_ + 1000L).toSet))
+    assert(dropped.size > 60,
+      s"sign-bit splitting must keep most copy pairs co-celled; caught ${dropped.size}/120")
   }
 }

@@ -41,6 +41,7 @@ object Bench {
     // builds inside drop_partitions/bloom_lookup/change_feed_keyed windows;
     // steady-state these are metadata reads, milliseconds
     "manifest_partition_scan", "bloom_lookup", "drop_partitions",
+    "manifest_writer", // one-time write-path table build (bootstrap + append)
     // change_feed_keyed deliberately NOT here: its fixture (manmerge) is
     // already warmed via merge_versioned, so its timed number is the real
     // keyed-diff cost, not a build artifact

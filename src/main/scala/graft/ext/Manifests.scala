@@ -1032,7 +1032,12 @@ object Manifests {
     val floor = committed
       .find(v => Dfs.mtime(spark, s"$base/v$v/_SUCCESS") > horizonMillis)
       .getOrElse(committed.last)
-    reclaimBelow(spark, base, committed, floor)
+    val r = reclaimBelow(spark, base, committed, floor)
+    // attempt residue older than the horizon is past the same protection
+    // window the versions get — sweep it with the equivalent age
+    sweepOrphans(spark, base,
+      math.max(0L, System.currentTimeMillis() - horizonMillis))
+    r
   }
 
   private def committedVersions(spark: SparkSession, base: String): Seq[Int] =

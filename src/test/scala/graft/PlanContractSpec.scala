@@ -337,4 +337,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"counts not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to meet the counts:\n$plan")
   }
+
+  test("epochOrder ranks without a corpus-wide single-partition exchange") {
+    val df = operators.Corpus.epochOrder(spark, sf)
+    val plan = planOf(df)
+    // the rank comes from range partitioning + per-partition windows +
+    // metadata offsets (Keys.withRank); a plain ROW_NUMBER() OVER (ORDER
+    // BY ...) would plan Exchange SinglePartition over every (doc, epoch)
+    // row. The presentation ORDER BY at the end is range-partitioned.
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition global sort in the epoch-order plan:\n$plan")
+    assert(plan.contains("windowspecdefinition(_pid"),
+      s"rank windows must partition by _pid:\n$plan")
+  }
 }

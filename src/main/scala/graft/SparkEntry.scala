@@ -261,6 +261,18 @@ object SparkEntry {
     // relation), and the registered query is one spark.sql string —
     // partition pruning, pushdown and codegen all arrive through the
     // SQL path unchanged
+    // metadata-only COUNT(*): the whole-table count of an ANALYZEd
+    // manifest table collapses to the stats-sidecar sum at plan time —
+    // LocalTableScan, zero data-file opens, no job (ManifestRelationSpec
+    // pins the plan; at 100 TB this is the difference between a
+    // million-footer scan and one metadata read). The oracle replays
+    // the count over the clean lineage: the rewrite must be invisible
+    "fast_count" -> ((s, d) => {
+      val b = manskipFixture(s, d)
+      s.read.format("manifest").load(b)
+        .createOrReplaceTempView("man_fastcnt")
+      s.sql("SELECT COUNT(*) AS n_rows FROM man_fastcnt")
+    }),
     "manifest_sql_scan" -> ((s, d) => {
       val b = manpartFixture(s, d)
       s.read.format("manifest").load(b).createOrReplaceTempView("man_sales")
@@ -635,6 +647,9 @@ object SparkEntry {
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE NOT COALESCE(country IN ('NATION_3', 'NATION_8'), FALSE)
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // the metadata-only count must equal the count computed over data
+    "fast_count" ->
+      s"""${Oracle.cleanedCte} SELECT COUNT(*) AS n_rows FROM cleaned""",
     // the SQL-addressed relation: same content as the DataFrame path
     "manifest_sql_scan" ->
       s"""${Oracle.cleanedCte} SELECT country, COUNT(*) AS n_sales,

@@ -57,6 +57,31 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
   private val blooms: Option[(Seq[String], Seq[String])] =
     Manifests.bloomOf(spark, base, version)
 
+  /** The table's EXACT row count from metadata alone, when provable:
+    * the zone-stats sidecar records `n_rows` per file
+    * ([[Skipping.buildStats]]), and a batch relation carries no
+    * deletion vectors by contract (the provider refuses them), so when
+    * every manifest file is covered by a stats row the version's
+    * cardinality is a metadata-sized sum — no data file is opened, no
+    * job runs. `None` whenever the proof does not hold (no ANALYZE
+    * yet, or a file the stats miss): callers fall back to the real
+    * scan, which stays exactly as correct.
+    *
+    * This is what `SELECT COUNT(*)` should cost on a 100 TB table —
+    * Delta and Iceberg both answer it from file-level metadata — and
+    * the reason appends maintain the stats sidecar incrementally: the
+    * proof survives every append without re-ANALYZE. */
+  lazy val exactRowCount: Option[Long] = stats.flatMap { case (_, segs) =>
+    val st = SidecarCache.localDf(spark, segs)
+    if (!st.schema.fieldNames.contains("n_rows")) None
+    else {
+      val counts = st.select("file", "n_rows").collect()
+        .map(r => Dfs.canonical(r.getString(0)) -> r.getLong(1)).toMap
+      if (files.forall(counts.contains)) Some(files.iterator.map(counts).sum)
+      else None
+    }
+  }
+
   override def rootPaths: Seq[Path] = Seq(new Path(base))
 
   override def partitionSchema: StructType = new StructType()

@@ -89,6 +89,10 @@ class DefaultSource extends StreamSourceProvider with RelationProvider
     // exist — without it, SQL INSERT INTO would write bare parquet into
     // the table root that no manifest version lists (silent data loss)
     org.apache.spark.sql.graft.ManifestInsertStrategy.install(spark)
+    // ...and the metadata-only COUNT(*) rewrite with it: an unfiltered
+    // count over this relation answers from the stats sidecar when the
+    // version's coverage proves it exact (CountShim)
+    org.apache.spark.sql.graft.ManifestCountRule.install(spark)
     val (base, atSuffix) = splitVersionSuffix(basePath(parameters))
     val v = (parameters.get("versionAsOf").map(_.toInt).orElse(atSuffix),
         parameters.get("timestampAsOf")) match {

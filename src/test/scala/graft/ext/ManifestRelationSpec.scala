@@ -509,4 +509,80 @@ class ManifestRelationSpec extends AnyFunSuite {
         .write.format("manifest").mode("append").save(b))
     assert(Manifests.latestVersion(spark, b) === before)
   }
+
+  test("metadata-only COUNT(*): analyzed table answers from stats — local plan, zero data opens; unprovable shapes keep the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    val b = "graftcnt:" +
+      java.nio.file.Files.createTempDirectory("graft_rel_fastcnt").toString + "/t"
+    Manifests.commitData(
+      (1 to 500).map(i => (i.toLong, i % 10)).toDF("id", "k").repartition(4), b)
+    // counts file scans through AQE's wrapper (a global aggregate has an
+    // exchange, so its executed plan is adaptive — finalize by executing)
+    def fileScans(df: DataFrame): Int = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan) // materialized stages are leaves wrapping their plan
+        case f: FileSourceScanExec => 1
+        case other => other.children.map(scans).sum
+      }
+      scans(df.queryExecution.executedPlan)
+    }
+    def dataOpens(f: => Unit): Long = {
+      val s = CountingFileSystem.dataReads.get(); f
+      CountingFileSystem.dataReads.get() - s
+    }
+    // no stats yet: no proof, no rewrite — the ordinary scan answers
+    val unproven = rel(b).groupBy().count()
+    assert(unproven.head.getLong(0) === 500)
+    assert(fileScans(unproven) === 1,
+      "without stats coverage the count must stay a real scan")
+    // ANALYZE records n_rows per file: the count collapses to a
+    // LocalRelation at plan time — zero data-file opens
+    Manifests.analyze(spark, b, Seq("k"))
+    val proven = rel(b).groupBy().count()
+    assert(dataOpens(assert(proven.head.getLong(0) === 500)) === 0L)
+    assert(fileScans(proven) === 0)
+    // the rewrite is logical: the optimized plan IS a LocalRelation
+    assert(proven.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty)
+    // the SQL surface gets the same answer the same way
+    rel(b).createOrReplaceTempView("graft_fastcnt_t")
+    val sql = spark.sql(
+      "SELECT COUNT(*) AS a, COUNT(1) AS b FROM graft_fastcnt_t")
+    assert(dataOpens {
+      val r = sql.head
+      assert(r.getLong(0) === 500L && r.getLong(1) === 500L)
+    } === 0L)
+    // appends maintain the stats sidecar incrementally: the coverage
+    // proof — and the metadata-only answer — survive without re-ANALYZE
+    Manifests.append(Seq((9001L, 3), (9002L, 4)).toDF("id", "k"), b)
+    val afterAppend = rel(b).groupBy().count()
+    assert(dataOpens(assert(afterAppend.head.getLong(0) === 502)) === 0L)
+    assert(fileScans(afterAppend) === 0)
+    // every shape that could change cardinality keeps the real plan
+    val filtered = rel(b).filter(col("k") === 3).groupBy().count()
+    assert(fileScans(filtered) === 1)
+    assert(filtered.head.getLong(0) === 51)
+    assert(fileScans(rel(b).groupBy("k").count()) === 1)
+    assert(fileScans(rel(b).select(countDistinct(col("k")))) === 1)
+    // (the temp view pinned the pre-append snapshot — re-register over
+    // the current version before filtering through SQL)
+    rel(b).createOrReplaceTempView("graft_fastcnt_t")
+    val guarded = spark.sql(
+      "SELECT COUNT(*) FILTER (WHERE k = 3) AS c FROM graft_fastcnt_t")
+    assert(fileScans(guarded) === 1)
+    assert(guarded.head.getLong(0) === 51)
+    // time travel counts metadata-only too, against ITS version's stats
+    val tt = spark.read.format("manifest").option("versionAsOf", 1)
+      .load(b).groupBy().count()
+    assert(dataOpens(assert(tt.head.getLong(0) === 500)) === 0L)
+    assert(fileScans(tt) === 0)
+  }
 }

@@ -34,6 +34,9 @@ class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     if ((s.contains("/stats_") || s.contains("/pv_") || s.contains("/bloom_"))
         && !p.getName.startsWith("_"))
       sidecarReads.incrementAndGet()
+    // a DATA file open — the cost a metadata-only answer must avoid
+    if (s.contains("/data_") && !p.getName.startsWith("_"))
+      dataReads.incrementAndGet()
     super.open(p, bufferSize)
   }
   override def create(p: org.apache.hadoop.fs.Path, permission: org.apache.hadoop.fs.permission.FsPermission,
@@ -56,6 +59,7 @@ object CountingFileSystem {
   val ops = new java.util.concurrent.atomic.AtomicLong(0)
   val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
   val sidecarReads = new java.util.concurrent.atomic.AtomicLong(0)
+  val dataReads = new java.util.concurrent.atomic.AtomicLong(0)
   val inListing: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 }

@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+/** Thrown when a write would land rows that violate a table CHECK
+  * constraint ([[Manifests.addConstraint]]), or when adding a
+  * constraint the existing data already violates. The refusing write
+  * burns no version; its orphaned data files are
+  * [[Manifests.sweepOrphans]] residue like any other lost attempt. */
+final class ConstraintViolationException(msg: String)
+  extends RuntimeException(msg)
+
 /** Manifest-based snapshots — the missing piece between [[Snapshots]]
   * (atomic, but each version is a COMPLETE directory, so publishing a
   * version that changes 0.1% of a 100 TB table copies the other 99.9%)
@@ -129,7 +137,8 @@ object Manifests {
       stats: Option[(Seq[String], Seq[String])] = None,
       parent: Option[Int] = None,
       partValues: Option[(Seq[String], Seq[String])] = None,
-      blooms: Option[(Seq[String], Seq[String])] = None): Int = {
+      blooms: Option[(Seq[String], Seq[String])] = None,
+      constraints: Option[Seq[(String, String)]] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -183,6 +192,19 @@ object Manifests {
       Dfs.writeBytes(spark, s"$base/v$v/_bloomfile",
         segs.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     }
+    // CHECK constraints are TABLE metadata that rides every version:
+    // unless the caller sets them explicitly (add/drop), a commit
+    // inherits its parent's — or, for a bootstrap/overwrite landing on
+    // a live table, the superseded latest's — so an overwrite cannot
+    // silently shed the table's invariants (Delta's behavior)
+    val effConstraints: Seq[(String, String)] = constraints.getOrElse {
+      parent.filter(_ >= 0).orElse(latestVersion(spark, base).filter(_ < v))
+        .map(constraintsOf(spark, base, _)).getOrElse(Seq.empty)
+    }
+    if (effConstraints.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_constraints",
+        effConstraints.map { case (n, p) => s"$n\t$p" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     // summary counts land BEFORE the marker, so they exist for every
@@ -364,8 +386,11 @@ object Manifests {
     val spark = df.sparkSession
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(dir)
-    commit(spark, base, Dfs.dataFiles(spark, dir).map(_.getPath.toString),
-      schema = Some(df.schema))
+    val fs = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    // an overwrite on a live table must still honor its constraints
+    enforceConstraints(spark, base, latestVersion(spark, base), fs,
+      Some(df.schema))
+    commit(spark, base, fs, schema = Some(df.schema))
   }
 
   /** Bootstrap a BUCKETED table: rows are hash-partitioned on `keys`
@@ -420,6 +445,8 @@ object Manifests {
     // re-list for the manifest: listing paths are filesystem-qualified,
     // the spelling every other write path's set arithmetic compares by
     val renamed = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    enforceConstraints(spark, base, latestVersion(spark, base), renamed,
+      Some(df.schema))
     val v = commit(spark, base, renamed, schema = Some(df.schema))
     Dfs.writeBytes(spark, s"$base/v$v/_bucketspec",
       s"$numBuckets\n${keys.mkString(",")}\n${sortBy.mkString(",")}\n"
@@ -643,6 +670,8 @@ object Manifests {
       .sortWithinPartitions(partCols.map(col): _*)
       .write.mode("errorifexists").parquet(dir)
     val files = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    enforceConstraints(spark, base, latestVersion(spark, base), files,
+      Some(df.schema))
     commit(spark, base, files, schema = Some(df.schema),
       partValues = Some((partCols,
         Seq(writePartValues(spark, base, files, partCols, Some(df.schema))))))
@@ -1257,6 +1286,9 @@ object Manifests {
       .repartition(math.max(1, affected.size))
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    // merged-in updates and inserts are new row images — validate them
+    enforceConstraints(spark, base, Some(v), rewritten,
+      schemaOf(spark, base, v))
     val nv = commitRewrite(spark, base, v, affected, rewritten, tag,
       added => rd.parquet(added: _*)
         .select(keyCols.map(col): _*)
@@ -1358,6 +1390,10 @@ object Manifests {
       if (!wrote) batch.write.mode("overwrite").parquet(dir)
       val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
       if (newFiles.isEmpty) return None
+      // CHECK constraints validate the new rows ONCE, when they land
+      // (retries re-derive metadata only; the data never changes)
+      if (!wrote) enforceConstraints(spark, base, prev, newFiles,
+        Some(tableSchema))
       val cur = prev.map(files(spark, base, _)).getOrElse(Seq.empty)
       // stats: existing SEGMENTS carry by reference, only the new files
       // are statted into one new segment — per-append sidecar writes are
@@ -1710,6 +1746,10 @@ object Manifests {
       .repartition(math.max(1, affected.size))
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    // SET expressions can mint violating values — validate the
+    // rewritten images (cost ∝ rewritten bytes, already paid as I/O)
+    enforceConstraints(spark, base, Some(v), rewritten,
+      schemaOf(spark, base, v))
     val nv = commitRewrite(spark, base, v, affected, rewritten, None,
       added => rd.parquet(added: _*)
         .filter(hit).limit(1).count() > 0)
@@ -1744,6 +1784,106 @@ object Manifests {
       blooms = bloomOf(spark, base, v))
   }
 
+  /** The CHECK constraints version `v` was committed under:
+    * `(name, SQL predicate)` pairs, empty when none were ever added.
+    * One tiny-file read — the lookup every write pays, so it must be
+    * metadata-sized. */
+  def constraintsOf(spark: SparkSession, base: String,
+      v: Int): Seq[(String, String)] =
+    if (!Dfs.exists(spark, s"$base/v$v/_constraints")) Seq.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_constraints"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        (line.substring(0, i), line.substring(i + 1))
+      }.toSeq
+
+  /** ALTER TABLE ... ADD CONSTRAINT name CHECK (predicate) — SQL CHECK
+    * semantics throughout: a row violates only when the predicate
+    * evaluates to FALSE; NULL passes. The whole EXISTING table must
+    * already satisfy the predicate (one validation scan, Delta's ADD
+    * CONSTRAINT behavior) — that scan is what lets every later write
+    * validate ONLY its own new rows: the invariant is inductive, so
+    * enforcement cost on a 100 TB table is ∝ written bytes per commit,
+    * never a table scan. The constraint lands as a new metadata-only
+    * version (files carried by reference) and rides every subsequent
+    * commit until [[dropConstraint]]. */
+  def addConstraint(spark: SparkSession, base: String,
+      name: String, predicateSql: String): Int = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      "constraint names must be non-empty and tab/newline-free")
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val existing = constraintsOf(spark, base, v)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already exists on $base")
+    val bad = readAt(spark, base, v)
+      .filter(not(coalesce(expr(predicateSql), lit(true))))
+      .limit(1).count()
+    if (bad > 0)
+      throw new ConstraintViolationException(
+        s"cannot add constraint '$name' CHECK ($predicateSql) to $base — " +
+          "existing rows violate it")
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"constraint:add:$name"),
+      dv = dvFiles(spark, base, v),
+      schema = schemaOf(spark, base, v),
+      stats = statsOf(spark, base, v),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v),
+      constraints = Some(existing :+ (name -> predicateSql)))
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT — a metadata-only version whose
+    * constraint set no longer carries `name`. History keeps the old
+    * set: time travel shows which invariants held when. */
+  def dropConstraint(spark: SparkSession, base: String,
+      name: String): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val existing = constraintsOf(spark, base, v)
+    require(existing.exists(_._1 == name),
+      s"no constraint '$name' on $base")
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"constraint:drop:$name"),
+      dv = dvFiles(spark, base, v),
+      schema = schemaOf(spark, base, v),
+      stats = statsOf(spark, base, v),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v),
+      constraints = Some(existing.filterNot(_._1 == name)))
+  }
+
+  /** Validate NEW row images against the snapshot's constraints — the
+    * write-path half of the inductive invariant [[addConstraint]]
+    * establishes. One aggregate pass over ONLY the just-written files
+    * (cost ∝ written bytes; all constraints checked in a single scan);
+    * a violation throws BEFORE any commit attempt, so no version burns
+    * and the orphaned files are ordinary [[sweepOrphans]] residue. */
+  private def enforceConstraints(spark: SparkSession, base: String,
+      snapshot: Option[Int], newFiles: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    val cs = snapshot.filter(_ >= 0)
+      .map(constraintsOf(spark, base, _)).getOrElse(Seq.empty)
+    if (cs.isEmpty || newFiles.isEmpty) return
+    val df = schema.fold(spark.read)(spark.read.schema(_))
+      .parquet(newFiles: _*)
+    val flags = cs.map { case (n, p) =>
+      max(when(not(coalesce(expr(p), lit(true))), lit(1))
+        .otherwise(lit(0))).as(n)
+    }
+    val row = df.agg(flags.head, flags.tail: _*).head
+    val violated = cs.indices
+      .filter(i => !row.isNullAt(i) && row.getInt(i) == 1)
+      .map(cs(_)).toList
+    if (violated.nonEmpty)
+      throw new ConstraintViolationException(
+        s"write to $base violates CHECK constraint(s): " +
+          violated.map { case (n, p) => s"'$n' ($p)" }.mkString(", "))
+  }
+
   /** Shallow CLONE: start a NEW table at `dst` whose v0 references
     * `src`'s files at version `v` by reference — zero data bytes
     * copied, one manifest write, and from then on the two histories
@@ -1771,7 +1911,8 @@ object Manifests {
       schema = schemaOf(spark, src, v),
       stats = statsOf(spark, src, v),
       partValues = partitionedBy(spark, src, v),
-      blooms = bloomOf(spark, src, v))
+      blooms = bloomOf(spark, src, v),
+      constraints = Some(constraintsOf(spark, src, v)))
   }
 
   /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only

@@ -1169,4 +1169,78 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Dfs.exists(spark, s"$b/stats_inflight"),
       "a young dir may be an in-flight commit's output — never swept")
   }
+
+  test("CHECK constraints: add validates the table once, every write validates only its rows, violations refuse atomically") {
+    import spark.implicits._
+    val b = base("graft_man_check")
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, Some(i % 10): Option[Int]))
+        .toDF("id", "qty"), b)
+    // adding a constraint the EXISTING data violates refuses (qty 0
+    // rows exist), burning nothing
+    intercept[ConstraintViolationException](
+      Manifests.addConstraint(spark, b, "qty_pos", "qty > 0"))
+    assert(Manifests.latestVersion(spark, b) === Some(0))
+    // a satisfiable one lands as a metadata-only version
+    val v1 = Manifests.addConstraint(spark, b, "qty_nonneg", "qty >= 0")
+    assert(Manifests.constraintsOf(spark, b, v1) ===
+      Seq("qty_nonneg" -> "qty >= 0"))
+    assert(Manifests.tagOf(spark, b, v1) === Some("constraint:add:qty_nonneg"))
+    // a valid append lands and CARRIES the constraint forward
+    Manifests.append(Seq((200L, Some(5): Option[Int])).toDF("id", "qty"), b)
+    val v2 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.constraintsOf(spark, b, v2).nonEmpty)
+    // NULL passes — SQL CHECK semantics: violation means FALSE, not
+    // not-TRUE
+    Manifests.append(
+      Seq((250L, Option.empty[Int])).toDF("id", "qty"), b)
+    val v3 = Manifests.latestVersion(spark, b).get
+    // a violating append refuses BEFORE any commit attempt: no version
+    // burned, table unchanged, residue is ordinary sweepOrphans fare
+    intercept[ConstraintViolationException](
+      Manifests.append(Seq((300L, Some(-1): Option[Int]))
+        .toDF("id", "qty"), b))
+    assert(Manifests.latestVersion(spark, b) === Some(v3))
+    assert(Manifests.readLatest(spark, b).count() === 102)
+    // the SQL write path runs the same appendTagged — same refusal
+    intercept[Exception](Seq((301L, Some(-2): Option[Int]))
+      .toDF("id", "qty").write.format("manifest").mode("append").save(b))
+    assert(Manifests.latestVersion(spark, b) === Some(v3))
+    // UPDATE can mint violating values through SET — refused
+    intercept[ConstraintViolationException](
+      Manifests.updateWhere(spark, b, col("id") === 200L,
+        Map("qty" -> lit(-5))))
+    assert(Manifests.latestVersion(spark, b) === Some(v3))
+    // merge updates are new row images — refused when violating
+    intercept[ConstraintViolationException](
+      Manifests.merge(spark, b,
+        Seq((200L, Some(-3): Option[Int])).toDF("id", "qty"), Seq("id")))
+    // an overwrite REPLACES data but inherits the constraint set — and
+    // is validated against it
+    intercept[ConstraintViolationException](
+      Manifests.commitData(
+        Seq((1L, Some(-1): Option[Int])).toDF("id", "qty"), b))
+    Manifests.commitData(
+      Seq((1L, Some(1): Option[Int])).toDF("id", "qty"), b)
+    val v4 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.constraintsOf(spark, b, v4) ===
+      Seq("qty_nonneg" -> "qty >= 0"))
+    // drop is metadata-only; the formerly violating write then lands
+    Manifests.dropConstraint(spark, b, "qty_nonneg")
+    Manifests.append(
+      Seq((500L, Some(-1): Option[Int])).toDF("id", "qty"), b)
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("qty") < 0).count() === 1)
+    // history kept the old constraint sets for audit
+    assert(Manifests.constraintsOf(spark, b, v4).nonEmpty)
+    // a shallow clone carries the source's constraints at the cloned
+    // version (v4 still had the constraint)
+    val dst = base("graft_man_check_clone") + "/t"
+    Manifests.shallowClone(spark, b, dst, v4)
+    assert(Manifests.constraintsOf(spark, dst, 0) ===
+      Seq("qty_nonneg" -> "qty >= 0"))
+    intercept[ConstraintViolationException](
+      Manifests.append(Seq((600L, Some(-9): Option[Int]))
+        .toDF("id", "qty"), dst))
+  }
 }

@@ -273,6 +273,16 @@ object SparkEntry {
         .createOrReplaceTempView("man_fastcnt")
       s.sql("SELECT COUNT(*) AS n_rows FROM man_fastcnt")
     }),
+    // ...and MIN/MAX/COUNT(col) of the stats-indexed column fold the
+    // per-file zone bounds the same way — the date-range / profiling
+    // queries every table gets, answered without touching data
+    "fast_minmax" -> ((s, d) => {
+      val b = manskipFixture(s, d)
+      s.read.format("manifest").load(b)
+        .createOrReplaceTempView("man_fastmm")
+      s.sql("""SELECT MIN(quantity) AS min_qty, MAX(quantity) AS max_qty,
+              |       COUNT(quantity) AS n_qty FROM man_fastmm""".stripMargin)
+    }),
     "manifest_sql_scan" -> ((s, d) => {
       val b = manpartFixture(s, d)
       s.read.format("manifest").load(b).createOrReplaceTempView("man_sales")
@@ -650,6 +660,11 @@ object SparkEntry {
     // the metadata-only count must equal the count computed over data
     "fast_count" ->
       s"""${Oracle.cleanedCte} SELECT COUNT(*) AS n_rows FROM cleaned""",
+    // zone-bound folds must equal the real MIN/MAX/COUNT over data
+    "fast_minmax" ->
+      s"""${Oracle.cleanedCte} SELECT MIN(quantity) AS min_qty,
+         | MAX(quantity) AS max_qty, COUNT(quantity) AS n_qty
+         | FROM cleaned""".stripMargin,
     // the SQL-addressed relation: same content as the DataFrame path
     "manifest_sql_scan" ->
       s"""${Oracle.cleanedCte} SELECT country, COUNT(*) AS n_sales,

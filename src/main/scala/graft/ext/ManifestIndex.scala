@@ -71,16 +71,62 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     * Delta and Iceberg both answer it from file-level metadata — and
     * the reason appends maintain the stats sidecar incrementally: the
     * proof survives every append without re-ANALYZE. */
-  lazy val exactRowCount: Option[Long] = stats.flatMap { case (_, segs) =>
-    val st = SidecarCache.localDf(spark, segs)
-    if (!st.schema.fieldNames.contains("n_rows")) None
-    else {
-      val counts = st.select("file", "n_rows").collect()
-        .map(r => Dfs.canonical(r.getString(0)) -> r.getLong(1)).toMap
-      if (files.forall(counts.contains)) Some(files.iterator.map(counts).sum)
-      else None
-    }
+  lazy val exactRowCount: Option[Long] = coveredStats.map { case (_, st) =>
+    st.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
   }
+
+  /** The version's zone-stats rows when they cover EXACTLY the manifest
+    * — one row per manifest file, no misses, no duplicates, rows for
+    * retired files dropped. The coverage proof behind every
+    * metadata-only aggregate answer; the returned frame is a
+    * LocalRelation over the memoized sidecar rows, so folding over it
+    * is driver-side metadata work. */
+  lazy val coveredStats
+      : Option[(Seq[String], org.apache.spark.sql.DataFrame)] =
+    stats.flatMap { case (keys, segs) =>
+      val st = SidecarCache.localDf(spark, segs)
+      if (!st.schema.fieldNames.contains("n_rows")) None
+      else {
+        val fi = st.schema.fieldIndex("file")
+        val fileSet = files.toSet
+        // stats segments may legitimately carry rows for files a
+        // rewrite retired — restrict to the manifest's files first
+        val mine = st.collect()
+          .filter(r => fileSet.contains(Dfs.canonical(r.getString(fi))))
+        val canon = mine.map(r => Dfs.canonical(r.getString(fi)))
+        if (mine.length == files.length && canon.toSet == fileSet)
+          Some((keys, spark.createDataFrame(
+            java.util.Arrays.asList(mine: _*), st.schema)))
+        else None
+      }
+    }
+
+  /** Exact table-wide MIN (or MAX) of a stats-indexed column from
+    * metadata alone: the fold of per-file zone bounds, which ignores
+    * all-null files exactly as the real aggregate ignores nulls.
+    * Outer None = not provable (column not indexed, or no coverage);
+    * `Some(None)` = provably NULL (every value is null). */
+  def statBound(colName: String, isMin: Boolean): Option[Option[Any]] =
+    coveredStats.flatMap { case (keys, st) =>
+      val resolver = spark.sessionState.analyzer.resolver
+      keys.find(k => resolver(k, colName)).map { k =>
+        import org.apache.spark.sql.functions.{min, max}
+        Option(st.agg(
+          if (isMin) min(col(s"${k}_min")) else max(col(s"${k}_max")))
+          .head.get(0))
+      }
+    }
+
+  /** Exact COUNT(col) — non-null cardinality — of a stats-indexed
+    * column: Σ (n_rows − nulls) over the covered files. */
+  def statNonNullCount(colName: String): Option[Long] =
+    coveredStats.flatMap { case (keys, st) =>
+      val resolver = spark.sessionState.analyzer.resolver
+      keys.find(k => resolver(k, colName)).map { k =>
+        import org.apache.spark.sql.functions.sum
+        st.agg(sum(col("n_rows") - col(s"${k}_nulls"))).head.getLong(0)
+      }
+    }
 
   override def rootPaths: Seq[Path] = Seq(new Path(base))
 

@@ -584,5 +584,19 @@ class ManifestRelationSpec extends AnyFunSuite {
       .load(b).groupBy().count()
     assert(dataOpens(assert(tt.head.getLong(0) === 500)) === 0L)
     assert(fileScans(tt) === 0)
+    // MIN/MAX/COUNT(col) on the INDEXED column fold the zone bounds —
+    // same proof, same zero data opens, mixed freely with COUNT(*)
+    val mm = rel(b).agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+      count(col("k")).as("nn"), count(lit(1)).as("all"))
+    assert(dataOpens {
+      val r = mm.head
+      assert(r.getInt(0) === 0 && r.getInt(1) === 9)
+      assert(r.getLong(2) === 502L && r.getLong(3) === 502L)
+    } === 0L)
+    assert(fileScans(mm) === 0)
+    // a NON-indexed column has no zone bounds — the real scan answers
+    val unindexed = rel(b).agg(min(col("id")))
+    assert(fileScans(unindexed) === 1)
+    assert(unindexed.head.getLong(0) === 1L)
   }
 }

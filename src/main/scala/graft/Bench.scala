@@ -42,6 +42,8 @@ object Bench {
     // steady-state these are metadata reads, milliseconds
     "manifest_partition_scan", "bloom_lookup", "drop_partitions",
     "manifest_writer", // one-time write-path table build (bootstrap + append)
+    "restore_table", // one-time dump + delete + restore + clone build
+    // clone_table shares restore_table's fixture; steady after it
     // change_feed_keyed deliberately NOT here: its fixture (manmerge) is
     // already warmed via merge_versioned, so its timed number is the real
     // keyed-diff cost, not a build artifact

@@ -316,6 +316,27 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // RESTORE: the table was deleted-from then rolled back to v0 by
+    // publishing v0's content as a NEW version (metadata-only, files by
+    // reference, history intact) — latest must equal the full clean
+    // lineage, the deleted rows exactly recovered
+    "restore_table" -> ((s, d) => {
+      val (b, _) = manrestoreFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.read.format("manifest").load(b)
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // shallow CLONE pinned at the PRE-restore (post-delete) version:
+    // the zero-copy fork carries that snapshot's exact content and its
+    // own independent history from then on
+    "clone_table" -> ((s, d) => {
+      val (_, c) = manrestoreFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.read.format("manifest").load(c)
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // co-bucketed fact⋈dim: both tables were committed bucketed on
     // stock_code, the relation exposes the layout as a BucketSpec, and
     // Catalyst plans join AND aggregation with ZERO exchange — the
@@ -436,6 +457,27 @@ object SparkEntry {
       ext.Dfs.touch(s, marker)
     }
     b
+  }
+
+  /** Restore/clone fixture: v0 = the clean lineage, v1 = DELETE
+    * NATION_5, v2 = RESTORE to v0 (rollback by manifest reference —
+    * zero data bytes moved). The clone forks the post-delete state
+    * (v1) into its own table: `restore_table` proves the rollback
+    * recovered every deleted row; `clone_table` proves the fork pinned
+    * its version's exact content. */
+  private def manrestoreFixture(s: SparkSession, d: String): (String, String) = {
+    val b = dumpDir(s, d, "manrestore")
+    val c = dumpDir(s, d, "manclone")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(
+        Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
+      ext.Manifests.deleteWhere(s, b, col("country") === "NATION_5")
+      ext.Manifests.restore(s, b, 0)
+      ext.Manifests.shallowClone(s, b, c, 1)
+      ext.Dfs.touch(s, marker)
+    }
+    (b, c)
   }
 
   /** The write-path fixture: a manifest table built ENTIRELY through
@@ -674,6 +716,15 @@ object SparkEntry {
     // versionAsOf 0 = before the delete: the full clean lineage
     "manifest_time_travel" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // rollback recovered every deleted row: latest = the full lineage
+    "restore_table" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // the fork pinned the post-delete snapshot exactly
+    "clone_table" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE country IS DISTINCT FROM 'NATION_5'
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // DV-churn feed: exactly the pred-TRUE rows, tagged delete
     "change_feed_mor" ->

@@ -230,7 +230,8 @@ private[manifest] case class VersionOffset(v: Int) extends OffsetV1 {
 
 private[manifest] class ManifestSource(sqlContext: SQLContext,
     base: String, override val schema: StructType,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
   private val allowNonAppend =
@@ -300,8 +301,54 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
 
   private def ver(o: OffsetV1): Int = o.json.toInt
 
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow) ----
+  // Without this, Spark 4 falls back to ONE batch spanning the whole
+  // backlog for sources that don't declare support — exactly the
+  // unbounded catch-up the admission options exist to prevent. The
+  // contract: capture the table's latest version at query start; every
+  // later offer is capped at that target, so the run drains the
+  // captured backlog in admission-bounded batches and terminates,
+  // while appends landing mid-run wait for the next run (Delta's
+  // AvailableNow semantics).
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowTarget =
+      Some(Manifests.latestVersion(spark, base).getOrElse(-1))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The admission-control face of [[getOffset]] — once this source
+    * declares AvailableNow support the engine drives offsets through
+    * here in EVERY trigger mode. The engine's checkpointed start
+    * re-syncs the progress tracker (restarts), then the shared
+    * version/byte admission logic answers; the per-trigger caps are
+    * this source's own options, so the engine-side limit is
+    * allAvailable. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = synchronized {
+    Option(start).foreach { o =>
+      lastSeen = Some(math.max(lastSeen.getOrElse(-1), o.json.toInt))
+    }
+    getOffset.orNull
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    Manifests.latestVersion(spark, base).map(VersionOffset).orNull
+
   override def getOffset: Option[OffsetV1] = synchronized {
-    Manifests.latestVersion(spark, base).map { latest =>
+    Manifests.latestVersion(spark, base).flatMap { l0 =>
+      // an AvailableNow run never offers past the version captured at
+      // prepare time (-1 = the table was empty then: nothing to serve)
+      val latest = availableNowTarget.fold(l0)(math.min(l0, _))
+      if (latest < 0) None else Some(latest)
+    }.map { latest =>
       val from = lastSeen.orElse(startingVersion)
       val byVersions = (maxVersionsPerTrigger, from) match {
         case (Some(cap), Some(f)) => math.min(latest, f + cap)

@@ -757,6 +757,49 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifest source: Trigger.AvailableNow drains the captured backlog in admitted batches then terminates; later appends wait for the next run") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mansrc_an").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    graft.ext.Manifests.commitData(Seq((0L, "v0")).toDF("id", "s"), base)
+    (1 to 3).foreach(i => graft.ext.Manifests.appendBatch(
+      Seq((i.toLong, s"v$i")).toDF("id", "s"), base, i.toLong))
+    val batches = scala.collection.mutable.ListBuffer.empty[Seq[Long]]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.manifest")
+        .option("path", base)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = b.collect().map(_.getLong(0)).toSeq.sorted
+          if (ids.nonEmpty) batches.synchronized { batches += ids }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000),
+        "an AvailableNow run must terminate itself once the captured " +
+          "backlog is drained")
+    }
+    // the 3-version backlog drains as 3 single-version batches — the
+    // admission cap holds under AvailableNow (Spark's no-support
+    // fallback would be ONE batch spanning everything), and the run
+    // stops itself
+    run()
+    assert(batches.toSeq === Seq(Seq(1L), Seq(2L), Seq(3L)),
+      s"admitted batches: $batches")
+    // appends landing after the drain belong to the NEXT run, which
+    // resumes from the checkpoint and drains exactly them
+    graft.ext.Manifests.appendBatch(Seq((4L, "v4")).toDF("id", "s"), base, 4L)
+    graft.ext.Manifests.appendBatch(Seq((5L, "v5")).toDF("id", "s"), base, 5L)
+    batches.clear()
+    run()
+    assert(batches.toSeq === Seq(Seq(4L), Seq(5L)),
+      s"the second run must drain exactly the new versions: $batches")
+  }
+
   test("manifest source: non-append version fails the stream; allowNonAppend reads past it; startingVersion=latest skips backfill") {
     val spark0 = spark
     import spark0.implicits._

@@ -337,6 +337,17 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // metadata-only DROP COLUMN: latest reads the SAME files under a
+    // narrowed recorded schema — zero bytes moved, the column gone
+    // everywhere (time travel keeps it; ManifestsSpec pins tombstones)
+    "drop_column" -> ((s, d) => {
+      val b = mandropcolFixture(s, d)
+      val cols = stagingCols.filterNot(_ == "description")
+      orderedAsc(
+        moneyDouble(s.read.format("manifest").load(b)
+          .select(cols.map(col): _*), Seq("unit_price")),
+        cols)
+    }),
     // co-bucketed fact⋈dim: both tables were committed bucketed on
     // stock_code, the relation exposes the layout as a BucketSpec, and
     // Catalyst plans join AND aggregation with ZERO exchange — the
@@ -478,6 +489,22 @@ object SparkEntry {
       ext.Dfs.touch(s, marker)
     }
     (b, c)
+  }
+
+  /** Drop-column fixture: the clean lineage committed whole, then
+    * `description` dropped by metadata alone — the query proves every
+    * read path honors the narrowed recorded schema over unchanged
+    * files. */
+  private def mandropcolFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mandropcol")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(
+        Warehouse(s, d).cleaned.repartitionByRange(8, col("invoice_date")), b)
+      ext.Manifests.dropColumn(s, b, "description")
+      ext.Dfs.touch(s, marker)
+    }
+    b
   }
 
   /** The write-path fixture: a manifest table built ENTIRELY through
@@ -726,6 +753,12 @@ object SparkEntry {
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_5'
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // the narrowed schema = the lineage minus the dropped column
+    "drop_column" ->
+      s"""${Oracle.cleanedCte} SELECT invoice_no, stock_code, quantity,
+         | invoice_date, CAST(unit_price AS DOUBLE) AS unit_price,
+         | customer_id, country FROM cleaned
+         | ORDER BY ${orderBySql(stagingCols.filterNot(_ == "description"))}""".stripMargin,
     // DV-churn feed: exactly the pred-TRUE rows, tagged delete
     "change_feed_mor" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble},

@@ -138,7 +138,8 @@ object Manifests {
       parent: Option[Int] = None,
       partValues: Option[(Seq[String], Seq[String])] = None,
       blooms: Option[(Seq[String], Seq[String])] = None,
-      constraints: Option[Seq[(String, String)]] = None): Int = {
+      constraints: Option[Seq[(String, String)]] = None,
+      dropped: Option[Seq[String]] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -205,6 +206,15 @@ object Manifests {
       Dfs.writeBytes(spark, s"$base/v$v/_constraints",
         effConstraints.map { case (n, p) => s"$n\t$p" }
           .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // drop-column tombstones inherit through the PARENT chain only: a
+    // full bootstrap/overwrite replaces every physical file, so the
+    // resurrect-on-re-add hazard the tombstones guard against is gone
+    val effDropped: Seq[String] = dropped.getOrElse(
+      parent.filter(_ >= 0).map(droppedOf(spark, base, _))
+        .getOrElse(Seq.empty))
+    if (effDropped.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_dropped",
+        effDropped.mkString("", "\n", "\n").getBytes("UTF-8"))
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     // summary counts land BEFORE the marker, so they exist for every
@@ -1386,6 +1396,14 @@ object Manifests {
         case None => batch.schema
         case Some(old) => evolveSchema(old, batch.schema)
       }
+      // a tombstoned (dropped) column must not come back through
+      // additive evolution: the retained files still hold its old
+      // physical bytes, and re-adding the name would resurrect them
+      prev.map(droppedOf(spark, base, _)).getOrElse(Seq.empty)
+        .foreach(d => require(!batch.schema.fieldNames.contains(d),
+          s"column '$d' was dropped from $base and its bytes remain in " +
+            "retained files — re-adding it would resurrect old values; " +
+            "use a new name or overwrite the table"))
       val dir = s"$base/$tag"
       if (!wrote) batch.write.mode("overwrite").parquet(dir)
       val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
@@ -1782,6 +1800,70 @@ object Manifests {
       parent = Some(latest),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v))
+  }
+
+  /** Column names logically dropped on or before version `v` whose
+    * physical bytes may still live in the version's files (the
+    * [[dropColumn]] tombstone list). Empty when none. */
+  def droppedOf(spark: SparkSession, base: String, v: Int): Seq[String] =
+    if (!Dfs.exists(spark, s"$base/v$v/_dropped")) Seq.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_dropped"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** ALTER TABLE ... DROP COLUMN — METADATA-ONLY: the next version
+    * carries the same files with a narrowed recorded schema, so every
+    * reader (relation, readAt, DML) stops seeing the column instantly
+    * while zero of a 100 TB table's bytes move — the reason Delta
+    * needed column mapping and Iceberg field-ids; here the recorded
+    * manifest schema IS the read contract, so narrowing it suffices.
+    * Time travel still shows the column at older versions.
+    *
+    * The dropped name is TOMBSTONED: a later append re-introducing it
+    * refuses, because the old files still hold the old physical bytes
+    * and a re-added column would silently resurrect them instead of
+    * null-filling (the exact hazard Delta's column mapping exists to
+    * prevent). A full overwrite replaces every file and clears the
+    * tombstones. Refusals: the last remaining column, a partition
+    * column (the recorded spec classifies by it), and any column a
+    * CHECK constraint references. A dropped stats/bloom key simply
+    * leaves the sidecar's extra per-key columns unread — the recorded
+    * key lists are narrowed with the schema. */
+  def dropColumn(spark: SparkSession, base: String, name: String): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val sch = schemaOf(spark, base, v).getOrElse(
+      sys.error(s"$base records no schema — dropColumn needs one"))
+    require(sch.fieldNames.contains(name),
+      s"no column '$name' in the recorded schema of $base")
+    require(sch.fields.length > 1,
+      s"cannot drop the last remaining column '$name'")
+    partitionedBy(spark, base, v).foreach { case (pcols, _) =>
+      require(!pcols.contains(name),
+        s"'$name' is a partition column of $base — re-partition " +
+          "(commitDataPartitioned overwrite) before dropping it")
+    }
+    constraintsOf(spark, base, v).foreach { case (cn, p) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(p).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+      require(!refs.exists(spark.sessionState.analyzer.resolver(_, name)),
+        s"CHECK constraint '$cn' ($p) references '$name' — drop the " +
+          "constraint first")
+    }
+    val narrowed = org.apache.spark.sql.types.StructType(
+      sch.fields.filterNot(_.name == name))
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"drop-column:$name"),
+      dv = dvFiles(spark, base, v),
+      schema = Some(narrowed),
+      stats = statsOf(spark, base, v).map { case (keys, segs) =>
+        (keys.filterNot(_ == name), segs) }.filter(_._1.nonEmpty),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v).map { case (keys, segs) =>
+        (keys.filterNot(_ == name), segs) }.filter(_._1.nonEmpty),
+      dropped = Some(droppedOf(spark, base, v) :+ name))
   }
 
   /** The CHECK constraints version `v` was committed under:

@@ -1243,4 +1243,46 @@ class ManifestsSpec extends AnyFunSuite {
       Manifests.append(Seq((600L, Some(-9): Option[Int]))
         .toDF("id", "qty"), dst))
   }
+
+  test("dropColumn: metadata-only narrow; time travel keeps the column; tombstone blocks re-add; overwrite clears it") {
+    import spark.implicits._
+    val b = base("graft_man_dropcol")
+    Manifests.commitData(
+      (1 to 50).map(i => (i.toLong, i % 5, s"s$i")).toDF("id", "k", "s"), b)
+    val v1 = Manifests.dropColumn(spark, b, "s")
+    // readers stop seeing the column — API and relation alike — while
+    // the manifest lists the SAME files (zero bytes moved)
+    assert(Manifests.readLatest(spark, b).columns.toSeq === Seq("id", "k"))
+    assert(spark.read.format("manifest").load(b).columns.toSeq ===
+      Seq("id", "k"))
+    assert(Manifests.files(spark, b, v1) === Manifests.files(spark, b, 0))
+    assert(Manifests.tagOf(spark, b, v1) === Some("drop-column:s"))
+    // time travel shows the column at versions that recorded it
+    assert(Manifests.readAt(spark, b, 0).columns.contains("s"))
+    assert(Manifests.readAt(spark, b, 0)
+      .filter(col("s") === "s7").count() === 1)
+    // appends without the column land; re-introducing it refuses (its
+    // bytes still live in retained files — resurrection hazard)
+    Manifests.append(Seq((100L, 1)).toDF("id", "k"), b)
+    assert(Manifests.readLatest(spark, b).count() === 51)
+    intercept[IllegalArgumentException](
+      Manifests.append(Seq((101L, 1, "boo")).toDF("id", "k", "s"), b))
+    // guards: unknown column, last column, constraint-referenced column
+    intercept[Exception](Manifests.dropColumn(spark, b, "nope"))
+    Manifests.addConstraint(spark, b, "k_nonneg", "k >= 0")
+    intercept[IllegalArgumentException](Manifests.dropColumn(spark, b, "k"))
+    Manifests.dropConstraint(spark, b, "k_nonneg")
+    // a partition column cannot be dropped — the recorded spec
+    // classifies by it
+    val bp = base("graft_man_dropcol_part")
+    Manifests.commitDataPartitioned(
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("id", "p"), bp, Seq("p"))
+    intercept[IllegalArgumentException](Manifests.dropColumn(spark, bp, "p"))
+    // a full overwrite replaces every physical file — tombstones clear,
+    // the name is free again
+    Manifests.commitData(Seq((1L, 1, "fresh")).toDF("id", "k", "s"), b)
+    assert(Manifests.readLatest(spark, b).columns.contains("s"))
+    Manifests.append(Seq((2L, 2, "again")).toDF("id", "k", "s"), b)
+    assert(Manifests.readLatest(spark, b).count() === 2)
+  }
 }

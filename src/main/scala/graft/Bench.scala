@@ -116,6 +116,16 @@ object Bench {
     val groups = s"""{"analytical":${analytical.map(_._2).sum},"write_roundtrip":${roundtrips.map(_._2).sum}}"""
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"groups":$groups,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // the driver records only a bounded TAIL of this process's output;
+    // the full per-query line above can exceed it, truncating from the
+    // FRONT and eating the headline numbers. A compact summary printed
+    // LAST always survives tail capture whole: totals, phase split,
+    // failures, and the 10 slowest timed queries (the ones a regression
+    // hunt needs first).
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"groups":$groups,"n_queries":${results.size},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

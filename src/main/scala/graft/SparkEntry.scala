@@ -898,8 +898,10 @@ object SparkEntry {
     "q_sample" -> ((s, d) => moneyDouble(Quality.sampleRows(s, d), Seq("unit_price"))),
     "q_consistency" -> ((s, d) => Quality.consistency(s, d)),
     "q_freshness" -> ((s, d) => Quality.freshness(s, d)),
-    // rows-only: DuckDB's approx sketch differs; ApproxStatsSpec bounds it
-    "q_approx_distinct" -> ((s, d) => ext.ApproxStats.distinctStats(s, d)),
+    // approximate-distinct is registered through the KMV family only:
+    // HLL readouts (ApproxStats.distinctStats) are engine-specific, so
+    // that operator is pinned by ApproxStatsSpec's tolerance bound
+    // rather than a hash-compared oracle row
     // KMV: the approximate sketch that IS deterministic cross-engine
     "q_kmv_distinct" -> ((s, d) => ext.ApproxStats.kmvDistinct(s, d)),
     // Count-Min: fixed-memory point-frequency estimates, fully replayable

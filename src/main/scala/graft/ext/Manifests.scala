@@ -209,9 +209,17 @@ object Manifests {
     // drop-column tombstones inherit through the PARENT chain only: a
     // full bootstrap/overwrite replaces every physical file, so the
     // resurrect-on-re-add hazard the tombstones guard against is gone
-    val effDropped: Seq[String] = dropped.getOrElse(
+    val rawDropped: Seq[String] = dropped.getOrElse(
       parent.filter(_ >= 0).map(droppedOf(spark, base, _))
         .getOrElse(Seq.empty))
+    // a tombstone only guards a name ABSENT from the recorded schema;
+    // if this commit's schema carries the name live (a restore to a
+    // pre-drop version), the stale tombstone would refuse legitimate
+    // appends of a column every reader already sees — prune it
+    val effDropped: Seq[String] = schema match {
+      case Some(s) => rawDropped.filterNot(s.fieldNames.contains)
+      case None => rawDropped
+    }
     if (effDropped.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_dropped",
         effDropped.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -1792,6 +1800,14 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     require(Dfs.exists(spark, s"$base/v$v/_SUCCESS"),
       s"version $v of $base was never committed or is vacuumed")
+    // the restored version's WHOLE metadata story comes back with its
+    // data — constraints and drop-column tombstones included (Delta's
+    // RESTORE semantics). Inheriting the CURRENT latest's constraint
+    // set instead would resurrect pre-constraint rows in violation of a
+    // live CHECK without any validation pass, silently breaking the
+    // inductive invariant every other write path maintains; inheriting
+    // the current tombstones would refuse appends of a column the
+    // restored schema legitimately carries live.
     commit(spark, base, files(spark, base, v),
       tag = Some(s"restore:v$v"),
       dv = dvFiles(spark, base, v),
@@ -1799,7 +1815,9 @@ object Manifests {
       stats = statsOf(spark, base, v),
       parent = Some(latest),
       partValues = partitionedBy(spark, base, v),
-      blooms = bloomOf(spark, base, v))
+      blooms = bloomOf(spark, base, v),
+      constraints = Some(constraintsOf(spark, base, v)),
+      dropped = Some(droppedOf(spark, base, v)))
   }
 
   /** Column names logically dropped on or before version `v` whose
@@ -1877,6 +1895,12 @@ object Manifests {
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .map { line =>
         val i = line.indexOf('\t')
+        // a malformed line must fail LOUDLY and diagnosably here, not
+        // as a StringIndexOutOfBounds deep inside some later write —
+        // every commit reads this file (inheritance + enforcement)
+        require(i > 0,
+          s"malformed constraint record in $base/v$v/_constraints: " +
+            s"'$line' (expected name<TAB>predicate)")
         (line.substring(0, i), line.substring(i + 1))
       }.toSeq
 
@@ -1894,17 +1918,24 @@ object Manifests {
       name: String, predicateSql: String): Int = {
     require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
       "constraint names must be non-empty and tab/newline-free")
+    // the predicate is stored one-record-per-LINE (tab-separated from
+    // the name), so an embedded newline — legal and common in formatted
+    // SQL — would corrupt the file and poison every subsequent write.
+    // Normalize rather than refuse: line breaks in SQL are whitespace.
+    val predicateSqlNorm = predicateSql
+      .replace('\n', ' ').replace('\r', ' ').trim
+    require(predicateSqlNorm.nonEmpty, "constraint predicate must be non-empty")
     val v = latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base"))
     val existing = constraintsOf(spark, base, v)
     require(!existing.exists(_._1 == name),
       s"constraint '$name' already exists on $base")
     val bad = readAt(spark, base, v)
-      .filter(not(coalesce(expr(predicateSql), lit(true))))
+      .filter(not(coalesce(expr(predicateSqlNorm), lit(true))))
       .limit(1).count()
     if (bad > 0)
       throw new ConstraintViolationException(
-        s"cannot add constraint '$name' CHECK ($predicateSql) to $base — " +
+        s"cannot add constraint '$name' CHECK ($predicateSqlNorm) to $base — " +
           "existing rows violate it")
     commit(spark, base, files(spark, base, v),
       tag = Some(s"constraint:add:$name"),
@@ -1914,7 +1945,7 @@ object Manifests {
       parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
-      constraints = Some(existing :+ (name -> predicateSql)))
+      constraints = Some(existing :+ (name -> predicateSqlNorm)))
   }
 
   /** ALTER TABLE ... DROP CONSTRAINT — a metadata-only version whose
@@ -1994,7 +2025,13 @@ object Manifests {
       stats = statsOf(spark, src, v),
       partValues = partitionedBy(spark, src, v),
       blooms = bloomOf(spark, src, v),
-      constraints = Some(constraintsOf(spark, src, v)))
+      constraints = Some(constraintsOf(spark, src, v)),
+      // the clone's v0 has no parent to inherit through, yet it
+      // references source files that still hold dropped columns'
+      // physical bytes — without the tombstones, an append re-adding
+      // the name would resurrect the old values (the exact hazard the
+      // tombstones exist to prevent)
+      dropped = Some(droppedOf(spark, src, v)))
   }
 
   /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only

@@ -13,11 +13,9 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are exactly the documented hash-free set") {
+  test("every registered query is oracle-checked (no rows-only entries)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set(
-      "q_approx_distinct")  // different HLL sketch in DuckDB
-    assert(rowsOnly === expected,
-      s"unexpected rows-only set: ${rowsOnly -- expected} / missing: ${expected -- rowsOnly}")
+    assert(rowsOnly.isEmpty,
+      s"queries without an oracle (weaker rows-only check): $rowsOnly")
   }
 }

@@ -1285,4 +1285,57 @@ class ManifestsSpec extends AnyFunSuite {
     Manifests.append(Seq((2L, 2, "again")).toDF("id", "k", "s"), b)
     assert(Manifests.readLatest(spark, b).count() === 2)
   }
+
+  test("restore/clone carry version-accurate constraints and tombstones; newline predicates normalize") {
+    import spark.implicits._
+    // (1) restore rolls the CONSTRAINT SET back with the data: a CHECK
+    // added after v0 must not ride a restore to v0 — the resurrected
+    // pre-constraint rows would silently violate a live invariant
+    val b = base("graft_man_restmeta")
+    Manifests.commitData(Seq((1L, -5), (2L, 3)).toDF("id", "qty"), b)
+    Manifests.deleteWhere(spark, b, col("qty") < 0)
+    Manifests.addConstraint(spark, b, "qty_nonneg", "qty >= 0")
+    val rv = Manifests.restore(spark, b, 0)
+    assert(Manifests.readLatest(spark, b).count() === 2)
+    assert(Manifests.constraintsOf(spark, b, rv).isEmpty)
+    Manifests.append(Seq((3L, -1)).toDF("id", "qty"), b) // legal again
+
+    // (2) restore to a pre-dropColumn version revives the column AND
+    // clears the stale tombstone: appends carrying it land again
+    val b2 = base("graft_man_resttomb")
+    Manifests.commitData(Seq((1L, 1, "x")).toDF("id", "k", "s"), b2)
+    Manifests.dropColumn(spark, b2, "s")
+    val r2 = Manifests.restore(spark, b2, 0)
+    assert(Manifests.readLatest(spark, b2).columns.contains("s"))
+    assert(Manifests.droppedOf(spark, b2, r2).isEmpty)
+    Manifests.append(Seq((2L, 2, "y")).toDF("id", "k", "s"), b2)
+    assert(Manifests.readLatest(spark, b2).count() === 2)
+
+    // (3) a shallow clone of a tombstoned version CARRIES the tombstone:
+    // its v0 references files whose bytes still hold the dropped column,
+    // so a re-adding append must refuse on the clone exactly as on the
+    // source (the clone has no parent chain to inherit through)
+    val src = base("graft_man_clonetomb")
+    val dst = base("graft_man_clonetomb_d") + "/t"
+    Manifests.commitData(Seq((1L, 1, "x")).toDF("id", "k", "s"), src)
+    val dv = Manifests.dropColumn(spark, src, "s")
+    Manifests.shallowClone(spark, src, dst, dv)
+    assert(Manifests.droppedOf(spark, dst, 0) === Seq("s"))
+    intercept[IllegalArgumentException](
+      Manifests.append(Seq((2L, 2, "boo")).toDF("id", "k", "s"), dst))
+    Manifests.append(Seq((2L, 2)).toDF("id", "k"), dst)
+    assert(Manifests.readLatest(spark, dst).count() === 2)
+
+    // (4) an embedded newline in a predicate (formatted SQL) must not
+    // corrupt the one-record-per-line constraint store: it normalizes
+    // to spaces and every later write still reads the set cleanly
+    val b3 = base("graft_man_ckln")
+    Manifests.commitData(Seq((1L, 5)).toDF("id", "qty"), b3)
+    val cv = Manifests.addConstraint(spark, b3, "qty_pos", "qty\n  > 0")
+    assert(Manifests.constraintsOf(spark, b3, cv) ===
+      Seq("qty_pos" -> "qty   > 0"))
+    Manifests.append(Seq((2L, 7)).toDF("id", "qty"), b3)
+    intercept[ConstraintViolationException](
+      Manifests.append(Seq((3L, 0)).toDF("id", "qty"), b3))
+  }
 }

@@ -42,6 +42,8 @@ object Bench {
     // steady-state these are metadata reads, milliseconds
     "manifest_partition_scan", "bloom_lookup", "drop_partitions",
     "manifest_writer", // one-time write-path table build (bootstrap + append)
+    // pure-SQL DML fixtures: CTAS + UPDATE/DELETE/MERGE one-time builds
+    "sql_dml_updel", "sql_dml_merge",
     "restore_table", // one-time dump + delete + restore + clone build
     // clone_table shares restore_table's fixture; steady after it
     "drop_column", // one-time dump + metadata drop

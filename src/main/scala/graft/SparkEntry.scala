@@ -304,6 +304,29 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // the FULL SQL DML surface in one lineage: this table exists and
+    // mutated ONLY through spark.sql strings against the DSv2 catalog —
+    // CTAS bootstrap, UPDATE (CASE snapshot semantics), DELETE (NULL
+    // survives) — so OCC claims, CHECK enforcement, group-based
+    // copy-on-write rewrites and sidecar maintenance all ran on the
+    // pure-SQL path (ManifestCatalogSpec pins the plan properties:
+    // zone-pruned surgical rewrites, metadata-only partition deletes)
+    "sql_dml_updel" -> ((s, d) => {
+      val b = mansqlFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.sql(s"SELECT * FROM graft.`$b`")
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // SQL MERGE INTO through the catalog: the Scala merge_versioned
+    // twin issued as one MERGE statement — update-on-match rewrites,
+    // not-matched inserts, all landing through the group-based
+    // copy-on-write protocol; same oracle shape as merge_versioned
+    "sql_dml_merge" -> ((s, d) => {
+      val c = mansqlMergeFixture(s, d)
+      s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$c`")
+        .orderBy("customer_id")
+    }),
     // time travel through the SAME relation: versionAsOf 0 of the
     // versioned-delete table is the table BEFORE the delete — the
     // oracle replays the full clean lineage, proving the deleted rows
@@ -614,6 +637,61 @@ object SparkEntry {
     * carrying relocations of NATION_3 + brand-new NATION_5B customers) —
     * shared by `merge_versioned` (reads v1) and `change_feed_keyed`
     * (classifies the v0->v1 diff by customer_id). */
+  /** Lazily register the DSv2 catalog (idempotent; catalogs
+    * instantiate on first reference, so a runtime conf set is all the
+    * installation the SQL DML surface needs). */
+  private def registerCatalog(s: SparkSession): Unit =
+    s.conf.set("spark.sql.catalog.graft",
+      "graft.sources.manifest.ManifestCatalog")
+
+  /** Pure-SQL DML fixture: CTAS bootstrap of the clean lineage
+    * (range-clustered on country so the DML is file-surgical), then
+    * UPDATE and DELETE — every statement a spark.sql string. */
+  private def mansqlFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mansqldml")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
+        .createOrReplaceTempView("graft_sqldml_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqldml_src")
+      s.sql(s"UPDATE graft.`$b` SET quantity = quantity + 500, " +
+        "country = 'SQLLAND' WHERE country = 'NATION_4'")
+      s.sql(s"DELETE FROM graft.`$b` WHERE country = 'NATION_6'")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** SQL MERGE fixture — [[manmergeFixture]]'s twin with the upsert
+    * issued as a MERGE INTO statement through the catalog. */
+  private def mansqlMergeFixture(s: SparkSession, d: String): String = {
+    val c = dumpDir(s, d, "mansqlmrg")
+    val marker = s"${c}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer.repartition(8)
+        .createOrReplaceTempView("graft_sqlmrg_dim")
+      s.sql(s"CREATE TABLE graft.`$c` AS SELECT customer_key, " +
+        "customer_id, country FROM graft_sqlmrg_dim")
+      val dim = ext.Manifests.readAt(s, c, 0)
+      dim.filter(col("country") === "NATION_3")
+        .withColumn("country", lit("RELOCATED"))
+        .unionByName(dim.filter(col("country") === "NATION_5")
+          .select((col("customer_key") + 1000000L).as("customer_key"),
+            concat(col("customer_id"), lit("_B")).as("customer_id"),
+            lit("NATION_5B").as("country")))
+        .createOrReplaceTempView("graft_sqlmrg_upd")
+      s.sql(s"""MERGE INTO graft.`$c` t USING graft_sqlmrg_upd u
+               |ON t.customer_id = u.customer_id
+               |WHEN MATCHED THEN UPDATE SET t.customer_key = u.customer_key,
+               |  t.country = u.country
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      ext.Dfs.touch(s, marker)
+    }
+    c
+  }
+
   private def manmergeFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manmerge")
     val marker = s"${b}_done"
@@ -740,6 +818,35 @@ object SparkEntry {
          | CAST(SUM(quantity) AS BIGINT) AS sum_qty FROM cleaned
          | WHERE country IN ('NATION_1', 'NATION_2')
          | GROUP BY country ORDER BY country""".stripMargin,
+    // the pure-SQL lineage replayed: UPDATE as CASE over the OLD row
+    // (snapshot semantics, NULL predicate leaves the row alone), then
+    // DELETE survivors = NOT-pred with NULL surviving
+    "sql_dml_updel" ->
+      s"""${Oracle.cleanedCte}, updated AS (
+         | SELECT invoice_no, stock_code, description,
+         |  CASE WHEN country = 'NATION_4' THEN quantity + 500
+         |       ELSE quantity END AS quantity,
+         |  invoice_date, unit_price, customer_id,
+         |  CASE WHEN country = 'NATION_4' THEN 'SQLLAND'
+         |       ELSE country END AS country
+         | FROM cleaned)
+         | SELECT ${Oracle.stagingSelectDouble} FROM updated
+         | WHERE country IS DISTINCT FROM 'NATION_6'
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // SQL MERGE = upsert semantics: updates win on key match, everything
+    // else survives, new keys append (merge_versioned's oracle shape)
+    "sql_dml_merge" ->
+      s"""${Oracle.warehouseCte}, upd AS (
+         |  SELECT customer_key, customer_id, 'RELOCATED' AS country
+         |  FROM dim_customer WHERE country = 'NATION_3'
+         |  UNION ALL
+         |  SELECT customer_key + 1000000, customer_id || '_B', 'NATION_5B'
+         |  FROM dim_customer WHERE country = 'NATION_5')
+         | SELECT customer_key, customer_id, country FROM upd
+         | UNION ALL
+         | SELECT t.customer_key, t.customer_id, t.country FROM dim_customer t
+         | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = t.customer_id)
+         | ORDER BY customer_id""".stripMargin,
     // versionAsOf 0 = before the delete: the full clean lineage
     "manifest_time_travel" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned

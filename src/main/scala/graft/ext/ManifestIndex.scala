@@ -48,6 +48,11 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     f -> Dfs.fs(spark, f).getFileStatus(new Path(f))
   }.toMap
 
+  /** The version's file statuses in manifest order — the listing the
+    * DSv2 adapter ([[graft.sources.manifest]]) re-exposes through
+    * `PartitioningAwareFileIndex`. */
+  private[graft] def fileStatuses: Seq[FileStatus] = files.map(statuses)
+
   private val stats: Option[(Seq[String], Seq[String])] =
     Manifests.statsOf(spark, base, version)
 

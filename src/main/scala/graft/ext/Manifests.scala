@@ -1164,6 +1164,46 @@ object Manifests {
     }
   }
 
+  /** Publish a group-replacing rewrite derived from `snapshot`: the
+    * next manifest carries `snapshot`'s files minus `touched` plus
+    * `rewritten` — the commit primitive behind SQL row-level DML
+    * (DELETE/UPDATE/MERGE through the DSv2 catalog), where Spark's own
+    * rewrite plan produced the replacement files and the connector only
+    * swaps them in. The new row images are validated against the
+    * table's CHECK constraints (cost ∝ rewritten bytes); stats,
+    * partition tuples and blooms re-derive for the rewritten files only
+    * and carry by reference for the rest. `conflictsWith` gates the
+    * commuting-append rebase exactly as in [[deleteWhere]]; the default
+    * refuses every concurrent commit (strictly serializable — the safe
+    * stance when the caller cannot re-check its predicate). A rewrite
+    * whose result would be an EMPTY table publishes one empty file
+    * constructed from the recorded schema, never scanning data. */
+  def replaceFiles(spark: SparkSession, base: String, snapshot: Int,
+      touched: Set[String], rewritten: Seq[String],
+      tag: Option[String] = None,
+      conflictsWith: Seq[String] => Boolean = _ => true): Int = {
+    val sch = schemaOf(spark, base, snapshot)
+    enforceConstraints(spark, base, Some(snapshot), rewritten, sch)
+    val untouched = files(spark, base, snapshot).map(Dfs.canonical)
+      .filterNot(touched)
+    val effRewritten =
+      if (rewritten.nonEmpty || untouched.nonEmpty) rewritten
+      else {
+        // drop-everything edge: an empty manifest is unrepresentable, so
+        // materialize one empty file from the RECORDED schema (metadata
+        // only — same move as dropPartitions' drop-all branch)
+        val s = sch.getOrElse(
+          spark.read.parquet(files(spark, base, snapshot).head).schema)
+        val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          .coalesce(1).write.mode("errorifexists").parquet(dir)
+        Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      }
+    commitRewrite(spark, base, snapshot, touched, effRewritten, tag,
+      conflictsWith)
+  }
+
   /** The retry skeleton under [[commitRewrite]] and the MoR delete:
     * run `attempt(parent)` starting from `snapshot`; on losing the CAS,
     * advance `parent` to the latest version iff every winner was a pure

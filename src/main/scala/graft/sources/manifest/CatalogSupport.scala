@@ -1,0 +1,125 @@
+package graft.sources.manifest
+
+import graft.ext.{Dfs, ManifestFileIndex, Manifests}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** [[graft.ext.ManifestFileIndex]] re-exposed through the shape DSv2
+  * file scans require: `ParquetScanBuilder`/`ParquetScan` take a
+  * `PartitioningAwareFileIndex`, so the manifest listing plus its
+  * partition-tuple / zone-map / bloom pruning ride into the catalog
+  * read path by DELEGATION — `listFiles` hands Catalyst's pushed
+  * filters straight to the inner index, exactly as the V1 relation
+  * does. A table with no committed version yet (`CREATE TABLE` before
+  * the first write) lists zero files: an empty scan, not an error.
+  * Partition columns live IN the data (Iceberg shape), so the partition
+  * spec is always empty — partition predicates arrive as dataFilters
+  * and prune via the recorded per-file tuples. */
+final class ManifestScanIndex(spark: SparkSession, base: String,
+    version: Option[Int])
+    extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+
+  private val inner: Option[ManifestFileIndex] =
+    version.map(new ManifestFileIndex(spark, base, _))
+
+  private val statuses: Seq[FileStatus] =
+    inner.fold(Seq.empty[FileStatus])(_.fileStatuses)
+
+  override def rootPaths: Seq[Path] = Seq(new Path(base))
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override def partitionSchema: StructType = new StructType()
+
+  override val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    statuses.foreach(s => m += (s.getPath -> s))
+    m
+  }
+
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    inner.fold(Seq(PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        Array.empty[FileStatus])))(
+      _.listFiles(partitionFilters, dataFilters))
+
+  override def inputFiles: Array[String] =
+    inner.fold(Array.empty[String])(_.inputFiles)
+
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  override def allFiles(): Seq[FileStatus] = statuses
+
+  override def refresh(): Unit = () // a committed version is immutable
+}
+
+/** V1 `sources.Filter` → `Column` translation — the bridge that lets
+  * SQL `DELETE FROM t WHERE ...` land on the file-surgical
+  * [[graft.ext.Manifests.deleteWhere]] / metadata-only
+  * [[graft.ext.Manifests.dropPartitions]] paths: Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` hands the condition as
+  * connector predicates, `PredicateUtils.toV1` lowers them to V1
+  * filters, and this rebuilds the exact row predicate those APIs take.
+  * Translation is EXACT or refused (`None`) — a dropped conjunct would
+  * delete the wrong rows, so unlike pruning there is no conservative
+  * fallback. Nested-field references (dotted names) refuse: the DML
+  * paths address top-level columns. */
+private[manifest] object FilterColumns {
+
+  private def c(attr: String): Option[Column] =
+    if (attr.contains(".")) None else Some(col(s"`$attr`"))
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => c(a).map(_ === lit(v))
+    case EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+    case GreaterThan(a, v) => c(a).map(_ > lit(v))
+    case GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+    case LessThan(a, v) => c(a).map(_ < lit(v))
+    case LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+    case In(a, vs) => c(a).map(_.isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => c(a).map(_.isNull)
+    case IsNotNull(a) => c(a).map(_.isNotNull)
+    case StringStartsWith(a, v) => c(a).map(_.startsWith(v))
+    case StringEndsWith(a, v) => c(a).map(_.endsWith(v))
+    case StringContains(a, v) => c(a).map(_.contains(v))
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(x) => toColumn(x).map(not)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  def toColumn(fs: Seq[Filter]): Option[Column] = {
+    val cs = fs.map(toColumn)
+    if (cs.isEmpty) Some(lit(true))
+    else if (cs.exists(_.isEmpty)) None
+    else Some(cs.flatten.reduce(_ && _))
+  }
+}
+
+/** Shared resolution helpers for the catalog surface. */
+private[manifest] object CatalogSupport {
+
+  /** Can SQL DELETE on this snapshot retire whole files from manifest
+    * metadata alone? True when the table records partition tuples and
+    * the predicate references partition columns only — then
+    * [[Manifests.dropPartitions]] classifies every file from the
+    * recorded tuples and only boundary files pay a rewrite. */
+  def partitionOnly(spark: SparkSession, base: String, v: Int,
+      filters: Seq[Filter]): Boolean =
+    Manifests.partitionedBy(spark, base, v).exists { case (pcols, _) =>
+      val resolver = spark.sessionState.analyzer.resolver
+      val refs = filters.flatMap(_.references)
+      refs.nonEmpty && refs.forall(r => pcols.exists(resolver(_, r)))
+    }
+}

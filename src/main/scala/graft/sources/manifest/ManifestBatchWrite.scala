@@ -1,0 +1,135 @@
+package graft.sources.manifest
+
+import graft.ext.Dfs
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, Write, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** The distributed half of SQL row-level DML on manifest tables: a
+  * DSv2 `BatchWrite` whose tasks stream `InternalRow`s into immutable
+  * parquet files under a fresh `data_*` directory, and whose COMMIT is
+  * a caller-supplied manifest publish over exactly the files the tasks
+  * reported. Spark's `ReplaceData` plan (the group-based copy-on-write
+  * rewrite behind DELETE/UPDATE/MERGE) requires a real `BatchWrite` —
+  * the V1 `InsertableRelation` fallback only covers appends — so this
+  * drives [[ParquetFileFormat.prepareWrite]]'s task-side writer
+  * directly: same encoder, same codec, same footer stats as every
+  * other parquet the engine writes.
+  *
+  * Crash/abort contract mirrors the rest of the protocol: files land
+  * under a uniquely-named directory no manifest references until the
+  * commit callback publishes them, so an abort (or a crash anywhere)
+  * leaves only unreferenced residue for [[graft.ext.Manifests.sweepOrphans]];
+  * task retries each write their own UUID-named file and only the
+  * files of SUCCESSFUL tasks reach the commit message list. Empty
+  * tasks open no file at all — a 1000-partition rewrite of 3 files
+  * writes 3 files, not 1000. */
+private[manifest] class ManifestParquetWrite(spark: SparkSession,
+    base: String, schema: StructType,
+    commitFn: Seq[String] => Unit) extends Write {
+
+  override def toBatch: BatchWrite = {
+    val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    Dfs.mkdirs(spark, dir)
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    val conf = new SerializableConfiguration(job.getConfiguration)
+    new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        ManifestWriterFactory(dir, schema, factory, conf)
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        // tasks report the raw paths they constructed; QUALIFY them
+        // (scheme + authority) so the manifest stores the same spelling
+        // a directory listing yields — every rewrite's replaced-file
+        // set arithmetic compares manifest entries against listed
+        // statuses, and a schemeless entry would silently never match
+        commitFn(messages.flatMap {
+          case ManifestWriteMessage(paths) => paths
+          case _ => Seq.empty
+        }.toSeq.map(Dfs.qualified(spark, _)))
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        try Dfs.delete(spark, dir, recursive = true)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  override def description(): String = s"manifest-parquet-write($base)"
+}
+
+private[manifest] case class ManifestWriteMessage(paths: Seq[String])
+    extends WriterCommitMessage
+
+private[manifest] case class ManifestWriterFactory(dir: String,
+    schema: StructType, factory: OutputWriterFactory,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+
+    private var out: org.apache.spark.sql.execution.datasources.OutputWriter = _
+    private var path: String = _
+    private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
+
+    private def ctx = new TaskAttemptContextImpl(conf.value,
+      new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
+        "graft-manifest", 0), TaskType.MAP, partitionId),
+        (taskId % Int.MaxValue).toInt))
+
+    override def write(row: InternalRow): Unit = {
+      if (out == null) {
+        val c = ctx
+        // task-attempt-unique name: a retried task writes its own file,
+        // and only the surviving attempt's path reaches the commit list
+        path = f"$dir/part-$partitionId%05d-${java.util.UUID.randomUUID()
+          .toString.take(8)}-$taskId${factory.getFileExtension(c)}"
+        out = factory.newInstance(path, schema, c)
+        // group-based row-level rewrites (ReplaceData) PREPEND an
+        // internal `__row_operation` column to the query output, and
+        // Spark applies its row projection only on the
+        // metadata-attributes path (DataAndMetadataWritingSparkTask) —
+        // a connector declaring none receives the raw wider row while
+        // LogicalWriteInfo.schema() reports the projected one. Adapt
+        // positionally: the write schema's columns sit after the
+        // operation column, in table order (the rewrite's Project
+        // shape). Anything but a 0/1 arity delta is a real mismatch.
+        val offset = row.numFields - schema.length
+        require(offset >= 0 && offset <= 1,
+          s"write row has ${row.numFields} fields for a ${schema.length}" +
+            s"-column schema — unexpected rewrite plan shape")
+        proj = if (offset == 0) null
+          else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(schema.fields.zipWithIndex.map { case (f, i) =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i + offset, f.dataType, f.nullable)
+            }.toIndexedSeq)
+      }
+      out.write(if (proj == null) row else proj(row))
+    }
+
+    override def commit(): WriterCommitMessage = {
+      if (out != null) { out.close(); out = null }
+      ManifestWriteMessage(Option(path).toSeq)
+    }
+
+    override def abort(): Unit = {
+      if (out != null) { out.close(); out = null }
+      if (path != null)
+        try new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(conf.value).delete(
+            new org.apache.hadoop.fs.Path(path), false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    override def close(): Unit = if (out != null) { out.close(); out = null }
+  }
+}

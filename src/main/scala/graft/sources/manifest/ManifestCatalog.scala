@@ -1,0 +1,265 @@
+package graft.sources.manifest
+
+import java.util
+
+import graft.ext.{Dfs, Manifests}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Name-based manifest tables — a DSv2 `TableCatalog` that completes
+  * the Delta-parity UX: register once with
+  * `spark.conf.set("spark.sql.catalog.graft",
+  * "graft.sources.manifest.ManifestCatalog")` (runtime is enough —
+  * catalogs instantiate lazily on first reference) and every manifest
+  * table is addressable by NAME from pure SQL:
+  *
+  *  - `CREATE TABLE graft.ns.t (...) USING manifest [PARTITIONED BY
+  *    (c)] [LOCATION '...']`, `CREATE TABLE ... AS SELECT`
+  *  - `SELECT ... FROM graft.ns.t`, `spark.table("graft.ns.t")`
+  *  - `INSERT INTO` / `INSERT OVERWRITE`
+  *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` ([[ManifestTable]])
+  *  - `SELECT ... FROM graft.ns.t VERSION AS OF 3` /
+  *    `TIMESTAMP AS OF ...` (time travel through the catalog)
+  *  - `DROP TABLE`, `ALTER TABLE ... DROP COLUMN` (the metadata-only
+  *    narrow), and Delta-style path addressing:
+  *    ``graft.`/abs/path```` resolves the path as a table with no
+  *    registration at all.
+  *
+  * The metastore is deliberately tiny: one pointer file per table under
+  * `<warehouse>/_defs/<ns>/<name>.tbl` holding the table's base path,
+  * declared partition columns and declared schema — everything ELSE
+  * (current schema, partition spec, stats, constraints, history) lives
+  * in the manifest itself, where the data's versions are. The pointer
+  * never changes after CREATE except via RENAME, so the catalog adds
+  * zero coordination on the write path; all concurrency control stays
+  * in the manifest commit protocol. Scale shape: resolution is one
+  * tiny-file read, listing one directory scan — a catalog of 100k
+  * tables costs what a directory of 100k small files costs, and the
+  * per-QUERY costs are unchanged manifest costs. */
+class ManifestCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "manifest"
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      s"${Dfs.scratchBase}/graft_catalog_$name")
+  }
+
+  override def name(): String = catalogName
+
+  private def isPath(ident: Identifier): Boolean =
+    ident.namespace.isEmpty &&
+      (ident.name.startsWith("/") || ident.name.contains("://"))
+
+  private def defPath(ident: Identifier): String = {
+    val parts = ident.namespace :+ ident.name
+    parts.foreach(p => require(!p.contains("/") && p.nonEmpty,
+      s"illegal identifier part '$p'"))
+    s"$warehouse/_defs/${parts.mkString("/")}.tbl"
+  }
+
+  private def display(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  /** Pointer record: 3 lines — base path, partition columns (CSV),
+    * declared schema JSON (possibly blank: adopted external table). */
+  private def writeDef(ident: Identifier, base: String,
+      partCols: Seq[String], schema: Option[StructType]): Unit =
+    Dfs.writeBytes(spark, defPath(ident),
+      s"$base\n${partCols.mkString(",")}\n${schema.fold("")(_.json)}\n"
+        .getBytes("UTF-8"))
+
+  private def readDef(ident: Identifier)
+      : Option[(String, Seq[String], Option[StructType])] = {
+    val p = defPath(ident)
+    if (!Dfs.exists(spark, p)) None
+    else {
+      val lines = new String(Dfs.readBytes(spark, p), "UTF-8").split("\n", -1)
+      val parts = lines.lift(1).getOrElse("").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val sch = lines.lift(2).map(_.trim).filter(_.nonEmpty)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+      Some((lines(0).trim, parts, sch))
+    }
+  }
+
+  private def table(ident: Identifier,
+      pinned: Option[Int]): ManifestTable =
+    if (isPath(ident))
+      new ManifestTable(spark, ident.name, pinned, None, Seq.empty,
+        display(ident))
+    else readDef(ident) match {
+      case Some((base, parts, sch)) =>
+        new ManifestTable(spark, base, pinned, sch, parts, display(ident))
+      case None => throw new NoSuchTableException(
+        ident.namespace :+ ident.name)
+    }
+
+  override def loadTable(ident: Identifier): Table = table(ident, None)
+
+  /** `VERSION AS OF <v>` through the catalog. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.forall(_.isDigit),
+      s"manifest versions are integers (got '$version')")
+    table(ident, Some(version.toInt))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = table(ident, None)
+    val v = Manifests.versionAsOf(spark, t.base, timestamp / 1000L)
+      .getOrElse(sys.error(
+        s"${display(ident)} has no version committed at or before " +
+          s"${timestamp / 1000L} ms"))
+    table(ident, Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    if (isPath(ident))
+      Manifests.latestVersion(spark, ident.name).isDefined
+    else readDef(ident).isDefined
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    val partCols = partitions.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"manifest tables support identity PARTITIONED BY columns only " +
+          s"(got $t)")
+      t.references.head.fieldNames.mkString(".")
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the schema"))
+    if (isPath(ident)) {
+      // path-addressed CTAS: no registration to write — the identifier
+      // IS the location; the returned handle carries the declared
+      // schema in memory so the CTAS write can resolve before the
+      // bootstrap commit lands
+      if (Manifests.latestVersion(spark, ident.name).isDefined)
+        throw new TableAlreadyExistsException(ident.namespace :+ ident.name)
+      return new ManifestTable(spark, ident.name, None,
+        Some(schema).filter(_.fields.nonEmpty), partCols, display(ident))
+    }
+    if (readDef(ident).isDefined)
+      throw new TableAlreadyExistsException(ident.namespace :+ ident.name)
+    val base = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(
+      s"$warehouse/${(ident.namespace :+ ident.name).mkString("/")}")
+    writeDef(ident, base, partCols,
+      Some(schema).filter(_.fields.nonEmpty))
+    // hand back the in-memory declared schema too: a CTAS resolves the
+    // write relation against this handle before any version exists
+    new ManifestTable(spark, base, None,
+      Some(schema).filter(_.fields.nonEmpty), partCols, display(ident))
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val t = table(ident, None)
+    changes.foreach {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "manifest DROP COLUMN addresses top-level columns")
+        Manifests.dropColumn(spark, t.base, d.fieldNames.head)
+      case c => sys.error(s"unsupported ALTER TABLE change $c — " +
+        "manifest schema evolution is additive via writes; use " +
+        "dropColumn/addConstraint through the table API")
+    }
+    table(ident, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (isPath(ident)) false
+    else readDef(ident) match {
+      case None => false
+      case Some((base, _, _)) =>
+        // managed data (under the warehouse) drops with the table;
+        // external LOCATIONs survive their registration (Hive/Delta
+        // external-table semantics)
+        if (Dfs.qualified(spark, base)
+            .startsWith(Dfs.qualified(spark, warehouse) + "/"))
+          try Dfs.delete(spark, base, recursive = true)
+          catch { case scala.util.control.NonFatal(_) => () }
+        Dfs.delete(spark, defPath(ident))
+        true
+    }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from) || isPath(from))
+      throw new NoSuchTableException(from.namespace :+ from.name)
+    if (tableExists(to))
+      throw new TableAlreadyExistsException(to.namespace :+ to.name)
+    Dfs.mkdirs(spark, new org.apache.hadoop.fs.Path(defPath(to))
+      .getParent.toString)
+    Dfs.rename(spark, defPath(from), defPath(to))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = s"$warehouse/_defs/${namespace.mkString("/")}"
+    if (!Dfs.exists(spark, dir)) Array.empty
+    else Dfs.list(spark, dir)
+      .filter(s => !s.isDirectory && s.getPath.getName.endsWith(".tbl"))
+      .map(s => Identifier.of(namespace,
+        s.getPath.getName.stripSuffix(".tbl")))
+      .toArray
+  }
+
+  // ---- namespaces: directories under _defs ------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = s"$warehouse/_defs"
+    if (!Dfs.exists(spark, root)) Array.empty
+    else Dfs.list(spark, root).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = s"$warehouse/_defs/${namespace.mkString("/")}"
+    if (!Dfs.exists(spark, dir))
+      throw new NoSuchNamespaceException(namespace)
+    Dfs.list(spark, dir).filter(_.isDirectory)
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      Dfs.exists(spark, s"$warehouse/_defs/${namespace.mkString("/")}")
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    Dfs.mkdirs(spark, s"$warehouse/_defs/${namespace.mkString("/")}")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    sys.error("manifest namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = s"$warehouse/_defs/${namespace.mkString("/")}"
+    if (!Dfs.exists(spark, dir)) false
+    else {
+      require(cascade || listTables(namespace).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      Dfs.delete(spark, dir, recursive = true)
+    }
+  }
+}

@@ -1,0 +1,305 @@
+package graft.sources.manifest
+
+import java.util
+
+import graft.ext.{Dfs, Manifests}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{InputPartition, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.graft.PredicateShim
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A manifest table as a DSv2 `Table` — the face that makes the whole
+  * SQL DML surface land on the manifest protocol: name-based reads
+  * (`spark.table`, `SELECT ... FROM graft.t`), `INSERT INTO` /
+  * `INSERT OVERWRITE`, `DELETE FROM`, and — via
+  * [[SupportsRowLevelOperations]] — `UPDATE` and `MERGE INTO`, all
+  * through one `Table` handle loaded by [[ManifestCatalog]].
+  *
+  * Read path: a plain `ParquetScanBuilder` over [[ManifestScanIndex]],
+  * so the catalog scan is Spark's own vectorized parquet reader with
+  * pushdown and codegen, file-pruned by the manifest's partition
+  * tuples, zone maps and blooms exactly like the V1 relation.
+  *
+  * Write path tiers, cheapest applicable wins:
+  *  - INSERT → the V1 fallback ([[V1Write]]) onto
+  *    [[Manifests.append]]/[[Manifests.commitData]] — the same OCC
+  *    retry, constraint enforcement and incremental sidecar
+  *    maintenance as the DataFrame writer;
+  *  - DELETE with a fully-translatable predicate →
+  *    [[SupportsDeleteV2.deleteWhere]]: metadata-only partition
+  *    retirement when the predicate touches partition columns only,
+  *    file-surgical copy-on-write otherwise (Spark's
+  *    `OptimizeMetadataOnlyDeleteFromTable` collapses the group
+  *    rewrite to this whenever the condition translates);
+  *  - everything else (UPDATE, MERGE, untranslatable DELETE) → the
+  *    group-based copy-on-write rewrite: Spark plans the replacement
+  *    rows, [[CowScan]] selects affected files at GROUP granularity
+  *    (zone/partition pruning on the command condition — never
+  *    row-level parquet filtering, which would drop survivor rows),
+  *    and [[graft.ext.Manifests.replaceFiles]] publishes the swap
+  *    under OCC with constraint validation.
+  *
+  * Versions carrying deletion vectors refuse scans and rewrites (the
+  * same stance as the V1 relation): `compact()` materializes them
+  * first. A `pinned` version is a time-travel handle — readable,
+  * never writable. */
+class ManifestTable(spark: SparkSession, val base: String,
+    pinned: Option[Int], declaredSchema: Option[StructType],
+    declaredPartCols: Seq[String], ident: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
+
+  private def currentVersion: Option[Int] =
+    pinned.orElse(Manifests.latestVersion(spark, base))
+
+  private def schemaAt(v: Int): StructType =
+    Manifests.schemaOf(spark, base, v).getOrElse(
+      spark.read.parquet(Manifests.files(spark, base, v).head).schema)
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    currentVersion.map(schemaAt).orElse(declaredSchema).getOrElse(
+      sys.error(s"$base has no committed version and no declared schema"))
+
+  override def partitioning(): Array[Transform] = {
+    val cols = currentVersion
+      .flatMap(v => Manifests.partitionedBy(spark, base, v).map(_._1))
+      .getOrElse(declaredPartCols)
+    cols.map(Expressions.identity).toArray
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("location", base)
+    m.put("provider", "manifest")
+    currentVersion.foreach(v => m.put("version", v.toString))
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.BATCH_WRITE)
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.OVERWRITE_BY_FILTER)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  private def refuseDv(v: Int, what: String): Unit =
+    require(Manifests.dvFiles(spark, base, v).isEmpty,
+      s"version $v of $base carries deletion vectors — $what needs " +
+        "materialized files; run compact() first")
+
+  // ---- read -------------------------------------------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = currentVersion
+    v.foreach(refuseDv(_, "a catalog scan"))
+    ParquetScanBuilder(spark, new ManifestScanIndex(spark, base, v),
+      schema(), schema(), options)
+  }
+
+  // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback) ---------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwriteV2 {
+      private var replaceAll = false
+
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        require(predicates.isEmpty ||
+          predicates.forall(_.name == "ALWAYS_TRUE"),
+          "manifest tables support whole-table INSERT OVERWRITE only — " +
+            "use DELETE FROM + INSERT, or dropPartitions, for partial " +
+            "overwrites")
+        replaceAll = true
+        this
+      }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(pinned.isEmpty,
+                s"cannot write to $base pinned at version ${pinned.get} — " +
+                  "versions are immutable; write to the table head")
+              val exists = Manifests.latestVersion(spark, base).isDefined
+              val parts = if (declaredPartCols.nonEmpty) declaredPartCols
+                else currentVersion.flatMap(v =>
+                  Manifests.partitionedBy(spark, base, v).map(_._1))
+                  .getOrElse(Seq.empty)
+              if (replaceAll || overwrite || !exists) parts match {
+                case Seq() => Manifests.commitData(data, base)
+                case cols => Manifests.commitDataPartitioned(
+                  data, base, cols, overwrite = exists)
+              } else Manifests.append(data, base)
+            }
+          }
+      }
+    }
+
+  // ---- DELETE FROM (metadata / file-surgical tier) ----------------
+
+  private def translated(predicates: Array[Predicate])
+      : Option[Array[org.apache.spark.sql.sources.Filter]] = {
+    val v1 = predicates.map(PredicateShim.toV1)
+    // every predicate must translate: a dropped conjunct would WIDEN
+    // the delete — refuse and let Spark fall back to the group rewrite
+    if (v1.exists(_.isEmpty)) None else Some(v1.map(_.get))
+  }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    currentVersion.exists { v =>
+      pinned.isEmpty &&
+        Manifests.dvFiles(spark, base, v).isEmpty &&
+        translated(predicates).exists(fs =>
+          FilterColumns.toColumn(fs.toSeq).isDefined)
+    }
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(pinned.isEmpty, s"cannot delete from $base pinned at a version")
+    val v = currentVersion.getOrElse(
+      sys.error(s"no committed version under $base"))
+    refuseDv(v, "DELETE")
+    val fs = translated(predicates).getOrElse(
+      sys.error("DELETE condition does not translate to source filters"))
+    val cond = FilterColumns.toColumn(fs.toSeq).getOrElse(
+      sys.error("DELETE condition does not translate to a row predicate"))
+    if (CatalogSupport.partitionOnly(spark, base, v, fs.toSeq))
+      Manifests.dropPartitions(spark, base, cond, asOf = Some(v))
+    else
+      Manifests.deleteWhere(spark, base, cond, asOf = Some(v))
+  }
+
+  // ---- UPDATE / MERGE (group-based copy-on-write) -----------------
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot run ${info.command} against $base pinned at a version")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = {
+        val v = currentVersion.getOrElse(
+          sys.error(s"no committed version under $base — nothing to rewrite"))
+        refuseDv(v, s"${info.command}")
+        new ManifestRowLevelOperation(spark, base, v, schemaAt(v),
+          info.command)
+      }
+    }
+  }
+}
+
+/** One SQL DELETE/UPDATE/MERGE as a group-based copy-on-write rewrite.
+  * The instance is the coordination point Spark's split plan needs:
+  * its SCAN records which data files it planned (the "groups"), its
+  * WRITE commits the replacement by swapping exactly those files in
+  * the manifest — derived from the SAME snapshot version, so the
+  * published result is the rewrite's serializable outcome or an
+  * [[graft.ext.ConcurrentCommitException]], never a half-merged
+  * state. */
+private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
+    base: String, snapshot: Int, tableSchema: StructType,
+    cmd: Command) extends RowLevelOperation {
+
+  /** Canonical paths of the files the CoW scan planned — the groups
+    * the commit replaces. Written once on the driver at scan planning
+    * time, read at commit time. */
+  @volatile private var scanned: Option[Set[String]] = None
+
+  private[manifest] def recordScanned(files: Set[String]): Unit =
+    scanned = Some(files)
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(spark,
+      new ManifestScanIndex(spark, base, Some(snapshot)),
+      tableSchema, options, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new ManifestParquetWrite(spark, base, info.schema(), { written =>
+          val touched = scanned.getOrElse(sys.error(
+            s"row-level $cmd on $base committed before its scan planned — " +
+              "cannot determine the replaced file set"))
+          // a rewrite that touched nothing and wrote nothing is a no-op
+          // (the condition provably matched no file): burn no version
+          if (touched.nonEmpty || written.nonEmpty) {
+            Manifests.replaceFiles(spark, base, snapshot, touched, written,
+              Some(s"sql:${cmd.toString.toLowerCase}"))
+            ()
+          }
+        })
+    }
+
+  override def description(): String = s"manifest-$cmd($base@v$snapshot)"
+}
+
+/** The copy-on-write scan builder: a `ParquetScanBuilder` whose pushed
+  * filters select at FILE granularity only. The command condition
+  * Catalyst pushes here still reaches [[ManifestScanIndex.listFiles]]
+  * (partition-tuple + zone-map + bloom pruning decide which files can
+  * hold a matching row), but parquet itself receives NO row filters:
+  * a row-group skip inside a selected file would silently drop
+  * survivor rows from the rewrite — the one failure mode a group-based
+  * rewrite must never admit. */
+private[manifest] class CowScanBuilder(sp: SparkSession,
+    idx: ManifestScanIndex, sch: StructType,
+    opts: CaseInsensitiveStringMap, op: ManifestRowLevelOperation)
+    extends ParquetScanBuilder(sp, idx, sch, sch, opts) {
+
+  override def pushDataFilters(
+      dataFilters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def build(): ParquetScan =
+    new CowScan(sparkSession, hadoopConf, idx, dataSchema,
+      readDataSchema(), readPartitionSchema(), options,
+      partitionFilters, dataFilters, op)
+}
+
+/** The scan that reports its planned file set back to the operation —
+  * group selection made observable. Everything else is a stock
+  * `ParquetScan` (vectorized reader, codegen) with zero pushed parquet
+  * filters (see [[CowScanBuilder]]). */
+private[manifest] class CowScan(sp: SparkSession,
+    conf: org.apache.hadoop.conf.Configuration, idx: ManifestScanIndex,
+    dataSch: StructType, readDataSch: StructType, readPartSch: StructType,
+    opts: CaseInsensitiveStringMap,
+    partFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    op: ManifestRowLevelOperation)
+    extends ParquetScan(sp, conf, idx, dataSch, readDataSch, readPartSch,
+      Array.empty, opts, None, partFilters, dataFilters, Array.empty) {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = super.planInputPartitions()
+    op.recordScanned(parts.toSeq.flatMap {
+      case f: FilePartition =>
+        f.files.toSeq.map(p => Dfs.canonical(p.filePath.toString))
+      case _ => Seq.empty[String]
+    }.toSet)
+    parts
+  }
+
+  // scan-reuse compares scans structurally; a CowScan is never
+  // interchangeable with a plain ParquetScan over the same files (its
+  // planning has a side effect), so equality is identity
+  override def equals(obj: Any): Boolean = obj match {
+    case o: CowScan => this eq o
+    case _ => false
+  }
+  override def hashCode(): Int = System.identityHashCode(this)
+}

@@ -1,0 +1,210 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 catalog surface: name-based manifest tables and the SQL
+  * row-level DML triad. Every mutation in this suite is issued ONLY
+  * through `spark.sql` DML strings — the point is that the full
+  * protocol (OCC, constraints, sidecar maintenance, file-surgical
+  * rewrites) holds on the pure-SQL path. */
+class ManifestCatalogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.manifest.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", d)
+    d
+  }
+
+  private def sql(s: String) = spark.sql(s)
+
+  test("CREATE TABLE / INSERT INTO / SELECT / INSERT OVERWRITE round-trip by name") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("CREATE TABLE graft.db.t1 (id BIGINT, k INT, s STRING)")
+    sql("INSERT INTO graft.db.t1 VALUES (1, 10, 'a'), (2, 20, 'b')")
+    sql("INSERT INTO graft.db.t1 VALUES (3, 30, 'c')")
+    assert(sql("SELECT * FROM graft.db.t1").count() === 3)
+    assert(spark.table("graft.db.t1").filter($"k" === 20).count() === 1)
+    // overwrite supersedes; history stays (versions advanced)
+    sql("INSERT OVERWRITE graft.db.t1 VALUES (9, 90, 'z')")
+    assert(sql("SELECT * FROM graft.db.t1").collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("DELETE FROM by name is file-surgical; UPDATE and MERGE land through SQL only") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    sql("CREATE TABLE graft.dml.t (id BIGINT, k INT, s STRING)")
+    // range-clustered bootstrap through SQL so the delete can be surgical
+    (1 to 100).map(i => (i.toLong, i % 10, s"s$i")).toDF("id", "k", "s")
+      .repartitionByRange(5, col("id"))
+      .createOrReplaceTempView("src_rows")
+    sql("INSERT INTO graft.dml.t SELECT * FROM src_rows")
+
+    // DELETE: translatable predicate -> the metadata-optimized path
+    sql("DELETE FROM graft.dml.t WHERE k = 3")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.dml.t").head.getLong(0) === 90)
+    assert(sql("SELECT * FROM graft.dml.t WHERE k = 3").count() === 0)
+
+    // UPDATE with expressions over the OLD row
+    sql("UPDATE graft.dml.t SET s = concat(s, '!'), k = k + 100 WHERE id <= 10")
+    val updated = sql("SELECT * FROM graft.dml.t WHERE id <= 10 AND k >= 100")
+      .collect()
+    assert(updated.length === 9) // id 3 was deleted (k=3)
+    assert(updated.forall(_.getString(2).endsWith("!")))
+    assert(sql("SELECT * FROM graft.dml.t WHERE s LIKE '%!'").count() === 9)
+
+    // MERGE INTO: update matches, insert the rest
+    Seq((50L, 999, "upd"), (500L, 5, "new"))
+      .toDF("id", "k", "s").createOrReplaceTempView("merge_src")
+    sql("""MERGE INTO graft.dml.t AS t USING merge_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.s = s.s
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT k FROM graft.dml.t WHERE id = 50").head.getInt(0) === 999)
+    assert(sql("SELECT s FROM graft.dml.t WHERE id = 500").head.getString(0) === "new")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.dml.t").head.getLong(0) === 91)
+  }
+
+  test("SQL UPDATE is file-surgical on a clustered, ANALYZEd table; group DELETE handles untranslatable predicates") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.surg")
+    val base = s"$wh/surg/c"
+    // clustered on id so zone maps make the rewrite surgical
+    Manifests.commitData(
+      (1 to 1000).map(i => (i.toLong, i % 7, s"s$i")).toDF("id", "k", "s")
+        .repartitionByRange(8, col("id")), base)
+    Manifests.analyze(spark, base, Seq("id"))
+    sql(s"CREATE TABLE graft.surg.t (id BIGINT, k INT, s STRING) LOCATION '$base'")
+    val v0 = Manifests.latestVersion(spark, base).get
+    val before = Manifests.files(spark, base, v0).map(Dfs.canonical).toSet
+    sql("UPDATE graft.surg.t SET s = 'hit' WHERE id BETWEEN 10 AND 20")
+    val v1 = Manifests.latestVersion(spark, base).get
+    val after = Manifests.files(spark, base, v1).map(Dfs.canonical).toSet
+    // zone pruning on the pushed command condition keeps most files out
+    // of the rewrite: they carry into the next manifest BY REFERENCE
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty && carried.size >= 6,
+      s"UPDATE rewrote ${before.size - carried.size} of ${before.size} " +
+        "files — expected a zone-pruned surgical rewrite")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.surg.t WHERE s = 'hit'")
+      .head.getLong(0) === 11)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.surg.t").head.getLong(0) === 1000)
+
+    // an untranslatable DELETE falls back to the group rewrite and is
+    // still exact (null-safe survivor semantics included)
+    sql("DELETE FROM graft.surg.t WHERE length(s) = 2 AND id < 10")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.surg.t").head.getLong(0) === 991)
+  }
+
+  test("SQL DELETE on a partition column retires files by manifest arithmetic alone") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.part")
+    val base = s"$wh/part/p"
+    Manifests.commitDataPartitioned(
+      (1 to 400).map(i => (i.toLong, s"N${i % 4}")).toDF("id", "country"),
+      base, Seq("country"), filesPerWrite = 4)
+    sql(s"CREATE TABLE graft.part.t (id BIGINT, country STRING) LOCATION '$base'")
+    val v0 = Manifests.latestVersion(spark, base).get
+    val before = Manifests.files(spark, base, v0).map(Dfs.canonical).toSet
+    sql("DELETE FROM graft.part.t WHERE country = 'N2'")
+    val v1 = Manifests.latestVersion(spark, base).get
+    val after = Manifests.files(spark, base, v1).map(Dfs.canonical).toSet
+    // metadata-only: every surviving file was carried by reference and
+    // NO new file was written (partition-pure files drop whole)
+    assert(after.subsetOf(before), "partition DELETE wrote new files")
+    assert(after.size < before.size)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.part.t").head.getLong(0) === 300)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.part.t WHERE country = 'N2'")
+      .head.getLong(0) === 0)
+  }
+
+  test("CHECK constraints hold on the SQL DML path; violating UPDATE refuses without burning a version") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ck")
+    val base = s"$wh/ck/t"
+    sql(s"CREATE TABLE graft.ck.t (id BIGINT, qty INT) LOCATION '$base'")
+    sql("INSERT INTO graft.ck.t VALUES (1, 5), (2, 7)")
+    Manifests.addConstraint(spark, base, "qty_pos", "qty > 0")
+    val v = Manifests.latestVersion(spark, base).get
+    intercept[Exception](sql("UPDATE graft.ck.t SET qty = -1 WHERE id = 1"))
+    assert(Manifests.latestVersion(spark, base) === Some(v))
+    assert(sql("SELECT qty FROM graft.ck.t WHERE id = 1").head.getInt(0) === 5)
+    // a violating SQL INSERT refuses the same way
+    intercept[Exception](sql("INSERT INTO graft.ck.t VALUES (3, 0)"))
+    assert(sql("SELECT COUNT(*) AS n FROM graft.ck.t").head.getLong(0) === 2)
+    // and a legal UPDATE through the same path lands
+    sql("UPDATE graft.ck.t SET qty = 9 WHERE id = 2")
+    assert(sql("SELECT qty FROM graft.ck.t WHERE id = 2").head.getInt(0) === 9)
+  }
+
+  test("time travel, path addressing, CTAS, RENAME and DROP through the catalog") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    sql("CREATE TABLE graft.tt.t (id BIGINT, s STRING)")
+    sql("INSERT INTO graft.tt.t VALUES (1, 'a')")
+    sql("INSERT INTO graft.tt.t VALUES (2, 'b')")
+    sql("DELETE FROM graft.tt.t WHERE id = 1")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.tt.t").head.getLong(0) === 1)
+    // VERSION AS OF: v1 = after the second insert, before the delete
+    assert(sql("SELECT COUNT(*) AS n FROM graft.tt.t VERSION AS OF 1")
+      .head.getLong(0) === 2)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.tt.t VERSION AS OF 0")
+      .head.getLong(0) === 1)
+
+    // Delta-style path addressing: no registration at all
+    val pbase = s"$wh/free/standing"
+    Manifests.commitData(Seq((7L, "x")).toDF("id", "s"), pbase)
+    assert(sql(s"SELECT * FROM graft.`$pbase`").count() === 1)
+    sql(s"INSERT INTO graft.`$pbase` VALUES (8, 'y')")
+    assert(Manifests.readLatest(spark, pbase).count() === 2)
+
+    // CTAS
+    sql("CREATE TABLE graft.tt.c AS SELECT * FROM graft.tt.t")
+    assert(sql("SELECT * FROM graft.tt.c").count() === 1)
+
+    // RENAME keeps content; DROP removes managed data (the TO side is
+    // catalog-relative — Spark resolves it inside the source catalog)
+    sql("ALTER TABLE graft.tt.c RENAME TO tt.c2")
+    assert(sql("SELECT * FROM graft.tt.c2").count() === 1)
+    assert(!spark.catalog.tableExists("graft.tt.c"))
+    sql("DROP TABLE graft.tt.c2")
+    intercept[Exception](sql("SELECT * FROM graft.tt.c2").collect())
+  }
+
+  test("concurrent SQL UPDATEs serialize through OCC: no lost update, losers refuse cleanly") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.occ")
+    val base = s"$wh/occ/t"
+    sql(s"CREATE TABLE graft.occ.t (id BIGINT, n INT) LOCATION '$base'")
+    sql("INSERT INTO graft.occ.t VALUES (1, 0), (2, 0)")
+    val v0 = Manifests.latestVersion(spark, base).get
+    import scala.concurrent._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 2).map(i => Future {
+      try Right(sql(s"UPDATE graft.occ.t SET n = n + 1 WHERE id = $i"))
+      catch { case e: Throwable => Left(e) }
+    })
+    val rs = Await.result(Future.sequence(fs),
+      duration.Duration(180, "s"))
+    pool.shutdown()
+    val ok = rs.count(_.isRight)
+    // at least one writer lands; EVERY landed update is fully visible
+    // and every refused one is fully invisible (version math proves it)
+    assert(ok >= 1)
+    assert(sql("SELECT CAST(SUM(n) AS INT) AS s FROM graft.occ.t")
+      .head.getInt(0) === ok)
+    assert(Manifests.latestVersion(spark, base).get === v0 + ok)
+    // a loser surfaces the protocol refusal, never silent corruption
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    rs.collect { case Left(e) => e }.foreach(e =>
+      assert(chain(e).exists(_.isInstanceOf[ConcurrentCommitException]),
+        s"unexpected failure kind: $e"))
+  }
+}

@@ -44,6 +44,8 @@ object Bench {
     "manifest_writer", // one-time write-path table build (bootstrap + append)
     // pure-SQL DML fixtures: CTAS + UPDATE/DELETE/MERGE one-time builds
     "sql_dml_updel", "sql_dml_merge",
+    // per-country commit chain + ANALYZE one-time build
+    "fast_count_filtered",
     "restore_table", // one-time dump + delete + restore + clone build
     // clone_table shares restore_table's fixture; steady after it
     "drop_column", // one-time dump + metadata drop

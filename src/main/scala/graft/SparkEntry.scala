@@ -283,6 +283,31 @@ object SparkEntry {
       s.sql("""SELECT MIN(quantity) AS min_qty, MAX(quantity) AS max_qty,
               |       COUNT(quantity) AS n_qty FROM man_fastmm""".stripMargin)
     }),
+    // ...FILTERED metadata aggregates: the condition translates to the
+    // recorded partition tuples, every file classifies purely (one
+    // country per commit), and COUNT/MIN/MAX fold over just the
+    // matching files' stats rows — Iceberg's partition-predicate count,
+    // exact-or-absent (a mixed file keeps the real scan; the oracle
+    // replays the row filter over the clean lineage)
+    "fast_count_filtered" -> ((s, d) => {
+      val b = manfcntFixture(s, d)
+      s.read.format("manifest").load(b)
+        .createOrReplaceTempView("man_fcf")
+      s.sql("""SELECT COUNT(*) AS n_rows, MIN(quantity) AS min_qty,
+              |       MAX(quantity) AS max_qty FROM man_fcf
+              |WHERE country = 'NATION_2'""".stripMargin)
+    }),
+    // ...and SUM(col) of an integral stats key folds the per-file sums
+    // recorded at ANALYZE/append — bit-equal to the scan because
+    // integer addition is associative; the most common revenue/volume
+    // profiling query never touches data
+    "fast_sum" -> ((s, d) => {
+      val b = manskipFixture(s, d)
+      s.read.format("manifest").load(b)
+        .createOrReplaceTempView("man_fastsum")
+      s.sql("""SELECT SUM(quantity) AS sum_qty, COUNT(*) AS n_rows
+              |FROM man_fastsum""".stripMargin)
+    }),
     "manifest_sql_scan" -> ((s, d) => {
       val b = manpartFixture(s, d)
       s.read.format("manifest").load(b).createOrReplaceTempView("man_sales")
@@ -637,6 +662,33 @@ object SparkEntry {
     * carrying relocations of NATION_3 + brand-new NATION_5B customers) —
     * shared by `merge_versioned` (reads v1) and `change_feed_keyed`
     * (classifies the v0->v1 diff by customer_id). */
+  /** Partition-pure metadata-count fixture: the clean lineage landed
+    * one COUNTRY PER COMMIT (bootstrap + appends), so every data file
+    * holds exactly one partition tuple and ANY country predicate
+    * classifies every file purely — the layout under which a filtered
+    * COUNT/MIN/MAX answers from manifest metadata alone. ANALYZE
+    * records n_rows + quantity zones (and per-file sums) per file. */
+  private def manfcntFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manfcnt")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      val cleaned = Warehouse(s, d).cleaned
+      val countries = cleaned.select("country").distinct().collect()
+        .map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
+      def slice(c: Option[String]) =
+        c.fold(cleaned.filter(col("country").isNull))(v =>
+          cleaned.filter(col("country") === v))
+      ext.Manifests.commitDataPartitioned(slice(countries.head), b,
+        Seq("country"), filesPerWrite = 2)
+      countries.tail.zipWithIndex.foreach { case (c, i) =>
+        ext.Manifests.appendBatch(slice(c), b, i.toLong)
+      }
+      ext.Manifests.analyze(s, b, Seq("quantity"))
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Lazily register the DSv2 catalog (idempotent; catalogs
     * instantiate on first reference, so a runtime conf set is all the
     * installation the SQL DML surface needs). */
@@ -812,6 +864,15 @@ object SparkEntry {
       s"""${Oracle.cleanedCte} SELECT MIN(quantity) AS min_qty,
          | MAX(quantity) AS max_qty, COUNT(quantity) AS n_qty
          | FROM cleaned""".stripMargin,
+    // the filtered metadata fold must equal the real filtered aggregate
+    "fast_count_filtered" ->
+      s"""${Oracle.cleanedCte} SELECT COUNT(*) AS n_rows,
+         | MIN(quantity) AS min_qty, MAX(quantity) AS max_qty
+         | FROM cleaned WHERE country = 'NATION_2'""".stripMargin,
+    // the per-file-sum fold must equal the real SUM over data
+    "fast_sum" ->
+      s"""${Oracle.cleanedCte} SELECT CAST(SUM(quantity) AS BIGINT) AS sum_qty,
+         | COUNT(*) AS n_rows FROM cleaned""".stripMargin,
     // the SQL-addressed relation: same content as the DataFrame path
     "manifest_sql_scan" ->
       s"""${Oracle.cleanedCte} SELECT country, COUNT(*) AS n_sales,

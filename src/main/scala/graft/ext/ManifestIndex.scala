@@ -106,13 +106,77 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
       }
     }
 
+  /** The PARTITION-PURE file classification behind filtered metadata
+    * aggregates: when `filters` translate STRICTLY (every conjunct, no
+    * residual) to a predicate over the recorded partition tuples, and
+    * every manifest file is covered and PURE under it (all its tuples
+    * match, or none do), the filtered row set is exactly the union of
+    * the all-match files — so any per-file-exact statistic folds over
+    * just those files. Returns their canonical paths; None whenever
+    * the proof fails (untranslatable conjunct, uncovered file, or a
+    * MIXED file whose rows straddle the predicate), in which case the
+    * caller keeps the real scan. This is Iceberg's "answer
+    * `COUNT(*) WHERE <partition predicate>` from the manifest" move,
+    * made exact-or-absent: purity is checked per predicate, so a
+    * loosely-clustered table degrades to scanning, never to a wrong
+    * answer. */
+  private def pureMatchFiles(
+      dataFilters: Seq[Expression]): Option[Set[String]] =
+    partMeta.flatMap { case (pcols, pvSegs) =>
+      ManifestFileIndex.strictValuePredicate(dataFilters, pcols,
+        spark.sessionState.analyzer.resolver).flatMap { pred =>
+        import org.apache.spark.sql.functions.{count, sum, when}
+        val cls = SidecarCache.localDf(spark, pvSegs)
+          .groupBy("file")
+          .agg(count(lit(1)).as("n"),
+            sum(when(pred, 1L).otherwise(0L)).as("m"))
+          .collect() // metadata-sized: one row per data file
+          .map(r => Dfs.canonical(r.getString(0)) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        val covered = files.forall(cls.contains)
+        val pure = files.forall(f =>
+          cls.get(f).forall { case (n, m) => m == 0L || m == n })
+        if (!covered || !pure) None
+        else Some(files.filter(f => cls(f)._2 > 0).toSet)
+      }
+    }
+
+  /** [[coveredStats]] restricted to the rows satisfying `dataFilters`
+    * — empty filters return full coverage; non-empty ones require the
+    * partition-purity proof ([[pureMatchFiles]]) and restrict the
+    * stats frame to the matching files (possibly zero rows: folding
+    * then yields COUNT 0 / NULL bounds, exactly the scan's answer). */
+  def coveredStatsWhere(dataFilters: Seq[Expression])
+      : Option[(Seq[String], org.apache.spark.sql.DataFrame)] =
+    if (dataFilters.isEmpty) coveredStats
+    else for {
+      keep <- pureMatchFiles(dataFilters)
+      (keys, st) <- coveredStats
+    } yield {
+      val fi = st.schema.fieldIndex("file")
+      val rows = st.collect()
+        .filter(r => keep(Dfs.canonical(r.getString(fi))))
+      (keys, spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), st.schema))
+    }
+
+  /** [[exactRowCount]] under a partition-pure filter. */
+  def exactRowCountWhere(dataFilters: Seq[Expression]): Option[Long] =
+    coveredStatsWhere(dataFilters).map { case (_, st) =>
+      Option(st.agg(org.apache.spark.sql.functions.sum("n_rows"))
+        .head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    }
+
   /** Exact table-wide MIN (or MAX) of a stats-indexed column from
     * metadata alone: the fold of per-file zone bounds, which ignores
     * all-null files exactly as the real aggregate ignores nulls.
     * Outer None = not provable (column not indexed, or no coverage);
-    * `Some(None)` = provably NULL (every value is null). */
-  def statBound(colName: String, isMin: Boolean): Option[Option[Any]] =
-    coveredStats.flatMap { case (keys, st) =>
+    * `Some(None)` = provably NULL (every value is null). Zone bounds
+    * are EXACT per-file min/max, so under a partition-pure filter the
+    * fold over matching files is the exact filtered aggregate. */
+  def statBound(colName: String, isMin: Boolean,
+      dataFilters: Seq[Expression] = Seq.empty): Option[Option[Any]] =
+    coveredStatsWhere(dataFilters).flatMap { case (keys, st) =>
       val resolver = spark.sessionState.analyzer.resolver
       keys.find(k => resolver(k, colName)).map { k =>
         import org.apache.spark.sql.functions.{min, max}
@@ -123,13 +187,38 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     }
 
   /** Exact COUNT(col) — non-null cardinality — of a stats-indexed
-    * column: Σ (n_rows − nulls) over the covered files. */
-  def statNonNullCount(colName: String): Option[Long] =
-    coveredStats.flatMap { case (keys, st) =>
+    * column: Σ (n_rows − nulls) over the covered (filtered) files. */
+  def statNonNullCount(colName: String,
+      dataFilters: Seq[Expression] = Seq.empty): Option[Long] =
+    coveredStatsWhere(dataFilters).flatMap { case (keys, st) =>
       val resolver = spark.sessionState.analyzer.resolver
       keys.find(k => resolver(k, colName)).map { k =>
         import org.apache.spark.sql.functions.sum
-        st.agg(sum(col("n_rows") - col(s"${k}_nulls"))).head.getLong(0)
+        Option(st.agg(sum(col("n_rows") - col(s"${k}_nulls")))
+          .head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      }
+    }
+
+  /** Exact SUM of an INTEGRAL stats-indexed column: Σ of the per-file
+    * sums [[Skipping.buildStats]] records. Integer addition is
+    * associative (mod 2^64 included), so the fold is bit-equal to the
+    * scan. A NULL per-file sum is legitimate only for an all-null file
+    * (`nulls == n_rows`); anywhere else it means the stat predates sum
+    * recording and the proof is off. `Some(None)` = provably NULL
+    * (no non-null value in the filtered set). */
+  def statSum(colName: String,
+      dataFilters: Seq[Expression] = Seq.empty): Option[Option[Any]] =
+    coveredStatsWhere(dataFilters).flatMap { case (keys, st) =>
+      val resolver = spark.sessionState.analyzer.resolver
+      keys.find(k => resolver(k, colName)).flatMap { k =>
+        if (!st.schema.fieldNames.contains(s"${k}_sum")) None
+        else {
+          import org.apache.spark.sql.functions.sum
+          val missing = st.filter(col(s"${k}_sum").isNull &&
+            col(s"${k}_nulls") < col("n_rows")).limit(1).count()
+          if (missing > 0) None
+          else Some(Option(st.agg(sum(col(s"${k}_sum"))).head.get(0)))
+        }
       }
     }
 
@@ -335,6 +424,34 @@ object ManifestFileIndex {
       case ps => Some(ps.reduce(_ && _))
     }
 
+  /** STRICT twin of [[valuePredicate]] for EXACT answers (filtered
+    * metadata aggregates): every conjunct — recursively — must
+    * translate, because pruning may drop an untranslatable conjunct
+    * conservatively but an exact count may not. NOT is additionally
+    * admitted here: partition tuples hold real values, so three-valued
+    * negation evaluates exactly (it stays out of the lenient pruning
+    * path only because it is never needed there). */
+  private[ext] def strictValuePredicate(filters: Seq[Expression],
+      pcols: Seq[String],
+      resolver: (String, String) => Boolean = caseInsensitive): Option[Column] = {
+    val cs = filters.map(strictValueOf(_, pcols, resolver))
+    if (cs.isEmpty || cs.exists(_.isEmpty)) None
+    else Some(cs.flatten.reduce(_ && _))
+  }
+
+  private def strictValueOf(e: Expression, pcols: Seq[String],
+      resolver: (String, String) => Boolean): Option[Column] = e match {
+    case And(l, r) =>
+      for { a <- strictValueOf(l, pcols, resolver)
+            b <- strictValueOf(r, pcols, resolver) } yield a && b
+    case Or(l, r) =>
+      for { a <- strictValueOf(l, pcols, resolver)
+            b <- strictValueOf(r, pcols, resolver) } yield a || b
+    case org.apache.spark.sql.catalyst.expressions.Not(x) =>
+      strictValueOf(x, pcols, resolver).map(!_)
+    case leaf => valueOf(leaf, pcols, resolver)
+  }
+
   private def valueOf(e: Expression, pcols: Seq[String],
       resolver: (String, String) => Boolean): Option[Column] = e match {
     case And(l, r) => (valueOf(l, pcols, resolver), valueOf(r, pcols, resolver)) match {
@@ -486,7 +603,11 @@ private[ext] object SidecarCache {
     val key = (spark.sparkContext.applicationId,
       paths.map(Dfs.canonical).sorted.mkString("\n"))
     val (sch, rows) = cache.getOrElseUpdate(key, {
-      val df = spark.read.parquet(paths: _*)
+      // mergeSchema: sidecar SEGMENTS can straddle a stats-schema
+      // widening (e.g. per-file sums added later) — the union schema
+      // null-fills older segments deterministically instead of
+      // whichever file the reader happens to sample
+      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
       (df.schema, df.collect())
     })
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)

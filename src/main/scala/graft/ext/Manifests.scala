@@ -313,8 +313,12 @@ object Manifests {
         .filter(f => unt.contains(Dfs.canonical(f))).toSeq
       val keepDf = spark.createDataset(keepRaw)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")
+      // allowMissingColumns: a pre-`_sum` segment unions with a fresh
+      // one null-filled — a null per-file sum on a not-all-null file
+      // reads as "stat missing" and disables only the SUM proof
       val merged = st.join(keepDf, Seq("file"), "left_semi")
-        .unionByName(statsFor(spark, rewritten, keys, schema))
+        .unionByName(statsFor(spark, rewritten, keys, schema),
+          allowMissingColumns = true)
       (keys, Seq(writeStats(spark, base, merged)))
     }
 

@@ -39,17 +39,35 @@ object Skipping {
   /** Per-file zone maps for the named key expressions: one row per
     * data file with `<name>_min`, `<name>_max`, `<name>_nulls`, plus
     * the file's row count. One column-pruned scan, map-side-combined
-    * min/max — the exchange carries a row per (file, task). */
-  def buildStats(df: DataFrame, keys: Seq[(String, Column)]): DataFrame =
-    df.select(input_file_name().as("file") +: keys.map { case (n, c) => c.as(n) }: _*)
-      .groupBy("file")
+    * min/max — the exchange carries a row per (file, task).
+    *
+    * INTEGRAL keys additionally record a per-file `<name>_sum`: the
+    * Iceberg-style ingredient that lets an unfiltered (or
+    * partition-pure-filtered) `SUM(col)` answer from metadata alone —
+    * Σ of per-file sums is exactly the table sum because integer
+    * addition is associative (overflow included, mod 2^64). Floating
+    * sums are deliberately NOT recorded: FP addition is order-
+    * dependent, so a metadata fold could differ from the scan in the
+    * last ulp — a metadata answer must be bit-equal or absent. */
+  def buildStats(df: DataFrame, keys: Seq[(String, Column)]): DataFrame = {
+    val proj = df.select(
+      input_file_name().as("file") +: keys.map { case (n, c) => c.as(n) }: _*)
+    import org.apache.spark.sql.types._
+    def summable(n: String): Boolean = proj.schema(n).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    proj.groupBy("file")
       .agg(
         count(lit(1)).as("n_rows"),
-        keys.flatMap { case (n, _) => Seq(
-          min(col(n)).as(s"${n}_min"),
-          max(col(n)).as(s"${n}_max"),
-          sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls"))
+        keys.flatMap { case (n, _) =>
+          Seq(
+            min(col(n)).as(s"${n}_min"),
+            max(col(n)).as(s"${n}_max"),
+            sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls")) ++
+            (if (summable(n)) Seq(sum(col(n)).as(s"${n}_sum")) else Seq.empty)
         }: _*)
+  }
 
   /** Files whose zones can contain a row satisfying EVERY
     * `lo <= key <= hi` conjunct. A null zone bound means the file has

@@ -2,58 +2,79 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
 
 /** Metadata-only aggregates over manifest tables — the Delta/Iceberg
   * "answer from file statistics" optimization as a logical rewrite: an
-  * unfiltered, ungrouped aggregate whose only input is a manifest
-  * relation and whose every aggregate is provable from the version's
-  * zone-stats sidecar collapses to a [[LocalRelation]] at plan time.
-  * Provable aggregates:
+  * ungrouped aggregate whose only input is a manifest relation and
+  * whose every aggregate is provable from the version's zone-stats
+  * sidecar collapses to a [[LocalRelation]] at plan time. Provable
+  * aggregates:
   *
   *  - `COUNT(*)` / `COUNT(1)` — Σ per-file `n_rows`;
   *  - `COUNT(col)` for a stats-indexed column — Σ (`n_rows` − nulls);
   *  - `MIN(col)` / `MAX(col)` for a stats-indexed column — the fold of
   *    per-file zone bounds (all-null files carry null bounds, which the
-  *    fold ignores exactly as the real aggregate ignores nulls).
+  *    fold ignores exactly as the real aggregate ignores nulls);
+  *  - `SUM(col)` for an INTEGRAL stats-indexed column — Σ per-file
+  *    sums (integer addition is associative, overflow included, so the
+  *    fold is bit-equal to the scan; floating sums never rewrite —
+  *    FP addition is order-dependent).
   *
-  * On a 100 TB table that turns the most common profiling queries
-  * (`COUNT(*)`, date-range `MIN`/`MAX`) from a million-footer
-  * distributed scan into one metadata-sized driver read, amortized to
-  * zero by the sidecar memo.
+  * A FILTER between the aggregate and the scan no longer always
+  * disables the rewrite: when the whole condition translates STRICTLY
+  * to a predicate over the version's recorded partition tuples and
+  * every file classifies PURELY under it (all tuples match or none —
+  * Iceberg's partition-predicate count, made exact-or-absent), the
+  * aggregates fold over just the matching files' stats rows. A mixed
+  * file, an uncovered file, or any non-partition conjunct keeps the
+  * real scan — correctness never depends on the clustering.
+  *
+  * On a 100 TB table this turns the most common profiling queries
+  * (`COUNT(*)`, date-range `MIN`/`MAX`, per-partition counts, revenue
+  * `SUM`s) from a million-footer distributed scan into one
+  * metadata-sized driver read, amortized to zero by the sidecar memo.
   *
   * The rewrite fires only when it is PROVABLY exact: no grouping, no
-  * filter between the aggregate and the scan, no DISTINCT, no
-  * per-aggregate FILTER clause, only attribute-projections below — and
+  * DISTINCT, no per-aggregate FILTER clause, only attribute-projections
+  * and (partition-pure) filters below — and
   * [[graft.ext.ManifestFileIndex.coveredStats]] proves the stats cover
   * exactly the manifest's files (appends maintain the stats sidecar
   * incrementally, so the proof survives appends without re-ANALYZE;
   * batch manifest relations carry no deletion vectors by provider
   * contract). A table never ANALYZEd, or an aggregate over a
-  * non-indexed column, simply keeps its normal scan — correctness
-  * never depends on the rule.
+  * non-indexed column, simply keeps its normal scan.
   *
   * Installed into `spark.experimental.extraOptimizations` alongside
   * [[ManifestInsertStrategy]] the first time a manifest relation is
   * created; the batch runs after Catalyst's own optimization, exactly
   * where an eligible plan has settled into
-  * `Aggregate(Nil, aggs, [Project(attrs),] LogicalRelation)`. */
+  * `Aggregate(Nil, aggs, [Project/Filter,] LogicalRelation)`. */
 object ManifestCountRule extends Rule[LogicalPlan] {
 
-  private def manifestIndex(
-      plan: LogicalPlan): Option[graft.ext.ManifestFileIndex] = plan match {
-    // column pruning leaves an attributes-only Project over the
-    // relation; attribute projections cannot change cardinality or
-    // column values, so they are transparent to the proof
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The manifest index under attribute-only projections and filters,
+    * plus every filter conjunct on the way down. Projections cannot
+    * change cardinality or values; filters are returned for the
+    * partition-purity proof to consume (or refuse). */
+  private def manifestScan(plan: LogicalPlan)
+      : Option[(graft.ext.ManifestFileIndex, Seq[Expression])] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      manifestIndex(child)
+      manifestScan(child)
+    case Filter(cond, child) =>
+      manifestScan(child).map { case (i, cs) => (i, conjuncts(cond) ++ cs) }
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation => fs.location match {
-        case m: graft.ext.ManifestFileIndex => Some(m)
+        case m: graft.ext.ManifestFileIndex => Some((m, Seq.empty))
         case _ => None
       }
       case _ => None
@@ -63,9 +84,9 @@ object ManifestCountRule extends Rule[LogicalPlan] {
 
   /** The metadata answer for one aggregate, as a CATALYST value of the
     * aggregate's output type — None when this aggregate is not
-    * provable from the stats. */
+    * provable from the (possibly filtered) stats. */
   private def statValue(idx: graft.ext.ManifestFileIndex,
-      ne: NamedExpression): Option[Any] = {
+      filters: Seq[Expression], ne: NamedExpression): Option[Any] = {
     val ae = ne match {
       case Alias(a: AggregateExpression, _) => a
       case a: AggregateExpression => a
@@ -77,24 +98,35 @@ object ManifestCountRule extends Rule[LogicalPlan] {
             case l: Literal => l.value != null
             case _ => false
           } =>
-        idx.exactRowCount
+        idx.exactRowCountWhere(filters)
       case Count(Seq(a: AttributeReference)) =>
-        idx.statNonNullCount(a.name)
+        idx.statNonNullCount(a.name, filters)
       case Min(a: AttributeReference) =>
-        idx.statBound(a.name, isMin = true).map(v =>
+        idx.statBound(a.name, isMin = true, filters).map(v =>
           CatalystTypeConverters.convertToCatalyst(v.orNull))
       case Max(a: AttributeReference) =>
-        idx.statBound(a.name, isMin = false).map(v =>
+        idx.statBound(a.name, isMin = false, filters).map(v =>
           CatalystTypeConverters.convertToCatalyst(v.orNull))
+      // integral sums only (result type LongType): the per-file sums
+      // are exact and associative; ANSI overflow-throw divergence is
+      // out of reach for a fold that wraps identically to the scan's
+      // partial aggregation in legacy mode
+      case s: Sum if s.dataType == LongType =>
+        s.child match {
+          case a: AttributeReference =>
+            idx.statSum(a.name, filters).map(v =>
+              CatalystTypeConverters.convertToCatalyst(v.orNull))
+          case _ => None
+        }
       case _ => None
     }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
-      manifestIndex(child) match {
-        case Some(idx) =>
-          val vals = aggExprs.map(statValue(idx, _))
+      manifestScan(child) match {
+        case Some((idx, filters)) =>
+          val vals = aggExprs.map(statValue(idx, filters, _))
           if (vals.forall(_.isDefined))
             LocalRelation(agg.output,
               Seq(InternalRow.fromSeq(vals.map(_.get))))

@@ -599,4 +599,75 @@ class ManifestRelationSpec extends AnyFunSuite {
     assert(fileScans(unindexed) === 1)
     assert(unindexed.head.getLong(0) === 1L)
   }
+
+  test("filtered COUNT/MIN/MAX and SUM answer from metadata when files are partition-pure; mixed files keep the scan") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    def fileScans(df: DataFrame): Int = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: FileSourceScanExec => 1
+        case other => other.children.map(scans).sum
+      }
+      scans(df.queryExecution.executedPlan)
+    }
+    def dataOpens(f: => Unit): Long = {
+      val s = CountingFileSystem.dataReads.get(); f
+      CountingFileSystem.dataReads.get() - s
+    }
+    // one partition value per commit -> every file pure for any pred
+    val b = "graftcnt:" +
+      java.nio.file.Files.createTempDirectory("graft_rel_fcf").toString + "/t"
+    val rows = (1 to 300).map(i => (i.toLong, i % 3, s"P${i % 3}"))
+    Manifests.commitDataPartitioned(
+      rows.filter(_._3 == "P0").toDF("id", "q", "p"), b, Seq("p"),
+      filesPerWrite = 2)
+    Manifests.appendBatch(rows.filter(_._3 == "P1").toDF("id", "q", "p"), b, 0L)
+    Manifests.appendBatch(rows.filter(_._3 == "P2").toDF("id", "q", "p"), b, 1L)
+    Manifests.analyze(spark, b, Seq("q"))
+    // filtered COUNT/MIN/MAX/COUNT(col)/SUM: LocalRelation, zero opens
+    val fc = rel(b).filter(col("p") === "P1")
+      .agg(count(lit(1)).as("n"), min(col("q")).as("mn"),
+        max(col("q")).as("mx"), sum(col("q")).as("s"))
+    assert(dataOpens {
+      val r = fc.head
+      assert(r.getLong(0) === 100L && r.getInt(1) === 1 && r.getInt(2) === 1)
+      assert(r.getLong(3) === 100L)
+    } === 0L)
+    assert(fileScans(fc) === 0)
+    // a pred matching NOTHING folds over zero files: count 0, null bounds
+    val none = rel(b).filter(col("p") === "P9")
+      .agg(count(lit(1)).as("n"), min(col("q")).as("mn"))
+    assert(dataOpens {
+      val r = none.head
+      assert(r.getLong(0) === 0L && r.isNullAt(1))
+    } === 0L)
+    assert(fileScans(none) === 0)
+    // unfiltered SUM folds the per-file sums the same way
+    val su = rel(b).agg(sum(col("q")).as("s"))
+    assert(dataOpens(assert(su.head.getLong(0) === 300L)) === 0L)
+    assert(fileScans(su) === 0)
+    // a NON-partition conjunct disables the proof: the real scan answers
+    val np = rel(b).filter(col("p") === "P1" && col("id") > 0)
+      .agg(count(lit(1)).as("n"))
+    assert(fileScans(np) === 1)
+    assert(np.head.getLong(0) === 100L)
+    // MIXED files (several tuples per file) refuse the metadata answer
+    // and stay exactly correct through the scan
+    val bm = "graftcnt:" +
+      java.nio.file.Files.createTempDirectory("graft_rel_fcfmix").toString + "/t"
+    Manifests.commitDataPartitioned(
+      (1 to 100).map(i => (i.toLong, i % 2, s"M${i % 2}")).toDF("id", "q", "p"),
+      bm, Seq("p"), filesPerWrite = 1) // ONE file holds both tuples
+    Manifests.analyze(spark, bm, Seq("q"))
+    val mixed = rel(bm).filter(col("p") === "M1").agg(count(lit(1)).as("n"))
+    assert(fileScans(mixed) === 1,
+      "a mixed file must disable the metadata count, not corrupt it")
+    assert(mixed.head.getLong(0) === 50L)
+  }
 }

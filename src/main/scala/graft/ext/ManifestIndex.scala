@@ -178,11 +178,20 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
       dataFilters: Seq[Expression] = Seq.empty): Option[Option[Any]] =
     coveredStatsWhere(dataFilters).flatMap { case (keys, st) =>
       val resolver = spark.sessionState.analyzer.resolver
-      keys.find(k => resolver(k, colName)).map { k =>
-        import org.apache.spark.sql.functions.{min, max}
-        Option(st.agg(
-          if (isMin) min(col(s"${k}_min")) else max(col(s"${k}_max")))
-          .head.get(0))
+      keys.find(k => resolver(k, colName)).flatMap { k =>
+        // truncated STRING bounds are widened, not exact: any file
+        // whose `<k>_trunc` flag is set disables the metadata MIN/MAX
+        // (pruning keeps using the widened zones — conservative there,
+        // wrong here)
+        val widened = st.schema.fieldNames.contains(s"${k}_trunc") &&
+          st.filter(col(s"${k}_trunc") === true).limit(1).count() > 0
+        if (widened) None
+        else {
+          import org.apache.spark.sql.functions.{min, max}
+          Some(Option(st.agg(
+            if (isMin) min(col(s"${k}_min")) else max(col(s"${k}_max")))
+            .head.get(0)))
+        }
       }
     }
 

@@ -57,7 +57,7 @@ object Skipping {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    proj.groupBy("file")
+    val agged = proj.groupBy("file")
       .agg(
         count(lit(1)).as("n_rows"),
         keys.flatMap { case (n, _) =>
@@ -67,7 +67,76 @@ object Skipping {
             sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}_nulls")) ++
             (if (summable(n)) Seq(sum(col(n)).as(s"${n}_sum")) else Seq.empty)
         }: _*)
+    // STRING bounds store a truncated prefix with WIDENING semantics
+    // (Iceberg's truncate-transform on bounds): a long-text column must
+    // not bloat the per-file stats row — at 100 TB the sidecar is read
+    // at every plan, and full document-sized min/max would make plan
+    // metadata scale with content. `<k>_trunc` records that a file's
+    // bounds are widened, so exact metadata answers (MIN/MAX folds)
+    // know to refuse while pruning stays valid (wider never prunes a
+    // file it shouldn't). One UDF call per FILE — metadata-sized, not a
+    // data-path expression.
+    keys.foldLeft(agged) { case (acc, (n, _)) =>
+      proj.schema(n).dataType match {
+        case StringType =>
+          acc
+            .withColumn(s"${n}_trunc", coalesce(
+              length(col(s"${n}_min")) > stringBoundLen ||
+                length(col(s"${n}_max")) > stringBoundLen, lit(false)))
+            .withColumn(s"${n}_min", truncLowerUdf(col(s"${n}_min")))
+            .withColumn(s"${n}_max", truncUpperUdf(col(s"${n}_max")))
+        case _ => acc
+      }
+    }
   }
+
+  /** Stored string-bound width. 16 chars keeps a stats row bounded
+    * while leaving equality/range pruning sharp for human-scale keys
+    * (ids, codes, names); document-text keys prune at prefix
+    * granularity, which is what their zones can honestly say. */
+  val stringBoundLen = 16
+
+  /** Lower bound: the plain prefix — a prefix never exceeds the value
+    * in UTF-8 byte order, so it is a valid (wider) lower bound. */
+  private[ext] def truncLower(s: String): String =
+    if (s == null || s.length <= stringBoundLen) s
+    else s.substring(0, cutAt(s))
+
+  /** Truncation point that never splits a surrogate pair (a dangling
+    * high surrogate would re-encode as U+FFFD and corrupt byte-order
+    * reasoning); dropping the half only shortens the prefix, which
+    * stays a valid lower bound. */
+  private def cutAt(s: String): Int =
+    if (Character.isHighSurrogate(s.charAt(stringBoundLen - 1)))
+      stringBoundLen - 1
+    else stringBoundLen
+
+  /** Upper bound: the prefix with its RIGHTMOST safely-incrementable
+    * char bumped and the tail dropped — strictly above every string
+    * sharing the prefix (at the bumped position the candidate's char
+    * is smaller, and for valid non-surrogate BMP scalars char order
+    * equals UTF-8 byte order, which is how Spark compares strings).
+    * Chars whose increment would leave the safe zone (surrogate halves,
+    * the 0xFFFD+ tail) are skipped leftward; if nothing in the prefix
+    * can be bumped, the FULL exact value is kept — correctness over
+    * compactness in the pathological case. */
+  private[ext] def truncUpper(s: String): String = {
+    if (s == null || s.length <= stringBoundLen) return s
+    val p = s.substring(0, cutAt(s)).toCharArray
+    var i = p.length - 1
+    while (i >= 0) {
+      val c = p(i)
+      if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFD)) {
+        p(i) = (c + 1).toChar
+        return new String(p, 0, i + 1)
+      }
+      i -= 1
+    }
+    s
+  }
+
+  private val truncLowerUdf = udf(truncLower _)
+  private val truncUpperUdf = udf(truncUpper _)
 
   /** Files whose zones can contain a row satisfying EVERY
     * `lo <= key <= hi` conjunct. A null zone bound means the file has

@@ -314,14 +314,22 @@ object Similarity {
     * HOF fold, so oracle hashes are unchanged. */
   private def assignToCentroids(emb: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
-    // nearest by euclidean distance = max (dot - |c|^2/2) for unit-cost argmin
-    val scored = centroids.map { case (cid, c) =>
-      val cArr = typedLit(c)
-      val cNorm2 = c.map(x => x * x).sum
-      struct((call_function("vec_dot", col("embedding"), cArr) - lit(cNorm2 / 2)).as("score"),
-        lit(cid).as("cid"))
-    }
-    emb.withColumn("cluster", greatest(scored: _*).getField("cid"))
+    // nearest by euclidean distance = max (dot - |c|^2/2) for unit-cost
+    // argmin, evaluated by ONE tight-loop expression over the whole
+    // centroid matrix ([[graft.functions.VecArgmin]]). The former
+    // k-branch `greatest(struct(vec_dot - c2/2, cid), ...)` encoding is
+    // semantically identical (same fold order, same (score, cid)
+    // tie-break — SimilaritySpec pins the equivalence) but overflowed
+    // whole-stage codegen at the semantic-dedup cluster counts and fell
+    // back to interpreting k expression trees per row: the 100x profile
+    // showed the Lloyd chain at ~120 s vs ~4 s for the pair phase it
+    // feeds. One expression keeps the assignment pass at scan speed at
+    // any k.
+    emb.withColumn("cluster", call_function("vec_argmin",
+      col("embedding"),
+      typedLit(centroids.map(_._2).toSeq),
+      typedLit(centroids.map { case (_, c) => c.map(x => x * x).sum / 2 }.toSeq),
+      typedLit(centroids.map(_._1).toSeq)))
   }
 
   /** IVF ANN top-k: probe the nprobe nearest posting lists per query. */

@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[graft.ext.Manifests]] table —
@@ -35,8 +37,9 @@ import org.apache.spark.sql.types.StructType
   * batches read under it, so files from before a column was added
   * null-fill, and columns added after the query started surface on
   * restart — Structured Streaming's own schema contract. */
-class DefaultSource extends StreamSourceProvider with RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+class DefaultSource extends StreamSourceProvider with StreamSinkProvider
+    with RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
     /** SQL addressability: the dot-free short name keeps
     * `format("manifest")` terse, and the SQL route is a one-line view
@@ -219,6 +222,53 @@ class DefaultSource extends StreamSourceProvider with RelationProvider
     new ManifestSource(sqlContext, basePath(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters)
+
+  /** The declarative face of the exactly-once streaming SINK —
+    * `df.writeStream.format("manifest").option("path", base).start()`
+    * instead of the `foreachBatch` sugar
+    * ([[graft.streaming.Streams.manifestSink]], which stays for callers
+    * who want a hook). Same commit primitive underneath
+    * ([[Manifests.appendBatch]]): the manifest IS the batch-done
+    * record, so an at-least-once replay after a crash between commit
+    * and checkpoint finds its `data_batch_<id>` directory already
+    * referenced and no-ops — exactly-once without a transaction log
+    * beside the table's own. Append mode only: a manifest append can
+    * represent neither Update's in-place changes nor Complete's
+    * wholesale replacement per trigger (use [[Streams.cdcSink]] /
+    * a batch overwrite for those shapes). Hive-style partition columns
+    * refuse as everywhere — partitioning is declared in the manifest. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "manifest tables take no partitionBy at the sink — partitioning " +
+        "is declared in the manifest (commitDataPartitioned; appends " +
+        "derive tuples under the recorded spec automatically)")
+    require(outputMode == OutputMode.Append(),
+      s"manifest sink supports Append output only (got $outputMode) — " +
+        "a manifest append cannot represent per-trigger updates or " +
+        "wholesale replacement; use cdcSink for keyed upserts")
+    val (base, atSuffix) = splitVersionSuffix(basePath(parameters))
+    require(atSuffix.isEmpty,
+      s"cannot stream into time-travel path $base@v${atSuffix.get} — " +
+        "versions are immutable; write to the table base")
+    new ManifestStreamSink(base)
+  }
+}
+
+/** V1 `Sink` over [[Manifests.appendBatch]]. The frame `addBatch`
+  * receives is bound to the engine's incremental execution; it is
+  * re-wrapped as a plain batch frame over the already-planned RDD
+  * before the commit path writes it (the standard V1-sink move). */
+private[manifest] class ManifestStreamSink(base: String) extends Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    Manifests.appendBatch(
+      org.apache.spark.sql.graft.StreamShim.asBatch(spark, data),
+      base, batchId): Unit
+  }
+  override def toString: String = s"ManifestStreamSink[$base]"
 }
 
 /** Offset = committed manifest version. `json` is the wire format the

@@ -104,7 +104,38 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         ident.namespace :+ ident.name)
     }
 
-  override def loadTable(ident: Identifier): Table = table(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    if (tableExists(ident) || metaTableOf(ident).isEmpty) table(ident, None)
+    else metaTableOf(ident).get
+
+  /** Iceberg-style METADATA TABLES: `SELECT * FROM graft.ns.t.history`
+    * (or `.files` / `.constraints`) resolves the trailing name as a
+    * metadata view over the PARENT table when no real table shadows it
+    * — DESCRIBE HISTORY / DESCRIBE DETAIL as ordinary queryable
+    * relations, metadata-sized by construction (per-version `_counts`
+    * summaries, per-file stats rows, the constraint records). */
+  private def metaTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    if (!tableExists(parent)) return None
+    val t = table(parent, None)
+    val s = spark
+    def latest = Manifests.latestVersion(s, t.base).getOrElse(
+      sys.error(s"${display(parent)} has no committed version"))
+    ident.name.toLowerCase match {
+      case "history" => Some(new ManifestMetaTable(
+        s"${display(parent)}.history", () => Manifests.historyDf(s, t.base)))
+      case "files" => Some(new ManifestMetaTable(
+        s"${display(parent)}.files", () => Manifests.filesDf(s, t.base, latest)))
+      case "constraints" => Some(new ManifestMetaTable(
+        s"${display(parent)}.constraints", () => {
+          import s.implicits._
+          Manifests.constraintsOf(s, t.base, latest)
+            .toDF("name", "predicate")
+        }))
+      case _ => None
+    }
+  }
 
   /** `VERSION AS OF <v>` through the catalog. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -262,4 +293,40 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
       Dfs.delete(spark, dir, recursive = true)
     }
   }
+}
+
+/** A metadata view as a DSv2 table: the frame is metadata-sized
+  * (history rows, file listings, constraint records), so the scan is a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — driver-local
+  * rows, no job, no files. Rebuilt per load: metadata tables must
+  * reflect the CURRENT version, not the one first queried. */
+private[manifest] class ManifestMetaTable(ident: String,
+    frame: () => org.apache.spark.sql.DataFrame)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  private lazy val df = frame()
+
+  override def name(): String = ident
+  override def schema(): org.apache.spark.sql.types.StructType = df.schema
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val s = new java.util.HashSet[
+      org.apache.spark.sql.connector.catalog.TableCapability]()
+    s.add(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+          override def readSchema(): org.apache.spark.sql.types.StructType =
+            df.schema
+          override def description(): String = ident
+        }
+    }
 }

@@ -207,4 +207,27 @@ class ManifestCatalogSpec extends AnyFunSuite {
       assert(chain(e).exists(_.isInstanceOf[ConcurrentCommitException]),
         s"unexpected failure kind: $e"))
   }
+
+  test("metadata tables: history/files/constraints queryable as graft.ns.t.<view>") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    sql("CREATE TABLE graft.meta.t (id BIGINT, qty INT)")
+    sql("INSERT INTO graft.meta.t VALUES (1, 5)")
+    sql("INSERT INTO graft.meta.t VALUES (2, 6)")
+    sql("DELETE FROM graft.meta.t WHERE id = 1")
+    val hist = sql(
+      "SELECT version, n_files, tag FROM graft.meta.t.history ORDER BY version")
+      .collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    val files = sql("SELECT file, size_bytes FROM graft.meta.t.files").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(1) > 0))
+    Manifests.addConstraint(spark, s"$wh/meta/t", "qty_pos", "qty > 0")
+    assert(sql("SELECT name, predicate FROM graft.meta.t.constraints")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("qty_pos", "qty > 0")))
+    // the view reflects the CURRENT state on every query, not load time
+    sql("INSERT INTO graft.meta.t VALUES (3, 7)")
+    assert(sql("SELECT MAX(version) AS v FROM graft.meta.t.history")
+      .head.getInt(0) === 4) // +constraint version +insert
+  }
 }

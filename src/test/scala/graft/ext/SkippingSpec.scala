@@ -140,4 +140,67 @@ class SkippingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === expect)
   }
+
+  test("string zone bounds truncate with widening semantics: bounded width, pruning stays exact, metadata MIN/MAX refuses") {
+    import spark.implicits._
+    // truncator invariants: lower <= value <= upper, bounded width
+    assert(Skipping.truncLower("short") === "short")
+    val long = "prefix_prefix_prefix_AAAA"
+    assert(Skipping.truncLower(long) === "prefix_prefix_pr")
+    for (s <- Seq(long, "a" * 30, "zz_" + "y" * 40, "omega_" + "pi_" * 20)) {
+      assert(Skipping.truncLower(s) <= s && s <= Skipping.truncUpper(s))
+      assert(Skipping.truncLower(s).length <= Skipping.stringBoundLen)
+      assert(Skipping.truncUpper(s).length <= Skipping.stringBoundLen)
+    }
+    // a prefix of all-unincrementable chars keeps the exact full value
+    val weird = "\uffff" * 20
+    assert(Skipping.truncUpper(weird) === weird)
+
+    // end to end: long-string key, two clustered files
+    val dir = tmp("graft_skip_trunc")
+    val rows = (0 until 100).map { i =>
+      val bucket = if (i < 50) "alpha_alpha_alpha_alpha" else "zeta_zeta_zeta_zeta"
+      (s"${bucket}_$i", i)
+    }
+    rows.toDF("s", "v").repartitionByRange(2, col("s"))
+      .write.mode("overwrite").parquet(dir)
+    val st = Skipping.buildStats(spark.read.parquet(dir),
+      Seq("s" -> col("s"), "v" -> col("v")))
+    val collected = st.collect()
+    val mi = st.schema.fieldIndex("s_min")
+    val ma = st.schema.fieldIndex("s_max")
+    val tr = st.schema.fieldIndex("s_trunc")
+    collected.foreach { r =>
+      // the sidecar row stays bounded no matter how long the values are
+      assert(r.getString(mi).length <= Skipping.stringBoundLen)
+      assert(r.getString(ma).length <= Skipping.stringBoundLen)
+      assert(r.getBoolean(tr), "bounds longer than the limit must flag")
+    }
+    // pruning with widened bounds: a probe in the zeta range keeps only
+    // the zeta file, and the pruned read loses no rows
+    val probe = "zeta_zeta_zeta_zeta_60"
+    val cand = Skipping.candidateFiles(st, Seq(("s", probe, probe)))
+    assert(cand.size === 1, s"expected one candidate file, got $cand")
+    val got = Skipping.prunedRead(spark, dir, cand, col("s") === probe)
+      .collect()
+    assert(got.length === 1 && got.head.getInt(1) === 60)
+
+    // the metadata MIN/MAX fold REFUSES widened string bounds (they are
+    // bounds, not values) while the integer key keeps folding
+    val b = tmp("graft_skip_trunc_man") + "/t"
+    Manifests.commitData(
+      rows.toDF("s", "v").repartitionByRange(2, col("s")), b)
+    Manifests.analyze(spark, b, Seq("s", "v"))
+    val rel = spark.read.format("manifest").load(b)
+    val mnS = rel.agg(min(col("s")))
+    assert(mnS.head.getString(0) === rows.map(_._1).min)
+    assert(mnS.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "truncated string bounds must not answer MIN from metadata")
+    val mnV = rel.agg(min(col("v")), max(col("v")))
+    assert(mnV.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "the untruncated integer key still folds from metadata")
+    assert(mnV.head.getInt(0) === 0 && mnV.head.getInt(1) === 99)
+  }
 }

@@ -399,4 +399,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dropped.size > 60,
       s"sign-bit splitting must keep most copy pairs co-celled; caught ${dropped.size}/120")
   }
+
+  test("VecArgmin equals the greatest(struct(dot - c2/2, cid)) encoding, ties and all") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(spark)
+    // vectors engineered for exact score TIES (identical rows) and
+    // normal cases, at a k big enough to exercise the loop
+    val dim = 8
+    val centroids: Array[(Int, Seq[Double])] = Array.tabulate(33) { k =>
+      k -> Seq.tabulate(dim)(j => ((k * 7 + j * 3) % 11 - 5).toDouble / 4)
+    }
+    // duplicate centroid content at two different cids: every vector
+    // scores them EQUAL and the tie must break to the larger cid
+    val withTie = centroids :+ (99 -> centroids(5)._2)
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => ((i * 13 + j * 5) % 17 - 8).toFloat / 3))
+    }.toDF("vec_id", "embedding")
+    def viaStructs(df: org.apache.spark.sql.DataFrame) = {
+      val scored = withTie.map { case (cid, c) =>
+        val cNorm2 = c.map(x => x * x).sum
+        struct((call_function("vec_dot", col("embedding"), typedLit(c))
+          - lit(cNorm2 / 2)).as("score"), lit(cid).as("cid"))
+      }
+      df.withColumn("cluster", greatest(scored.toIndexedSeq: _*).getField("cid"))
+    }
+    def viaArgmin(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cluster", call_function("vec_argmin",
+        col("embedding"),
+        typedLit(withTie.map(_._2).toSeq),
+        typedLit(withTie.map { case (_, c) => c.map(x => x * x).sum / 2 }.toSeq),
+        typedLit(withTie.map(_._1).toSeq)))
+    val a = viaStructs(vecs).select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = viaArgmin(vecs).select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+    // the duplicated centroid's ties really occurred and broke upward
+    assert(b.values.toSet.contains(99) || !a.values.toSet.contains(5),
+      "tie fixture never exercised the tie-break")
+    assert(!b.values.toSet.contains(5),
+      "equal scores must resolve to the larger cid on both paths")
+  }
 }

@@ -979,4 +979,60 @@ class StreamsSpec extends AnyFunSuite {
         3L -> "price_positive"))
     } finally { qGood.stop(); qBad.stop() }
   }
+
+  test("writeStream.format(manifest): declarative exactly-once sink, checkpoint restart, mode/partition refusals") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkfmt").toString
+    val (base, ckpt) = (s"$root/t", s"$root/ckpt")
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("id", "s").writeStream
+      .format("manifest").option("path", base)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q = start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val afterTwo = graft.ext.Manifests.readLatest(spark, base)
+    assert(afterTwo.count() === 3)
+    // each micro-batch committed as one manifest version, batch-tagged
+    assert(graft.ext.Manifests.latestVersion(spark, base) === Some(1))
+    // restart from the checkpoint: the stream resumes exactly where it
+    // stopped — no batch replays into a duplicate append
+    val q2 = start()
+    try {
+      input.addData((4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = graft.ext.Manifests.readLatest(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(1L, 2L, 3L, 4L))
+    // the sink is append-only and manifest-partitioned: other shapes refuse
+    intercept[Exception] {
+      input.toDF().toDF("id", "s").writeStream
+        .format("manifest").option("path", s"$root/t2")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .partitionBy("s").outputMode("append").start()
+    }
+    intercept[Exception] {
+      input.toDF().toDF("id", "s").groupBy("s").count().writeStream
+        .format("manifest").option("path", s"$root/t3")
+        .option("checkpointLocation", s"$root/ckpt3")
+        .outputMode("complete").start()
+    }
+    // the table a FORMAT sink built feeds the manifest SOURCE unchanged:
+    // the medallion relay needs no foreachBatch anywhere
+    val out = spark.readStream.format("manifest").option("path", base).load()
+      .writeStream.format("memory").queryName("sinkfmt_out")
+      .outputMode("append").start()
+    try {
+      out.processAllAvailable()
+      assert(spark.sql("SELECT id FROM sinkfmt_out").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    } finally out.stop()
+  }
 }

@@ -27,6 +27,11 @@ final class ManifestScanIndex(spark: SparkSession, base: String,
   private val inner: Option[ManifestFileIndex] =
     version.map(new ManifestFileIndex(spark, base, _))
 
+  /** The wrapped index — [[org.apache.spark.sql.graft.ManifestCountRule]]
+    * reaches through this to prove metadata-only aggregates for DSv2
+    * catalog scans exactly as for the V1 relation. */
+  def innerIndex: Option[ManifestFileIndex] = inner
+
   private val statuses: Seq[FileStatus] =
     inner.fold(Seq.empty[FileStatus])(_.fileStatuses)
 

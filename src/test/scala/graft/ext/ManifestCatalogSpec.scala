@@ -230,4 +230,36 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT MAX(version) AS v FROM graft.meta.t.history")
       .head.getInt(0) === 4) // +constraint version +insert
   }
+
+  test("catalog aggregates answer from metadata: COUNT/MIN/MAX/SUM collapse to a LocalRelation") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.fast")
+    val base = s"$wh/fast/t"
+    Manifests.commitData(
+      (1 to 500).map(i => (i.toLong, i % 10)).toDF("id", "k").repartition(4),
+      base)
+    Manifests.analyze(spark, base, Seq("k"))
+    sql(s"CREATE TABLE graft.fast.t (id BIGINT, k INT) LOCATION '$base'")
+    def localPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty
+    val agg = sql("""SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx,
+                    |SUM(k) AS s, COUNT(k) AS nk FROM graft.fast.t""".stripMargin)
+    assert(localPlan(agg),
+      "DSv2 catalog aggregate over an ANALYZEd table must fold from metadata")
+    val r = agg.head
+    assert(r.getLong(0) === 500L && r.getInt(1) === 0 && r.getInt(2) === 9)
+    assert(r.getLong(3) === 2250L && r.getLong(4) === 500L)
+    // the proof survives a catalog INSERT (incremental stats segment)
+    sql("INSERT INTO graft.fast.t VALUES (9001, 4)")
+    val agg2 = sql("SELECT COUNT(*) AS n, SUM(k) AS s FROM graft.fast.t")
+    assert(localPlan(agg2))
+    assert(agg2.head.getLong(0) === 501L && agg2.head.getLong(1) === 2254L)
+    // unprovable shapes keep the real scan, correctly
+    val filtered = sql("SELECT COUNT(*) AS n FROM graft.fast.t WHERE k = 3")
+    assert(!localPlan(filtered)) // k is a stats key, not a partition col
+    assert(filtered.head.getLong(0) === 50L)
+    assert(!localPlan(sql("SELECT MIN(id) AS m FROM graft.fast.t"))) // unindexed
+  }
 }

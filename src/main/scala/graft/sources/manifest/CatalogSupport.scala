@@ -32,6 +32,20 @@ final class ManifestScanIndex(spark: SparkSession, base: String,
     * catalog scans exactly as for the V1 relation. */
   def innerIndex: Option[ManifestFileIndex] = inner
 
+  /** RUNTIME file filters — the hook behind the CoW scan's
+    * `SupportsRuntimeV2Filtering`: Spark's row-level runtime group
+    * filtering evaluates the command's matching-rows subquery and hands
+    * the scan an IN-list over a prunable column; appending those
+    * expressions here lets the next `listFiles` re-prune through the
+    * SAME partition/zone/bloom machinery the static filters use.
+    * Pruning-safe by construction (a dropped or untranslatable runtime
+    * filter only keeps more files); each row-level operation builds its
+    * OWN index instance, so the slot is never shared across queries. */
+  @volatile private var runtimeFilters: Seq[Expression] = Seq.empty
+
+  private[manifest] def addRuntimeFilters(fs: Seq[Expression]): Unit =
+    runtimeFilters = runtimeFilters ++ fs
+
   private val statuses: Seq[FileStatus] =
     inner.fold(Seq.empty[FileStatus])(_.fileStatuses)
 
@@ -55,7 +69,7 @@ final class ManifestScanIndex(spark: SparkSession, base: String,
     inner.fold(Seq(PartitionDirectory(
         org.apache.spark.sql.catalyst.InternalRow.empty,
         Array.empty[FileStatus])))(
-      _.listFiles(partitionFilters, dataFilters))
+      _.listFiles(partitionFilters, dataFilters ++ runtimeFilters))
 
   override def inputFiles: Array[String] =
     inner.fold(Array.empty[String])(_.inputFiles)
@@ -109,6 +123,48 @@ private[manifest] object FilterColumns {
     if (cs.isEmpty) Some(lit(true))
     else if (cs.exists(_.isEmpty)) None
     else Some(cs.flatten.reduce(_ && _))
+  }
+}
+
+/** V1 filter → CATALYST expression, in the shapes the pruning machinery
+  * ([[graft.ext.ManifestFileIndex]]'s zone/partition/bloom predicates)
+  * understands — the lowering runtime group filters take to reach the
+  * file-pruning indexes. PRUNING-safe, unlike [[FilterColumns]]'s exact
+  * contract: an untranslatable filter is simply dropped (fewer filters
+  * prune fewer files — conservative), so partial translation is fine
+  * here and forbidden there. */
+private[manifest] object FilterPruning {
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+
+  private def ref(name: String, dt: org.apache.spark.sql.types.DataType)
+      : ce.AttributeReference =
+    ce.AttributeReference(name, dt, nullable = true)()
+
+  def toExpr(f: Filter): Option[ce.Expression] = f match {
+    case EqualTo(a, v) =>
+      val l = ce.Literal(v); Some(ce.EqualTo(ref(a, l.dataType), l))
+    case EqualNullSafe(a, v) =>
+      val l = ce.Literal(v); Some(ce.EqualNullSafe(ref(a, l.dataType), l))
+    case GreaterThan(a, v) =>
+      val l = ce.Literal(v); Some(ce.GreaterThan(ref(a, l.dataType), l))
+    case GreaterThanOrEqual(a, v) =>
+      val l = ce.Literal(v); Some(ce.GreaterThanOrEqual(ref(a, l.dataType), l))
+    case LessThan(a, v) =>
+      val l = ce.Literal(v); Some(ce.LessThan(ref(a, l.dataType), l))
+    case LessThanOrEqual(a, v) =>
+      val l = ce.Literal(v); Some(ce.LessThanOrEqual(ref(a, l.dataType), l))
+    case In(a, vs) if vs.nonEmpty =>
+      val ls = vs.map(ce.Literal(_)).toIndexedSeq
+      Some(ce.In(ref(a, ls.head.dataType), ls))
+    case IsNull(a) =>
+      Some(ce.IsNull(ref(a, org.apache.spark.sql.types.NullType)))
+    case IsNotNull(a) =>
+      Some(ce.IsNotNull(ref(a, org.apache.spark.sql.types.NullType)))
+    case And(l, r) =>
+      for { a <- toExpr(l); b <- toExpr(r) } yield ce.And(a, b)
+    case Or(l, r) =>
+      for { a <- toExpr(l); b <- toExpr(r) } yield ce.Or(a, b)
+    case _ => None
   }
 }
 

@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tiny-file read, listing one directory scan — a catalog of 100k
   * tables costs what a directory of 100k small files costs, and the
   * per-QUERY costs are unchanged manifest costs. */
-class ManifestCatalog extends TableCatalog with SupportsNamespaces {
+class ManifestCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "manifest"
   private var warehouse: String = _
@@ -59,6 +60,30 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  // ---- CALL procedures (compact/vacuum/analyze/restore/clone/...) ---
+
+  private lazy val procedures = new ManifestProcedures(arg =>
+    if (arg.startsWith("/") || arg.contains("://")) arg
+    else {
+      val parts = arg.split("\\.").toSeq
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"bad table reference '$arg'")
+      readDef(Identifier.of(parts.init.toArray, parts.last)).map(_._1)
+        .getOrElse(sys.error(
+          s"no table '$arg' in catalog $catalogName — pass 'ns.name' " +
+            "or an absolute path"))
+    })
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    procedures.all.getOrElse(ident.name.toLowerCase,
+      sys.error(s"unknown procedure '${ident.name}' — available: " +
+        procedures.all.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.all.keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
 
   private def isPath(ident: Identifier): Boolean =
     ident.namespace.isEmpty &&

@@ -1,0 +1,124 @@
+package graft.sources.manifest
+
+import graft.ext.Manifests
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+/** Maintenance as SQL `CALL` statements — Spark 4's native
+  * `ProcedureCatalog` face of the operations every table format ships
+  * as stored procedures (Iceberg's `CALL catalog.system.rewrite_*`
+  * family): `CALL graft.system.compact('ns.t', 4)`,
+  * `vacuum('ns.t', 2)`, `analyze('ns.t', 'a,b')`,
+  * `analyze_bloom(...)`, `restore('ns.t', 3)`,
+  * `clone('ns.t', '/fork/path', 3)`, `add_constraint`/`drop_constraint`,
+  * and `compact_small`. The table argument takes a catalog name
+  * (`ns.t`) or an absolute path — the same two spellings every other
+  * surface accepts. Each call returns one summary row (a driver-local
+  * [[LocalScan]]); the work itself runs through the exact Scala
+  * primitives the DataFrame surface uses, so OCC, constraint
+  * validation and sidecar maintenance hold identically. */
+private[manifest] final class ManifestProcedures(
+    resolveBase: String => String) {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** One-column or multi-column summary result as a local scan. */
+  private def result(schema: StructType, row: InternalRow): Scan =
+    new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }
+
+  private case class Proc(procName: String,
+      params: Seq[ProcedureParameter],
+      out: StructType,
+      body: (String, InternalRow) => InternalRow) extends UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"manifest $procName"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"manifest $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val base = resolveBase(input.getUTF8String(0).toString)
+          java.util.List.of(result(out, body(base, input))).iterator()
+        }
+      }
+  }
+
+  private def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+
+  private def out1(n: String, dt: DataType) = new StructType().add(n, dt)
+
+  val all: Map[String, UnboundProcedure] = Seq(
+    Proc("compact",
+      Seq(p("table", StringType), p("target_files", IntegerType)),
+      new StructType().add("files_before", IntegerType)
+        .add("files_after", IntegerType).add("version", IntegerType),
+      (base, in) => {
+        val (b, a, v) = Manifests.compact(spark, base, in.getInt(1))
+        InternalRow(b, a, v)
+      }),
+    Proc("compact_small",
+      Seq(p("table", StringType), p("small_bytes", LongType),
+        p("target_bytes", LongType)),
+      new StructType().add("files_packed", IntegerType)
+        .add("files_written", IntegerType).add("version", IntegerType),
+      (base, in) => {
+        val (pk, w, v) =
+          Manifests.compactSmall(spark, base, in.getLong(1), in.getLong(2))
+        InternalRow(pk, w, v)
+      }),
+    Proc("vacuum",
+      Seq(p("table", StringType), p("keep_last", IntegerType)),
+      new StructType().add("versions_dropped", IntegerType)
+        .add("files_deleted", IntegerType),
+      (base, in) => {
+        val (dropped, files) = Manifests.vacuum(spark, base, in.getInt(1))
+        InternalRow(dropped.size, files)
+      }),
+    Proc("analyze",
+      Seq(p("table", StringType), p("columns", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.analyze(spark, base,
+        in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))),
+    Proc("analyze_bloom",
+      Seq(p("table", StringType), p("columns", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.analyzeBloom(spark, base,
+        in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))),
+    Proc("restore",
+      Seq(p("table", StringType), p("version", IntegerType)),
+      out1("restored_as", IntegerType),
+      (base, in) => InternalRow(Manifests.restore(spark, base, in.getInt(1)))),
+    Proc("clone",
+      Seq(p("table", StringType), p("target", StringType),
+        p("version", IntegerType)),
+      out1("cloned_as", IntegerType),
+      (base, in) => InternalRow(Manifests.shallowClone(spark, base,
+        in.getUTF8String(1).toString, in.getInt(2)))),
+    Proc("add_constraint",
+      Seq(p("table", StringType), p("name", StringType),
+        p("predicate", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.addConstraint(spark, base,
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString))),
+    Proc("drop_constraint",
+      Seq(p("table", StringType), p("name", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.dropConstraint(spark, base,
+        in.getUTF8String(1).toString))),
+    Proc("drop_column",
+      Seq(p("table", StringType), p("column", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.dropColumn(spark, base,
+        in.getUTF8String(1).toString)))
+  ).map(pr => pr.procName -> (pr: UnboundProcedure)).toMap
+}

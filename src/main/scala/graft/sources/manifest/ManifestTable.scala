@@ -212,12 +212,35 @@ private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
     cmd: Command) extends RowLevelOperation {
 
   /** Canonical paths of the files the CoW scan planned — the groups
-    * the commit replaces. Written once on the driver at scan planning
-    * time, read at commit time. */
+    * the commit replaces. Written on the driver at scan planning time,
+    * read at commit time. Recorded as the INTERSECTION across planning
+    * calls: with runtime group filtering the engine may plan once
+    * before and once after `filter()` lands, execution always uses the
+    * filtered (narrower) set, and replacing a file the executed plan
+    * did not read would drop its rows. */
   @volatile private var scanned: Option[Set[String]] = None
 
   private[manifest] def recordScanned(files: Set[String]): Unit =
-    scanned = Some(files)
+    scanned = Some(scanned.fold(files)(_.intersect(files)))
+
+  /** Columns a runtime IN-list can PRUNE files by at this snapshot —
+    * the partition, zone-stats and bloom keys the manifest recorded
+    * (restricted to live schema names). Advertised as the CoW scan's
+    * `filterAttributes`, so Spark's row-level runtime group filtering
+    * computes the matching key values (for MERGE: the join keys that
+    * actually match the source) and the scan narrows to the files that
+    * can hold them — the Iceberg move that makes a small MERGE against
+    * a clustered 100 TB table rewrite a handful of files instead of
+    * every file the static condition could not exclude. */
+  private[manifest] lazy val prunableCols: Seq[String] = {
+    val pc = Manifests.partitionedBy(spark, base, snapshot)
+      .map(_._1).getOrElse(Seq.empty)
+    val zc = Manifests.statsOf(spark, base, snapshot)
+      .map(_._1).getOrElse(Seq.empty)
+    val bc = Manifests.bloomOf(spark, base, snapshot)
+      .map(_._1).getOrElse(Seq.empty)
+    (pc ++ zc ++ bc).distinct.filter(tableSchema.fieldNames.contains)
+  }
 
   override def command(): Command = cmd
 
@@ -282,7 +305,23 @@ private[manifest] class CowScan(sp: SparkSession,
     dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     op: ManifestRowLevelOperation)
     extends ParquetScan(sp, conf, idx, dataSch, readDataSch, readPartSch,
-      Array.empty, opts, None, partFilters, dataFilters, Array.empty) {
+      Array.empty, opts, None, partFilters, dataFilters, Array.empty)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Runtime group filtering: the filterable columns are whatever the
+    * snapshot's metadata can prune by; the arriving IN-list predicates
+    * lower to pruning expressions and narrow the index's file list —
+    * `planInputPartitions` after `filter()` then plans only files that
+    * can hold a matching key. Untranslatable predicates drop
+    * (conservative: more files kept, never fewer). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    op.prunableCols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    idx.addRuntimeFilters(predicates.toSeq
+      .flatMap(org.apache.spark.sql.graft.PredicateShim.toV1)
+      .flatMap(FilterPruning.toExpr))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = super.planInputPartitions()

@@ -262,4 +262,72 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(filtered.head.getLong(0) === 50L)
     assert(!localPlan(sql("SELECT MIN(id) AS m FROM graft.fast.t"))) // unindexed
   }
+
+  test("SQL MERGE is file-surgical: runtime group filtering narrows the rewrite to matching files") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.rgf")
+    val base = s"$wh/rgf/t"
+    Manifests.commitData(
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+        .repartitionByRange(8, col("id")), base)
+    Manifests.analyze(spark, base, Seq("id"))
+    sql(s"CREATE TABLE graft.rgf.t (id BIGINT, s STRING) LOCATION '$base'")
+    val v0 = Manifests.latestVersion(spark, base).get
+    val before = Manifests.files(spark, base, v0).map(Dfs.canonical).toSet
+    Seq((15L, "upd"), (16L, "upd2"), (1500L, "new"))
+      .toDF("id", "s").createOrReplaceTempView("rgf_src")
+    sql("""MERGE INTO graft.rgf.t t USING rgf_src u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET t.s = u.s
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v1 = Manifests.latestVersion(spark, base).get
+    val after = Manifests.files(spark, base, v1).map(Dfs.canonical).toSet
+    // the matched keys (15, 16) live in ONE id-clustered file: the
+    // runtime IN-list reaches the zone index, every other file carries
+    // by reference — a small MERGE must not rewrite the table
+    val carried = before.intersect(after)
+    assert(carried.size >= 6,
+      s"MERGE rewrote ${before.size - carried.size} of ${before.size} " +
+        "files — runtime group filtering did not narrow the rewrite")
+    assert(sql("SELECT s FROM graft.rgf.t WHERE id = 15").head.getString(0) === "upd")
+    assert(sql("SELECT s FROM graft.rgf.t WHERE id = 16").head.getString(0) === "upd2")
+    assert(sql("SELECT s FROM graft.rgf.t WHERE id = 1500").head.getString(0) === "new")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.rgf.t").head.getLong(0) === 1001)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.rgf.t WHERE s LIKE 'v%'")
+      .head.getLong(0) === 998)
+  }
+
+  test("CALL procedures: compact, analyze, constraints, restore and vacuum through pure SQL") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    val base = s"$wh/proc/t"
+    sql(s"CREATE TABLE graft.proc.t (id BIGINT, qty INT) LOCATION '$base'")
+    (1 to 6).foreach(i => sql(s"INSERT INTO graft.proc.t VALUES ($i, $i)"))
+    // compact the insert drip into one file; content unchanged
+    val c = sql("CALL graft.system.compact('proc.t', 1)").head
+    assert(c.getInt(1) === 1 && c.getInt(0) >= 6)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.proc.t").head.getLong(0) === 6)
+    // ANALYZE via CALL arms the metadata-only aggregates
+    sql("CALL graft.system.analyze('proc.t', 'qty')")
+    val fast = sql("SELECT COUNT(*) AS n, SUM(qty) AS s FROM graft.proc.t")
+    assert(fast.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty)
+    assert(fast.head.getLong(1) === 21L)
+    // constraints round-trip through CALL; enforcement via SQL INSERT
+    sql("CALL graft.system.add_constraint('proc.t', 'qty_pos', 'qty > 0')")
+    assert(sql("SELECT name FROM graft.proc.t.constraints").head.getString(0)
+      === "qty_pos")
+    intercept[Exception](sql("INSERT INTO graft.proc.t VALUES (9, -1)"))
+    sql("CALL graft.system.drop_constraint('proc.t', 'qty_pos')")
+    sql("INSERT INTO graft.proc.t VALUES (9, -1)")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.proc.t").head.getLong(0) === 7)
+    // restore via CALL: back to the pre-(-1) table
+    val vPre = Manifests.latestVersion(spark, base).get - 1
+    sql(s"CALL graft.system.restore('proc.t', $vPre)")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.proc.t").head.getLong(0) === 6)
+    // vacuum via CALL drops expired versions
+    val vac = sql("CALL graft.system.vacuum('proc.t', 2)").head
+    assert(vac.getInt(0) > 0)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.proc.t").head.getLong(0) === 6)
+  }
 }

@@ -146,19 +146,31 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     * partition-purity proof ([[pureMatchFiles]]) and restrict the
     * stats frame to the matching files (possibly zero rows: folding
     * then yields COUNT 0 / NULL bounds, exactly the scan's answer). */
+  /** Per-filter-set memo: one ungrouped aggregate query typically asks
+    * for several aggregates (COUNT + MIN + MAX + SUM), and each proof
+    * would otherwise re-run the purity classification job and the
+    * stats-row filter — identical driver work four times over. The
+    * index is per-version-immutable, so the memo key is just the
+    * filters' canonical SQL. */
+  private val whereCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[(Seq[String], org.apache.spark.sql.DataFrame)]]
+
   def coveredStatsWhere(dataFilters: Seq[Expression])
       : Option[(Seq[String], org.apache.spark.sql.DataFrame)] =
     if (dataFilters.isEmpty) coveredStats
-    else for {
-      keep <- pureMatchFiles(dataFilters)
-      (keys, st) <- coveredStats
-    } yield {
-      val fi = st.schema.fieldIndex("file")
-      val rows = st.collect()
-        .filter(r => keep(Dfs.canonical(r.getString(fi))))
-      (keys, spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), st.schema))
-    }
+    else whereCache.getOrElseUpdate(
+      dataFilters.map(_.canonicalized.toString).sorted.mkString("&"), {
+        for {
+          keep <- pureMatchFiles(dataFilters)
+          (keys, st) <- coveredStats
+        } yield {
+          val fi = st.schema.fieldIndex("file")
+          val rows = st.collect()
+            .filter(r => keep(Dfs.canonical(r.getString(fi))))
+          (keys, spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), st.schema))
+        }
+      })
 
   /** [[exactRowCount]] under a partition-pure filter. */
   def exactRowCountWhere(dataFilters: Seq[Expression]): Option[Long] =
@@ -458,6 +470,19 @@ object ManifestFileIndex {
             b <- strictValueOf(r, pcols, resolver) } yield a || b
     case org.apache.spark.sql.catalyst.expressions.Not(x) =>
       strictValueOf(x, pcols, resolver).map(!_)
+    // EqualNullSafe must translate to the TWO-VALUED `<=>`, not the
+    // lenient path's `===`: the lenient form only needs to agree on
+    // TRUE (a NULL tuple yields NULL instead of FALSE, which counts
+    // identically under `when(pred, 1)`), but under NOT the difference
+    // becomes a wrong answer — NOT(FALSE) = TRUE must count, NOT(NULL)
+    // does not. Every other leaf is already three-valued-exact.
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      pcols.find(resolver(_, a.name)).flatMap { k =>
+        if (l.value == null) Some(col(k).isNull)
+        else scalaLit(l).map(col(k) <=> _)
+      }
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      strictValueOf(EqualNullSafe(a, l), pcols, resolver)
     case leaf => valueOf(leaf, pcols, resolver)
   }
 

@@ -89,10 +89,24 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     ident.namespace.isEmpty &&
       (ident.name.startsWith("/") || ident.name.contains("://"))
 
+  /** Every identifier/namespace part must stay INSIDE `_defs`: a "/"
+    * or a relative segment would traverse out of the metastore — with
+    * `DROP NAMESPACE ... CASCADE`'s recursive delete, a `..` part would
+    * otherwise reach (and destroy) the whole warehouse. */
+  private def checkParts(parts: Seq[String]): Unit =
+    parts.foreach(p => require(
+      !p.contains("/") && !p.contains("\\") && p.nonEmpty &&
+        p != "." && p != "..",
+      s"illegal identifier part '$p'"))
+
+  private def nsDir(namespace: Array[String]): String = {
+    checkParts(namespace.toSeq)
+    s"$warehouse/_defs/${namespace.mkString("/")}"
+  }
+
   private def defPath(ident: Identifier): String = {
     val parts = ident.namespace :+ ident.name
-    parts.foreach(p => require(!p.contains("/") && p.nonEmpty,
-      s"illegal identifier part '$p'"))
+    checkParts(parts.toSeq)
     s"$warehouse/_defs/${parts.mkString("/")}.tbl"
   }
 
@@ -134,8 +148,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
 
   override def loadTable(ident: Identifier): Table =
-    if (tableExists(ident) || metaTableOf(ident).isEmpty) table(ident, None)
-    else metaTableOf(ident).get
+    if (tableExists(ident)) table(ident, None)
+    else metaTableOf(ident).getOrElse(table(ident, None)) // throws NoSuchTable
 
   /** Iceberg-style METADATA TABLES: `SELECT * FROM graft.ns.t.history`
     * (or `.files` / `.constraints`) resolves the trailing name as a
@@ -263,7 +277,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = s"$warehouse/_defs/${namespace.mkString("/")}"
+    val dir = nsDir(namespace)
     if (!Dfs.exists(spark, dir)) Array.empty
     else Dfs.list(spark, dir)
       .filter(s => !s.isDirectory && s.getPath.getName.endsWith(".tbl"))
@@ -283,7 +297,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
-    val dir = s"$warehouse/_defs/${namespace.mkString("/")}"
+    val dir = nsDir(namespace)
     if (!Dfs.exists(spark, dir))
       throw new NoSuchNamespaceException(namespace)
     Dfs.list(spark, dir).filter(_.isDirectory)
@@ -291,8 +305,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty ||
-      Dfs.exists(spark, s"$warehouse/_defs/${namespace.mkString("/")}")
+    namespace.isEmpty || Dfs.exists(spark, nsDir(namespace))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
@@ -305,7 +318,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       metadata: util.Map[String, String]): Unit = {
     if (namespaceExists(namespace) && namespace.nonEmpty)
       throw new NamespaceAlreadyExistsException(namespace)
-    Dfs.mkdirs(spark, s"$warehouse/_defs/${namespace.mkString("/")}")
+    Dfs.mkdirs(spark, nsDir(namespace))
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -314,11 +327,20 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
-    val dir = s"$warehouse/_defs/${namespace.mkString("/")}"
+    val dir = nsDir(namespace)
     if (!Dfs.exists(spark, dir)) false
     else {
       require(cascade || listTables(namespace).isEmpty,
         s"namespace ${namespace.mkString(".")} is not empty")
+      // CASCADE must drop the TABLES, not just their registrations:
+      // dropTable deletes a managed table's data directory, and
+      // removing only the pointer files would orphan every managed
+      // table's bytes under the warehouse with nothing left to find
+      // them by. External LOCATIONs survive, as in dropTable.
+      if (cascade) {
+        listTables(namespace).foreach(dropTable)
+        listNamespaces(namespace).foreach(dropNamespace(_, cascade = true))
+      }
       Dfs.delete(spark, dir, recursive = true)
     }
   }

@@ -104,10 +104,17 @@ class ManifestTable(spark: SparkSession, val base: String,
   // ---- read -------------------------------------------------------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // resolve the version ONCE and derive the schema from IT: a
+    // concurrent commit landing between the file listing and a separate
+    // latest-schema read would scan version-N files under version-N+1's
+    // schema (wrong null-fill after an evolution, ghost columns after a
+    // drop)
     val v = currentVersion
     v.foreach(refuseDv(_, "a catalog scan"))
+    val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
+      sys.error(s"$base has no committed version and no declared schema"))
     ParquetScanBuilder(spark, new ManifestScanIndex(spark, base, v),
-      schema(), schema(), options)
+      sch, sch, options)
   }
 
   // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback) ---------------
@@ -189,11 +196,15 @@ class ManifestTable(spark: SparkSession, val base: String,
       s"cannot run ${info.command} against $base pinned at a version")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = {
-        val v = currentVersion.getOrElse(
-          sys.error(s"no committed version under $base — nothing to rewrite"))
-        refuseDv(v, s"${info.command}")
-        new ManifestRowLevelOperation(spark, base, v, schemaAt(v),
-          info.command)
+        // a created-but-never-written table is a valid DML target: the
+        // scan is empty, DELETE/UPDATE no-op, and a MERGE's NOT MATCHED
+        // inserts BOOTSTRAP the table (Delta's merge-bootstrap shape)
+        val v = currentVersion
+        v.foreach(refuseDv(_, s"${info.command}"))
+        val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
+          sys.error(s"$base has no committed version and no declared " +
+            s"schema — cannot resolve ${info.command}"))
+        new ManifestRowLevelOperation(spark, base, v, sch, info.command)
       }
     }
   }
@@ -208,7 +219,7 @@ class ManifestTable(spark: SparkSession, val base: String,
   * [[graft.ext.ConcurrentCommitException]], never a half-merged
   * state. */
 private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
-    base: String, snapshot: Int, tableSchema: StructType,
+    base: String, snapshot: Option[Int], tableSchema: StructType,
     cmd: Command) extends RowLevelOperation {
 
   /** Canonical paths of the files the CoW scan planned — the groups
@@ -232,41 +243,58 @@ private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
     * can hold them — the Iceberg move that makes a small MERGE against
     * a clustered 100 TB table rewrite a handful of files instead of
     * every file the static condition could not exclude. */
-  private[manifest] lazy val prunableCols: Seq[String] = {
-    val pc = Manifests.partitionedBy(spark, base, snapshot)
-      .map(_._1).getOrElse(Seq.empty)
-    val zc = Manifests.statsOf(spark, base, snapshot)
-      .map(_._1).getOrElse(Seq.empty)
-    val bc = Manifests.bloomOf(spark, base, snapshot)
-      .map(_._1).getOrElse(Seq.empty)
-    (pc ++ zc ++ bc).distinct.filter(tableSchema.fieldNames.contains)
-  }
+  private[manifest] lazy val prunableCols: Seq[String] =
+    snapshot.fold(Seq.empty[String]) { v =>
+      val pc = Manifests.partitionedBy(spark, base, v)
+        .map(_._1).getOrElse(Seq.empty)
+      val zc = Manifests.statsOf(spark, base, v)
+        .map(_._1).getOrElse(Seq.empty)
+      val bc = Manifests.bloomOf(spark, base, v)
+        .map(_._1).getOrElse(Seq.empty)
+      (pc ++ zc ++ bc).distinct.filter(tableSchema.fieldNames.contains)
+    }
 
   override def command(): Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CowScanBuilder(spark,
-      new ManifestScanIndex(spark, base, Some(snapshot)),
+      new ManifestScanIndex(spark, base, snapshot),
       tableSchema, options, this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new ManifestParquetWrite(spark, base, info.schema(), { written =>
-          val touched = scanned.getOrElse(sys.error(
-            s"row-level $cmd on $base committed before its scan planned — " +
-              "cannot determine the replaced file set"))
-          // a rewrite that touched nothing and wrote nothing is a no-op
-          // (the condition provably matched no file): burn no version
-          if (touched.nonEmpty || written.nonEmpty) {
-            Manifests.replaceFiles(spark, base, snapshot, touched, written,
-              Some(s"sql:${cmd.toString.toLowerCase}"))
-            ()
+          snapshot match {
+            case Some(v) =>
+              val touched = scanned.getOrElse(sys.error(
+                s"row-level $cmd on $base committed before its scan " +
+                  "planned — cannot determine the replaced file set"))
+              // a rewrite that touched nothing and wrote nothing is a
+              // no-op (the condition provably matched no file): burn no
+              // version
+              if (touched.nonEmpty || written.nonEmpty) {
+                Manifests.replaceFiles(spark, base, v, touched, written,
+                  Some(s"sql:${cmd.toString.toLowerCase}"))
+                ()
+              }
+            case None =>
+              // MERGE-bootstrap of an empty table: the written inserts
+              // ARE version 0 (parent -1 claims it; losing the race to
+              // another bootstrap refuses rather than clobbers). A DML
+              // that wrote nothing against an empty table burns nothing.
+              if (written.nonEmpty) {
+                Manifests.commit(spark, base, written,
+                  tag = Some(s"sql:${cmd.toString.toLowerCase}"),
+                  schema = Some(info.schema()), parent = Some(-1))
+                ()
+              }
           }
         })
     }
 
-  override def description(): String = s"manifest-$cmd($base@v$snapshot)"
+  override def description(): String =
+    s"manifest-$cmd($base@v${snapshot.getOrElse(-1)})"
 }
 
 /** The copy-on-write scan builder: a `ParquetScanBuilder` whose pushed

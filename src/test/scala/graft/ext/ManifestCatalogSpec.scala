@@ -330,4 +330,37 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(vac.getInt(0) > 0)
     assert(sql("SELECT COUNT(*) AS n FROM graft.proc.t").head.getLong(0) === 6)
   }
+
+  test("MERGE bootstraps an empty created table; DML on empty tables no-ops; traversal idents refuse; CASCADE drops managed data") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.boot")
+    sql("CREATE TABLE graft.boot.t (id BIGINT, s STRING)")
+    // DELETE/UPDATE against the never-written table are no-ops
+    sql("DELETE FROM graft.boot.t WHERE id = 1")
+    sql("UPDATE graft.boot.t SET s = 'x' WHERE id = 1")
+    assert(sql("SELECT * FROM graft.boot.t").count() === 0)
+    // the Delta merge-bootstrap shape: NOT MATCHED inserts create v0
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("boot_src")
+    sql("""MERGE INTO graft.boot.t t USING boot_src u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET t.s = u.s
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT * FROM graft.boot.t").count() === 2)
+    assert(Manifests.latestVersion(spark, s"$wh/boot/t") === Some(0))
+
+    // a relative-segment identifier must refuse, not traverse out of
+    // the metastore (DROP NAMESPACE CASCADE deletes recursively)
+    intercept[Exception](sql("CREATE NAMESPACE graft.`..`"))
+    intercept[Exception](sql("DROP NAMESPACE IF EXISTS graft.`..` CASCADE"))
+
+    // CASCADE drops the managed DATA, not just the registrations
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.casc")
+    sql("CREATE TABLE graft.casc.t AS SELECT 1L AS id")
+    val dataDir = s"$wh/casc/t"
+    assert(Manifests.latestVersion(spark, dataDir).isDefined)
+    sql("DROP NAMESPACE graft.casc CASCADE")
+    assert(!Dfs.exists(spark, dataDir),
+      "cascade must delete managed table data, not orphan it")
+    assert(!Dfs.exists(spark, s"$wh/_defs/casc"))
+  }
 }

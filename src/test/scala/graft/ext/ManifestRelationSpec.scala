@@ -670,4 +670,37 @@ class ManifestRelationSpec extends AnyFunSuite {
       "a mixed file must disable the metadata count, not corrupt it")
     assert(mixed.head.getLong(0) === 50L)
   }
+
+  test("filtered metadata aggregates are three-valued exact: IS DISTINCT FROM counts null partitions") {
+    import spark.implicits._
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_rel_fcf3v").toString + "/t"
+    // one partition value per commit, INCLUDING a null-partition batch
+    val rows = (1 to 90).map { i =>
+      val p: Option[String] = (i % 3) match {
+        case 0 => Some("P0"); case 1 => Some("P1"); case _ => None
+      }
+      (i.toLong, i, p)
+    }
+    Manifests.commitDataPartitioned(
+      rows.filter(_._3 == Some("P0")).toDF("id", "q", "p"), b, Seq("p"),
+      filesPerWrite = 1)
+    Manifests.appendBatch(
+      rows.filter(_._3 == Some("P1")).toDF("id", "q", "p"), b, 0L)
+    Manifests.appendBatch(
+      rows.filter(_._3.isEmpty).toDF("id", "q", "p"), b, 1L)
+    Manifests.analyze(spark, b, Seq("q"))
+    val rel = spark.read.format("manifest").load(b)
+    // NOT(p <=> 'P0') is TRUE for P1 AND for NULL rows — a two-valued
+    // translation of <=> would silently drop the null partition
+    val df = rel.filter(!(col("p") <=> "P0")).agg(count(lit(1)).as("n"))
+    assert(df.head.getLong(0) === 60L,
+      "IS DISTINCT FROM must count null-partition rows")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "the three-valued-exact translation should still fold")
+    // the plain null test folds too
+    val nulls = rel.filter(col("p").isNull).agg(count(lit(1)).as("n"))
+    assert(nulls.head.getLong(0) === 30L)
+  }
 }

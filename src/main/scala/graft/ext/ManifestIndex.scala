@@ -401,8 +401,8 @@ object ManifestFileIndex {
           if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         keys.find(resolver(_, a.name)).flatMap { k =>
           val ps = vs.map(v => probe(k, v.asInstanceOf[Literal]))
-          if (ps.exists(_.isEmpty)) None
-          else Some(ps.flatten.reduce(_ || _))
+          if (ps.exists(_.isEmpty) || ps.size > maxInValues) None
+          else Some(orBalanced(ps.flatten))
         }
       case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
         keys.find(resolver(_, a.name)).flatMap { k =>
@@ -411,12 +411,27 @@ object ManifestFileIndex {
             if (v == null) None
             else scala.util.Try(Literal(v, dt)).toOption.flatMap(probe(k, _))
           }
-          if (ps.isEmpty || ps.exists(_.isEmpty)) None
-          else Some(ps.flatten.reduce(_ || _))
+          if (ps.isEmpty || ps.exists(_.isEmpty) || ps.size > maxInValues) None
+          else Some(orBalanced(ps.flatten))
         }
       case _ => None
     }
   }
+
+
+  /** Balanced OR/AND folds — an IN-list expands to one test per value,
+    * and a LINEAR `reduce(_ || _)` builds a list-shaped Column tree
+    * whose conversion recurses once per node: a runtime group filter
+    * with a few hundred values overflows the stack. Halving keeps the
+    * tree log-deep at any width. Lists past [[maxInValues]] refuse to
+    * expand at all (pruning skipped — conservative): per-value zone
+    * tests on a 100k-value list cost more than the scan they save. */
+  private[ext] val maxInValues = 4096
+
+  private def orBalanced(cs: Seq[Column]): Column =
+    if (cs.length == 1) cs.head
+    else orBalanced(cs.grouped(2).map(g =>
+      if (g.length == 2) g(0) || g(1) else g(0)).toSeq)
 
   /** Attribute-to-stat-column matching defers to the SESSION's resolver:
     * under `spark.sql.caseSensitive=true` a filter on column `K` must
@@ -522,8 +537,8 @@ object ManifestFileIndex {
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       pcols.find(resolver(_, a.name)).flatMap { k =>
         val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
-        if (cs.isEmpty || cs.exists(_.isEmpty)) None
-        else Some(cs.flatten.map(col(k) === _).reduce(_ || _))
+        if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
+        else Some(orBalanced(cs.flatten.map(col(k) === _)))
       }
     case InSet(a: AttributeReference, vs) =>
       pcols.find(resolver(_, a.name)).flatMap { k =>
@@ -531,8 +546,8 @@ object ManifestFileIndex {
         val cs = vs.toSeq.map(v =>
           scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
             .toOption.filter(_ => v != null))
-        if (cs.isEmpty || cs.exists(_.isEmpty)) None
-        else Some(cs.flatten.map(col(k) === _).reduce(_ || _))
+        if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
+        else Some(orBalanced(cs.flatten.map(col(k) === _)))
       }
     case IsNull(a: AttributeReference) =>
       pcols.find(resolver(_, a.name)).map(col(_).isNull)
@@ -591,8 +606,8 @@ object ManifestFileIndex {
           val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
           // empty IN normally folds away upstream (OptimizeIn), but an
           // un-optimized plan must not reach reduce on an empty Seq
-          if (cs.isEmpty || cs.exists(_.isEmpty)) None // null/odd element: stay conservative
-          else Some(cs.flatten.map(v => mn(k) <= v && mx(k) >= v).reduce(_ || _))
+          if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
+          else Some(orBalanced(cs.flatten.map(v => mn(k) <= v && mx(k) >= v)))
         }
       case InSet(a: AttributeReference, vs) =>
         keyFor(keys, a, resolver).flatMap { k =>
@@ -600,8 +615,8 @@ object ManifestFileIndex {
           val cs = vs.toSeq.map(v =>
             scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
               .toOption.filter(_ => v != null))
-          if (cs.isEmpty || cs.exists(_.isEmpty)) None
-          else Some(cs.flatten.map(v => mn(k) <= v && mx(k) >= v).reduce(_ || _))
+          if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
+          else Some(orBalanced(cs.flatten.map(v => mn(k) <= v && mx(k) >= v)))
         }
       case IsNull(a: AttributeReference) =>
         keyFor(keys, a, resolver).map(k => nulls(k) > 0)

@@ -1431,38 +1431,67 @@ object Manifests {
   private def appendTagged(batch: DataFrame, base: String,
       tag: String): Option[Int] = {
     val spark = batch.sparkSession
-    // appends COMMUTE, so a concurrent commit is not a conflict — the
-    // batch data is written at most once, and only the metadata
-    // derivation (file list, union schema, carried vectors, stats)
-    // re-derives against the new latest and retries
-    def attempt(remaining: Int, wrote: Boolean): Option[Int] = {
+    // an empty micro-batch still writes a zero-row part file — skip it
+    // BEFORE writing so no version (or directory) is burned
+    if (batch.isEmpty) return None
+    val marker = s"/$tag/"
+    // replay + evolution/tombstone pre-checks against the CURRENT
+    // latest BEFORE any bytes land (the commit loop re-checks against
+    // whatever latest it actually lands on)
+    val pre = latestVersion(spark, base)
+    if (pre.exists(v => files(spark, base, v).exists(_.contains(marker))))
+      return None
+    pre.flatMap(schemaOf(spark, base, _))
+      .foreach(old => evolveSchema(old, batch.schema))
+    pre.map(droppedOf(spark, base, _)).getOrElse(Seq.empty)
+      .foreach(d => require(!batch.schema.fieldNames.contains(d),
+        s"column '$d' was dropped from $base and its bytes remain in " +
+          "retained files — re-adding it would resurrect old values; " +
+          "use a new name or overwrite the table"))
+    val dir = s"$base/$tag"
+    batch.write.mode("overwrite").parquet(dir)
+    val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+    if (newFiles.isEmpty) return None
+    appendWrittenFiles(spark, base, newFiles, batch.schema, Some(marker))
+  }
+
+  /** Append ALREADY-WRITTEN immutable files as the next version — the
+    * files-level core under [[appendTagged]] and the DSv2 STREAMING
+    * write (whose tasks stream parquet directly, so there is no
+    * DataFrame to hand the batch API). Appends COMMUTE, so a
+    * concurrent commit is not a conflict: only the metadata derivation
+    * (file list, union schema, carried vectors, sidecar segments)
+    * re-derives against the new latest and retries. `replayMarker`
+    * makes the commit idempotent: if the latest manifest already
+    * references a path containing the marker, this batch landed and
+    * the call no-ops (the exactly-once contract both sinks key on). */
+  private[graft] def appendWrittenFiles(spark: SparkSession, base: String,
+      newFiles: Seq[String],
+      batchSchema: org.apache.spark.sql.types.StructType,
+      replayMarker: Option[String]): Option[Int] = {
+    def attempt(remaining: Int, validated: Boolean): Option[Int] = {
       val prev = latestVersion(spark, base)
-      val replayed = prev.exists(v =>
-        files(spark, base, v).exists(_.contains(s"/$tag/")))
+      val replayed = replayMarker.exists(m => prev.exists(v =>
+        files(spark, base, v).exists(_.contains(m))))
       if (replayed) return None
       // additive schema evolution: a batch may bring new columns; the
       // union schema is recorded in the manifest so readers null-fill
-      // the old files without a footer sweep. Resolved (and possibly
-      // REFUSED, on a type conflict) before any bytes land.
+      // the old files without a footer sweep (a type conflict REFUSES)
       val tableSchema = prev.flatMap(schemaOf(spark, base, _)) match {
-        case None => batch.schema
-        case Some(old) => evolveSchema(old, batch.schema)
+        case None => batchSchema
+        case Some(old) => evolveSchema(old, batchSchema)
       }
       // a tombstoned (dropped) column must not come back through
       // additive evolution: the retained files still hold its old
       // physical bytes, and re-adding the name would resurrect them
       prev.map(droppedOf(spark, base, _)).getOrElse(Seq.empty)
-        .foreach(d => require(!batch.schema.fieldNames.contains(d),
+        .foreach(d => require(!batchSchema.fieldNames.contains(d),
           s"column '$d' was dropped from $base and its bytes remain in " +
             "retained files — re-adding it would resurrect old values; " +
             "use a new name or overwrite the table"))
-      val dir = s"$base/$tag"
-      if (!wrote) batch.write.mode("overwrite").parquet(dir)
-      val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-      if (newFiles.isEmpty) return None
       // CHECK constraints validate the new rows ONCE, when they land
       // (retries re-derive metadata only; the data never changes)
-      if (!wrote) enforceConstraints(spark, base, prev, newFiles,
+      if (!validated) enforceConstraints(spark, base, prev, newFiles,
         Some(tableSchema))
       val cur = prev.map(files(spark, base, _)).getOrElse(Seq.empty)
       // stats: existing SEGMENTS carry by reference, only the new files
@@ -1510,13 +1539,10 @@ object Manifests {
           while (latestVersion(spark, base) == prev &&
               System.currentTimeMillis() < deadline)
             Thread.sleep(20)
-          attempt(remaining - 1, wrote = true)
+          attempt(remaining - 1, validated = true)
       }
     }
-    // an empty micro-batch still writes a zero-row part file — skip it
-    // BEFORE writing so no version (or directory) is burned
-    if (batch.isEmpty) return None
-    attempt(remaining = 10, wrote = false)
+    attempt(remaining = 10, validated = false)
   }
 
   /** Change feed between two committed versions, tagged

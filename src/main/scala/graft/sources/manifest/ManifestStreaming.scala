@@ -1,0 +1,248 @@
+package graft.sources.manifest
+
+import graft.ext.{Dfs, Manifests}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.{PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** A fixed, pruning-free file listing as a `PartitioningAwareFileIndex`
+  * — the per-micro-batch index: a streaming batch reads EXACTLY the
+  * files its version diff added (or the snapshot's files), so there is
+  * nothing to prune and the listing is the contract. */
+private[manifest] final class ExplicitFilesIndex(spark: SparkSession,
+    base: String, fileList: Seq[FileStatus])
+    extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+  override def rootPaths: Seq[Path] = Seq(new Path(base))
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+  override def partitionSchema: StructType = new StructType()
+  override val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    fileList.foreach(s => m += (s.getPath -> s))
+    m
+  }
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    fileList.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, fileList.toArray))
+  override def inputFiles: Array[String] =
+    fileList.map(_.getPath.toString).toArray
+  override def sizeInBytes: Long = fileList.map(_.getLen).sum
+  override def allFiles(): Seq[FileStatus] = fileList
+  override def refresh(): Unit = ()
+}
+
+/** `spark.readStream.table("graft.ns.t")` — the DSv2 micro-batch twin
+  * of the V1 manifest streaming source: offsets ARE committed manifest
+  * versions, batch (a, b] reads exactly the files version b lists that
+  * a did not (manifest set arithmetic — no directory scans, no
+  * modification-time races, replay-exact after restart). Admission
+  * control and Trigger.AvailableNow carry over: `startingVersion`
+  * (int | "latest"; absent → first batch is a full snapshot),
+  * `maxVersionsPerTrigger`, `maxBytesPerTrigger` (per-version added
+  * bytes from the commit summary — no data-file statusing per
+  * trigger), `allowNonAppend`. Non-append versions refuse by default,
+  * exactly like the V1 source. Schema is pinned at query start. */
+private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
+    base: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private case class V(v: Int) extends Offset {
+    override def json: String = v.toString
+  }
+
+  private def opt(k: String): Option[String] = Option(options.get(k))
+
+  private val allowNonAppend = opt("allowNonAppend").exists(_.toBoolean)
+
+  private val startingVersion: Option[Int] = opt("startingVersion").map {
+    case "latest" => Manifests.latestVersion(spark, base).getOrElse(
+      sys.error(s"no committed version under $base"))
+    case n => n.toInt
+  }
+
+  private val maxVersionsPerTrigger: Option[Int] =
+    opt("maxVersionsPerTrigger").map(_.toInt)
+  private val maxBytesPerTrigger: Option[Long] =
+    opt("maxBytesPerTrigger").map(_.toLong)
+
+  // -1 = "no batch served yet": the first batch is a whole-snapshot
+  // read of the version it ends at (unless startingVersion pins a diff
+  // base). Mirrors the V1 source's None/Some(start) split.
+  override def initialOffset(): Offset = V(startingVersion.getOrElse(-1))
+
+  override def deserializeOffset(json: String): Offset = V(json.toInt)
+
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowTarget =
+      Some(Manifests.latestVersion(spark, base).getOrElse(-1))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    sys.error("admission-controlled source: engine must call " +
+      "latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[V].v
+    Manifests.latestVersion(spark, base).map { l0 =>
+      val latest = availableNowTarget.fold(l0)(math.min(l0, _))
+      if (latest <= from) start
+      else {
+        val byVersions = (maxVersionsPerTrigger, from) match {
+          case (Some(cap), f) if f >= 0 => math.min(latest, f + cap)
+          case _ => latest // snapshot start: one version, read whole
+        }
+        val capped = (maxBytesPerTrigger, from) match {
+          case (Some(maxB), f) if f >= 0 =>
+            var v = f
+            var acc = 0L
+            var stop = false
+            while (!stop && v < byVersions) {
+              val nb = Manifests.addedBytesOf(spark, base, v + 1)
+                .getOrElse(Long.MaxValue)
+              if (acc == 0L ||
+                  (nb < Long.MaxValue - acc && acc + nb <= maxB)) {
+                acc += math.min(nb, Long.MaxValue / 4); v += 1
+              } else stop = true
+            }
+            v
+          case _ => byVersions
+        }
+        if (capped <= from) start else V(capped)
+      }
+    }.getOrElse(start)
+  }
+
+  override def reportLatestOffset(): Offset =
+    Manifests.latestVersion(spark, base).map(V).orNull
+
+  /** Files of the batch (start, end]: the snapshot whole at first
+    * serve, the version-diff ADDED files after — refusing non-append
+    * diffs exactly as the V1 source does. */
+  private def batchFiles(from: Int, to: Int): Seq[String] =
+    if (from < 0) Manifests.files(spark, base, to)
+    else {
+      val fa = Manifests.files(spark, base, from).map(Dfs.canonical)
+      val fb = Manifests.files(spark, base, to).map(Dfs.canonical)
+      val removed = fa.filterNot(fb.toSet)
+      val dvChanged =
+        Manifests.dvFiles(spark, base, from).map(Dfs.canonical) !=
+          Manifests.dvFiles(spark, base, to).map(Dfs.canonical)
+      if ((removed.nonEmpty || dvChanged) && !allowNonAppend)
+        sys.error(s"versions ($from, $to] of $base are not append-only " +
+          s"(${removed.size} files removed, vectors changed: $dvChanged); " +
+          "a streaming read emits appends — restart from a snapshot or " +
+          "set allowNonAppend=true to re-emit rewritten files")
+      fb.filterNot(fa.toSet)
+    }
+
+  /** A per-batch `ParquetScan` over the explicit file list: partitions
+    * and reader factory come from Spark's own parquet scan machinery
+    * (vectorized reader, codegen), so the stream's read path is the
+    * batch read path over fewer files. */
+  private def scanFor(fs: Seq[String]): ParquetScan = {
+    val statuses = fs.map(f =>
+      Dfs.fs(spark, f).getFileStatus(new Path(f)))
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(
+        options.asCaseSensitiveMap()
+          .asInstanceOf[java.util.Map[String, String]].asScala.toMap),
+      new ExplicitFilesIndex(spark, base, statuses),
+      schema, schema, new StructType(), Array.empty, options, None,
+      Seq.empty, Seq.empty)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val fs = batchFiles(start.asInstanceOf[V].v, end.asInstanceOf[V].v)
+    if (fs.isEmpty) Array.empty
+    else scanFor(fs).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the factory depends on schema/conf only, never the file list —
+    // any non-empty template works, and an empty one works too
+    scanFor(Seq.empty).createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"ManifestMicroBatchStream[$base]"
+}
+
+/** `df.writeStream.toTable("graft.ns.t")` — the DSv2 streaming WRITE:
+  * tasks stream parquet into per-epoch subdirectories of one
+  * query-scoped data directory, and each epoch commits through the
+  * manifest append protocol with the epoch id as the replay key — the
+  * same exactly-once contract as `appendBatch` (the manifest IS the
+  * batch-done record: a replayed epoch finds its `/epoch_<id>/` files
+  * referenced by the latest manifest and no-ops). Append output mode
+  * only; assumes the query is the table's only concurrent writer,
+  * like every streaming sink here. */
+private[manifest] class ManifestStreamingWrite(spark: SparkSession,
+    base: String, schema: StructType) extends StreamingWrite {
+
+  private val dir =
+    s"$base/data_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Dfs.mkdirs(spark, dir)
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(spark.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      job.getConfiguration)
+    ManifestStreamingWriterFactory(dir, schema, factory, conf)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.flatMap {
+      case ManifestWriteMessage(paths) => paths
+      case _ => Seq.empty
+    }.toSeq.map(Dfs.qualified(spark, _))
+    if (written.nonEmpty) {
+      Manifests.appendWrittenFiles(spark, base, written, schema,
+        replayMarker = Some(s"/epoch_$epochId/"))
+      ()
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    try Dfs.delete(spark, s"$dir/epoch_$epochId", recursive = true)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  override def toString: String = s"ManifestStreamingWrite[$base]"
+}
+
+/** [[ManifestWriterFactory]]'s streaming twin: same task-side parquet
+  * writer, epoch-scoped subdirectory so replay detection keys on the
+  * path. */
+private[manifest] case class ManifestStreamingWriterFactory(dir: String,
+    schema: StructType,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    ManifestWriterFactory(s"$dir/epoch_$epochId", schema, factory, conf)
+      .createWriter(partitionId, taskId)
+}

@@ -93,6 +93,8 @@ class ManifestTable(spark: SparkSession, val base: String,
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.OVERWRITE_BY_FILTER)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.MICRO_BATCH_READ)
+    s.add(TableCapability.STREAMING_WRITE)
     s
   }
 
@@ -113,8 +115,8 @@ class ManifestTable(spark: SparkSession, val base: String,
     v.foreach(refuseDv(_, "a catalog scan"))
     val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
       sys.error(s"$base has no committed version and no declared schema"))
-    ParquetScanBuilder(spark, new ManifestScanIndex(spark, base, v),
-      sch, sch, options)
+    new StreamCapableScanBuilder(spark,
+      new ManifestScanIndex(spark, base, v), sch, options, base)
   }
 
   // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback) ---------------
@@ -134,6 +136,18 @@ class ManifestTable(spark: SparkSession, val base: String,
       }
 
       override def build(): Write = new V1Write {
+        // `df.writeStream.toTable("graft.ns.t")`: the same Write serves
+        // the streaming engine — per-epoch parquet streamed by tasks,
+        // each epoch an idempotent manifest append (Append mode only)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(pinned.isEmpty,
+            s"cannot stream into $base pinned at a version")
+          require(!replaceAll,
+            "manifest streaming writes are APPEND-only — a manifest " +
+              "append cannot represent per-trigger replacement")
+          new ManifestStreamingWrite(spark, base, info.schema())
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -369,4 +383,35 @@ private[manifest] class CowScan(sp: SparkSession,
     case _ => false
   }
   override def hashCode(): Int = System.identityHashCode(this)
+}
+
+/** The catalog read path's scan builder: a stock `ParquetScanBuilder`
+  * whose scan additionally answers `toMicroBatchStream` — one builder
+  * serves `spark.table` and `spark.readStream.table`, with the batch
+  * path unchanged (pushdown, zone pruning, metadata aggregates). */
+private[manifest] class StreamCapableScanBuilder(sp: SparkSession,
+    idx: ManifestScanIndex, sch: StructType,
+    opts: CaseInsensitiveStringMap, base: String)
+    extends ParquetScanBuilder(sp, idx, sch, sch, opts) {
+
+  override def build(): ParquetScan =
+    new StreamCapableScan(sparkSession, hadoopConf, idx, dataSchema,
+      readDataSchema(), readPartitionSchema(), pushedDataFilters, options,
+      partitionFilters, dataFilters, base)
+}
+
+private[manifest] class StreamCapableScan(sp: SparkSession,
+    conf: org.apache.hadoop.conf.Configuration, idx: ManifestScanIndex,
+    dataSch: StructType, readDataSch: StructType, readPartSch: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    opts: CaseInsensitiveStringMap,
+    partFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    base: String)
+    extends ParquetScan(sp, conf, idx, dataSch, readDataSch, readPartSch,
+      pushed, opts, None, partFilters, dataFilters, Array.empty) {
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(sp, base, readDataSch, opts)
 }

@@ -80,15 +80,16 @@ object ManifestCountRule extends Rule[LogicalPlan] {
       case _ => None
     }
     // the DSv2 CATALOG read path: by the time extraOptimizations run,
-    // V2ScanRelationPushDown has settled the relation into a scan node;
-    // the exact ParquetScan class only (a row-level CoW scan also rides
-    // a ManifestScanIndex but must never be aggregate-collapsed), with
-    // no pushed aggregate (footer-based pushdown changes the shape)
+    // V2ScanRelationPushDown has settled the relation into a scan node.
+    // A row-level CoW scan also rides a ManifestScanIndex but must
+    // never be aggregate-collapsed — it is the one ParquetScan here
+    // implementing runtime filtering, which is the discriminator. No
+    // pushed aggregate (footer-based pushdown changes the shape).
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
       r.scan match {
         case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
-            if ps.getClass ==
-              classOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan] &&
+            if !ps.isInstanceOf[
+              org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering] &&
               ps.pushedAggregate.isEmpty =>
           ps.fileIndex match {
             case m: graft.sources.manifest.ManifestScanIndex =>

@@ -15,9 +15,7 @@ class ManifestCatalogSpec extends AnyFunSuite {
 
   private lazy val wh = {
     val d = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
-    spark.conf.set("spark.sql.catalog.graft",
-      "graft.sources.manifest.ManifestCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse", d)
+    CatalogTestSupport.registerFreshCatalog(spark, d)
     d
   }
 

@@ -1035,4 +1035,59 @@ class StreamsSpec extends AnyFunSuite {
         .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
     } finally out.stop()
   }
+
+  test("catalog streaming: readStream.table relays versions; writeStream.toTable is exactly-once across restart") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_stream").toString
+    graft.ext.CatalogTestSupport.registerFreshCatalog(spark, s"$root/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+    spark.sql("CREATE TABLE graft.st.src (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.st.src VALUES (1, 'a'), (2, 'b')")
+
+    // READ: versions stream as micro-batches (snapshot first, then
+    // each SQL INSERT's appended files)
+    val q = spark.readStream.table("graft.st.src").writeStream
+      .format("memory").queryName("cat_read_out").outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt_read").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM cat_read_out").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      spark.sql("INSERT INTO graft.st.src VALUES (3, 'c')")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM cat_read_out").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+
+    // WRITE: toTable commits one manifest version per epoch, replay-safe
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("id", "s").writeStream
+      .option("checkpointLocation", s"$root/ckpt_write")
+      .outputMode("append").toTable("graft.st.sink")
+    val q2 = start()
+    try {
+      input.addData((1L, "x"), (2L, "y"))
+      q2.processAllAvailable()
+      input.addData((3L, "z"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("graft.st.sink").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // restart from the checkpoint: no epoch double-appends
+    val q3 = start()
+    try {
+      input.addData((4L, "w"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(spark.table("graft.st.sink").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // the sink table is an ordinary manifest table: metadata views and
+    // SQL DML work on it directly
+    assert(spark.sql("SELECT MAX(version) AS v FROM graft.st.sink.history")
+      .head.getInt(0) >= 1)
+    spark.sql("DELETE FROM graft.st.sink WHERE id = 2")
+    assert(spark.table("graft.st.sink").count() === 3)
+  }
 }

@@ -400,19 +400,25 @@ object ManifestFileIndex {
       case In(a: AttributeReference, vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         keys.find(resolver(_, a.name)).flatMap { k =>
-          val ps = vs.map(v => probe(k, v.asInstanceOf[Literal]))
-          if (ps.exists(_.isEmpty) || ps.size > maxInValues) None
-          else Some(orBalanced(ps.flatten))
+          if (vs.size > maxInValues) None // refuse BEFORE per-value work
+          else {
+            val ps = vs.map(v => probe(k, v.asInstanceOf[Literal]))
+            if (ps.exists(_.isEmpty)) None
+            else Some(orBalanced(ps.flatten))
+          }
         }
       case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
         keys.find(resolver(_, a.name)).flatMap { k =>
           val dt = a.dataType
-          val ps = vs.toSeq.map { v =>
-            if (v == null) None
-            else scala.util.Try(Literal(v, dt)).toOption.flatMap(probe(k, _))
+          if (vs.isEmpty || vs.size > maxInValues) None
+          else {
+            val ps = vs.toSeq.map { v =>
+              if (v == null) None
+              else scala.util.Try(Literal(v, dt)).toOption.flatMap(probe(k, _))
+            }
+            if (ps.exists(_.isEmpty)) None
+            else Some(orBalanced(ps.flatten))
           }
-          if (ps.isEmpty || ps.exists(_.isEmpty) || ps.size > maxInValues) None
-          else Some(orBalanced(ps.flatten))
         }
       case _ => None
     }
@@ -536,18 +542,24 @@ object ManifestFileIndex {
       valueOf(GreaterThanOrEqual(a, l), pcols, resolver)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       pcols.find(resolver(_, a.name)).flatMap { k =>
-        val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
-        if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
-        else Some(orBalanced(cs.flatten.map(col(k) === _)))
+        if (vs.isEmpty || vs.size > maxInValues) None
+        else {
+          val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
+          if (cs.exists(_.isEmpty)) None
+          else Some(orBalanced(cs.flatten.map(col(k) === _)))
+        }
       }
     case InSet(a: AttributeReference, vs) =>
       pcols.find(resolver(_, a.name)).flatMap { k =>
         val dt = a.dataType
-        val cs = vs.toSeq.map(v =>
-          scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
-            .toOption.filter(_ => v != null))
-        if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
-        else Some(orBalanced(cs.flatten.map(col(k) === _)))
+        if (vs.isEmpty || vs.size > maxInValues) None
+        else {
+          val cs = vs.toSeq.map(v =>
+            scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
+              .toOption.filter(_ => v != null))
+          if (cs.exists(_.isEmpty)) None
+          else Some(orBalanced(cs.flatten.map(col(k) === _)))
+        }
       }
     case IsNull(a: AttributeReference) =>
       pcols.find(resolver(_, a.name)).map(col(_).isNull)
@@ -603,20 +615,27 @@ object ManifestFileIndex {
         zoneOf(GreaterThanOrEqual(a, l), keys, resolver)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         keyFor(keys, a, resolver).flatMap { k =>
-          val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
           // empty IN normally folds away upstream (OptimizeIn), but an
-          // un-optimized plan must not reach reduce on an empty Seq
-          if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
-          else Some(orBalanced(cs.flatten.map(v => mn(k) <= v && mx(k) >= v)))
+          // un-optimized plan must not reach reduce on an empty Seq;
+          // oversized lists refuse BEFORE any per-value work
+          if (vs.isEmpty || vs.size > maxInValues) None
+          else {
+            val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
+            if (cs.exists(_.isEmpty)) None
+            else Some(orBalanced(cs.flatten.map(v => mn(k) <= v && mx(k) >= v)))
+          }
         }
       case InSet(a: AttributeReference, vs) =>
         keyFor(keys, a, resolver).flatMap { k =>
-          val dt = a.dataType
-          val cs = vs.toSeq.map(v =>
-            scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
-              .toOption.filter(_ => v != null))
-          if (cs.isEmpty || cs.exists(_.isEmpty) || cs.size > maxInValues) None
-          else Some(orBalanced(cs.flatten.map(v => mn(k) <= v && mx(k) >= v)))
+          if (vs.isEmpty || vs.size > maxInValues) None
+          else {
+            val dt = a.dataType
+            val cs = vs.toSeq.map(v =>
+              scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
+                .toOption.filter(_ => v != null))
+            if (cs.exists(_.isEmpty)) None
+            else Some(orBalanced(cs.flatten.map(v => mn(k) <= v && mx(k) >= v)))
+          }
         }
       case IsNull(a: AttributeReference) =>
         keyFor(keys, a, resolver).map(k => nulls(k) > 0)

@@ -1468,7 +1468,8 @@ object Manifests {
   private[graft] def appendWrittenFiles(spark: SparkSession, base: String,
       newFiles: Seq[String],
       batchSchema: org.apache.spark.sql.types.StructType,
-      replayMarker: Option[String]): Option[Int] = {
+      replayMarker: Option[String],
+      bootstrapPartCols: Seq[String] = Seq.empty): Option[Int] = {
     def attempt(remaining: Int, validated: Boolean): Option[Int] = {
       val prev = latestVersion(spark, base)
       val replayed = replayMarker.exists(m => prev.exists(v =>
@@ -1503,12 +1504,19 @@ object Manifests {
             statsFor(spark, newFiles, keys, Some(tableSchema))))
       }
       // partition metadata: same segmented carry, tuples derived for the
-      // new files only
-      val pvMeta = prev.flatMap(pv => partitionedBy(spark, base, pv)).map {
-        case (cols, segs) =>
+      // new files only. A BOOTSTRAP (no previous version) of a table
+      // whose CREATE declared partition columns records its spec here —
+      // otherwise a streaming-first table would silently lose
+      // metadata-only partition DML and pruning forever.
+      val pvMeta = prev.flatMap(pv => partitionedBy(spark, base, pv))
+        .orElse(
+          if (prev.isEmpty && bootstrapPartCols.nonEmpty)
+            Some((bootstrapPartCols, Seq.empty[String]))
+          else None)
+        .map { case (cols, segs) =>
           (cols, segs :+ writePartValues(spark, base, newFiles, cols,
             Some(tableSchema)))
-      }
+        }
       // bloom index: existing SEGMENTS carry by reference — an append
       // writes one new segment covering only its new files, so the bloom
       // bytes written are ∝ appended files, not the table (the merged-

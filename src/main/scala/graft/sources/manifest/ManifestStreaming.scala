@@ -136,8 +136,17 @@ private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
     * serve, the version-diff ADDED files after — refusing non-append
     * diffs exactly as the V1 source does. */
   private def batchFiles(from: Int, to: Int): Seq[String] =
-    if (from < 0) Manifests.files(spark, base, to)
-    else {
+    if (from < 0) {
+      // the snapshot batch is a raw file read: deletion vectors cannot
+      // apply through the parquet-scan path, and a MoR delete landing
+      // between plan time and the first trigger would otherwise
+      // resurrect its deleted rows into the stream — refuse, exactly
+      // like the batch relation (compact() materializes the vectors)
+      require(Manifests.dvFiles(spark, base, to).isEmpty,
+        s"version $to of $base carries deletion vectors — a streaming " +
+          "snapshot is a raw file read; run compact() first")
+      Manifests.files(spark, base, to)
+    } else {
       val fa = Manifests.files(spark, base, from).map(Dfs.canonical)
       val fb = Manifests.files(spark, base, to).map(Dfs.canonical)
       val removed = fa.filterNot(fb.toSet)
@@ -157,8 +166,14 @@ private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
     * (vectorized reader, codegen), so the stream's read path is the
     * batch read path over fewer files. */
   private def scanFor(fs: Seq[String]): ParquetScan = {
-    val statuses = fs.map(f =>
-      Dfs.fs(spark, f).getFileStatus(new Path(f)))
+    // statuses come from ONE listing per parent directory, not one
+    // getFileStatus RPC per file: a snapshot batch lists every live
+    // file, and per-file driver round-trips on an object store would
+    // stall the first trigger for seconds per thousand files
+    val wanted = fs.map(Dfs.canonical).toSet
+    val statuses = fs.map(f => new Path(f).getParent).distinct
+      .flatMap(dir => Dfs.dataFiles(spark, dir.toString))
+      .filter(st => wanted.contains(Dfs.canonical(st.getPath.toString)))
     ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
         options.asCaseSensitiveMap()
@@ -195,10 +210,23 @@ private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
   * only; assumes the query is the table's only concurrent writer,
   * like every streaming sink here. */
 private[manifest] class ManifestStreamingWrite(spark: SparkSession,
-    base: String, schema: StructType) extends StreamingWrite {
+    base: String, schema: StructType, queryId: String,
+    partCols: Seq[String]) extends StreamingWrite {
+
+  // the replay key must be QUERY-scoped: two streaming queries into the
+  // same table both start at epoch 0, and a bare /epoch_0/ marker would
+  // read the other query's files as "this epoch already landed" —
+  // silently discarding early epochs. queryId is stable across restarts
+  // (it lives in the checkpoint), which is exactly the identity replay
+  // detection needs.
+  private val qTag =
+    "q" + queryId.replaceAll("[^a-zA-Z0-9-]", "").take(36)
 
   private val dir =
     s"$base/data_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private[manifest] def epochMarker(epochId: Long): String =
+    s"/${qTag}_epoch_$epochId/"
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -209,7 +237,7 @@ private[manifest] class ManifestStreamingWrite(spark: SparkSession,
       .ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       job.getConfiguration)
-    ManifestStreamingWriterFactory(dir, schema, factory, conf)
+    ManifestStreamingWriterFactory(dir, qTag, schema, factory, conf)
   }
 
   override def commit(epochId: Long,
@@ -220,14 +248,15 @@ private[manifest] class ManifestStreamingWrite(spark: SparkSession,
     }.toSeq.map(Dfs.qualified(spark, _))
     if (written.nonEmpty) {
       Manifests.appendWrittenFiles(spark, base, written, schema,
-        replayMarker = Some(s"/epoch_$epochId/"))
+        replayMarker = Some(epochMarker(epochId)),
+        bootstrapPartCols = partCols)
       ()
     }
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    try Dfs.delete(spark, s"$dir/epoch_$epochId", recursive = true)
+    try Dfs.delete(spark, s"$dir/${qTag}_epoch_$epochId", recursive = true)
     catch { case scala.util.control.NonFatal(_) => () }
 
   override def toString: String = s"ManifestStreamingWrite[$base]"
@@ -237,12 +266,12 @@ private[manifest] class ManifestStreamingWrite(spark: SparkSession,
   * writer, epoch-scoped subdirectory so replay detection keys on the
   * path. */
 private[manifest] case class ManifestStreamingWriterFactory(dir: String,
-    schema: StructType,
+    qTag: String, schema: StructType,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    ManifestWriterFactory(s"$dir/epoch_$epochId", schema, factory, conf)
-      .createWriter(partitionId, taskId)
+    ManifestWriterFactory(s"$dir/${qTag}_epoch_$epochId", schema, factory,
+      conf).createWriter(partitionId, taskId)
 }

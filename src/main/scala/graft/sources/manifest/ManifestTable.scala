@@ -116,7 +116,7 @@ class ManifestTable(spark: SparkSession, val base: String,
     val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
       sys.error(s"$base has no committed version and no declared schema"))
     new StreamCapableScanBuilder(spark,
-      new ManifestScanIndex(spark, base, v), sch, options, base)
+      new ManifestScanIndex(spark, base, v), sch, options, base, pinned)
   }
 
   // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback) ---------------
@@ -146,7 +146,12 @@ class ManifestTable(spark: SparkSession, val base: String,
           require(!replaceAll,
             "manifest streaming writes are APPEND-only — a manifest " +
               "append cannot represent per-trigger replacement")
-          new ManifestStreamingWrite(spark, base, info.schema())
+          val parts = if (declaredPartCols.nonEmpty) declaredPartCols
+            else currentVersion.flatMap(v =>
+              Manifests.partitionedBy(spark, base, v).map(_._1))
+              .getOrElse(Seq.empty)
+          new ManifestStreamingWrite(spark, base, info.schema(),
+            info.queryId(), parts)
         }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -391,13 +396,13 @@ private[manifest] class CowScan(sp: SparkSession,
   * path unchanged (pushdown, zone pruning, metadata aggregates). */
 private[manifest] class StreamCapableScanBuilder(sp: SparkSession,
     idx: ManifestScanIndex, sch: StructType,
-    opts: CaseInsensitiveStringMap, base: String)
+    opts: CaseInsensitiveStringMap, base: String, pinned: Option[Int])
     extends ParquetScanBuilder(sp, idx, sch, sch, opts) {
 
   override def build(): ParquetScan =
     new StreamCapableScan(sparkSession, hadoopConf, idx, dataSchema,
       readDataSchema(), readPartitionSchema(), pushedDataFilters, options,
-      partitionFilters, dataFilters, base)
+      partitionFilters, dataFilters, base, pinned)
 }
 
 private[manifest] class StreamCapableScan(sp: SparkSession,
@@ -407,11 +412,17 @@ private[manifest] class StreamCapableScan(sp: SparkSession,
     opts: CaseInsensitiveStringMap,
     partFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    base: String)
+    base: String, pinned: Option[Int])
     extends ParquetScan(sp, conf, idx, dataSch, readDataSch, readPartSch,
       pushed, opts, None, partFilters, dataFilters, Array.empty) {
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a pinned (VERSION AS OF) handle is a frozen snapshot: a stream
+    // from it would either shadow the pin or follow the live table —
+    // both wrong; refuse, matching the write side's guard
+    require(pinned.isEmpty,
+      s"cannot stream from $base pinned at version ${pinned.getOrElse(-1)}")
     new ManifestMicroBatchStream(sp, base, readDataSch, opts)
+  }
 }

@@ -1090,4 +1090,35 @@ class StreamsSpec extends AnyFunSuite {
     spark.sql("DELETE FROM graft.st.sink WHERE id = 2")
     assert(spark.table("graft.st.sink").count() === 3)
   }
+
+  test("two streaming queries into one table: epoch replay detection is query-scoped") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_twoq").toString
+    graft.ext.CatalogTestSupport.registerFreshCatalog(spark, s"$root/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tq")
+    // query A writes its epochs 0..1
+    val a = MemoryStream[(Long, String)]
+    val qa = a.toDF().toDF("id", "s").writeStream
+      .option("checkpointLocation", s"$root/ckptA")
+      .outputMode("append").toTable("graft.tq.t")
+    try {
+      a.addData((1L, "a")); qa.processAllAvailable()
+      a.addData((2L, "a")); qa.processAllAvailable()
+    } finally qa.stop()
+    // a DIFFERENT query (fresh checkpoint) also starts at epoch 0: its
+    // batches must LAND, not be read as replays of query A's epochs
+    val b = MemoryStream[(Long, String)]
+    val qb = b.toDF().toDF("id", "s").writeStream
+      .option("checkpointLocation", s"$root/ckptB")
+      .outputMode("append").toTable("graft.tq.t")
+    try {
+      b.addData((10L, "b")); qb.processAllAvailable()
+      b.addData((11L, "b")); qb.processAllAvailable()
+    } finally qb.stop()
+    assert(spark.table("graft.tq.t").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 10L, 11L),
+      "a second query's early epochs must not be swallowed as replays")
+  }
 }

@@ -87,9 +87,14 @@ object Bench {
     // mirroring Verify's: lets scale checks time a named family without
     // paying the full surface at 100x
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // bisect hooks (dev-only, unset in driver runs): WARMALL builds every
+    // fixture even under a subset filter (isolates resident-state cost);
+    // ARM installs the catalog + optimizer extras without touching any
+    // manifest fixture (isolates plan-time cost of the armed extras)
+    val warmAll = sys.env.contains("SPARK_GRAFT_WARMALL")
     var failed = List.empty[String]
     val w0 = System.nanoTime()
-    warmupQueries.filter(n => only.forall(_.contains(n))).foreach { name =>
+    warmupQueries.filter(n => warmAll || only.forall(_.contains(n))).foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
         // the timed run still reports the failure; surface it here too so
@@ -98,6 +103,30 @@ object Bench {
       }
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
+    if (sys.env.contains("SPARK_GRAFT_ARM")) {
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.manifest.ManifestCatalog")
+      org.apache.spark.sql.graft.ManifestInsertStrategy.install(spark)
+      // touching the catalog instantiates it, which installs
+      // ManifestCountRule — the exact state a full run reaches
+      try spark.sql("SHOW NAMESPACES IN graft").count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ARM catalog touch: ${e.getMessage}") }
+    }
+    // attribution diagnostics (stderr — never part of the JSON contract):
+    // resident cached blocks and cumulative JVM GC time bracket the timed
+    // pass, separating "plans got slower" from "the session pays GC rent"
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def cachedDiag(): String = {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val mem = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => max - free }.sum
+      s"cachedRDDs=${rdds.size} storageUsed=${mem / 1024 / 1024}MB"
+    }
+    System.err.println(s"[bench] post-warmup: ${cachedDiag()} gcTotalMs=$gcMs")
+    val gc0 = gcMs
     def timePhase(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -113,6 +142,8 @@ object Bench {
     // analytical phase first, write-roundtrips after — never interleaved
     val analytical = timePhase(selected.filterNot(q => writeRoundtrips(q._1)))
     val roundtrips = timePhase(selected.filter(q => writeRoundtrips(q._1)))
+    System.err.println(
+      s"[bench] post-timed: ${cachedDiag()} gcTimedMs=${gcMs - gc0}")
     val results = (analytical ++ roundtrips).sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -129,7 +160,9 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"groups":$groups,"n_queries":${results.size},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
+    // distinct metric name: a consumer keying on "total" must land on the
+    // single full per-query line above, never double-count this summary
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","warmup_sec":$warmupSec,"groups":$groups,"n_queries":${results.size},"slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

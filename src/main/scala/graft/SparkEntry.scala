@@ -352,6 +352,14 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$c`")
         .orderBy("customer_id")
     }),
+    // SQL ADD COLUMN lineage: CREATE → INSERT → ADD COLUMN → INSERT →
+    // SELECT, every step a spark.sql string; pre-evolution rows read
+    // NULL in the added column via the recorded (metadata-only) schema
+    "sql_add_column" -> ((s, d) => {
+      val c = mansqlAddColFixture(s, d)
+      s.sql(s"SELECT customer_key, customer_id, country, segment " +
+        s"FROM graft.`$c`").orderBy("customer_id")
+    }),
     // time travel through the SAME relation: versionAsOf 0 of the
     // versioned-delete table is the table BEFORE the delete — the
     // oracle replays the full clean lineage, proving the deleted rows
@@ -744,6 +752,31 @@ object SparkEntry {
     c
   }
 
+  /** Pure-SQL additive schema evolution: CREATE (CTAS of the pre-
+    * evolution batch) → ALTER TABLE ADD COLUMN → INSERT carrying the
+    * new column — the ADD COLUMN is a metadata-only commit that carries
+    * the first batch's files by reference, so the pre-evolution rows
+    * null-fill `segment` through the recorded read schema while zero
+    * bytes move (the 100 TB contract for additive DDL). */
+  private def mansqlAddColFixture(s: SparkSession, d: String): String = {
+    val c = dumpDir(s, d, "mansqladdc")
+    val marker = s"${c}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer
+        .select("customer_key", "customer_id", "country")
+        .repartition(4).createOrReplaceTempView("graft_sqladdc_dim")
+      s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqladdc_dim " +
+        "WHERE country IS DISTINCT FROM 'NATION_5'")
+      s.sql(s"ALTER TABLE graft.`$c` ADD COLUMN segment STRING")
+      s.sql(s"INSERT INTO graft.`$c` SELECT customer_key, customer_id, " +
+        "country, 'NEW' AS segment FROM graft_sqladdc_dim " +
+        "WHERE country = 'NATION_5'")
+      ext.Dfs.touch(s, marker)
+    }
+    c
+  }
+
   private def manmergeFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manmerge")
     val marker = s"${b}_done"
@@ -907,6 +940,16 @@ object SparkEntry {
          | UNION ALL
          | SELECT t.customer_key, t.customer_id, t.country FROM dim_customer t
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = t.customer_id)
+         | ORDER BY customer_id""".stripMargin,
+    // ADD COLUMN: batch-1 rows (non-NATION_5) predate the evolution and
+    // read NULL in the added column; batch-2 rows carry 'NEW' — the
+    // union is all of dim_customer with segment decided by the split
+    "sql_add_column" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_key, customer_id, country,
+         |   CASE WHEN country = 'NATION_5' THEN 'NEW'
+         |        ELSE CAST(NULL AS VARCHAR) END AS segment
+         | FROM dim_customer
          | ORDER BY customer_id""".stripMargin,
     // versionAsOf 0 = before the delete: the full clean lineage
     "manifest_time_travel" ->

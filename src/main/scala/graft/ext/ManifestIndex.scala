@@ -221,9 +221,16 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     }
 
   /** Exact SUM of an INTEGRAL stats-indexed column: Σ of the per-file
-    * sums [[Skipping.buildStats]] records. Integer addition is
-    * associative (mod 2^64 included), so the fold is bit-equal to the
-    * scan. A NULL per-file sum is legitimate only for an all-null file
+    * sums [[Skipping.buildStats]] records. In legacy (wrapping) mode
+    * integer addition is associative mod 2^64, so the fold is bit-equal
+    * to the scan unconditionally. Under ANSI mode the real scan THROWS
+    * on intermediate overflow, so the rewrite additionally demands the
+    * [[noOverflowPossible]] proof — every partial sum in EVERY
+    * accumulation order is then in Long range, meaning the scan cannot
+    * throw, the recorded per-file sums cannot have wrapped at ANALYZE
+    * time, and the fold equals the scan exactly. Overflow-adjacent
+    * tables simply keep the real scan (and its ANSI error semantics).
+    * A NULL per-file sum is legitimate only for an all-null file
     * (`nulls == n_rows`); anywhere else it means the stat predates sum
     * recording and the proof is off. `Some(None)` = provably NULL
     * (no non-null value in the filtered set). */
@@ -238,10 +245,39 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
           val missing = st.filter(col(s"${k}_sum").isNull &&
             col(s"${k}_nulls") < col("n_rows")).limit(1).count()
           if (missing > 0) None
+          else if (spark.sessionState.conf.ansiEnabled &&
+            !noOverflowPossible(st, k)) None
           else Some(Option(st.agg(sum(col(s"${k}_sum"))).head.get(0)))
         }
       }
     }
+
+  /** The ANSI-mode no-overflow proof for [[statSum]]: any partial sum,
+    * in any grouping/order the scan's partial aggregation might use, has
+    * magnitude ≤ Σ_files (n_rows − nulls) · max(|zone_min|, |zone_max|)
+    * (zone bounds are exact per-file extrema for integral columns). If
+    * that bound — computed in BigInt — fits in a Long, no intermediate
+    * can overflow anywhere: not in the scan, not at ANALYZE, not in the
+    * metadata fold. A file with non-null rows but missing bounds fails
+    * the proof conservatively. */
+  private def noOverflowPossible(
+      st: org.apache.spark.sql.DataFrame, k: String): Boolean = {
+    val rows = st.select(col("n_rows"), col(s"${k}_nulls"),
+      col(s"${k}_min").cast("string"), col(s"${k}_max").cast("string"))
+      .collect() // metadata-sized: one row per data file
+    var bound = BigInt(0)
+    val proven = rows.forall { r =>
+      val nonNull = r.getLong(0) - r.getLong(1)
+      if (nonNull <= 0) true // all-null file contributes nothing
+      else if (r.isNullAt(2) || r.isNullAt(3)) false
+      else {
+        val m = BigInt(r.getString(2)).abs.max(BigInt(r.getString(3)).abs)
+        bound += BigInt(nonNull) * m
+        true
+      }
+    }
+    proven && bound <= BigInt(Long.MaxValue)
+  }
 
   override def rootPaths: Seq[Path] = Seq(new Path(base))
 

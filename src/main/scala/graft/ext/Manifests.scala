@@ -1962,6 +1962,50 @@ object Manifests {
       dropped = Some(droppedOf(spark, base, v) :+ name))
   }
 
+  /** ALTER TABLE ... ADD COLUMN — METADATA-ONLY, the additive half of
+    * schema evolution as an explicit DDL step: the next version carries
+    * the SAME files with a widened recorded schema, appended at the
+    * end. Existing files simply lack the column and every reader
+    * null-fills it through the explicit reader schema (parquet's own
+    * missing-column contract — the exact mechanism append-time
+    * evolution already relies on), so zero of a 100 TB table's bytes
+    * move and time travel shows each version under its own schema.
+    *
+    * Refusals: a name already in the schema, and a TOMBSTONED name —
+    * old files may still hold the dropped column's physical bytes, and
+    * re-adding the name would silently resurrect them instead of
+    * null-filling (overwrite the table to clear the tombstone). The
+    * new column is always nullable: every existing row has no value
+    * for it. */
+  def addColumn(spark: SparkSession, base: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      comment: Option[String] = None): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val sch = schemaOf(spark, base, v).getOrElse(
+      sys.error(s"$base records no schema — addColumn needs one"))
+    val resolver = spark.sessionState.analyzer.resolver
+    require(!sch.fieldNames.exists(resolver(_, name)),
+      s"column '$name' already exists in $base")
+    require(!droppedOf(spark, base, v).exists(resolver(_, name)),
+      s"column '$name' was previously dropped from $base and its " +
+        "physical bytes may survive in old files — re-adding the name " +
+        "would resurrect them instead of null-filling; overwrite the " +
+        "table to clear the tombstone")
+    val f = org.apache.spark.sql.types.StructField(name, dataType,
+      nullable = true)
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"add-column:$name"),
+      dv = dvFiles(spark, base, v),
+      schema = Some(org.apache.spark.sql.types.StructType(
+        sch.fields :+ comment.fold(f)(f.withComment))),
+      stats = statsOf(spark, base, v),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v),
+      dropped = Some(droppedOf(spark, base, v)))
+  }
+
   /** The CHECK constraints version `v` was committed under:
     * `(name, SQL predicate)` pairs, empty when none were ever added.
     * One tiny-file read — the lookup every write pays, so it must be

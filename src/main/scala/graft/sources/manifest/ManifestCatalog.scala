@@ -243,6 +243,19 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
         require(d.fieldNames.length == 1,
           "manifest DROP COLUMN addresses top-level columns")
         Manifests.dropColumn(spark, t.base, d.fieldNames.head)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "manifest ADD COLUMN adds top-level columns")
+        require(a.isNullable,
+          "manifest ADD COLUMN must be nullable — existing rows have " +
+            "no value for the new column")
+        require(a.position == null,
+          "manifest ADD COLUMN appends at the end — FIRST/AFTER would " +
+            "reorder the recorded read schema under existing files")
+        require(a.defaultValue == null,
+          "manifest ADD COLUMN does not support DEFAULT values")
+        Manifests.addColumn(spark, t.base, a.fieldNames.head, a.dataType,
+          Option(a.comment))
       case c => sys.error(s"unsupported ALTER TABLE change $c — " +
         "manifest schema evolution is additive via writes; use " +
         "dropColumn/addConstraint through the table API")
@@ -257,11 +270,20 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case Some((base, _, _)) =>
         // managed data (under the warehouse) drops with the table;
         // external LOCATIONs survive their registration (Hive/Delta
-        // external-table semantics)
+        // external-table semantics). A FAILED data delete keeps the
+        // pointer file and rethrows: removing the registration anyway
+        // would orphan the table's bytes under the warehouse with
+        // nothing left to find them by — the caller can retry the DROP
+        // (delete is idempotent) or still reach the data by name.
         if (Dfs.qualified(spark, base)
-            .startsWith(Dfs.qualified(spark, warehouse) + "/"))
-          try Dfs.delete(spark, base, recursive = true)
-          catch { case scala.util.control.NonFatal(_) => () }
+            .startsWith(Dfs.qualified(spark, warehouse) + "/")) {
+          Dfs.delete(spark, base, recursive = true)
+          // FileSystem.delete signals some failures by returning false
+          // rather than throwing — verify the bytes are actually gone
+          require(!Dfs.exists(spark, base),
+            s"DROP TABLE ${display(ident)}: managed data delete failed " +
+              s"at $base — registration kept so the table stays reachable")
+        }
         Dfs.delete(spark, defPath(ident))
         true
     }
@@ -327,6 +349,10 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
+    // an empty namespace would resolve nsDir to '<warehouse>/_defs'
+    // itself — a cascade there recursively deletes the whole metastore
+    // root. Unreachable from SQL today, but this is public API surface.
+    require(namespace.nonEmpty, "cannot drop the root namespace")
     val dir = nsDir(namespace)
     if (!Dfs.exists(spark, dir)) false
     else {

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.LongType
   *    per-file zone bounds (all-null files carry null bounds, which the
   *    fold ignores exactly as the real aggregate ignores nulls);
   *  - `SUM(col)` for an INTEGRAL stats-indexed column — Σ per-file
-  *    sums (integer addition is associative, overflow included, so the
-  *    fold is bit-equal to the scan; floating sums never rewrite —
-  *    FP addition is order-dependent).
+  *    sums (legacy mode: integer addition is associative mod 2^64, so
+  *    the fold is bit-equal to the scan; ANSI mode: only under the
+  *    zone-bound no-overflow proof, so the scan's overflow-throw can
+  *    never be shadowed; floating sums never rewrite — FP addition is
+  *    order-dependent).
   *
   * A FILTER between the aggregate and the scan no longer always
   * disables the rewrite: when the whole condition translates STRICTLY
@@ -126,10 +128,12 @@ object ManifestCountRule extends Rule[LogicalPlan] {
       case Max(a: AttributeReference) =>
         idx.statBound(a.name, isMin = false, filters).map(v =>
           CatalystTypeConverters.convertToCatalyst(v.orNull))
-      // integral sums only (result type LongType): the per-file sums
-      // are exact and associative; ANSI overflow-throw divergence is
-      // out of reach for a fold that wraps identically to the scan's
-      // partial aggregation in legacy mode
+      // integral sums only (result type LongType): in legacy mode the
+      // fold of per-file sums wraps identically to the scan (mod-2^64
+      // associativity); under ANSI the index additionally proves no
+      // partial sum in any order can overflow (zone-bound argument in
+      // ManifestFileIndex.noOverflowPossible) or refuses, so the scan's
+      // overflow-throw semantics are never shadowed
       case s: Sum if s.dataType == LongType =>
         s.child match {
           case a: AttributeReference =>
@@ -141,18 +145,42 @@ object ManifestCountRule extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
-      manifestScan(child) match {
-        case Some((idx, filters)) =>
-          val vals = aggExprs.map(statValue(idx, filters, _))
-          if (vals.forall(_.isDefined))
-            LocalRelation(agg.output,
-              Seq(InternalRow.fromSeq(vals.map(_.get))))
-          else agg
-        case None => agg
+  /** Cheap global rejection: does this plan hold ANY manifest-capable
+    * leaf? One short-circuiting traversal; the overwhelmingly common
+    * non-manifest query pays a leaf check per node and nothing else —
+    * no Aggregate pattern-match, no manifestScan walk, no stats reads.
+    * (Measured r11: the rule's cost was already unobservable across a
+    * 48-query steady-state A/B, but a globally-armed rule should bail
+    * structurally, not rely on plans being small.) */
+  private def hasManifestLeaf(plan: LogicalPlan): Boolean = plan.exists {
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.isInstanceOf[graft.ext.ManifestFileIndex]
+      case _ => false
+    }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      r.scan match {
+        case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          ps.fileIndex.isInstanceOf[graft.sources.manifest.ManifestScanIndex]
+        case _ => false
       }
+    case _ => false
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!hasManifestLeaf(plan)) plan
+    else plan.transform {
+      case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+        manifestScan(child) match {
+          case Some((idx, filters)) =>
+            val vals = aggExprs.map(statValue(idx, filters, _))
+            if (vals.forall(_.isDefined))
+              LocalRelation(agg.output,
+                Seq(InternalRow.fromSeq(vals.map(_.get))))
+            else agg
+          case None => agg
+        }
+    }
 
   /** Idempotent runtime installation — `extraOptimizations` is the
     * optimizer-side twin of `experimental.extraStrategies`, the same

@@ -9,6 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * through `spark.sql` DML strings — the point is that the full
   * protocol (OCC, constraints, sidecar maintenance, file-surgical
   * rewrites) holds on the pure-SQL path. */
+/** A local filesystem whose delete silently FAILS (returns false, the
+  * way HDFS signals e.g. a trash-policy refusal) for any path under the
+  * armed prefix — the failure mode `DROP TABLE` must not paper over. */
+class FailingDeleteFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftdel:///")
+  override def delete(p: org.apache.hadoop.fs.Path,
+      recursive: Boolean): Boolean = {
+    val armed = FailingDeleteFileSystem.failUnder.get()
+    if (armed != null && p.toUri.getPath.startsWith(armed)) false
+    else super.delete(p, recursive)
+  }
+}
+object FailingDeleteFileSystem {
+  val failUnder = new java.util.concurrent.atomic.AtomicReference[String](null)
+}
+
 class ManifestCatalogSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
@@ -360,5 +376,82 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(!Dfs.exists(spark, dataDir),
       "cascade must delete managed table data, not orphan it")
     assert(!Dfs.exists(spark, s"$wh/_defs/casc"))
+  }
+
+  test("SQL ALTER TABLE ADD COLUMN is metadata-only: files carried by reference, time travel under each version's own schema, tombstoned names refuse") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.addc")
+    sql("CREATE TABLE graft.addc.t (id BIGINT, s STRING)")
+    sql("INSERT INTO graft.addc.t VALUES (1, 'a'), (2, 'b')")
+    val b = s"$wh/addc/t"
+    val v0 = Manifests.latestVersion(spark, b).get
+    val files0 = Manifests.files(spark, b, v0)
+    sql("ALTER TABLE graft.addc.t ADD COLUMN score DOUBLE")
+    val v1 = Manifests.latestVersion(spark, b).get
+    assert(v1 === v0 + 1, "ADD COLUMN must land as one new version")
+    assert(Manifests.files(spark, b, v1) === files0,
+      "ADD COLUMN is metadata-only — the same files carried by reference")
+    // existing rows null-fill; the widened schema is live immediately
+    assert(spark.table("graft.addc.t").columns.toSeq ===
+      Seq("id", "s", "score"))
+    assert(sql("SELECT * FROM graft.addc.t WHERE score IS NULL")
+      .count() === 2)
+    // the post-ADD insert carries the column
+    sql("INSERT INTO graft.addc.t VALUES (3, 'c', 1.5)")
+    assert(sql("SELECT score FROM graft.addc.t WHERE id = 3")
+      .head.getDouble(0) === 1.5)
+    // time travel reads each version under ITS schema
+    assert(sql(s"SELECT * FROM graft.addc.t VERSION AS OF $v0")
+      .columns.toSeq === Seq("id", "s"))
+    assert(sql(s"SELECT * FROM graft.addc.t VERSION AS OF $v1")
+      .columns.toSeq === Seq("id", "s", "score"))
+    // duplicate and NOT NULL refuse; ADD COLUMNS (plural) widens again
+    intercept[Exception](sql("ALTER TABLE graft.addc.t ADD COLUMN id INT"))
+    intercept[Exception](
+      sql("ALTER TABLE graft.addc.t ADD COLUMN z INT NOT NULL"))
+    sql("ALTER TABLE graft.addc.t ADD COLUMNS (u STRING, w INT)")
+    assert(spark.table("graft.addc.t").columns.toSeq ===
+      Seq("id", "s", "score", "u", "w"))
+    // a dropped name is tombstoned: re-ADDing it would resurrect the
+    // old files' physical bytes instead of null-filling — refuse
+    sql("ALTER TABLE graft.addc.t DROP COLUMN s")
+    assert(spark.table("graft.addc.t").columns.toSeq ===
+      Seq("id", "score", "u", "w"))
+    intercept[Exception](
+      sql("ALTER TABLE graft.addc.t ADD COLUMN s STRING"))
+  }
+
+  test("DROP TABLE keeps the registration when the managed-data delete fails — no orphaned bytes") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftdel.impl", classOf[FailingDeleteFileSystem].getName)
+    val w = "graftdel:" + java.nio.file.Files
+      .createTempDirectory("graft_cat_faildrop").toString
+    CatalogTestSupport.registerFreshCatalog(spark, w)
+    try {
+      sql("CREATE NAMESPACE IF NOT EXISTS graft.fd")
+      sql("CREATE TABLE graft.fd.t AS SELECT 7L AS id")
+      val dataDir = s"$w/fd/t"
+      assert(Manifests.latestVersion(spark, dataDir).isDefined)
+      // arm: deletes under the DATA dir silently return false (the
+      // pointer under _defs stays deletable — that's the hazard)
+      FailingDeleteFileSystem.failUnder.set(
+        dataDir.stripPrefix("graftdel:"))
+      val e = intercept[Exception](sql("DROP TABLE graft.fd.t"))
+      assert(e.getMessage.contains("delete failed"),
+        s"unexpected failure: ${e.getMessage}")
+      // the registration survived: the data is still reachable by name
+      assert(Dfs.exists(spark, s"$w/_defs/fd/t.tbl"),
+        "a failed data delete must NOT remove the pointer file")
+      assert(sql("SELECT id FROM graft.fd.t").head.getLong(0) === 7L)
+      // disarm: the retried DROP completes and removes both halves
+      FailingDeleteFileSystem.failUnder.set(null)
+      sql("DROP TABLE graft.fd.t")
+      assert(!Dfs.exists(spark, dataDir))
+      assert(!Dfs.exists(spark, s"$w/_defs/fd/t.tbl"))
+    } finally {
+      FailingDeleteFileSystem.failUnder.set(null)
+      // restore the suite's shared warehouse for any later catalog use
+      CatalogTestSupport.registerFreshCatalog(spark, wh)
+    }
   }
 }

@@ -703,4 +703,58 @@ class ManifestRelationSpec extends AnyFunSuite {
     val nulls = rel.filter(col("p").isNull).agg(count(lit(1)).as("n"))
     assert(nulls.head.getLong(0) === 30L)
   }
+
+  test("metadata SUM vs ANSI mode: overflow-adjacent table abstains under ANSI (scan error semantics kept), folds bit-equal in legacy; benign table rewrites under ANSI") {
+    import spark.implicits._
+    def collapsed(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty
+    // three single-file commits: each per-file sum is in range (so
+    // ANALYZE records exact sums under either mode) but the TOTAL
+    // overflows Long — the shape where a metadata fold that wraps
+    // would silently shadow the ANSI scan's overflow error
+    val b = base("graft_rel_ansisum") + "/t"
+    val big = Long.MaxValue / 2
+    Manifests.commitData(Seq((1L, big)).toDF("id", "v").coalesce(1), b)
+    Seq((2L, big)).toDF("id", "v").coalesce(1)
+      .write.format("manifest").mode("append").save(b)
+    Seq((3L, big)).toDF("id", "v").coalesce(1)
+      .write.format("manifest").mode("append").save(b)
+    Manifests.analyze(spark, b, Seq("v"))
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true",
+      "suite precondition: Spark 4 defaults ANSI on")
+    // ANSI: the zone-bound proof fails -> no collapse, and executing
+    // throws exactly as the real scan does
+    val ansiAgg = rel(b).agg(sum(col("v")).as("s"))
+    assert(!collapsed(ansiAgg),
+      "overflow-adjacent SUM must keep the real scan under ANSI")
+    intercept[Exception](ansiAgg.collect())
+    // legacy: the rewrite fires and the fold wraps bit-identically to
+    // the scan's own partial aggregation
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val legacyAgg = rel(b).agg(sum(col("v")).as("s"))
+      assert(collapsed(legacyAgg),
+        "legacy-mode SUM must answer from metadata")
+      val folded = legacyAgg.head.getLong(0)
+      // a non-partition filter defeats the rewrite: this is the REAL
+      // scan's (wrapped) answer over the same rows
+      val viaScan = rel(b).filter(col("id") > 0L)
+        .agg(sum(col("v")).as("s"))
+      assert(!collapsed(viaScan))
+      assert(folded === viaScan.head.getLong(0))
+      assert(folded === big + big + big) // Scala Long wraps like the scan
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // benign table: the proof holds -> metadata answer under ANSI too
+    val g = base("graft_rel_ansisum_ok") + "/t"
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartition(4), g)
+    Manifests.analyze(spark, g, Seq("v"))
+    val ok = rel(g).agg(sum(col("v")).as("s"))
+    assert(collapsed(ok),
+      "in-range SUM must still answer from metadata under ANSI")
+    assert(ok.head.getLong(0) === 5050L)
+  }
 }

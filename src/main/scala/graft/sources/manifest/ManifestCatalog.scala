@@ -176,6 +176,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           Manifests.constraintsOf(s, t.base, latest)
             .toDF("name", "predicate")
         }))
+      // the change feed as a name-addressed STREAMING relation:
+      // `spark.readStream.table("graft.ns.t.changes")` — the V1
+      // source's readChangeFeed=true, catalog-shaped
+      case "changes" => Some(new ManifestChangesTable(s, t.base,
+        s"${display(parent)}.changes"))
       case _ => None
     }
   }

@@ -63,6 +63,8 @@ private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
     override def json: String = v.toString
   }
 
+  protected def verOf(o: Offset): Int = o.asInstanceOf[V].v
+
   private def opt(k: String): Option[String] = Option(options.get(k))
 
   private val allowNonAppend = opt("allowNonAppend").exists(_.toBoolean)
@@ -165,7 +167,7 @@ private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
     * and reader factory come from Spark's own parquet scan machinery
     * (vectorized reader, codegen), so the stream's read path is the
     * batch read path over fewer files. */
-  private def scanFor(fs: Seq[String]): ParquetScan = {
+  protected def scanFor(fs: Seq[String]): ParquetScan = {
     // statuses come from ONE listing per parent directory, not one
     // getFileStatus RPC per file: a snapshot batch lists every live
     // file, and per-file driver round-trips on an object store would
@@ -198,6 +200,109 @@ private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"ManifestMicroBatchStream[$base]"
+}
+
+/** `spark.readStream.table("graft.ns.t.changes")` — the CHANGE-FEED
+  * twin of the catalog stream, mirroring the V1 source's
+  * `readChangeFeed=true`: every version — append, CoW rewrite,
+  * merge-on-read delete — streams as rows tagged `_change_type` ∈
+  * {insert, delete}, so the name-addressed incremental-MV loop works
+  * without path plumbing. Offsets, admission control
+  * (`startingVersion`, `maxVersionsPerTrigger`, `maxBytesPerTrigger`)
+  * and AvailableNow are inherited; non-append versions are the POINT
+  * here, never a refusal.
+  *
+  * The exact feed is a composed diff ([[Manifests.changesBetween]]:
+  * manifest multiset arithmetic over the files unique to either side,
+  * plus DV-churn anti-joins), not a file listing — but a DSv2 stream
+  * must serve `InputPartition`s. Each batch therefore MATERIALIZES its
+  * feed once under the query's checkpoint (marker-guarded: replays and
+  * restarts reuse the files instead of recomputing — which also makes
+  * a replayed batch stable under concurrent vacuum) and serves plain
+  * parquet partitions over it. Cost: one extra write+read of the FEED
+  * — churned files only, never the table; a version that touched 0.1%
+  * of a 100 TB table materializes 0.1%-sized changes. The snapshot
+  * batch reads THROUGH deletion vectors (`readAt` applies them),
+  * unlike the raw-file non-CDF snapshot which must refuse. */
+private[manifest] class ManifestChangesMicroBatchStream(
+    spark: SparkSession, base: String, schema: StructType,
+    options: CaseInsensitiveStringMap, checkpointDir: String)
+    extends ManifestMicroBatchStream(spark, base, schema, options) {
+
+  private def materialized(from: Int, to: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = s"$checkpointDir/graft_cdf/b${from}_$to"
+    val marker = s"$dir/_graft_cdf_done"
+    if (!Dfs.exists(spark, marker)) {
+      val feed =
+        if (from < 0)
+          Manifests.readAt(spark, base, to)
+            .withColumn("_change_type", lit("insert"))
+        else Manifests.changesBetween(spark, base, from, to)
+      feed.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        .write.mode("overwrite").parquet(dir)
+      Dfs.touch(spark, marker)
+    }
+    Dfs.dataFiles(spark, dir).map(_.getPath.toString).toSeq
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val fs = materialized(verOf(start), verOf(end))
+    if (fs.isEmpty) Array.empty
+    else scanFor(fs).toBatch.planInputPartitions()
+  }
+
+  override def toString: String = s"ManifestChangesMicroBatchStream[$base]"
+}
+
+/** The `.changes` metadata table: a table's change feed as a
+  * name-addressed streaming relation (the readable face of
+  * [[ManifestChangesMicroBatchStream]]) — Delta's `table_changes` /
+  * Iceberg's changes table, shaped for `spark.readStream.table`. A
+  * separate table (rather than an option on the main one) because a
+  * DSv2 streaming plan's schema is fixed by `Table.schema()` at
+  * resolution: the tag column must BE the schema, not appear later. */
+private[manifest] class ManifestChangesTable(spark: SparkSession,
+    base: String, ident: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val v = Manifests.latestVersion(spark, base).getOrElse(
+      sys.error(s"$base has no committed version — nothing to stream"))
+    val s = Manifests.schemaOf(spark, base, v).getOrElse(
+      spark.read.parquet(Manifests.files(spark, base, v).head).schema)
+    StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false))
+  }
+
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val s = new java.util.HashSet[
+      org.apache.spark.sql.connector.catalog.TableCapability]()
+    s.add(org.apache.spark.sql.connector.catalog.TableCapability
+      .MICRO_BATCH_READ)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          private val sch = schema()
+          override def readSchema(): StructType = sch
+          override def description(): String = s"manifest-changes($base)"
+          override def toMicroBatchStream(checkpointLocation: String)
+              : MicroBatchStream =
+            new ManifestChangesMicroBatchStream(spark, base, sch, options,
+              checkpointLocation)
+        }
+    }
 }
 
 /** `df.writeStream.toTable("graft.ns.t")` — the DSv2 streaming WRITE:

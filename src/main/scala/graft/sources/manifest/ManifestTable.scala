@@ -423,6 +423,12 @@ private[manifest] class StreamCapableScan(sp: SparkSession,
     // both wrong; refuse, matching the write side's guard
     require(pinned.isEmpty,
       s"cannot stream from $base pinned at version ${pinned.getOrElse(-1)}")
+    // the tag column must BE the relation's schema, which is fixed at
+    // resolution from Table.schema() — a read option cannot widen it;
+    // the change feed is its own name-addressed table
+    require(!Option(opts.get("readChangeFeed")).exists(_.toBoolean),
+      "change-feed streaming through the catalog is the `.changes` " +
+        "table: spark.readStream.table(\"<catalog>.<ns>.<t>.changes\")")
     new ManifestMicroBatchStream(sp, base, readDataSch, opts)
   }
 }

@@ -360,6 +360,41 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, country, segment " +
         s"FROM graft.`$c`").orderBy("customer_id")
     }),
+    // DV-aware catalog reads: the table took a merge-on-read delete
+    // (vectors, no data bytes moved) and then a SQL DELETE on the
+    // still-vectored version (the catalog routes it merge-on-read,
+    // stacking another vector) — this SELECT reads THROUGH both vectors
+    // via the V1 liveRead scan, no compact() wall anywhere
+    "sql_select_mor" -> ((s, d) => {
+      val b = mansqlMorFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.sql(s"SELECT * FROM graft.`$b`")
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // partition-scoped INSERT OVERWRITE: the NATION_2 partition was
+    // replaced TWICE (static PARTITION spec) — untouched partitions
+    // carried by reference both times, each overwrite one atomic
+    // commit, and the second replaces (never accumulates on) the first
+    "sql_insert_overwrite" -> ((s, d) => {
+      val b = mansqlOvwFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.sql(s"SELECT * FROM graft.`$b`")
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // the BATCH face of the change feed (Delta's table_changes):
+    // versions (0, 2] of a pure-SQL lineage — an INSERT and a CoW
+    // UPDATE — read as one relation of tagged change rows through
+    // `spark.read.option(...).table("graft.`<path>`.changes")`;
+    // carried-identical rows in the UPDATE's rewritten files cancel in
+    // the content diff, so the feed is exactly the churn
+    "sql_changes_between" -> ((s, d) => {
+      val c = mansqlCdfFixture(s, d)
+      s.read.option("startingVersion", "0").option("endingVersion", "2")
+        .table(s"graft.`$c`.changes")
+        .orderBy(col("_change_type"), col("customer_id"))
+    }),
     // time travel through the SAME relation: versionAsOf 0 of the
     // versioned-delete table is the table BEFORE the delete — the
     // oracle replays the full clean lineage, proving the deleted rows
@@ -777,6 +812,78 @@ object SparkEntry {
     c
   }
 
+  /** Fresh-MoR SQL fixture: CTAS bootstrap (clustered on country), a
+    * Scala merge-on-read delete (v1 = same files + a deletion vector),
+    * then a SQL DELETE issued against the STILL-VECTORED table — the
+    * catalog's MoR delete tier stacks a second vector. `sql_select_mor`
+    * reads the result through the DV-aware catalog scan. */
+  private def mansqlMorFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mansqlmor")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
+        .createOrReplaceTempView("graft_sqlmor_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmor_src")
+      ext.Manifests.deleteWhereMor(s, b, col("country") === "NATION_7")
+      s.sql(s"DELETE FROM graft.`$b` WHERE country = 'NATION_1'")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** Partition-overwrite fixture: a country-partitioned CTAS, then the
+    * NATION_2 partition replaced twice by static-PARTITION
+    * `INSERT OVERWRITE` (first with NATION_1's rows, then NATION_3's) —
+    * the second must REPLACE the first, and untouched partitions carry
+    * by reference through both commits (files-accounting spec in
+    * ManifestCatalogSpec). */
+  private def mansqlOvwFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mansqlovw")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_sqlovw_src")
+      s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (country) AS " +
+        "SELECT * FROM graft_sqlovw_src")
+      def overwriteFrom(src: String): Unit = {
+        s.sql(s"INSERT OVERWRITE graft.`$b` PARTITION (country = 'NATION_2') " +
+          "SELECT invoice_no, stock_code, description, quantity, " +
+          "invoice_date, unit_price, customer_id FROM graft_sqlovw_src " +
+          s"WHERE country = '$src'")
+        ()
+      }
+      overwriteFrom("NATION_1")
+      overwriteFrom("NATION_3")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** Change-range fixture for the batch `.changes` face: v0 = CTAS of
+    * the non-NATION_5 customers, v1 = INSERT of NATION_5, v2 = CoW
+    * UPDATE relocating NATION_3 — all pure SQL. The (0, 2] feed is the
+    * NATION_5 inserts plus the update's delete/insert image pair. */
+  private def mansqlCdfFixture(s: SparkSession, d: String): String = {
+    val c = dumpDir(s, d, "mansqlcdf")
+    val marker = s"${c}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer
+        .select("customer_key", "customer_id", "country")
+        .repartitionByRange(4, col("country"))
+        .createOrReplaceTempView("graft_sqlcdf_dim")
+      s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqlcdf_dim " +
+        "WHERE country IS DISTINCT FROM 'NATION_5'")
+      s.sql(s"INSERT INTO graft.`$c` SELECT * FROM graft_sqlcdf_dim " +
+        "WHERE country = 'NATION_5'")
+      s.sql(s"UPDATE graft.`$c` SET country = 'MOVED' " +
+        "WHERE country = 'NATION_3'")
+      ext.Dfs.touch(s, marker)
+    }
+    c
+  }
+
   private def manmergeFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manmerge")
     val marker = s"${b}_done"
@@ -951,6 +1058,44 @@ object SparkEntry {
          |        ELSE CAST(NULL AS VARCHAR) END AS segment
          | FROM dim_customer
          | ORDER BY customer_id""".stripMargin,
+    // both deletes (Scala MoR + SQL-on-vectored) applied: survivors only
+    "sql_select_mor" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE country IS DISTINCT FROM 'NATION_7'
+         |   AND country IS DISTINCT FROM 'NATION_1'
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // the twice-overwritten partition holds the LAST overwrite's rows
+    // (NATION_3's, relabeled); every other partition is untouched
+    "sql_insert_overwrite" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM (
+         |  SELECT invoice_no, stock_code, description, quantity,
+         |         invoice_date, unit_price, customer_id, country
+         |  FROM cleaned WHERE country IS DISTINCT FROM 'NATION_2'
+         |  UNION ALL
+         |  SELECT invoice_no, stock_code, description, quantity,
+         |         invoice_date, unit_price, customer_id,
+         |         'NATION_2' AS country
+         |  FROM cleaned WHERE country = 'NATION_3'
+         | ) final_tbl
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // the (0, 2] change range: v1's inserts plus the v2 update's
+    // delete/insert image pair — carried-identical rows cancel
+    "sql_changes_between" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_key, customer_id, country, _change_type FROM (
+         |  SELECT customer_key, customer_id, country,
+         |         'insert' AS _change_type
+         |  FROM dim_customer WHERE country = 'NATION_5'
+         |  UNION ALL
+         |  SELECT customer_key, customer_id, 'MOVED' AS country,
+         |         'insert' AS _change_type
+         |  FROM dim_customer WHERE country = 'NATION_3'
+         |  UNION ALL
+         |  SELECT customer_key, customer_id, country,
+         |         'delete' AS _change_type
+         |  FROM dim_customer WHERE country = 'NATION_3'
+         | ) feed
+         | ORDER BY _change_type, customer_id""".stripMargin,
     // versionAsOf 0 = before the delete: the full clean lineage
     "manifest_time_travel" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned

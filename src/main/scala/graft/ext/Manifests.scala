@@ -1796,6 +1796,89 @@ object Manifests {
     (dropped.size, boundary.size, nv)
   }
 
+  /** Partition-scoped `INSERT OVERWRITE` — replace exactly the rows
+    * matching `pred` (a partition-column predicate) with `data`, in ONE
+    * atomic commit: no reader ever sees the dropped-but-not-yet-
+    * reinserted intermediate a DELETE-then-INSERT pair would expose.
+    * Files classify from the recorded partition tuples exactly as in
+    * [[dropPartitions]] (metadata only, zero data reads):
+    *
+    *  - every tuple matches → the file retires whole;
+    *  - no tuple matches (NULL never matches — unknown is never
+    *    overwritten) → the file CARRIES BY REFERENCE: overwriting one
+    *    day of a date-partitioned 100 TB table moves that day's bytes
+    *    and nothing else;
+    *  - mixed / unclassifiable → only those boundary files pay a
+    *    survivor rewrite.
+    *
+    * The next manifest is `carried ++ boundary-survivors ++ data's
+    * files`, published through [[replaceFiles]]: OCC with the
+    * commuting-append rebase (a concurrent append whose rows the
+    * predicate provably never matches commutes; an overlapping one
+    * throws), CHECK-constraint validation over the new bytes, and
+    * stats/partition-tuple/bloom re-derivation for the new files only.
+    *
+    * Contract (Delta `replaceWhere`): every incoming row must satisfy
+    * `pred` — a row outside the replaced region would silently land
+    * beyond what the statement claims to touch, so it refuses instead.
+    * Returns the new version. */
+  def overwriteWhere(data: DataFrame, base: String, pred: Column,
+      asOf: Option[Int] = None): Int = {
+    val spark = data.sparkSession
+    val v = asOf.orElse(latestVersion(spark, base))
+      .getOrElse(sys.error(s"no committed version under $base"))
+    require(dvFiles(spark, base, v).isEmpty,
+      s"version $v carries deletion vectors — compact($base) first to " +
+        "materialize them")
+    val (_, pvSegs) = partitionedBy(spark, base, v)
+      .getOrElse(sys.error(s"$base carries no partition metadata — " +
+        "partition-scoped overwrite needs a partitioned table " +
+        "(commitDataPartitioned / PARTITIONED BY)"))
+    val sch = schemaOf(spark, base, v)
+    // align to the recorded schema BY NAME (SQL INSERT already resolved
+    // and cast; a Scala caller with missing/misnamed columns fails here
+    // loudly instead of committing unreadable files)
+    val aligned = sch.fold(data)(s0 =>
+      data.select(s0.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*))
+    val hit = coalesce(pred, lit(false))
+    require(aligned.filter(!hit).limit(1).count() == 0,
+      s"INSERT OVERWRITE into $base: the incoming data contains rows " +
+        "outside the overwrite predicate — every inserted row must " +
+        "match it (Delta replaceWhere contract), or rows would land " +
+        "beyond the region the statement replaces")
+    val cur = files(spark, base, v).map(Dfs.canonical)
+    val cls = spark.read.parquet(pvSegs: _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        sum(when(hit, 1L).otherwise(0L)).as("m"))
+      .collect() // manifest-sized metadata: one row per data file
+      .map(r => Dfs.canonical(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val dropped = cur.filter(f =>
+      cls.get(f).exists { case (n, m) => n > 0 && m == n }).toSet
+    val carried = cur.filter(f =>
+      cls.get(f).exists { case (_, m) => m == 0L }).toSet
+    val boundary = cur.filterNot(f => dropped(f) || carried(f))
+    val rd = sch.fold(spark.read)(spark.read.schema(_))
+    val survivors =
+      if (boundary.isEmpty) Seq.empty[String]
+      else {
+        val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+        rd.parquet(boundary: _*)
+          .filter(!hit)
+          .repartition(math.max(1, boundary.size))
+          .write.mode("errorifexists").parquet(dir)
+        Dfs.dataFiles(spark, dir).map(_.getPath.toString).toSeq
+      }
+    val dirNew = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    aligned.write.mode("errorifexists").parquet(dirNew)
+    val added = Dfs.dataFiles(spark, dirNew).map(_.getPath.toString).toSeq
+    replaceFiles(spark, base, v, (dropped ++ boundary).toSet,
+      survivors ++ added, tag = Some("sql:insert_overwrite"),
+      conflictsWith = fresh => rd.parquet(fresh: _*)
+        .filter(hit).limit(1).count() > 0)
+  }
+
   /** Copy-on-write UPDATE ... SET — the third leg of the DML triad
     * beside [[deleteWhere]] and [[merge]]: rows matching `pred` get the
     * `set` expressions applied (each evaluated over the OLD row —

@@ -123,6 +123,14 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
 
   private def readDef(ident: Identifier)
       : Option[(String, Seq[String], Option[StructType])] = {
+    // an identifier with an illegal part (a "/" — e.g. the namespace of
+    // `graft.`/abs/path`.changes`) can never be a REGISTERED table:
+    // answer "not registered" so path-addressed metadata tables resolve
+    // through metaTableOf, instead of throwing out of a lookup.
+    // checkParts stays strict on the write paths (create/drop/rename).
+    val parts = ident.namespace :+ ident.name
+    if (parts.exists(p => p.contains("/") || p.contains("\\") ||
+        p.isEmpty || p == "." || p == "..")) return None
     val p = defPath(ident)
     if (!Dfs.exists(spark, p)) None
     else {

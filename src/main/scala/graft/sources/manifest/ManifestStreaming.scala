@@ -230,16 +230,10 @@ private[manifest] class ManifestChangesMicroBatchStream(
     extends ManifestMicroBatchStream(spark, base, schema, options) {
 
   private def materialized(from: Int, to: Int): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, lit}
     val dir = s"$checkpointDir/graft_cdf/b${from}_$to"
     val marker = s"$dir/_graft_cdf_done"
     if (!Dfs.exists(spark, marker)) {
-      val feed =
-        if (from < 0)
-          Manifests.readAt(spark, base, to)
-            .withColumn("_change_type", lit("insert"))
-        else Manifests.changesBetween(spark, base, from, to)
-      feed.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      ManifestChanges.feedBetween(spark, base, from, to, schema)
         .write.mode("overwrite").parquet(dir)
       Dfs.touch(spark, marker)
     }
@@ -253,24 +247,99 @@ private[manifest] class ManifestChangesMicroBatchStream(
     else scanFor(fs).toBatch.planInputPartitions()
   }
 
+  /** Batch commit is the purge point that keeps the checkpoint BOUNDED:
+    * a feed dir whose `to` version is strictly below the committed
+    * offset can never be re-planned (the engine replays at most the
+    * last uncommitted batch, and every later batch starts at or above
+    * the committed offset), so it is dead weight — without this, a
+    * long-running stream grows the checkpoint by one feed-sized dir per
+    * micro-batch. The dir ending exactly AT the committed offset is
+    * kept one cycle as replay headroom. Cleanup failure never fails the
+    * batch: the feed dirs are a cache, not the source of truth. */
+  override def commit(end: Offset): Unit = {
+    val committed = verOf(end)
+    val root = s"$checkpointDir/graft_cdf"
+    try {
+      if (Dfs.exists(spark, root))
+        Dfs.list(spark, root).foreach { st =>
+          ManifestChanges.batchDirPattern.findFirstMatchIn(
+              st.getPath.getName).foreach { m =>
+            if (m.group(2).toInt < committed)
+              Dfs.delete(spark, st.getPath.toString, recursive = true): Unit
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   override def toString: String = s"ManifestChangesMicroBatchStream[$base]"
 }
 
+/** Shared feed construction for the `.changes` faces (stream batches
+  * and the batch `table_changes` read). */
+private[manifest] object ManifestChanges {
+
+  /** Materialized feed dirs under `<checkpoint>/graft_cdf/`. */
+  val batchDirPattern: scala.util.matching.Regex = "^b(-?\\d+)_(-?\\d+)$".r
+
+  /** The change rows of versions `(from, to]` (from < 0 → the whole
+    * snapshot of `to`, tagged insert), ALIGNED to `schema`:
+    * [[Manifests.changesBetween]] builds the feed under the from/to
+    * versions' union schema, so a catch-up batch over versions
+    * predating an ADD COLUMN lacks the added column — each missing
+    * field null-fills (mirroring evolveSchema's read contract) and the
+    * select fixes column order, so the rows always match the schema
+    * the stream or batch relation resolved with. */
+  def feedBetween(spark: SparkSession, base: String, from: Int, to: Int,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val raw =
+      if (from < 0)
+        Manifests.readAt(spark, base, to)
+          .withColumn("_change_type", lit("insert"))
+      else Manifests.changesBetween(spark, base, from, to)
+    val have = raw.columns.map(_.toLowerCase).toSet
+    val widened = schema.fields.foldLeft(raw) { (df, f) =>
+      if (have.contains(f.name.toLowerCase)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    widened.select(schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+  }
+}
+
 /** The `.changes` metadata table: a table's change feed as a
-  * name-addressed streaming relation (the readable face of
+  * name-addressed relation (the readable face of
   * [[ManifestChangesMicroBatchStream]]) — Delta's `table_changes` /
-  * Iceberg's changes table, shaped for `spark.readStream.table`. A
-  * separate table (rather than an option on the main one) because a
-  * DSv2 streaming plan's schema is fixed by `Table.schema()` at
-  * resolution: the tag column must BE the schema, not appear later. */
+  * Iceberg's changes table. A separate table (rather than an option on
+  * the main one) because a DSv2 plan's schema is fixed by
+  * `Table.schema()` at resolution: the tag column must BE the schema,
+  * not appear later.
+  *
+  * Two faces over one feed construction ([[ManifestChanges.feedBetween]]):
+  *  - STREAMING: `spark.readStream.table("graft.ns.t.changes")` — the
+  *    micro-batch stream above, offsets = versions;
+  *  - BATCH: `spark.read.option("startingVersion", a)
+  *    .option("endingVersion", b).table("graft.ns.t.changes")` — the
+  *    changes of versions `(a, b]` as one relation (Delta's
+  *    `table_changes(t, a+1, b)`). `startingVersion` is the version the
+  *    diff starts FROM (exclusive — the same convention as the
+  *    streaming source's option and [[Manifests.changesBetween]]);
+  *    `endingVersion` defaults to latest; both options absent → the
+  *    whole latest snapshot tagged `insert`. Served as a
+  *    [[org.apache.spark.sql.connector.read.V1Scan]] over the composed
+  *    diff plan: the feed is churned-files-sized by construction, so
+  *    nothing is materialized and the anti-join/exceptAll machinery
+  *    runs as an ordinary distributed plan.
+  *
+  * Schema (table schema + `_change_type`) is computed ONCE at table
+  * construction: `schema()` is called at analysis and the scan builds
+  * later, and a schema-evolving commit landing between the two must not
+  * make the scan emit rows the analyzed plan does not expect. */
 private[manifest] class ManifestChangesTable(spark: SparkSession,
     base: String, ident: String)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
 
-  override def name(): String = ident
-
-  override def schema(): StructType = {
+  private val feedSchema: StructType = {
     val v = Manifests.latestVersion(spark, base).getOrElse(
       sys.error(s"$base has no committed version — nothing to stream"))
     val s = Manifests.schemaOf(spark, base, v).getOrElse(
@@ -280,12 +349,17 @@ private[manifest] class ManifestChangesTable(spark: SparkSession,
       nullable = false))
   }
 
+  override def name(): String = ident
+
+  override def schema(): StructType = feedSchema
+
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
     val s = new java.util.HashSet[
       org.apache.spark.sql.connector.catalog.TableCapability]()
     s.add(org.apache.spark.sql.connector.catalog.TableCapability
       .MICRO_BATCH_READ)
+    s.add(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
     s
   }
 
@@ -293,14 +367,34 @@ private[manifest] class ManifestChangesTable(spark: SparkSession,
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new org.apache.spark.sql.connector.read.ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        new org.apache.spark.sql.connector.read.Scan {
-          private val sch = schema()
-          override def readSchema(): StructType = sch
+        new org.apache.spark.sql.connector.read.Scan
+            with org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = feedSchema
           override def description(): String = s"manifest-changes($base)"
           override def toMicroBatchStream(checkpointLocation: String)
               : MicroBatchStream =
-            new ManifestChangesMicroBatchStream(spark, base, sch, options,
-              checkpointLocation)
+            new ManifestChangesMicroBatchStream(spark, base, feedSchema,
+              options, checkpointLocation)
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T = {
+            def opt(k: String) = Option(options.get(k)).map(_.toInt)
+            val to = opt("endingVersion").getOrElse(
+              Manifests.latestVersion(spark, base).getOrElse(
+                sys.error(s"$base has no committed version")))
+            val from = opt("startingVersion").getOrElse(-1)
+            require(from <= to,
+              s"startingVersion $from is past endingVersion $to of $base")
+            val sch = feedSchema
+            new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = sch
+              override def buildScan()
+                  : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                ManifestChanges.feedBetween(spark, base, from, to, sch).rdd
+            }.asInstanceOf[T]
+          }
         }
     }
 }

@@ -48,10 +48,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    and [[graft.ext.Manifests.replaceFiles]] publishes the swap
   *    under OCC with constraint validation.
   *
-  * Versions carrying deletion vectors refuse scans and rewrites (the
-  * same stance as the V1 relation): `compact()` materializes them
-  * first. A `pinned` version is a time-travel handle — readable,
-  * never writable. */
+  * Deletion vectors: a vectored version READS THROUGH its vectors (a
+  * [[MorScanBuilder]] V1 scan over [[Manifests.readAt]] — file-pruned:
+  * only vectored files pay the anti-join), and DELETE routes to the
+  * merge-on-read tier ([[Manifests.deleteWhereMor]], stacking another
+  * vector — no data bytes move). UPDATE and MERGE still refuse on a
+  * vectored version: their group-based rewrite reads raw files, and a
+  * raw read of a vectored file would resurrect its deleted rows into
+  * the rewrite — `compact()` materializes the vectors first (the
+  * pinned contract, spec'd in ManifestCatalogSpec). A `pinned` version
+  * is a time-travel handle — readable, never writable. */
 class ManifestTable(spark: SparkSession, val base: String,
     pinned: Option[Int], declaredSchema: Option[StructType],
     declaredPartCols: Seq[String], ident: String) extends Table
@@ -112,11 +118,18 @@ class ManifestTable(spark: SparkSession, val base: String,
     // schema (wrong null-fill after an evolution, ghost columns after a
     // drop)
     val v = currentVersion
-    v.foreach(refuseDv(_, "a catalog scan"))
     val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
       sys.error(s"$base has no committed version and no declared schema"))
-    new StreamCapableScanBuilder(spark,
-      new ManifestScanIndex(spark, base, v), sch, options, base, pinned)
+    // a vectored version cannot ride the parquet-scan path — a raw file
+    // scan would resurrect the vectors' deleted rows — so it serves as
+    // a V1 scan over the DV-aware liveRead instead: only vectored files
+    // pay the anti-join, clean files stay plain parquet scans inside
+    // the plan, and ONLY vectored versions pay the V1 detour at all
+    if (v.exists(w => Manifests.dvFiles(spark, base, w).nonEmpty))
+      new MorScanBuilder(spark, base, v.get, sch, options, pinned)
+    else
+      new StreamCapableScanBuilder(spark,
+        new ManifestScanIndex(spark, base, v), sch, options, base, pinned)
   }
 
   // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback) ---------------
@@ -124,14 +137,32 @@ class ManifestTable(spark: SparkSession, val base: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsOverwriteV2 {
       private var replaceAll = false
+      private var overwriteCond: Option[org.apache.spark.sql.Column] = None
 
       override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
-        require(predicates.isEmpty ||
-          predicates.forall(_.name == "ALWAYS_TRUE"),
-          "manifest tables support whole-table INSERT OVERWRITE only — " +
-            "use DELETE FROM + INSERT, or dropPartitions, for partial " +
-            "overwrites")
-        replaceAll = true
+        if (predicates.isEmpty || predicates.forall(_.name == "ALWAYS_TRUE")) {
+          replaceAll = true
+          return this
+        }
+        // partition-scoped INSERT OVERWRITE (static `PARTITION (c = x)`
+        // spec, or replaceWhere-shaped predicates): the condition must
+        // translate EXACTLY (a dropped conjunct would widen the replaced
+        // region) and address partition columns only, so untouched
+        // partitions carry by reference and only boundary files pay a
+        // rewrite — Hive static-overwrite semantics on the manifest
+        // protocol, one atomic commit ([[Manifests.overwriteWhere]])
+        val fs = translated(predicates).getOrElse(sys.error(
+          "INSERT OVERWRITE condition does not translate to source " +
+            "filters — use whole-table overwrite, or DELETE FROM + INSERT"))
+        currentVersion.foreach { w =>
+          refuseDv(w, "INSERT OVERWRITE")
+          require(CatalogSupport.partitionOnly(spark, base, w, fs.toSeq),
+            "manifest INSERT OVERWRITE takes whole-table or " +
+              "partition-column predicates only — a non-partition " +
+              "predicate would need a row-level rewrite; use DELETE FROM " +
+              "+ INSERT for that shape")
+        }
+        overwriteCond = FilterColumns.toColumn(fs.toSeq)
         this
       }
 
@@ -164,11 +195,24 @@ class ManifestTable(spark: SparkSession, val base: String,
                 else currentVersion.flatMap(v =>
                   Manifests.partitionedBy(spark, base, v).map(_._1))
                   .getOrElse(Seq.empty)
-              if (replaceAll || overwrite || !exists) parts match {
-                case Seq() => Manifests.commitData(data, base)
-                case cols => Manifests.commitDataPartitioned(
-                  data, base, cols, overwrite = exists)
-              } else Manifests.append(data, base)
+              overwriteCond match {
+                case Some(cond) if exists =>
+                  Manifests.overwriteWhere(data, base, cond): Unit
+                case Some(_) =>
+                  // nothing to replace yet: the overwrite region of an
+                  // uncommitted table is empty — plain bootstrap
+                  parts match {
+                    case Seq() => Manifests.commitData(data, base): Unit
+                    case cols => Manifests.commitDataPartitioned(
+                      data, base, cols, overwrite = false): Unit
+                  }
+                case None =>
+                  if (replaceAll || overwrite || !exists) parts match {
+                    case Seq() => Manifests.commitData(data, base): Unit
+                    case cols => Manifests.commitDataPartitioned(
+                      data, base, cols, overwrite = exists): Unit
+                  } else Manifests.append(data, base): Unit
+              }
             }
           }
       }
@@ -187,7 +231,6 @@ class ManifestTable(spark: SparkSession, val base: String,
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     currentVersion.exists { v =>
       pinned.isEmpty &&
-        Manifests.dvFiles(spark, base, v).isEmpty &&
         translated(predicates).exists(fs =>
           FilterColumns.toColumn(fs.toSeq).isDefined)
     }
@@ -196,15 +239,21 @@ class ManifestTable(spark: SparkSession, val base: String,
     require(pinned.isEmpty, s"cannot delete from $base pinned at a version")
     val v = currentVersion.getOrElse(
       sys.error(s"no committed version under $base"))
-    refuseDv(v, "DELETE")
     val fs = translated(predicates).getOrElse(
       sys.error("DELETE condition does not translate to source filters"))
     val cond = FilterColumns.toColumn(fs.toSeq).getOrElse(
       sys.error("DELETE condition does not translate to a row predicate"))
-    if (CatalogSupport.partitionOnly(spark, base, v, fs.toSeq))
-      Manifests.dropPartitions(spark, base, cond, asOf = Some(v))
+    if (Manifests.dvFiles(spark, base, v).nonEmpty)
+      // an already-vectored version takes its DELETE merge-on-read:
+      // another vector stacks on top (deleteWhereMor reads through the
+      // existing ones), no data bytes move, and the DV-aware scan above
+      // serves the result — a Delta user deleting right after a MoR
+      // delete hits no wall
+      Manifests.deleteWhereMor(spark, base, cond, asOf = Some(v)): Unit
+    else if (CatalogSupport.partitionOnly(spark, base, v, fs.toSeq))
+      Manifests.dropPartitions(spark, base, cond, asOf = Some(v)): Unit
     else
-      Manifests.deleteWhere(spark, base, cond, asOf = Some(v))
+      Manifests.deleteWhere(spark, base, cond, asOf = Some(v)): Unit
   }
 
   // ---- UPDATE / MERGE (group-based copy-on-write) -----------------
@@ -217,9 +266,14 @@ class ManifestTable(spark: SparkSession, val base: String,
       override def build(): RowLevelOperation = {
         // a created-but-never-written table is a valid DML target: the
         // scan is empty, DELETE/UPDATE no-op, and a MERGE's NOT MATCHED
-        // inserts BOOTSTRAP the table (Delta's merge-bootstrap shape)
+        // inserts BOOTSTRAP the table (Delta's merge-bootstrap shape).
+        // NO deletion-vector refusal HERE: this builder runs at
+        // ANALYSIS, before the optimizer may collapse a translatable
+        // DELETE to the metadata/MoR tier (deleteWhere) — the group
+        // rewrite's raw-file scan refuses vectored versions at
+        // EXECUTION instead (CowScan.planInputPartitions), so only DML
+        // that actually takes the rewrite path pays the compact() wall
         val v = currentVersion
-        v.foreach(refuseDv(_, s"${info.command}"))
         val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
           sys.error(s"$base has no committed version and no declared " +
             s"schema — cannot resolve ${info.command}"))
@@ -252,6 +306,14 @@ private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
 
   private[manifest] def recordScanned(files: Set[String]): Unit =
     scanned = Some(scanned.fold(files)(_.intersect(files)))
+
+  /** Execution-time deletion-vector refusal for the raw-file CoW scan
+    * (see [[CowScan.planInputPartitions]]). */
+  private[manifest] def refuseDvAtExecution(): Unit =
+    snapshot.foreach(v =>
+      require(Manifests.dvFiles(spark, base, v).isEmpty,
+        s"version $v of $base carries deletion vectors — $cmd needs " +
+          "materialized files; run compact() first"))
 
   /** Columns a runtime IN-list can PRUNE files by at this snapshot —
     * the partition, zone-stats and bloom keys the manifest recorded
@@ -371,6 +433,11 @@ private[manifest] class CowScan(sp: SparkSession,
       .flatMap(FilterPruning.toExpr))
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // the group rewrite reads files RAW — on a vectored version it
+    // would resurrect the deleted rows into the replacement. Checked at
+    // execution, not analysis: a translatable DELETE collapses to the
+    // metadata/MoR tier before ever planning this scan
+    op.refuseDvAtExecution()
     val parts = super.planInputPartitions()
     op.recordScanned(parts.toSeq.flatMap {
       case f: FilePartition =>
@@ -431,4 +498,82 @@ private[manifest] class StreamCapableScan(sp: SparkSession,
         "table: spark.readStream.table(\"<catalog>.<ns>.<t>.changes\")")
     new ManifestMicroBatchStream(sp, base, readDataSch, opts)
   }
+}
+
+/** The catalog read path for a VECTORED version: a merge-on-read
+  * delete changes no data file, so the parquet-scan path (a raw file
+  * read) would resurrect the deleted rows — this builder instead
+  * serves a [[org.apache.spark.sql.connector.read.V1Scan]] over
+  * [[Manifests.readAt]], whose plan applies the vectors file-pruned
+  * (only vectored files pay the position anti-join; clean files stay
+  * plain parquet scans INSIDE the plan, with pushdown and codegen).
+  *
+  * Pushdown: translatable filters are applied inside the frame — where
+  * Catalyst re-pushes them down to the underlying parquet scans — but
+  * are reported as NOT pushed (`pushedFilters` = empty), so Spark
+  * re-evaluates every predicate above the scan: conservative, never
+  * wrong. Column pruning is honored exactly (`pruneColumns` → a
+  * projection inside the frame), so a narrow query reads narrow
+  * columns even through the anti-join. Trade-off, by design: manifest
+  * zone/bloom FILE pruning and metadata-only aggregates don't ride
+  * this path — only vectored versions pay, and `compact()` returns a
+  * table to the fast path. */
+private[manifest] class MorScanBuilder(spark: SparkSession, base: String,
+    v: Int, sch: StructType, opts: CaseInsensitiveStringMap,
+    pinned: Option[Int])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var required: StructType = sch
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(f => FilterColumns.toColumn(f).isDefined)
+    filters // everything stays post-scan: the in-frame copies only prune
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.V1Scan {
+      private val req = required
+      private val fs = pushed
+      override def readSchema(): StructType = req
+      override def description(): String = s"manifest-mor($base@v$v)"
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T = {
+        import org.apache.spark.sql.functions.col
+        val df0 = Manifests.readAt(spark, base, v)
+        val df1 =
+          if (fs.isEmpty) df0
+          else FilterColumns.toColumn(fs.toSeq).map(df0.filter).getOrElse(df0)
+        val df = df1.select(
+          req.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+        new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = req
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+        }.asInstanceOf[T]
+      }
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(pinned.isEmpty,
+          s"cannot stream from $base pinned at version ${pinned.getOrElse(-1)}")
+        // the stream itself refuses a vectored SNAPSHOT with its own
+        // actionable message (batchFiles); handing it the live table
+        // keeps that message, and diff batches past the vectors work
+        new ManifestMicroBatchStream(spark, base, sch, opts)
+      }
+    }
 }

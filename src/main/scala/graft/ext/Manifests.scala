@@ -1846,6 +1846,58 @@ object Manifests {
         "outside the overwrite predicate — every inserted row must " +
         "match it (Delta replaceWhere contract), or rows would land " +
         "beyond the region the statement replaces")
+    val dirNew = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    aligned.write.mode("errorifexists").parquet(dirNew)
+    val added = Dfs.dataFiles(spark, dirNew).map(_.getPath.toString).toSeq
+    overwriteRegionWithFiles(spark, base, v, pred, added)
+  }
+
+  /** Dynamic `INSERT OVERWRITE` over ALREADY-WRITTEN files (the DSv2
+    * batch-write path — dynamic overwrite has no V1 fallback in Spark,
+    * so the tasks stream parquet first and this publishes): the
+    * replaced region is the set of partitions the written files HOLD
+    * (Hive dynamic semantics), discovered by one column-pruned distinct
+    * over the new files and lowered to a partition predicate for the
+    * same atomic commit as the static form. Empty input touches no
+    * partition (returns the current version, burns nothing). Capped at
+    * 1000 distinct partitions — past that the statement is a
+    * table-replace in disguise and the per-tuple predicate would blow
+    * up plan size. */
+  private[graft] def overwriteDynamicFiles(spark: SparkSession,
+      base: String, written: Seq[String],
+      writeSchema: org.apache.spark.sql.types.StructType): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    require(dvFiles(spark, base, v).isEmpty,
+      s"version $v carries deletion vectors — compact($base) first to " +
+        "materialize them")
+    val (pcols, _) = partitionedBy(spark, base, v)
+      .getOrElse(sys.error(s"$base carries no partition metadata — " +
+        "dynamic INSERT OVERWRITE needs a partitioned table"))
+    if (written.isEmpty) return v
+    val tuples = spark.read.schema(writeSchema).parquet(written: _*)
+      .select(pcols.map(c => col(s"`$c`")): _*)
+      .distinct().limit(1001).collect().toSeq
+    require(tuples.length <= 1000,
+      "dynamic INSERT OVERWRITE touches more than 1000 distinct " +
+        "partitions — use whole-table INSERT OVERWRITE instead")
+    if (tuples.isEmpty) return v
+    val pred = tuples.map(t => pcols.zipWithIndex.map { case (c, i) =>
+      col(s"`$c`") <=> lit(t.get(i)) }.reduce(_ && _)).reduce(_ || _)
+    overwriteRegionWithFiles(spark, base, v, pred, written)
+  }
+
+  /** The classification + atomic-commit core under [[overwriteWhere]]
+    * and [[overwriteDynamicFiles]]: replace the `pred` region of
+    * version `v` with the already-written `added` files, in one
+    * [[replaceFiles]] commit. */
+  private def overwriteRegionWithFiles(spark: SparkSession, base: String,
+      v: Int, pred: Column, added: Seq[String]): Int = {
+    val (_, pvSegs) = partitionedBy(spark, base, v)
+      .getOrElse(sys.error(s"$base carries no partition metadata — " +
+        "partition-scoped overwrite needs a partitioned table"))
+    val sch = schemaOf(spark, base, v)
+    val hit = coalesce(pred, lit(false))
     val cur = files(spark, base, v).map(Dfs.canonical)
     val cls = spark.read.parquet(pvSegs: _*)
       .groupBy("file")
@@ -1870,9 +1922,6 @@ object Manifests {
           .write.mode("errorifexists").parquet(dir)
         Dfs.dataFiles(spark, dir).map(_.getPath.toString).toSeq
       }
-    val dirNew = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-    aligned.write.mode("errorifexists").parquet(dirNew)
-    val added = Dfs.dataFiles(spark, dirNew).map(_.getPath.toString).toSeq
     replaceFiles(spark, base, v, (dropped ++ boundary).toSet,
       survivors ++ added, tag = Some("sql:insert_overwrite"),
       conflictsWith = fresh => rd.parquet(fresh: _*)

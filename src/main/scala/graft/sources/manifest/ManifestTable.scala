@@ -98,6 +98,7 @@ class ManifestTable(spark: SparkSession, val base: String,
     s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.OVERWRITE_BY_FILTER)
+    s.add(TableCapability.OVERWRITE_DYNAMIC)
     s.add(TableCapability.TRUNCATE)
     s.add(TableCapability.MICRO_BATCH_READ)
     s.add(TableCapability.STREAMING_WRITE)
@@ -135,9 +136,22 @@ class ManifestTable(spark: SparkSession, val base: String,
   // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback) ---------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsOverwriteV2 {
+    new WriteBuilder with SupportsOverwriteV2
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var replaceAll = false
       private var overwriteCond: Option[org.apache.spark.sql.Column] = None
+      private var dynamicParts = false
+
+      /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`:
+        * replace exactly the partitions the incoming data CONTAINS
+        * (Hive dynamic semantics). The partition set is discovered at
+        * insert time — one distinct over the data's partition columns —
+        * and lowered to a partition predicate for the same atomic
+        * [[Manifests.overwriteWhere]] commit the static form uses. */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamicParts = true
+        this
+      }
 
       override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
         if (predicates.isEmpty || predicates.forall(_.name == "ALWAYS_TRUE")) {
@@ -166,7 +180,38 @@ class ManifestTable(spark: SparkSession, val base: String,
         this
       }
 
-      override def build(): Write = new V1Write {
+      override def build(): Write = {
+        // dynamic partition overwrite has NO V1 fallback in Spark
+        // (V1FallbackWriters cover append + overwrite-by-filter only),
+        // so it takes the same DSv2 batch write as row-level DML: tasks
+        // stream parquet, and the commit publishes through the atomic
+        // region-replace (or bootstraps an empty table, recording the
+        // declared partition spec)
+        if (dynamicParts) {
+          require(pinned.isEmpty,
+            s"cannot write to $base pinned at version ${pinned.getOrElse(-1)}")
+          val parts = if (declaredPartCols.nonEmpty) declaredPartCols
+            else currentVersion.flatMap(v =>
+              Manifests.partitionedBy(spark, base, v).map(_._1))
+              .getOrElse(Seq.empty)
+          return new ManifestParquetWrite(spark, base, info.schema(),
+            { written =>
+              Manifests.latestVersion(spark, base) match {
+                case Some(_) =>
+                  Manifests.overwriteDynamicFiles(spark, base, written,
+                    info.schema()): Unit
+                case None =>
+                  require(parts.nonEmpty,
+                    "dynamic INSERT OVERWRITE needs a partitioned table " +
+                      s"— $base declares no partition columns")
+                  if (written.nonEmpty)
+                    Manifests.appendWrittenFiles(spark, base, written,
+                      info.schema(), replayMarker = None,
+                      bootstrapPartCols = parts): Unit
+              }
+            })
+        }
+        new V1Write {
         // `df.writeStream.toTable("graft.ns.t")`: the same Write serves
         // the streaming engine — per-epoch parquet streamed by tasks,
         // each epoch an idempotent manifest append (Append mode only)
@@ -195,17 +240,18 @@ class ManifestTable(spark: SparkSession, val base: String,
                 else currentVersion.flatMap(v =>
                   Manifests.partitionedBy(spark, base, v).map(_._1))
                   .getOrElse(Seq.empty)
+              def bootstrap(): Unit = parts match {
+                case Seq() => Manifests.commitData(data, base): Unit
+                case cols => Manifests.commitDataPartitioned(
+                  data, base, cols, overwrite = false): Unit
+              }
               overwriteCond match {
                 case Some(cond) if exists =>
                   Manifests.overwriteWhere(data, base, cond): Unit
                 case Some(_) =>
                   // nothing to replace yet: the overwrite region of an
                   // uncommitted table is empty — plain bootstrap
-                  parts match {
-                    case Seq() => Manifests.commitData(data, base): Unit
-                    case cols => Manifests.commitDataPartitioned(
-                      data, base, cols, overwrite = false): Unit
-                  }
+                  bootstrap()
                 case None =>
                   if (replaceAll || overwrite || !exists) parts match {
                     case Seq() => Manifests.commitData(data, base): Unit
@@ -215,6 +261,7 @@ class ManifestTable(spark: SparkSession, val base: String,
               }
             }
           }
+        }
       }
     }
 

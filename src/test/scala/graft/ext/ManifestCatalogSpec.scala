@@ -454,4 +454,172 @@ class ManifestCatalogSpec extends AnyFunSuite {
       CatalogTestSupport.registerFreshCatalog(spark, wh)
     }
   }
+
+  private def chainMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("DV-aware catalog reads: SELECT reads through vectors, DELETE stacks merge-on-read, UPDATE keeps the compact() contract") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mor")
+    sql("CREATE TABLE graft.mor.t (id BIGINT, k INT, s STRING)")
+    (1 to 40).map(i => (i.toLong, i % 4, s"s$i")).toDF("id", "k", "s")
+      .repartitionByRange(4, col("id")).createOrReplaceTempView("mor_src")
+    sql("INSERT INTO graft.mor.t SELECT * FROM mor_src") // v0
+    val base = s"$wh/mor/t"
+    Manifests.deleteWhereMor(spark, base, col("k") === 0) // v1: vectors only
+    assert(Manifests.dvFiles(spark, base, 1).nonEmpty)
+
+    // SELECT on the vectored version: no compact() wall, vectors applied
+    assert(sql("SELECT * FROM graft.mor.t").count() === 30)
+    assert(sql("SELECT s FROM graft.mor.t WHERE k = 1").count() === 10)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.mor.t").head.getLong(0) === 30)
+    // joins/aggregates compose over the DV-aware relation
+    assert(sql("SELECT k, COUNT(*) AS n FROM graft.mor.t GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      === Seq((1, 10), (2, 10), (3, 10)))
+
+    // SQL DELETE against the still-vectored table routes MERGE-ON-READ:
+    // data files untouched, a second vector stacks on the first
+    val filesBefore = Manifests.files(spark, base, 1).map(Dfs.canonical).toSet
+    sql("DELETE FROM graft.mor.t WHERE k = 1") // v2
+    assert(Manifests.files(spark, base, 2).map(Dfs.canonical).toSet === filesBefore,
+      "a MoR-tier DELETE must move no data bytes")
+    assert(Manifests.dvFiles(spark, base, 2).size >
+      Manifests.dvFiles(spark, base, 1).size)
+    assert(sql("SELECT * FROM graft.mor.t").count() === 20)
+    assert(sql("SELECT * FROM graft.mor.t WHERE k = 1").count() === 0)
+
+    // time travel reads each vectored version through ITS OWN vectors
+    assert(sql("SELECT * FROM graft.mor.t VERSION AS OF 1").count() === 30)
+    assert(sql("SELECT * FROM graft.mor.t VERSION AS OF 0").count() === 40)
+
+    // UPDATE / MERGE keep the pinned contract: their group rewrite reads
+    // files RAW, so a vectored version refuses at rewrite execution —
+    // resurrection of deleted rows is the failure mode this guards
+    val e = intercept[Throwable](
+      sql("UPDATE graft.mor.t SET s = 'x' WHERE id = 6"))
+    assert(chainMsg(e).contains("deletion vectors"), chainMsg(e))
+    assert(sql("SELECT * FROM graft.mor.t").count() === 20,
+      "a refused UPDATE must not have half-applied")
+
+    // compact() materializes the vectors; the same UPDATE then lands
+    Manifests.compact(spark, base, 4)
+    sql("UPDATE graft.mor.t SET s = 'x' WHERE id = 6")
+    assert(sql("SELECT s FROM graft.mor.t WHERE id = 6").head.getString(0) === "x")
+    assert(sql("SELECT * FROM graft.mor.t").count() === 20)
+  }
+
+  test("batch .changes face: version-range feed via read options; defaults snapshot-tag the latest; bad ranges refuse") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.cb")
+    sql("CREATE TABLE graft.cb.t (id BIGINT, k INT)")
+    sql("INSERT INTO graft.cb.t VALUES (1, 1), (2, 2)") // v0
+    sql("INSERT INTO graft.cb.t VALUES (3, 3)")         // v1
+    sql("UPDATE graft.cb.t SET k = 99 WHERE id = 1")    // v2 CoW
+    def feed(opts: (String, String)*) = {
+      val r = opts.foldLeft(spark.read) { case (b, (k, v)) => b.option(k, v) }
+      r.table("graft.cb.t.changes")
+    }
+    // (0, 2]: v1's insert + the update's delete/insert image pair —
+    // carried-identical rows in the rewritten file cancel in the diff
+    val all = feed("startingVersion" -> "0", "endingVersion" -> "2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(all === Set((3L, 3, "insert"), (1L, 1, "delete"), (1L, 99, "insert")))
+    // (1, 2]: just the update pair
+    assert(feed("startingVersion" -> "1", "endingVersion" -> "2").count() === 2)
+    // projection + filter compose above the feed scan
+    assert(feed("startingVersion" -> "0", "endingVersion" -> "2")
+      .filter(col("_change_type") === "insert").select("id").count() === 2)
+    // defaults: the whole latest snapshot tagged insert
+    val snap = feed()
+    assert(snap.count() === 3)
+    assert(snap.filter(col("_change_type") =!= "insert").count() === 0)
+    // a range that starts past its end refuses loudly
+    val e = intercept[Throwable](
+      feed("startingVersion" -> "5", "endingVersion" -> "2").collect())
+    assert(chainMsg(e).contains("past endingVersion"), chainMsg(e))
+  }
+
+  test("partition INSERT OVERWRITE: untouched partitions carry by reference, repeats replace, out-of-region rows refuse") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ovw")
+    (1 to 30).map(i => (i.toLong, s"P${i % 3}")).toDF("id", "c")
+      .createOrReplaceTempView("ovw_src")
+    sql("CREATE TABLE graft.ovw.t PARTITIONED BY (c) AS SELECT * FROM ovw_src") // v0
+    val base = s"$wh/ovw/t"
+    val v0Files = Manifests.files(spark, base, 0).map(Dfs.canonical).toSet
+
+    sql("INSERT OVERWRITE graft.ovw.t PARTITION (c = 'P1') VALUES (100), (101)") // v1
+    assert(Manifests.latestVersion(spark, base) === Some(1),
+      "a partition overwrite is ONE atomic commit — drop + insert never publish separately")
+    val v1Files = Manifests.files(spark, base, 1).map(Dfs.canonical).toSet
+    val carried = v0Files.intersect(v1Files)
+    val retired = v0Files.diff(v1Files)
+    assert(carried.nonEmpty, "untouched partitions must carry by reference")
+    // exactly the P1 partition's files retired: every retired file holds
+    // only P1 rows, and no carried file holds any
+    assert(retired.nonEmpty)
+    assert(spark.read.parquet(retired.toSeq: _*)
+      .filter(col("c") =!= "P1").count() === 0)
+    assert(spark.read.parquet(carried.toSeq: _*)
+      .filter(col("c") === "P1").count() === 0)
+    val afterFirst = sql("SELECT id FROM graft.ovw.t WHERE c = 'P1'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterFirst === Seq(100L, 101L))
+    assert(sql("SELECT COUNT(*) AS n FROM graft.ovw.t WHERE c <> 'P1'")
+      .head.getLong(0) === 20)
+
+    // repeated overwrite of the same partition REPLACES the first
+    sql("INSERT OVERWRITE graft.ovw.t PARTITION (c = 'P1') VALUES (200)") // v2
+    assert(sql("SELECT id FROM graft.ovw.t WHERE c = 'P1'")
+      .collect().map(_.getLong(0)).toSeq === Seq(200L))
+    assert(sql("SELECT COUNT(*) AS n FROM graft.ovw.t").head.getLong(0) === 21)
+
+    // whole-table overwrite still works beside the partition form
+    sql("INSERT OVERWRITE graft.ovw.t VALUES (7, 'P9')")
+    assert(sql("SELECT * FROM graft.ovw.t").count() === 1)
+
+    // replaceWhere containment: rows outside the predicate refuse
+    val t2 = s"$wh/ovw/t2"
+    Manifests.commitDataPartitioned(
+      (1 to 10).map(i => (i.toLong, s"P${i % 2}")).toDF("id", "c"),
+      t2, Seq("c"))
+    val e = intercept[Throwable](Manifests.overwriteWhere(
+      Seq((99L, "P0"), (98L, "P7")).toDF("id", "c"), t2, col("c") === "P0"))
+    assert(chainMsg(e).contains("outside the overwrite predicate"), chainMsg(e))
+    assert(Manifests.latestVersion(spark, t2) === Some(0),
+      "a refused overwrite burns no version")
+  }
+
+  test("dynamic partitionOverwriteMode: INSERT OVERWRITE replaces exactly the partitions the data holds") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dyn")
+    (1 to 30).map(i => (i.toLong, s"D${i % 3}")).toDF("id", "c")
+      .createOrReplaceTempView("dyn_src")
+    sql("CREATE TABLE graft.dyn.t PARTITIONED BY (c) AS SELECT * FROM dyn_src") // v0
+    val base = s"$wh/dyn/t"
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT OVERWRITE graft.dyn.t VALUES (100, 'D1'), (101, 'D2')") // v1
+      assert(Manifests.latestVersion(spark, base) === Some(1),
+        "a dynamic overwrite is ONE atomic commit")
+      assert(sql("SELECT COUNT(*) AS n FROM graft.dyn.t WHERE c = 'D0'")
+        .head.getLong(0) === 10, "a partition the data does not hold is untouched")
+      assert(sql("SELECT id FROM graft.dyn.t WHERE c = 'D1'")
+        .collect().map(_.getLong(0)).toSeq === Seq(100L))
+      assert(sql("SELECT id FROM graft.dyn.t WHERE c = 'D2'")
+        .collect().map(_.getLong(0)).toSeq === Seq(101L))
+      // the untouched partition's files carried by reference
+      assert(Manifests.files(spark, base, 0).map(Dfs.canonical).toSet
+        .intersect(Manifests.files(spark, base, 1).map(Dfs.canonical).toSet)
+        .nonEmpty)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

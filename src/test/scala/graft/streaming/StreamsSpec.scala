@@ -1121,4 +1121,124 @@ class StreamsSpec extends AnyFunSuite {
       === Seq(1L, 2L, 10L, 11L),
       "a second query's early epochs must not be swallowed as replays")
   }
+
+  test(".changes DSv2 stream: mirror maintained across append, CoW update, MoR delete; " +
+      "bounded checkpoint; replay after restart serves from the materialized feed even under vacuum") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2cdf").toString
+    graft.ext.CatalogTestSupport.registerFreshCatalog(spark, s"$root/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cd")
+    spark.sql("CREATE TABLE graft.cd.src (id BIGINT, k INT)")
+    (1L to 8L).map(i => (i, (i % 2).toInt)).toDF("id", "k")
+      .repartitionByRange(2, col("id")).createOrReplaceTempView("cd_src_rows")
+    spark.sql("INSERT INTO graft.cd.src SELECT * FROM cd_src_rows") // v0
+    val base = s"$root/wh/cd/src"
+    val mirror = s"$root/mirror"
+    val ckpt = s"$root/ckpt"
+
+    // the downstream table is maintained PURELY from change rows;
+    // replay guard: every served batch here is non-empty and commits
+    // exactly one mirror version, so a replayed batch id is already
+    // covered when the mirror head is at or past it
+    def apply(b: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      if (graft.ext.Manifests.latestVersion(spark, mirror).exists(_ >= batchId)) return
+      val ins = b.filter(col("_change_type") === "insert").drop("_change_type")
+      val del = b.filter(col("_change_type") === "delete").drop("_change_type")
+      val cur = graft.ext.Manifests.latestVersion(spark, mirror)
+        .map(_ => graft.ext.Manifests.readLatest(spark, mirror))
+        .getOrElse(ins.limit(0))
+      graft.ext.Manifests.commitData(cur.exceptAll(del).unionByName(ins), mirror): Unit
+    }
+    def start() = spark.readStream.table("graft.cd.src.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(apply _).start()
+    def rows(read: => org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      read.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    def srcRows = rows(spark.table("graft.cd.src"))
+    def mirRows = rows(graft.ext.Manifests.readLatest(spark, mirror))
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // batch 0: whole snapshot tagged insert
+      assert(mirRows === srcRows)
+      spark.sql("INSERT INTO graft.cd.src VALUES (9, 1), (10, 0)") // v1 append
+      q1.processAllAvailable()
+      assert(mirRows === srcRows)
+      spark.sql("UPDATE graft.cd.src SET k = 7 WHERE id = 2") // v2 CoW rewrite
+      q1.processAllAvailable()
+      assert(mirRows === srcRows)
+      assert(mirRows.contains((2L, 7)) && !mirRows.contains((2L, 0)))
+      // v3: merge-on-read delete — vectors, not files; a legal feed event
+      graft.ext.Manifests.deleteWhereMor(spark, base, col("k") === 0)
+      q1.processAllAvailable()
+      assert(mirRows === srcRows)
+      assert(!mirRows.exists(_._2 == 0))
+    } finally q1.stop()
+
+    // bounded checkpoint: batch commit purged every feed dir except the
+    // one ending at the committed offset (4 batches served -> not 4
+    // dirs). The engine scopes the stream's checkpoint dir per source
+    // (ckpt/sources/<i>), so locate graft_cdf by walking the tree.
+    def findCdfRoot(p: String): Option[String] =
+      graft.ext.Dfs.list(spark, p).filter(_.isDirectory).flatMap { s =>
+        if (s.getPath.getName == "graft_cdf") Seq(s.getPath.toString)
+        else findCdfRoot(s.getPath.toString).toSeq
+      }.headOption
+    val cdfRoot = findCdfRoot(ckpt).getOrElse(
+      fail("no graft_cdf dir under the checkpoint"))
+    val cdfDirs = graft.ext.Dfs.list(spark, cdfRoot)
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(cdfDirs.length <= 2, s"feed dirs not purged: $cdfDirs")
+    assert(cdfDirs.exists(_.endsWith("_3")), "the committed batch's dir is kept for replay")
+
+    // idle restart burns nothing
+    val vBefore = graft.ext.Manifests.latestVersion(spark, mirror)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.ext.Manifests.latestVersion(spark, mirror) === vBefore)
+
+    // force a REPLAY of the last batch (offsets present, commit record
+    // gone) AND vacuum the source to 1 version, dropping the old
+    // manifests/files the feed was computed FROM: a recompute is now
+    // impossible, so only the marker-guarded materialized feed can
+    // serve the replayed batch — replay stability under vacuum
+    val lastCommit = graft.ext.Dfs.list(spark, s"$ckpt/commits")
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toInt).max
+    graft.ext.Dfs.delete(spark, s"$ckpt/commits/$lastCommit")
+    graft.ext.Manifests.vacuum(spark, base, keepLast = 1)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(mirRows === srcRows, "replayed batch must re-serve the materialized feed")
+    assert(graft.ext.Manifests.latestVersion(spark, mirror) === vBefore,
+      "the replayed batch must be recognized as applied, not re-applied")
+  }
+
+  test(".changes catch-up across ADD COLUMN: pre-evolution batches null-fill the added column") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfevo").toString
+    graft.ext.CatalogTestSupport.registerFreshCatalog(spark, s"$root/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ce")
+    spark.sql("CREATE TABLE graft.ce.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.ce.t VALUES (1, 'a')") // v0
+    spark.sql("INSERT INTO graft.ce.t VALUES (2, 'b')") // v1
+    spark.sql("ALTER TABLE graft.ce.t ADD COLUMN extra STRING") // v2, metadata-only
+    spark.sql("INSERT INTO graft.ce.t VALUES (3, 'c', 'x')") // v3
+    // startingVersion=0 + one version per trigger: batch (0,1] is built
+    // from PRE-evolution manifests whose union schema lacks `extra` —
+    // the stream's resolution schema has it, so the feed must null-fill
+    // (before the fix this threw AnalysisException and killed the query)
+    val q = spark.readStream
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .table("graft.ce.t.changes")
+      .writeStream.format("memory").queryName("cdf_catchup")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql(
+        "SELECT id, s, extra, _change_type FROM cdf_catchup ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3))).toSeq
+    assert(rows === Seq(
+      (2L, "b", None, "insert"),        // pre-evolution batch, null-filled
+      (3L, "c", Some("x"), "insert")))  // post-evolution batch carries it
+  }
 }

@@ -1830,7 +1830,7 @@ object Manifests {
     require(dvFiles(spark, base, v).isEmpty,
       s"version $v carries deletion vectors — compact($base) first to " +
         "materialize them")
-    val (_, pvSegs) = partitionedBy(spark, base, v)
+    val pv = partitionedBy(spark, base, v)
       .getOrElse(sys.error(s"$base carries no partition metadata — " +
         "partition-scoped overwrite needs a partitioned table " +
         "(commitDataPartitioned / PARTITIONED BY)"))
@@ -1840,16 +1840,25 @@ object Manifests {
     // loudly instead of committing unreadable files)
     val aligned = sch.fold(data)(s0 =>
       data.select(s0.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*))
-    val hit = coalesce(pred, lit(false))
-    require(aligned.filter(!hit).limit(1).count() == 0,
-      s"INSERT OVERWRITE into $base: the incoming data contains rows " +
-        "outside the overwrite predicate — every inserted row must " +
-        "match it (Delta replaceWhere contract), or rows would land " +
-        "beyond the region the statement replaces")
     val dirNew = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     aligned.write.mode("errorifexists").parquet(dirNew)
     val added = Dfs.dataFiles(spark, dirNew).map(_.getPath.toString).toSeq
-    overwriteRegionWithFiles(spark, base, v, pred, added)
+    // Delta replaceWhere containment, checked on the WRITTEN BYTES (not
+    // the incoming query): the input runs once, and a non-deterministic
+    // source cannot pass a pre-write check yet materialize out-of-region
+    // rows — what was written is what is validated. Violation deletes
+    // the unpublished files and refuses; no version burned.
+    val hit = coalesce(pred, lit(false))
+    if (added.nonEmpty &&
+        sch.fold(spark.read)(spark.read.schema(_)).parquet(added: _*)
+          .filter(!hit).limit(1).count() > 0) {
+      Dfs.delete(spark, dirNew, recursive = true)
+      sys.error(s"INSERT OVERWRITE into $base: the incoming data " +
+        "contains rows outside the overwrite predicate — every inserted " +
+        "row must match it (Delta replaceWhere contract), or rows would " +
+        "land beyond the region the statement replaces")
+    }
+    overwriteRegionWithFiles(spark, base, v, pred, added, pv, sch)
   }
 
   /** Dynamic `INSERT OVERWRITE` over ALREADY-WRITTEN files (the DSv2
@@ -1871,9 +1880,10 @@ object Manifests {
     require(dvFiles(spark, base, v).isEmpty,
       s"version $v carries deletion vectors — compact($base) first to " +
         "materialize them")
-    val (pcols, _) = partitionedBy(spark, base, v)
+    val pv = partitionedBy(spark, base, v)
       .getOrElse(sys.error(s"$base carries no partition metadata — " +
         "dynamic INSERT OVERWRITE needs a partitioned table"))
+    val pcols = pv._1
     if (written.isEmpty) return v
     val tuples = spark.read.schema(writeSchema).parquet(written: _*)
       .select(pcols.map(c => col(s"`$c`")): _*)
@@ -1884,19 +1894,20 @@ object Manifests {
     if (tuples.isEmpty) return v
     val pred = tuples.map(t => pcols.zipWithIndex.map { case (c, i) =>
       col(s"`$c`") <=> lit(t.get(i)) }.reduce(_ && _)).reduce(_ || _)
-    overwriteRegionWithFiles(spark, base, v, pred, written)
+    overwriteRegionWithFiles(spark, base, v, pred, written, pv,
+      schemaOf(spark, base, v))
   }
 
   /** The classification + atomic-commit core under [[overwriteWhere]]
     * and [[overwriteDynamicFiles]]: replace the `pred` region of
     * version `v` with the already-written `added` files, in one
-    * [[replaceFiles]] commit. */
+    * [[replaceFiles]] commit. Callers hand in the snapshot's partition
+    * metadata and schema they already fetched — no duplicate reads. */
   private def overwriteRegionWithFiles(spark: SparkSession, base: String,
-      v: Int, pred: Column, added: Seq[String]): Int = {
-    val (_, pvSegs) = partitionedBy(spark, base, v)
-      .getOrElse(sys.error(s"$base carries no partition metadata — " +
-        "partition-scoped overwrite needs a partitioned table"))
-    val sch = schemaOf(spark, base, v)
+      v: Int, pred: Column, added: Seq[String],
+      pv: (Seq[String], Seq[String]),
+      sch: Option[org.apache.spark.sql.types.StructType]): Int = {
+    val pvSegs = pv._2
     val hit = coalesce(pred, lit(false))
     val cur = files(spark, base, v).map(Dfs.canonical)
     val cls = spark.read.parquet(pvSegs: _*)

@@ -378,7 +378,18 @@ private[manifest] class ManifestChangesTable(spark: SparkSession,
           override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
               with org.apache.spark.sql.sources.TableScan](
               context: org.apache.spark.sql.SQLContext): T = {
-            def opt(k: String) = Option(options.get(k)).map(_.toInt)
+            // `latest` is accepted exactly as on the streaming face
+            // (diff from the current head — an explicit endingVersion
+            // past it can still yield changes); a non-integer otherwise
+            // refuses with the option name, never a bare parse error
+            def opt(k: String): Option[Int] =
+              Option(options.get(k)).map {
+                case "latest" => Manifests.latestVersion(spark, base)
+                  .getOrElse(sys.error(s"$base has no committed version"))
+                case s if s.nonEmpty && s.forall(_.isDigit) => s.toInt
+                case s => sys.error(s"option $k must be a version " +
+                  s"number or 'latest' (got '$s')")
+              }
             val to = opt("endingVersion").getOrElse(
               Manifests.latestVersion(spark, base).getOrElse(
                 sys.error(s"$base has no committed version")))

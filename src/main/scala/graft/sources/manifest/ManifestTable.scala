@@ -34,6 +34,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    [[Manifests.append]]/[[Manifests.commitData]] — the same OCC
   *    retry, constraint enforcement and incremental sidecar
   *    maintenance as the DataFrame writer;
+  *  - INSERT OVERWRITE → whole-table replace, a partition-scoped
+  *    atomic region replace (static `PARTITION (c = x)` spec /
+  *    partition-column predicates → [[Manifests.overwriteWhere]]), or
+  *    Hive-dynamic replacement of exactly the partitions the data
+  *    holds (`partitionOverwriteMode=dynamic` →
+  *    [[Manifests.overwriteDynamicFiles]] over the DSv2 batch write);
   *  - DELETE with a fully-translatable predicate →
   *    [[SupportsDeleteV2.deleteWhere]]: metadata-only partition
   *    retirement when the predicate touches partition columns only,
@@ -176,7 +182,14 @@ class ManifestTable(spark: SparkSession, val base: String,
               "predicate would need a row-level rewrite; use DELETE FROM " +
               "+ INSERT for that shape")
         }
-        overwriteCond = FilterColumns.toColumn(fs.toSeq)
+        // a translatable-but-unconvertible condition (e.g. a nested
+        // field) must REFUSE here: falling through with None would let
+        // the V1 overwrite fallback replace the WHOLE table when the
+        // caller asked to replace one region
+        overwriteCond = Some(FilterColumns.toColumn(fs.toSeq).getOrElse(
+          sys.error("INSERT OVERWRITE condition does not translate to " +
+            "a row predicate — use whole-table overwrite, or DELETE " +
+            "FROM + INSERT")))
         this
       }
 

@@ -360,6 +360,17 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, country, segment " +
         s"FROM graft.`$c`").orderBy("customer_id")
     }),
+    // SQL RENAME COLUMN lineage: CREATE → ALTER TABLE RENAME COLUMN →
+    // INSERT → SELECT; the rename is metadata-only (zero bytes move) —
+    // pre-rename files still hold the bytes under the OLD physical
+    // name and the era-composed read aliases them to the new one, so
+    // every pre-rename row must surface its real value (a null-fill
+    // bug here fails the oracle hash outright)
+    "sql_rename_column" -> ((s, d) => {
+      val c = mansqlRenameFixture(s, d)
+      s.sql(s"SELECT customer_key, customer_id, region " +
+        s"FROM graft.`$c`").orderBy("customer_id")
+    }),
     // DV-aware catalog reads: the table took a merge-on-read delete
     // (vectors, no data bytes moved) and then a SQL DELETE on the
     // still-vectored version (the catalog routes it merge-on-read,
@@ -812,6 +823,32 @@ object SparkEntry {
     c
   }
 
+  /** Pure-SQL RENAME COLUMN: CTAS of the pre-rename batch → ALTER
+    * TABLE RENAME COLUMN country TO region (metadata-only: same files,
+    * renamed recorded schema, one rename event remembering which files
+    * predate it) → INSERT of a post-rename batch (files physically
+    * holding `region`). The registered SELECT reads both eras under
+    * the new name — the pre-rename files through the era-composed
+    * alias, the post-rename files plainly. */
+  private def mansqlRenameFixture(s: SparkSession, d: String): String = {
+    val c = dumpDir(s, d, "mansqlren")
+    val marker = s"${c}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer
+        .select("customer_key", "customer_id", "country")
+        .repartition(4).createOrReplaceTempView("graft_sqlren_dim")
+      s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqlren_dim " +
+        "WHERE country IS DISTINCT FROM 'NATION_5'")
+      s.sql(s"ALTER TABLE graft.`$c` RENAME COLUMN country TO region")
+      s.sql(s"INSERT INTO graft.`$c` SELECT customer_key, customer_id, " +
+        "country AS region FROM graft_sqlren_dim " +
+        "WHERE country = 'NATION_5'")
+      ext.Dfs.touch(s, marker)
+    }
+    c
+  }
+
   /** Fresh-MoR SQL fixture: CTAS bootstrap (clustered on country), a
     * Scala merge-on-read delete (v1 = same files + a deletion vector),
     * then a SQL DELETE issued against the STILL-VECTORED table — the
@@ -1056,6 +1093,14 @@ object SparkEntry {
          | SELECT customer_key, customer_id, country,
          |   CASE WHEN country = 'NATION_5' THEN 'NEW'
          |        ELSE CAST(NULL AS VARCHAR) END AS segment
+         | FROM dim_customer
+         | ORDER BY customer_id""".stripMargin,
+    // RENAME COLUMN: every row of dim_customer under the post-rename
+    // name — pre-rename rows must carry their REAL country values
+    // (null-filled pre-rename files would hash-mismatch immediately)
+    "sql_rename_column" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_key, customer_id, country AS region
          | FROM dim_customer
          | ORDER BY customer_id""".stripMargin,
     // both deletes (Scala MoR + SQL-on-vectored) applied: survivors only

@@ -139,7 +139,9 @@ object Manifests {
       partValues: Option[(Seq[String], Seq[String])] = None,
       blooms: Option[(Seq[String], Seq[String])] = None,
       constraints: Option[Seq[(String, String)]] = None,
-      dropped: Option[Seq[String]] = None): Int = {
+      dropped: Option[Seq[String]] = None,
+      renames: Option[Seq[RenameEvent]] = None,
+      addRename: Option[(String, String)] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -223,6 +225,41 @@ object Manifests {
     if (effDropped.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_dropped",
         effDropped.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // rename events inherit like tombstones, but SELF-PRUNE: an event's
+    // pre-file list keeps only its intersection with the new manifest,
+    // so a full rewrite (compact/overwrite-region chain) empties it and
+    // every physical-name detour (era grouping, the V1-scan refusals)
+    // switches itself back off. The EMPTIED event is kept as a one-line
+    // name-history record — a change-feed catch-up over pre-rename
+    // versions still needs the old→new mapping to align its rows to a
+    // post-rename reader schema. An event whose new name left the
+    // recorded schema (drop, or a restore to a pre-rename version) IS
+    // dropped whole: no reader can request the column it maps.
+    val canonFiles = dataFiles.map(Dfs.canonical).toSet
+    val rawRenames: Seq[RenameEvent] = renames.getOrElse(
+      parent.filter(_ >= 0).map(renamesOf(spark, base, _))
+        .getOrElse(Seq.empty))
+    val candidates = rawRenames.map(e =>
+      e.copy(preFiles = e.preFiles.filter(canonFiles.contains))) ++
+      addRename.map { case (from, to) =>
+        RenameEvent(v, from, to, dataFiles.map(Dfs.canonical)) }.toSeq
+    val effRenames: Seq[RenameEvent] = candidates.zipWithIndex
+      .filter { case (e, i) =>
+        // schema-liveness follows the CHAIN — including the event this
+        // very commit adds: a→b→c keeps the (a,b) event alive through
+        // `c`; only when the column's FINAL name left the schema is
+        // the whole chain dead
+        schema.forall { s =>
+          var n = e.to
+          candidates.drop(i + 1).foreach(l => if (l.from == n) n = l.to)
+          s.fieldNames.contains(n)
+        }
+      }.map(_._1)
+    if (effRenames.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_renames",
+        effRenames.map(e =>
+          (s"=${e.v}\t${e.from}\t${e.to}" +: e.preFiles).mkString("\n"))
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
     tag.foreach(t =>
       Dfs.writeBytes(spark, s"$base/v$v/_tag", t.getBytes("UTF-8")))
     // summary counts land BEFORE the marker, so they exist for every
@@ -286,9 +323,10 @@ object Manifests {
 
   private def statsFor(spark: SparkSession, data: Seq[String],
       keys: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      schema: Option[org.apache.spark.sql.types.StructType],
+      renames: Seq[RenameEvent] = Nil): DataFrame =
     Skipping.buildStats(
-      schema.fold(spark.read)(spark.read.schema(_)).parquet(data: _*),
+      eraRead(spark, renames, data, schema),
       keys.map(k => k -> col(k)))
 
   private def writeStats(spark: SparkSession, base: String,
@@ -331,7 +369,8 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     val fs = files(spark, base, v)
     val dir = writeStats(spark, base,
-      statsFor(spark, fs, keys, schemaOf(spark, base, v)))
+      statsFor(spark, fs, keys, schemaOf(spark, base, v),
+        renamesOf(spark, base, v)))
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), Some((keys, Seq(dir))), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
@@ -360,7 +399,7 @@ object Manifests {
         }
         if (keep.isEmpty) readAt(spark, base, v).limit(0)
         else liveRead(spark, keep, dvFiles(spark, base, v),
-          schemaOf(spark, base, v))
+          schemaOf(spark, base, v), renamesOf(spark, base, v))
     }
   }
 
@@ -578,13 +617,14 @@ object Manifests {
     * the conf never invalidates an existing index. */
   private def buildBlooms(spark: SparkSession, data: Seq[String],
       keys: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      renames: Seq[RenameEvent] = Nil): DataFrame = {
     graft.functions.BloomExprs.register(spark)
     val bits = spark.conf.getOption("graft.bloom.bits")
       .map(_.toLong).getOrElse(1L << 20)
     val est = spark.conf.getOption("graft.bloom.items")
       .map(_.toLong).getOrElse(bits / 16)
-    schema.fold(spark.read)(spark.read.schema(_)).parquet(data: _*)
+    eraRead(spark, renames, data, schema)
       .select(input_file_name().as("file") +: keys.map(col): _*)
       .groupBy("file")
       .agg(
@@ -617,7 +657,12 @@ object Manifests {
         .map(_.getString(0)).filter(f => unt.contains(Dfs.canonical(f))).toSeq
       val keepDf = spark.createDataset(keepRaw)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")
+      // project to the LIVE keys' columns: a rename/drop narrows the
+      // key list but the old segments still carry the retired key's
+      // bloom column, and a bare union with the fresh (narrow) build
+      // would fail on the column mismatch
       val kept = bl.join(keepDf, Seq("file"), "left_semi")
+        .select(col("file") +: keys.map(k => col(s"`${k}_bloom`")): _*)
       val merged =
         if (rewritten.isEmpty) kept
         else kept.unionByName(buildBlooms(spark, rewritten, keys, schema))
@@ -640,7 +685,8 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     val fs = files(spark, base, v)
     val dir = writeBlooms(spark, base,
-      buildBlooms(spark, fs, keys, schemaOf(spark, base, v)))
+      buildBlooms(spark, fs, keys, schemaOf(spark, base, v),
+        renamesOf(spark, base, v)))
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
@@ -715,10 +761,11 @@ object Manifests {
     * scale as the manifest itself). */
   private def liveRead(spark: SparkSession, data: Seq[String],
       dvs: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      renames: Seq[RenameEvent] = Nil)
       : DataFrame = {
-    def rd(fs: Seq[String]) =
-      schema.fold(spark.read)(spark.read.schema(_)).parquet(fs: _*)
+    def rd(fs: Seq[String], pos: Boolean = false) =
+      eraRead(spark, renames, fs, schema, withPositions = pos)
     if (dvs.isEmpty) return rd(data)
     val dv = spark.read.parquet(dvs: _*)
     val touched = dv.select("__file").distinct().collect()
@@ -726,7 +773,7 @@ object Manifests {
     val (hit, clean) = data.partition(f => touched.contains(Dfs.canonical(f)))
     val applied =
       if (hit.isEmpty) None
-      else Some(withPos(rd(hit))
+      else Some(rd(hit, pos = true)
         .join(dv, Seq("__file", "__pos"), "left_anti")
         .drop("__file", "__pos"))
     val plain = if (clean.isEmpty) None else Some(rd(clean))
@@ -740,7 +787,7 @@ object Manifests {
 
   def readAt(spark: SparkSession, base: String, v: Int): DataFrame =
     liveRead(spark, files(spark, base, v), dvFiles(spark, base, v),
-      schemaOf(spark, base, v))
+      schemaOf(spark, base, v), renamesOf(spark, base, v))
 
   def readLatest(spark: SparkSession, base: String): DataFrame =
     readAt(spark, base, latestVersion(spark, base)
@@ -932,8 +979,10 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     val cur = files(spark, base, v)
     val prevDvs = dvFiles(spark, base, v)
-    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
-    val raw = withPos(rd.parquet(cur: _*))
+    val ren = renamesOf(spark, base, v)
+    def rd(fs: Seq[String], pos: Boolean = false) =
+      eraRead(spark, ren, fs, schemaOf(spark, base, v), withPositions = pos)
+    val raw = rd(cur, pos = true)
     val live =
       if (prevDvs.isEmpty) raw
       else raw.join(spark.read.parquet(prevDvs: _*),
@@ -963,7 +1012,7 @@ object Manifests {
       // winners' appended files and their metadata carry from the new
       // parent, with this delete's vectors stacked on top
       (deleted, rebaseLoop(spark, base, v,
-        added => rd.parquet(added: _*)
+        added => rd(added)
           .filter(coalesce(pred, lit(false))).limit(1).count() > 0) {
         parent =>
           commit(spark, base, files(spark, base, parent), None,
@@ -1329,18 +1378,20 @@ object Manifests {
       s"updates carry duplicate keys on (${keyCols.mkString(", ")}) — " +
         "the merge result would depend on source row order")
     val keys = updates.select(keyCols.map(col): _*)
-    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
+    val ren = renamesOf(spark, base, v)
+    def rd(fs: Seq[String]) =
+      eraRead(spark, ren, fs, schemaOf(spark, base, v))
     // input_file_name() is pinned to the target scan by projecting it
     // BELOW the join — the update batch is often itself a file source
     // (Spark refuses the expression when two sources could answer it)
-    val affected = rd.parquet(cur: _*)
+    val affected = rd(cur)
       .select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
       .join(keys, keyCols, "left_semi")
       .select(col("__file"))
       .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
     val survivors =
       if (affected.isEmpty) updates
-      else rd.parquet(affected.toSeq: _*)
+      else rd(affected.toSeq)
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1352,7 +1403,7 @@ object Manifests {
     enforceConstraints(spark, base, Some(v), rewritten,
       schemaOf(spark, base, v))
     val nv = commitRewrite(spark, base, v, affected, rewritten, tag,
-      added => rd.parquet(added: _*)
+      added => rd(added)
         .select(keyCols.map(col): _*)
         .join(keys, keyCols, "left_semi").limit(1).count() > 0)
     (affected.size, updates.count(), nv)
@@ -1572,10 +1623,37 @@ object Manifests {
     val onlyA = fa.filterNot(fb.toSet)
     val onlyB = fb.filterNot(fa.toSet)
     val shared = fa.toSet.intersect(fb.toSet)
+    // rename events from BOTH endpoints, merged per event — plus, for
+    // an event that COMMITTED inside the range, its own version's
+    // record: that one holds the complete pre-file set, covering files
+    // retired between the endpoints (pruned from `to`'s list, absent
+    // from `from`'s because `from` predates the rename) that still
+    // need their era mapping to read as delete images. Membership is
+    // per-file, so a widened list never touches post-rename files.
+    val evA = renamesOf(spark, base, from)
+    val evB = renamesOf(spark, base, to)
+    val atOwn: Map[Int, Seq[RenameEvent]] =
+      (evA ++ evB).map(_.v).distinct
+        .filter(ev => ev > from && ev <= to &&
+          Dfs.exists(spark, s"$base/v$ev/_SUCCESS"))
+        .map(ev => ev -> renamesOf(spark, base, ev)).toMap
+    val renames = (evA ++ evB).map(e => (e.v, e.from, e.to)).distinct
+      .map { case (ev, f, t) =>
+        RenameEvent(ev, f, t,
+          ((evA ++ evB ++ atOwn.getOrElse(ev, Seq.empty))
+            .filter(x => x.v == ev && x.from == f && x.to == t)
+            .flatMap(_.preFiles)).distinct)
+      }.sortBy(_.v)
+    val renamedInRange = renames.exists(e => e.v > from && e.v <= to)
     // both sides read under the UNION schema so an evolution commit
     // diffs cleanly: an old row's null-filled image on one side equals
-    // its null-filled image on the other
+    // its null-filled image on the other. A rename inside the range
+    // makes the union ambiguous (old and new names would both appear),
+    // so the feed is emitted under the END schema — Delta CDF's
+    // read-in-latest-schema stance — with pre-rename rows era-mapped
+    // to the new names.
     val schema = (schemaOf(spark, base, from), schemaOf(spark, base, to)) match {
+      case (Some(_), Some(b)) if renamedInRange => b
       case (Some(a), Some(b)) => evolveSchema(a, b)
       case (a, b) => a.orElse(b)
         .getOrElse(spark.read.parquet(fa.head).schema) // one footer read
@@ -1585,7 +1663,8 @@ object Manifests {
     // each side's unique files read under ITS version's vectors, so a
     // rewritten file contributes live rows only
     def side(fs: Seq[String], dvs: Seq[String]) =
-      if (fs.isEmpty) empty else liveRead(spark, fs, dvs, Some(schema))
+      if (fs.isEmpty) empty
+      else liveRead(spark, fs, dvs, Some(schema), renames)
     val fileInserts = side(onlyB, dvB).exceptAll(side(onlyA, dvA))
     val fileDeletes = side(onlyA, dvA).exceptAll(side(onlyB, dvB))
     // deletion-vector churn on files BOTH versions carry: a position
@@ -1608,7 +1687,8 @@ object Manifests {
             .map(_.getString(0)).map(Dfs.canonical).distinct
             .filter(shared.contains)
           if (touched.isEmpty) empty
-          else withPos(spark.read.schema(schema).parquet(touched: _*))
+          else eraRead(spark, renames, touched, Some(schema),
+              withPositions = true)
             .join(pos, Seq("__file", "__pos"), "left_semi")
             .drop("__file", "__pos")
         }
@@ -1699,8 +1779,10 @@ object Manifests {
       s"version $v carries deletion vectors — compact($base) first to " +
         "materialize them, or keep using deleteWhereMor")
     val cur = files(spark, base, v).map(Dfs.canonical)
-    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
-    val affected = rd.parquet(cur: _*)
+    val ren = renamesOf(spark, base, v)
+    def rd(fs: Seq[String]) =
+      eraRead(spark, ren, fs, schemaOf(spark, base, v))
+    val affected = rd(cur)
       .filter(pred)
       .select(input_file_name().as("f"))
       .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
@@ -1708,13 +1790,13 @@ object Manifests {
     // null predicate values SURVIVE (same contract as Deletes)
     val survivorPred = !coalesce(pred, lit(false))
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-    rd.parquet(affected.toSeq: _*)
+    rd(affected.toSeq)
       .filter(survivorPred)
       .repartition(math.max(1, affected.size))
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val nv = commitRewrite(spark, base, v, affected, rewritten, None,
-      added => rd.parquet(added: _*)
+      added => rd(added)
         .filter(coalesce(pred, lit(false))).limit(1).count() > 0)
     (affected.size, cur.size, nv)
   }
@@ -1765,7 +1847,9 @@ object Manifests {
       cls.get(f).exists { case (_, m) => m == 0L }).toSet
     val boundary = cur.filterNot(f => dropped(f) || carried(f))
     if (dropped.isEmpty && boundary.isEmpty) return (0, 0, v)
-    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
+    def rd(fs: Seq[String]) =
+      eraRead(spark, renamesOf(spark, base, v), fs,
+        schemaOf(spark, base, v))
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     val rewritten =
       if (boundary.isEmpty && carried.nonEmpty) Seq.empty[String]
@@ -1783,7 +1867,7 @@ object Manifests {
         Dfs.dataFiles(spark, dir).map(_.getPath.toString)
       } else {
         // boundary survivors only
-        rd.parquet(boundary: _*)
+        rd(boundary)
           .filter(!hit)
           .repartition(math.max(1, boundary.size))
           .write.mode("errorifexists").parquet(dir)
@@ -1792,7 +1876,7 @@ object Manifests {
     val nv = commitRewrite(spark, base, v,
       dropped ++ boundary ++ (if (carried.isEmpty) cur.toSet else Set.empty),
       rewritten, None,
-      added => rd.parquet(added: _*).filter(hit).limit(1).count() > 0)
+      added => rd(added).filter(hit).limit(1).count() > 0)
     (dropped.size, boundary.size, nv)
   }
 
@@ -1922,12 +2006,13 @@ object Manifests {
     val carried = cur.filter(f =>
       cls.get(f).exists { case (_, m) => m == 0L }).toSet
     val boundary = cur.filterNot(f => dropped(f) || carried(f))
-    val rd = sch.fold(spark.read)(spark.read.schema(_))
+    def rd(fs: Seq[String]) =
+      eraRead(spark, renamesOf(spark, base, v), fs, sch)
     val survivors =
       if (boundary.isEmpty) Seq.empty[String]
       else {
         val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-        rd.parquet(boundary: _*)
+        rd(boundary)
           .filter(!hit)
           .repartition(math.max(1, boundary.size))
           .write.mode("errorifexists").parquet(dir)
@@ -1935,7 +2020,7 @@ object Manifests {
       }
     replaceFiles(spark, base, v, (dropped ++ boundary).toSet,
       survivors ++ added, tag = Some("sql:insert_overwrite"),
-      conflictsWith = fresh => rd.parquet(fresh: _*)
+      conflictsWith = fresh => rd(fresh)
         .filter(hit).limit(1).count() > 0)
   }
 
@@ -1972,8 +2057,10 @@ object Manifests {
       s"version $v carries deletion vectors — compact($base) first to " +
         "materialize them")
     val cur = files(spark, base, v).map(Dfs.canonical)
-    val rd = schemaOf(spark, base, v).fold(spark.read)(spark.read.schema(_))
-    val all = rd.parquet(cur: _*)
+    val ren = renamesOf(spark, base, v)
+    def rd(fs: Seq[String]) =
+      eraRead(spark, ren, fs, schemaOf(spark, base, v))
+    val all = rd(cur)
     set.keys.foreach(k => require(all.columns.contains(k),
       s"UPDATE sets unknown column '$k' — updates cannot add columns"))
     val hit = coalesce(pred, lit(false))
@@ -1981,7 +2068,7 @@ object Manifests {
       .select(input_file_name().as("f"))
       .distinct().collect().map(r => Dfs.canonical(r.getString(0))).toSet
     if (affected.isEmpty) return (0, 0L, v)
-    val touched = rd.parquet(affected.toSeq: _*)
+    val touched = rd(affected.toSeq)
     val updatedRows = touched.filter(hit).count()
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     touched.select(touched.schema.fields.map { f =>
@@ -1998,7 +2085,7 @@ object Manifests {
     enforceConstraints(spark, base, Some(v), rewritten,
       schemaOf(spark, base, v))
     val nv = commitRewrite(spark, base, v, affected, rewritten, None,
-      added => rd.parquet(added: _*)
+      added => rd(added)
         .filter(hit).limit(1).count() > 0)
     (affected.size, updatedRows, nv)
   }
@@ -2038,7 +2125,11 @@ object Manifests {
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
       constraints = Some(constraintsOf(spark, base, v)),
-      dropped = Some(droppedOf(spark, base, v)))
+      dropped = Some(droppedOf(spark, base, v)),
+      // ...and the restored version's RENAME story with it: inheriting
+      // the current latest's events instead would lose an era mapping
+      // across an intervening overwrite and null-fill pre-rename files
+      renames = Some(renamesOf(spark, base, v)))
   }
 
   /** Column names logically dropped on or before version `v` whose
@@ -2048,6 +2139,111 @@ object Manifests {
     if (!Dfs.exists(spark, s"$base/v$v/_dropped")) Seq.empty
     else new String(Dfs.readBytes(spark, s"$base/v$v/_dropped"), "UTF-8")
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** One RENAME COLUMN event: files in `preFiles` (canonical paths)
+    * were written before the rename and physically hold the column
+    * under `from`; every other file holds it under `to`. The list is
+    * SELF-CONTAINED — carried (and pruned to survivors) through every
+    * commit like the manifest itself — so era resolution never reads
+    * another version's metadata: clone, restore and vacuum of old
+    * versions cannot strand it. Its size is bounded by the manifest's
+    * own (it IS a subset of one snapshot's file list, shrinking
+    * monotonically as rewrites retire pre-rename files). `v` is the
+    * version the rename committed at, whose OWN record holds the
+    * complete pre-file set — the change feed consults it for files
+    * retired between a historical range's endpoints. */
+  case class RenameEvent(v: Int, from: String, to: String,
+      preFiles: Seq[String])
+
+  /** True while version `v` still carries files written before some
+    * rename — the condition that forces era-aware (V1-detour) reads.
+    * Falls back to false once rewrites retire every pre-rename file,
+    * even though the emptied events remain as name history. */
+  def hasLiveRenames(spark: SparkSession, base: String, v: Int): Boolean =
+    renamesOf(spark, base, v).exists(_.preFiles.nonEmpty)
+
+  /** The rename events recorded at version `v`, chronological (events
+    * with an empty pre-file list are pure name history). Empty for
+    * the overwhelmingly common table that never renamed a column —
+    * one existence probe, the price every other sidecar lookup pays. */
+  def renamesOf(spark: SparkSession, base: String,
+      v: Int): Seq[RenameEvent] =
+    if (!Dfs.exists(spark, s"$base/v$v/_renames")) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[RenameEvent]
+      new String(Dfs.readBytes(spark, s"$base/v$v/_renames"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .foreach { line =>
+          if (line.startsWith("=")) {
+            val parts = line.substring(1).split("\t", 3)
+            require(parts.length == 3, s"malformed rename record in " +
+              s"$base/v$v/_renames: '$line' (expected =v<TAB>from<TAB>to)")
+            out += RenameEvent(parts(0).toInt, parts(1), parts(2),
+              Vector.empty)
+          } else {
+            require(out.nonEmpty, s"malformed rename record in " +
+              s"$base/v$v/_renames: file line before any event header")
+            val last = out.last
+            out(out.length - 1) = last.copy(preFiles = last.preFiles :+ line)
+          }
+        }
+      out.toSeq
+    }
+
+  /** Read `fs` ERA-CORRECTLY under the logical `schema`: a file
+    * predating a RENAME COLUMN still holds the column's bytes under
+    * the old physical name, so files are grouped by which rename
+    * events they predate, each group is scanned under its era's
+    * physical schema (same types, per-era names) and aliased back to
+    * the logical names, and the groups union. With no live events —
+    * every table that never renamed — this IS the plain schema'd scan,
+    * byte for byte. Column pruning survives: the per-group Project is
+    * a pure rename, so Catalyst pushes a narrower projection straight
+    * into each era's parquet scan. `withPositions` threads the
+    * `_metadata` file/position columns through (captured INSIDE each
+    * era scan, where the metadata struct is still resolvable) for the
+    * deletion-vector machinery. */
+  private[graft] def eraRead(spark: SparkSession,
+      events: Seq[RenameEvent], fs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      withPositions: Boolean = false): DataFrame = {
+    def plain(files: Seq[String]) = {
+      val df = schema.fold(spark.read)(spark.read.schema(_))
+        .parquet(files: _*)
+      if (withPositions) withPos(df) else df
+    }
+    val live = events.filter(_.preFiles.nonEmpty)
+    if (live.isEmpty || fs.isEmpty) return plain(fs)
+    val sch = schema.getOrElse(sys.error(
+      "era read over live rename events needs the recorded schema — " +
+        "renameColumn cannot have committed without one"))
+    val pre = live.map(_.preFiles.toSet)
+    val groups = fs.groupBy { f =>
+      val c = Dfs.canonical(f); pre.map(_.contains(c))
+    }
+    groups.iterator.map { case (mask, gfs) =>
+      // physical names for this era: un-apply, newest rename first,
+      // every event the group's files predate (a chain a→b→c composes
+      // back to the era's original name); an event whose target left
+      // the requested schema maps nothing — its bytes are unrequested
+      val phys = sch.fields.map(_.name)
+      live.zip(mask).reverse.foreach { case (e, applies) =>
+        if (applies) {
+          val i = phys.indexOf(e.to)
+          if (i >= 0) phys(i) = e.from
+        }
+      }
+      val physSchema = org.apache.spark.sql.types.StructType(
+        sch.fields.zip(phys).map { case (f, n) => f.copy(name = n) })
+      val df0 = spark.read.schema(physSchema).parquet(gfs: _*)
+      val df1 = if (withPositions) withPos(df0) else df0
+      val dataCols = sch.fields.zip(phys).map { case (f, n) =>
+        col(s"`$n`").as(f.name) }.toSeq
+      val extra = if (withPositions) Seq(col("__file"), col("__pos"))
+        else Seq.empty
+      df1.select(dataCols ++ extra: _*)
+    }.reduce(_.unionByName(_))
+  }
 
   /** ALTER TABLE ... DROP COLUMN — METADATA-ONLY: the next version
     * carries the same files with a narrowed recorded schema, so every
@@ -2147,6 +2343,77 @@ object Manifests {
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
       dropped = Some(droppedOf(spark, base, v)))
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — METADATA-ONLY, the third face of
+    * schema evolution: the next version carries the SAME files with
+    * the field renamed in the recorded schema plus one [[RenameEvent]]
+    * remembering which files predate the rename (they physically hold
+    * the old name). Readers compose eras ([[eraRead]]): pre-rename
+    * files scan under the old physical name and alias to the new one,
+    * post-rename files scan plainly — zero of a 100 TB table's bytes
+    * move, where Delta needed column mapping and Iceberg field IDs.
+    * The event self-heals: every rewrite shrinks its pre-file list and
+    * a full rewrite ([[compact]], overwrite) clears it, returning the
+    * table to the plain-scan fast path.
+    *
+    * The OLD name is TOMBSTONED (old files still hold its physical
+    * bytes — a later ADD COLUMN reusing it would resurrect them, the
+    * [[dropColumn]] hazard exactly). Stats/bloom sidecar keys for the
+    * column are narrowed — their per-file columns carry the old name —
+    * so skipping on the renamed column pauses until the next ANALYZE
+    * re-indexes it under the new name; conservative, never wrong.
+    * Refusals: a source name absent from the schema, a target name
+    * already live or tombstoned, a partition column (the recorded spec
+    * and partition-values sidecar classify by it), and a column a
+    * CHECK constraint references (drop the constraint first — its
+    * recorded predicate text would silently stop matching). */
+  def renameColumn(spark: SparkSession, base: String, from: String,
+      to: String): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val sch = schemaOf(spark, base, v).getOrElse(
+      sys.error(s"$base records no schema — renameColumn needs one"))
+    val resolver = spark.sessionState.analyzer.resolver
+    require(sch.fieldNames.exists(resolver(_, from)),
+      s"no column '$from' in the recorded schema of $base")
+    require(!sch.fieldNames.exists(resolver(_, to)),
+      s"column '$to' already exists in $base")
+    require(!resolver(from, to), s"RENAME COLUMN $from TO $to is a no-op")
+    require(!droppedOf(spark, base, v).exists(resolver(_, to)),
+      s"column '$to' was previously dropped from $base and its " +
+        "physical bytes may survive in old files — renaming onto the " +
+        "name would resurrect them; overwrite the table to clear the " +
+        "tombstone")
+    partitionedBy(spark, base, v).foreach { case (pcols, _) =>
+      require(!pcols.exists(resolver(_, from)),
+        s"'$from' is a partition column of $base — re-partition " +
+          "(commitDataPartitioned overwrite) before renaming it")
+    }
+    constraintsOf(spark, base, v).foreach { case (cn, p) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(p).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+      require(!refs.exists(resolver(_, from)),
+        s"CHECK constraint '$cn' ($p) references '$from' — drop the " +
+          "constraint first")
+    }
+    val renamed = org.apache.spark.sql.types.StructType(
+      sch.fields.map(f => if (resolver(f.name, from)) f.copy(name = to)
+        else f))
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"rename-column:$from:$to"),
+      dv = dvFiles(spark, base, v),
+      schema = Some(renamed),
+      stats = statsOf(spark, base, v).map { case (keys, segs) =>
+        (keys.filterNot(resolver(_, from)), segs) }.filter(_._1.nonEmpty),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v).map { case (keys, segs) =>
+        (keys.filterNot(resolver(_, from)), segs) }.filter(_._1.nonEmpty),
+      dropped = Some(droppedOf(spark, base, v) :+ from),
+      addRename = Some((from, to)))
   }
 
   /** The CHECK constraints version `v` was committed under:
@@ -2296,7 +2563,11 @@ object Manifests {
       // physical bytes — without the tombstones, an append re-adding
       // the name would resurrect the old values (the exact hazard the
       // tombstones exist to prevent)
-      dropped = Some(droppedOf(spark, src, v)))
+      dropped = Some(droppedOf(spark, src, v)),
+      // rename events are self-contained (they carry their own
+      // pre-file lists), so the clone copies them verbatim and era
+      // reads keep working with zero reference to the source's history
+      renames = Some(renamesOf(spark, src, v)))
   }
 
   /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only
@@ -2328,8 +2599,7 @@ object Manifests {
     val nOut = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-    schema.fold(spark.read)(spark.read.schema(_))
-      .parquet(small.map(_._1): _*)
+    eraRead(spark, renamesOf(spark, base, v), small.map(_._1), schema)
       .repartition(nOut)
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)

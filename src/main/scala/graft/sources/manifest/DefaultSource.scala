@@ -115,6 +115,11 @@ class DefaultSource extends StreamSourceProvider with StreamSinkProvider
       s"version $v of $base carries deletion vectors — a batch relation " +
         "is a pure file scan; compact() to materialize them, or read " +
         "via Manifests.readAt")
+    require(!Manifests.hasLiveRenames(spark, base, v),
+      s"version $v of $base carries live column renames — a pure file " +
+        "scan cannot re-map pre-rename files' physical names; read " +
+        "through the catalog or Manifests.readAt (era-aware), or " +
+        "compact() to materialize the rename")
     val schema = Manifests.schemaOf(spark, base, v).getOrElse(
       spark.read.parquet(Manifests.files(spark, base, v).head).schema)
     // a version written by commitDataBucketed exposes its layout as a
@@ -458,7 +463,12 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
             "readChangeFeed=true to receive deletes as change rows")
         val added = fb.filterNot(fa.toSet)
         if (added.isEmpty) emptyBatch
-        else spark.read.schema(dataSchema).parquet(added: _*)
+        // era-aware: a catch-up batch can deliver files that predate a
+        // later RENAME COLUMN — they hold the old physical name and
+        // must alias to the stream's (post-rename) schema, not
+        // null-fill
+        else Manifests.eraRead(spark, Manifests.renamesOf(spark, base, to),
+          added, Some(dataSchema))
     }
     // MicroBatchExecution asserts getBatch returns isStreaming=true
     org.apache.spark.sql.graft.StreamShim.asStreaming(spark, df)

@@ -269,6 +269,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           "manifest ADD COLUMN does not support DEFAULT values")
         Manifests.addColumn(spark, t.base, a.fieldNames.head, a.dataType,
           Option(a.comment))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "manifest RENAME COLUMN addresses top-level columns")
+        Manifests.renameColumn(spark, t.base, r.fieldNames.head,
+          r.newName)
       case c => sys.error(s"unsupported ALTER TABLE change $c — " +
         "manifest schema evolution is additive via writes; use " +
         "dropColumn/addConstraint through the table API")

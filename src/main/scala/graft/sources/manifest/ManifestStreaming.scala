@@ -187,7 +187,22 @@ private[manifest] class ManifestMicroBatchStream(spark: SparkSession,
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val fs = batchFiles(start.asInstanceOf[V].v, end.asInstanceOf[V].v)
+    val to = end.asInstanceOf[V].v
+    val fs = batchFiles(start.asInstanceOf[V].v, to)
+    // pre-RENAME files hold the column under its old physical name —
+    // this stream's raw parquet scan would null-fill it. Post-rename
+    // appends never trip this (their files are not in any event's
+    // pre-file list), so a renamed table still streams its new
+    // versions; only a snapshot/catch-up over old files refuses, with
+    // the same escape hatches as the DV case.
+    val pre = Manifests.renamesOf(spark, base, to)
+      .flatMap(_.preFiles).toSet
+    if (pre.nonEmpty)
+      require(!fs.exists(f => pre.contains(Dfs.canonical(f))),
+        s"a streaming batch of $base covers files that predate a " +
+          "RENAME COLUMN — the raw parquet scan cannot re-map physical " +
+          "names; compact() the table first, or consume the .changes " +
+          "feed (era-aware)")
     if (fs.isEmpty) Array.empty
     else scanFor(fs).toBatch.planInputPartitions()
   }
@@ -298,9 +313,40 @@ private[manifest] object ManifestChanges {
           .withColumn("_change_type", lit("insert"))
       else Manifests.changesBetween(spark, base, from, to)
     val have = raw.columns.map(_.toLowerCase).toSet
+    // the table's full rename HISTORY (latest version's event list —
+    // emptied events survive as one-line name records precisely for
+    // this): a resolved schema and a feed range can sit on opposite
+    // sides of a rename, in either direction
+    val evs =
+      Manifests.latestVersion(spark, base)
+        .map(Manifests.renamesOf(spark, base, _)).getOrElse(Seq.empty)
     val widened = schema.fields.foldLeft(raw) { (df, f) =>
       if (have.contains(f.name.toLowerCase)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
+      else {
+        // a field the resolved schema knows under ONE era's name may
+        // sit in the feed under another era's: a post-rename reader
+        // catching up over pre-rename versions meets the OLD name, a
+        // pre-rename reader crossing the rename meets the NEW one. The
+        // column's identity set is the closure of its name over the
+        // rename history (tombstones guarantee names are never reused,
+        // so the closure is one column's aliases and the feed carries
+        // at most one of them) — alias whichever is present instead of
+        // null-filling real values away; genuinely absent fields
+        // (pre-ADD COLUMN catch-up) null-fill as before
+        val names = scala.collection.mutable.LinkedHashSet(f.name)
+        var grew = true
+        while (grew) {
+          grew = false
+          evs.foreach { e =>
+            if (names.contains(e.from) && names.add(e.to)) grew = true
+            if (names.contains(e.to) && names.add(e.from)) grew = true
+          }
+        }
+        names.iterator.drop(1).find(n => have.contains(n.toLowerCase)) match {
+          case Some(n) => df.withColumn(f.name, col(s"`$n`"))
+          case None => df.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      }
     }
     widened.select(schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
   }

@@ -128,11 +128,14 @@ class ManifestTable(spark: SparkSession, val base: String,
     val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
       sys.error(s"$base has no committed version and no declared schema"))
     // a vectored version cannot ride the parquet-scan path — a raw file
-    // scan would resurrect the vectors' deleted rows — so it serves as
-    // a V1 scan over the DV-aware liveRead instead: only vectored files
-    // pay the anti-join, clean files stay plain parquet scans inside
-    // the plan, and ONLY vectored versions pay the V1 detour at all
-    if (v.exists(w => Manifests.dvFiles(spark, base, w).nonEmpty))
+    // scan would resurrect the vectors' deleted rows — and neither can
+    // one with live RENAME COLUMN events (pre-rename files hold the old
+    // physical name; a raw scan would null-fill the column) — so both
+    // serve as a V1 scan over the DV/era-aware readAt instead: only
+    // vectored/pre-rename files pay the detour machinery inside the
+    // plan, and only such versions pay the V1 detour at all
+    if (v.exists(w => Manifests.dvFiles(spark, base, w).nonEmpty ||
+        Manifests.hasLiveRenames(spark, base, w)))
       new MorScanBuilder(spark, base, v.get, sch, options, pinned)
     else
       new StreamCapableScanBuilder(spark,
@@ -367,13 +370,20 @@ private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
   private[manifest] def recordScanned(files: Set[String]): Unit =
     scanned = Some(scanned.fold(files)(_.intersect(files)))
 
-  /** Execution-time deletion-vector refusal for the raw-file CoW scan
-    * (see [[CowScan.planInputPartitions]]). */
+  /** Execution-time deletion-vector / rename refusal for the raw-file
+    * CoW scan (see [[CowScan.planInputPartitions]]): both make a bare
+    * parquet scan wrong (resurrected rows; null-filled renamed
+    * columns), and compact() clears both. */
   private[manifest] def refuseDvAtExecution(): Unit =
-    snapshot.foreach(v =>
+    snapshot.foreach { v =>
       require(Manifests.dvFiles(spark, base, v).isEmpty,
         s"version $v of $base carries deletion vectors — $cmd needs " +
-          "materialized files; run compact() first"))
+          "materialized files; run compact() first")
+      require(!Manifests.hasLiveRenames(spark, base, v),
+        s"version $v of $base carries live column renames — $cmd's " +
+          "raw-file rewrite would null-fill the renamed column in " +
+          "pre-rename files; run compact() first")
+    }
 
   /** Columns a runtime IN-list can PRUNE files by at this snapshot —
     * the partition, zone-stats and bloom keys the manifest recorded

@@ -421,6 +421,59 @@ class ManifestCatalogSpec extends AnyFunSuite {
       sql("ALTER TABLE graft.addc.t ADD COLUMN s STRING"))
   }
 
+  test("SQL ALTER TABLE RENAME COLUMN is metadata-only: era-composed reads, filters and aggregates on the new name, CoW refusal with compact escape") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.renc")
+    sql("CREATE TABLE graft.renc.t (id BIGINT, s STRING)")
+    sql("INSERT INTO graft.renc.t VALUES (1, 'a'), (2, 'b')")
+    val b = s"$wh/renc/t"
+    val v0 = Manifests.latestVersion(spark, b).get
+    val files0 = Manifests.files(spark, b, v0)
+    sql("ALTER TABLE graft.renc.t RENAME COLUMN s TO label")
+    val v1 = Manifests.latestVersion(spark, b).get
+    assert(v1 === v0 + 1, "RENAME COLUMN must land as one new version")
+    assert(Manifests.files(spark, b, v1) === files0,
+      "RENAME COLUMN is metadata-only — the same files carried by reference")
+    // pre-rename rows surface their REAL values under the new name
+    assert(spark.table("graft.renc.t").columns.toSeq === Seq("id", "label"))
+    assert(sql("SELECT label FROM graft.renc.t WHERE id = 1")
+      .head.getString(0) === "a")
+    assert(sql("SELECT count(*) FROM graft.renc.t WHERE label IS NULL")
+      .head.getLong(0) === 0)
+    // post-rename inserts mix with pre-rename files; filters and
+    // aggregates on the new name span both eras
+    sql("INSERT INTO graft.renc.t VALUES (3, 'a')")
+    assert(sql("SELECT count(*) FROM graft.renc.t WHERE label = 'a'")
+      .head.getLong(0) === 2)
+    assert(sql("SELECT label, count(*) AS n FROM graft.renc.t GROUP BY label " +
+      "ORDER BY label").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq === Seq(("a", 2L), ("b", 1L)))
+    // time travel reads each version under ITS name
+    assert(sql(s"SELECT * FROM graft.renc.t VERSION AS OF $v0")
+      .columns.toSeq === Seq("id", "s"))
+    // DELETE reads through eras (the CoW path is era-aware)
+    sql("DELETE FROM graft.renc.t WHERE label = 'b'")
+    assert(sql("SELECT count(*) FROM graft.renc.t").head.getLong(0) === 2)
+    // UPDATE rides the group-based CoW rewrite, whose raw-file scan
+    // cannot re-map physical names — it refuses with the compact()
+    // contract, and compact() heals the table back to the fast path
+    val e = intercept[Exception](
+      sql("UPDATE graft.renc.t SET label = 'z' WHERE id = 1"))
+    assert(e.getMessage.contains("compact"))
+    Manifests.compact(spark, b, 1)
+    assert(!Manifests.hasLiveRenames(spark, b,
+      Manifests.latestVersion(spark, b).get))
+    sql("UPDATE graft.renc.t SET label = 'z' WHERE id = 1")
+    assert(sql("SELECT label FROM graft.renc.t WHERE id = 1")
+      .head.getString(0) === "z")
+    // the old name is gone: SELECTing it fails analysis, and its
+    // tombstone (which outlives compact — a rewrite keeps the parent
+    // chain) still refuses a re-ADD
+    intercept[Exception](sql("SELECT s FROM graft.renc.t"))
+    intercept[Exception](
+      sql("ALTER TABLE graft.renc.t ADD COLUMN s STRING"))
+  }
+
   test("DROP TABLE keeps the registration when the managed-data delete fails — no orphaned bytes") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftdel.impl", classOf[FailingDeleteFileSystem].getName)

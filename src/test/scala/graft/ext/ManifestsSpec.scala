@@ -1286,6 +1286,161 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.readLatest(spark, b).count() === 2)
   }
 
+  test("renameColumn: metadata-only era-composed reads; chains compose; tombstones + guards; compact clears the events") {
+    import spark.implicits._
+    val b = base("graft_man_rencol")
+    Manifests.commitData(
+      (1 to 50).map(i => (i.toLong, i % 5, s"s$i")).toDF("id", "k", "s"), b)
+    val v1 = Manifests.renameColumn(spark, b, "s", "label")
+    // metadata-only: the SAME files under a renamed recorded schema,
+    // and the pre-rename bytes surface under the new name (a null-fill
+    // here is the bug this whole design exists to prevent)
+    assert(Manifests.files(spark, b, v1) === Manifests.files(spark, b, 0))
+    assert(Manifests.readLatest(spark, b).columns.toSeq ===
+      Seq("id", "k", "label"))
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("label") === "s7").count() === 1)
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("label").isNull).count() === 0)
+    assert(Manifests.tagOf(spark, b, v1) === Some("rename-column:s:label"))
+    // time travel shows each version under its own name
+    assert(Manifests.readAt(spark, b, 0).columns.toSeq ===
+      Seq("id", "k", "s"))
+    assert(Manifests.readAt(spark, b, 0)
+      .filter(col("s") === "s7").count() === 1)
+    // a post-rename append lands under the new name; both eras read
+    Manifests.append(Seq((100L, 1, "fresh")).toDF("id", "k", "label"), b)
+    val mixed = Manifests.readLatest(spark, b)
+    assert(mixed.count() === 51)
+    assert(mixed.filter(col("label") === "fresh").count() === 1)
+    assert(mixed.filter(col("label").isNull).count() === 0)
+    // a rename CHAIN composes: label→tag maps era-0 files s→label→tag
+    Manifests.renameColumn(spark, b, "label", "tag")
+    val chained = Manifests.readLatest(spark, b)
+    assert(chained.columns.toSeq === Seq("id", "k", "tag"))
+    assert(chained.filter(col("tag") === "s7").count() === 1)
+    assert(chained.filter(col("tag") === "fresh").count() === 1)
+    assert(chained.filter(col("tag").isNull).count() === 0)
+    // both old names are tombstoned: appends and ADD COLUMN reusing
+    // them refuse (their bytes live on in pre-rename files)
+    intercept[IllegalArgumentException](
+      Manifests.append(Seq((101L, 1, "boo")).toDF("id", "k", "s"), b))
+    intercept[IllegalArgumentException](Manifests.addColumn(spark, b,
+      "label", org.apache.spark.sql.types.StringType))
+    // guards: unknown source, live target, tombstoned target, no-op
+    intercept[IllegalArgumentException](
+      Manifests.renameColumn(spark, b, "nope", "x"))
+    intercept[IllegalArgumentException](
+      Manifests.renameColumn(spark, b, "k", "tag"))
+    intercept[IllegalArgumentException](
+      Manifests.renameColumn(spark, b, "k", "s"))
+    intercept[IllegalArgumentException](
+      Manifests.renameColumn(spark, b, "k", "k"))
+    // a partition column cannot be renamed (the recorded spec and
+    // partition-values sidecar classify by it)...
+    val bp = base("graft_man_rencol_p")
+    Manifests.commitDataPartitioned(
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("id", "p"), bp, Seq("p"))
+    intercept[IllegalArgumentException](
+      Manifests.renameColumn(spark, bp, "p", "q"))
+    // ...nor a constraint-referenced one (the recorded predicate text
+    // would silently stop matching)
+    Manifests.addConstraint(spark, b, "k_nonneg", "k >= 0")
+    intercept[IllegalArgumentException](
+      Manifests.renameColumn(spark, b, "k", "kk"))
+    Manifests.dropConstraint(spark, b, "k_nonneg")
+    // the V1 relation is a pure file scan — it refuses while events
+    // live, and compact() (a full rewrite) self-heals them away
+    intercept[IllegalArgumentException](
+      spark.read.format("manifest").load(b).count())
+    Manifests.compact(spark, b, 2)
+    val latest = Manifests.latestVersion(spark, b).get
+    assert(!Manifests.hasLiveRenames(spark, b, latest))
+    // ...while the emptied events persist as pure name history (the
+    // change-feed catch-up alias mapping)
+    assert(Manifests.renamesOf(spark, b, latest)
+      .map(e => (e.from, e.to)) === Seq("s" -> "label", "label" -> "tag"))
+    assert(Manifests.renamesOf(spark, b, latest)
+      .forall(_.preFiles.isEmpty))
+    val healed = spark.read.format("manifest").load(b)
+    assert(healed.filter(col("tag") === "s7").count() === 1)
+    assert(healed.count() === 51)
+  }
+
+  test("renameColumn: DML, stats and the change feed read through eras") {
+    import spark.implicits._
+    val b = base("graft_man_rendml")
+    Manifests.commitData(
+      (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "s"), b)
+    Manifests.renameColumn(spark, b, "s", "txt") // v1
+    // CoW UPDATE with predicate AND set on the new name must hit and
+    // rewrite pre-rename rows (null-filled reads would miss them all)
+    val (updFiles, updRows, _) = Manifests.updateWhere(spark, b,
+      col("txt") === "v7", Map("txt" -> lit("V7")))
+    assert(updFiles >= 1 && updRows === 1L)
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("txt") === "V7").count() === 1)
+    // CoW DELETE on the new name
+    Manifests.deleteWhere(spark, b, col("txt") === "v8")
+    assert(Manifests.readLatest(spark, b).count() === 39)
+    // MoR DELETE: the vector addresses pre-rename files positionally
+    val (morDeleted, _) = Manifests.deleteWhereMor(spark, b,
+      col("txt") === "v9")
+    assert(morDeleted === 1L)
+    val live = Manifests.readLatest(spark, b)
+    assert(live.count() === 38)
+    assert(live.filter(col("txt").isNull).count() === 0)
+    assert(live.filter(col("txt") === "v10").count() === 1)
+    // ANALYZE post-rename re-indexes the column under its NEW name
+    // from pre-rename files' bytes (rename had narrowed the keys away)
+    assert(Manifests.statsOf(spark, b,
+      Manifests.latestVersion(spark, b).get).forall(!_._1.contains("txt")))
+    val av = Manifests.analyze(spark, b, Seq("txt"))
+    assert(Manifests.statsOf(spark, b, av).exists(_._1 === Seq("txt")))
+    // the change feed across the rename boundary emits under the END
+    // schema: pre-rename rows era-map to the new name, so the v0
+    // insert image of id=7 carries its real value
+    val feed = Manifests.changesBetween(spark, b, 0,
+      Manifests.latestVersion(spark, b).get)
+    assert(feed.columns.toSet === Set("id", "txt", "_change_type"))
+    assert(feed.filter(col("_change_type") === "delete" &&
+      col("txt") === "v7").count() === 1)
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("txt") === "V7").count() === 1)
+    assert(feed.filter(col("txt").isNull).count() === 0)
+  }
+
+  test("renameColumn: restore and clone carry the self-contained era story") {
+    import spark.implicits._
+    // restore to a PRE-rename version revives the old name and clears
+    // the event + tombstone: appends under the old name land again
+    val b = base("graft_man_renrest")
+    Manifests.commitData(Seq((1L, "x")).toDF("id", "s"), b)
+    Manifests.renameColumn(spark, b, "s", "txt")
+    val rv = Manifests.restore(spark, b, 0)
+    assert(Manifests.readLatest(spark, b).columns.toSeq === Seq("id", "s"))
+    assert(Manifests.renamesOf(spark, b, rv).isEmpty)
+    assert(Manifests.droppedOf(spark, b, rv).isEmpty)
+    Manifests.append(Seq((2L, "y")).toDF("id", "s"), b)
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("s") === "x").count() === 1)
+    // a clone of a RENAMED version carries the event verbatim (its
+    // pre-file list is self-contained — no reference to the source's
+    // version history), so era reads work even after the source's
+    // history is gone
+    val src = base("graft_man_renclone")
+    val dst = base("graft_man_renclone_d") + "/t"
+    Manifests.commitData(Seq((1L, "deep")).toDF("id", "s"), src)
+    val cv = Manifests.renameColumn(spark, src, "s", "txt")
+    Manifests.shallowClone(spark, src, dst, cv)
+    assert(Manifests.renamesOf(spark, dst, 0).nonEmpty)
+    assert(Manifests.readLatest(spark, dst)
+      .filter(col("txt") === "deep").count() === 1)
+    // and the tombstone rode along: re-adding the old name refuses
+    intercept[IllegalArgumentException](
+      Manifests.append(Seq((2L, "boo")).toDF("id", "s"), dst))
+  }
+
   test("restore/clone carry version-accurate constraints and tombstones; newline predicates normalize") {
     import spark.implicits._
     // (1) restore rolls the CONSTRAINT SET back with the data: a CHECK

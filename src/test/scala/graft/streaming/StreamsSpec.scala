@@ -1241,4 +1241,33 @@ class StreamsSpec extends AnyFunSuite {
       (2L, "b", None, "insert"),        // pre-evolution batch, null-filled
       (3L, "c", Some("x"), "insert")))  // post-evolution batch carries it
   }
+
+  test(".changes catch-up across RENAME COLUMN: pre-rename batches era-map to the new name, never null-fill") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfren").toString
+    graft.ext.CatalogTestSupport.registerFreshCatalog(spark, s"$root/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cr")
+    spark.sql("CREATE TABLE graft.cr.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.cr.t VALUES (1, 'a')") // v0
+    spark.sql("INSERT INTO graft.cr.t VALUES (2, 'b')") // v1
+    spark.sql("ALTER TABLE graft.cr.t RENAME COLUMN s TO label") // v2
+    spark.sql("INSERT INTO graft.cr.t VALUES (3, 'c')") // v3
+    // the stream resolves at the POST-rename schema (id, label); the
+    // catch-up batch (0,1] builds its feed from pre-rename manifests
+    // whose schema names the column `s` — the feed machinery must
+    // alias s→label through the recorded name history (a null-fill
+    // here silently destroys every pre-rename change row)
+    val q = spark.readStream
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .table("graft.cr.t.changes")
+      .writeStream.format("memory").queryName("cdf_rename")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql(
+        "SELECT id, label, _change_type FROM cdf_rename ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(rows === Seq(
+      (2L, "b", "insert"),   // pre-rename batch: real value, new name
+      (3L, "c", "insert")))  // post-rename batch reads plainly
+  }
 }

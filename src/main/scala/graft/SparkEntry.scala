@@ -371,6 +371,16 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, region " +
         s"FROM graft.`$c`").orderBy("customer_id")
     }),
+    // SQL ALTER COLUMN TYPE lineage: CREATE (INT) → ALTER COLUMN TYPE
+    // BIGINT → INSERT of values only the wide type holds → SELECT;
+    // the widening is metadata-only (same files, widened recorded
+    // schema — the parquet reader promotes the narrow era natively),
+    // and the SELECT reads both eras as BIGINT
+    "sql_widen_column" -> ((s, d) => {
+      val c = mansqlWidenFixture(s, d)
+      s.sql(s"SELECT customer_id, code, country FROM graft.`$c`")
+        .orderBy("customer_id")
+    }),
     // DV-aware catalog reads: the table took a merge-on-read delete
     // (vectors, no data bytes moved) and then a SQL DELETE on the
     // still-vectored version (the catalog routes it merge-on-read,
@@ -849,6 +859,32 @@ object SparkEntry {
     c
   }
 
+  /** Pure-SQL type-widening lineage: CTAS of an INT-typed batch →
+    * ALTER TABLE ALTER COLUMN code TYPE BIGINT (metadata-only: the
+    * same files under a widened recorded schema — Spark's parquet
+    * reader promotes the narrow era natively, so zero bytes move) →
+    * INSERT of a batch whose values only the wide type holds. The
+    * registered SELECT reads both eras as BIGINT. */
+  private def mansqlWidenFixture(s: SparkSession, d: String): String = {
+    val c = dumpDir(s, d, "mansqlwid")
+    val marker = s"${c}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer
+        .select("customer_key", "customer_id", "country")
+        .repartition(4).createOrReplaceTempView("graft_sqlwid_dim")
+      s.sql(s"CREATE TABLE graft.`$c` AS SELECT customer_id, " +
+        "CAST(abs(customer_key % 1000000) AS INT) AS code, country " +
+        "FROM graft_sqlwid_dim WHERE country IS DISTINCT FROM 'NATION_5'")
+      s.sql(s"ALTER TABLE graft.`$c` ALTER COLUMN code TYPE BIGINT")
+      s.sql(s"INSERT INTO graft.`$c` SELECT customer_id, " +
+        "abs(customer_key % 1000000) + 3000000000 AS code, country " +
+        "FROM graft_sqlwid_dim WHERE country = 'NATION_5'")
+      ext.Dfs.touch(s, marker)
+    }
+    c
+  }
+
   /** Fresh-MoR SQL fixture: CTAS bootstrap (clustered on country), a
     * Scala merge-on-read delete (v1 = same files + a deletion vector),
     * then a SQL DELETE issued against the STILL-VECTORED table — the
@@ -1101,6 +1137,18 @@ object SparkEntry {
     "sql_rename_column" ->
       s"""${Oracle.warehouseCte}
          | SELECT customer_key, customer_id, country AS region
+         | FROM dim_customer
+         | ORDER BY customer_id""".stripMargin,
+    // ALTER COLUMN TYPE: pre-widening rows carry their INT-era values
+    // read as BIGINT; the post-widening batch holds values above
+    // Int.MaxValue — a narrow read (or a dropped era) hash-fails
+    "sql_widen_column" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_id,
+         |   CASE WHEN country = 'NATION_5'
+         |        THEN abs(customer_key % 1000000) + 3000000000
+         |        ELSE abs(customer_key % 1000000) END AS code,
+         |   country
          | FROM dim_customer
          | ORDER BY customer_id""".stripMargin,
     // both deletes (Scala MoR + SQL-on-vectored) applied: survivors only

@@ -419,6 +419,36 @@ object Manifests {
       old.fields ++ add.fields.filterNot(f => byName.contains(f.name)))
   }
 
+  /** The union schema two versions' READERS share (the change-feed
+    * range endpoints): identical names keep their type unless the two
+    * sides differ by a lossless widening ([[isWideningConversion]]), in
+    * which case the WIDER type wins — both eras' files read under it
+    * natively via the parquet reader's type promotion. Anything else
+    * refuses (the [[evolveSchema]] contract: a type rewrite never
+    * happens silently). Append-time evolution stays STRICT on purpose:
+    * a type-mismatched append would write mixed-typed stats segments —
+    * widening is an explicit DDL step ([[widenColumn]]). */
+  private[graft] def unionWiden(
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val aNames = a.fields.map(_.name).toSet
+    val merged = a.fields.map { o =>
+      b.fields.find(_.name == o.name) match {
+        case Some(n) if n.dataType == o.dataType => o
+        case Some(n) if isWideningConversion(o.dataType, n.dataType) =>
+          o.copy(dataType = n.dataType)
+        case Some(n) if isWideningConversion(n.dataType, o.dataType) => o
+        case Some(n) => sys.error(s"column ${o.name}: incompatible " +
+          s"type evolution ${o.dataType.simpleString} -> " +
+          s"${n.dataType.simpleString}")
+        case None => o
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      merged ++ b.fields.filterNot(f => aNames.contains(f.name)))
+  }
+
   /** Deletion-vector sidecar files of version `v` (absolute URIs);
     * empty when the version carries none. Each sidecar is a tiny
     * parquet of `(__file, __pos)` rows marking deleted positions in
@@ -1654,7 +1684,7 @@ object Manifests {
     // to the new names.
     val schema = (schemaOf(spark, base, from), schemaOf(spark, base, to)) match {
       case (Some(_), Some(b)) if renamedInRange => b
-      case (Some(a), Some(b)) => evolveSchema(a, b)
+      case (Some(a), Some(b)) => unionWiden(a, b)
       case (a, b) => a.orElse(b)
         .getOrElse(spark.read.parquet(fa.head).schema) // one footer read
     }
@@ -2342,6 +2372,88 @@ object Manifests {
       parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
+      dropped = Some(droppedOf(spark, base, v)))
+  }
+
+  /** The widening conversions the METADATA-ONLY [[widenColumn]] admits:
+    * exactly the reader-side type promotions Spark 4's parquet scans
+    * perform natively (SPARK-40876 and follow-ups — the mechanism Delta
+    * type widening rides), so a file written under `from` reads
+    * losslessly under a recorded schema declaring `to` with zero
+    * rewrite. Anything else — narrowing, signedness games,
+    * string↔numeric — refuses: those need a rewrite to be lossless. */
+  private[graft] def isWideningConversion(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      // decimal: more integral digits, never fewer fractional ones —
+      // every old value is representable bit-exactly in the new type
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE — METADATA-ONLY type
+    * widening, the fourth face of schema evolution beside ADD, DROP and
+    * RENAME: the next version carries the SAME files with the field's
+    * recorded type widened. No era machinery is needed at all — unlike a
+    * rename, the physical column NAME never changes, and Spark's parquet
+    * readers (vectorized included) promote the file's narrower physical
+    * type to the requested reader type natively ([[isWideningConversion]]
+    * is exactly that whitelist), so every read path — catalog DSv2 scan,
+    * V1 relation, time travel, DML rewrites, streams — picks the change
+    * up through the recorded schema it already applies, and zero of a
+    * 100 TB table's bytes move where a CAST-and-rewrite would churn all
+    * of them. Time travel still shows older versions under their own
+    * narrower type.
+    *
+    * Stats/bloom sidecar keys for the column are narrowed (their per-file
+    * extrema were recorded under the old type) — skipping on the widened
+    * column pauses until the next ANALYZE re-indexes it; conservative,
+    * never wrong, the [[renameColumn]] contract exactly. Refusals: a
+    * column absent from the schema, a non-widening conversion, and a
+    * partition column (the recorded partition tuples classify by the old
+    * type's rendering). CHECK constraints keep working — the values and
+    * the name are unchanged — so they are carried, not refused. */
+  def widenColumn(spark: SparkSession, base: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val sch = schemaOf(spark, base, v).getOrElse(
+      sys.error(s"$base records no schema — widenColumn needs one"))
+    val resolver = spark.sessionState.analyzer.resolver
+    val field = sch.fields.find(f => resolver(f.name, name)).getOrElse(
+      sys.error(s"no column '$name' in the recorded schema of $base"))
+    require(isWideningConversion(field.dataType, newType),
+      s"ALTER COLUMN $name TYPE ${newType.simpleString}: not a lossless " +
+        s"widening of ${field.dataType.simpleString} — only conversions " +
+        "the parquet reader performs natively are metadata-only; " +
+        "anything else needs an explicit rewrite")
+    partitionedBy(spark, base, v).foreach { case (pcols, _) =>
+      require(!pcols.exists(resolver(_, name)),
+        s"'$name' is a partition column of $base — re-partition " +
+          "(commitDataPartitioned overwrite) before widening it")
+    }
+    val widened = org.apache.spark.sql.types.StructType(
+      sch.fields.map(f => if (resolver(f.name, name))
+        f.copy(dataType = newType) else f))
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"widen-column:$name:${newType.simpleString}"),
+      dv = dvFiles(spark, base, v),
+      schema = Some(widened),
+      stats = statsOf(spark, base, v).map { case (keys, segs) =>
+        (keys.filterNot(resolver(_, name)), segs) }.filter(_._1.nonEmpty),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v).map { case (keys, segs) =>
+        (keys.filterNot(resolver(_, name)), segs) }.filter(_._1.nonEmpty),
       dropped = Some(droppedOf(spark, base, v)))
   }
 

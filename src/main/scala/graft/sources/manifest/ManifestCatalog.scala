@@ -274,6 +274,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           "manifest RENAME COLUMN addresses top-level columns")
         Manifests.renameColumn(spark, t.base, r.fieldNames.head,
           r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "manifest ALTER COLUMN TYPE addresses top-level columns")
+        Manifests.widenColumn(spark, t.base, u.fieldNames.head,
+          u.newDataType)
       case c => sys.error(s"unsupported ALTER TABLE change $c — " +
         "manifest schema evolution is additive via writes; use " +
         "dropColumn/addConstraint through the table API")

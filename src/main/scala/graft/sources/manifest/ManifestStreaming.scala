@@ -348,7 +348,29 @@ private[manifest] object ManifestChanges {
         }
       }
     }
-    widened.select(schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+    // a catch-up batch over versions predating an ALTER COLUMN TYPE
+    // carries the column under its old NARROWER type (the feed builds
+    // under the range endpoints' union schema) — cast it UP to the
+    // resolved type, the read-side mirror of widenColumn's whitelist
+    // (lossless by construction). The reverse — a stream that resolved
+    // BEFORE a widening landing mid-run — must never silently narrow
+    // real values: refuse, the reader restarts and re-resolves at the
+    // wide schema (Delta CDF's schema-change stance).
+    val byName = widened.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    widened.select(schema.fields.toIndexedSeq.map { f =>
+      val c = col(s"`${f.name}`")
+      byName.get(f.name.toLowerCase).filter(_ != f.dataType) match {
+        case Some(ft) if Manifests.isWideningConversion(ft, f.dataType) =>
+          c.cast(f.dataType).as(f.name)
+        case Some(ft) =>
+          sys.error(s"change feed of $base: column ${f.name} evolved " +
+            s"from this reader's resolved ${f.dataType.simpleString} to " +
+            s"${ft.simpleString} — restart the stream to re-resolve at " +
+            "the current schema")
+        case None => c
+      }
+    }: _*)
   }
 }
 

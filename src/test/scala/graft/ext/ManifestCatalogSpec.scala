@@ -474,6 +474,53 @@ class ManifestCatalogSpec extends AnyFunSuite {
       sql("ALTER TABLE graft.renc.t ADD COLUMN s STRING"))
   }
 
+  test("SQL ALTER TABLE ALTER COLUMN TYPE is metadata-only widening: mixed-era reads, DML under the wide type, narrowing refused") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.widc")
+    sql("CREATE TABLE graft.widc.t (id BIGINT, n INT)")
+    sql("INSERT INTO graft.widc.t VALUES (1, 10), (2, 20)")
+    val b = s"$wh/widc/t"
+    val v0 = Manifests.latestVersion(spark, b).get
+    val files0 = Manifests.files(spark, b, v0)
+    sql("ALTER TABLE graft.widc.t ALTER COLUMN n TYPE BIGINT")
+    val v1 = Manifests.latestVersion(spark, b).get
+    assert(v1 === v0 + 1, "ALTER COLUMN TYPE must land as one new version")
+    assert(Manifests.files(spark, b, v1) === files0,
+      "type widening is metadata-only — the same files carried by reference")
+    assert(spark.table("graft.widc.t").schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // narrow-era bytes surface with their real values as BIGINT, and a
+    // post-widening insert carries a value only the wide type holds —
+    // filters and aggregates span both eras
+    sql("INSERT INTO graft.widc.t VALUES (3, 3000000007)")
+    assert(sql("SELECT sum(n) FROM graft.widc.t").head.getLong(0) ===
+      3000000037L)
+    assert(sql("SELECT count(*) FROM graft.widc.t WHERE n > 2147483647")
+      .head.getLong(0) === 1)
+    assert(sql("SELECT n FROM graft.widc.t WHERE id = 1")
+      .head.getLong(0) === 10L)
+    // time travel reads each version under ITS type
+    assert(sql(s"SELECT * FROM graft.widc.t VERSION AS OF $v0")
+      .schema("n").dataType === org.apache.spark.sql.types.IntegerType)
+    // DML reads the mixed eras and rewrites under the wide type — no
+    // compact() wall anywhere (the physical NAMES never changed)
+    sql("UPDATE graft.widc.t SET n = 4000000009 WHERE id = 1")
+    assert(sql("SELECT n FROM graft.widc.t WHERE id = 1")
+      .head.getLong(0) === 4000000009L)
+    sql("DELETE FROM graft.widc.t WHERE n = 20")
+    assert(sql("SELECT count(*) FROM graft.widc.t").head.getLong(0) === 2)
+    // narrowing refuses in Spark's own analyzer (ALTER COLUMN TYPE
+    // only admits up-casts) — it never reaches the catalog
+    intercept[Exception](
+      sql("ALTER TABLE graft.widc.t ALTER COLUMN n TYPE INT"))
+    // BIGINT→STRING is a Spark up-cast but NOT parquet-reader-native:
+    // it passes analysis and OUR whitelist refuses it — metadata-only
+    // widening never promises what the reader cannot deliver
+    val e = intercept[Exception](
+      sql("ALTER TABLE graft.widc.t ALTER COLUMN id TYPE STRING"))
+    assert(e.getMessage.contains("widening"))
+  }
+
   test("DROP TABLE keeps the registration when the managed-data delete fails — no orphaned bytes") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftdel.impl", classOf[FailingDeleteFileSystem].getName)

@@ -1410,6 +1410,97 @@ class ManifestsSpec extends AnyFunSuite {
     assert(feed.filter(col("txt").isNull).count() === 0)
   }
 
+  test("widenColumn: metadata-only type widening; mixed-era reads; time travel; guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val b = base("graft_man_widcol")
+    Manifests.commitData(
+      (1 to 40).map(i => (i.toLong, i, i.toFloat / 2)).toDF("id", "n", "x"),
+      b)
+    val v1 = Manifests.widenColumn(spark, b, "n", LongType)
+    // metadata-only: the SAME files under a widened recorded schema,
+    // and the narrow-era bytes surface with their real values — the
+    // parquet reader's native promotion, no rewrite, no era machinery
+    assert(Manifests.files(spark, b, v1) === Manifests.files(spark, b, 0))
+    val df = Manifests.readLatest(spark, b)
+    assert(df.schema("n").dataType === LongType)
+    assert(df.filter(col("n") === 7L).count() === 1)
+    assert(df.agg(sum("n")).head.getLong(0) === (1 to 40).map(_.toLong).sum)
+    assert(Manifests.tagOf(spark, b, v1) === Some("widen-column:n:bigint"))
+    // a post-widening append carries a value only the wide type holds
+    Manifests.append(Seq((100L, 3000000007L, 1.5f)).toDF("id", "n", "x"), b)
+    val mixed = Manifests.readLatest(spark, b)
+    assert(mixed.count() === 41)
+    assert(mixed.filter(col("n") > Int.MaxValue.toLong).count() === 1)
+    // float→double stacks on the same table; 7/2 is exact in both types
+    Manifests.widenColumn(spark, b, "x", DoubleType)
+    val d2 = Manifests.readLatest(spark, b)
+    assert(d2.schema("x").dataType === DoubleType)
+    assert(d2.filter(col("x") === 3.5d).count() === 1)
+    // time travel shows each version under its own narrower type
+    assert(Manifests.readAt(spark, b, 0).schema("n").dataType ===
+      IntegerType)
+    assert(Manifests.readAt(spark, b, 0).schema("x").dataType === FloatType)
+    // CoW UPDATE on the widened table reads the mixed eras and rewrites
+    // matched files under the wide type
+    val (updFiles, updRows, _) = Manifests.updateWhere(spark, b,
+      col("n") === 7L, Map("n" -> lit(4000000009L)))
+    assert(updFiles >= 1 && updRows === 1L)
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("n") === 4000000009L).count() === 1)
+    // guards: narrowing, same type, unknown column, non-numeric target,
+    // partition column
+    intercept[IllegalArgumentException](
+      Manifests.widenColumn(spark, b, "n", IntegerType))
+    intercept[IllegalArgumentException](
+      Manifests.widenColumn(spark, b, "n", LongType))
+    intercept[RuntimeException](
+      Manifests.widenColumn(spark, b, "nope", LongType))
+    intercept[IllegalArgumentException](
+      Manifests.widenColumn(spark, b, "id", StringType))
+    val bp = base("graft_man_widcol_p")
+    Manifests.commitDataPartitioned(
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("id", "p"), bp, Seq("p"))
+    intercept[IllegalArgumentException](
+      Manifests.widenColumn(spark, bp, "p", LongType))
+  }
+
+  test("widenColumn: stats keys narrow (skipping pauses, never lies); decimal widening honors the digit rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val b = base("graft_man_widstats")
+    Manifests.commitData(
+      (1 to 60).map(i => (i.toLong, i % 6)).toDF("id", "k")
+        .repartitionByRange(3, col("k")), b)
+    Manifests.analyze(spark, b, Seq("id", "k"))
+    val v = Manifests.latestVersion(spark, b).get
+    assert(Manifests.statsOf(spark, b, v).exists(_._1.toSet ===
+      Set("id", "k")))
+    // widening k drops ONLY its stats key — the per-file extrema were
+    // recorded under the old type; id keeps skipping
+    Manifests.widenColumn(spark, b, "k", LongType)
+    val v2 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.statsOf(spark, b, v2).exists(_._1 === Seq("id")))
+    // re-ANALYZE re-indexes under the wide type
+    Manifests.analyze(spark, b, Seq("id", "k"))
+    val v3 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.statsOf(spark, b, v3).exists(_._1.toSet ===
+      Set("id", "k")))
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("k") === 3L).count() === 10)
+    // decimal: integral digits may only grow, fractional never shrink
+    assert(Manifests.isWideningConversion(
+      DecimalType(10, 2), DecimalType(14, 2)))
+    assert(Manifests.isWideningConversion(
+      DecimalType(10, 2), DecimalType(14, 4)))
+    assert(!Manifests.isWideningConversion(
+      DecimalType(10, 2), DecimalType(10, 2)))
+    assert(!Manifests.isWideningConversion(
+      DecimalType(10, 2), DecimalType(11, 4)))
+    assert(!Manifests.isWideningConversion(
+      DecimalType(10, 2), DecimalType(9, 1)))
+  }
+
   test("renameColumn: restore and clone carry the self-contained era story") {
     import spark.implicits._
     // restore to a PRE-rename version revives the old name and clears

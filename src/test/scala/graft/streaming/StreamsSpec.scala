@@ -1270,4 +1270,33 @@ class StreamsSpec extends AnyFunSuite {
       (2L, "b", "insert"),   // pre-rename batch: real value, new name
       (3L, "c", "insert")))  // post-rename batch reads plainly
   }
+
+  test(".changes catch-up across ALTER COLUMN TYPE: narrow-era batches cast up to the widened type") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfwid").toString
+    graft.ext.CatalogTestSupport.registerFreshCatalog(spark, s"$root/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cw")
+    spark.sql("CREATE TABLE graft.cw.t (id BIGINT, n INT)")
+    spark.sql("INSERT INTO graft.cw.t VALUES (1, 10)") // v0
+    spark.sql("INSERT INTO graft.cw.t VALUES (2, 20)") // v1
+    spark.sql("ALTER TABLE graft.cw.t ALTER COLUMN n TYPE BIGINT") // v2
+    spark.sql("INSERT INTO graft.cw.t VALUES (3, 3000000007)") // v3
+    // the stream resolves at the POST-widening schema (n BIGINT); the
+    // catch-up batch (0,1] builds its feed from pre-widening manifests
+    // whose union schema still types n as INT — the feed must cast the
+    // column up (before the fix the stream-schema select could not
+    // unify the rows with the resolved plan)
+    val q = spark.readStream
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .table("graft.cw.t.changes")
+      .writeStream.format("memory").queryName("cdf_widen")
+      .option("checkpointLocation", s"$root/ckpt").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql(
+        "SELECT id, n, _change_type FROM cdf_widen ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(rows === Seq(
+      (2L, 20L, "insert"),          // narrow-era batch, cast up
+      (3L, 3000000007L, "insert"))) // wide-era batch reads plainly
+  }
 }

@@ -381,11 +381,12 @@ object SparkEntry {
       s.sql(s"SELECT customer_id, code, country FROM graft.`$c`")
         .orderBy("customer_id")
     }),
-    // DV-aware catalog reads: the table took a merge-on-read delete
-    // (vectors, no data bytes moved) and then a SQL DELETE on the
-    // still-vectored version (the catalog routes it merge-on-read,
-    // stacking another vector) — this SELECT reads THROUGH both vectors
-    // via the V1 liveRead scan, no compact() wall anywhere
+    // DV-aware catalog reads: the table took a country-aligned
+    // merge-on-read delete (full-file elision retires the pure files,
+    // vectors the boundary), a SQL DELETE, then an UNclustered MoR
+    // delete that leaves every file genuinely vectored — this SELECT
+    // reads THROUGH the stacked vectors via the V1 liveRead scan, no
+    // compact() wall anywhere
     "sql_select_mor" -> ((s, d) => {
       val b = mansqlMorFixture(s, d)
       orderedAsc(
@@ -886,10 +887,11 @@ object SparkEntry {
   }
 
   /** Fresh-MoR SQL fixture: CTAS bootstrap (clustered on country), a
-    * Scala merge-on-read delete (v1 = same files + a deletion vector),
-    * then a SQL DELETE issued against the STILL-VECTORED table — the
-    * catalog's MoR delete tier stacks a second vector. `sql_select_mor`
-    * reads the result through the DV-aware catalog scan. */
+    * Scala merge-on-read delete of a clustered country (full-file
+    * elision retires the pure files, vectors only the boundary), a SQL
+    * DELETE, then an UNclustered MoR delete that leaves every file
+    * genuinely vectored. `sql_select_mor` reads the result through the
+    * DV-aware catalog scan. */
   private def mansqlMorFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqlmor")
     val marker = s"${b}_done"
@@ -898,8 +900,14 @@ object SparkEntry {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_sqlmor_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmor_src")
+      // country-aligned on the clustered layout: full-file DV elision
+      // retires the pure files and vectors only the boundary
       ext.Manifests.deleteWhereMor(s, b, col("country") === "NATION_7")
       s.sql(s"DELETE FROM graft.`$b` WHERE country = 'NATION_1'")
+      // deliberately UNclustered predicate: every file is a boundary
+      // file, so the table ends genuinely vectored and the SELECT
+      // reads through real position vectors
+      ext.Manifests.deleteWhereMor(s, b, col("quantity") === 7)
       ext.Dfs.touch(s, marker)
     }
     b
@@ -976,10 +984,11 @@ object SparkEntry {
   }
 
   /** The merge-on-read twin of [[mandelFixture]]: same clustered v0,
-    * but the NATION_7 delete is a deletion vector — v1 lists the SAME
-    * data files plus a (file, pos) sidecar. Clustering bounds the
-    * vector's file footprint to the one file the key lives in, so
-    * reads and the change feed anti-join/position-read one file. */
+    * but the NATION_7 delete is merge-on-read — full-file elision
+    * retires the country's pure files from v1's manifest and vectors
+    * only boundary files (where a file straddles two countries), so
+    * the delete is manifest-shaped and reads/the change feed pay the
+    * position machinery only on the boundary. */
   private def morFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mordel")
     val marker = s"${b}_done"
@@ -1151,11 +1160,13 @@ object SparkEntry {
          |   country
          | FROM dim_customer
          | ORDER BY customer_id""".stripMargin,
-    // both deletes (Scala MoR + SQL-on-vectored) applied: survivors only
+    // all three deletes (elided-MoR country, SQL, unclustered MoR)
+    // applied: survivors only, nulls surviving each predicate
     "sql_select_mor" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
          | WHERE country IS DISTINCT FROM 'NATION_7'
          |   AND country IS DISTINCT FROM 'NATION_1'
+         |   AND quantity IS DISTINCT FROM 7
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // the twice-overwritten partition holds the LAST overwrite's rows
     // (NATION_3's, relabeled); every other partition is untouched

@@ -798,14 +798,50 @@ object Manifests {
       eraRead(spark, renames, fs, schema, withPositions = pos)
     if (dvs.isEmpty) return rd(data)
     val dv = spark.read.parquet(dvs: _*)
-    val touched = dv.select("__file").distinct().collect()
-      .map(r => Dfs.canonical(r.getString(0))).toSet
+    // per-file footprint first (sidecar-sized): which files carry
+    // vectors, and the bitmap bytes an index over them would need
+    val perFile = dv.groupBy("__file")
+      .agg(max(col("__pos")).as("mx")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val touched = perFile.map(p => Dfs.canonical(p._1)).toSet
     val (hit, clean) = data.partition(f => touched.contains(Dfs.canonical(f)))
     val applied =
       if (hit.isEmpty) None
-      else Some(rd(hit, pos = true)
-        .join(dv, Seq("__file", "__pos"), "left_anti")
-        .drop("__file", "__pos"))
+      else {
+        // Scan-speed path (the Delta/Iceberg shape): per-file position
+        // BITMAPS ride the scan stage as a codegen'd NOT dv_contains
+        // predicate — no join, no shuffle, one bit probe per row. The
+        // index is bounded by the vectored files' position span, not
+        // the table; past the budget (or a >2^31 position) fall back
+        // to the distributed (file, pos) anti-join, which is always
+        // correct and never memory-bound.
+        val estBytes = perFile.map(_._2 / 8 + 64).sum
+        val maxBytes = spark.conf.getOption("graft.dv.indexMaxBytes")
+          .map(_.toLong).getOrElse(64L << 20)
+        if (estBytes <= maxBytes && perFile.forall(_._2 < Int.MaxValue)) {
+          val m = new java.util.HashMap[
+            org.apache.spark.unsafe.types.UTF8String, java.util.BitSet]
+          dv.groupBy("__file")
+            .agg(collect_list(col("__pos")).as("ps")).collect()
+            .foreach { r =>
+              val bs = new java.util.BitSet()
+              r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+              m.put(org.apache.spark.unsafe.types.UTF8String
+                .fromString(r.getString(0)), bs)
+            }
+          import org.apache.spark.sql.graft.ColumnShim
+          val live = ColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.Not(
+              graft.functions.DvContains(
+                ColumnShim.expression(col("__file")),
+                ColumnShim.expression(col("__pos")),
+                new graft.functions.DvIndex(m))))
+          Some(rd(hit, pos = true).filter(live).drop("__file", "__pos"))
+        } else
+          Some(rd(hit, pos = true)
+            .join(dv, Seq("__file", "__pos"), "left_anti")
+            .drop("__file", "__pos"))
+      }
     val plain = if (clean.isEmpty) None else Some(rd(clean))
     (applied, plain) match {
       case (Some(a), Some(p)) => a.unionByName(p)
@@ -981,6 +1017,13 @@ object Manifests {
     * no version; successive deletes accumulate vectors (each computed
     * over LIVE rows only, so vectors never overlap); [[compact]]
     * materializes vectors away; [[vacuum]] reclaims superseded ones.
+    * FULL-FILE ELISION (Delta's invariant): a file whose every live
+    * row matches is retired from the manifest, never vectored — a
+    * vector covering the whole file is just a file drop paid at read
+    * time forever. Only boundary files (some rows match, some
+    * survive) get vectors, so a clustered whole-partition delete is
+    * manifest-shaped and the anti-join's footprint is the boundary,
+    * not the partition.
     * The write-amplification trade: MoR makes deletes cheap and reads
     * pay one bounded anti-join until the next compaction — the right
     * side of the trade when deletes are frequent and small (CDC,
@@ -1017,42 +1060,81 @@ object Manifests {
       if (prevDvs.isEmpty) raw
       else raw.join(spark.read.parquet(prevDvs: _*),
         Seq("__file", "__pos"), "left_anti")
-    // null predicate values SURVIVE (same contract as deleteWhere)
-    val dvRows = live.filter(coalesce(pred, lit(false)))
-      .select(col("__file"), col("__pos")).persist()
-    try {
-      val touched = dvRows.select("__file").distinct().collect()
-        .map(_.getString(0)).sorted
-      if (touched.isEmpty) return (0L, v) // nothing matched: no version burned
-      val deleted = dvRows.count()
-      val index = spark.sparkContext.broadcast(touched.zipWithIndex.toMap)
-      val shaped = dvRows.rdd
-        .map(r => (index.value(r.getString(0)), r))
-        .partitionBy(new org.apache.spark.Partitioner {
-          override def numPartitions: Int = touched.length
-          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-        })
-        .map(_._2)
-      val dir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
-      spark.createDataFrame(shaped, dvRows.schema)
-        .write.mode("errorifexists").parquet(dir)
-      val written = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-      // data files unchanged -> schema and stats carry verbatim (zones
-      // stay conservatively wide over the deleted rows); on rebase the
-      // winners' appended files and their metadata carry from the new
-      // parent, with this delete's vectors stacked on top
-      (deleted, rebaseLoop(spark, base, v,
-        added => rd(added)
-          .filter(coalesce(pred, lit(false))).limit(1).count() > 0) {
-        parent =>
-          commit(spark, base, files(spark, base, parent), None,
-            dvFiles(spark, base, parent) ++ written,
-            schemaOf(spark, base, parent), statsOf(spark, base, parent),
-            parent = Some(parent),
-            partValues = partitionedBy(spark, base, parent),
-            blooms = bloomOf(spark, base, parent))
-      })
-    } finally dvRows.unpersist()
+    // Per-file accounting in ONE map-side-combined pass: live rows per
+    // file and how many of them the predicate matches (null predicate
+    // values SURVIVE — same contract as deleteWhere). A file whose
+    // EVERY live row matches is RETIRED from the manifest instead of
+    // vectored — Delta's invariant (a deletion vector covering the
+    // whole file IS a file drop): a clustered whole-partition delete
+    // stays manifest-shaped, where vectoring it would write data-sized
+    // sidecars that every later read pays an anti-join against. Only
+    // genuinely PARTIAL files get vectors, and only they are re-read
+    // to emit positions (file-pruned second pass over the boundary).
+    val perFile = live.withColumn("__del", coalesce(pred, lit(false)))
+      .groupBy("__file")
+      .agg(count(lit(1)).as("__total"),
+        sum(when(col("__del"), 1L).otherwise(0L)).as("__matched"))
+      .filter(col("__matched") > 0)
+      .collect()
+      .map(r => (Dfs.canonical(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (perFile.isEmpty) return (0L, v) // nothing matched: no version burned
+    val deleted = perFile.map(_._3).sum
+    var fullSet = perFile.collect { case (f, t, m) if m == t => f }.toSet
+    var partialSet = perFile.collect { case (f, t, m) if m < t => f }.toSet
+    // an empty manifest is unrepresentable (and an empty table should
+    // stay readable): if the delete kills every live row of every
+    // file, one fully-dead file stays behind fully-vectored
+    if (partialSet.isEmpty && fullSet.size == cur.size) {
+      val keep = fullSet.min
+      fullSet -= keep; partialSet += keep
+    }
+    val vecFiles = cur.filter(f => partialSet.contains(Dfs.canonical(f)))
+    val written: Seq[String] =
+      if (vecFiles.isEmpty) Seq.empty
+      else {
+        val vecRaw = rd(vecFiles, pos = true)
+        val vecLive =
+          if (prevDvs.isEmpty) vecRaw
+          else vecRaw.join(spark.read.parquet(prevDvs: _*),
+            Seq("__file", "__pos"), "left_anti")
+        val dvRows = vecLive.filter(coalesce(pred, lit(false)))
+          .select(col("__file"), col("__pos"))
+        val touched = partialSet.toArray.sorted
+        val index = spark.sparkContext.broadcast(touched.zipWithIndex.toMap)
+        val shaped = dvRows.rdd
+          .map(r => (index.value(Dfs.canonical(r.getString(0))), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = touched.length
+            override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2)
+        val dir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
+        spark.createDataFrame(shaped, dvRows.schema)
+          .write.mode("errorifexists").parquet(dir)
+        Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      }
+    // surviving data files carry verbatim with their schema and stats
+    // (zones stay conservatively wide over the vectored rows); on
+    // rebase the winners' appended files and their metadata carry from
+    // the new parent, with this delete's retirements and vectors
+    // applied on top — an appended file can never be in fullSet, so
+    // the subtraction commutes with the appends exactly like
+    // deleteWhere's
+    (deleted, rebaseLoop(spark, base, v,
+      added => rd(added)
+        .filter(coalesce(pred, lit(false))).limit(1).count() > 0) {
+      parent =>
+        commit(spark, base,
+          files(spark, base, parent)
+            .filterNot(f => fullSet.contains(Dfs.canonical(f))),
+          None,
+          dvFiles(spark, base, parent) ++ written,
+          schemaOf(spark, base, parent), statsOf(spark, base, parent),
+          parent = Some(parent),
+          partValues = partitionedBy(spark, base, parent),
+          blooms = bloomOf(spark, base, parent))
+    })
   }
 
   /** GC — the companion every log-based format ships: [[deleteWhere]]

@@ -162,8 +162,11 @@ class ManifestsSpec extends AnyFunSuite {
       col("k") === 3, Map("nope" -> lit(1))))
     // null predicate rows are left alone (CASE semantics)
     val bn = base("graft_man_updnull")
+    // one file, so the MoR delete below is genuinely partial (a
+    // per-row file would retire whole under full-file elision and
+    // leave nothing vectored to refuse on)
     Manifests.commitData(Seq[(java.lang.Long, String)](
-      (1L, "a"), (null, "b"), (3L, "c")).toDF("k", "s"), bn)
+      (1L, "a"), (null, "b"), (3L, "c")).toDF("k", "s").coalesce(1), bn)
     Manifests.updateWhere(spark, bn, col("k") === 1,
       Map("s" -> lit("X")))
     val vals = Manifests.readLatest(spark, bn).collect()
@@ -324,16 +327,81 @@ class ManifestsSpec extends AnyFunSuite {
     val now = Manifests.readLatest(spark, b)
     assert(now.count() === 180 && now.filter(col("k") === 3).count() === 0)
     assert(Manifests.readAt(spark, b, 0).count() === 200, "history intact")
-    // second delete: vectors accumulate; overlap-free because the new
-    // vector is computed over live rows only
+    // second delete is range-ALIGNED with the layout: the file holding
+    // only k∈{0,1} dies whole — full-file elision RETIRES it from the
+    // manifest instead of writing a data-sized vector (no new sidecar:
+    // the delete is purely manifest-shaped)
     val (n2, v2) = Manifests.deleteWhereMor(spark, b, col("k") < 2)
     assert(n2 === 40 && v2 === 2)
-    assert(Manifests.files(spark, b, 2) === before)
-    assert(Manifests.dvFiles(spark, b, 2).size > Manifests.dvFiles(spark, b, 1).size)
+    assert(Manifests.files(spark, b, 2).size < before.size,
+      "a fully-dead file must retire, not carry a whole-file vector")
+    assert(Manifests.files(spark, b, 2).toSet.subsetOf(before.toSet),
+      "surviving files carry by reference")
+    assert(Manifests.dvFiles(spark, b, 2).size ===
+      Manifests.dvFiles(spark, b, 1).size,
+      "an aligned delete writes no new vectors")
     assert(Manifests.readLatest(spark, b).count() === 140)
     // a delete of already-deleted rows matches nothing live
     val (n3, v3) = Manifests.deleteWhereMor(spark, b, col("k") === 3)
     assert(n3 === 0 && v3 === 2, "dead rows must not re-delete or burn a version")
+  }
+
+  test("deleteWhereMor full-file elision: mixed full+partial footprint, vectors only the boundary; emptying delete keeps one vectored file") {
+    import spark.implicits._
+    val b = base("graft_man_mor_elide")
+    // k∈0..9 range-clustered into 5 files of 2 key values each: a
+    // k<3 delete kills file {0,1} WHOLE and file {2,3} in HALF
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 10)).toDF("id", "k")
+        .repartitionByRange(5, col("k")), b)
+    val before = Manifests.files(spark, b, 0)
+    val (n, v1) = Manifests.deleteWhereMor(spark, b, col("k") < 3)
+    assert(n === 60 && v1 === 1)
+    assert(Manifests.files(spark, b, 1).size === before.size - 1,
+      "exactly the fully-dead file retires")
+    assert(Manifests.dvFiles(spark, b, 1).size === 1,
+      "exactly the boundary file gets a vector")
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 140 && now.filter(col("k") < 3).count() === 0)
+    assert(Manifests.readAt(spark, b, 0).count() === 200, "history intact")
+    // the feed across an eliding delete carries the SAME change rows a
+    // pure-vector delete would: retired files' live rows arrive as
+    // deletes beside the boundary vector's churn
+    val feed = Manifests.changesBetween(spark, b, 0, 1)
+    assert(feed.filter(col("_change_type") === "insert").count() === 0)
+    assert(feed.filter(col("_change_type") === "delete").count() === 60)
+    // a delete that empties the table cannot empty the manifest: one
+    // fully-dead file stays behind, fully vectored, and the table
+    // reads as zero rows
+    val be = base("graft_man_mor_empty")
+    Manifests.commitData(
+      (1 to 40).map(i => (i.toLong, i % 2)).toDF("id", "k")
+        .repartitionByRange(2, col("k")), be)
+    val (ne, _) = Manifests.deleteWhereMor(spark, be, lit(true))
+    assert(ne === 40)
+    assert(Manifests.files(spark, be, 1).size === 1,
+      "an emptying delete keeps exactly one (fully vectored) file")
+    assert(Manifests.dvFiles(spark, be, 1).nonEmpty)
+    assert(Manifests.readLatest(spark, be).count() === 0)
+    assert(Manifests.readAt(spark, be, 0).count() === 40)
+  }
+
+  test("DV reads: the bitmap-index scan path and the anti-join fallback agree row-for-row") {
+    import spark.implicits._
+    val b = base("graft_man_dvpaths")
+    Manifests.commitData(
+      (1 to 120).map(i => (i.toLong, i % 3, s"s$i")).toDF("id", "k", "s")
+        .repartitionByRange(3, col("id")), b)
+    Manifests.deleteWhereMor(spark, b, col("k") === 1) // partial everywhere
+    def snap() = Manifests.readLatest(spark, b).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val viaBitmap = snap()
+    assert(viaBitmap.size === 80 && viaBitmap.forall(_._2 != 1))
+    // zero budget forces the distributed anti-join — same rows exactly
+    spark.conf.set("graft.dv.indexMaxBytes", "0")
+    try assert(snap() === viaBitmap,
+      "fallback anti-join must produce the bitmap path's rows verbatim")
+    finally spark.conf.unset("graft.dv.indexMaxBytes")
   }
 
   test("deleteWhereMor: null predicate rows survive; compact materializes vectors away") {

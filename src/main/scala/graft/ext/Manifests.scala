@@ -807,37 +807,10 @@ object Manifests {
     val (hit, clean) = data.partition(f => touched.contains(Dfs.canonical(f)))
     val applied =
       if (hit.isEmpty) None
-      else {
-        // Scan-speed path (the Delta/Iceberg shape): per-file position
-        // BITMAPS ride the scan stage as a codegen'd NOT dv_contains
-        // predicate — no join, no shuffle, one bit probe per row. The
-        // index is bounded by the vectored files' position span, not
-        // the table; past the budget (or a >2^31 position) fall back
-        // to the distributed (file, pos) anti-join, which is always
-        // correct and never memory-bound.
-        val estBytes = perFile.map(_._2 / 8 + 64).sum
-        val maxBytes = spark.conf.getOption("graft.dv.indexMaxBytes")
-          .map(_.toLong).getOrElse(64L << 20)
-        if (estBytes <= maxBytes && perFile.forall(_._2 < Int.MaxValue)) {
-          val m = new java.util.HashMap[
-            org.apache.spark.unsafe.types.UTF8String, java.util.BitSet]
-          dv.groupBy("__file")
-            .agg(collect_list(col("__pos")).as("ps")).collect()
-            .foreach { r =>
-              val bs = new java.util.BitSet()
-              r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
-              m.put(org.apache.spark.unsafe.types.UTF8String
-                .fromString(r.getString(0)), bs)
-            }
-          import org.apache.spark.sql.graft.ColumnShim
-          val live = ColumnShim.column(
-            org.apache.spark.sql.catalyst.expressions.Not(
-              graft.functions.DvContains(
-                ColumnShim.expression(col("__file")),
-                ColumnShim.expression(col("__pos")),
-                new graft.functions.DvIndex(m))))
-          Some(rd(hit, pos = true).filter(live).drop("__file", "__pos"))
-        } else
+      else dvMembershipColumn(spark, dv) match {
+        case Some(deleted) =>
+          Some(rd(hit, pos = true).filter(!deleted).drop("__file", "__pos"))
+        case None =>
           Some(rd(hit, pos = true)
             .join(dv, Seq("__file", "__pos"), "left_anti")
             .drop("__file", "__pos"))
@@ -848,6 +821,44 @@ object Manifests {
       case (Some(a), None) => a
       case (None, Some(p)) => p
       case (None, None) => rd(data)
+    }
+  }
+
+  /** The scan-speed face of a `(__file, __pos)` frame (the
+    * Delta/Iceberg shape: a DV is a bitmap the SCAN consults, not a
+    * join the query pays): per-file position BITMAPS built driver-side
+    * (bounded by the frame, never the table) and returned as a
+    * codegen'd membership column — one bit probe per row, no join, no
+    * shuffle. Negated it filters live rows ([[liveRead]]); positive it
+    * selects churned rows (the change feed). None past the byte budget
+    * (`graft.dv.indexMaxBytes`, default 64 MB) or a >2³¹ position —
+    * callers fall back to the distributed (file, pos) join, which is
+    * always correct and never memory-bound. */
+  private[graft] def dvMembershipColumn(spark: SparkSession,
+      pos: DataFrame): Option[Column] = {
+    val perFile = pos.groupBy("__file")
+      .agg(max(col("__pos")).as("mx")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val estBytes = perFile.map(_._2 / 8 + 64).sum
+    val maxBytes = spark.conf.getOption("graft.dv.indexMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (estBytes > maxBytes || perFile.exists(_._2 >= Int.MaxValue)) None
+    else {
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.util.BitSet]
+      pos.groupBy("__file")
+        .agg(collect_list(col("__pos")).as("ps")).collect()
+        .foreach { r =>
+          val bs = new java.util.BitSet()
+          r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+          m.put(org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.getString(0)), bs)
+        }
+      import org.apache.spark.sql.graft.ColumnShim
+      Some(ColumnShim.column(graft.functions.DvContains(
+        ColumnShim.expression(col("__file")),
+        ColumnShim.expression(col("__pos")),
+        new graft.functions.DvIndex(m))))
     }
   }
 
@@ -1777,8 +1788,20 @@ object Manifests {
     def side(fs: Seq[String], dvs: Seq[String]) =
       if (fs.isEmpty) empty
       else liveRead(spark, fs, dvs, Some(schema), renames)
-    val fileInserts = side(onlyB, dvB).exceptAll(side(onlyA, dvA))
-    val fileDeletes = side(onlyA, dvA).exceptAll(side(onlyB, dvB))
+    // `exceptAll` exists to cancel carried-identical rows when BOTH
+    // sides replaced files (a rewrite); when one side has no unique
+    // files there is nothing to cancel against and the other side IS
+    // the answer — skipping the operator turns the two most common
+    // feed shapes (pure append, pure file-retire) from a wide-row
+    // hash-shuffle into a plain scan
+    val fileInserts =
+      if (onlyB.isEmpty) empty
+      else if (onlyA.isEmpty) side(onlyB, dvB)
+      else side(onlyB, dvB).exceptAll(side(onlyA, dvA))
+    val fileDeletes =
+      if (onlyA.isEmpty) empty
+      else if (onlyB.isEmpty) side(onlyA, dvA)
+      else side(onlyA, dvA).exceptAll(side(onlyB, dvB))
     // deletion-vector churn on files BOTH versions carry: a position
     // newly covered in `to` is a delete, a released one a re-insert —
     // resolved by reading ONLY the churned files at the churned
@@ -1794,15 +1817,28 @@ object Manifests {
       else {
         val a = dvOf(dvA)
         val b = dvOf(dvB)
-        def rowsAt(pos: DataFrame) = {
-          val touched = pos.select("__file").distinct().collect()
-            .map(_.getString(0)).map(Dfs.canonical).distinct
-            .filter(shared.contains)
-          if (touched.isEmpty) empty
-          else eraRead(spark, renames, touched, Some(schema),
-              withPositions = true)
-            .join(pos, Seq("__file", "__pos"), "left_semi")
-            .drop("__file", "__pos")
+        def rowsAt(posRaw: DataFrame) = {
+          val pos = posRaw.persist()
+          try {
+            val touched = pos.select("__file").distinct().collect()
+              .map(_.getString(0)).map(Dfs.canonical).distinct
+              .filter(shared.contains)
+            if (touched.isEmpty) empty
+            else {
+              val scan = eraRead(spark, renames, touched, Some(schema),
+                withPositions = true)
+              // churned positions as a scan-stage bitmap probe (the
+              // positive face of the liveRead filter) — the semi-join
+              // shuffle only past the index budget
+              dvMembershipColumn(spark, pos) match {
+                case Some(churned) =>
+                  scan.filter(churned).drop("__file", "__pos")
+                case None => scan
+                  .join(pos, Seq("__file", "__pos"), "left_semi")
+                  .drop("__file", "__pos")
+              }
+            }
+          } finally { pos.unpersist(); () }
         }
         (rowsAt(b.exceptAll(a)), rowsAt(a.exceptAll(b)))
       }

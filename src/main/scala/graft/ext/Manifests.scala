@@ -388,9 +388,17 @@ object Manifests {
       .getOrElse(sys.error(s"no committed version under $base"))
     statsOf(spark, base, v) match {
       case None => readAt(spark, base, v)
-      case Some((_, segs)) =>
+      case Some((keys, segs)) =>
+        // the KEY LIST is the stats contract: a column narrowed out of
+        // it (rename/widen) may keep stale typed extrema in older
+        // segments while appended segments null-fill them — pruning on
+        // a non-key column would read those nulls as "prunable" and
+        // silently lose the appended files' rows. Non-key box
+        // components simply don't prune (conservative, never wrong).
+        val effBox = box.filter(b => keys.contains(b._1))
+        if (effBox.isEmpty) return readAt(spark, base, v)
         val st = spark.read.parquet(segs: _*)
-        val cand = Skipping.candidateFiles(st, box).map(Dfs.canonical).toSet
+        val cand = Skipping.candidateFiles(st, effBox).map(Dfs.canonical).toSet
         val covered = st.select("file").collect()
           .map(r => Dfs.canonical(r.getString(0))).toSet
         val keep = files(spark, base, v).filter { f =>
@@ -798,22 +806,30 @@ object Manifests {
       eraRead(spark, renames, fs, schema, withPositions = pos)
     if (dvs.isEmpty) return rd(data)
     val dv = spark.read.parquet(dvs: _*)
-    // per-file footprint first (sidecar-sized): which files carry
-    // vectors, and the bitmap bytes an index over them would need
-    val perFile = dv.groupBy("__file")
-      .agg(max(col("__pos")).as("mx")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val touched = perFile.map(p => Dfs.canonical(p._1)).toSet
+    val dvRawFiles = dv.select("__file").distinct().collect()
+      .map(_.getString(0))
+    val touched = dvRawFiles.map(Dfs.canonical).toSet
     val (hit, clean) = data.partition(f => touched.contains(Dfs.canonical(f)))
     val applied =
       if (hit.isEmpty) None
-      else dvMembershipColumn(spark, dv) match {
-        case Some(deleted) =>
-          Some(rd(hit, pos = true).filter(!deleted).drop("__file", "__pos"))
-        case None =>
-          Some(rd(hit, pos = true)
-            .join(dv, Seq("__file", "__pos"), "left_anti")
-            .drop("__file", "__pos"))
+      else {
+        // index only the files THIS scan carries: sidecars legitimately
+        // hold rows for retired or pruned-away files, and paying bitmap
+        // bytes (or the budget) for files the scan never opens would be
+        // footprint the query didn't ask for
+        val hitCanon = hit.map(Dfs.canonical).toSet
+        val dvHitRaw = dvRawFiles.filter(r => hitCanon.contains(Dfs.canonical(r)))
+        val dvHit =
+          if (dvHitRaw.length == dvRawFiles.length) dv
+          else dv.filter(col("__file").isin(dvHitRaw.toIndexedSeq: _*))
+        dvMembershipColumn(spark, dvHit) match {
+          case Some(deleted) =>
+            Some(rd(hit, pos = true).filter(!deleted).drop("__file", "__pos"))
+          case None =>
+            Some(rd(hit, pos = true)
+              .join(dvHit, Seq("__file", "__pos"), "left_anti")
+              .drop("__file", "__pos"))
+        }
       }
     val plain = if (clean.isEmpty) None else Some(rd(clean))
     (applied, plain) match {
@@ -837,12 +853,18 @@ object Manifests {
   private[graft] def dvMembershipColumn(spark: SparkSession,
       pos: DataFrame): Option[Column] = {
     val perFile = pos.groupBy("__file")
-      .agg(max(col("__pos")).as("mx")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .agg(max(col("__pos")).as("mx"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val estBytes = perFile.map(_._2 / 8 + 64).sum
     val maxBytes = spark.conf.getOption("graft.dv.indexMaxBytes")
       .map(_.toLong).getOrElse(64L << 20)
-    if (estBytes > maxBytes || perFile.exists(_._2 >= Int.MaxValue)) None
+    // the budget must bound BOTH costs: the shipped bitmap bytes
+    // (max-position span) and the DRIVER build — collect_list
+    // materializes every position as a boxed long, so a dense frame
+    // that fits the bitmap budget could still OOM the collect. 8
+    // bytes/position against the same budget keeps the build bounded.
+    if (estBytes > maxBytes || perFile.map(_._3).sum > maxBytes / 8 ||
+        perFile.exists(_._2 >= Int.MaxValue)) None
     else {
       val m = new java.util.HashMap[
         org.apache.spark.unsafe.types.UTF8String, java.util.BitSet]
@@ -1818,6 +1840,10 @@ object Manifests {
         val a = dvOf(dvA)
         val b = dvOf(dvB)
         def rowsAt(posRaw: DataFrame) = {
+          // the persist serves the EAGER jobs below (distinct, the
+          // index build's agg + collect); the over-budget fallback
+          // returns a lazy join that recomputes the diff at execution
+          // — the pre-index behavior, accepted for that rare branch
           val pos = posRaw.persist()
           try {
             val touched = pos.select("__file").distinct().collect()

@@ -1549,6 +1549,15 @@ class ManifestsSpec extends AnyFunSuite {
     Manifests.widenColumn(spark, b, "k", LongType)
     val v2 = Manifests.latestVersion(spark, b).get
     assert(Manifests.statsOf(spark, b, v2).exists(_._1 === Seq("id")))
+    // the hazard the key-list contract guards: an append now stats
+    // only the surviving keys, so older segments' typed k-extrema and
+    // the new segment's null-filled ones coexist — a box on the
+    // narrowed column must NOT prune (null extrema would read as
+    // "prunable" and the appended rows would silently vanish)
+    Manifests.append(Seq((1000L, 42L)).toDF("id", "k"), b)
+    assert(Manifests.readWhere(spark, b, Seq(("k", 40L, 50L)))
+      .filter(col("k").between(40L, 50L)).count() === 1,
+      "a box on a narrowed-out stats key must fall back to the full read")
     // re-ANALYZE re-indexes under the wide type
     Manifests.analyze(spark, b, Seq("id", "k"))
     val v3 = Manifests.latestVersion(spark, b).get

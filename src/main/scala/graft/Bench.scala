@@ -47,6 +47,7 @@ object Bench {
     // CTAS + ALTER + INSERT catalog builds (r11 judge: the timed number
     // must be the steady-state catalog SELECT, not the fixture build)
     "sql_add_column", "sql_rename_column", "sql_widen_column",
+    "sql_not_null",
     // r12 catalog fixtures: CTAS + MoR deletes / partition overwrites /
     // the change-range lineage — all one-time builds
     "sql_select_mor", "sql_insert_overwrite", "sql_changes_between",

@@ -381,6 +381,16 @@ object SparkEntry {
       s.sql(s"SELECT customer_id, code, country FROM graft.`$c`")
         .orderBy("customer_id")
     }),
+    // NOT NULL lifecycle, pure SQL: CTAS → CALL set_not_null (proof:
+    // zero live nulls, metadata-only commit) → INSERT under the
+    // enforced bit → ALTER COLUMN DROP NOT NULL → INSERT of a row
+    // only the relaxed contract admits; the SELECT carries that null
+    // row, so a lost relax (or a lost insert) hash-fails
+    "sql_not_null" -> ((s, d) => {
+      val c = mansqlNnFixture(s, d)
+      s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$c`")
+        .orderBy("customer_id")
+    }),
     // DV-aware catalog reads: the table took a country-aligned
     // merge-on-read delete (full-file elision retires the pure files,
     // vectors the boundary), a SQL DELETE, then an UNclustered MoR
@@ -886,6 +896,32 @@ object SparkEntry {
     c
   }
 
+  /** NOT NULL lifecycle fixture: CTAS of the non-NATION_5 customers →
+    * `CALL graft.system.set_not_null` (scan-proof, metadata-only
+    * commit) → the NATION_5 INSERT lands under the enforced bit →
+    * `ALTER COLUMN country DROP NOT NULL` → an INSERT with a NULL
+    * country that only the relaxed contract admits. */
+  private def mansqlNnFixture(s: SparkSession, d: String): String = {
+    val c = dumpDir(s, d, "mansqlnn")
+    val marker = s"${c}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer
+        .select("customer_key", "customer_id", "country")
+        .repartition(4).createOrReplaceTempView("graft_sqlnn_dim")
+      s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqlnn_dim " +
+        "WHERE country IS DISTINCT FROM 'NATION_5'")
+      s.sql(s"CALL graft.system.set_not_null('$c', 'country')")
+      s.sql(s"INSERT INTO graft.`$c` SELECT customer_key, customer_id, " +
+        "country FROM graft_sqlnn_dim WHERE country = 'NATION_5'")
+      s.sql(s"ALTER TABLE graft.`$c` ALTER COLUMN country DROP NOT NULL")
+      s.sql(s"INSERT INTO graft.`$c` VALUES " +
+        "(-1, 'ZZZ_NULL_CUSTOMER', CAST(NULL AS STRING))")
+      ext.Dfs.touch(s, marker)
+    }
+    c
+  }
+
   /** Fresh-MoR SQL fixture: CTAS bootstrap (clustered on country), a
     * Scala merge-on-read delete of a clustered country (full-file
     * elision retires the pure files, vectors only the boundary), a SQL
@@ -1147,6 +1183,18 @@ object SparkEntry {
       s"""${Oracle.warehouseCte}
          | SELECT customer_key, customer_id, country AS region
          | FROM dim_customer
+         | ORDER BY customer_id""".stripMargin,
+    // full dim_customer plus the one explicitly-inserted null-country
+    // row the relaxed contract admits
+    "sql_not_null" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_key, customer_id, country FROM (
+         |  SELECT customer_key, customer_id, country FROM dim_customer
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT) AS customer_key,
+         |         'ZZZ_NULL_CUSTOMER' AS customer_id,
+         |         CAST(NULL AS VARCHAR) AS country
+         | ) nn_all
          | ORDER BY customer_id""".stripMargin,
     // ALTER COLUMN TYPE: pre-widening rows carry their INT-era values
     // read as BIGINT; the post-widening batch holds values above

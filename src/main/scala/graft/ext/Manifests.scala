@@ -423,8 +423,14 @@ object Manifests {
       require(o.dataType == f.dataType,
         s"column ${f.name}: incompatible type evolution " +
           s"${o.dataType.simpleString} -> ${f.dataType.simpleString}")))
+    // an evolution-added field records NULLABLE regardless of the
+    // batch's own flag: every pre-evolution file null-fills it, so a
+    // non-null bit here would be a false contract (and the recorded
+    // bit IS enforced — see enforceConstraints). SET NOT NULL can
+    // tighten it later, with proof.
     org.apache.spark.sql.types.StructType(
-      old.fields ++ add.fields.filterNot(f => byName.contains(f.name)))
+      old.fields ++ add.fields.filterNot(f => byName.contains(f.name))
+        .map(_.copy(nullable = true)))
   }
 
   /** The union schema two versions' READERS share (the change-feed
@@ -480,16 +486,29 @@ object Manifests {
     latestVersion(spark, base).flatMap(tagOf(spark, base, _))
 
   /** Bootstrap: write `df` as a fresh immutable data directory and
-    * commit its part files as the next version. */
-  def commitData(df: DataFrame, base: String): Int = {
+    * commit its part files as the next version. `recordSchema`
+    * overrides the RECORDED schema (names and types must match the
+    * data; used by the catalog to record DECLARED nullability instead
+    * of the incoming query's inferred bits — a VALUES plan's fields
+    * arrive non-nullable, and plan-derived nullability cannot be
+    * relaxed by projection). */
+  def commitData(df: DataFrame, base: String,
+      recordSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     val spark = df.sparkSession
+    recordSchema.foreach { rs =>
+      require(rs.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        "recordSchema must match the data's names and types")
+    }
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(dir)
     val fs = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     // an overwrite on a live table must still honor its constraints
     enforceConstraints(spark, base, latestVersion(spark, base), fs,
-      Some(df.schema))
-    commit(spark, base, fs, schema = Some(df.schema))
+      Some(df.schema), overwrite = true)
+    commit(spark, base, fs,
+      schema = Some(recordSchema.getOrElse(df.schema)))
   }
 
   /** Bootstrap a BUCKETED table: rows are hash-partitioned on `keys`
@@ -545,7 +564,7 @@ object Manifests {
     // the spelling every other write path's set arithmetic compares by
     val renamed = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     enforceConstraints(spark, base, latestVersion(spark, base), renamed,
-      Some(df.schema))
+      Some(df.schema), overwrite = true)
     val v = commit(spark, base, renamed, schema = Some(df.schema))
     Dfs.writeBytes(spark, s"$base/v$v/_bucketspec",
       s"$numBuckets\n${keys.mkString(",")}\n${sortBy.mkString(",")}\n"
@@ -747,7 +766,9 @@ object Manifests {
     * derive tuples for the new files only. */
   def commitDataPartitioned(df: DataFrame, base: String,
       partCols: Seq[String], filesPerWrite: Int = 0,
-      overwrite: Boolean = false): Int = {
+      overwrite: Boolean = false,
+      recordSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
     partCols.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' is not in the schema"))
@@ -777,8 +798,9 @@ object Manifests {
       .write.mode("errorifexists").parquet(dir)
     val files = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     enforceConstraints(spark, base, latestVersion(spark, base), files,
-      Some(df.schema))
-    commit(spark, base, files, schema = Some(df.schema),
+      Some(df.schema), overwrite = true)
+    commit(spark, base, files,
+      schema = Some(recordSchema.getOrElse(df.schema)),
       partValues = Some((partCols,
         Seq(writePartValues(spark, base, files, partCols, Some(df.schema))))))
   }
@@ -2601,6 +2623,92 @@ object Manifests {
       dropped = Some(droppedOf(spark, base, v)))
   }
 
+  /** ALTER TABLE ... ALTER COLUMN ... SET NOT NULL / DROP NOT NULL —
+    * metadata-only both ways, and the recorded bit is a REAL contract:
+    * every write path's single-pass invariant aggregate
+    * (enforceConstraints) refuses a batch that puts NULL into (or
+    * omits) a non-nullable column, exactly like a CHECK violation.
+    *
+    * DROP NOT NULL always commits (relaxing can't invalidate data).
+    * SET NOT NULL must PROVE zero existing nulls first: metadata-tier
+    * when the stats sidecar covers every manifest file with a zero
+    * `<k>_nulls` count for the column — deletes only remove rows, so
+    * zero raw nulls implies zero live nulls even under deletion
+    * vectors — and one column-pruned scan otherwise. A 100 TB table
+    * that keeps ANALYZE current tightens nullability without reading
+    * a byte of data. Stats/blooms carry verbatim: nullability changes
+    * no values. */
+  def setColumnNullability(spark: SparkSession, base: String,
+      name: String, nullable: Boolean): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val sch = schemaOf(spark, base, v).getOrElse(
+      sys.error(s"$base records no schema — ALTER COLUMN needs one"))
+    val resolver = spark.sessionState.analyzer.resolver
+    val field = sch.fields.find(f => resolver(f.name, name)).getOrElse(
+      sys.error(s"no column '$name' in the recorded schema of $base"))
+    require(field.nullable != nullable,
+      s"column '$name' is already " +
+        (if (nullable) "nullable" else "NOT NULL"))
+    if (!nullable) {
+      val fs = files(spark, base, v).map(Dfs.canonical).toSet
+      val byStats = statsOf(spark, base, v).exists { case (keys, segs) =>
+        keys.find(resolver(_, name)).exists { k =>
+          val st = spark.read.option("mergeSchema", "true")
+            .parquet(segs: _*)
+          st.schema.fieldNames.contains(s"${k}_nulls") && {
+            val rows = st
+              .select(col("file"), col(s"`${k}_nulls`")).collect()
+              .filter(r => fs.contains(Dfs.canonical(r.getString(0))))
+            rows.map(_.getString(0)).distinct.length == fs.size &&
+              rows.forall(r => !r.isNullAt(1) && r.getLong(1) == 0L)
+          }
+        }
+      }
+      if (!byStats)
+        require(readAt(spark, base, v)
+          .filter(col(s"`$name`").isNull).limit(1).count() == 0,
+          s"column '$name' holds NULLs — SET NOT NULL refused " +
+            "(delete or fill them first)")
+    }
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"set-nullability:$name:" +
+        (if (nullable) "nullable" else "notnull")),
+      dv = dvFiles(spark, base, v),
+      schema = Some(org.apache.spark.sql.types.StructType(
+        sch.fields.map(f => if (resolver(f.name, name))
+          f.copy(nullable = nullable) else f))),
+      stats = statsOf(spark, base, v),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v),
+      dropped = Some(droppedOf(spark, base, v)))
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... COMMENT — pure metadata: the
+    * comment rides the recorded schema's field metadata. */
+  def commentColumn(spark: SparkSession, base: String, name: String,
+      comment: String): Int = {
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val sch = schemaOf(spark, base, v).getOrElse(
+      sys.error(s"$base records no schema — ALTER COLUMN needs one"))
+    val resolver = spark.sessionState.analyzer.resolver
+    require(sch.fieldNames.exists(resolver(_, name)),
+      s"no column '$name' in the recorded schema of $base")
+    commit(spark, base, files(spark, base, v),
+      tag = Some(s"comment-column:$name"),
+      dv = dvFiles(spark, base, v),
+      schema = Some(org.apache.spark.sql.types.StructType(
+        sch.fields.map(f => if (resolver(f.name, name))
+          f.withComment(comment) else f))),
+      stats = statsOf(spark, base, v),
+      parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v),
+      dropped = Some(droppedOf(spark, base, v)))
+  }
+
   /** ALTER TABLE ... RENAME COLUMN — METADATA-ONLY, the third face of
     * schema evolution: the next version carries the SAME files with
     * the field renamed in the recorded schema plus one [[RenameEvent]]
@@ -2765,16 +2873,36 @@ object Manifests {
     * and the orphaned files are ordinary [[sweepOrphans]] residue. */
   private def enforceConstraints(spark: SparkSession, base: String,
       snapshot: Option[Int], newFiles: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      overwrite: Boolean = false): Unit = {
     val cs = snapshot.filter(_ >= 0)
       .map(constraintsOf(spark, base, _)).getOrElse(Seq.empty)
-    if (cs.isEmpty || newFiles.isEmpty) return
+    // NOT NULL is table metadata like the CHECK set: fields the
+    // recorded schema marks non-nullable are enforced on every
+    // incoming file in the same single-pass aggregate
+    // ...except on an OVERWRITE, which redefines the schema: its own
+    // df.schema nullability becomes the new recorded contract, and
+    // holding the new data to the SUPERSEDED schema's bits would
+    // refuse legitimate reshapes
+    val nn: Seq[String] =
+      if (overwrite) Seq.empty
+      else snapshot.filter(_ >= 0)
+        .flatMap(schemaOf(spark, base, _))
+        .map(_.fields.filterNot(_.nullable).map(_.name).toSeq)
+        .getOrElse(Seq.empty)
+    if ((cs.isEmpty && nn.isEmpty) || newFiles.isEmpty) return
     val df = schema.fold(spark.read)(spark.read.schema(_))
       .parquet(newFiles: _*)
+    val nnMissing = nn.filterNot(df.columns.contains)
+    if (nnMissing.nonEmpty)
+      throw new ConstraintViolationException(
+        s"write to $base omits NOT NULL column(s) " +
+          s"${nnMissing.mkString(", ")} — the rows would null-fill them")
     val flags = cs.map { case (n, p) =>
       max(when(not(coalesce(expr(p), lit(true))), lit(1))
         .otherwise(lit(0))).as(n)
-    }
+    } ++ nn.map(n =>
+      max(when(col(s"`$n`").isNull, lit(1)).otherwise(lit(0))).as(s"__nn_$n"))
     val row = df.agg(flags.head, flags.tail: _*).head
     val violated = cs.indices
       .filter(i => !row.isNullAt(i) && row.getInt(i) == 1)
@@ -2783,6 +2911,14 @@ object Manifests {
       throw new ConstraintViolationException(
         s"write to $base violates CHECK constraint(s): " +
           violated.map { case (n, p) => s"'$n' ($p)" }.mkString(", "))
+    val nullViolated = nn.indices
+      .filter { i => val j = cs.length + i
+        !row.isNullAt(j) && row.getInt(j) == 1 }
+      .map(nn(_)).toList
+    if (nullViolated.nonEmpty)
+      throw new ConstraintViolationException(
+        s"write to $base puts NULL into NOT NULL column(s): " +
+          nullViolated.mkString(", "))
   }
 
   /** Shallow CLONE: start a NEW table at `dst` whose v0 references

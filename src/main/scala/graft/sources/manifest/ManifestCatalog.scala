@@ -279,6 +279,16 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           "manifest ALTER COLUMN TYPE addresses top-level columns")
         Manifests.widenColumn(spark, t.base, u.fieldNames.head,
           u.newDataType)
+      case n: TableChange.UpdateColumnNullability =>
+        require(n.fieldNames.length == 1,
+          "manifest ALTER COLUMN nullability addresses top-level columns")
+        Manifests.setColumnNullability(spark, t.base, n.fieldNames.head,
+          n.nullable)
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1,
+          "manifest ALTER COLUMN COMMENT addresses top-level columns")
+        Manifests.commentColumn(spark, t.base, c.fieldNames.head,
+          c.newComment)
       case c => sys.error(s"unsupported ALTER TABLE change $c — " +
         "manifest schema evolution is additive via writes; use " +
         "dropColumn/addConstraint through the table API")

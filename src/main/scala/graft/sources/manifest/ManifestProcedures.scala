@@ -119,6 +119,17 @@ private[manifest] final class ManifestProcedures(
       Seq(p("table", StringType), p("column", StringType)),
       out1("version", IntegerType),
       (base, in) => InternalRow(Manifests.dropColumn(spark, base,
-        in.getUTF8String(1).toString)))
+        in.getUTF8String(1).toString))),
+    // the SQL face of the TIGHTENING direction: Spark's analyzer
+    // hard-blocks `ALTER COLUMN ... SET NOT NULL` for DSv2 tables
+    // (CheckAnalysis cannot know a connector can prove the data), so
+    // the proof-carrying tighten ships as a procedure — Iceberg's
+    // pattern for every operation ALTER cannot express. DROP NOT NULL
+    // stays on the standard ALTER path.
+    Proc("set_not_null",
+      Seq(p("table", StringType), p("column", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.setColumnNullability(spark, base,
+        in.getUTF8String(1).toString, nullable = false)))
   ).map(pr => pr.procName -> (pr: UnboundProcedure)).toMap
 }

@@ -251,15 +251,35 @@ class ManifestTable(spark: SparkSession, val base: String,
               require(pinned.isEmpty,
                 s"cannot write to $base pinned at version ${pinned.get} — " +
                   "versions are immutable; write to the table head")
+              // a VALUES/literal query arrives with non-nullable field
+              // flags (plan-derived nullability cannot be relaxed by
+              // projection); RECORDING those on bootstrap would
+              // silently tighten the declared contract — and the
+              // recorded bit is enforced like a CHECK. Record the
+              // declared nullability instead, relaxation only.
+              val recSchema: Option[StructType] = declaredSchema match {
+                case Some(ds) if ds.length == data.schema.length &&
+                    ds.fields.zip(data.schema.fields).forall {
+                      case (d, a) => d.dataType == a.dataType } =>
+                  val relaxed = StructType(
+                    data.schema.fields.zip(ds.fields).map {
+                      case (a, d) =>
+                        a.copy(nullable = a.nullable || d.nullable) })
+                  Some(relaxed).filter(_ != data.schema)
+                case _ => None
+              }
               val exists = Manifests.latestVersion(spark, base).isDefined
               val parts = if (declaredPartCols.nonEmpty) declaredPartCols
                 else currentVersion.flatMap(v =>
                   Manifests.partitionedBy(spark, base, v).map(_._1))
                   .getOrElse(Seq.empty)
               def bootstrap(): Unit = parts match {
-                case Seq() => Manifests.commitData(data, base): Unit
+                case Seq() =>
+                  Manifests.commitData(data, base,
+                    recordSchema = recSchema): Unit
                 case cols => Manifests.commitDataPartitioned(
-                  data, base, cols, overwrite = false): Unit
+                  data, base, cols, overwrite = false,
+                  recordSchema = recSchema): Unit
               }
               overwriteCond match {
                 case Some(cond) if exists =>
@@ -270,9 +290,11 @@ class ManifestTable(spark: SparkSession, val base: String,
                   bootstrap()
                 case None =>
                   if (replaceAll || overwrite || !exists) parts match {
-                    case Seq() => Manifests.commitData(data, base): Unit
+                    case Seq() => Manifests.commitData(data, base,
+                      recordSchema = recSchema): Unit
                     case cols => Manifests.commitDataPartitioned(
-                      data, base, cols, overwrite = exists): Unit
+                      data, base, cols, overwrite = exists,
+                      recordSchema = recSchema): Unit
                   } else Manifests.append(data, base): Unit
               }
             }

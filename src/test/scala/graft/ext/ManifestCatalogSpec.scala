@@ -521,6 +521,43 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("widening"))
   }
 
+  test("SQL ALTER COLUMN SET/DROP NOT NULL and COMMENT: metadata-only, the bit enforced on SQL and Scala writes alike") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.nnc")
+    sql("CREATE TABLE graft.nnc.t (id BIGINT, s STRING)")
+    sql("INSERT INTO graft.nnc.t VALUES (1, 'a'), (2, 'b')")
+    val b = s"$wh/nnc/t"
+    val v0 = Manifests.latestVersion(spark, b).get
+    val files0 = Manifests.files(spark, b, v0)
+    // Spark's analyzer hard-blocks the ALTER spelling of the tighten
+    // for DSv2 tables — the proof-carrying SQL face is the procedure
+    sql("CALL graft.system.set_not_null('nnc.t', 's')")
+    assert(Manifests.files(spark, b, v0 + 1) === files0,
+      "SET NOT NULL is metadata-only — same files carried by reference")
+    assert(!spark.table("graft.nnc.t").schema("s").nullable)
+    // enforced on the SQL write path...
+    intercept[Throwable](
+      sql("INSERT INTO graft.nnc.t VALUES (3, CAST(NULL AS STRING))"))
+    assert(sql("SELECT count(*) FROM graft.nnc.t").head.getLong(0) === 2,
+      "a refused INSERT must not have half-applied")
+    // ...and on the Scala append path (same single-pass invariant agg)
+    intercept[Throwable](Manifests.append(
+      Seq((4L, null: String)).toDF("id", "s"), b))
+    // DROP NOT NULL relaxes; the null lands; re-tightening refuses
+    sql("ALTER TABLE graft.nnc.t ALTER COLUMN s DROP NOT NULL")
+    sql("INSERT INTO graft.nnc.t VALUES (5, CAST(NULL AS STRING))")
+    assert(sql("SELECT count(*) FROM graft.nnc.t WHERE s IS NULL")
+      .head.getLong(0) === 1)
+    intercept[Throwable](
+      sql("CALL graft.system.set_not_null('nnc.t', 's')"))
+    // COMMENT is pure metadata riding the recorded schema
+    sql("ALTER TABLE graft.nnc.t ALTER COLUMN id COMMENT 'the key'")
+    assert(spark.table("graft.nnc.t").schema("id")
+      .getComment().contains("the key"))
+    assert(Manifests.files(spark, b,
+      Manifests.latestVersion(spark, b).get).toSet !== Set.empty)
+  }
+
   test("DROP TABLE keeps the registration when the managed-data delete fails — no orphaned bytes") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftdel.impl", classOf[FailingDeleteFileSystem].getName)

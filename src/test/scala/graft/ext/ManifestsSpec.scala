@@ -1578,6 +1578,49 @@ class ManifestsSpec extends AnyFunSuite {
       DecimalType(10, 2), DecimalType(9, 1)))
   }
 
+  test("setColumnNullability: stats-covered SET NOT NULL proves with zero data opens; the bit is enforced; uncovered tighten falls back to the scan") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    val b = "graftcnt:" + java.nio.file.Files
+      .createTempDirectory("graft_man_nn").toString + "/t"
+    Manifests.commitData(
+      (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+        .repartition(4), b)
+    Manifests.analyze(spark, b, Seq("s"))
+    def dataOpens(f: => Unit): Long = {
+      val s0 = CountingFileSystem.dataReads.get(); f
+      CountingFileSystem.dataReads.get() - s0
+    }
+    // ANALYZE covers every file with s_nulls = 0: the proof folds
+    // sidecar rows — no data file opens on a 100-file or 100 TB table
+    assert(dataOpens {
+      Manifests.setColumnNullability(spark, b, "s", nullable = false): Unit
+    } === 0L, "a stats-covered SET NOT NULL must not open data files")
+    val v = Manifests.latestVersion(spark, b).get
+    assert(!Manifests.schemaOf(spark, b, v).get.apply("s").nullable)
+    // the recorded bit is a real contract: a null append refuses like
+    // a CHECK violation, a clean append lands
+    intercept[ConstraintViolationException](Manifests.append(
+      Seq((200L, null: String)).toDF("id", "s"), b))
+    Manifests.append(Seq((201L, "ok")).toDF("id", "s"), b)
+    assert(Manifests.readLatest(spark, b).count() === 101)
+    // DROP NOT NULL relaxes, the null lands; re-tightening now must
+    // fall past the stats (which honestly count the null) to the scan
+    // proof, and refuse
+    Manifests.setColumnNullability(spark, b, "s", nullable = true)
+    Manifests.append(Seq((202L, null: String)).toDF("id", "s"), b)
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("s").isNull).count() === 1)
+    intercept[IllegalArgumentException](
+      Manifests.setColumnNullability(spark, b, "s", nullable = false))
+    // no-op flips refuse; unknown column refuses
+    intercept[IllegalArgumentException](
+      Manifests.setColumnNullability(spark, b, "s", nullable = true))
+    intercept[RuntimeException](
+      Manifests.setColumnNullability(spark, b, "nope", nullable = false))
+  }
+
   test("renameColumn: restore and clone carry the self-contained era story") {
     import spark.implicits._
     // restore to a PRE-rename version revives the old name and clears

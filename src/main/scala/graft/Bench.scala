@@ -48,6 +48,7 @@ object Bench {
     // must be the steady-state catalog SELECT, not the fixture build)
     "sql_add_column", "sql_rename_column", "sql_widen_column",
     "sql_not_null",
+    "sql_delta_log", // CTAS + 8-commit chain + vacuum one-time build
     // r12 catalog fixtures: CTAS + MoR deletes / partition overwrites /
     // the change-range lineage — all one-time builds
     "sql_select_mor", "sql_insert_overwrite", "sql_changes_between",

@@ -381,6 +381,16 @@ object SparkEntry {
       s.sql(s"SELECT customer_id, code, country FROM graft.`$c`")
         .orderBy("customer_id")
     }),
+    // the delta-encoded manifest log end-to-end: a long pure-SQL
+    // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
+    // COLUMN, DELETE, VACUUM cutting the chain, one more INSERT) whose
+    // final state must still resolve exactly through whatever mix of
+    // flat and delta manifests the lineage left behind
+    "sql_delta_log" -> ((s, d) => {
+      val c = mansqlDlogFixture(s, d)
+      s.sql(s"SELECT customer_key, customer_id, country, flag " +
+        s"FROM graft.`$c`").orderBy("customer_id")
+    }),
     // NOT NULL lifecycle, pure SQL: CTAS → CALL set_not_null (proof:
     // zero live nulls, metadata-only commit) → INSERT under the
     // enforced bit → ALTER COLUMN DROP NOT NULL → INSERT of a row
@@ -896,6 +906,44 @@ object SparkEntry {
     c
   }
 
+  /** Delta-log lineage fixture: a table maintained through enough
+    * single-batch INSERTs to cross the delta-chain cap TWICE (forced
+    * low via `graft.manifest.maxChain=3`, so mid-lineage commits
+    * flatten and the rest delta-encode against their parents), plus a
+    * metadata-only DDL (a zero-line delta), a CoW DELETE
+    * (removes+adds in one delta), a VACUUM whose retention floor cuts
+    * the chain (the floor survivor flattens before its bases are
+    * reclaimed) and one post-vacuum INSERT chaining on the flattened
+    * floor. The registered SELECT reads the final state through every
+    * encoding the lineage left behind — a lost add, a misapplied
+    * remove or a dangling base shifts rows and hash-fails the oracle. */
+  private def mansqlDlogFixture(s: SparkSession, d: String): String = {
+    val c = dumpDir(s, d, "mansqldlg")
+    val marker = s"${c}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      s.conf.set("graft.manifest.maxChain", "3")
+      try {
+        Warehouse(s, d).dimCustomer
+          .select("customer_key", "customer_id", "country")
+          .repartition(4).createOrReplaceTempView("graft_sqldlg_dim")
+        s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqldlg_dim " +
+          "WHERE customer_key % 8 IN (0, 1)")
+        (2 to 7).foreach(i =>
+          s.sql(s"INSERT INTO graft.`$c` SELECT * FROM graft_sqldlg_dim " +
+            s"WHERE customer_key % 8 = $i"))
+        s.sql(s"ALTER TABLE graft.`$c` ADD COLUMN flag STRING")
+        s.sql(s"DELETE FROM graft.`$c` WHERE customer_key % 8 = 4")
+        s.sql(s"CALL graft.system.vacuum('$c', 2)")
+        s.sql(s"INSERT INTO graft.`$c` SELECT customer_key, customer_id, " +
+          "country, 'LATE' AS flag FROM graft_sqldlg_dim " +
+          "WHERE customer_key % 8 = 4")
+      } finally s.conf.unset("graft.manifest.maxChain")
+      ext.Dfs.touch(s, marker)
+    }
+    c
+  }
+
   /** NOT NULL lifecycle fixture: CTAS of the non-NATION_5 customers →
     * `CALL graft.system.set_not_null` (scan-proof, metadata-only
     * commit) → the NATION_5 INSERT lands under the enforced bit →
@@ -1195,6 +1243,16 @@ object SparkEntry {
          |         'ZZZ_NULL_CUSTOMER' AS customer_id,
          |         CAST(NULL AS VARCHAR) AS country
          | ) nn_all
+         | ORDER BY customer_id""".stripMargin,
+    // delta-log lineage: the final table is ALL of dim_customer —
+    // bucket 4 was deleted and re-inserted with flag='LATE', every
+    // other row predates the ADD COLUMN and reads a NULL flag
+    "sql_delta_log" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_key, customer_id, country,
+         |   CASE WHEN customer_key % 8 = 4 THEN 'LATE'
+         |        ELSE CAST(NULL AS VARCHAR) END AS flag
+         | FROM dim_customer
          | ORDER BY customer_id""".stripMargin,
     // ALTER COLUMN TYPE: pre-widening rows carry their INT-era values
     // read as BIGINT; the post-widening batch holds values above

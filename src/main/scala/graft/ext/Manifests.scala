@@ -36,6 +36,16 @@ final class ConstraintViolationException(msg: String)
   *  - version `i` is `base/v<i>/_manifest` (one absolute file URI per
   *    line) gated by `base/v<i>/_SUCCESS` — the marker creation IS the
   *    commit point, a crash before it leaves an invisible version;
+  *  - a manifest may be DELTA-ENCODED against its parent: a first line
+  *    `@delta <p>` followed by `+<uri>` / `-<uri>` lines means "version
+  *    p's files, minus the `-` lines, plus the `+` lines (appended in
+  *    order)". An append to an N-file table then writes O(appended)
+  *    manifest bytes, not O(N) — the Delta-log shape (actions per
+  *    commit, checkpoints to bound replay): chains are capped at
+  *    `graft.manifest.maxChain` (default 16, 0 disables) links before a
+  *    commit flattens, full rewrites (compact/overwrite) always write
+  *    flat, and vacuum flattens the retention-floor version before
+  *    reclaiming the chain below it, so resolution never dangles;
   *  - version numbers are won via the same `_claims` CAS as
   *    [[Snapshots.commit]], so concurrent committers land as distinct
   *    versions;
@@ -104,12 +114,90 @@ object Manifests {
         Dfs.writeBytes(spark, s"$base/_latest", s"$v\n".getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Files of version `v` (absolute URIs, manifest order). */
+  /** Files of version `v` (absolute URIs, manifest order), resolving
+    * delta-encoded manifests through their parent chain: the chain is
+    * walked down to its flat base (≤ maxChain links by construction),
+    * then each layer's removes/adds apply oldest-first — removed files
+    * drop, added files append, so the resolved order is exactly what a
+    * flat write of the same list would have recorded. */
   def files(spark: SparkSession, base: String, v: Int): Seq[String] = {
-    require(Dfs.exists(spark, s"$base/v$v/_SUCCESS"),
-      s"version $v was never committed under $base")
+    def lines(n: Int): Seq[String] = {
+      require(Dfs.exists(spark, s"$base/v$n/_SUCCESS"),
+        s"version $n was never committed under $base")
+      new String(Dfs.readBytes(spark, s"$base/v$n/_manifest"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    var layers = List.empty[Seq[String]] // oldest-first after the walk
+    var cur = lines(v)
+    var hops = 0
+    while (cur.headOption.exists(_.startsWith("@delta"))) {
+      hops += 1
+      require(hops <= 100000,
+        s"manifest delta chain under $base/v$v never reaches a flat base")
+      val p = cur.head match {
+        case deltaDirective(n) => n.toInt
+        case h => sys.error(s"malformed manifest directive in $base: $h")
+      }
+      layers = cur.tail :: layers
+      cur = lines(p)
+    }
+    if (layers.isEmpty) cur
+    else {
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      out ++= cur
+      layers.foreach(_.foreach { l =>
+        if (l.startsWith("+")) out += l.substring(1)
+        else if (l.startsWith("-")) out -= l.substring(1)
+        else sys.error(s"malformed delta manifest line in $base: $l")
+      })
+      out.toSeq
+    }
+  }
+
+  private val deltaDirective = "@delta (\\d+)".r
+
+  /** The version a delta-encoded manifest resolves through, None for a
+    * flat manifest. */
+  private def chainBaseOf(spark: SparkSession, base: String,
+      v: Int): Option[Int] =
     new String(Dfs.readBytes(spark, s"$base/v$v/_manifest"), "UTF-8")
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      .linesIterator.map(_.trim).find(_.nonEmpty).collect {
+        case deltaDirective(n) => n.toInt
+      }
+
+  /** Raw `_counts` lines of `v` (empty when absent/unreadable):
+    * 0 = data files, 1 = DV files, 2 = added bytes, 3 = delta-chain
+    * depth (absent ⇒ flat). */
+  private def countsRaw(spark: SparkSession, base: String,
+      v: Int): Seq[String] =
+    try {
+      if (!Dfs.exists(spark, s"$base/v$v/_counts")) Seq.empty
+      else new String(Dfs.readBytes(spark, s"$base/v$v/_counts"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Rewrite `v`'s manifest flat (resolved list, identical order) and
+    * zero its recorded chain depth — the vacuum pre-pass that keeps
+    * delta chains from dangling across a reclaim, and the repair any
+    * maintenance path may apply (a flat manifest is always valid). */
+  private def flattenManifest(spark: SparkSession, base: String,
+      v: Int): Unit = {
+    if (chainBaseOf(spark, base, v).isEmpty) return
+    val resolved = files(spark, base, v)
+    val tmp = s"$base/v$v/_manifest.flat"
+    Dfs.writeBytes(spark, tmp,
+      resolved.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Dfs.delete(spark, s"$base/v$v/_manifest")
+    Dfs.rename(spark, tmp, s"$base/v$v/_manifest")
+    try {
+      val ls = countsRaw(spark, base, v).toBuffer
+      if (ls.nonEmpty) {
+        while (ls.size < 4) ls += "0"
+        ls(3) = "0"
+        Dfs.writeBytes(spark, s"$base/v$v/_counts",
+          ls.mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Publish `dataFiles` as the next version; returns it. The version
@@ -141,7 +229,9 @@ object Manifests {
       constraints: Option[Seq[(String, String)]] = None,
       dropped: Option[Seq[String]] = None,
       renames: Option[Seq[RenameEvent]] = None,
-      addRename: Option[(String, String)] = None): Int = {
+      addRename: Option[(String, String)] = None,
+      delta: Option[(Seq[String], Seq[String])] = None,
+      txn: Option[(String, Long)] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -170,8 +260,43 @@ object Manifests {
         n
     }
     Dfs.mkdirs(spark, s"$base/v$v")
-    Dfs.writeBytes(spark, s"$base/v$v/_manifest",
-      dataFiles.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // `delta` is a WRITE-FORMAT hint from callers that know their list
+    // is parent's ± a small diff (appends, metadata-only DDL, surgical
+    // rewrites): dataFiles stays the source of truth, the hint only
+    // lets the manifest record O(diff) bytes instead of O(table). It is
+    // taken exactly when the arithmetic checks out against the parent's
+    // recorded count (a legacy parent without one writes flat), the
+    // chain stays under `graft.manifest.maxChain`, and the diff is
+    // actually smaller than the flat list.
+    val deltaWrite: Option[(Int, Seq[String], Seq[String], Int)] =
+      delta.flatMap { case (adds, removes) =>
+        parent.filter(_ >= 0).flatMap { p =>
+          val maxChain = spark.conf.getOption("graft.manifest.maxChain")
+            .map(_.toInt).getOrElse(16)
+          val raw = countsRaw(spark, base, p)
+          val depth = raw.lift(3)
+            .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0) + 1
+          val pCount = raw.headOption
+            .flatMap(s => scala.util.Try(s.toInt).toOption)
+          if (depth <= maxChain &&
+              pCount.contains(dataFiles.size - adds.size + removes.size) &&
+              adds.size + removes.size < dataFiles.size)
+            Some((p, adds, removes, depth))
+          else None
+        }
+      }
+    deltaWrite match {
+      case Some((p, adds, removes, _)) =>
+        Dfs.writeBytes(spark, s"$base/v$v/_manifest",
+          (s"@delta $p" +:
+            (removes.map(f => "-" + Dfs.canonical(f)) ++
+              adds.map(f => "+" + Dfs.canonical(f))))
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+      case None =>
+        Dfs.writeBytes(spark, s"$base/v$v/_manifest",
+          dataFiles.map(Dfs.canonical)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
     if (dv.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_deletes",
         dv.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -200,13 +325,35 @@ object Manifests {
     // inherits its parent's — or, for a bootstrap/overwrite landing on
     // a live table, the superseded latest's — so an overwrite cannot
     // silently shed the table's invariants (Delta's behavior)
-    val effConstraints: Seq[(String, String)] = constraints.getOrElse {
+    lazy val inheritBase: Option[Int] =
       parent.filter(_ >= 0).orElse(latestVersion(spark, base).filter(_ < v))
-        .map(constraintsOf(spark, base, _)).getOrElse(Seq.empty)
+    val effConstraints: Seq[(String, String)] = constraints.getOrElse {
+      inheritBase.map(constraintsOf(spark, base, _)).getOrElse(Seq.empty)
     }
     if (effConstraints.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_constraints",
         effConstraints.map { case (n, p) => s"$n\t$p" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the transaction ledger (Delta's `txn` action): appId -> highest
+    // batch/epoch id whose append COMMITTED — one line per writer app,
+    // inherited by every commit (an overwrite inherits from the
+    // superseded latest like constraints do, so a streaming sink's
+    // replay detection survives a concurrent table rewrite). Idempotent
+    // writers consult this instead of scanning the file list for their
+    // path marker, which is O(files) — and silently WRONG once a later
+    // DML rewrites the batch's files away (the paths vanish, the scan
+    // misses, the replay double-appends).
+    val effTxns: Map[String, Long] = {
+      val inherited = inheritBase
+        .map(txnsOf(spark, base, _)).getOrElse(Map.empty)
+      txn.fold(inherited) { case (app, id) =>
+        inherited.updated(app,
+          math.max(id, inherited.getOrElse(app, Long.MinValue)))
+      }
+    }
+    if (effTxns.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_txns",
+        effTxns.toSeq.sortBy(_._1).map { case (a, i) => s"$a\t$i" }
           .mkString("", "\n", "\n").getBytes("UTF-8"))
     // drop-column tombstones inherit through the PARENT chain only: a
     // full bootstrap/overwrite replaces every physical file, so the
@@ -235,7 +382,7 @@ object Manifests {
     // post-rename reader schema. An event whose new name left the
     // recorded schema (drop, or a restore to a pre-rename version) IS
     // dropped whole: no reader can request the column it maps.
-    val canonFiles = dataFiles.map(Dfs.canonical).toSet
+    lazy val canonFiles = dataFiles.map(Dfs.canonical).toSet
     val rawRenames: Seq[RenameEvent] = renames.getOrElse(
       parent.filter(_ >= 0).map(renamesOf(spark, base, _))
         .getOrElse(Seq.empty))
@@ -271,15 +418,24 @@ object Manifests {
     // admission treats as cap-exceeding, conservatively.
     val addedBytes: Long =
       try {
-        val prev: Set[String] = parent.filter(_ >= 0)
-          .map(p => files(spark, base, p).map(Dfs.canonical).toSet)
-          .getOrElse(Set.empty)
-        dataFiles.map(Dfs.canonical).filterNot(prev)
-          .map(f => Dfs.fs(spark, f)
-            .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        // a delta commit declares its adds — they are the added files
+        // by contract, so the parent manifest is never re-read for them
+        val added: Seq[String] = deltaWrite match {
+          case Some((_, adds, _, _)) => adds.map(Dfs.canonical)
+          case None =>
+            val prev: Set[String] = parent.filter(_ >= 0)
+              .map(p => files(spark, base, p).map(Dfs.canonical).toSet)
+              .getOrElse(Set.empty)
+            dataFiles.map(Dfs.canonical).filterNot(prev)
+        }
+        added.map(f => Dfs.fs(spark, f)
+          .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
       } catch { case scala.util.control.NonFatal(_) => -1L }
+    // line 4 is the delta-chain depth (0 = flat) — the O(1) read the
+    // NEXT delta commit prices its chain against
     Dfs.writeBytes(spark, s"$base/v$v/_counts",
-      s"${dataFiles.size}\n${dv.size}\n$addedBytes\n".getBytes("UTF-8"))
+      s"${dataFiles.size}\n${dv.size}\n$addedBytes\n${
+        deltaWrite.map(_._4).getOrElse(0)}\n".getBytes("UTF-8"))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
     advanceHint(spark, base, v)
     v
@@ -374,7 +530,8 @@ object Manifests {
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), Some((keys, Seq(dir))), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
-      blooms = bloomOf(spark, base, v))
+      blooms = bloomOf(spark, base, v),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
@@ -484,6 +641,20 @@ object Manifests {
   /** The latest committed version's tag, if any. */
   def latestTag(spark: SparkSession, base: String): Option[String] =
     latestVersion(spark, base).flatMap(tagOf(spark, base, _))
+
+  /** The transaction ledger version `v` carries: writer appId → the
+    * highest batch/epoch id committed for it (empty for pre-ledger
+    * versions — consumers fall back to the path-marker scan). */
+  def txnsOf(spark: SparkSession, base: String, v: Int): Map[String, Long] =
+    try {
+      if (!Dfs.exists(spark, s"$base/v$v/_txns")) Map.empty
+      else new String(Dfs.readBytes(spark, s"$base/v$v/_txns"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val i = l.lastIndexOf('\t')
+          l.substring(0, i) -> l.substring(i + 1).toLong
+        }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Bootstrap: write `df` as a fresh immutable data directory and
     * commit its part files as the next version. `recordSchema`
@@ -747,7 +918,8 @@ object Manifests {
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), statsOf(spark, base, v), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
-      blooms = Some((keys, Seq(dir))))
+      blooms = Some((keys, Seq(dir))),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** Bootstrap a PARTITIONED table — the manifest twin of Hive/Delta
@@ -1180,15 +1352,16 @@ object Manifests {
       added => rd(added)
         .filter(coalesce(pred, lit(false))).limit(1).count() > 0) {
       parent =>
-        commit(spark, base,
-          files(spark, base, parent)
-            .filterNot(f => fullSet.contains(Dfs.canonical(f))),
+        val (retired, kept) = files(spark, base, parent)
+          .partition(f => fullSet.contains(Dfs.canonical(f)))
+        commit(spark, base, kept,
           None,
           dvFiles(spark, base, parent) ++ written,
           schemaOf(spark, base, parent), statsOf(spark, base, parent),
           parent = Some(parent),
           partValues = partitionedBy(spark, base, parent),
-          blooms = bloomOf(spark, base, parent))
+          blooms = bloomOf(spark, base, parent),
+          delta = Some((Seq.empty, retired)))
     })
   }
 
@@ -1367,11 +1540,12 @@ object Manifests {
   private def commitRewrite(spark: SparkSession, base: String,
       snapshot: Int, touched: Set[String], rewritten: Seq[String],
       tag: Option[String],
-      conflictsWith: Seq[String] => Boolean): Int = {
+      conflictsWith: Seq[String] => Boolean,
+      txn: Option[(String, Long)] = None): Int = {
     val sch = schemaOf(spark, base, snapshot)
     rebaseLoop(spark, base, snapshot, conflictsWith) { parent =>
-      val untouched = files(spark, base, parent).map(Dfs.canonical)
-        .filterNot(touched)
+      val (replaced, untouched) = files(spark, base, parent)
+        .map(Dfs.canonical).partition(touched)
       commit(spark, base, untouched ++ rewritten, tag,
         schema = sch,
         stats = statsAfterRewrite(spark, base, parent, untouched,
@@ -1380,7 +1554,9 @@ object Manifests {
         partValues = partValuesAfterRewrite(spark, base, parent, untouched,
           rewritten, sch),
         blooms = bloomsAfterRewrite(spark, base, parent, untouched,
-          rewritten, sch))
+          rewritten, sch),
+        delta = Some((rewritten, replaced)),
+        txn = txn)
     }
   }
 
@@ -1466,6 +1642,16 @@ object Manifests {
 
   private def reclaimBelow(spark: SparkSession, base: String,
       committed: Seq[Int], floor: Int): (Seq[Int], Int) = {
+    // a delta-encoded survivor may chain through a version below the
+    // floor; flatten it FIRST, while its bases still exist, so the
+    // reclaim can never leave a manifest that resolves into thin air.
+    // Ascending order suffices: a delta's base is its direct parent, so
+    // once the lowest crossing survivor is flat, everything above it
+    // chains only through survivors.
+    committed.filter(_ >= floor).sorted.foreach { v =>
+      if (chainBaseOf(spark, base, v).exists(_ < floor))
+        flattenManifest(spark, base, v)
+    }
     // deletion-vector and stats sidecars are reference-counted exactly
     // like data files: superseded ones die with their versions, those
     // a retained manifest still references survive
@@ -1530,7 +1716,8 @@ object Manifests {
     * the insert decisions, so it refuses). */
   def merge(spark: SparkSession, base: String, updates: DataFrame,
       keyCols: Seq[String], tag: Option[String] = None,
-      asOf: Option[Int] = None): (Int, Long, Int) = {
+      asOf: Option[Int] = None,
+      txn: Option[(String, Long)] = None): (Int, Long, Int) = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
@@ -1572,7 +1759,8 @@ object Manifests {
     val nv = commitRewrite(spark, base, v, affected, rewritten, tag,
       added => rd(added)
         .select(keyCols.map(col): _*)
-        .join(keys, keyCols, "left_semi").limit(1).count() > 0)
+        .join(keys, keyCols, "left_semi").limit(1).count() > 0,
+      txn = txn)
     (affected.size, updates.count(), nv)
   }
 
@@ -1591,6 +1779,13 @@ object Manifests {
       batchId: Long): Option[Int] = {
     val spark = batch.sparkSession
     val tag = s"cdc_batch_$batchId"
+    // the transaction ledger is the durable replay record: the
+    // latest-TAG probe alone goes blind the moment any other commit
+    // (maintenance, another writer) lands between a batch and its
+    // replay — the ledger survives every intervening commit
+    if (latestVersion(spark, base).exists(v =>
+        txnsOf(spark, base, v).get("cdc").exists(_ >= batchId)))
+      return None
     if (latestTag(spark, base).contains(tag)) return None
     if (batch.isEmpty) return None
     latestVersion(spark, base) match {
@@ -1599,14 +1794,16 @@ object Manifests {
         batch.write.mode("overwrite").parquet(dir)
         try Some(commit(spark, base,
           Dfs.dataFiles(spark, dir).map(_.getPath.toString), Some(tag),
-          schema = Some(batch.schema), parent = Some(-1)))
+          schema = Some(batch.schema), parent = Some(-1),
+          txn = Some(("cdc", batchId))))
         catch {
           // lost the bootstrap race: the table exists now — merge instead
           case _: ConcurrentCommitException =>
             cdcApply(batch, base, keyCols, batchId)
         }
       case Some(_) =>
-        val (_, _, nv) = merge(spark, base, batch, keyCols, Some(tag))
+        val (_, _, nv) = merge(spark, base, batch, keyCols, Some(tag),
+          txn = Some(("cdc", batchId)))
         Some(nv)
     }
   }
@@ -1628,7 +1825,8 @@ object Manifests {
     * protocol this library does not implement — readers are always
     * safe). Returns the committed version, if any. */
   def appendBatch(batch: DataFrame, base: String, batchId: Long): Option[Int] =
-    appendTagged(batch, base, s"data_batch_$batchId")
+    appendTagged(batch, base, s"data_batch_$batchId",
+      txn = Some(("batch", batchId)))
 
   /** One-shot OCC append — the batch-DML face of [[appendBatch]] (the
     * `df.write.format("manifest").mode("append")` / INSERT INTO path):
@@ -1647,7 +1845,7 @@ object Manifests {
   }
 
   private def appendTagged(batch: DataFrame, base: String,
-      tag: String): Option[Int] = {
+      tag: String, txn: Option[(String, Long)] = None): Option[Int] = {
     val spark = batch.sparkSession
     // an empty micro-batch still writes a zero-row part file — skip it
     // BEFORE writing so no version (or directory) is burned
@@ -1657,7 +1855,7 @@ object Manifests {
     // latest BEFORE any bytes land (the commit loop re-checks against
     // whatever latest it actually lands on)
     val pre = latestVersion(spark, base)
-    if (pre.exists(v => files(spark, base, v).exists(_.contains(marker))))
+    if (pre.exists(v => replayedIn(spark, base, v, txn, Some(marker))))
       return None
     pre.flatMap(schemaOf(spark, base, _))
       .foreach(old => evolveSchema(old, batch.schema))
@@ -1670,8 +1868,22 @@ object Manifests {
     batch.write.mode("overwrite").parquet(dir)
     val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     if (newFiles.isEmpty) return None
-    appendWrittenFiles(spark, base, newFiles, batch.schema, Some(marker))
+    appendWrittenFiles(spark, base, newFiles, batch.schema, Some(marker),
+      txn = txn)
   }
+
+  /** Has the (appId, id) batch already committed into version `v`?
+    * The ledger answers authoritatively once the app has ANY entry
+    * (id at or below the recorded high-water mark = replay — batch
+    * ids are sequential per writer, Spark's streaming contract); a
+    * ledger-less app (pre-ledger table, plain inserts) falls back to
+    * the path-marker scan of the manifest. */
+  private def replayedIn(spark: SparkSession, base: String, v: Int,
+      txn: Option[(String, Long)], marker: Option[String]): Boolean =
+    txn.flatMap { case (app, id) =>
+      txnsOf(spark, base, v).get(app).map(_ >= id)
+    }.getOrElse(
+      marker.exists(m => files(spark, base, v).exists(_.contains(m))))
 
   /** Append ALREADY-WRITTEN immutable files as the next version — the
     * files-level core under [[appendTagged]] and the DSv2 STREAMING
@@ -1687,11 +1899,12 @@ object Manifests {
       newFiles: Seq[String],
       batchSchema: org.apache.spark.sql.types.StructType,
       replayMarker: Option[String],
-      bootstrapPartCols: Seq[String] = Seq.empty): Option[Int] = {
+      bootstrapPartCols: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Option[Int] = {
     def attempt(remaining: Int, validated: Boolean): Option[Int] = {
       val prev = latestVersion(spark, base)
-      val replayed = replayMarker.exists(m => prev.exists(v =>
-        files(spark, base, v).exists(_.contains(m))))
+      val replayed = prev.exists(v =>
+        replayedIn(spark, base, v, txn, replayMarker))
       if (replayed) return None
       // additive schema evolution: a batch may bring new columns; the
       // union schema is recorded in the manifest so readers null-fill
@@ -1751,7 +1964,9 @@ object Manifests {
         prev.map(dvFiles(spark, base, _)).getOrElse(Seq.empty),
         Some(tableSchema), stats, parent = Some(prev.getOrElse(-1)),
         partValues = pvMeta,
-        blooms = blMeta))
+        blooms = blMeta,
+        delta = Some((newFiles, Seq.empty)),
+        txn = txn))
       catch {
         case e: ConcurrentCommitException =>
           if (remaining == 0) throw e
@@ -2494,7 +2709,8 @@ object Manifests {
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v).map { case (keys, segs) =>
         (keys.filterNot(_ == name), segs) }.filter(_._1.nonEmpty),
-      dropped = Some(droppedOf(spark, base, v) :+ name))
+      dropped = Some(droppedOf(spark, base, v) :+ name),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** ALTER TABLE ... ADD COLUMN — METADATA-ONLY, the additive half of
@@ -2538,7 +2754,8 @@ object Manifests {
       parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
-      dropped = Some(droppedOf(spark, base, v)))
+      dropped = Some(droppedOf(spark, base, v)),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** The widening conversions the METADATA-ONLY [[widenColumn]] admits:
@@ -2682,7 +2899,8 @@ object Manifests {
       parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
-      dropped = Some(droppedOf(spark, base, v)))
+      dropped = Some(droppedOf(spark, base, v)),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** ALTER TABLE ... ALTER COLUMN ... COMMENT — pure metadata: the
@@ -2706,7 +2924,8 @@ object Manifests {
       parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
-      dropped = Some(droppedOf(spark, base, v)))
+      dropped = Some(droppedOf(spark, base, v)),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** ALTER TABLE ... RENAME COLUMN — METADATA-ONLY, the third face of
@@ -2777,7 +2996,8 @@ object Manifests {
       blooms = bloomOf(spark, base, v).map { case (keys, segs) =>
         (keys.filterNot(resolver(_, from)), segs) }.filter(_._1.nonEmpty),
       dropped = Some(droppedOf(spark, base, v) :+ from),
-      addRename = Some((from, to)))
+      addRename = Some((from, to)),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** The CHECK constraints version `v` was committed under:
@@ -2841,7 +3061,8 @@ object Manifests {
       parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
-      constraints = Some(existing :+ (name -> predicateSqlNorm)))
+      constraints = Some(existing :+ (name -> predicateSqlNorm)),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** ALTER TABLE ... DROP CONSTRAINT — a metadata-only version whose
@@ -2862,7 +3083,8 @@ object Manifests {
       parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
-      constraints = Some(existing.filterNot(_._1 == name)))
+      constraints = Some(existing.filterNot(_._1 == name)),
+      delta = Some((Seq.empty, Seq.empty)))
   }
 
   /** Validate NEW row images against the snapshot's constraints — the
@@ -3002,7 +3224,8 @@ object Manifests {
       partValues = partValuesAfterRewrite(spark, base, v, untouched,
         rewritten, schema),
       blooms = bloomsAfterRewrite(spark, base, v, untouched, rewritten,
-        schema))
+        schema),
+      delta = Some((rewritten, small.map(_._1))))
     (small.size, rewritten.size, nv)
   }
 }

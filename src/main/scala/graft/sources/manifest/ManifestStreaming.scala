@@ -525,9 +525,13 @@ private[manifest] class ManifestStreamingWrite(spark: SparkSession,
       case _ => Seq.empty
     }.toSeq.map(Dfs.qualified(spark, _))
     if (written.nonEmpty) {
+      // the (queryId, epoch) pair also lands in the transaction ledger
+      // (Delta's txn action), so epoch replay detection stays O(1) and
+      // survives later DML rewriting this epoch's files away
       Manifests.appendWrittenFiles(spark, base, written, schema,
         replayMarker = Some(epochMarker(epochId)),
-        bootstrapPartCols = partCols)
+        bootstrapPartCols = partCols,
+        txn = Some((qTag, epochId)))
       ()
     }
   }

@@ -1704,4 +1704,170 @@ class ManifestsSpec extends AnyFunSuite {
     intercept[ConstraintViolationException](
       Manifests.append(Seq((3L, 0)).toDF("id", "qty"), b3))
   }
+
+  private def manifestText(b: String, v: Int): String =
+    new String(Dfs.readBytes(spark, s"$b/v$v/_manifest"), "UTF-8")
+
+  private def isDelta(b: String, v: Int): Boolean =
+    manifestText(b, v).linesIterator.map(_.trim).find(_.nonEmpty)
+      .exists(_.startsWith("@delta"))
+
+  test("delta manifests: appends and DDL write O(diff) bytes; every read face resolves the chain exactly") {
+    import spark.implicits._
+    val b = base("graft_man_dlog")
+    // bootstrap: 8 range-clustered files, flat by definition
+    Manifests.commitData(
+      (1 to 800).map(i => (i.toLong, i % 8)).toDF("id", "k")
+        .repartitionByRange(8, col("k")), b)
+    assert(!isDelta(b, 0))
+    val n0 = Manifests.files(spark, b, 0).size
+    assert(n0 >= 4, s"range-clustered bootstrap must spread files ($n0)")
+    val flatBytes = manifestText(b, 0).length
+    // three appends of one file each: each manifest is a delta of
+    // exactly (directive + 1 add line), not a re-listing of the table
+    (1 to 3).foreach { i =>
+      Manifests.append(
+        Seq((1000L + i, 99)).toDF("id", "k").repartition(1), b)
+      assert(isDelta(b, i), s"append v$i must delta-encode")
+      val lines = manifestText(b, i).linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      assert(lines.head === s"@delta ${i - 1}")
+      assert(lines.tail.forall(_.startsWith("+")) && lines.tail.size === 1,
+        s"append v$i must record exactly its one new file: $lines")
+      assert(manifestText(b, i).length < flatBytes / 3)
+    }
+    // metadata-only DDL: a ZERO-line delta (directive only)
+    val vAdd = Manifests.addColumn(spark, b, "note",
+      org.apache.spark.sql.types.StringType)
+    assert(manifestText(b, vAdd).trim === s"@delta ${vAdd - 1}")
+    // resolution: every version reads its exact row set through the chain
+    assert(Manifests.readAt(spark, b, 0).count() === 800)
+    (1 to 3).foreach(i =>
+      assert(Manifests.readAt(spark, b, i).count() === 800 + i))
+    assert(Manifests.readLatest(spark, b).count() === 803)
+    assert(Manifests.files(spark, b, vAdd).size === n0 + 3)
+    // the resolved order equals what a flat write would have recorded:
+    // carried files keep base order, each append lands at the end
+    val resolved = Manifests.files(spark, b, 3)
+    assert(resolved.take(n0) === Manifests.files(spark, b, 0))
+    // a CoW rewrite rides the delta too: removes + adds, still exact
+    val (affected, total, vDel) = Manifests.deleteWhere(spark, b, col("k") === 3)
+    assert(affected >= 1 && affected < total,
+      s"clustered key must touch a strict subset ($affected/$total)")
+    assert(isDelta(b, vDel))
+    val delLines = manifestText(b, vDel).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    assert(delLines.count(_.startsWith("-")) === affected,
+      s"each affected file must retire as one '-' line: $delLines")
+    assert(Manifests.readLatest(spark, b).filter(col("k") === 3).count() === 0)
+    assert(Manifests.readAt(spark, b, 3).filter(col("k") === 3).count() === 100)
+  }
+
+  test("delta manifests: the chain caps at graft.manifest.maxChain and a MoR delete's file retire is a pure '-' delta") {
+    import spark.implicits._
+    val b = base("graft_man_dcap")
+    spark.conf.set("graft.manifest.maxChain", "2")
+    try {
+      // round-robin: exactly 10 non-empty bootstrap files
+      Manifests.commitData(
+        (1 to 100).map(i => (i.toLong, i % 4)).toDF("id", "k")
+          .repartition(10), b)
+      (1 to 5).foreach(i => Manifests.append(
+        Seq((1000L + i, 99)).toDF("id", "k").repartition(1), b))
+      // depths: v1=1, v2=2, v3 would be 3 > cap -> flat, v4=1, v5=2
+      assert(isDelta(b, 1) && isDelta(b, 2))
+      assert(!isDelta(b, 3), "the capped commit must flatten")
+      assert(isDelta(b, 4) && isDelta(b, 5))
+      assert(Manifests.readLatest(spark, b).count() === 105)
+    } finally spark.conf.unset("graft.manifest.maxChain")
+    // a whole-file MoR delete (k=99 lives ONLY in the appended files)
+    // retires them as '-' lines — no re-listing, no new vectors
+    // (full-file elision composing with the delta encoding)
+    val (deleted, _) = Manifests.deleteWhereMor(spark, b, col("k") === 99)
+    val v6 = Manifests.latestVersion(spark, b).get
+    assert(deleted === 5)
+    assert(isDelta(b, v6))
+    val lines = manifestText(b, v6).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    assert(lines.tail.size === 5 && lines.tail.forall(_.startsWith("-")),
+      s"an aligned MoR delete is removes-only: $lines")
+    assert(Manifests.readLatest(spark, b).count() === 100)
+  }
+
+  test("delta manifests: vacuum flattens the floor survivor before reclaiming its bases; chains never dangle") {
+    import spark.implicits._
+    val b = base("graft_man_dvac")
+    Manifests.commitData(
+      (1 to 200).map(i => (i.toLong, i % 4)).toDF("id", "k")
+        .repartition(4, col("k")), b)
+    (1 to 4).foreach(i => Manifests.append(
+      Seq((1000L + i, 99)).toDF("id", "k").repartition(1), b))
+    assert((1 to 4).forall(isDelta(b, _)))
+    // keepLast=2 -> floor v3: its chain reaches v0..v2, all reclaimed
+    val (droppedVs, _) = Manifests.vacuum(spark, b, keepLast = 2)
+    assert(droppedVs === Seq(0, 1, 2))
+    assert(!isDelta(b, 3),
+      "the floor survivor must be flattened before its bases vanish")
+    assert(isDelta(b, 4), "above the floor the chain is intact")
+    assert(Manifests.readAt(spark, b, 3).count() === 203)
+    assert(Manifests.readLatest(spark, b).count() === 204)
+    // the flattened version reports depth 0: a fresh append chains on it
+    Manifests.append(Seq((2000L, 99)).toDF("id", "k").repartition(1), b)
+    val v5 = Manifests.latestVersion(spark, b).get
+    assert(isDelta(b, v5) && Manifests.readLatest(spark, b).count() === 205)
+  }
+
+  test("transaction ledger: batch replay no-ops even after DML rewrote its files; sequential-id contract; plain inserts keep no identity") {
+    import spark.implicits._
+    val b = base("graft_man_txn")
+    Manifests.commitData(
+      (1 to 50).map(i => (i.toLong, "seed")).toDF("id", "src"), b)
+    val batch1 = (100 to 104).map(i => (i.toLong, "b1")).toDF("id", "src")
+    assert(Manifests.appendBatch(batch1, b, 1L).isDefined)
+    // immediate replay: marker and ledger agree — no-op
+    assert(Manifests.appendBatch(batch1, b, 1L).isEmpty)
+    // a CoW DELETE rewrites batch 1's rows away: its file PATHS leave
+    // the manifest, which blinds a path-marker replay scan outright
+    Manifests.deleteWhere(spark, b, col("src") === "b1")
+    assert(Manifests.readLatest(spark, b).count() === 50)
+    assert(Manifests.appendBatch(batch1, b, 1L).isEmpty,
+      "a replayed batch must no-op even after its files were rewritten away")
+    assert(Manifests.readLatest(spark, b).count() === 50)
+    // an id at or below the high-water mark is a replay by the
+    // sequential-ids streaming contract — refused, no file-list scan
+    assert(Manifests.appendBatch(
+      batch1.withColumn("src", lit("b0")), b, 0L).isEmpty)
+    // the next id lands and the ledger advances with it
+    assert(Manifests.appendBatch(
+      (200 to 204).map(i => (i.toLong, "b2")).toDF("id", "src"), b, 2L)
+      .isDefined)
+    val latest = Manifests.latestVersion(spark, b).get
+    assert(Manifests.txnsOf(spark, b, latest) === Map("batch" -> 2L))
+    // plain inserts carry NO replay identity: the same frame appends twice
+    Manifests.append(Seq((900L, "x")).toDF("id", "src"), b)
+    Manifests.append(Seq((900L, "x")).toDF("id", "src"), b)
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("id") === 900).count() === 2)
+    // ...and the ledger rode through them untouched
+    assert(Manifests.txnsOf(spark, b,
+      Manifests.latestVersion(spark, b).get) === Map("batch" -> 2L))
+  }
+
+  test("cdcApply: the ledger keeps replay idempotent across intervening commits") {
+    import spark.implicits._
+    val b = base("graft_man_cdctxn")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    assert(Manifests.cdcApply(b0, b, Seq("k"), 0L).isDefined)
+    val b1 = Seq((2L, "b2"), (3L, "c")).toDF("k", "s")
+    assert(Manifests.cdcApply(b1, b, Seq("k"), 1L).isDefined)
+    // an intervening commit changes the latest TAG — the old probe
+    // (latestTag == cdc_batch_1) would re-merge batch 1 here
+    Manifests.append(Seq((9L, "z")).toDF("k", "s"), b)
+    val vBefore = Manifests.latestVersion(spark, b).get
+    assert(Manifests.cdcApply(b1, b, Seq("k"), 1L).isEmpty,
+      "a replayed CDC batch must no-op across intervening commits")
+    assert(Manifests.latestVersion(spark, b).get === vBefore,
+      "the replay must not burn a version")
+    assert(Manifests.readLatest(spark, b).count() === 4)
+  }
 }

@@ -33,6 +33,8 @@ object Bench {
     "update_versioned", // one-time clustered dump + CoW update
     "change_feed", // shares delete_versioned's fixture; listed for subset runs
     "delete_mor", // merge-on-read fixture build (clustered dump + DV write)
+    "update_mor", // one-time MoR delete + MoR update lineage build
+    "merge_mor", // one-time MoR delete + MoR merge lineage build
     "change_feed_mor",
     "evolve_manifest", // one-time two-batch evolved table build
     "skipping_manifest", // one-time clustered dump + ANALYZE

@@ -166,6 +166,27 @@ object SparkEntry {
           Seq("unit_price")),
         stagingCols)
     }),
+    // merge-on-read UPDATE: a spread MoR delete stacks vectors first,
+    // then updateWhereMor reads THROUGH them (where the CoW update
+    // refuses with "compact() first") and lands vector + new images in
+    // one commit — zero raw-file rewrites across the whole lineage
+    "update_mor" -> ((s, d) => {
+      val b = dumpDir(s, d, "manupdmor")
+      val marker = s"${b}_done"
+      if (!ext.Dfs.exists(s, marker)) {
+        ext.Manifests.commitData(
+          Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
+        ext.Manifests.deleteWhereMor(s, b, col("quantity") === 13)
+        ext.Manifests.updateWhereMor(s, b, col("country") === "NATION_2",
+          Map("country" -> lit("REWRITTEN"),
+            "quantity" -> (col("quantity") + lit(1000))))
+        ext.Dfs.touch(s, marker)
+      }
+      orderedAsc(
+        moneyDouble(ext.Manifests.readLatest(s, b)
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // the same delete as a MERGE-ON-READ deletion vector: zero data
     // files rewritten, the version carries a (file, pos) sidecar and
     // the read anti-joins it against only the touched files
@@ -503,6 +524,16 @@ object SparkEntry {
     // updates UNION ALL (target ANTI JOIN updates)
     "merge_versioned" -> ((s, d) => {
       val b = manmergeFixture(s, d)
+      ext.Manifests.readLatest(s, b)
+        .select("customer_key", "customer_id", "country")
+        .orderBy("customer_id")
+    }),
+    // merge-on-read MERGE: the table carries a NATION_7 deletion
+    // vector when the upsert lands — mergeMor reads through it,
+    // vectors the matched rows and appends the whole batch (updates +
+    // inserts) as fresh files; the CoW merge would refuse here
+    "merge_mor" -> ((s, d) => {
+      val b = manmergeMorFixture(s, d)
       ext.Manifests.readLatest(s, b)
         .select("customer_key", "customer_id", "country")
         .orderBy("customer_id")
@@ -1067,6 +1098,30 @@ object SparkEntry {
     b
   }
 
+  /** [[manmergeFixture]]'s merge-on-read twin: a NATION_7 MoR delete
+    * stacks vectors first, then the SAME upsert batch lands through
+    * [[ext.Manifests.mergeMor]] — matched rows vector out, the whole
+    * batch appends, zero raw-file rewrites across the lineage. */
+  private def manmergeMorFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manmrgmor")
+    val marker = s"${b}_done"
+    if (!ext.Dfs.exists(s, marker)) {
+      ext.Manifests.commitData(
+        Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country")), b)
+      ext.Manifests.deleteWhereMor(s, b, col("country") === "NATION_7")
+      val dim = ext.Manifests.readAt(s, b, 0)
+      val updates = dim.filter(col("country") === "NATION_3")
+        .withColumn("country", lit("RELOCATED"))
+        .unionByName(dim.filter(col("country") === "NATION_5")
+          .select((col("customer_key") + 1000000L).as("customer_key"),
+            concat(col("customer_id"), lit("_B")).as("customer_id"),
+            lit("NATION_5B").as("country")))
+      ext.Manifests.mergeMor(s, b, updates, Seq("customer_id"))
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** The merge-on-read twin of [[mandelFixture]]: same clustered v0,
     * but the NATION_7 delete is merge-on-read — full-file elision
     * retires the country's pure files from v1's manifest and vectors
@@ -1133,6 +1188,22 @@ object SparkEntry {
          |  CASE WHEN country = 'NATION_2' THEN 'REDACTED'
          |       ELSE country END AS country
          | FROM cleaned)
+         | SELECT ${Oracle.stagingSelectDouble} FROM updated
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // merge-on-read update over a merge-on-read delete: the quantity=13
+    // rows are gone, NATION_2 survivors carry the SET — vectors and
+    // image files are invisible to the oracle, only content counts
+    "update_mor" ->
+      s"""${Oracle.cleanedCte}, survivors AS (
+         | SELECT * FROM cleaned WHERE quantity IS DISTINCT FROM 13
+         |), updated AS (
+         | SELECT invoice_no, stock_code, description,
+         |  CASE WHEN country = 'NATION_2' THEN quantity + 1000
+         |       ELSE quantity END AS quantity,
+         |  invoice_date, unit_price, customer_id,
+         |  CASE WHEN country = 'NATION_2' THEN 'REWRITTEN'
+         |       ELSE country END AS country
+         | FROM survivors)
          | SELECT ${Oracle.stagingSelectDouble} FROM updated
          | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // merge-on-read delete: same logical content as the copy-on-write
@@ -1343,6 +1414,24 @@ object SparkEntry {
          | UNION ALL
          | SELECT t.customer_key, t.customer_id, t.country FROM dim_customer t
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = t.customer_id)
+         | ORDER BY customer_id""".stripMargin,
+    // merge-on-read merge over a merge-on-read delete: NATION_7 is
+    // gone when the upsert lands; the upsert result matches the CoW
+    // twin's shape on the survivors
+    "merge_mor" ->
+      s"""${Oracle.warehouseCte}, survivors AS (
+         |  SELECT customer_key, customer_id, country FROM dim_customer
+         |  WHERE country IS DISTINCT FROM 'NATION_7'
+         |), upd AS (
+         |  SELECT customer_key, customer_id, 'RELOCATED' AS country
+         |  FROM dim_customer WHERE country = 'NATION_3'
+         |  UNION ALL
+         |  SELECT customer_key + 1000000, customer_id || '_B', 'NATION_5B'
+         |  FROM dim_customer WHERE country = 'NATION_5')
+         | SELECT customer_key, customer_id, country FROM upd
+         | UNION ALL
+         | SELECT s.customer_key, s.customer_id, s.country FROM survivors s
+         | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = s.customer_id)
          | ORDER BY customer_id""".stripMargin,
     // bucketing is layout, not semantics: the oracle is the plain join
     "bucketed_join" ->

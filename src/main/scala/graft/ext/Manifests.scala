@@ -1365,6 +1365,242 @@ object Manifests {
     })
   }
 
+  /** Merge-on-read UPDATE — [[updateWhere]]'s O(changed rows) twin and
+    * the missing leg of the MoR tier beside [[deleteWhereMor]]: the
+    * matched rows' OLD images are deletion-vectored out of their files
+    * (which carry by reference, bytes untouched) and their NEW images
+    * append as fresh files — ONE atomic commit, Iceberg's
+    * merge-on-read UPDATE shape. An UPDATE touching 100 rows of a
+    * 100 TB table writes one small vector sidecar plus one small data
+    * file. Because nothing rewrites raw files, it composes with
+    * EXISTING vectors (reads through them, stacks its own on top)
+    * where the CoW twin must refuse ("compact() first" — its raw-file
+    * rewrite would resurrect previously vectored rows). Files whose
+    * every live row matches are RETIRED outright (the full-file
+    * elision invariant); only boundary files get vectors. SET
+    * expressions read the OLD row; null predicate values leave the
+    * row alone; new images are validated against CHECK constraints
+    * and NOT NULL like any append. Returns (files touched, rows
+    * updated, new version). */
+  def updateWhereMor(spark: SparkSession, base: String,
+      pred: Column, set: Map[String, Column],
+      asOf: Option[Int] = None): (Int, Long, Int) = {
+    require(set.nonEmpty, "UPDATE with an empty SET list is a no-op")
+    val v = asOf.orElse(latestVersion(spark, base))
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val cur = files(spark, base, v)
+    val prevDvs = dvFiles(spark, base, v)
+    val ren = renamesOf(spark, base, v)
+    val sch = schemaOf(spark, base, v)
+    def rd(fs: Seq[String], pos: Boolean = false) =
+      eraRead(spark, ren, fs, sch, withPositions = pos)
+    val raw = rd(cur, pos = true)
+    val live =
+      if (prevDvs.isEmpty) raw
+      else raw.join(spark.read.parquet(prevDvs: _*),
+        Seq("__file", "__pos"), "left_anti")
+    set.keys.foreach(k => require(
+      live.columns.contains(k) && k != "__file" && k != "__pos",
+      s"UPDATE sets unknown column '$k' — updates cannot add columns"))
+    val hit = coalesce(pred, lit(false))
+    // same one-pass per-file accounting as the MoR delete: fully-
+    // matched files retire, only boundary files get vectors
+    val perFile = live.withColumn("__upd", hit)
+      .groupBy("__file")
+      .agg(count(lit(1)).as("__total"),
+        sum(when(col("__upd"), 1L).otherwise(0L)).as("__matched"))
+      .filter(col("__matched") > 0)
+      .collect()
+      .map(r => (Dfs.canonical(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (perFile.isEmpty) return (0, 0L, v) // no match: no version burned
+    val updated = perFile.map(_._3).sum
+    val fullSet = perFile.collect { case (f, t, m) if m == t => f }.toSet
+    val partialSet = perFile.collect { case (f, t, m) if m < t => f }.toSet
+    // the NEW images: matched LIVE rows with the SET applied — derived
+    // from snapshot v before the commit loop, like every rewrite
+    val fields = live.schema.fields
+      .filterNot(f => f.name == "__file" || f.name == "__pos")
+    val images = live.filter(hit).select(fields.map { f =>
+      set.get(f.name)
+        .fold(col(s"`${f.name}`"))(_.cast(f.dataType))
+        .as(f.name)
+    }.toSeq: _*)
+    val dataDir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    images.repartition(math.max(1, fullSet.size + partialSet.size))
+      .write.mode("errorifexists").parquet(dataDir)
+    val newFiles = Dfs.dataFiles(spark, dataDir).map(_.getPath.toString)
+    // SET expressions can mint violating values — validate the images
+    enforceConstraints(spark, base, Some(v), newFiles, sch)
+    // vectors for the boundary files only (file-pruned second pass)
+    val vecFiles = cur.filter(f => partialSet.contains(Dfs.canonical(f)))
+    val written: Seq[String] =
+      if (vecFiles.isEmpty) Seq.empty
+      else {
+        val vecRaw = rd(vecFiles, pos = true)
+        val vecLive =
+          if (prevDvs.isEmpty) vecRaw
+          else vecRaw.join(spark.read.parquet(prevDvs: _*),
+            Seq("__file", "__pos"), "left_anti")
+        val dvRows = vecLive.filter(hit)
+          .select(col("__file"), col("__pos"))
+        val touched = partialSet.toArray.sorted
+        val index = spark.sparkContext.broadcast(touched.zipWithIndex.toMap)
+        val shaped = dvRows.rdd
+          .map(r => (index.value(Dfs.canonical(r.getString(0))), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = touched.length
+            override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2)
+        val dir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
+        spark.createDataFrame(shaped, dvRows.schema)
+          .write.mode("errorifexists").parquet(dir)
+        Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      }
+    // commit: survivors + the new images, old vectors + this one's;
+    // the appended images extend the sidecars exactly like an append
+    // (stats/partition tuples/blooms derive for the new files only)
+    val nv = rebaseLoop(spark, base, v,
+      added => rd(added).filter(hit).limit(1).count() > 0) { parent =>
+      val (retired, kept) = files(spark, base, parent)
+        .partition(f => fullSet.contains(Dfs.canonical(f)))
+      val stats = statsOf(spark, base, parent).map { case (keys, segs) =>
+        (keys, segs :+ writeStats(spark, base,
+          statsFor(spark, newFiles, keys, sch)))
+      }
+      val pv = partitionedBy(spark, base, parent).map { case (cols, segs) =>
+        (cols, segs :+ writePartValues(spark, base, newFiles, cols, sch))
+      }
+      val bl = bloomOf(spark, base, parent).map { case (keys, segs) =>
+        (keys, segs :+ writeBlooms(spark, base,
+          buildBlooms(spark, newFiles, keys, sch)))
+      }
+      commit(spark, base, kept ++ newFiles, None,
+        dvFiles(spark, base, parent) ++ written,
+        sch, stats, parent = Some(parent),
+        partValues = pv, blooms = bl,
+        delta = Some((newFiles, retired)))
+    }
+    (fullSet.size + partialSet.size, updated, nv)
+  }
+
+  /** Merge-on-read MERGE (upsert) — [[merge]]'s O(changed rows) twin
+    * and the last leg of the MoR DML tier beside [[deleteWhereMor]]
+    * and [[updateWhereMor]]: matched TARGET rows are deletion-vectored
+    * out of their files and the ENTIRE update batch (matched updates
+    * plus inserts) appends as fresh files — one atomic commit,
+    * Iceberg's merge-on-read MERGE shape. Composes with EXISTING
+    * vectors (reads through them, stacks its own) where the CoW twin
+    * refuses ("compact() first"). Same contract edges as [[merge]]:
+    * duplicate update keys throw; null keys never match (a null-key
+    * update row inserts, null-key target rows survive); fully-matched
+    * files RETIRE instead of vectoring; new images validate against
+    * CHECK constraints and NOT NULL. Returns (files touched, update
+    * rows, new version). */
+  def mergeMor(spark: SparkSession, base: String, updates: DataFrame,
+      keyCols: Seq[String], tag: Option[String] = None,
+      asOf: Option[Int] = None,
+      txn: Option[(String, Long)] = None): (Int, Long, Int) = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = asOf.orElse(latestVersion(spark, base))
+      .getOrElse(sys.error(s"no committed version under $base"))
+    if (updates.isEmpty) return (0, 0L, v)
+    val dupKeys = updates.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"updates carry duplicate keys on (${keyCols.mkString(", ")}) — " +
+        "the merge result would depend on source row order")
+    val cur = files(spark, base, v)
+    val prevDvs = dvFiles(spark, base, v)
+    val ren = renamesOf(spark, base, v)
+    val sch = schemaOf(spark, base, v)
+    val keys = updates.select(keyCols.map(col): _*)
+    def rd(fs: Seq[String], pos: Boolean = false) =
+      eraRead(spark, ren, fs, sch, withPositions = pos)
+    val raw = rd(cur, pos = true)
+    val live =
+      if (prevDvs.isEmpty) raw
+      else raw.join(spark.read.parquet(prevDvs: _*),
+        Seq("__file", "__pos"), "left_anti")
+    // per-file accounting via a LEFT join marker (null update keys
+    // never match — SQL join equality): fully-matched files retire
+    val perFile = live
+      .join(keys.withColumn("__hit", lit(1)), keyCols, "left")
+      .groupBy("__file")
+      .agg(count(lit(1)).as("__total"),
+        sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("__matched"))
+      .filter(col("__matched") > 0)
+      .collect()
+      .map(r => (Dfs.canonical(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val fullSet = perFile.collect { case (f, t, m) if m == t => f }.toSet
+    val partialSet = perFile.collect { case (f, t, m) if m < t => f }.toSet
+    // the whole update batch lands as new files, aligned to the
+    // RECORDED schema (order and types) — a missing column throws
+    // rather than null-filling silently
+    val fields = sch.map(_.fields.toSeq)
+      .getOrElse(updates.schema.fields.toSeq)
+    val images = updates.select(fields.map(f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+    val dataDir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    images
+      .repartition(math.max(1, fullSet.size + partialSet.size))
+      .write.mode("errorifexists").parquet(dataDir)
+    val newFiles = Dfs.dataFiles(spark, dataDir).map(_.getPath.toString)
+    enforceConstraints(spark, base, Some(v), newFiles, sch)
+    val vecFiles = cur.filter(f => partialSet.contains(Dfs.canonical(f)))
+    val written: Seq[String] =
+      if (vecFiles.isEmpty) Seq.empty
+      else {
+        val vecRaw = rd(vecFiles, pos = true)
+        val vecLive =
+          if (prevDvs.isEmpty) vecRaw
+          else vecRaw.join(spark.read.parquet(prevDvs: _*),
+            Seq("__file", "__pos"), "left_anti")
+        val dvRows = vecLive.join(keys, keyCols, "left_semi")
+          .select(col("__file"), col("__pos"))
+        val touched = partialSet.toArray.sorted
+        val index = spark.sparkContext.broadcast(touched.zipWithIndex.toMap)
+        val shaped = dvRows.rdd
+          .map(r => (index.value(Dfs.canonical(r.getString(0))), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = touched.length
+            override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2)
+        val dir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
+        spark.createDataFrame(shaped, dvRows.schema)
+          .write.mode("errorifexists").parquet(dir)
+        Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+      }
+    val nv = rebaseLoop(spark, base, v,
+      added => rd(added)
+        .select(keyCols.map(col): _*)
+        .join(keys, keyCols, "left_semi").limit(1).count() > 0) { parent =>
+      val (retired, kept) = files(spark, base, parent)
+        .partition(f => fullSet.contains(Dfs.canonical(f)))
+      val stats = statsOf(spark, base, parent).map { case (ks, segs) =>
+        (ks, segs :+ writeStats(spark, base,
+          statsFor(spark, newFiles, ks, sch)))
+      }
+      val pv = partitionedBy(spark, base, parent).map { case (cols, segs) =>
+        (cols, segs :+ writePartValues(spark, base, newFiles, cols, sch))
+      }
+      val bl = bloomOf(spark, base, parent).map { case (ks, segs) =>
+        (ks, segs :+ writeBlooms(spark, base,
+          buildBlooms(spark, newFiles, ks, sch)))
+      }
+      commit(spark, base, kept ++ newFiles, tag,
+        dvFiles(spark, base, parent) ++ written,
+        sch, stats, parent = Some(parent),
+        partValues = pv, blooms = bl,
+        delta = Some((newFiles, retired)),
+        txn = txn)
+    }
+    (fullSet.size + partialSet.size, updates.count(), nv)
+  }
+
   /** GC — the companion every log-based format ships: [[deleteWhere]]
     * replaces files by reference, so the replaced bytes leak until
     * something reclaims them. Drops every version below the

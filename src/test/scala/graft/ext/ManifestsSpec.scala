@@ -1853,6 +1853,124 @@ class ManifestsSpec extends AnyFunSuite {
       Manifests.latestVersion(spark, b).get) === Map("batch" -> 2L))
   }
 
+  test("updateWhereMor: vector + append with zero raw rewrites; stacks on existing vectors where CoW refuses; aligned files retire; constraints hold") {
+    import spark.implicits._
+    val b = base("graft_man_updmor")
+    // one file per k, deterministically (bootstrap + three appends)
+    def part(k: Int) = (1 to 400).filter(_ % 4 == k)
+      .map(i => (i.toLong, k, 10L)).toDF("id", "k", "qty").repartition(1)
+    Manifests.commitData(part(0), b)
+    (1 to 3).foreach(k => Manifests.append(part(k), b))
+    Manifests.addConstraint(spark, b, "qty_pos", "qty > 0")
+    // a MoR delete first: multiples of 10 live only in k∈{0,2} files
+    val (d, vDel) = Manifests.deleteWhereMor(spark, b, col("id") % 10 === 0)
+    assert(d === 40)
+    val dvBefore = Manifests.dvFiles(spark, b, vDel).size
+    assert(dvBefore >= 1)
+    // the CoW UPDATE refuses on the vectored table (its raw-file
+    // rewrite would resurrect the deleted rows)...
+    intercept[IllegalArgumentException](Manifests.updateWhere(
+      spark, b, col("k") === 1, Map("qty" -> lit(99L))))
+    // ...the MoR UPDATE reads THROUGH the vectors instead. (a) aligned:
+    // the k=1 file fully matches — retired + images, no new vector
+    val filesBefore = Manifests.files(spark, b, vDel)
+    val (t1, r1, vU1) = Manifests.updateWhereMor(spark, b,
+      col("k") === 1, Map("qty" -> (col("qty") + 5L)))
+    assert(t1 === 1 && r1 === 100)
+    assert(Manifests.dvFiles(spark, b, vU1).size === dvBefore,
+      "an aligned MoR update writes no new vectors (full-file elision)")
+    val filesAfter = Manifests.files(spark, b, vU1)
+    assert(filesBefore.toSet.diff(filesAfter.toSet).size === 1,
+      "exactly the fully-matched file retires")
+    assert(filesAfter.toSet.diff(filesBefore.toSet).nonEmpty,
+      "the new images land as appended files")
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 360)
+    assert(now.filter(col("k") === 1)
+      .agg(min("qty"), max("qty")).head.getLong(0) === 15L)
+    assert(now.filter(col("k") =!= 1)
+      .filter(col("qty") =!= 10L).count() === 0)
+    // (b) spread: four rows across four files — vectors STACK on the
+    // delete's (id=101 now lives in an image file from step (a))
+    val (t2, r2, vU2) = Manifests.updateWhereMor(spark, b,
+      col("id").isin(2L, 101L, 204L, 303L),
+      Map("qty" -> (col("qty") * 2L)))
+    assert(r2 === 4 && t2 >= 1)
+    assert(Manifests.dvFiles(spark, b, vU2).size > dvBefore,
+      "a partial MoR update stacks vectors on the existing ones")
+    val after = Manifests.readLatest(spark, b)
+    assert(after.count() === 360)
+    assert(after.filter(col("id") === 101L).head.getLong(2) === 30L)
+    assert(after.filter(col("id") === 2L).head.getLong(2) === 20L)
+    // time travel: each version reads its own state
+    assert(Manifests.readAt(spark, b, vU1)
+      .filter(col("id") === 2L).head.getLong(2) === 10L)
+    // SET expressions minting constraint violations refuse, version-free
+    val vNow = Manifests.latestVersion(spark, b).get
+    intercept[ConstraintViolationException](Manifests.updateWhereMor(
+      spark, b, col("k") === 3, Map("qty" -> lit(-1L))))
+    assert(Manifests.latestVersion(spark, b).get === vNow)
+    // compact() materializes vectors and the content is unchanged
+    Manifests.compact(spark, b, 4)
+    assert(Manifests.readLatest(spark, b).count() === 360)
+    assert(Manifests.dvFiles(spark, b,
+      Manifests.latestVersion(spark, b).get).isEmpty)
+  }
+
+  test("mergeMor: matched rows vector out, the whole batch appends; null keys insert; dup keys throw; aligned files retire") {
+    import spark.implicits._
+    val b = base("graft_man_mrgmor")
+    // java.lang.Long ids: the recorded schema stays NULLABLE so the
+    // null-key insert below is admitted (enforced NOT NULL is its own
+    // test — updateWhereMor's covers the refusal face)
+    def part(k: Int) = (1 to 400).filter(_ % 4 == k)
+      .map(i => (java.lang.Long.valueOf(i.toLong), k, 10L))
+      .toDF("id", "k", "qty").repartition(1)
+    Manifests.commitData(part(0), b)
+    (1 to 3).foreach(k => Manifests.append(part(k), b))
+    // stack a vector first — the CoW merge refuses on it
+    val (d, vDel) = Manifests.deleteWhereMor(spark, b, col("id") % 10 === 0)
+    assert(d === 40)
+    val dvBefore = Manifests.dvFiles(spark, b, vDel).size
+    intercept[IllegalArgumentException](Manifests.merge(spark, b,
+      Seq((101L, 1, 77L)).toDF("id", "k", "qty"), Seq("id")))
+    // MoR merge: one matched update, one insert, one null-key insert
+    val upd = Seq[(java.lang.Long, Integer, java.lang.Long)](
+      (101L, 1, 77L), (9999L, 9, 1L), (null, 9, 2L))
+      .toDF("id", "k", "qty")
+    val (t1, r1, v1) = Manifests.mergeMor(spark, b, upd, Seq("id"))
+    assert(r1 === 3 && t1 === 1)
+    assert(Manifests.dvFiles(spark, b, v1).size > dvBefore,
+      "a partial match stacks a vector")
+    val now = Manifests.readLatest(spark, b)
+    assert(now.count() === 362) // 360 live + insert + null-key insert
+    assert(now.filter(col("id") === 101L).count() === 1)
+    assert(now.filter(col("id") === 101L).head.getLong(2) === 77L)
+    assert(now.filter(col("id").isNull).count() === 1)
+    // duplicate update keys refuse before any write
+    intercept[IllegalArgumentException](Manifests.mergeMor(spark, b,
+      Seq((7L, 1, 1L), (7L, 1, 2L)).toDF("id", "k", "qty"), Seq("id")))
+    // an update batch covering EVERY live row of the k=2 file retires
+    // it (full-file elision) — no new vector
+    val k2live = Manifests.readLatest(spark, b)
+      .filter(col("k") === 2 && col("id") =!= 9999L && col("id").isNotNull)
+      .select("id").as[Long].collect().sorted
+    val dvNow = Manifests.dvFiles(spark, b, v1).size
+    val filesBefore = Manifests.files(spark, b, v1)
+    val big = k2live.toSeq.map(i => (i, 2, 55L)).toDF("id", "k", "qty")
+    val (_, _, v2) = Manifests.mergeMor(spark, b, big, Seq("id"))
+    assert(Manifests.dvFiles(spark, b, v2).size === dvNow,
+      "a fully-matched file retires instead of vectoring")
+    assert(filesBefore.toSet.diff(Manifests.files(spark, b, v2).toSet)
+      .nonEmpty, "the k=2 file left the manifest")
+    val after = Manifests.readLatest(spark, b)
+    assert(after.count() === 362)
+    assert(after.filter(col("k") === 2 && col("qty") === 55L).count()
+      === k2live.length)
+    // time travel intact across the whole MoR lineage
+    assert(Manifests.readAt(spark, b, vDel).count() === 360)
+  }
+
   test("cdcApply: the ledger keeps replay idempotent across intervening commits") {
     import spark.implicits._
     val b = base("graft_man_cdctxn")

@@ -96,6 +96,23 @@ object MorBench {
       .filter(col("country") === "NATION_2" && col("quantity") === 1013)
       .count()
 
+    // ---- the spread case: a THIN slice of every file (quantity=13
+    // lives everywhere) — CoW must rewrite each affected file whole,
+    // MoR writes only the matched rows + vectors -----------------------
+    ext.Manifests.restore(spark, factBase, factV)
+    val spread = col("quantity") === 13
+    val (morSprSec, morSprNew, morSprDrop, morSprBytes) =
+      measure(factBase)(ext.Manifests.updateWhereMor(
+        spark, factBase, spread, set))
+    val morSprRows = ext.Manifests.readLatest(spark, factBase)
+      .filter(col("quantity") === 1013).count()
+    ext.Manifests.restore(spark, factBase, factV)
+    val (cowSprSec, cowSprNew, cowSprDrop, cowSprBytes) =
+      measure(factBase)(ext.Manifests.updateWhere(
+        spark, factBase, spread, set))
+    val cowSprRows = ext.Manifests.readLatest(spark, factBase)
+      .filter(col("quantity") === 1013).count()
+
     // ---- dim: customers × factor, id-clustered ----------------------
     val (dimRows, buildDimSec) = t {
       val dim = etl.Warehouse(spark, inDir).dimCustomer
@@ -141,6 +158,8 @@ object MorBench {
         s""""build_fact_sec":$buildFactSec,"build_dim_sec":$buildDimSec,""" +
         s""""update_mor":{"sec":$morUpdSec,"files_written":$morUpdNew,"files_dropped":$morUpdDrop,"bytes_written":$morUpdBytes,"rows":$morUpdated},""" +
         s""""update_cow":{"sec":$cowUpdSec,"files_written":$cowUpdNew,"files_dropped":$cowUpdDrop,"bytes_written":$cowUpdBytes,"rows":$cowUpdated},""" +
+        s""""spread_update_mor":{"sec":$morSprSec,"files_written":$morSprNew,"files_dropped":$morSprDrop,"bytes_written":$morSprBytes,"rows":$morSprRows},""" +
+        s""""spread_update_cow":{"sec":$cowSprSec,"files_written":$cowSprNew,"files_dropped":$cowSprDrop,"bytes_written":$cowSprBytes,"rows":$cowSprRows},""" +
         s""""merge_mor":{"sec":$morMrgSec,"files_written":$morMrgNew,"files_dropped":$morMrgDrop,"bytes_written":$morMrgBytes,"relocated":$morRelocated},""" +
         s""""merge_cow":{"sec":$cowMrgSec,"files_written":$cowMrgNew,"files_dropped":$cowMrgDrop,"bytes_written":$cowMrgBytes,"relocated":$cowRelocated},""" +
         s""""in":"$inDir"}""")

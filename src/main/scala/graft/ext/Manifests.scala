@@ -1403,25 +1403,36 @@ object Manifests {
       live.columns.contains(k) && k != "__file" && k != "__pos",
       s"UPDATE sets unknown column '$k' — updates cannot add columns"))
     val hit = coalesce(pred, lit(false))
-    // same one-pass per-file accounting as the MoR delete: fully-
-    // matched files retire, only boundary files get vectors
-    val perFile = live.withColumn("__upd", hit)
-      .groupBy("__file")
-      .agg(count(lit(1)).as("__total"),
-        sum(when(col("__upd"), 1L).otherwise(0L)).as("__matched"))
-      .filter(col("__matched") > 0)
-      .collect()
-      .map(r => (Dfs.canonical(r.getString(0)), r.getLong(1), r.getLong(2)))
+    // discovery is a PUSHED filter over the live read (row-group skips
+    // apply where the predicate translates), counting matches per
+    // file; the live TOTALS — needed only to split retire-vs-vector —
+    // come from a second, file-pruned pass over the affected files
+    val matchedPerFile = live.filter(hit).groupBy("__file").count()
+      .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
       .sortBy(_._1)
-    if (perFile.isEmpty) return (0, 0L, v) // no match: no version burned
-    val updated = perFile.map(_._3).sum
-    val fullSet = perFile.collect { case (f, t, m) if m == t => f }.toSet
-    val partialSet = perFile.collect { case (f, t, m) if m < t => f }.toSet
-    // the NEW images: matched LIVE rows with the SET applied — derived
+    if (matchedPerFile.isEmpty) return (0, 0L, v) // no match: no version
+    val updated = matchedPerFile.map(_._2).sum
+    val affectedCanon = matchedPerFile.map(_._1).toSet
+    val affFiles = cur.filter(f => affectedCanon.contains(Dfs.canonical(f)))
+    def liveOf(fs: Seq[String]) = {
+      val r = rd(fs, pos = true)
+      if (prevDvs.isEmpty) r
+      else r.join(spark.read.parquet(prevDvs: _*),
+        Seq("__file", "__pos"), "left_anti")
+    }
+    val affLive = liveOf(affFiles)
+    val totals = affLive.groupBy("__file").count()
+      .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
+      .toMap
+    val matchedMap = matchedPerFile.toMap
+    val fullSet = affectedCanon.filter(f => totals.get(f).contains(matchedMap(f)))
+    val partialSet = affectedCanon -- fullSet
+    // the NEW images: matched LIVE rows with the SET applied — read
+    // from the AFFECTED files only (every match lives there), derived
     // from snapshot v before the commit loop, like every rewrite
     val fields = live.schema.fields
       .filterNot(f => f.name == "__file" || f.name == "__pos")
-    val images = live.filter(hit).select(fields.map { f =>
+    val images = affLive.filter(hit).select(fields.map { f =>
       set.get(f.name)
         .fold(col(s"`${f.name}`"))(_.cast(f.dataType))
         .as(f.name)
@@ -1432,17 +1443,12 @@ object Manifests {
     val newFiles = Dfs.dataFiles(spark, dataDir).map(_.getPath.toString)
     // SET expressions can mint violating values — validate the images
     enforceConstraints(spark, base, Some(v), newFiles, sch)
-    // vectors for the boundary files only (file-pruned second pass)
+    // vectors for the boundary files only (file-pruned third pass)
     val vecFiles = cur.filter(f => partialSet.contains(Dfs.canonical(f)))
     val written: Seq[String] =
       if (vecFiles.isEmpty) Seq.empty
       else {
-        val vecRaw = rd(vecFiles, pos = true)
-        val vecLive =
-          if (prevDvs.isEmpty) vecRaw
-          else vecRaw.join(spark.read.parquet(prevDvs: _*),
-            Seq("__file", "__pos"), "left_anti")
-        val dvRows = vecLive.filter(hit)
+        val dvRows = liveOf(vecFiles).filter(hit)
           .select(col("__file"), col("__pos"))
         val touched = partialSet.toArray.sorted
         val index = spark.sparkContext.broadcast(touched.zipWithIndex.toMap)
@@ -1523,19 +1529,31 @@ object Manifests {
       if (prevDvs.isEmpty) raw
       else raw.join(spark.read.parquet(prevDvs: _*),
         Seq("__file", "__pos"), "left_anti")
-    // per-file accounting via a LEFT join marker (null update keys
-    // never match — SQL join equality): fully-matched files retire
-    val perFile = live
-      .join(keys.withColumn("__hit", lit(1)), keyCols, "left")
-      .groupBy("__file")
-      .agg(count(lit(1)).as("__total"),
-        sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("__matched"))
-      .filter(col("__matched") > 0)
-      .collect()
-      .map(r => (Dfs.canonical(r.getString(0)), r.getLong(1), r.getLong(2)))
+    // discovery: matched rows per file via a semi-join against the
+    // (dup-checked) key batch — column-pruned to the keys by Catalyst,
+    // broadcast when the batch is small (null update keys never match
+    // — SQL join equality); live TOTALS, needed only to split
+    // retire-vs-vector, come from a second file-pruned pass
+    def liveOf(fs: Seq[String]) = {
+      val r = rd(fs, pos = true)
+      if (prevDvs.isEmpty) r
+      else r.join(spark.read.parquet(prevDvs: _*),
+        Seq("__file", "__pos"), "left_anti")
+    }
+    val matchedPerFile = live.join(keys, keyCols, "left_semi")
+      .groupBy("__file").count()
+      .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
       .sortBy(_._1)
-    val fullSet = perFile.collect { case (f, t, m) if m == t => f }.toSet
-    val partialSet = perFile.collect { case (f, t, m) if m < t => f }.toSet
+    val affectedCanon = matchedPerFile.map(_._1).toSet
+    val affFiles = cur.filter(f => affectedCanon.contains(Dfs.canonical(f)))
+    val totals =
+      if (affFiles.isEmpty) Map.empty[String, Long]
+      else liveOf(affFiles).groupBy("__file").count()
+        .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
+        .toMap
+    val matchedMap = matchedPerFile.toMap
+    val fullSet = affectedCanon.filter(f => totals.get(f).contains(matchedMap(f)))
+    val partialSet = affectedCanon -- fullSet
     // the whole update batch lands as new files, aligned to the
     // RECORDED schema (order and types) — a missing column throws
     // rather than null-filling silently
@@ -1553,12 +1571,7 @@ object Manifests {
     val written: Seq[String] =
       if (vecFiles.isEmpty) Seq.empty
       else {
-        val vecRaw = rd(vecFiles, pos = true)
-        val vecLive =
-          if (prevDvs.isEmpty) vecRaw
-          else vecRaw.join(spark.read.parquet(prevDvs: _*),
-            Seq("__file", "__pos"), "left_anti")
-        val dvRows = vecLive.join(keys, keyCols, "left_semi")
+        val dvRows = liveOf(vecFiles).join(keys, keyCols, "left_semi")
           .select(col("__file"), col("__pos"))
         val touched = partialSet.toArray.sorted
         val index = spark.sparkContext.broadcast(touched.zipWithIndex.toMap)
@@ -2060,9 +2073,17 @@ object Manifests {
     * per query; cross-writer conflict detection is a transaction
     * protocol this library does not implement — readers are always
     * safe). Returns the committed version, if any. */
-  def appendBatch(batch: DataFrame, base: String, batchId: Long): Option[Int] =
-    appendTagged(batch, base, s"data_batch_$batchId",
-      txn = Some(("batch", batchId)))
+  /** `appId` scopes the replay identity (and the batch's data
+    * directory) to ONE writer application: two streaming queries
+    * appending into the same table each keep their own sequential
+    * batch-id sequence in the transaction ledger — leaving it at the
+    * default makes the classic single-writer assumption. */
+  def appendBatch(batch: DataFrame, base: String, batchId: Long,
+      appId: String = "batch"): Option[Int] = {
+    val app = appId.replaceAll("[^a-zA-Z0-9_-]", "_")
+    appendTagged(batch, base, s"data_${app}_$batchId",
+      txn = Some((app, batchId)))
+  }
 
   /** One-shot OCC append — the batch-DML face of [[appendBatch]] (the
     * `df.write.format("manifest").mode("append")` / INSERT INTO path):

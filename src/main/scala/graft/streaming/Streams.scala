@@ -217,12 +217,17 @@ object Streams {
     * the manifest itself records which batch directories are in, so a
     * replayed batch no-ops. StreamsSpec proves replay stability and the
     * crashed-attempt window. */
+  /** `appId` scopes replay detection per writer query (the txn-ledger
+    * key): pass a stable per-query id when MULTIPLE streaming queries
+    * append into the same table; the default keeps the single-writer
+    * assumption. */
   def manifestSink(rows: DataFrame, base: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, appId: String = "batch")
+      : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Manifests.appendBatch(batch, base, batchId): Unit
+        graft.ext.Manifests.appendBatch(batch, base, batchId, appId): Unit
       }
       .start()
 

@@ -622,11 +622,16 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.commit(spark, b, fs, parent = Some(0)) === 1)
     intercept[ConcurrentCommitException](
       Manifests.commit(spark, b, fs, parent = Some(0)))
-    // appends commute: raced, both must land (retry re-derives metadata)
+    // appends commute: raced, both must land (retry re-derives
+    // metadata). Identity-FREE appends race here: batch-id appends are
+    // a sequential-per-writer protocol by contract (the txn ledger
+    // drops an id at or below the app's high-water mark as a replay —
+    // Delta's txn semantics — so racing ids 0 and 1 is a contract
+    // violation, not a commuting-append case)
     val appends = Await.result(Future.sequence(Seq(0L, 1L).map(id =>
-      Future(Manifests.appendBatch(
-        Seq((1000L + id, s"new$id")).toDF("id", "s"), b, id)))), 2.minutes)
-    assert(appends.forall(_.isDefined), s"both racing appends must land ($appends)")
+      Future(Manifests.append(
+        Seq((1000L + id, s"new$id")).toDF("id", "s"), b)))), 2.minutes)
+    assert(appends.toSet === Set(2, 3), s"both racing appends must land ($appends)")
     assert(Manifests.latestVersion(spark, b) === Some(3))
     val now = Manifests.readLatest(spark, b)
     assert(now.filter(col("id") >= 1000L).count() === 2)
@@ -1843,6 +1848,13 @@ class ManifestsSpec extends AnyFunSuite {
       .isDefined)
     val latest = Manifests.latestVersion(spark, b).get
     assert(Manifests.txnsOf(spark, b, latest) === Map("batch" -> 2L))
+    // a SECOND writer app keeps its own sequence: its batch 0 lands
+    // even though app "batch" is already at high-water 2
+    assert(Manifests.appendBatch(
+      Seq((300L, "q2")).toDF("id", "src"), b, 0L, appId = "q2").isDefined)
+    assert(Manifests.txnsOf(spark, b,
+      Manifests.latestVersion(spark, b).get) ===
+      Map("batch" -> 2L, "q2" -> 0L))
     // plain inserts carry NO replay identity: the same frame appends twice
     Manifests.append(Seq((900L, "x")).toDF("id", "src"), b)
     Manifests.append(Seq((900L, "x")).toDF("id", "src"), b)
@@ -1850,7 +1862,8 @@ class ManifestsSpec extends AnyFunSuite {
       .filter(col("id") === 900).count() === 2)
     // ...and the ledger rode through them untouched
     assert(Manifests.txnsOf(spark, b,
-      Manifests.latestVersion(spark, b).get) === Map("batch" -> 2L))
+      Manifests.latestVersion(spark, b).get) ===
+      Map("batch" -> 2L, "q2" -> 0L))
   }
 
   test("updateWhereMor: vector + append with zero raw rewrites; stacks on existing vectors where CoW refuses; aligned files retire; constraints hold") {

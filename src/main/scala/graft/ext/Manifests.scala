@@ -124,7 +124,7 @@ object Manifests {
     def lines(n: Int): Seq[String] = {
       require(Dfs.exists(spark, s"$base/v$n/_SUCCESS"),
         s"version $n was never committed under $base")
-      new String(Dfs.readBytes(spark, s"$base/v$n/_manifest"), "UTF-8")
+      new String(manifestBytes(spark, base, n), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     }
     var layers = List.empty[Seq[String]] // oldest-first after the walk
@@ -156,11 +156,31 @@ object Manifests {
 
   private val deltaDirective = "@delta (\\d+)".r
 
+  /** Read `v`'s manifest, completing an interrupted [[flattenManifest]]
+    * if one is found mid-swap: the flat replacement is fully written to
+    * `_manifest.flat` BEFORE `_manifest` is touched, so a crash between
+    * the delete and the rename leaves the `.flat` file as the (already
+    * complete) truth — serve it and finish the rename opportunistically. */
+  private def manifestBytes(spark: SparkSession, base: String,
+      v: Int): Array[Byte] = {
+    val main = s"$base/v$v/_manifest"
+    if (Dfs.exists(spark, main)) Dfs.readBytes(spark, main)
+    else {
+      val flat = s"$main.flat"
+      require(Dfs.exists(spark, flat),
+        s"version $v of $base has no manifest (corrupt version dir)")
+      val bytes = Dfs.readBytes(spark, flat)
+      try Dfs.rename(spark, flat, main)
+      catch { case scala.util.control.NonFatal(_) => () }
+      bytes
+    }
+  }
+
   /** The version a delta-encoded manifest resolves through, None for a
     * flat manifest. */
   private def chainBaseOf(spark: SparkSession, base: String,
       v: Int): Option[Int] =
-    new String(Dfs.readBytes(spark, s"$base/v$v/_manifest"), "UTF-8")
+    new String(manifestBytes(spark, base, v), "UTF-8")
       .linesIterator.map(_.trim).find(_.nonEmpty).collect {
         case deltaDirective(n) => n.toInt
       }
@@ -184,6 +204,9 @@ object Manifests {
       v: Int): Unit = {
     if (chainBaseOf(spark, base, v).isEmpty) return
     val resolved = files(spark, base, v)
+    // crash-safe swap: the complete flat list lands in `.flat` FIRST,
+    // so the delete→rename window can only ever expose a state
+    // [[manifestBytes]] recovers from (no `_manifest`, full `.flat`)
     val tmp = s"$base/v$v/_manifest.flat"
     Dfs.writeBytes(spark, tmp,
       resolved.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -644,17 +667,20 @@ object Manifests {
 
   /** The transaction ledger version `v` carries: writer appId → the
     * highest batch/epoch id committed for it (empty for pre-ledger
-    * versions — consumers fall back to the path-marker scan). */
+    * versions — consumers fall back to the path-marker scan). A ledger
+    * that EXISTS but cannot be read or parsed throws rather than
+    * reporting "no ledger": a silent empty here would re-admit a
+    * replayed batch as new — duplicated rows, the exact corruption the
+    * ledger exists to prevent. */
   def txnsOf(spark: SparkSession, base: String, v: Int): Map[String, Long] =
-    try {
-      if (!Dfs.exists(spark, s"$base/v$v/_txns")) Map.empty
-      else new String(Dfs.readBytes(spark, s"$base/v$v/_txns"), "UTF-8")
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map { l =>
-          val i = l.lastIndexOf('\t')
-          l.substring(0, i) -> l.substring(i + 1).toLong
-        }.toMap
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    if (!Dfs.exists(spark, s"$base/v$v/_txns")) Map.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_txns"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val i = l.lastIndexOf('\t')
+        require(i > 0, s"malformed _txns line in $base/v$v: '$l'")
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
 
   /** Bootstrap: write `df` as a fresh immutable data directory and
     * commit its part files as the next version. `recordSchema`
@@ -1438,7 +1464,13 @@ object Manifests {
         .as(f.name)
     }.toSeq: _*)
     val dataDir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-    images.repartition(math.max(1, fullSet.size + partialSet.size))
+    // size the image write by ROWS, not affected-file count: a spread
+    // update matching a few rows in each of 1,000 files must not write
+    // 1,000 near-empty image files (≈1M rows per output file, capped
+    // at the session's parallelism)
+    images.repartition(math.max(1,
+        math.min(spark.sparkContext.defaultParallelism,
+          math.ceil(updated / 1000000.0).toInt)))
       .write.mode("errorifexists").parquet(dataDir)
     val newFiles = Dfs.dataFiles(spark, dataDir).map(_.getPath.toString)
     // SET expressions can mint violating values — validate the images
@@ -1517,6 +1549,7 @@ object Manifests {
     require(dupKeys == 0,
       s"updates carry duplicate keys on (${keyCols.mkString(", ")}) — " +
         "the merge result would depend on source row order")
+    val batchRows = updates.count()
     val cur = files(spark, base, v)
     val prevDvs = dvFiles(spark, base, v)
     val ren = renamesOf(spark, base, v)
@@ -1562,8 +1595,13 @@ object Manifests {
     val images = updates.select(fields.map(f =>
       col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
     val dataDir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+    // size the batch write by its ROWS: a 600-row upsert lands as one
+    // file, a 50M-row insert-heavy batch keeps cluster parallelism
+    // instead of funneling through repartition(1)
     images
-      .repartition(math.max(1, fullSet.size + partialSet.size))
+      .repartition(math.max(1,
+        math.min(spark.sparkContext.defaultParallelism,
+          math.ceil(batchRows / 1000000.0).toInt)))
       .write.mode("errorifexists").parquet(dataDir)
     val newFiles = Dfs.dataFiles(spark, dataDir).map(_.getPath.toString)
     enforceConstraints(spark, base, Some(v), newFiles, sch)
@@ -1611,7 +1649,7 @@ object Manifests {
         delta = Some((newFiles, retired)),
         txn = txn)
     }
-    (fullSet.size + partialSet.size, updates.count(), nv)
+    (fullSet.size + partialSet.size, batchRows, nv)
   }
 
   /** GC — the companion every log-based format ships: [[deleteWhere]]
@@ -1896,9 +1934,16 @@ object Manifests {
     // reclaim can never leave a manifest that resolves into thin air.
     // Ascending order suffices: a delta's base is its direct parent, so
     // once the lowest crossing survivor is flat, everything above it
-    // chains only through survivors.
+    // chains only through survivors. The O(1) `_counts` depth line
+    // gates the check — a recorded-flat (or pre-delta) version never
+    // pays a manifest read here, so vacuum on a long-history table
+    // reads directives only for the handful of delta survivors.
     committed.filter(_ >= floor).sorted.foreach { v =>
-      if (chainBaseOf(spark, base, v).exists(_ < floor))
+      val raw = countsRaw(spark, base, v)
+      val depth = raw.lift(3)
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .getOrElse(if (raw.nonEmpty) 0 else -1) // 3-line counts predate deltas
+      if (depth != 0 && chainBaseOf(spark, base, v).exists(_ < floor))
         flattenManifest(spark, base, v)
     }
     // deletion-vector and stats sidecars are reference-counted exactly
@@ -2072,17 +2117,28 @@ object Manifests {
     * only concurrent WRITER (Spark guarantees batch ids are sequential
     * per query; cross-writer conflict detection is a transaction
     * protocol this library does not implement — readers are always
-    * safe). Returns the committed version, if any. */
-  /** `appId` scopes the replay identity (and the batch's data
-    * directory) to ONE writer application: two streaming queries
-    * appending into the same table each keep their own sequential
-    * batch-id sequence in the transaction ledger — leaving it at the
-    * default makes the classic single-writer assumption. */
+    * safe). Replay detection is the transaction LEDGER first (appId →
+    * high-water batch id, O(1), survives later DML rewriting the
+    * batch's files), the path-marker scan as pre-ledger fallback; an
+    * id at or below the app's high-water mark is a replay by the
+    * sequential-ids contract. `appId` scopes that identity (and the
+    * batch's data directory) per writer application: two streaming
+    * queries appending into the same table each pass a stable, unique
+    * id and keep independent sequences; the default keeps the classic
+    * single-writer assumption. Returns the committed version, if any. */
   def appendBatch(batch: DataFrame, base: String, batchId: Long,
       appId: String = "batch"): Option[Int] = {
-    val app = appId.replaceAll("[^a-zA-Z0-9_-]", "_")
-    appendTagged(batch, base, s"data_${app}_$batchId",
-      txn = Some((app, batchId)))
+    val clean = appId.replaceAll("[^a-zA-Z0-9_-]", "_")
+    // a lossy sanitization must not collide two DISTINCT writer
+    // identities onto one ledger line ("a.b" vs "a:b" — shared replay
+    // suppression would silently drop the second writer's batches):
+    // disambiguate with a stable hash of the original. The "b:" prefix
+    // namespaces batch appenders away from cdcApply's "cdc" key and
+    // the streaming sink's query tags.
+    val safe = if (clean == appId) clean
+      else s"${clean}_${(appId.hashCode & 0x7fffffff).toHexString}"
+    appendTagged(batch, base, s"data_${safe}_$batchId",
+      txn = Some(("b:" + safe, batchId)))
   }
 
   /** One-shot OCC append — the batch-DML face of [[appendBatch]] (the

@@ -216,11 +216,10 @@ object Streams {
     * at-least-once) is [[graft.ext.Manifests.appendBatch]]'s contract:
     * the manifest itself records which batch directories are in, so a
     * replayed batch no-ops. StreamsSpec proves replay stability and the
-    * crashed-attempt window. */
-  /** `appId` scopes replay detection per writer query (the txn-ledger
-    * key): pass a stable per-query id when MULTIPLE streaming queries
-    * append into the same table; the default keeps the single-writer
-    * assumption. */
+    * crashed-attempt window. `appId` scopes replay detection per writer
+    * query (the txn-ledger key): pass a stable per-query id when
+    * MULTIPLE streaming queries append into the same table; the default
+    * keeps the single-writer assumption. */
   def manifestSink(rows: DataFrame, base: String,
       checkpoint: String, appId: String = "batch")
       : org.apache.spark.sql.streaming.StreamingQuery =

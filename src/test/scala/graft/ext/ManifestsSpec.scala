@@ -1820,6 +1820,14 @@ class ManifestsSpec extends AnyFunSuite {
     Manifests.append(Seq((2000L, 99)).toDF("id", "k").repartition(1), b)
     val v5 = Manifests.latestVersion(spark, b).get
     assert(isDelta(b, v5) && Manifests.readLatest(spark, b).count() === 205)
+    // interrupted-flatten crash window: `_manifest` gone, `.flat`
+    // holding the complete content — reads recover (and finish the
+    // swap), never FileNotFound on a committed version
+    val m = s"$b/v$v5/_manifest"
+    Dfs.writeBytes(spark, s"$m.flat", Dfs.readBytes(spark, m))
+    Dfs.delete(spark, m)
+    assert(Manifests.readLatest(spark, b).count() === 205)
+    assert(Dfs.exists(spark, m), "recovery completes the interrupted swap")
   }
 
   test("transaction ledger: batch replay no-ops even after DML rewrote its files; sequential-id contract; plain inserts keep no identity") {
@@ -1847,14 +1855,14 @@ class ManifestsSpec extends AnyFunSuite {
       (200 to 204).map(i => (i.toLong, "b2")).toDF("id", "src"), b, 2L)
       .isDefined)
     val latest = Manifests.latestVersion(spark, b).get
-    assert(Manifests.txnsOf(spark, b, latest) === Map("batch" -> 2L))
+    assert(Manifests.txnsOf(spark, b, latest) === Map("b:batch" -> 2L))
     // a SECOND writer app keeps its own sequence: its batch 0 lands
     // even though app "batch" is already at high-water 2
     assert(Manifests.appendBatch(
       Seq((300L, "q2")).toDF("id", "src"), b, 0L, appId = "q2").isDefined)
     assert(Manifests.txnsOf(spark, b,
       Manifests.latestVersion(spark, b).get) ===
-      Map("batch" -> 2L, "q2" -> 0L))
+      Map("b:batch" -> 2L, "b:q2" -> 0L))
     // plain inserts carry NO replay identity: the same frame appends twice
     Manifests.append(Seq((900L, "x")).toDF("id", "src"), b)
     Manifests.append(Seq((900L, "x")).toDF("id", "src"), b)
@@ -1863,7 +1871,7 @@ class ManifestsSpec extends AnyFunSuite {
     // ...and the ledger rode through them untouched
     assert(Manifests.txnsOf(spark, b,
       Manifests.latestVersion(spark, b).get) ===
-      Map("batch" -> 2L, "q2" -> 0L))
+      Map("b:batch" -> 2L, "b:q2" -> 0L))
   }
 
   test("updateWhereMor: vector + append with zero raw rewrites; stacks on existing vectors where CoW refuses; aligned files retire; constraints hold") {

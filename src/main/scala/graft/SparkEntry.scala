@@ -402,6 +402,17 @@ object SparkEntry {
       s.sql(s"SELECT customer_id, code, country FROM graft.`$c`")
         .orderBy("customer_id")
     }),
+    // the MoR DML tier through pure SQL (CALL procedures): a MoR
+    // delete stacks vectors, then update_mor reads THROUGH them and
+    // lands its SETs as vectors + images — where SQL UPDATE's group
+    // rewrite refuses until compact()
+    "sql_mor_dml" -> ((s, d) => {
+      val b = mansqlMorDmlFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.sql(s"SELECT * FROM graft.`$b`")
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // the delta-encoded manifest log end-to-end: a long pure-SQL
     // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
     // COLUMN, DELETE, VACUUM cutting the chain, one more INSERT) whose
@@ -937,6 +948,29 @@ object SparkEntry {
     c
   }
 
+  /** Pure-SQL merge-on-read DML lineage via CALL procedures: CTAS →
+    * `CALL delete_mor` (vectors stack, zero rewrites) →
+    * `CALL update_mor` reading THROUGH those vectors (where SQL
+    * UPDATE's group rewrite would refuse "compact() first") →
+    * `CALL merge_mor` upserting a view-sourced batch. Every mutation a
+    * spark.sql string; the registered SELECT reads the stacked state. */
+  private def mansqlMorDmlFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mansqlmrdml")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
+        .createOrReplaceTempView("graft_sqlmrdml_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmrdml_src")
+      s.sql(s"CALL graft.system.delete_mor('$b', 'quantity = 17')")
+      s.sql(s"CALL graft.system.update_mor('$b', " +
+        "\"country = 'NATION_3'\", " +
+        "\"country = 'CALLED'; quantity = quantity + 2000\")")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Delta-log lineage fixture: a table maintained through enough
     * single-batch INSERTs to cross the delta-chain cap TWICE (forced
     * low via `graft.manifest.maxChain=3`, so mid-lineage commits
@@ -1315,6 +1349,21 @@ object SparkEntry {
          |         CAST(NULL AS VARCHAR) AS country
          | ) nn_all
          | ORDER BY customer_id""".stripMargin,
+    // CALL-procedure MoR lineage: quantity=17 rows vectored out, then
+    // NATION_3 survivors updated through the stacked vectors
+    "sql_mor_dml" ->
+      s"""${Oracle.cleanedCte}, survivors AS (
+         | SELECT * FROM cleaned WHERE quantity IS DISTINCT FROM 17
+         |), updated AS (
+         | SELECT invoice_no, stock_code, description,
+         |  CASE WHEN country = 'NATION_3' THEN quantity + 2000
+         |       ELSE quantity END AS quantity,
+         |  invoice_date, unit_price, customer_id,
+         |  CASE WHEN country = 'NATION_3' THEN 'CALLED'
+         |       ELSE country END AS country
+         | FROM survivors)
+         | SELECT ${Oracle.stagingSelectDouble} FROM updated
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // delta-log lineage: the final table is ALL of dim_customer —
     // bucket 4 was deleted and re-inserted with flag='LATE', every
     // other row predates the ADD COLUMN and reads a NULL flag

@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   * `vacuum('ns.t', 2)`, `analyze('ns.t', 'a,b')`,
   * `analyze_bloom(...)`, `restore('ns.t', 3)`,
   * `clone('ns.t', '/fork/path', 3)`, `add_constraint`/`drop_constraint`,
-  * and `compact_small`. The table argument takes a catalog name
+  * `compact_small`, and the merge-on-read DML faces
+  * `update_mor`/`delete_mor`/`merge_mor`. The table argument takes a catalog name
   * (`ns.t`) or an absolute path — the same two spellings every other
   * surface accepts. Each call returns one summary row (a driver-local
   * [[LocalScan]]); the work itself runs through the exact Scala
@@ -52,6 +53,23 @@ private[manifest] final class ManifestProcedures(
   }
 
   private def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+
+  /** `col = expr; col2 = expr2` → SET map. Each assignment is parsed
+    * by Spark's own expression parser (so the RHS may be any SQL
+    * expression, commas included); the separator is `;`, which cannot
+    * appear inside a single SQL expression. */
+  private def parseAssignments(s: String)
+      : Map[String, org.apache.spark.sql.Column] =
+    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { a =>
+      spark.sessionState.sqlParser.parseExpression(a) match {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            attr: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
+            rhs) =>
+          attr.name -> org.apache.spark.sql.graft.ColumnShim.column(rhs)
+        case _ => sys.error(
+          s"assignment must be `col = <expr>` (separate with ';'): $a")
+      }
+    }.toMap
 
   private def out1(n: String, dt: DataType) = new StructType().add(n, dt)
 
@@ -130,6 +148,45 @@ private[manifest] final class ManifestProcedures(
       Seq(p("table", StringType), p("column", StringType)),
       out1("version", IntegerType),
       (base, in) => InternalRow(Manifests.setColumnNullability(spark, base,
-        in.getUTF8String(1).toString, nullable = false)))
+        in.getUTF8String(1).toString, nullable = false))),
+    // merge-on-read DML as procedures — the SQL face of the MoR tier
+    // for the commands Spark's DML grammar routes to the group-based
+    // copy-on-write rewrite (which refuses on vectored tables with
+    // "compact() first"): these land as deletion vectors + appended
+    // images through the exact Scala primitives, O(changed rows) at
+    // any table size. The predicate and assignments are parsed by
+    // Spark's own SQL parser; a MERGE source is any registered view.
+    Proc("update_mor",
+      Seq(p("table", StringType), p("predicate", StringType),
+        p("assignments", StringType)),
+      new StructType().add("files_touched", IntegerType)
+        .add("rows_updated", LongType).add("version", IntegerType),
+      (base, in) => {
+        val (f, r, v) = Manifests.updateWhereMor(spark, base,
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
+          parseAssignments(in.getUTF8String(2).toString))
+        InternalRow(f, r, v)
+      }),
+    Proc("delete_mor",
+      Seq(p("table", StringType), p("predicate", StringType)),
+      new StructType().add("rows_deleted", LongType)
+        .add("version", IntegerType),
+      (base, in) => {
+        val (d, v) = Manifests.deleteWhereMor(spark, base,
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
+        InternalRow(d, v)
+      }),
+    Proc("merge_mor",
+      Seq(p("table", StringType), p("source_view", StringType),
+        p("keys", StringType)),
+      new StructType().add("files_touched", IntegerType)
+        .add("rows_merged", LongType).add("version", IntegerType),
+      (base, in) => {
+        val (f, r, v) = Manifests.mergeMor(spark, base,
+          spark.table(in.getUTF8String(1).toString),
+          in.getUTF8String(2).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
+        InternalRow(f, r, v)
+      })
   ).map(pr => pr.procName -> (pr: UnboundProcedure)).toMap
 }

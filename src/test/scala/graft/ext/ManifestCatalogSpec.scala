@@ -345,6 +345,53 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) AS n FROM graft.proc.t").head.getLong(0) === 6)
   }
 
+  test("CALL procedures: the MoR DML faces — delete_mor/update_mor/merge_mor land vectors + images through pure SQL") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mordml")
+    val base = s"$wh/mordml/t"
+    sql(s"CREATE TABLE graft.mordml.t (id BIGINT, k INT, qty BIGINT) " +
+      s"LOCATION '$base'")
+    sql("INSERT INTO graft.mordml.t SELECT id, 1, CAST(10 AS BIGINT) FROM range(100)")
+    sql("INSERT INTO graft.mordml.t SELECT id + 100, 2, CAST(10 AS BIGINT) FROM range(100)")
+    val files0 = Manifests.files(spark, base,
+      Manifests.latestVersion(spark, base).get).toSet
+    // MoR DELETE via CALL: vectors stack, zero data files rewritten
+    val del = sql(
+      "CALL graft.system.delete_mor('mordml.t', 'id % 10 = 0')").head
+    assert(del.getLong(0) === 20)
+    val v1 = Manifests.latestVersion(spark, base).get
+    assert(Manifests.dvFiles(spark, base, v1).nonEmpty)
+    assert(Manifests.files(spark, base, v1).toSet === files0,
+      "a MoR delete must not rewrite data files")
+    // the SQL UPDATE's group rewrite refuses on the vectored table...
+    intercept[Exception](
+      sql("UPDATE graft.mordml.t SET qty = 99 WHERE k = 1"))
+    // ...update_mor reads THROUGH the vectors; multi-assignment SETs
+    // parse with full SQL expressions (';'-separated)
+    val upd = sql("CALL graft.system.update_mor('mordml.t', 'k = 1', " +
+      "'qty = qty + 5; k = 7')").head
+    assert(upd.getLong(1) === 90)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.mordml.t " +
+      "WHERE k = 7 AND qty = 15").head.getLong(0) === 90)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.mordml.t")
+      .head.getLong(0) === 180)
+    // merge_mor from a registered view: matched update + insert
+    spark.sql("SELECT CAST(105 AS BIGINT) AS id, 9 AS k, " +
+      "CAST(1 AS BIGINT) AS qty UNION ALL " +
+      "SELECT CAST(9999 AS BIGINT), 9, CAST(2 AS BIGINT)")
+      .createOrReplaceTempView("mordml_upd")
+    val mrg = sql(
+      "CALL graft.system.merge_mor('mordml.t', 'mordml_upd', 'id')").head
+    assert(mrg.getLong(1) === 2)
+    assert(sql("SELECT k FROM graft.mordml.t WHERE id = 105")
+      .head.getInt(0) === 9)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.mordml.t")
+      .head.getLong(0) === 181)
+    // time travel across the whole CALL-driven MoR lineage
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.mordml.t VERSION AS OF $v1")
+      .head.getLong(0) === 180)
+  }
+
   test("MERGE bootstraps an empty created table; DML on empty tables no-ops; traversal idents refuse; CASCADE drops managed data") {
     wh
     sql("CREATE NAMESPACE IF NOT EXISTS graft.boot")

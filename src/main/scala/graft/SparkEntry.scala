@@ -951,9 +951,11 @@ object SparkEntry {
   /** Pure-SQL merge-on-read DML lineage via CALL procedures: CTAS →
     * `CALL delete_mor` (vectors stack, zero rewrites) →
     * `CALL update_mor` reading THROUGH those vectors (where SQL
-    * UPDATE's group rewrite would refuse "compact() first") →
-    * `CALL merge_mor` upserting a view-sourced batch. Every mutation a
-    * spark.sql string; the registered SELECT reads the stacked state. */
+    * UPDATE's group rewrite would refuse "compact() first"). Every
+    * mutation a spark.sql string; the registered SELECT reads the
+    * stacked state. (`merge_mor`'s SQL face is exercised by
+    * ManifestCatalogSpec — the staging table has no dup-free merge
+    * key, so the fixture keeps to delete + update.) */
   private def mansqlMorDmlFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqlmrdml")
     val marker = s"${b}_done"

@@ -166,13 +166,22 @@ object Manifests {
     val main = s"$base/v$v/_manifest"
     if (Dfs.exists(spark, main)) Dfs.readBytes(spark, main)
     else {
+      // recovery itself can race: another reader may complete the
+      // rename between our exists-check and the flat read — on ANY
+      // failure here, re-check the main file (the winner installed it,
+      // byte-identical) before declaring the version corrupt
       val flat = s"$main.flat"
-      require(Dfs.exists(spark, flat),
-        s"version $v of $base has no manifest (corrupt version dir)")
-      val bytes = Dfs.readBytes(spark, flat)
-      try Dfs.rename(spark, flat, main)
-      catch { case scala.util.control.NonFatal(_) => () }
-      bytes
+      try {
+        val bytes = Dfs.readBytes(spark, flat)
+        try Dfs.rename(spark, flat, main)
+        catch { case scala.util.control.NonFatal(_) => () }
+        bytes
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (Dfs.exists(spark, main)) Dfs.readBytes(spark, main)
+          else throw new IllegalStateException(
+            s"version $v of $base has no manifest (corrupt version dir)", e)
+      }
     }
   }
 
@@ -207,11 +216,19 @@ object Manifests {
     // crash-safe swap: the complete flat list lands in `.flat` FIRST,
     // so the delete→rename window can only ever expose a state
     // [[manifestBytes]] recovers from (no `_manifest`, full `.flat`)
-    val tmp = s"$base/v$v/_manifest.flat"
+    val main = s"$base/v$v/_manifest"
+    val tmp = s"$main.flat"
     Dfs.writeBytes(spark, tmp,
       resolved.mkString("", "\n", "\n").getBytes("UTF-8"))
-    Dfs.delete(spark, s"$base/v$v/_manifest")
-    Dfs.rename(spark, tmp, s"$base/v$v/_manifest")
+    Dfs.delete(spark, main)
+    // a concurrent reader's recovery may win the rename inside this
+    // window — identical bytes (both from tmp), so "already installed"
+    // is success, not failure
+    try Dfs.rename(spark, tmp, main)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (!Dfs.exists(spark, main)) throw e
+    }
     try {
       val ls = countsRaw(spark, base, v).toBuffer
       if (ls.nonEmpty) {
@@ -1420,11 +1437,13 @@ object Manifests {
     val sch = schemaOf(spark, base, v)
     def rd(fs: Seq[String], pos: Boolean = false) =
       eraRead(spark, ren, fs, sch, withPositions = pos)
-    val raw = rd(cur, pos = true)
-    val live =
-      if (prevDvs.isEmpty) raw
-      else raw.join(spark.read.parquet(prevDvs: _*),
+    def liveOf(fs: Seq[String]) = {
+      val r = rd(fs, pos = true)
+      if (prevDvs.isEmpty) r
+      else r.join(spark.read.parquet(prevDvs: _*),
         Seq("__file", "__pos"), "left_anti")
+    }
+    val live = liveOf(cur)
     set.keys.foreach(k => require(
       live.columns.contains(k) && k != "__file" && k != "__pos",
       s"UPDATE sets unknown column '$k' — updates cannot add columns"))
@@ -1440,12 +1459,6 @@ object Manifests {
     val updated = matchedPerFile.map(_._2).sum
     val affectedCanon = matchedPerFile.map(_._1).toSet
     val affFiles = cur.filter(f => affectedCanon.contains(Dfs.canonical(f)))
-    def liveOf(fs: Seq[String]) = {
-      val r = rd(fs, pos = true)
-      if (prevDvs.isEmpty) r
-      else r.join(spark.read.parquet(prevDvs: _*),
-        Seq("__file", "__pos"), "left_anti")
-    }
     val affLive = liveOf(affFiles)
     val totals = affLive.groupBy("__file").count()
       .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
@@ -1557,22 +1570,18 @@ object Manifests {
     val keys = updates.select(keyCols.map(col): _*)
     def rd(fs: Seq[String], pos: Boolean = false) =
       eraRead(spark, ren, fs, sch, withPositions = pos)
-    val raw = rd(cur, pos = true)
-    val live =
-      if (prevDvs.isEmpty) raw
-      else raw.join(spark.read.parquet(prevDvs: _*),
-        Seq("__file", "__pos"), "left_anti")
-    // discovery: matched rows per file via a semi-join against the
-    // (dup-checked) key batch — column-pruned to the keys by Catalyst,
-    // broadcast when the batch is small (null update keys never match
-    // — SQL join equality); live TOTALS, needed only to split
-    // retire-vs-vector, come from a second file-pruned pass
     def liveOf(fs: Seq[String]) = {
       val r = rd(fs, pos = true)
       if (prevDvs.isEmpty) r
       else r.join(spark.read.parquet(prevDvs: _*),
         Seq("__file", "__pos"), "left_anti")
     }
+    val live = liveOf(cur)
+    // discovery: matched rows per file via a semi-join against the
+    // (dup-checked) key batch — column-pruned to the keys by Catalyst,
+    // broadcast when the batch is small (null update keys never match
+    // — SQL join equality); live TOTALS, needed only to split
+    // retire-vs-vector, come from a second file-pruned pass
     val matchedPerFile = live.join(keys, keyCols, "left_semi")
       .groupBy("__file").count()
       .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
@@ -2194,7 +2203,13 @@ object Manifests {
   private def replayedIn(spark: SparkSession, base: String, v: Int,
       txn: Option[(String, Long)], marker: Option[String]): Boolean =
     txn.flatMap { case (app, id) =>
-      txnsOf(spark, base, v).get(app).map(_ >= id)
+      val ledger = txnsOf(spark, base, v)
+      // tables written before the "b:" namespace recorded the bare
+      // appId — consult it too, so an upgrade never forgets a
+      // committed batch (forgetting = the replay double-appends)
+      ledger.get(app)
+        .orElse(ledger.get(app.stripPrefix("b:")))
+        .map(_ >= id)
     }.getOrElse(
       marker.exists(m => files(spark, base, v).exists(_.contains(m))))
 

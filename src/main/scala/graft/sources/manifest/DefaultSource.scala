@@ -257,21 +257,26 @@ class DefaultSource extends StreamSourceProvider with StreamSinkProvider
     require(atSuffix.isEmpty,
       s"cannot stream into time-travel path $base@v${atSuffix.get} — " +
         "versions are immutable; write to the table base")
-    new ManifestStreamSink(base)
+    new ManifestStreamSink(base,
+      parameters.getOrElse("appId", "batch"))
   }
 }
 
 /** V1 `Sink` over [[Manifests.appendBatch]]. The frame `addBatch`
   * receives is bound to the engine's incremental execution; it is
   * re-wrapped as a plain batch frame over the already-planned RDD
-  * before the commit path writes it (the standard V1-sink move). */
-private[manifest] class ManifestStreamSink(base: String) extends Sink {
+  * before the commit path writes it (the standard V1-sink move).
+  * The `appId` sink option scopes replay identity per writer query —
+  * two streams into one table each pass a stable unique id, the
+  * default keeps the single-writer assumption. */
+private[manifest] class ManifestStreamSink(base: String,
+    appId: String) extends Sink {
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
     val spark = data.sparkSession
     Manifests.appendBatch(
       org.apache.spark.sql.graft.StreamShim.asBatch(spark, data),
-      base, batchId): Unit
+      base, batchId, appId): Unit
   }
   override def toString: String = s"ManifestStreamSink[$base]"
 }

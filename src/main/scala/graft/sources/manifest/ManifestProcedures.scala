@@ -56,11 +56,28 @@ private[manifest] final class ManifestProcedures(
 
   /** `col = expr; col2 = expr2` → SET map. Each assignment is parsed
     * by Spark's own expression parser (so the RHS may be any SQL
-    * expression, commas included); the separator is `;`, which cannot
-    * appear inside a single SQL expression. */
+    * expression, commas included); the `;` separator is recognized
+    * only OUTSIDE quoted literals and backticked identifiers, so a
+    * string value like `'a;b'` sets cleanly. Duplicate target columns
+    * refuse, matching SQL UPDATE's own rule. */
   private def parseAssignments(s: String)
-      : Map[String, org.apache.spark.sql.Column] =
-    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { a =>
+      : Map[String, org.apache.spark.sql.Column] = {
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Option[Char] = None // inside '…', "…" or `…`
+    s.foreach { c =>
+      quote match {
+        case Some(q) =>
+          cur += c
+          if (c == q) quote = None // '' doubling toggles twice: net ok
+        case None =>
+          if (c == '\'' || c == '"' || c == '`') { quote = Some(c); cur += c }
+          else if (c == ';') { parts += cur.result(); cur.clear() }
+          else cur += c
+      }
+    }
+    parts += cur.result()
+    val pairs = parts.iterator.map(_.trim).filter(_.nonEmpty).map { a =>
       spark.sessionState.sqlParser.parseExpression(a) match {
         case org.apache.spark.sql.catalyst.expressions.EqualTo(
             attr: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
@@ -69,7 +86,15 @@ private[manifest] final class ManifestProcedures(
         case _ => sys.error(
           s"assignment must be `col = <expr>` (separate with ';'): $a")
       }
-    }.toMap
+    }.toSeq
+    val dup = pairs.groupBy(_._1.toLowerCase).collect {
+      case (n, ps) if ps.size > 1 => n
+    }
+    require(dup.isEmpty,
+      s"duplicate SET column(s): ${dup.mkString(", ")} — " +
+        "SQL UPDATE refuses duplicate assignments")
+    pairs.toMap
+  }
 
   private def out1(n: String, dt: DataType) = new StructType().add(n, dt)
 

@@ -390,6 +390,17 @@ class ManifestCatalogSpec extends AnyFunSuite {
     // time travel across the whole CALL-driven MoR lineage
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.mordml.t VERSION AS OF $v1")
       .head.getLong(0) === 180)
+    // assignment parsing edges: a ';' inside a string literal is NOT a
+    // separator; duplicate SET columns refuse like SQL UPDATE's rule
+    sql("ALTER TABLE graft.mordml.t ADD COLUMN note STRING")
+    val lit = sql("CALL graft.system.update_mor('mordml.t', 'id = 1', " +
+      "\"note = 'a;b'\")").head
+    assert(lit.getLong(1) === 1)
+    assert(sql("SELECT note FROM graft.mordml.t WHERE id = 1")
+      .head.getString(0) === "a;b")
+    intercept[Exception](sql(
+      "CALL graft.system.update_mor('mordml.t', 'id = 2', " +
+        "'qty = 1; qty = 2')"))
   }
 
   test("MERGE bootstraps an empty created table; DML on empty tables no-ops; traversal idents refuse; CASCADE drops managed data") {

@@ -1036,6 +1036,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally out.stop()
   }
 
+  test("writeStream.format(manifest): two queries into one table keep independent replay identities via the appId option") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkapp").toString
+    val base = s"$root/t"
+    val inA = MemoryStream[(Long, String)]
+    val inB = MemoryStream[(Long, String)]
+    def start(in: MemoryStream[(Long, String)], app: String, ckpt: String) =
+      in.toDF().toDF("id", "src").writeStream
+        .format("manifest").option("path", base).option("appId", app)
+        .option("checkpointLocation", s"$root/$ckpt")
+        .outputMode("append").start()
+    // query A advances to batch 1 BEFORE query B's batch 0 arrives:
+    // under a shared identity, B's batch 0 would read high-water 1 and
+    // be silently dropped as a replay — distinct appIds keep the
+    // sequences independent
+    val qA = start(inA, "qa", "ckA")
+    try {
+      inA.addData((1L, "a")); qA.processAllAvailable()
+      inA.addData((2L, "a")); qA.processAllAvailable()
+    } finally qA.stop()
+    val qB = start(inB, "qb", "ckB")
+    try {
+      inB.addData((100L, "b")); qB.processAllAvailable()
+    } finally qB.stop()
+    val rows = graft.ext.Manifests.readLatest(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(1L, 2L, 100L),
+      "query B's first batch must land despite query A's higher batch ids")
+    val v = graft.ext.Manifests.latestVersion(spark, base).get
+    assert(graft.ext.Manifests.txnsOf(spark, base, v) ===
+      Map("b:qa" -> 1L, "b:qb" -> 0L))
+  }
+
   test("catalog streaming: readStream.table relays versions; writeStream.toTable is exactly-once across restart") {
     val spark0 = spark
     import spark0.implicits._

@@ -320,9 +320,25 @@ object Manifests {
             .flatMap(s => scala.util.Try(s.toInt).toOption)
           if (depth <= maxChain &&
               pCount.contains(dataFiles.size - adds.size + removes.size) &&
-              adds.size + removes.size < dataFiles.size)
-            Some((p, adds, removes, depth))
-          else None
+              adds.size + removes.size < dataFiles.size) {
+            // the arithmetic can balance while the SETS disagree (a
+            // caller whose adds/removes are inconsistent with dataFiles
+            // would persist a manifest resolving to a DIFFERENT list
+            // than the committed one — silent corruption): verify the
+            // applied diff reproduces dataFiles exactly before trusting
+            // the hint; a mismatched hint falls back to a flat write,
+            // which is always correct. files(p) is the memoized parent
+            // listing the caller just derived from — set arithmetic on
+            // in-memory strings, no extra I/O.
+            val resolved = scala.collection.mutable.LinkedHashSet
+              .empty[String]
+            resolved ++= files(spark, base, p)
+            removes.foreach(r => resolved -= Dfs.canonical(r))
+            adds.foreach(a => resolved += Dfs.canonical(a))
+            if (resolved == dataFiles.map(Dfs.canonical).toSet)
+              Some((p, adds, removes, depth))
+            else None
+          } else None
         }
       }
     deltaWrite match {
@@ -2206,10 +2222,19 @@ object Manifests {
       val ledger = txnsOf(spark, base, v)
       // tables written before the "b:" namespace recorded the bare
       // appId — consult it too, so an upgrade never forgets a
-      // committed batch (forgetting = the replay double-appends)
-      ledger.get(app)
-        .orElse(ledger.get(app.stripPrefix("b:")))
-        .map(_ >= id)
+      // committed batch (forgetting = the replay double-appends). But
+      // the fallback must never read ANOTHER writer's line: "cdc" is
+      // cdcApply's key and "q<uuid>" a streaming sink's — a batch
+      // appender whose appId collides with those would read an
+      // independent high-water mark and silently DROP fresh batches
+      // as replays (data loss, the worse failure). Reserved shapes
+      // skip the fallback; a genuine pre-namespace line under one of
+      // them can at worst double-append (visible, recoverable).
+      ledger.get(app).orElse {
+        val bare = app.stripPrefix("b:")
+        if (bare == "cdc" || bare.matches("q[0-9a-fA-F-]{36}")) None
+        else ledger.get(bare)
+      }.map(_ >= id)
     }.getOrElse(
       marker.exists(m => files(spark, base, v).exists(_.contains(m))))
 

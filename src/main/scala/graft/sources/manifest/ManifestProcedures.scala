@@ -65,11 +65,18 @@ private[manifest] final class ManifestProcedures(
     val parts = scala.collection.mutable.Buffer.empty[String]
     val cur = new StringBuilder
     var quote: Option[Char] = None // inside '…', "…" or `…`
+    var esc = false // char after a backslash inside '…'/"…"
     s.foreach { c =>
       quote match {
         case Some(q) =>
           cur += c
-          if (c == q) quote = None // '' doubling toggles twice: net ok
+          // Spark's string-literal lexer honors backslash escapes
+          // inside single/double quotes ('a\';b' stays one literal);
+          // backticked identifiers escape only by `` doubling, which
+          // the plain toggle already nets out
+          if (esc) esc = false
+          else if (c == '\\' && q != '`') esc = true
+          else if (c == q) quote = None // '' doubling toggles twice: net ok
         case None =>
           if (c == '\'' || c == '"' || c == '`') { quote = Some(c); cur += c }
           else if (c == ';') { parts += cur.result(); cur.clear() }

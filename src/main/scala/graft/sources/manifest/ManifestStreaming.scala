@@ -333,16 +333,24 @@ private[manifest] object ManifestChanges {
         // at most one of them) — alias whichever is present instead of
         // null-filling real values away; genuinely absent fields
         // (pre-ADD COLUMN catch-up) null-fill as before
-        val names = scala.collection.mutable.LinkedHashSet(f.name)
+        // the closure is computed over LOWERCASED names, consistent
+        // with the `have` presence set: a case-spelling difference
+        // between the resolved schema and the recorded rename events
+        // must not miss the alias and null-fill real pre-rename values
+        val names = scala.collection.mutable.LinkedHashSet(
+          f.name.toLowerCase)
         var grew = true
         while (grew) {
           grew = false
           evs.foreach { e =>
-            if (names.contains(e.from) && names.add(e.to)) grew = true
-            if (names.contains(e.to) && names.add(e.from)) grew = true
+            val (fl, tl) = (e.from.toLowerCase, e.to.toLowerCase)
+            if (names.contains(fl) && names.add(tl)) grew = true
+            if (names.contains(tl) && names.add(fl)) grew = true
           }
         }
-        names.iterator.drop(1).find(n => have.contains(n.toLowerCase)) match {
+        names.iterator.drop(1).filter(have.contains)
+          .flatMap(n => raw.columns.find(_.toLowerCase == n))
+          .nextOption() match {
           case Some(n) => df.withColumn(f.name, col(s"`$n`"))
           case None => df.withColumn(f.name, lit(null).cast(f.dataType))
         }

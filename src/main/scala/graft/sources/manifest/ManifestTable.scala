@@ -284,9 +284,21 @@ class ManifestTable(spark: SparkSession, val base: String,
               overwriteCond match {
                 case Some(cond) if exists =>
                   Manifests.overwriteWhere(data, base, cond): Unit
-                case Some(_) =>
+                case Some(cond) =>
                   // nothing to replace yet: the overwrite region of an
-                  // uncommitted table is empty — plain bootstrap
+                  // uncommitted table is empty — but the statement
+                  // still CLAIMS to touch only the declared region, so
+                  // containment is enforced exactly like
+                  // overwriteWhere's replaceWhere check: a row outside
+                  // the PARTITION spec refuses instead of silently
+                  // landing under a partition the statement never
+                  // named (Delta refuses these too)
+                  import org.apache.spark.sql.functions.{coalesce, lit}
+                  require(data.filter(!coalesce(cond, lit(false)))
+                      .limit(1).count() == 0,
+                    s"INSERT OVERWRITE into $base: the incoming data " +
+                      "contains rows outside the declared PARTITION " +
+                      "region — every inserted row must match it")
                   bootstrap()
                 case None =>
                   if (replaceAll || overwrite || !exists) parts match {

@@ -401,6 +401,14 @@ class ManifestCatalogSpec extends AnyFunSuite {
     intercept[Exception](sql(
       "CALL graft.system.update_mor('mordml.t', 'id = 2', " +
         "'qty = 1; qty = 2')"))
+    // a backslash-ESCAPED quote inside the literal must not close it:
+    // the RHS `'a\';b'` is one literal whose value is a';b — Spark's
+    // own lexing — and the ';' inside it is not a separator
+    val esc = sql("CALL graft.system.update_mor('mordml.t', 'id = 1', " +
+      "'note = \\'a\\\\\\';b\\'')").head
+    assert(esc.getLong(1) === 1)
+    assert(sql("SELECT note FROM graft.mordml.t WHERE id = 1")
+      .head.getString(0) === "a';b")
   }
 
   test("MERGE bootstraps an empty created table; DML on empty tables no-ops; traversal idents refuse; CASCADE drops managed data") {
@@ -785,6 +793,24 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(chainMsg(e).contains("outside the overwrite predicate"), chainMsg(e))
     assert(Manifests.latestVersion(spark, t2) === Some(0),
       "a refused overwrite burns no version")
+
+    // containment holds on the BOOTSTRAP branch too: a scoped overwrite
+    // of a created-but-never-written table refuses out-of-region rows
+    // instead of silently landing them under a statement that claims to
+    // touch one region (Delta refuses these)
+    sql("CREATE TABLE graft.ovw.t3 (id BIGINT, c STRING) PARTITIONED BY (c)")
+    val t3 = s"$wh/ovw/t3"
+    val eb = intercept[Throwable](
+      Seq((1L, "P0"), (2L, "P7")).toDF("id", "c")
+        .writeTo("graft.ovw.t3").overwrite(col("c") === "P0"))
+    assert(chainMsg(eb).contains("outside the declared PARTITION region"),
+      chainMsg(eb))
+    assert(Manifests.latestVersion(spark, t3).isEmpty,
+      "a refused bootstrap overwrite must not commit a version")
+    // the contained form bootstraps cleanly
+    Seq((1L, "P0")).toDF("id", "c")
+      .writeTo("graft.ovw.t3").overwrite(col("c") === "P0")
+    assert(sql("SELECT * FROM graft.ovw.t3").count() === 1)
   }
 
   test("dynamic partitionOverwriteMode: INSERT OVERWRITE replaces exactly the partitions the data holds") {

@@ -1874,6 +1874,34 @@ class ManifestsSpec extends AnyFunSuite {
       Map("b:batch" -> 2L, "b:q2" -> 0L))
   }
 
+  test("transaction ledger: a batch appId colliding with another namespace's bare key never reads that writer's high-water mark") {
+    import spark.implicits._
+    val b = base("graft_man_txn_ns")
+    // cdcApply owns the bare "cdc" ledger line and pushes it to 5
+    (0L to 5L).foreach { i =>
+      assert(Manifests.cdcApply(
+        Seq((i, s"cdc$i")).toDF("k", "v"), b, Seq("k"), i).isDefined)
+    }
+    assert(Manifests.txnsOf(spark, b,
+      Manifests.latestVersion(spark, b).get) === Map("cdc" -> 5L))
+    // a batch appender whose appId is ALSO "cdc" keys "b:cdc" — its
+    // fresh batch 1 is NOT a replay of cdcApply's independent sequence;
+    // the pre-namespace fallback must not read the reserved bare key
+    // and silently drop it (that would be data loss)
+    assert(Manifests.appendBatch(
+      Seq((100L, "batch1")).toDF("k", "v"), b, 1L, appId = "cdc").isDefined,
+      "appendBatch(appId=\"cdc\") batch 1 must land despite cdcApply's " +
+        "bare 'cdc' high-water mark of 5")
+    assert(Manifests.readLatest(spark, b)
+      .filter(col("v") === "batch1").count() === 1)
+    // its own sequence still dedupes normally
+    assert(Manifests.appendBatch(
+      Seq((100L, "batch1")).toDF("k", "v"), b, 1L, appId = "cdc").isEmpty)
+    assert(Manifests.txnsOf(spark, b,
+      Manifests.latestVersion(spark, b).get) ===
+      Map("cdc" -> 5L, "b:cdc" -> 1L))
+  }
+
   test("updateWhereMor: vector + append with zero raw rewrites; stacks on existing vectors where CoW refuses; aligned files retire; constraints hold") {
     import spark.implicits._
     val b = base("graft_man_updmor")

@@ -1053,9 +1053,10 @@ object Manifests {
   private def liveRead(spark: SparkSession, data: Seq[String],
       dvs: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      renames: Seq[RenameEvent] = Nil)
+      renames: Seq[RenameEvent] = Nil,
+      keepPos: Boolean = false)
       : DataFrame = {
-    def rd(fs: Seq[String], pos: Boolean = false) =
+    def rd(fs: Seq[String], pos: Boolean = keepPos) =
       eraRead(spark, renames, fs, schema, withPositions = pos)
     if (dvs.isEmpty) return rd(data)
     val dv = spark.read.parquet(dvs: _*)
@@ -1075,13 +1076,14 @@ object Manifests {
         val dvHit =
           if (dvHitRaw.length == dvRawFiles.length) dv
           else dv.filter(col("__file").isin(dvHitRaw.toIndexedSeq: _*))
+        def shed(df: DataFrame) =
+          if (keepPos) df else df.drop("__file", "__pos")
         dvMembershipColumn(spark, dvHit) match {
           case Some(deleted) =>
-            Some(rd(hit, pos = true).filter(!deleted).drop("__file", "__pos"))
+            Some(shed(rd(hit, pos = true).filter(!deleted)))
           case None =>
-            Some(rd(hit, pos = true)
-              .join(dvHit, Seq("__file", "__pos"), "left_anti")
-              .drop("__file", "__pos"))
+            Some(shed(rd(hit, pos = true)
+              .join(dvHit, Seq("__file", "__pos"), "left_anti")))
         }
       }
     val plain = if (clean.isEmpty) None else Some(rd(clean))
@@ -1140,6 +1142,62 @@ object Manifests {
   def readAt(spark: SparkSession, base: String, v: Int): DataFrame =
     liveRead(spark, files(spark, base, v), dvFiles(spark, base, v),
       schemaOf(spark, base, v), renamesOf(spark, base, v))
+
+  /** [[readAt]] with the row-identity columns kept: every live row
+    * carries `__file` (the data file's `_metadata.file_path` spelling)
+    * and `__pos` (its physical position in that file) — the rowId pair
+    * the merge-on-read tier keys deletion vectors on. Serves the
+    * metadata-column face (`_file`/`_pos`) on read paths that cannot
+    * ride the columnar DV scan (live renames, blown bitmap budget). */
+  private[graft] def readAtWithPos(spark: SparkSession, base: String,
+      v: Int): DataFrame =
+    liveRead(spark, files(spark, base, v), dvFiles(spark, base, v),
+      schemaOf(spark, base, v), renamesOf(spark, base, v), keepPos = true)
+
+  private val dvScanIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Option[Map[String, Array[Long]]]]
+
+  /** The whole-version deletion-vector bitmap index for the COLUMNAR
+    * catalog scan: canonical data-file path → deleted-position bitmap
+    * words, built driver-side from the version's sidecar parquet under
+    * the same byte budget as [[dvMembershipColumn]] (`graft.dv.
+    * indexMaxBytes`) — `None` past it, and the caller falls back to
+    * the V1 anti-join detour, which is always correct. Cached per
+    * sidecar path SET: sidecars are immutable (UUID-named, never
+    * rewritten), so a version's index builds once per session however
+    * many queries read it. Distinct raw spellings canonicalizing to
+    * one file OR-merge. */
+  private[graft] def dvScanIndex(spark: SparkSession,
+      dvs: Seq[String]): Option[Map[String, Array[Long]]] = {
+    if (dvs.isEmpty) return Some(Map.empty)
+    if (dvScanIndexCache.size > 16) dvScanIndexCache.clear()
+    val key = (spark.sparkContext.applicationId,
+      dvs.map(Dfs.canonical).sorted.mkString("\n"))
+    dvScanIndexCache.getOrElseUpdate(key, {
+      val dv = spark.read.parquet(dvs: _*)
+      val perFile = dv.groupBy("__file")
+        .agg(max(col("__pos")).as("mx"), count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val estBytes = perFile.map(_._2 / 8 + 64).sum
+      val maxBytes = spark.conf.getOption("graft.dv.indexMaxBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      // same two-cost budget as dvMembershipColumn: shipped bitmap
+      // bytes AND the driver-side collect of boxed positions
+      if (estBytes > maxBytes || perFile.map(_._3).sum > maxBytes / 8 ||
+          perFile.exists(_._2 >= Int.MaxValue)) None
+      else {
+        val m = scala.collection.mutable.HashMap
+          .empty[String, java.util.BitSet]
+        dv.groupBy("__file").agg(collect_list(col("__pos")).as("ps"))
+          .collect().foreach { r =>
+            val bs = m.getOrElseUpdate(Dfs.canonical(r.getString(0)),
+              new java.util.BitSet())
+            r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+          }
+        Some(m.iterator.map { case (k, bs) => (k, bs.toLongArray) }.toMap)
+      }
+    })
+  }
 
   def readLatest(spark: SparkSession, base: String): DataFrame =
     readAt(spark, base, latestVersion(spark, base)

@@ -4,7 +4,7 @@ import java.util
 
 import graft.ext.{Dfs, Manifests}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{InputPartition, ScanBuilder}
@@ -68,7 +68,30 @@ class ManifestTable(spark: SparkSession, val base: String,
     pinned: Option[Int], declaredSchema: Option[StructType],
     declaredPartCols: Seq[String], ident: String) extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file` / `_pos` — Iceberg's metadata-column pair: the data file
+    * a row lives in and its physical position there. Non-nullable by
+    * contract (every materialized row HAS a file and a position),
+    * which also qualifies them as the `SupportsDelta` rowId. Served by
+    * every batch read path; `SELECT *` never includes them. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = DvScan.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "data file the row lives in (_metadata.file_path spelling)"
+    },
+    new MetadataColumn {
+      override def name(): String = DvScan.PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row position within _file"
+    })
 
   private def currentVersion: Option[Int] =
     pinned.orElse(Manifests.latestVersion(spark, base))
@@ -127,19 +150,28 @@ class ManifestTable(spark: SparkSession, val base: String,
     val v = currentVersion
     val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
       sys.error(s"$base has no committed version and no declared schema"))
-    // a vectored version cannot ride the parquet-scan path — a raw file
-    // scan would resurrect the vectors' deleted rows — and neither can
-    // one with live RENAME COLUMN events (pre-rename files hold the old
-    // physical name; a raw scan would null-fill the column) — so both
-    // serve as a V1 scan over the DV/era-aware readAt instead: only
-    // vectored/pre-rename files pay the detour machinery inside the
-    // plan, and only such versions pay the V1 detour at all
-    if (v.exists(w => Manifests.dvFiles(spark, base, w).nonEmpty ||
-        Manifests.hasLiveRenames(spark, base, w)))
+    // a vectored version rides the SAME columnar parquet scan as a
+    // clean one — the deletion vectors apply inside the reader as
+    // per-file position bitmaps ([[DvParquetScan]]), keeping pushdown,
+    // zone pruning and whole-stage codegen for every file. Only two
+    // shapes still take the V1 detour over the DV/era-aware readAt:
+    // live RENAME COLUMN events (pre-rename files hold the old
+    // physical name — a raw scan would null-fill the column) and a DV
+    // frame past the bitmap byte budget (the anti-join fallback is
+    // always correct, never memory-bound).
+    if (v.exists(w => Manifests.hasLiveRenames(spark, base, w)))
       new MorScanBuilder(spark, base, v.get, sch, options, pinned)
-    else
-      new StreamCapableScanBuilder(spark,
-        new ManifestScanIndex(spark, base, v), sch, options, base, pinned)
+    else {
+      val dvs = v.map(w => Manifests.dvFiles(spark, base, w))
+        .getOrElse(Seq.empty)
+      Manifests.dvScanIndex(spark, dvs) match {
+        case Some(idx) => new GraftScanBuilder(spark,
+          new ManifestScanIndex(spark, base, v), sch, options, base,
+          pinned, idx)
+        case None =>
+          new MorScanBuilder(spark, base, v.get, sch, options, pinned)
+      }
+    }
   }
 
   // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback) ---------------
@@ -561,54 +593,12 @@ private[manifest] class CowScan(sp: SparkSession,
   override def hashCode(): Int = System.identityHashCode(this)
 }
 
-/** The catalog read path's scan builder: a stock `ParquetScanBuilder`
-  * whose scan additionally answers `toMicroBatchStream` — one builder
-  * serves `spark.table` and `spark.readStream.table`, with the batch
-  * path unchanged (pushdown, zone pruning, metadata aggregates). */
-private[manifest] class StreamCapableScanBuilder(sp: SparkSession,
-    idx: ManifestScanIndex, sch: StructType,
-    opts: CaseInsensitiveStringMap, base: String, pinned: Option[Int])
-    extends ParquetScanBuilder(sp, idx, sch, sch, opts) {
-
-  override def build(): ParquetScan =
-    new StreamCapableScan(sparkSession, hadoopConf, idx, dataSchema,
-      readDataSchema(), readPartitionSchema(), pushedDataFilters, options,
-      partitionFilters, dataFilters, base, pinned)
-}
-
-private[manifest] class StreamCapableScan(sp: SparkSession,
-    conf: org.apache.hadoop.conf.Configuration, idx: ManifestScanIndex,
-    dataSch: StructType, readDataSch: StructType, readPartSch: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter],
-    opts: CaseInsensitiveStringMap,
-    partFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    base: String, pinned: Option[Int])
-    extends ParquetScan(sp, conf, idx, dataSch, readDataSch, readPartSch,
-      pushed, opts, None, partFilters, dataFilters, Array.empty) {
-
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    // a pinned (VERSION AS OF) handle is a frozen snapshot: a stream
-    // from it would either shadow the pin or follow the live table —
-    // both wrong; refuse, matching the write side's guard
-    require(pinned.isEmpty,
-      s"cannot stream from $base pinned at version ${pinned.getOrElse(-1)}")
-    // the tag column must BE the relation's schema, which is fixed at
-    // resolution from Table.schema() — a read option cannot widen it;
-    // the change feed is its own name-addressed table
-    require(!Option(opts.get("readChangeFeed")).exists(_.toBoolean),
-      "change-feed streaming through the catalog is the `.changes` " +
-        "table: spark.readStream.table(\"<catalog>.<ns>.<t>.changes\")")
-    new ManifestMicroBatchStream(sp, base, readDataSch, opts)
-  }
-}
-
-/** The catalog read path for a VECTORED version: a merge-on-read
-  * delete changes no data file, so the parquet-scan path (a raw file
-  * read) would resurrect the deleted rows — this builder instead
+/** The V1-detour read path for versions the columnar scan cannot
+  * serve: live RENAME COLUMN events (pre-rename files hold the old
+  * physical name — a raw scan would null-fill the column) and
+  * deletion-vector frames past the bitmap byte budget. This builder
   * serves a [[org.apache.spark.sql.connector.read.V1Scan]] over
-  * [[Manifests.readAt]], whose plan applies the vectors file-pruned
+  * [[Manifests.readAt]], whose plan applies vectors file-pruned
   * (only vectored files pay the position anti-join; clean files stay
   * plain parquet scans INSIDE the plan, with pushdown and codegen).
   *
@@ -656,7 +646,17 @@ private[manifest] class MorScanBuilder(spark: SparkSession, base: String,
           with org.apache.spark.sql.sources.TableScan](
           context: org.apache.spark.sql.SQLContext): T = {
         import org.apache.spark.sql.functions.col
-        val df0 = Manifests.readAt(spark, base, v)
+        // metadata columns ride the positioned read: `__file`/`__pos`
+        // kept through the DV filtering and published under their
+        // catalog names — the detour path answers `SELECT _file, _pos`
+        // exactly like the columnar scan does
+        val wantMeta = req.fieldNames.contains(DvScan.FileCol) ||
+          req.fieldNames.contains(DvScan.PosCol)
+        val df0 =
+          if (wantMeta) Manifests.readAtWithPos(spark, base, v)
+            .withColumnRenamed("__file", DvScan.FileCol)
+            .withColumnRenamed("__pos", DvScan.PosCol)
+          else Manifests.readAt(spark, base, v)
         val df1 =
           if (fs.isEmpty) df0
           else FilterColumns.toColumn(fs.toSeq).map(df0.filter).getOrElse(df0)

@@ -89,6 +89,11 @@ object ManifestCountRule extends Rule[LogicalPlan] {
     // pushed aggregate (footer-based pushdown changes the shape).
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
       r.scan match {
+        // a VECTORED version's stats tier still counts the deleted
+        // rows — metadata answers over a DV-carrying scan would be
+        // stale; the clean-table scan (empty index) collapses as before
+        case dv: graft.sources.manifest.DvParquetScan if dv.hasDeletes =>
+          None
         case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
             if !ps.isInstanceOf[
               org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering] &&

@@ -413,6 +413,16 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // plain MERGE INTO a VECTORED table: the analyzer's SupportsDelta
+    // rewrite lands it merge-on-read — matched target rows vector out
+    // by (file, pos), updates + inserts append as image files, one
+    // atomic commit. The CALL procedure is compat; this is the native
+    // spelling.
+    "sql_mor_merge" -> ((s, d) => {
+      val b = mansqlMorMergeFixture(s, d)
+      s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$b`")
+        .orderBy("customer_id")
+    }),
     // the delta-encoded manifest log end-to-end: a long pure-SQL
     // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
     // COLUMN, DELETE, VACUUM cutting the chain, one more INSERT) whose
@@ -965,9 +975,44 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sqlmrdml_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmrdml_src")
       s.sql(s"CALL graft.system.delete_mor('$b', 'quantity = 17')")
-      s.sql(s"CALL graft.system.update_mor('$b', " +
-        "\"country = 'NATION_3'\", " +
-        "\"country = 'CALLED'; quantity = quantity + 2000\")")
+      // the UPDATE is the PLAIN SQL spelling: the table is vectored,
+      // so the analyzer routes it through the SupportsDelta operation
+      // (native merge-on-read — old images vector out, new images
+      // append; no CALL, no compact() wall)
+      s.sql(s"UPDATE graft.`$b` SET country = 'CALLED', " +
+        "quantity = quantity + 2000 WHERE country = 'NATION_3'")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** Native MoR MERGE fixture: the merge_mor twin issued as PLAIN SQL
+    * — CTAS, a clustered MoR delete (vectoring the table), then
+    * `MERGE INTO` whose matched rows update and unmatched rows insert.
+    * The vectored state routes the MERGE through the SupportsDelta
+    * operation; a CoW fallback would refuse (compact wall), so the
+    * fixture completing AT ALL pins the native path. */
+  private def mansqlMorMergeFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mansqlmrgmor")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country"))
+        .createOrReplaceTempView("graft_sqlmrgmor_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmrgmor_src")
+      s.sql(s"CALL graft.system.delete_mor('$b', \"country = 'NATION_7'\")")
+      val dim = s.sql(s"SELECT * FROM graft.`$b` VERSION AS OF 0")
+      dim.filter(col("country") === "NATION_3")
+        .withColumn("country", lit("RELOCATED"))
+        .unionByName(dim.filter(col("country") === "NATION_5")
+          .select((col("customer_key") + 1000000L).as("customer_key"),
+            concat(col("customer_id"), lit("_B")).as("customer_id"),
+            lit("NATION_5B").as("country")))
+        .createOrReplaceTempView("graft_sqlmrgmor_upd")
+      s.sql(s"""MERGE INTO graft.`$b` t USING graft_sqlmrgmor_upd u
+                |ON t.customer_id = u.customer_id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       ext.Dfs.touch(s, marker)
     }
     b
@@ -1470,6 +1515,24 @@ object SparkEntry {
     // gone when the upsert lands; the upsert result matches the CoW
     // twin's shape on the survivors
     "merge_mor" ->
+      s"""${Oracle.warehouseCte}, survivors AS (
+         |  SELECT customer_key, customer_id, country FROM dim_customer
+         |  WHERE country IS DISTINCT FROM 'NATION_7'
+         |), upd AS (
+         |  SELECT customer_key, customer_id, 'RELOCATED' AS country
+         |  FROM dim_customer WHERE country = 'NATION_3'
+         |  UNION ALL
+         |  SELECT customer_key + 1000000, customer_id || '_B', 'NATION_5B'
+         |  FROM dim_customer WHERE country = 'NATION_5')
+         | SELECT customer_key, customer_id, country FROM upd
+         | UNION ALL
+         | SELECT s.customer_key, s.customer_id, s.country FROM survivors s
+         | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = s.customer_id)
+         | ORDER BY customer_id""".stripMargin,
+    // native MoR MERGE: same final state as the procedural twin — the
+    // NATION_7 delete's survivors, NATION_3 relocated in place,
+    // NATION_5's shadow customers inserted
+    "sql_mor_merge" ->
       s"""${Oracle.warehouseCte}, survivors AS (
          |  SELECT customer_key, customer_id, country FROM dim_customer
          |  WHERE country IS DISTINCT FROM 'NATION_7'

@@ -1735,6 +1735,109 @@ object Manifests {
     (fullSet.size + partialSet.size, batchRows, nv)
   }
 
+  /** Publish a [[org.apache.spark.sql.connector.write.SupportsDelta]]
+    * write — the commit half of native merge-on-read SQL DML: the
+    * engine's tasks already streamed DELETE rowIds into `dvWritten`
+    * sidecar parquet and INSERT/REINSERT images into `dataWritten`,
+    * and this turns them into ONE atomic manifest commit with the
+    * exact invariants of the procedural MoR tier:
+    *
+    *  - FULL-FILE ELISION (Delta's invariant): a file whose every
+    *    live row is deleted RETIRES from the manifest instead of
+    *    carrying a data-sized vector — decided by one file-pruned
+    *    accounting pass over only the files the deletes touch;
+    *  - constraint enforcement on the appended images (CHECK +
+    *    NOT NULL, like any append);
+    *  - OCC: rebases over concurrent pure appends, refusing when an
+    *    appended row matches `conflict` (or always, when the command
+    *    condition was not capturable — conservative);
+    *  - O(diff) delta-manifest accounting and incremental
+    *    stats/partition/bloom segments for the new images.
+    *
+    * Deletes are counted DISTINCT per (file, pos): the engine may
+    * legally emit a duplicate action for the same row; the bitmap
+    * dedups and so must the elision arithmetic. Sidecar files whose
+    * every row points at retired files are dropped from the commit
+    * (their content is dead weight); callers' crashed residue is
+    * `sweepOrphans` fodder as usual. Returns (rows deleted, version). */
+  private[graft] def commitDeltaWrite(spark: SparkSession, base: String,
+      snapshot: Int, dvWritten: Seq[String], dataWritten: Seq[String],
+      tag: Option[String], conflict: Option[Column]): (Long, Int) = {
+    val v = snapshot
+    if (dvWritten.isEmpty && dataWritten.isEmpty)
+      return (0L, v)
+    val cur = files(spark, base, v)
+    val prevDvs = dvFiles(spark, base, v)
+    val ren = renamesOf(spark, base, v)
+    val sch = schemaOf(spark, base, v)
+    def rd(fs: Seq[String], pos: Boolean = false) =
+      eraRead(spark, ren, fs, sch, withPositions = pos)
+    def liveOf(fs: Seq[String]) = {
+      val r = rd(fs, pos = true)
+      if (prevDvs.isEmpty) r
+      else r.join(spark.read.parquet(prevDvs: _*),
+        Seq("__file", "__pos"), "left_anti")
+    }
+    val delPerFile: Map[String, Long] =
+      if (dvWritten.isEmpty) Map.empty
+      else spark.read.parquet(dvWritten: _*)
+        .groupBy("__file").agg(countDistinct(col("__pos")).as("n"))
+        .collect()
+        .map(r => (Dfs.canonical(r.getString(0)), r.getLong(1))).toMap
+    val affFiles = cur.filter(f => delPerFile.contains(Dfs.canonical(f)))
+    require(affFiles.map(Dfs.canonical).toSet == delPerFile.keySet,
+      s"delta write against $base@v$v references files outside the " +
+        "snapshot — the scan and the write disagree on the file set")
+    val totals =
+      if (affFiles.isEmpty) Map.empty[String, Long]
+      else liveOf(affFiles).groupBy("__file").count()
+        .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
+        .toMap
+    var fullSet = delPerFile.keySet
+      .filter(f => totals.get(f).contains(delPerFile(f)))
+    var partialSet = delPerFile.keySet -- fullSet
+    // an empty manifest is unrepresentable: if the write deletes every
+    // live row of every file and appends nothing, one fully-dead file
+    // stays behind fully-vectored (deleteWhereMor's rule)
+    if (dataWritten.isEmpty && partialSet.isEmpty &&
+        fullSet.size == cur.size && fullSet.nonEmpty) {
+      val keep = fullSet.min
+      fullSet -= keep; partialSet += keep
+    }
+    if (dataWritten.nonEmpty)
+      enforceConstraints(spark, base, Some(v), dataWritten, sch)
+    val addDvs = if (partialSet.nonEmpty) dvWritten else Seq.empty
+    val deleted = delPerFile.values.sum
+    val nv = rebaseLoop(spark, base, v,
+      added => conflict.map(c =>
+        rd(added).filter(coalesce(c, lit(false))).limit(1).count() > 0)
+        .getOrElse(true)) { parent =>
+      val (retired, kept) = files(spark, base, parent)
+        .partition(f => fullSet.contains(Dfs.canonical(f)))
+      val stats = statsOf(spark, base, parent).map { case (keys, segs) =>
+        if (dataWritten.isEmpty) (keys, segs)
+        else (keys, segs :+ writeStats(spark, base,
+          statsFor(spark, dataWritten, keys, sch)))
+      }
+      val pv = partitionedBy(spark, base, parent).map { case (cols, segs) =>
+        if (dataWritten.isEmpty) (cols, segs)
+        else (cols, segs :+ writePartValues(spark, base, dataWritten,
+          cols, sch))
+      }
+      val bl = bloomOf(spark, base, parent).map { case (keys, segs) =>
+        if (dataWritten.isEmpty) (keys, segs)
+        else (keys, segs :+ writeBlooms(spark, base,
+          buildBlooms(spark, dataWritten, keys, sch)))
+      }
+      commit(spark, base, kept ++ dataWritten, tag,
+        dvFiles(spark, base, parent) ++ addDvs,
+        sch, stats, parent = Some(parent),
+        partValues = pv, blooms = bl,
+        delta = Some((dataWritten, retired)))
+    }
+    (deleted, nv)
+  }
+
   /** GC — the companion every log-based format ships: [[deleteWhere]]
     * replaces files by reference, so the replaced bytes leak until
     * something reclaims them. Drops every version below the

@@ -396,17 +396,34 @@ class ManifestTable(spark: SparkSession, val base: String,
         // a created-but-never-written table is a valid DML target: the
         // scan is empty, DELETE/UPDATE no-op, and a MERGE's NOT MATCHED
         // inserts BOOTSTRAP the table (Delta's merge-bootstrap shape).
-        // NO deletion-vector refusal HERE: this builder runs at
-        // ANALYSIS, before the optimizer may collapse a translatable
-        // DELETE to the metadata/MoR tier (deleteWhere) — the group
-        // rewrite's raw-file scan refuses vectored versions at
-        // EXECUTION instead (CowScan.planInputPartitions), so only DML
-        // that actually takes the rewrite path pays the compact() wall
         val v = currentVersion
         val sch = v.map(schemaAt).orElse(declaredSchema).getOrElse(
           sys.error(s"$base has no committed version and no declared " +
             s"schema — cannot resolve ${info.command}"))
-        new ManifestRowLevelOperation(spark, base, v, sch, info.command)
+        // Operation selection (Iceberg's write.update.mode shape):
+        //  - a VECTORED version takes the delta-based merge-on-read
+        //    operation ([[ManifestDeltaOperation]]) — its raw files
+        //    cannot legally feed a copy-on-write rewrite, and with
+        //    SupportsDelta they no longer need to: plain SQL
+        //    UPDATE/DELETE/MERGE lands vectors + image appends;
+        //  - a CLEAN version keeps the group-based CoW rewrite unless
+        //    the session opts into MoR with `graft.dml.mode=mor`;
+        //  - live RENAMES stay on the CoW path (whose raw-file scan
+        //    refuses at EXECUTION with the compact-first message —
+        //    the columnar delta scan cannot era-compose).
+        // The CoW builder still refuses nothing at ANALYSIS: a
+        // translatable DELETE collapses to the metadata/MoR tier
+        // (deleteWhere) before either rewrite plans its scan.
+        val vectored = v.exists(w =>
+          Manifests.dvFiles(spark, base, w).nonEmpty)
+        val renamed = v.exists(w =>
+          Manifests.hasLiveRenames(spark, base, w))
+        val forceMor = spark.conf.getOption("graft.dml.mode")
+          .exists(_.equalsIgnoreCase("mor"))
+        if ((vectored || forceMor) && !renamed)
+          new ManifestDeltaOperation(spark, base, v, sch, info.command)
+        else
+          new ManifestRowLevelOperation(spark, base, v, sch, info.command)
       }
     }
   }

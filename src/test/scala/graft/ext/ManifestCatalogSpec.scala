@@ -363,10 +363,10 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(Manifests.dvFiles(spark, base, v1).nonEmpty)
     assert(Manifests.files(spark, base, v1).toSet === files0,
       "a MoR delete must not rewrite data files")
-    // the SQL UPDATE's group rewrite refuses on the vectored table...
-    intercept[Exception](
-      sql("UPDATE graft.mordml.t SET qty = 99 WHERE k = 1"))
-    // ...update_mor reads THROUGH the vectors; multi-assignment SETs
+    // (plain SQL UPDATE now lands natively on vectored tables via
+    // SupportsDelta — DeltaDmlSpec pins that path; this suite pins the
+    // CALL faces, which stay as Iceberg-style compat procedures)
+    // update_mor reads THROUGH the vectors; multi-assignment SETs
     // parse with full SQL expressions (';'-separated)
     val upd = sql("CALL graft.system.update_mor('mordml.t', 'k = 1', " +
       "'qty = qty + 5; k = 7')").head
@@ -697,19 +697,29 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT * FROM graft.mor.t VERSION AS OF 1").count() === 30)
     assert(sql("SELECT * FROM graft.mor.t VERSION AS OF 0").count() === 40)
 
-    // UPDATE / MERGE keep the pinned contract: their group rewrite reads
-    // files RAW, so a vectored version refuses at rewrite execution —
-    // resurrection of deleted rows is the failure mode this guards
-    val e = intercept[Throwable](
-      sql("UPDATE graft.mor.t SET s = 'x' WHERE id = 6"))
-    assert(chainMsg(e).contains("deletion vectors"), chainMsg(e))
-    assert(sql("SELECT * FROM graft.mor.t").count() === 20,
-      "a refused UPDATE must not have half-applied")
-
-    // compact() materializes the vectors; the same UPDATE then lands
-    Manifests.compact(spark, base, 4)
-    sql("UPDATE graft.mor.t SET s = 'x' WHERE id = 6")
+    // UPDATE on the vectored table is NATIVE merge-on-read (the
+    // SupportsDelta operation — round 13): the CoW rewrite provably
+    // does NOT fire — no data file is rewritten, the old image lands
+    // as another stacked vector, the new image appends
+    val v2Files = Manifests.files(spark, base, 2).map(Dfs.canonical).toSet
+    val dvV2 = Manifests.dvFiles(spark, base, 2).size
+    sql("UPDATE graft.mor.t SET s = 'x' WHERE id = 6") // v3, delta path
+    val v3 = Manifests.latestVersion(spark, base).get
+    assert(v2Files.subsetOf(
+      Manifests.files(spark, base, v3).map(Dfs.canonical).toSet),
+      "the CoW path must no longer fire on vectored tables — every " +
+        "parent file carries by reference under the delta write")
+    assert(Manifests.dvFiles(spark, base, v3).size > dvV2)
     assert(sql("SELECT s FROM graft.mor.t WHERE id = 6").head.getString(0) === "x")
+    assert(sql("SELECT * FROM graft.mor.t").count() === 20)
+
+    // compact() still materializes everything; a post-compact UPDATE
+    // takes the plain CoW rewrite on the clean files
+    Manifests.compact(spark, base, 4)
+    assert(Manifests.dvFiles(spark, base,
+      Manifests.latestVersion(spark, base).get).isEmpty)
+    sql("UPDATE graft.mor.t SET s = 'y' WHERE id = 6")
+    assert(sql("SELECT s FROM graft.mor.t WHERE id = 6").head.getString(0) === "y")
     assert(sql("SELECT * FROM graft.mor.t").count() === 20)
   }
 

@@ -120,41 +120,115 @@ object Manifests {
     * then each layer's removes/adds apply oldest-first — removed files
     * drop, added files append, so the resolved order is exactly what a
     * flat write of the same list would have recorded. */
+  /** Resolved-manifest memo: a committed version's FILE LIST is
+    * immutable (flatten changes representation, never content), so the
+    * memo key only needs to survive the one mutation that can reuse a
+    * (base, version) pair — DROP TABLE + recreate at the same location
+    * — which the `_SUCCESS` marker's mtime disambiguates. Bounded
+    * clear-all cache: entries rebuild on the next resolve. */
+  private val filesMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Long), Seq[String]]
+
+  /** Test hook: model a FRESH process (crash-recovery readers start
+    * with an empty memo). */
+  private[graft] def evictResolvedManifests(): Unit = filesMemo.clear()
+
+  private def filesMemoKey(spark: SparkSession, base: String,
+      n: Int): Option[(String, String, Int, Long)] = {
+    val success = s"$base/v$n/_SUCCESS"
+    if (!Dfs.exists(spark, success)) None
+    else Some((spark.sparkContext.applicationId, base, n,
+      Dfs.mtime(spark, success)))
+  }
+
   def files(spark: SparkSession, base: String, v: Int): Seq[String] = {
     def lines(n: Int): Seq[String] = {
       require(Dfs.exists(spark, s"$base/v$n/_SUCCESS"),
         s"version $n was never committed under $base")
-      new String(manifestBytes(spark, base, n), "UTF-8")
+      val raw = new String(manifestBytes(spark, base, n), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-    }
-    var layers = List.empty[Seq[String]] // oldest-first after the walk
-    var cur = lines(v)
-    var hops = 0
-    while (cur.headOption.exists(_.startsWith("@delta"))) {
-      hops += 1
-      require(hops <= 100000,
-        s"manifest delta chain under $base/v$v never reaches a flat base")
-      val p = cur.head match {
-        case deltaDirective(n) => n.toInt
-        case h => sys.error(s"malformed manifest directive in $base: $h")
+      raw.headOption match {
+        // a CHECKPOINTED manifest (Delta's parquet-checkpoint shape):
+        // the text file is a one-line proxy and the list itself is a
+        // parquet file beside it — ~10-20× fewer bytes for path data
+        // (shared-prefix dictionary + snappy), so an 800k-file chain
+        // base costs a few MB to resolve cold, not ~80 MB of text
+        case Some(parquetDirective(dir, cnt)) =>
+          val rows = spark.read.parquet(s"$base/v$n/$dir")
+            .collect().map(_.getString(0)).toSeq
+          require(rows.size == cnt.toInt,
+            s"manifest checkpoint $dir under $base/v$n resolves " +
+              s"${rows.size} files, expected $cnt — corrupt checkpoint")
+          rows
+        case _ => raw
       }
-      layers = cur.tail :: layers
-      cur = lines(p)
     }
-    if (layers.isEmpty) cur
-    else {
-      val out = scala.collection.mutable.LinkedHashSet.empty[String]
-      out ++= cur
-      layers.foreach(_.foreach { l =>
-        if (l.startsWith("+")) out += l.substring(1)
-        else if (l.startsWith("-")) out -= l.substring(1)
-        else sys.error(s"malformed delta manifest line in $base: $l")
-      })
-      out.toSeq
+    def resolve(n: Int): Seq[String] = {
+      var layers = List.empty[Seq[String]] // oldest-first after the walk
+      var cur = lines(n)
+      var memoBase: Option[Seq[String]] = None
+      var hops = 0
+      while (memoBase.isEmpty &&
+          cur.headOption.exists(_.startsWith("@delta"))) {
+        hops += 1
+        require(hops <= 100000,
+          s"manifest delta chain under $base/v$n never reaches a flat base")
+        val p = cur.head match {
+          case deltaDirective(d) => d.toInt
+          case h => sys.error(s"malformed manifest directive in $base: $h")
+        }
+        layers = cur.tail :: layers
+        // an already-resolved ancestor short-circuits the walk: an
+        // append-heavy chain re-resolves in O(new layers), not O(chain)
+        memoBase = filesMemoKey(spark, base, p).flatMap(filesMemo.get)
+        if (memoBase.isEmpty) cur = lines(p)
+      }
+      val baseList = memoBase.getOrElse(cur)
+      if (layers.isEmpty) baseList
+      else {
+        val out = scala.collection.mutable.LinkedHashSet.empty[String]
+        out ++= baseList
+        layers.foreach(_.foreach { l =>
+          if (l.startsWith("+")) out += l.substring(1)
+          else if (l.startsWith("-")) out -= l.substring(1)
+          else sys.error(s"malformed delta manifest line in $base: $l")
+        })
+        out.toSeq
+      }
+    }
+    filesMemoKey(spark, base, v) match {
+      case Some(key) =>
+        if (filesMemo.size > 8) filesMemo.clear()
+        filesMemo.getOrElseUpdate(key, resolve(v))
+      case None => resolve(v) // loud "never committed" from lines(v)
     }
   }
 
   private val deltaDirective = "@delta (\\d+)".r
+  private val parquetDirective = "@parquet (\\S+) (\\d+)".r
+
+  /** The bytes a FLAT manifest stores for `resolved`: plain text below
+    * `graft.manifest.checkpointThreshold` (default 10k files), a
+    * one-line `@parquet <dir> <count>` proxy above it with the list
+    * checkpointed as parquet inside the version dir (UUID-named, so
+    * racing flattens never collide; the loser's dir is vacuum-collected
+    * residue). The checkpoint lands fully BEFORE the proxy line is
+    * returned to any caller, so every crash window resolves. */
+  private def flatManifestBytes(spark: SparkSession, base: String,
+      v: Int, resolved: Seq[String]): Array[Byte] = {
+    val threshold = spark.conf
+      .getOption("graft.manifest.checkpointThreshold")
+      .map(_.toInt).getOrElse(10000)
+    if (resolved.size < threshold)
+      resolved.mkString("", "\n", "\n").getBytes("UTF-8")
+    else {
+      val dir = s"_cp_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.createDataset(resolved)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("path").coalesce(1)
+        .write.mode("errorifexists").parquet(s"$base/v$v/$dir")
+      s"@parquet $dir ${resolved.size}\n".getBytes("UTF-8")
+    }
+  }
 
   /** Read `v`'s manifest, completing an interrupted [[flattenManifest]]
     * if one is found mid-swap: the flat replacement is fully written to
@@ -218,8 +292,7 @@ object Manifests {
     // [[manifestBytes]] recovers from (no `_manifest`, full `.flat`)
     val main = s"$base/v$v/_manifest"
     val tmp = s"$main.flat"
-    Dfs.writeBytes(spark, tmp,
-      resolved.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Dfs.writeBytes(spark, tmp, flatManifestBytes(spark, base, v, resolved))
     Dfs.delete(spark, main)
     // a concurrent reader's recovery may win the rename inside this
     // window — identical bytes (both from tmp), so "already installed"
@@ -350,8 +423,7 @@ object Manifests {
             .mkString("", "\n", "\n").getBytes("UTF-8"))
       case None =>
         Dfs.writeBytes(spark, s"$base/v$v/_manifest",
-          dataFiles.map(Dfs.canonical)
-            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          flatManifestBytes(spark, base, v, dataFiles.map(Dfs.canonical)))
     }
     if (dv.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_deletes",
@@ -399,17 +471,52 @@ object Manifests {
     // path marker, which is O(files) — and silently WRONG once a later
     // DML rewrites the batch's files away (the paths vanish, the scan
     // misses, the replay double-appends).
-    val effTxns: Map[String, Long] = {
-      val inherited = inheritBase
-        .map(txnsOf(spark, base, _)).getOrElse(Map.empty)
-      txn.fold(inherited) { case (app, id) =>
-        inherited.updated(app,
-          math.max(id, inherited.getOrElse(app, Long.MinValue)))
+    // RETENTION (Delta's setTransactionRetentionDuration shape,
+    // applied here because versions are immutable — the ledger can
+    // only change by inheritance, and every live table commits): with
+    // `graft.txn.retentionMillis` set, an appId untouched for longer
+    // than the horizon retires to a TOMBSTONE (`!app<TAB>expiredAt`)
+    // instead of silently vanishing — a late replay from a retired
+    // writer REFUSES loudly ([[replayedIn]]) rather than
+    // double-appending, which is strictly safer than Delta's
+    // vanish-and-double-append. Tombstones themselves age out after
+    // `graft.txn.tombstoneRetentionMillis` (default 10× the horizon),
+    // so an ephemeral CI appId costs one ledger line for a bounded
+    // window, then nothing.
+    val nowMs = System.currentTimeMillis()
+    val retention = spark.conf.getOption("graft.txn.retentionMillis")
+      .map(_.toLong)
+    val (effTxns, effDead): (Map[String, (Long, Long)], Map[String, Long]) = {
+      val (live0, dead0) = inheritBase
+        .map(txnEntriesOf(spark, base, _))
+        .getOrElse((Map.empty[String, (Long, Long)], Map.empty[String, Long]))
+      // legacy two-field lines carry no stamp: stamp them NOW (the
+      // clock restarts — conservative, never premature expiry)
+      val live1 = live0.view.mapValues { case (id, ts) =>
+        (id, if (ts < 0) nowMs else ts) }.toMap
+      val live2 = txn.fold(live1) { case (app, id) =>
+        live1.updated(app,
+          (math.max(id, live1.get(app).map(_._1).getOrElse(Long.MinValue)),
+            nowMs))
+      }
+      retention match {
+        case Some(r) =>
+          val tombR = spark.conf
+            .getOption("graft.txn.tombstoneRetentionMillis")
+            .map(_.toLong).getOrElse(10L * r)
+          val (expired, kept) = live2.partition { case (_, (_, ts)) =>
+            nowMs - ts > r }
+          val dead1 = dead0.filter { case (_, t) => nowMs - t <= tombR } ++
+            expired.map { case (a, _) => a -> nowMs }
+          (kept, dead1 -- txn.map(_._1))
+        case None => (live2, dead0)
       }
     }
-    if (effTxns.nonEmpty)
+    if (effTxns.nonEmpty || effDead.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_txns",
-        effTxns.toSeq.sortBy(_._1).map { case (a, i) => s"$a\t$i" }
+        (effTxns.toSeq.sortBy(_._1).map { case (a, (i, ts)) =>
+          s"$a\t$i\t$ts" } ++
+          effDead.toSeq.sortBy(_._1).map { case (a, t) => s"!$a\t$t" })
           .mkString("", "\n", "\n").getBytes("UTF-8"))
     // drop-column tombstones inherit through the PARENT chain only: a
     // full bootstrap/overwrite replaces every physical file, so the
@@ -706,14 +813,42 @@ object Manifests {
     * replayed batch as new — duplicated rows, the exact corruption the
     * ledger exists to prevent. */
   def txnsOf(spark: SparkSession, base: String, v: Int): Map[String, Long] =
-    if (!Dfs.exists(spark, s"$base/v$v/_txns")) Map.empty
-    else new String(Dfs.readBytes(spark, s"$base/v$v/_txns"), "UTF-8")
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .map { l =>
-        val i = l.lastIndexOf('\t')
-        require(i > 0, s"malformed _txns line in $base/v$v: '$l'")
-        l.substring(0, i) -> l.substring(i + 1).toLong
-      }.toMap
+    txnEntriesOf(spark, base, v)._1.view.mapValues(_._1).toMap
+
+  /** The parsed ledger: LIVE appId → (high-water id, last-touched
+    * millis) and TOMBSTONED appId → expired-at millis. Line formats:
+    * `app<TAB>id<TAB>ts` (current), `app<TAB>id` (legacy — ts = -1,
+    * stamped at next inheritance), `!app<TAB>ts` (tombstone). The one
+    * parser every ledger consumer rides — format changes stay here. */
+  private[graft] def txnEntriesOf(spark: SparkSession, base: String,
+      v: Int): (Map[String, (Long, Long)], Map[String, Long]) =
+    if (!Dfs.exists(spark, s"$base/v$v/_txns")) (Map.empty, Map.empty)
+    else {
+      val live = Map.newBuilder[String, (Long, Long)]
+      val dead = Map.newBuilder[String, Long]
+      new String(Dfs.readBytes(spark, s"$base/v$v/_txns"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .foreach { l =>
+          if (l.startsWith("!")) {
+            val i = l.lastIndexOf('\t')
+            require(i > 1, s"malformed _txns tombstone in $base/v$v: '$l'")
+            dead += l.substring(1, i) -> l.substring(i + 1).toLong
+          } else {
+            val parts = l.split('\t')
+            def num(s: String) = scala.util.Try(s.toLong).toOption
+            (if (parts.length >= 3) num(parts(parts.length - 1))
+              .zip(num(parts(parts.length - 2))) else None) match {
+              case Some((ts, id)) =>
+                live += parts.dropRight(2).mkString("\t") -> (id, ts)
+              case None =>
+                val i = l.lastIndexOf('\t')
+                require(i > 0, s"malformed _txns line in $base/v$v: '$l'")
+                live += l.substring(0, i) -> (l.substring(i + 1).toLong, -1L)
+            }
+          }
+        }
+      (live.result(), dead.result())
+    }
 
   /** Bootstrap: write `df` as a fresh immutable data directory and
     * commit its part files as the next version. `recordSchema`
@@ -2263,9 +2398,14 @@ object Manifests {
     // latest-TAG probe alone goes blind the moment any other commit
     // (maintenance, another writer) lands between a batch and its
     // replay — the ledger survives every intervening commit
-    if (latestVersion(spark, base).exists(v =>
-        txnsOf(spark, base, v).get("cdc").exists(_ >= batchId)))
-      return None
+    latestVersion(spark, base).foreach { v =>
+      val (liveLedger, deadLedger) = txnEntriesOf(spark, base, v)
+      // a RETIRED cdc identity refuses loudly: replaying an old batch
+      // after newer ones merged would regress keys, and the expired
+      // high-water mark can no longer tell old from new
+      if (deadLedger.contains("cdc")) refuseExpired("cdc", base)
+      if (liveLedger.get("cdc").exists(_._1 >= batchId)) return None
+    }
     if (latestTag(spark, base).contains(tag)) return None
     if (batch.isEmpty) return None
     latestVersion(spark, base) match {
@@ -2377,10 +2517,25 @@ object Manifests {
     * ids are sequential per writer, Spark's streaming contract); a
     * ledger-less app (pre-ledger table, plain inserts) falls back to
     * the path-marker scan of the manifest. */
+  /** Refuse-loudly guard for a RETIRED writer identity: once the
+    * retention policy tombstones an appId, a late batch from it can no
+    * longer be told apart from a replay (the high-water mark is gone)
+    * — silently appending risks a DOUBLE-APPLY, silently dropping
+    * risks data loss. The only safe answer is a loud stop: the
+    * operator resumes under a fresh appId (new sequence) or re-runs
+    * with a longer `graft.txn.retentionMillis`. */
+  private def refuseExpired(app: String, base: String): Nothing =
+    sys.error(s"writer app '$app' was retired from $base's transaction " +
+      "ledger by graft.txn.retentionMillis — a batch from it cannot be " +
+      "distinguished from a replay; resume with a fresh appId (new " +
+      "sequence) or raise the retention horizon")
+
   private def replayedIn(spark: SparkSession, base: String, v: Int,
       txn: Option[(String, Long)], marker: Option[String]): Boolean =
     txn.flatMap { case (app, id) =>
-      val ledger = txnsOf(spark, base, v)
+      val (liveLedger, deadLedger) = txnEntriesOf(spark, base, v)
+      if (deadLedger.contains(app)) refuseExpired(app, base)
+      val ledger = liveLedger.view.mapValues(_._1).toMap
       // tables written before the "b:" namespace recorded the bare
       // appId — consult it too, so an upgrade never forgets a
       // committed batch (forgetting = the replay double-appends). But
@@ -2394,6 +2549,7 @@ object Manifests {
       ledger.get(app).orElse {
         val bare = app.stripPrefix("b:")
         if (bare == "cdc" || bare.matches("q[0-9a-fA-F-]{36}")) None
+        else if (deadLedger.contains(bare)) refuseExpired(bare, base)
         else ledger.get(bare)
       }.map(_ >= id)
     }.getOrElse(

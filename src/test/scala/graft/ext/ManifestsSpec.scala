@@ -1799,6 +1799,57 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.readLatest(spark, b).count() === 100)
   }
 
+  test("parquet checkpoint manifests: a 100k-file log resolves cold in under a second off the checkpoint, memo-hits free, delta commits stay O(diff)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_man_cp").toString
+    val b = s"graftcnt:$tmp/t"
+    // synthetic 100k-file log: the manifest layer never opens data
+    // files, so the paths need not exist — this is the 800k-file-table
+    // shape at test scale
+    val fake = (1 to 100000).map(i =>
+      f"graftcnt:$tmp/t/data_seed/part-$i%06d-feedface.snappy.parquet")
+    Manifests.commit(spark, b, fake)
+    // the text manifest is a one-line proxy; the list is PARQUET
+    val proxy = new String(Dfs.readBytes(spark, s"$b/v0/_manifest"), "UTF-8")
+    assert(proxy.startsWith("@parquet "), proxy.take(80))
+    assert(proxy.length < 200, "the proxy must be O(1) bytes")
+    val cpDir = proxy.split(' ')(1)
+    val cpBytes = Dfs.dataFiles(spark, s"$b/v0/$cpDir")
+      .map(_.getLen).sum
+    val textBytes = fake.map(_.length + 1).sum
+    assert(cpBytes * 5 < textBytes,
+      s"checkpoint must compress path data ≥5× (got $cpBytes vs $textBytes)")
+    // COLD resolve (fresh-process memo) reads the checkpoint, not an
+    // O(table) text file, and lands under the 1 s budget
+    def coldResolve(): (Long, Seq[String]) = {
+      Manifests.evictResolvedManifests()
+      val t0 = System.nanoTime()
+      val fs = Manifests.files(spark, b, 0)
+      ((System.nanoTime() - t0) / 1000000L, fs)
+    }
+    val (t1, r1) = coldResolve()
+    val (t2, r2) = coldResolve() // min of two: first may pay lazy init
+    assert(r1.size === 100000 && r2.size === 100000)
+    assert(r1.toSet === fake.map(Dfs.canonical).toSet)
+    assert(math.min(t1, t2) < 1000,
+      s"cold 100k-file resolve took ${math.min(t1, t2)} ms")
+    // memo hit: zero manifest opens
+    val mBefore = CountingFileSystem.manifestReads.get()
+    assert(Manifests.files(spark, b, 0).size === 100000)
+    assert(CountingFileSystem.manifestReads.get() === mBefore,
+      "a memoized resolve must not re-open the manifest")
+    // a delta commit on the checkpointed base stays O(diff) WRITE and
+    // resolves through the checkpoint
+    val extra = s"graftcnt:$tmp/t/data_seed/part-extra-feedface.snappy.parquet"
+    val v1 = Manifests.commit(spark, b, fake :+ extra,
+      parent = Some(0), delta = Some((Seq(extra), Seq.empty)))
+    val m1 = new String(Dfs.readBytes(spark, s"$b/v$v1/_manifest"), "UTF-8")
+    assert(m1.startsWith("@delta 0"), m1.take(60))
+    assert(m1.length < 300, "a one-file append writes O(diff) manifest bytes")
+    assert(Manifests.files(spark, b, v1).size === 100001)
+  }
+
   test("delta manifests: vacuum flattens the floor survivor before reclaiming its bases; chains never dangle") {
     import spark.implicits._
     val b = base("graft_man_dvac")
@@ -1826,6 +1877,9 @@ class ManifestsSpec extends AnyFunSuite {
     val m = s"$b/v$v5/_manifest"
     Dfs.writeBytes(spark, s"$m.flat", Dfs.readBytes(spark, m))
     Dfs.delete(spark, m)
+    // the recovering reader is a FRESH process (the crashed writer is
+    // gone) — its resolved-manifest memo starts empty
+    Manifests.evictResolvedManifests()
     assert(Manifests.readLatest(spark, b).count() === 205)
     assert(Dfs.exists(spark, m), "recovery completes the interrupted swap")
   }
@@ -1900,6 +1954,60 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.txnsOf(spark, b,
       Manifests.latestVersion(spark, b).get) ===
       Map("cdc" -> 5L, "b:cdc" -> 1L))
+  }
+
+  test("transaction ledger retention: idle appIds tombstone at the horizon, a retired writer's replay REFUSES loudly, tombstones age out bounded") {
+    import spark.implicits._
+    val b = base("graft_man_txn_ret")
+    Manifests.commitData(Seq((1L, "seed")).toDF("id", "src"), b)
+    assert(Manifests.appendBatch(
+      Seq((10L, "b1")).toDF("id", "src"), b, 1L, appId = "ephemeral")
+      .isDefined)
+    try {
+      // a GENEROUS horizon first: the entry carries and dedupes
+      spark.conf.set("graft.txn.retentionMillis", "600000")
+      spark.conf.set("graft.txn.tombstoneRetentionMillis", "600000")
+      Manifests.append(Seq((20L, "x")).toDF("id", "src"), b)
+      assert(Manifests.txnsOf(spark, b,
+        Manifests.latestVersion(spark, b).get)
+        .contains("b:ephemeral"))
+      assert(Manifests.appendBatch(
+        Seq((10L, "b1")).toDF("id", "src"), b, 1L, appId = "ephemeral")
+        .isEmpty, "in-horizon replay still no-ops")
+      // shrink the horizon below inter-commit latency: the next
+      // commit retires the idle entry…
+      spark.conf.set("graft.txn.retentionMillis", "1")
+      Manifests.append(Seq((21L, "x")).toDF("id", "src"), b)
+      val lv = Manifests.latestVersion(spark, b).get
+      assert(!Manifests.txnsOf(spark, b, lv).contains("b:ephemeral"),
+        "an idle appId must leave the live ledger at the horizon")
+      // …and a late replay REFUSES loudly instead of double-appending
+      val rowsBefore = Manifests.readLatest(spark, b).count()
+      val e = intercept[Throwable](Manifests.appendBatch(
+        Seq((10L, "b1")).toDF("id", "src"), b, 1L, appId = "ephemeral"))
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+      assert(chain(e).contains("retired"), chain(e))
+      assert(Manifests.readLatest(spark, b).count() === rowsBefore,
+        "a refused replay must not have appended")
+      // a FRESH appId (the documented resume path) starts cleanly
+      assert(Manifests.appendBatch(
+        Seq((30L, "b2")).toDF("id", "src"), b, 0L, appId = "ephemeral2")
+        .isDefined)
+      // the tombstone itself ages out after its own horizon — growth
+      // is bounded: one line per retired appId for a bounded window
+      spark.conf.set("graft.txn.tombstoneRetentionMillis", "1")
+      Thread.sleep(5)
+      Manifests.append(Seq((22L, "x")).toDF("id", "src"), b)
+      val (live, dead) = Manifests.txnEntriesOf(spark, b,
+        Manifests.latestVersion(spark, b).get)
+      assert(!dead.contains("b:ephemeral"),
+        "tombstones must not accumulate forever")
+      assert(!live.contains("b:ephemeral"))
+    } finally {
+      spark.conf.unset("graft.txn.retentionMillis")
+      spark.conf.unset("graft.txn.tombstoneRetentionMillis")
+    }
   }
 
   test("updateWhereMor: vector + append with zero raw rewrites; stacks on existing vectors where CoW refuses; aligned files retire; constraints hold") {

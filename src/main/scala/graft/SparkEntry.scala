@@ -571,13 +571,15 @@ object SparkEntry {
         .select("customer_key", "customer_id", "country", "_change_type")
         .orderBy("customer_id", "_change_type")
     }),
-    // change-data-feed between manifest versions: the v0->v1 diff of the
-    // delete_versioned table is exactly the deleted rows tagged
-    // 'delete' — and the manifest prunes the diff to non-shared files
+    // change-data-feed between manifest versions: the v1->v2 diff of
+    // the delete_versioned table (v1 = ANALYZE) is exactly the deleted
+    // rows tagged 'delete' — the manifest prunes the diff to
+    // non-shared files, and the zone stats prune the exceptAll to
+    // range-overlapping boundary pairs
     "change_feed" -> ((s, d) => {
       val b = mandelFixture(s, d)
       orderedAsc(
-        moneyDouble(ext.Manifests.changesBetween(s, b, 0, 1)
+        moneyDouble(ext.Manifests.changesBetween(s, b, 1, 2)
           .select((stagingCols :+ "_change_type").map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
@@ -635,8 +637,9 @@ object SparkEntry {
       new org.apache.hadoop.fs.Path(d).getName
 
   /** The versioned-delete fixture manifest table (v0 = cleaned, v1 =
-    * post-delete), shared by `delete_versioned` (reads v1) and
-    * `change_feed` (diffs v0 -> v1). Range-clustered on the delete key:
+    * ANALYZE on the cluster key, v2 = post-delete), shared by
+    * `delete_versioned` (reads latest) and `change_feed` (diffs
+    * v1 -> v2, zone-stat-pruned). Range-clustered on the delete key:
     * the production layout for a table that takes surgical deletes —
     * the delete rewrites ONE file and the change feed diffs one file
     * pair instead of the whole table (measured at 100x: a scattered
@@ -649,7 +652,11 @@ object SparkEntry {
     if (!ext.Dfs.exists(s, marker)) {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
-      ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7")
+      // zone stats on the cluster key (v1, metadata-only): the change
+      // feed's content diff prunes its exceptAll inputs to range-
+      // overlapping file pairs with these — the production shape
+      ext.Manifests.analyze(s, b, Seq("country"))
+      ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7") // v2
       ext.Dfs.touch(s, marker)
     }
     b

@@ -2666,6 +2666,101 @@ object Manifests {
     * 0.1% of a 100 TB table diffs 0.1% of it, and a no-op diff reads
     * nothing. The exceptAll shuffles are over those residual files
     * only. */
+  /** Per-file zone bounds at version `v`, restricted to `wanted`
+    * (canonical paths): file → key → (min, max, hasNulls). `None`
+    * when the version records no stats; files absent from the map are
+    * unknown (callers must treat them as overlapping everything). */
+  private def fileBounds(spark: SparkSession, base: String, v: Int,
+      wanted: Set[String])
+      : Option[(Seq[String], Map[String, Map[String, (Any, Any, Boolean)]])] =
+    statsOf(spark, base, v).map { case (keys, segs) =>
+      val df = SidecarCache.localDf(spark, segs)
+      val cols = df.columns.toSet
+      val usable = keys.filter(k => cols.contains(s"${k}_min") &&
+        cols.contains(s"${k}_max") && cols.contains(s"${k}_nulls"))
+      val m = df.collect().iterator.map { r =>
+        val f = Dfs.canonical(r.getAs[String]("file"))
+        f -> usable.map { k =>
+          val nulls = Option(r.getAs[Any](s"${k}_nulls"))
+            .flatMap(x => scala.util.Try(x.toString.toLong).toOption)
+            .getOrElse(1L)
+          k -> ((r.getAs[Any](s"${k}_min"), r.getAs[Any](s"${k}_max"),
+            nulls > 0))
+        }.toMap
+      }.filter(e => wanted.contains(e._1)).toMap
+      (usable, m)
+    }
+
+  /** Total-order comparison of two zone bounds of the same key; None
+    * when the pair is incomparable (null bound, exotic type, NaN) —
+    * callers treat unknown as overlapping, never the reverse. */
+  private def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      scala.util.Try(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString))).toOption
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
+    case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
+    case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Can a row identical on key `k` exist in both files? True unless
+    * the bounds PROVE otherwise: ranges disjoint and no shared
+    * null-key possibility. All-null files (null min AND max) can only
+    * share null-key rows. */
+  private def boundsCompatible(a: (Any, Any, Boolean),
+      b: (Any, Any, Boolean)): Boolean = {
+    val bothNulls = a._3 && b._3
+    if ((a._1 == null && a._2 == null) || (b._1 == null && b._2 == null))
+      return bothNulls
+    val range = (cmpBound(a._2, b._1), cmpBound(b._2, a._1)) match {
+      case (Some(x), Some(y)) => x >= 0 && y >= 0
+      case _ => true
+    }
+    range || bothNulls
+  }
+
+  /** Split each side's unique files into exceptAll-needed (range-
+    * overlapping an opposite file on every shared stats key) vs
+    * provably-disjoint. Conservative throughout: no stats, no shared
+    * keys, unknown bounds, or a pair-count past the driver budget all
+    * degrade to "everything overlaps" — the pre-pruning plan, always
+    * correct. Returns (aOverlap, aDisjoint, bOverlap, bDisjoint). */
+  private[graft] def overlapPartition(spark: SparkSession, base: String,
+      from: Int, to: Int, onlyA: Seq[String], onlyB: Seq[String])
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val all = (onlyA, Seq.empty[String], onlyB, Seq.empty[String])
+    if (onlyA.isEmpty || onlyB.isEmpty ||
+        onlyA.size.toLong * onlyB.size > 4000000L) return all
+    (fileBounds(spark, base, from, onlyA.toSet),
+        fileBounds(spark, base, to, onlyB.toSet)) match {
+      case (Some((ka, ma)), Some((kb, mb))) =>
+        val keys = ka.intersect(kb)
+        if (keys.isEmpty) all
+        else {
+          def compat(fa: String, fb: String): Boolean =
+            (ma.get(fa), mb.get(fb)) match {
+              case (Some(ba), Some(bb)) => keys.forall { k =>
+                (ba.get(k), bb.get(k)) match {
+                  case (Some(x), Some(y)) => boundsCompatible(x, y)
+                  case _ => true
+                }
+              }
+              case _ => true // unknown file: overlaps everything
+            }
+          val aOv = onlyA.filter(fa => onlyB.exists(fb => compat(fa, fb)))
+          val bOv = onlyB.filter(fb => onlyA.exists(fa => compat(fa, fb)))
+          (aOv, onlyA.filterNot(aOv.toSet),
+            bOv, onlyB.filterNot(bOv.toSet))
+        }
+      case _ => all
+    }
+  }
+
   def changesBetween(spark: SparkSession, base: String,
       from: Int, to: Int): DataFrame = {
     val fa = files(spark, base, from).map(Dfs.canonical)
@@ -2722,15 +2817,29 @@ object Manifests {
     // files there is nothing to cancel against and the other side IS
     // the answer — skipping the operator turns the two most common
     // feed shapes (pure append, pure file-retire) from a wide-row
-    // hash-shuffle into a plain scan
+    // hash-shuffle into a plain scan. Between those extremes, the
+    // ZONE STATS both endpoints already carry prune the operator's
+    // INPUTS: a unique file whose per-key ranges intersect no
+    // opposite-side file's (and shares no null-key possibility) can
+    // hold no cancelling row — its rows pass straight through, and
+    // only genuinely range-overlapping file pairs pay the wide-row
+    // shuffle. A surgical rewrite of a clustered table then diffs the
+    // boundary files, not the rewrite's whole footprint.
+    val (aOv, aDis, bOv, bDis) =
+      overlapPartition(spark, base, from, to, onlyA, onlyB)
+    def diffSide(myDis: Seq[String], myOv: Seq[String], myDvs: Seq[String],
+        otherOv: Seq[String], otherDvs: Seq[String]) = {
+      val cancelled =
+        if (myOv.isEmpty) empty
+        else if (otherOv.isEmpty) side(myOv, myDvs)
+        else side(myOv, myDvs).exceptAll(side(otherOv, otherDvs))
+      if (myDis.isEmpty) cancelled
+      else side(myDis, myDvs).unionByName(cancelled)
+    }
     val fileInserts =
-      if (onlyB.isEmpty) empty
-      else if (onlyA.isEmpty) side(onlyB, dvB)
-      else side(onlyB, dvB).exceptAll(side(onlyA, dvA))
+      if (onlyB.isEmpty) empty else diffSide(bDis, bOv, dvB, aOv, dvA)
     val fileDeletes =
-      if (onlyA.isEmpty) empty
-      else if (onlyB.isEmpty) side(onlyA, dvA)
-      else side(onlyA, dvA).exceptAll(side(onlyB, dvB))
+      if (onlyA.isEmpty) empty else diffSide(aDis, aOv, dvA, bOv, dvB)
     // deletion-vector churn on files BOTH versions carry: a position
     // newly covered in `to` is a delete, a released one a re-insert —
     // resolved by reading ONLY the churned files at the churned

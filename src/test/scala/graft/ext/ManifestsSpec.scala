@@ -1799,6 +1799,55 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.readLatest(spark, b).count() === 100)
   }
 
+  test("change feed: zone stats prune the content diff to overlapping file pairs; disjoint files skip the exceptAll; results identical") {
+    import spark.implicits._
+    val b = base("graft_man_cfzone")
+    // one pure file per k cluster; stats on the cluster key
+    Manifests.commitData(
+      (1 to 400).map(i => (i.toLong, i % 4)).toDF("id", "k")
+        .repartitionByRange(4, col("k")), b) // v0
+    Manifests.analyze(spark, b, Seq("k"))    // v1 (metadata-only)
+    // one surgical rewrite (k=1 partial — boundary pair) plus one pure
+    // retire (k=2 whole — no counterpart on the other side)
+    Manifests.deleteWhere(spark, b,
+      (col("k") === 1 && col("id") % 2 === 0) || col("k") === 2) // v2
+    val fa = Manifests.files(spark, b, 1).map(Dfs.canonical)
+    val fb = Manifests.files(spark, b, 2).map(Dfs.canonical)
+    val onlyA = fa.filterNot(fb.toSet)
+    val onlyB = fb.filterNot(fa.toSet)
+    assert(onlyB.size === 1, "exactly the k=1 file was rewritten")
+    val (aOv, aDis, bOv, bDis) =
+      Manifests.overlapPartition(spark, b, 1, 2, onlyA, onlyB)
+    assert(bDis.isEmpty && bOv === onlyB)
+    assert(aOv.size === 1,
+      "only the old k=1 file can cancel against the new one")
+    assert(aDis.size === onlyA.size - 1,
+      "the retired k=2 file (and any other disjoint cluster) must " +
+        "skip the exceptAll entirely")
+    // the stats-pruned feed is row-identical to the full-compare
+    // semantics: exactly the deleted rows, tagged delete
+    val feed = Manifests.changesBetween(spark, b, 1, 2)
+      .select("id", "k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = (1 to 400).filter(i =>
+      (i % 4 == 1 && i % 2 == 0) || i % 4 == 2)
+      .map(i => (i.toLong, i % 4, "delete")).toSet
+    assert(feed === want)
+    // and a stats-less twin (no analyze) produces the same rows via
+    // the unpruned path — the pruning is a plan change, not a
+    // semantics change
+    val b2 = base("graft_man_cfzone2")
+    Manifests.commitData(
+      (1 to 400).map(i => (i.toLong, i % 4)).toDF("id", "k")
+        .repartitionByRange(4, col("k")), b2)
+    Manifests.deleteWhere(spark, b2,
+      (col("k") === 1 && col("id") % 2 === 0) || col("k") === 2)
+    val feed2 = Manifests.changesBetween(spark, b2, 0, 1)
+      .select("id", "k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(feed2 === want)
+  }
+
   test("parquet checkpoint manifests: a 100k-file log resolves cold in under a second off the checkpoint, memo-hits free, delta commits stay O(diff)") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the 100× record for NATIVE merge-on-read SQL DML — the
+  * `SupportsDelta` path ([[graft.sources.manifest.ManifestDeltaOperation]]),
+  * measured on the same spread-update shape as [[MorBench]]'s
+  * procedural twin so the numbers compare directly:
+  *
+  *  - build the country-clustered 100× fact VIA THE CATALOG (CTAS),
+  *  - vector it with a thin MoR delete (the table now LIVES vectored),
+  *  - plain SQL UPDATE of ~1‰ of rows spread across every file,
+  *  - plain SQL MERGE of a small keyed batch (updates + inserts),
+  *  - a full read back through the stacked vectors (the columnar DV
+  *    scan), timed against a pre-vector read of the same table.
+  *
+  * Reported per op: wall seconds, files added/retired, bytes written.
+  * `sbt "runMain graft.DeltaDmlBench <inDir> [factor=100]"` — one JSON
+  * line LAST. */
+object DeltaDmlBench {
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_ddml_${factor}x").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.manifest.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", s"$root/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dd")
+    val base = s"$root/wh/dd/fact"
+    val tableName = "graft.dd.fact"
+
+    def t[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def refs(): Set[String] = {
+      val v = ext.Manifests.latestVersion(spark, base).get
+      (ext.Manifests.files(spark, base, v) ++
+        ext.Manifests.dvFiles(spark, base, v))
+        .map(ext.Dfs.canonical).toSet
+    }
+    def bytes(paths: Set[String]): Long =
+      paths.toSeq.map { f =>
+        try ext.Dfs.fs(spark, f)
+          .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      }.sum
+    def measure(label: String)(body: => Any)
+        : (String, Double, Int, Int, Long) = {
+      val before = refs()
+      val (_, sec) = t(body)
+      val after = refs()
+      (label, sec, (after -- before).size, (before -- after).size,
+        bytes(after -- before))
+    }
+
+    // ---- the 100× fact via the catalog ------------------------------
+    val (rows, buildSec) = t {
+      val cleaned = etl.Warehouse(spark, inDir).cleaned
+      val copies = spark.range(factor).select(col("id").as("_copy"))
+      cleaned.crossJoin(copies)
+        .withColumn("invoice_no",
+          concat(col("invoice_no"), lit("#"), col("_copy")))
+        .drop("_copy")
+        .repartitionByRange(64, col("country"))
+        .createOrReplaceTempView("ddml_src")
+      spark.sql(s"CREATE TABLE $tableName AS SELECT * FROM ddml_src")
+      spark.table(tableName).count()
+    }
+
+    // pre-vector read baseline: the plain columnar catalog scan
+    val (cleanCount, readCleanSec) = t(spark.sql(
+      s"SELECT COUNT(*), SUM(quantity) FROM $tableName " +
+        "WHERE quantity >= 0").head.getLong(0))
+
+    // vector the table: a thin MoR delete (the CALL face — the ENTRY
+    // into the vectored state, as in production)
+    val vecOp = measure("delete_mor_thin")(spark.sql(
+      s"CALL graft.system.delete_mor('dd.fact', 'quantity = 17')"))
+
+    // ---- native SQL UPDATE, ~1‰ spread across every file ------------
+    val upd = measure("sql_update_spread")(spark.sql(
+      s"UPDATE $tableName SET quantity = quantity + 1 " +
+        "WHERE pmod(xxhash64(invoice_no, stock_code), 1000) = 7"))
+
+    // ---- native SQL MERGE: small keyed batch, updates + inserts -----
+    spark.table(tableName).limit(50000)
+      .withColumn("quantity", col("quantity") + 100)
+      .unionByName(spark.table(tableName).limit(10000)
+        .withColumn("invoice_no", concat(col("invoice_no"), lit("@new"))))
+      .dropDuplicates("invoice_no", "stock_code")
+      .createOrReplaceTempView("ddml_batch")
+    val mrg = measure("sql_merge_batch")(spark.sql(
+      s"""MERGE INTO $tableName t USING ddml_batch u
+         |ON t.invoice_no = u.invoice_no AND t.stock_code = u.stock_code
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+
+    // ---- read back through the stacked vectors (columnar DV scan) ---
+    val (vecCount, readVecSec) = t(spark.sql(
+      s"SELECT COUNT(*), SUM(quantity) FROM $tableName " +
+        "WHERE quantity >= 0").head.getLong(0))
+
+    val ops = Seq(vecOp, upd, mrg)
+    println(
+      s"""{"metric":"native_mor_dml_${factor}x","value":${
+        ops.map(_._2).sum},"unit":"sec","rows":$rows,""" +
+        s""""build_sec":$buildSec,"read_clean_sec":$readCleanSec,""" +
+        s""""read_vectored_sec":$readVecSec,""" +
+        s""""read_ratio":${readVecSec / math.max(readCleanSec, 1e-9)},""" +
+        s""""ops":{${ops.map { case (l, s, a, r, b) =>
+          s""""$l":{"sec":$s,"files_added":$a,"files_retired":$r,""" +
+            s""""bytes_written":$b}""" }.mkString(",")}}}""")
+    val _ = (cleanCount, vecCount)
+    spark.stop()
+  }
+}

@@ -94,6 +94,15 @@ object Dfs {
   def mtime(spark: SparkSession, path: String): Long =
     fs(spark, path).getFileStatus(new Path(path)).getModificationTime
 
+  /** (mtime, length) of `path` in ONE metadata RPC; None when the
+    * path is missing — existence probe and stamp for the price of a
+    * single getFileStatus. */
+  def statOf(spark: SparkSession, path: String): Option[(Long, Long)] =
+    try {
+      val st = fs(spark, path).getFileStatus(new Path(path))
+      Some((st.getModificationTime, st.getLen))
+    } catch { case _: java.io.FileNotFoundException => None }
+
   def writeBytes(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
     val out = fs(spark, path).create(new Path(path), /* overwrite = */ true)
     try out.write(bytes) finally out.close()

@@ -124,22 +124,38 @@ object Manifests {
     * immutable (flatten changes representation, never content), so the
     * memo key only needs to survive the one mutation that can reuse a
     * (base, version) pair — DROP TABLE + recreate at the same location
-    * — which the `_SUCCESS` marker's mtime disambiguates. Bounded
-    * clear-all cache: entries rebuild on the next resolve. */
+    * — which the `_manifest` file's (mtime, length) disambiguates
+    * (an in-process drop additionally evicts via [[evictBase]]; the
+    * marker alone can tie within the filesystem's mtime granularity).
+    * A flatten rewrites `_manifest` and so changes the key — that's a
+    * harmless cache miss, never a stale hit. Bounded clear-all cache:
+    * entries rebuild on the next resolve. */
   private val filesMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int, Long), Seq[String]]
+    .empty[(String, String, Int, Long, Long), Seq[String]]
+
+  /** Drop every memoized resolution under `base` — called by DROP
+    * TABLE so a same-process recreate at the same location can never
+    * be served the dropped table's file list, whatever the
+    * filesystem's timestamp granularity. */
+  private[graft] def evictBase(base: String): Unit =
+    filesMemo.keysIterator.filter(_._2 == base)
+      .foreach(filesMemo.remove(_))
 
   /** Test hook: model a FRESH process (crash-recovery readers start
     * with an empty memo). */
   private[graft] def evictResolvedManifests(): Unit = filesMemo.clear()
 
   private def filesMemoKey(spark: SparkSession, base: String,
-      n: Int): Option[(String, String, Int, Long)] = {
-    val success = s"$base/v$n/_SUCCESS"
-    if (!Dfs.exists(spark, success)) None
-    else Some((spark.sparkContext.applicationId, base, n,
-      Dfs.mtime(spark, success)))
-  }
+      n: Int): Option[(String, String, Int, Long, Long)] =
+    // ONE metadata RPC per probe: stat the manifest itself. Keying on
+    // the manifest (not `_SUCCESS`) is safe — a memo entry only exists
+    // after a successful resolve, and an uncached resolve still
+    // enforces the commit marker loudly in lines(). During a flatten's
+    // crash window `_manifest` may be momentarily absent (`.flat`
+    // recovery serves reads) — the resolve just runs uncached.
+    Dfs.statOf(spark, s"$base/v$n/_manifest").map { case (mt, len) =>
+      (spark.sparkContext.applicationId, base, n, mt, len)
+    }
 
   def files(spark: SparkSession, base: String, v: Int): Seq[String] = {
     def lines(n: Int): Seq[String] = {
@@ -512,6 +528,14 @@ object Manifests {
         case None => (live2, dead0)
       }
     }
+    // every writer entry point sanitizes its appId, so a key can never
+    // carry the field/line separators — enforce that here (the single
+    // write site) so a FUTURE unsanitized entry point cannot produce a
+    // line the right-anchored parser would mis-split into the wrong
+    // (appId, high-water) pair and turn into a silent replay-drop
+    (effTxns.keysIterator ++ effDead.keysIterator).foreach(a =>
+      require(!a.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"ledger appId may not contain tab/newline: '$a'"))
     if (effTxns.nonEmpty || effDead.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_txns",
         (effTxns.toSeq.sortBy(_._1).map { case (a, (i, ts)) =>
@@ -1529,16 +1553,9 @@ object Manifests {
       pred: Column, asOf: Option[Int] = None): (Long, Int) = {
     val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
-    val cur = files(spark, base, v)
-    val prevDvs = dvFiles(spark, base, v)
-    val ren = renamesOf(spark, base, v)
-    def rd(fs: Seq[String], pos: Boolean = false) =
-      eraRead(spark, ren, fs, schemaOf(spark, base, v), withPositions = pos)
-    val raw = rd(cur, pos = true)
-    val live =
-      if (prevDvs.isEmpty) raw
-      else raw.join(spark.read.parquet(prevDvs: _*),
-        Seq("__file", "__pos"), "left_anti")
+    val lr = new LiveReader(spark, base, v)
+    import lr.{cur, rd, liveOf}
+    val live = liveOf(cur)
     // Per-file accounting in ONE map-side-combined pass: live rows per
     // file and how many of them the predicate matches (null predicate
     // values SURVIVE — same contract as deleteWhere). A file whose
@@ -1572,11 +1589,7 @@ object Manifests {
     val written: Seq[String] =
       if (vecFiles.isEmpty) Seq.empty
       else {
-        val vecRaw = rd(vecFiles, pos = true)
-        val vecLive =
-          if (prevDvs.isEmpty) vecRaw
-          else vecRaw.join(spark.read.parquet(prevDvs: _*),
-            Seq("__file", "__pos"), "left_anti")
+        val vecLive = liveOf(vecFiles)
         val dvRows = vecLive.filter(coalesce(pred, lit(false)))
           .select(col("__file"), col("__pos"))
         val touched = partialSet.toArray.sorted
@@ -1617,6 +1630,36 @@ object Manifests {
     })
   }
 
+  /** Per-version live-read scaffolding shared by the whole MoR DML
+    * tier ([[deleteWhereMor]], [[updateWhereMor]], [[mergeMor]],
+    * [[commitDeltaWrite]]): `rd` reads files under the version's eras
+    * and recorded schema, `liveOf` additionally anti-joins the
+    * version's deletion vectors, and `liveTotals` is the per-file live
+    * count — the accounting pass that splits retire-vs-vector (the
+    * full-file elision invariant). ONE definition, four callers: a fix
+    * to the live arithmetic cannot silently miss a copy. */
+  private final class LiveReader(spark: SparkSession, base: String,
+      v: Int) {
+    val cur: Seq[String] = files(spark, base, v)
+    val prevDvs: Seq[String] = dvFiles(spark, base, v)
+    val sch: Option[org.apache.spark.sql.types.StructType] =
+      schemaOf(spark, base, v)
+    private val ren = renamesOf(spark, base, v)
+    def rd(fs: Seq[String], pos: Boolean = false): DataFrame =
+      eraRead(spark, ren, fs, sch, withPositions = pos)
+    def liveOf(fs: Seq[String]): DataFrame = {
+      val r = rd(fs, pos = true)
+      if (prevDvs.isEmpty) r
+      else r.join(spark.read.parquet(prevDvs: _*),
+        Seq("__file", "__pos"), "left_anti")
+    }
+    def liveTotals(fs: Seq[String]): Map[String, Long] =
+      if (fs.isEmpty) Map.empty
+      else liveOf(fs).groupBy("__file").count()
+        .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
+        .toMap
+  }
+
   /** Merge-on-read UPDATE — [[updateWhere]]'s O(changed rows) twin and
     * the missing leg of the MoR tier beside [[deleteWhereMor]]: the
     * matched rows' OLD images are deletion-vectored out of their files
@@ -1640,18 +1683,8 @@ object Manifests {
     require(set.nonEmpty, "UPDATE with an empty SET list is a no-op")
     val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
-    val cur = files(spark, base, v)
-    val prevDvs = dvFiles(spark, base, v)
-    val ren = renamesOf(spark, base, v)
-    val sch = schemaOf(spark, base, v)
-    def rd(fs: Seq[String], pos: Boolean = false) =
-      eraRead(spark, ren, fs, sch, withPositions = pos)
-    def liveOf(fs: Seq[String]) = {
-      val r = rd(fs, pos = true)
-      if (prevDvs.isEmpty) r
-      else r.join(spark.read.parquet(prevDvs: _*),
-        Seq("__file", "__pos"), "left_anti")
-    }
+    val lr = new LiveReader(spark, base, v)
+    import lr.{cur, sch, rd, liveOf}
     val live = liveOf(cur)
     set.keys.foreach(k => require(
       live.columns.contains(k) && k != "__file" && k != "__pos",
@@ -1669,9 +1702,7 @@ object Manifests {
     val affectedCanon = matchedPerFile.map(_._1).toSet
     val affFiles = cur.filter(f => affectedCanon.contains(Dfs.canonical(f)))
     val affLive = liveOf(affFiles)
-    val totals = affLive.groupBy("__file").count()
-      .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
-      .toMap
+    val totals = lr.liveTotals(affFiles)
     val matchedMap = matchedPerFile.toMap
     val fullSet = affectedCanon.filter(f => totals.get(f).contains(matchedMap(f)))
     val partialSet = affectedCanon -- fullSet
@@ -1772,19 +1803,9 @@ object Manifests {
       s"updates carry duplicate keys on (${keyCols.mkString(", ")}) — " +
         "the merge result would depend on source row order")
     val batchRows = updates.count()
-    val cur = files(spark, base, v)
-    val prevDvs = dvFiles(spark, base, v)
-    val ren = renamesOf(spark, base, v)
-    val sch = schemaOf(spark, base, v)
+    val lr = new LiveReader(spark, base, v)
+    import lr.{cur, sch, rd, liveOf}
     val keys = updates.select(keyCols.map(col): _*)
-    def rd(fs: Seq[String], pos: Boolean = false) =
-      eraRead(spark, ren, fs, sch, withPositions = pos)
-    def liveOf(fs: Seq[String]) = {
-      val r = rd(fs, pos = true)
-      if (prevDvs.isEmpty) r
-      else r.join(spark.read.parquet(prevDvs: _*),
-        Seq("__file", "__pos"), "left_anti")
-    }
     val live = liveOf(cur)
     // discovery: matched rows per file via a semi-join against the
     // (dup-checked) key batch — column-pruned to the keys by Catalyst,
@@ -1797,11 +1818,7 @@ object Manifests {
       .sortBy(_._1)
     val affectedCanon = matchedPerFile.map(_._1).toSet
     val affFiles = cur.filter(f => affectedCanon.contains(Dfs.canonical(f)))
-    val totals =
-      if (affFiles.isEmpty) Map.empty[String, Long]
-      else liveOf(affFiles).groupBy("__file").count()
-        .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
-        .toMap
+    val totals = lr.liveTotals(affFiles)
     val matchedMap = matchedPerFile.toMap
     val fullSet = affectedCanon.filter(f => totals.get(f).contains(matchedMap(f)))
     val partialSet = affectedCanon -- fullSet
@@ -1901,18 +1918,8 @@ object Manifests {
     val v = snapshot
     if (dvWritten.isEmpty && dataWritten.isEmpty)
       return (0L, v)
-    val cur = files(spark, base, v)
-    val prevDvs = dvFiles(spark, base, v)
-    val ren = renamesOf(spark, base, v)
-    val sch = schemaOf(spark, base, v)
-    def rd(fs: Seq[String], pos: Boolean = false) =
-      eraRead(spark, ren, fs, sch, withPositions = pos)
-    def liveOf(fs: Seq[String]) = {
-      val r = rd(fs, pos = true)
-      if (prevDvs.isEmpty) r
-      else r.join(spark.read.parquet(prevDvs: _*),
-        Seq("__file", "__pos"), "left_anti")
-    }
+    val lr = new LiveReader(spark, base, v)
+    import lr.{cur, sch, rd}
     val delPerFile: Map[String, Long] =
       if (dvWritten.isEmpty) Map.empty
       else spark.read.parquet(dvWritten: _*)
@@ -1923,11 +1930,7 @@ object Manifests {
     require(affFiles.map(Dfs.canonical).toSet == delPerFile.keySet,
       s"delta write against $base@v$v references files outside the " +
         "snapshot — the scan and the write disagree on the file set")
-    val totals =
-      if (affFiles.isEmpty) Map.empty[String, Long]
-      else liveOf(affFiles).groupBy("__file").count()
-        .collect().map(r => (Dfs.canonical(r.getString(0)), r.getLong(1)))
-        .toMap
+    val totals = lr.liveTotals(affFiles)
     var fullSet = delPerFile.keySet
       .filter(f => totals.get(f).contains(delPerFile(f)))
     var partialSet = delPerFile.keySet -- fullSet
@@ -2699,7 +2702,19 @@ object Manifests {
     case (x: java.lang.Number, y: java.lang.Number) =>
       scala.util.Try(new java.math.BigDecimal(x.toString)
         .compareTo(new java.math.BigDecimal(y.toString))).toOption
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) =>
+      // the bounds were recorded under Spark's UTF8String order —
+      // unsigned UTF-8 bytes — which diverges from Java's UTF-16
+      // code-unit compareTo on supplementary characters (surrogates
+      // sort below U+E000 in UTF-16, above it in UTF-8); comparing
+      // the way the stats writer sorted keeps "disjoint" a proof
+      val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(bx.length, by.length)
+      while (i < n && bx(i) == by(i)) i += 1
+      Some(if (i < n) (bx(i) & 0xff) - (by(i) & 0xff)
+        else bx.length - by.length)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
     case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
     case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
@@ -2827,19 +2842,46 @@ object Manifests {
     // boundary files, not the rewrite's whole footprint.
     val (aOv, aDis, bOv, bDis) =
       overlapPartition(spark, base, from, to, onlyA, onlyB)
-    def diffSide(myDis: Seq[String], myOv: Seq[String], myDvs: Seq[String],
-        otherOv: Seq[String], otherDvs: Seq[String]) = {
-      val cancelled =
-        if (myOv.isEmpty) empty
-        else if (otherOv.isEmpty) side(myOv, myDvs)
-        else side(myOv, myDvs).exceptAll(side(otherOv, otherDvs))
-      if (myDis.isEmpty) cancelled
-      else side(myDis, myDvs).unionByName(cancelled)
-    }
+    // the two directions of the content diff share one cancellation
+    // structure: for each distinct row value with na copies on the
+    // from-side and nb on the to-side, min(na, nb) cancel — deletes
+    // are the max(na-nb, 0) excess and inserts the max(nb-na, 0),
+    // exactly exceptAll's multiset rule in both directions at once.
+    // Running exceptAll twice pays that as TWO full-row hash shuffles,
+    // each scanning BOTH sides (4 scans, 2 wide shuffles); counting
+    // the signed side imbalance in ONE groupBy pays 2 scans and 1
+    // shuffle, and the two direction filters sit over the SAME
+    // aggregate subplan, so ReuseExchange ships the wide rows across
+    // the wire once.
+    val (ovDeletes, ovInserts) =
+      if (aOv.isEmpty || bOv.isEmpty)
+        // nothing can cancel: each side IS its direction's answer
+        // (plain scans — the pure-append / pure-retire shapes)
+        (side(aOv, dvA), side(bOv, dvB))
+      else {
+        val cols = schema.fieldNames.toSeq
+        require(!cols.exists(Set("__side", "__imb", "__dup")),
+          "table columns collide with the change-diff scratch names")
+        val excess = side(aOv, dvA).withColumn("__side", lit(-1L))
+          .unionByName(side(bOv, dvB).withColumn("__side", lit(1L)))
+          .groupBy(cols.map(col): _*)
+          .agg(sum("__side").as("__imb"))
+          .filter(col("__imb") =!= 0L)
+          // a row value duplicated beyond its cancelled copies emits
+          // once per excess copy — multiset multiplicity preserved
+          .withColumn("__dup",
+            explode(sequence(lit(1L), abs(col("__imb")))))
+        (excess.filter(col("__imb") < 0L).select(cols.map(col): _*),
+          excess.filter(col("__imb") > 0L).select(cols.map(col): _*))
+      }
     val fileInserts =
-      if (onlyB.isEmpty) empty else diffSide(bDis, bOv, dvB, aOv, dvA)
+      if (onlyB.isEmpty) empty
+      else if (bDis.isEmpty) ovInserts
+      else side(bDis, dvB).unionByName(ovInserts)
     val fileDeletes =
-      if (onlyA.isEmpty) empty else diffSide(aDis, aOv, dvA, bOv, dvB)
+      if (onlyA.isEmpty) empty
+      else if (aDis.isEmpty) ovDeletes
+      else side(aDis, dvA).unionByName(ovDeletes)
     // deletion-vector churn on files BOTH versions carry: a position
     // newly covered in `to` is a delete, a released one a re-insert —
     // resolved by reading ONLY the churned files at the churned

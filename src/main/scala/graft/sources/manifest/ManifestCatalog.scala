@@ -318,6 +318,10 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
               s"at $base — registration kept so the table stays reachable")
         }
         Dfs.delete(spark, defPath(ident))
+        // a recreate at the same location must never be served the
+        // dropped table's memoized file lists (mtime alone can tie
+        // within the filesystem's timestamp granularity)
+        graft.ext.Manifests.evictBase(base)
         true
     }
 

@@ -66,16 +66,21 @@ private[manifest] final class ManifestProcedures(
     val cur = new StringBuilder
     var quote: Option[Char] = None // inside '…', "…" or `…`
     var esc = false // char after a backslash inside '…'/"…"
+    // under spark.sql.parser.escapedStringLiterals=true (the legacy
+    // lexing) a backslash is a plain character, NOT an escape — the
+    // splitter must lex exactly as the parser that consumes each piece
+    val backslashEscapes = !spark.conf
+      .get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
     s.foreach { c =>
       quote match {
         case Some(q) =>
           cur += c
-          // Spark's string-literal lexer honors backslash escapes
-          // inside single/double quotes ('a\';b' stays one literal);
-          // backticked identifiers escape only by `` doubling, which
-          // the plain toggle already nets out
+          // Spark's default string-literal lexer honors backslash
+          // escapes inside single/double quotes ('a\';b' stays one
+          // literal); backticked identifiers escape only by ``
+          // doubling, which the plain toggle already nets out
           if (esc) esc = false
-          else if (c == '\\' && q != '`') esc = true
+          else if (backslashEscapes && c == '\\' && q != '`') esc = true
           else if (c == q) quote = None // '' doubling toggles twice: net ok
         case None =>
           if (c == '\'' || c == '"' || c == '`') { quote = Some(c); cur += c }

@@ -1848,6 +1848,57 @@ class ManifestsSpec extends AnyFunSuite {
     assert(feed2 === want)
   }
 
+  test("change feed: string zone bounds compare in UTF-8 order — supplementary characters never fake disjointness") {
+    import spark.implicits._
+    val b = base("graft_man_cfutf8")
+    // U+E000 is a single UTF-16 code unit ABOVE the surrogate range;
+    // U+1F600 encodes as a surrogate pair BELOW it in UTF-16 order but
+    // ABOVE it in UTF-8 byte order — the exact divergence between
+    // Java's String.compareTo and the UTF8String order Spark recorded
+    // the min/max under. A UTF-16 compare would prove the rewritten
+    // pair disjoint and emit the carried row as phantom delete+insert.
+    Manifests.commitData(
+      Seq("\uE000", "\uD83D\uDE00").toDF("s").repartition(1), b) // v0
+    Manifests.analyze(spark, b, Seq("s"))                        // v1
+    Manifests.deleteWhere(spark, b, col("s") === "\uD83D\uDE00") // v2
+    val fa = Manifests.files(spark, b, 1).map(Dfs.canonical)
+    val fb = Manifests.files(spark, b, 2).map(Dfs.canonical)
+    val onlyA = fa.filterNot(fb.toSet)
+    val onlyB = fb.filterNot(fa.toSet)
+    val (aOv, aDis, bOv, bDis) =
+      Manifests.overlapPartition(spark, b, 1, 2, onlyA, onlyB)
+    assert(aDis.isEmpty && bDis.isEmpty && aOv === onlyA && bOv === onlyB,
+      "the rewritten pair overlaps in UTF-8 bound order — it must " +
+        "reach the cancelling diff")
+    val feed = Manifests.changesBetween(spark, b, 1, 2)
+      .select("s", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(feed === Set(("\uD83D\uDE00", "delete")),
+      "the carried-identical U+E000 row must cancel, not surface as " +
+        "a phantom update")
+  }
+
+  test("changesBetween: duplicate-row multiplicity is exact through the one-shuffle diff") {
+    import spark.implicits._
+    val b = base("graft_man_cfdup")
+    // v0: "dup" ×3, "solo" ×1 — v1 drops ONE dup copy, keeps solo,
+    // adds "new" ×2: min(na,nb) copies cancel per distinct row, the
+    // excess emits once per copy (exceptAll's multiset rule in both
+    // directions through the single signed-count aggregate)
+    Manifests.commitData(
+      (Seq.fill(3)(("dup", 1)) :+ (("solo", 2)))
+        .toDF("s", "k").repartition(1), b)
+    Manifests.commitData(
+      (Seq.fill(2)(("dup", 1)) ++ Seq.fill(2)(("new", 3)) :+ (("solo", 2)))
+        .toDF("s", "k").repartition(1), b)
+    val feed = Manifests.changesBetween(spark, b, 0, 1)
+      .select("s", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = feed.groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts === Map(("dup", "delete") -> 1, ("new", "insert") -> 2),
+      s"multiset excess must be exact, got: $counts")
+  }
+
   test("parquet checkpoint manifests: a 100k-file log resolves cold in under a second off the checkpoint, memo-hits free, delta commits stay O(diff)") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)

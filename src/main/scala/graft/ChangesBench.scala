@@ -31,28 +31,14 @@ object ChangesBench {
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 100
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_chbench_${factor}x").toString
-    spark.conf.set("spark.sql.catalog.graft",
-      "graft.sources.manifest.ManifestCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse", s"$root/wh")
+    val spark = BenchHarness.session()
+    val root = BenchHarness.workRoot(s"graft_chbench_${factor}x")
+    BenchHarness.manifestCatalog(spark, s"$root/wh")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cb")
     val base = s"$root/wh/cb/src"
     val ckpt = s"$root/ckpt"
 
-    def t[A](body: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
+    def t[A](body: => A): (A, Double) = BenchHarness.timed(body)
 
     // ---- source: cleaned × factor, country-clustered; half as v0,
     // the rest in four append slices

@@ -23,27 +23,11 @@ object DmlBench {
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 100
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_dml_${factor}x").toString
-    spark.conf.set("spark.sql.catalog.graft",
-      "graft.sources.manifest.ManifestCatalog")
-    // run-scoped metastore: re-runs must not trip over a prior run's
-    // pointer files in the session-default warehouse
-    spark.conf.set("spark.sql.catalog.graft.warehouse", s"$root/_cat")
+    val spark = BenchHarness.session()
+    val root = BenchHarness.workRoot(s"graft_dml_${factor}x")
+    BenchHarness.manifestCatalog(spark, s"$root/_cat")
 
-    def t[A](body: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
+    def t[A](body: => A): (A, Double) = BenchHarness.timed(body)
     def files(base: String): Set[String] = {
       val v = ext.Manifests.latestVersion(spark, base).get
       ext.Manifests.files(spark, base, v).map(ext.Dfs.canonical).toSet

@@ -24,22 +24,10 @@ object MorBench {
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 100
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_mor_${factor}x").toString
+    val spark = BenchHarness.session()
+    val root = BenchHarness.workRoot(s"graft_mor_${factor}x")
 
-    def t[A](body: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
+    def t[A](body: => A): (A, Double) = BenchHarness.timed(body)
     def refs(base: String): Set[String] = {
       val v = ext.Manifests.latestVersion(spark, base).get
       (ext.Manifests.files(spark, base, v) ++

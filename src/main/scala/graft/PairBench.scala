@@ -28,19 +28,12 @@ object PairBench {
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 100
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchHarness.session()
 
     val dir =
       if (factor <= 1) inDir
       else {
-        val out = java.nio.file.Files.createTempDirectory(s"graft_pair_${factor}x").toString
+        val out = BenchHarness.workRoot(s"graft_pair_${factor}x")
         val copies = spark.range(factor).select(col("id").as("_copy"))
         spark.read.parquet(s"$inDir/documents.parquet").crossJoin(copies)
           .withColumn("doc_id", col("doc_id") + col("_copy") * 10000000L)
@@ -48,7 +41,7 @@ object PairBench {
             when(col("_copy") === 0, col("text"))
               .otherwise(concat(col("text"), lit(" copy"), col("_copy"))))
           .withColumn("n_chars", length(col("text")))
-          .drop("_copy").repartition(cpus.toInt)
+          .drop("_copy").repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
         val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
         val vecUnit = emb.agg(coalesce(max("vec_id"), lit(-1L))).head.getLong(0) + 1
@@ -58,7 +51,7 @@ object PairBench {
             expr("""transform(embedding,
                    |  (x, j) -> x + CAST(_copy AS FLOAT) *
                    |    CAST(pmod(vec_id + j, 7) - 3 AS FLOAT) * CAST(0.001 AS FLOAT))""".stripMargin))
-          .drop("_copy").repartition(cpus.toInt)
+          .drop("_copy").repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
         out
       }

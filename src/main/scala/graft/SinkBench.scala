@@ -22,18 +22,10 @@ object SinkBench {
     val factor = if (args.length > 1) args(1).toInt else 10
     val nSinks = if (args.length > 2) args(2).toInt else 4
     val nBatches = if (args.length > 3) args(3).toInt else 6
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchHarness.session()
     implicit val ctx = spark.sqlContext
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft_sinkbench_${factor}x").toString
+    val root = BenchHarness.workRoot(s"graft_sinkbench_${factor}x")
     val base = s"$root/t"
 
     // ---- input slices: cleaned × factor split into sink×batch cells,

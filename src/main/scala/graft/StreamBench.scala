@@ -30,16 +30,9 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nVersions =
       math.max(4, sys.env.getOrElse("SPARK_GRAFT_BRONZE_VERSIONS", "8").toInt)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchHarness.session(defaultCpus = "4")
 
     val root = ext.Dfs.scratchDir(spark, "graft_streambench")
     val bronze = s"$root/bronze"

@@ -51,6 +51,7 @@ object Bench {
     "sql_add_column", "sql_rename_column", "sql_widen_column",
     "sql_not_null",
     "sql_delta_log", // CTAS + 8-commit chain + vacuum one-time build
+    "sql_star_join", // 3-table CTAS + ANALYZE one-time build
     "sql_mor_dml", // CTAS + CALL delete_mor/update_mor one-time build
     // r12 catalog fixtures: CTAS + MoR deletes / partition overwrites /
     // the change-range lineage — all one-time builds

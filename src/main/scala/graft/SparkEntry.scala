@@ -423,6 +423,23 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$b`")
         .orderBy("customer_id")
     }),
+    // the pure-SQL STAR JOIN through the catalog: fact × dim_customer
+    // × dim_date addressed by graft. names only — no hints, no
+    // DataFrame broadcast() call; the DSv2 statistics tier (exact
+    // manifest row counts + sidecar column stats) is what lets the
+    // planner auto-broadcast both dims (plan pinned by
+    // ManifestStatsSpec/PlanContractSpec)
+    "sql_star_join" -> ((s, d) => {
+      val (f, c, dd) = mansqlStarFixture(s, d)
+      s.sql(
+        s"""SELECT c.country, d.year, COUNT(*) AS n_sales,
+           |  CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+           |FROM graft.`$f` f
+           |JOIN graft.`$c` c ON f.customer_key = c.customer_key
+           |JOIN graft.`$dd` d ON f.date_key = d.date_key
+           |GROUP BY c.country, d.year
+           |ORDER BY c.country, d.year""".stripMargin)
+    }),
     // the delta-encoded manifest log end-to-end: a long pure-SQL
     // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
     // COLUMN, DELETE, VACUUM cutting the chain, one more INSERT) whose
@@ -1025,6 +1042,36 @@ object SparkEntry {
     b
   }
 
+  /** Star-schema catalog fixture: fact_sales + dim_customer + dim_date
+    * published as manifest catalog tables (pure-SQL CTAS) and ANALYZEd
+    * (`CALL graft.system.analyze`), so the DSv2 statistics tier
+    * carries exact row counts, zone bounds and NDV estimates for every
+    * join column. The registered star join then plans from CATALOG
+    * NAMES alone — ManifestStatsSpec pins that the dims broadcast with
+    * no hint and that stats resolution opens zero data files. */
+  private def mansqlStarFixture(s: SparkSession, d: String)
+      : (String, String, String) = {
+    val f = dumpDir(s, d, "manstar_fact")
+    val c = dumpDir(s, d, "manstar_dimc")
+    val dd = dumpDir(s, d, "manstar_dimd")
+    val marker = s"${f}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      val wh = Warehouse(s, d)
+      wh.fact.createOrReplaceTempView("graft_star_fact_src")
+      wh.dimCustomer.createOrReplaceTempView("graft_star_dimc_src")
+      wh.dimDate.createOrReplaceTempView("graft_star_dimd_src")
+      s.sql(s"CREATE TABLE graft.`$f` AS SELECT * FROM graft_star_fact_src")
+      s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_star_dimc_src")
+      s.sql(s"CREATE TABLE graft.`$dd` AS SELECT * FROM graft_star_dimd_src")
+      s.sql(s"CALL graft.system.analyze('$f', 'customer_key,date_key')")
+      s.sql(s"CALL graft.system.analyze('$c', 'customer_key,country')")
+      s.sql(s"CALL graft.system.analyze('$dd', 'date_key,year')")
+      ext.Dfs.touch(s, marker)
+    }
+    (f, c, dd)
+  }
+
   /** Delta-log lineage fixture: a table maintained through enough
     * single-batch INSERTs to cross the delta-chain cap TWICE (forced
     * low via `graft.manifest.maxChain=3`, so mid-lineage commits
@@ -1554,6 +1601,18 @@ object SparkEntry {
          | SELECT s.customer_key, s.customer_id, s.country FROM survivors s
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = s.customer_id)
          | ORDER BY customer_id""".stripMargin,
+    // the catalog star join is content-wise just the warehouse star
+    // join — the DSv2 plumbing (CTAS'd manifest tables, stats-driven
+    // broadcasts) must not change a single aggregated row
+    "sql_star_join" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT c.country, d.year, COUNT(*) AS n_sales,
+         | CAST(CAST(SUM(f.total_amount) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+         | FROM fact_sales f
+         | JOIN dim_customer c ON f.customer_key = c.customer_key
+         | JOIN dim_date d ON f.date_key = d.date_key
+         | GROUP BY c.country, d.year
+         | ORDER BY c.country, d.year""".stripMargin,
     // bucketing is layout, not semantics: the oracle is the plain join
     "bucketed_join" ->
       s"""${Oracle.warehouseCte}

@@ -80,6 +80,20 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     st.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
   }
 
+  /** Per-file RAW row counts from the covered stats sidecar (canonical
+    * path → `n_rows`), when the coverage proof holds. The DSv2
+    * statistics face ([[graft.sources.manifest]]) folds these over the
+    * PRUNED file set — and subtracts per-file deletion-vector
+    * cardinalities on vectored versions — to report exact live
+    * `numRows` to the planner from metadata alone. */
+  lazy val rowCountsByFile: Option[Map[String, Long]] =
+    coveredStats.map { case (_, st) =>
+      val fi = st.schema.fieldIndex("file")
+      val ni = st.schema.fieldIndex("n_rows")
+      st.collect().iterator // metadata-sized: one row per data file
+        .map(r => Dfs.canonical(r.getString(fi)) -> r.getLong(ni)).toMap
+    }
+
   /** The version's zone-stats rows when they cover EXACTLY the manifest
     * — one row per manifest file, no misses, no duplicates, rows for
     * retired files dropped. The coverage proof behind every

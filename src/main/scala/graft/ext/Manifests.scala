@@ -360,7 +360,8 @@ object Manifests {
       renames: Option[Seq[RenameEvent]] = None,
       addRename: Option[(String, String)] = None,
       delta: Option[(Seq[String], Seq[String])] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      ndv: Option[Map[String, Long]] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -477,6 +478,22 @@ object Manifests {
     if (effConstraints.nonEmpty)
       Dfs.writeBytes(spark, s"$base/v$v/_constraints",
         effConstraints.map { case (n, p) => s"$n\t$p" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // per-column NDV estimates (ANALYZE-time approx_count_distinct) —
+    // planner-quality metadata like Spark's own ANALYZE TABLE column
+    // stats: inherited across commits (estimates tolerate append drift
+    // exactly as catalog stats go stale) and refreshed by the next
+    // ANALYZE. Never consulted for correctness — only reported to the
+    // optimizer through the DSv2 statistics face.
+    val effNdv: Map[String, Long] = ndv.getOrElse {
+      inheritBase.map(ndvOf(spark, base, _)).getOrElse(Map.empty)
+    }
+    if (effNdv.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_ndv",
+        effNdv.toSeq.sortBy(_._1)
+          .filterNot { case (c, _) =>
+            c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r') }
+          .map { case (c, n) => s"$c\t$n" }
           .mkString("", "\n", "\n").getBytes("UTF-8"))
     // the transaction ledger (Delta's `txn` action): appId -> highest
     // batch/epoch id whose append COMMITTED — one line per writer app,
@@ -664,6 +681,22 @@ object Manifests {
       new String(Dfs.readBytes(spark, s"$base/v$v/_statsfile"), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq))
 
+  /** Per-column approximate distinct counts recorded by the last
+    * ANALYZE (HyperLogLog++, rsd 2%) — the NDV half of the version's
+    * planner statistics. ESTIMATES by contract: inherited across
+    * commits like constraints (so they drift with appends, exactly as
+    * Spark's own catalog column stats do) and never consulted by any
+    * correctness path — only reported through the DSv2
+    * `SupportsReportStatistics` face for CBO join estimation. */
+  def ndvOf(spark: SparkSession, base: String, v: Int): Map[String, Long] =
+    if (!Dfs.exists(spark, s"$base/v$v/_ndv")) Map.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_ndv"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.split("\t") match {
+        case Array(c, n) => scala.util.Try(c -> n.toLong).toOption
+        case _ => None
+      }).toMap
+
   private def statsFor(spark: SparkSession, data: Seq[String],
       keys: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
@@ -706,7 +739,10 @@ object Manifests {
   /** ANALYZE: stat every file of the latest version for `keys` and
     * publish as the next version (same data, vectors, schema). Stats
     * are computed over raw files, not vector-applied — conservative
-    * and exactly as valid for pruning. */
+    * and exactly as valid for pruning. The same pass additionally
+    * records per-column NDV estimates (approx_count_distinct over the
+    * LIVE read, vectors applied — the value the optimizer wants) into
+    * the version's `_ndv` sidecar for [[ndvOf]]. */
   def analyze(spark: SparkSession, base: String, keys: Seq[String]): Int = {
     val v = latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base"))
@@ -714,11 +750,21 @@ object Manifests {
     val dir = writeStats(spark, base,
       statsFor(spark, fs, keys, schemaOf(spark, base, v),
         renamesOf(spark, base, v)))
+    val ndvs: Map[String, Long] =
+      if (keys.isEmpty) Map.empty
+      else {
+        val row = readAt(spark, base, v).agg(
+          approx_count_distinct(col(s"`${keys.head}`"), 0.02),
+          keys.tail.map(k => approx_count_distinct(col(s"`$k`"), 0.02)): _*)
+          .head
+        keys.zipWithIndex.map { case (k, i) => k -> row.getLong(i) }.toMap
+      }
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), Some((keys, Seq(dir))), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
-      delta = Some((Seq.empty, Seq.empty)))
+      delta = Some((Seq.empty, Seq.empty)),
+      ndv = Some(ndvOf(spark, base, v) ++ ndvs))
   }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
@@ -3361,7 +3407,8 @@ object Manifests {
       // ...and the restored version's RENAME story with it: inheriting
       // the current latest's events instead would lose an era mapping
       // across an intervening overwrite and null-fill pre-rename files
-      renames = Some(renamesOf(spark, base, v)))
+      renames = Some(renamesOf(spark, base, v)),
+      ndv = Some(ndvOf(spark, base, v)))
   }
 
   /** Column names logically dropped on or before version `v` whose
@@ -4002,7 +4049,8 @@ object Manifests {
       // rename events are self-contained (they carry their own
       // pre-file lists), so the clone copies them verbatim and era
       // reads keep working with zero reference to the source's history
-      renames = Some(renamesOf(spark, src, v)))
+      renames = Some(renamesOf(spark, src, v)),
+      ndv = Some(ndvOf(spark, src, v)))
   }
 
   /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only

@@ -32,6 +32,14 @@ final class ManifestScanIndex(spark: SparkSession, base: String,
     * catalog scans exactly as for the V1 relation. */
   def innerIndex: Option[ManifestFileIndex] = inner
 
+  /** The resolved snapshot this index lists (None: no committed
+    * version yet) — the DSv2 statistics face keys its NDV lookup on
+    * it. */
+  def versionOpt: Option[Int] = version
+
+  /** The table base path, for sidecar lookups keyed (base, version). */
+  def basePath: String = base
+
   /** RUNTIME file filters — the hook behind the CoW scan's
     * `SupportsRuntimeV2Filtering`: Spark's row-level runtime group
     * filtering evaluates the command's matching-rows subquery and hands

@@ -96,6 +96,7 @@ class DefaultSource extends StreamSourceProvider with StreamSinkProvider
     // count over this relation answers from the stats sidecar when the
     // version's coverage proves it exact (CountShim)
     org.apache.spark.sql.graft.ManifestCountRule.install(spark)
+    org.apache.spark.sql.graft.ManifestV1StatsRule.install(spark)
     val (base, atSuffix) = splitVersionSuffix(basePath(parameters))
     val v = (parameters.get("versionAsOf").map(_.toInt).orElse(atSuffix),
         parameters.get("timestampAsOf")) match {

@@ -150,6 +150,21 @@ class DvParquetScan(sp: SparkSession,
     else withFile
   }
 
+  /** [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+    * from manifest metadata: FileScan's inherited estimate stops at
+    * raw file bytes; this serves the pruned-listing byte total
+    * (DV-live-scaled), exact `numRows` (sidecar `n_rows` minus bitmap
+    * cardinalities) and ANALYZE column stats — so a pure-SQL catalog
+    * join sizes its sides from the manifest tier and auto-broadcasts a
+    * small dim with no hint. Computed once per scan: the filters are
+    * fixed at build time and the fold is driver-side metadata work. */
+  private lazy val manifestStats =
+    ManifestStats.estimate(sparkSession, idx, dvIndex,
+      partitionFilters, dataFilters, readSchema())
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = manifestStats
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = super.createReaderFactory()
       .asInstanceOf[ParquetPartitionReaderFactory]

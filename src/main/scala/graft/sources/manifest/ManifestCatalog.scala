@@ -57,6 +57,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     // is also the right moment to arm the metadata-only aggregate
     // rewrite for the DSv2 scans this catalog will produce
     org.apache.spark.sql.graft.ManifestCountRule.install(spark)
+    org.apache.spark.sql.graft.ManifestV1StatsRule.install(spark)
   }
 
   override def name(): String = catalogName

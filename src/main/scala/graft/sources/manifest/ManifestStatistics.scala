@@ -1,0 +1,185 @@
+package graft.sources.manifest
+
+import java.util.OptionalLong
+
+import graft.ext.{Dfs, Manifests}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.Statistics
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 statistics from manifest metadata alone — the
+  * `SupportsReportStatistics` answer for every catalog read path.
+  *
+  * What the planner learns, and where it comes from (zero data-file
+  * opens — the counting-FS spec pins it):
+  *
+  *  - `sizeInBytes`: the byte total of exactly the files the scan will
+  *    plan — the PRUNED listing (partition tuples, zone maps, blooms
+  *    applied to the pushed filters), not the whole table — scaled by
+  *    `spark.sql.sources.fileCompressionFactor` like Spark's own file
+  *    scans. On a vectored version each file's bytes scale by its LIVE
+  *    fraction, so a merge-on-read delete of 90% of a dim shrinks the
+  *    estimate it joins under.
+  *  - `numRows`: exact live cardinality when provable — Σ per-file
+  *    `n_rows` from the covered zone-stats sidecar over the pruned
+  *    files, minus per-file deletion-vector cardinalities (the bitmap
+  *    index the columnar scan already holds). Absent when a pruned
+  *    file lacks a stats row; pushed row-level filters make it an
+  *    upper bound, which estimation treats conservatively.
+  *  - `columnStats` (unfiltered scans): per-column min/max (zone-bound
+  *    fold, Catalyst-internal values), null counts (Σ per-file nulls)
+  *    and NDV (the ANALYZE-time `_ndv` estimates, [[Manifests.ndvOf]]).
+  *
+  * Why it matters: without this, a DSv2 relation that cannot report
+  * falls back to `spark.sql.defaultSizeInBytes` (= Long.MaxValue) and
+  * a small dim can NEVER auto-broadcast — the exact fate of the V1
+  * detour scan (live renames, bitmap budget) before this round. The
+  * columnar path reported file bytes only; now both paths serve the
+  * same manifest-tier numbers, DV-adjusted, with row counts and column
+  * stats when the sidecars carry them.
+  *
+  * Everything here is driver-side metadata arithmetic over sidecar
+  * frames the planning path already memoizes ([[graft.ext.SidecarCache]],
+  * the DV bitmap cache) — a plan-time cost of O(files-in-version)
+  * string/long folds, no job, no footer, no data open. */
+/** Marker for the manifest V1 DETOUR scans that carry their own
+  * statistics — the handle
+  * [[org.apache.spark.sql.graft.ManifestV1StatsRule]] keys on to
+  * restore estimates `V1ScanWrapper` would otherwise swallow. */
+trait ManifestReportingV1Scan
+
+private[manifest] object ManifestStats {
+
+  def estimate(spark: SparkSession, idx: ManifestScanIndex,
+      dvIndex: Map[String, Array[Long]],
+      partFilters: Seq[Expression], dataFilters: Seq[Expression],
+      output: StructType): Statistics = {
+
+    // the PRUNED file listing — the same partition/zone/bloom pruning
+    // the scan itself plans over, so a selective query's estimate
+    // reflects what it will actually read
+    val pruned: Seq[(String, Long)] =
+      idx.listFiles(partFilters, dataFilters).flatMap(_.files)
+        .map(f => (Dfs.canonical(f.getPath.toString), f.getLen))
+
+    val deleted: Map[String, Long] = dvIndex.map { case (f, words) =>
+      f -> words.iterator.map(w => java.lang.Long.bitCount(w).toLong).sum
+    }
+
+    val rowCounts: Option[Map[String, Long]] =
+      idx.innerIndex.flatMap(_.rowCountsByFile)
+
+    val exactRows: Option[Long] = rowCounts.flatMap { rc =>
+      if (pruned.forall { case (f, _) => rc.contains(f) })
+        Some(pruned.iterator.map { case (f, _) =>
+          math.max(0L, rc(f) - deleted.getOrElse(f, 0L)) }.sum)
+      else None
+    }
+
+    // vectored files count their live fraction of bytes; a file whose
+    // row count is unknown keeps its full length (conservative: an
+    // over-estimate can only withhold a broadcast, never force one)
+    val liveBytes: Long = pruned.iterator.map { case (f, len) =>
+      val del = deleted.getOrElse(f, 0L)
+      rowCounts.flatMap(_.get(f)) match {
+        case Some(t) if t > 0 && del > 0 =>
+          math.ceil(len.toDouble * math.max(0L, t - del) / t).toLong
+        case _ => len
+      }
+    }.sum
+    val factor = spark.sessionState.conf.fileCompressionFactor
+    val sizeOut = math.max(1L, (liveBytes * factor).toLong)
+
+    // column statistics only for the whole-version shape: with pushed
+    // filters the zone fold would describe the UNFILTERED table — a
+    // misleading estimate is worse than none
+    val colStats: java.util.Map[NamedReference, ColumnStatistics] =
+      if (partFilters.nonEmpty || dataFilters.nonEmpty) new java.util.HashMap()
+      else columnStats(spark, idx, output, exactRows)
+
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(sizeOut)
+      override def numRows(): OptionalLong =
+        exactRows.fold(OptionalLong.empty())(OptionalLong.of)
+      override def columnStats()
+          : java.util.Map[NamedReference, ColumnStatistics] = colStats
+    }
+  }
+
+  /** Statistics for the V1 detour scan (live renames / bitmap budget
+    * blown): no pruning hooks there, so the whole-version numbers —
+    * still transformative, because a V1Scan that reports nothing plans
+    * at `defaultSizeInBytes` = Long.MaxValue and can never broadcast.
+    * `numRows` only when the version carries no vectors (the sidecar
+    * count would need the bitmaps the budget just refused); bytes stay
+    * the raw total then — an upper bound, conservative by the same
+    * argument as above. */
+  def estimateDetour(spark: SparkSession, base: String, v: Int,
+      output: StructType): Statistics = {
+    val idx = new ManifestScanIndex(spark, base, Some(v))
+    val hasDvs = Manifests.dvFiles(spark, base, v).nonEmpty
+    val bytes = idx.sizeInBytes
+    val factor = spark.sessionState.conf.fileCompressionFactor
+    val rows: Option[Long] =
+      if (hasDvs) None
+      else idx.innerIndex.flatMap(_.exactRowCount)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(math.max(1L, (bytes * factor).toLong))
+      override def numRows(): OptionalLong =
+        rows.fold(OptionalLong.empty())(OptionalLong.of)
+    }
+  }
+
+  private def columnStats(spark: SparkSession, idx: ManifestScanIndex,
+      output: StructType, tableRows: Option[Long])
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val inner = idx.innerIndex.getOrElse(return out)
+    val keys = inner.coveredStats.map(_._1).getOrElse(return out)
+    val ndv: Map[String, Long] = idx.versionOpt
+      .map(v => Manifests.ndvOf(spark, idx.basePath, v))
+      .getOrElse(Map.empty)
+    val resolver = spark.sessionState.analyzer.resolver
+    output.fields.foreach { f =>
+      val indexed = keys.exists(k => resolver(k, f.name))
+      val ndvHit = ndv.collectFirst {
+        case (c, n) if resolver(c, f.name) => n }
+      if (indexed || ndvHit.isDefined) {
+        // zone bounds come back as external JVM values (sidecar
+        // collect); ColumnStat stores Catalyst-internal ones — convert
+        // (UTF8String for strings, days/micros for date/timestamp)
+        val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+        val minV: Option[Any] =
+          if (!indexed) None
+          else inner.statBound(f.name, isMin = true).flatten.map(conv)
+        val maxV: Option[Any] =
+          if (!indexed) None
+          else inner.statBound(f.name, isMin = false).flatten.map(conv)
+        val nulls: Option[Long] =
+          if (!indexed) None
+          else for {
+            total <- tableRows
+            nonNull <- inner.statNonNullCount(f.name)
+          } yield math.max(0L, total - nonNull)
+        out.put(Expressions.column(f.name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            ndvHit.fold(OptionalLong.empty())(OptionalLong.of)
+          override def min(): java.util.Optional[Object] =
+            java.util.Optional.ofNullable(
+              minV.map(_.asInstanceOf[Object]).orNull)
+          override def max(): java.util.Optional[Object] =
+            java.util.Optional.ofNullable(
+              maxV.map(_.asInstanceOf[Object]).orNull)
+          override def nullCount(): OptionalLong =
+            nulls.fold(OptionalLong.empty())(OptionalLong.of)
+        })
+      }
+    }
+    out
+  }
+}

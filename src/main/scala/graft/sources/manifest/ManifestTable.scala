@@ -654,11 +654,20 @@ private[manifest] class MorScanBuilder(spark: SparkSession, base: String,
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     new org.apache.spark.sql.connector.read.Scan
-        with org.apache.spark.sql.connector.read.V1Scan {
+        with org.apache.spark.sql.connector.read.V1Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics
+        with ManifestReportingV1Scan {
       private val req = required
       private val fs = pushed
       override def readSchema(): StructType = req
       override def description(): String = s"manifest-mor($base@v$v)"
+      // a V1Scan that reports nothing plans at defaultSizeInBytes
+      // (Long.MaxValue) — a renamed or budget-blown dim could then
+      // never auto-broadcast; the manifest listing knows better at
+      // zero data opens
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        ManifestStats.estimateDetour(spark, base, v, req)
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](
           context: org.apache.spark.sql.SQLContext): T = {

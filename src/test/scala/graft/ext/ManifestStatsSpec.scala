@@ -1,0 +1,183 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 statistics reporting from the manifest metadata tier — the
+  * planner-parity contract: catalog scans serve `sizeInBytes`, exact
+  * live `numRows` and ANALYZE column stats from sidecars alone (zero
+  * data-file opens), deletion vectors shrink the estimates, the V1
+  * detour scan reports through the `V1ScanWrapper` that would
+  * otherwise swallow its numbers, and a pure-SQL star join broadcasts
+  * its dim side with no hint anywhere. */
+class ManifestStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def registerCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.manifest.ManifestCatalog")
+
+  private def scanStats(sql: String)
+      : Seq[(String, org.apache.spark.sql.catalyst.plans.logical.Statistics)] =
+    spark.sql(sql).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        (r.scan.getClass.getSimpleName, r.stats)
+    }
+
+  private def dimDf = {
+    import spark.implicits._
+    (1 to 1500).map(i => (i.toLong, s"cust_$i", s"N${i % 7}"))
+      .toDF("customer_key", "customer_id", "country")
+  }
+
+  test("catalog scan reports exact numRows + column stats from sidecars, zero data opens") {
+    registerCatalog()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    // "graftcnt://" + an absolute path → "graftcnt:///…" (empty
+    // authority), which the catalog's path-table detection recognizes
+    val b = "graftcnt://" +
+      java.nio.file.Files.createTempDirectory("graft_stats_dim").toString + "/t"
+    Manifests.commitData(dimDf, b)
+
+    // before ANALYZE: size-only (file bytes), no row count — and far
+    // from the Long.MaxValue default a non-reporting source gets
+    val (_, st0) = scanStats(s"SELECT * FROM graft.`$b`").head
+    assert(st0.rowCount.isEmpty)
+    assert(st0.sizeInBytes > 0 &&
+      st0.sizeInBytes < BigInt(10) * 1024 * 1024)
+
+    Manifests.analyze(spark, b, Seq("customer_key", "country"))
+
+    // the stats fold must open ZERO data files: sidecar + manifest
+    // metadata only (the 100 TB contract — a million-file table plans
+    // its joins without touching a footer)
+    val d0 = CountingFileSystem.dataReads.get()
+    val (_, st1) = scanStats(s"SELECT * FROM graft.`$b`").head
+    assert(st1.rowCount === Some(BigInt(1500)))
+    assert(CountingFileSystem.dataReads.get() === d0,
+      "stats estimation opened a data file")
+
+    // ANALYZE column statistics ride into the catalyst plan: NDV
+    // (HLL++ estimate), exact zone-fold min/max, exact null counts
+    val attrs = st1.attributeStats.map { case (a, c) => a.name -> c }
+    val country = attrs("country")
+    assert(country.distinctCount.exists(n => n >= 6 && n <= 8))
+    assert(country.nullCount === Some(BigInt(0)))
+    val ck = attrs("customer_key")
+    assert(ck.min.contains(1L) && ck.max.contains(1500L))
+    assert(ck.distinctCount.exists(n => n > 1400 && n < 1600))
+  }
+
+  test("merge-on-read delete shrinks numRows exactly and sizeInBytes proportionally") {
+    registerCatalog()
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_stats_dv").toString + "/t"
+    Manifests.commitData(dimDf, b)
+    Manifests.analyze(spark, b, Seq("customer_key"))
+    val (_, clean) = scanStats(s"SELECT * FROM graft.`$b`").head
+    Manifests.deleteWhereMor(spark, b, col("country") =!= "N3")
+    val live = Manifests.readLatest(spark, b).count()
+    val (_, vec) = scanStats(s"SELECT * FROM graft.`$b`").head
+    assert(vec.rowCount === Some(BigInt(live)),
+      s"DV-adjusted numRows ${vec.rowCount} != live $live")
+    assert(vec.sizeInBytes < clean.sizeInBytes / 3,
+      s"sizeInBytes ${vec.sizeInBytes} not live-scaled vs ${clean.sizeInBytes}")
+  }
+
+  test("V1 detour scan (live rename) reports manifest stats through V1ScanWrapper") {
+    registerCatalog()
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_stats_ren").toString + "/t"
+    Manifests.commitData(dimDf, b)
+    Manifests.analyze(spark, b, Seq("customer_key"))
+    Manifests.renameColumn(spark, b, "country", "region")
+    val q = spark.sql(s"SELECT * FROM graft.`$b`")
+    val nodes = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(nodes.size === 1)
+    // the rule must have substituted the stats-reporting node — a
+    // plain wrapper relation would plan at defaultSizeInBytes
+    assert(nodes.head.isInstanceOf[
+      org.apache.spark.sql.graft.ReportingV1ScanRelation],
+      s"detour relation not stats-wrapped: ${nodes.head.getClass}")
+    val st = nodes.head.stats
+    assert(st.rowCount === Some(BigInt(1500)))
+    assert(st.sizeInBytes < BigInt(10) * 1024 * 1024)
+    // rows still read correctly through the detour
+    assert(q.count() === 1500)
+  }
+
+  test("pure-SQL star join over catalog tables broadcasts the dim with no hint") {
+    import spark.implicits._
+    registerCatalog()
+    val dimB = java.nio.file.Files
+      .createTempDirectory("graft_stats_sj_dim").toString + "/t"
+    val factB = java.nio.file.Files
+      .createTempDirectory("graft_stats_sj_fact").toString + "/t"
+    Manifests.commitData(dimDf, dimB)
+    Manifests.analyze(spark, dimB, Seq("customer_key"))
+    Manifests.commitData(
+      (1 to 300000).map(i =>
+        (i.toLong, (i % 1500 + 1).toLong, (i * 2654435761L) % 97, i * 1.5))
+        .toDF("invoice_no", "customer_key", "quantity", "amount"),
+      factB)
+    // threshold well under the fact's bytes and well over the dim's:
+    // only CORRECT per-side estimates produce a broadcast here — a
+    // defaultSizeInBytes dim would shuffle both sides
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      val q = spark.sql(
+        s"""SELECT d.country, COUNT(*) AS n, SUM(f.amount) AS amt
+           |FROM graft.`$factB` f JOIN graft.`$dimB` d
+           |  ON f.customer_key = d.customer_key
+           |GROUP BY d.country""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"catalog star join did not broadcast:\n${plan.take(3000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        "no shuffle join expected in the catalog star join")
+      // the broadcast side must be the DIM: its scan appears under the
+      // BroadcastExchange subtree
+      val bx = plan.indexOf("BroadcastExchange")
+      assert(bx >= 0 && plan.indexOf(dimB.stripPrefix("/"), bx) > bx,
+        s"broadcast side is not the dim:\n${plan.take(3000)}")
+      assert(q.collect().map(_.getLong(1)).sum === 300000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("registered sql_star_join broadcasts both dims at the default threshold, no hint") {
+    val q = graft.SparkEntry.queries("sql_star_join")(spark, TestSpark.sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"star join did not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"star join shuffled a dim:\n${plan.take(3000)}")
+    assert(q.collect().nonEmpty)
+  }
+
+  test("NDV sidecar inherits across commits and refreshes on re-ANALYZE") {
+    import spark.implicits._
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_stats_ndv").toString + "/t"
+    Manifests.commitData(dimDf, b)
+    Manifests.analyze(spark, b, Seq("country"))
+    val v1 = Manifests.latestVersion(spark, b).get
+    val n1 = Manifests.ndvOf(spark, b, v1)
+    assert(n1.get("country").exists(n => n >= 6 && n <= 8))
+    // an append inherits the (now slightly stale) estimate — same
+    // contract as Spark's own catalog column stats
+    Manifests.append((1 to 10).map(i =>
+      (10000L + i, s"x_$i", s"M$i")).toDF(
+      "customer_key", "customer_id", "country"), b)
+    val v2 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.ndvOf(spark, b, v2) === n1)
+    // re-ANALYZE refreshes
+    Manifests.analyze(spark, b, Seq("country"))
+    val v3 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.ndvOf(spark, b, v3)("country") > n1("country"))
+  }
+}

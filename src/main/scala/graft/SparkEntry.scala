@@ -423,6 +423,28 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$b`")
         .orderBy("customer_id")
     }),
+    // name-addressed time travel: the table mutated TWICE after the
+    // tag pinned v0, and this SELECT reads `VERSION AS OF 'baseline'`
+    // — the Iceberg tag-read UX; content must equal the original
+    // lineage exactly (the mutations must NOT leak through the ref)
+    "sql_read_tag" -> ((s, d) => {
+      val b = mansqlTagFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.sql(
+          s"SELECT * FROM graft.`$b` VERSION AS OF 'baseline'")
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
+    // the sync-from-source MERGE (WHEN NOT MATCHED BY SOURCE): the
+    // full three-clause grammar in one statement against a VECTORED
+    // table — matched rows refresh, new rows insert, rows gone from
+    // the source delete or flag, all merge-on-read through the
+    // SupportsDelta operation (DeltaDmlSpec pins both paths)
+    "sql_merge_sync" -> ((s, d) => {
+      val b = mansqlMergeSyncFixture(s, d)
+      s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$b`")
+        .orderBy("customer_id")
+    }),
     // the pure-SQL STAR JOIN through the catalog: fact × dim_customer
     // × dim_date addressed by graft. names only — no hints, no
     // DataFrame broadcast() call; the DSv2 statistics tier (exact
@@ -1042,6 +1064,67 @@ object SparkEntry {
     b
   }
 
+  /** Named-ref fixture: CTAS of the cleaned lineage, `CALL tag` pins
+    * v0 as 'baseline', then two mutations (CoW DELETE + UPDATE) move
+    * the head away. The registered query reads `VERSION AS OF
+    * 'baseline'` — name-addressed time travel whose content must
+    * still hash-equal the original lineage (RefsSpec pins the vacuum
+    * protection and the WAP branch flow on top of the same ref tier). */
+  private def mansqlTagFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mansqltag")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
+        .createOrReplaceTempView("graft_sqltag_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqltag_src")
+      s.sql(s"CALL graft.system.tag('$b', 'baseline', 0)")
+      s.sql(s"DELETE FROM graft.`$b` WHERE country = 'NATION_6'")
+      s.sql(s"UPDATE graft.`$b` SET quantity = quantity + 77 " +
+        "WHERE country = 'NATION_2'")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** Sync-from-source MERGE fixture — the missing third MERGE clause:
+    * CTAS of dim_customer, a clustered MoR delete (vectoring the
+    * table so the statement routes through `SupportsDelta`), then ONE
+    * `MERGE INTO` whose clauses cover the full grammar — MATCHED
+    * UPDATE, NOT MATCHED INSERT, and two conditioned NOT MATCHED BY
+    * SOURCE actions (DELETE one slice, UPDATE another). The shape is
+    * the production "make target equal source" sync Delta/Iceberg
+    * users run nightly. */
+  private def mansqlMergeSyncFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mansqlsync")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country"))
+        .createOrReplaceTempView("graft_sqlsync_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlsync_src")
+      s.sql(s"CALL graft.system.delete_mor('$b', \"country = 'NATION_7'\")")
+      val dim = s.sql(s"SELECT * FROM graft.`$b` VERSION AS OF 0")
+      dim.filter(col("country").isin("NATION_1", "NATION_3"))
+        .withColumn("country", concat(lit("KEEP_"), col("country")))
+        .unionByName(dim.filter(col("country") === "NATION_5")
+          .select((col("customer_key") + 1000000L).as("customer_key"),
+            concat(col("customer_id"), lit("_B")).as("customer_id"),
+            lit("NATION_5B").as("country")))
+        .createOrReplaceTempView("graft_sqlsync_upd")
+      s.sql(s"""MERGE INTO graft.`$b` t USING graft_sqlsync_upd u
+               |ON t.customer_id = u.customer_id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *
+               |WHEN NOT MATCHED BY SOURCE AND t.country = 'NATION_2'
+               |  THEN DELETE
+               |WHEN NOT MATCHED BY SOURCE AND t.country = 'NATION_4'
+               |  THEN UPDATE SET t.country = 'STALE'""".stripMargin)
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Star-schema catalog fixture: fact_sales + dim_customer + dim_date
     * published as manifest catalog tables (pure-SQL CTAS) and ANALYZEd
     * (`CALL graft.system.analyze`), so the DSv2 statistics tier
@@ -1600,6 +1683,34 @@ object SparkEntry {
          | UNION ALL
          | SELECT s.customer_key, s.customer_id, s.country FROM survivors s
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = s.customer_id)
+         | ORDER BY customer_id""".stripMargin,
+    // the tag read is the UNMUTATED cleaned lineage: post-tag DML must
+    // not leak through the name-pinned version
+    "sql_read_tag" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
+    // sync MERGE: every src row lands verbatim (matched→updated,
+    // unmatched→inserted); survivors off-source delete (NATION_2),
+    // flag (NATION_4→STALE) or carry, per the conditioned clauses
+    "sql_merge_sync" ->
+      s"""${Oracle.warehouseCte}, survivors AS (
+         |  SELECT customer_key, customer_id, country FROM dim_customer
+         |  WHERE country IS DISTINCT FROM 'NATION_7'
+         |), src AS (
+         |  SELECT customer_key, customer_id, 'KEEP_' || country AS country
+         |  FROM dim_customer WHERE country IN ('NATION_1', 'NATION_3')
+         |  UNION ALL
+         |  SELECT customer_key + 1000000, customer_id || '_B', 'NATION_5B'
+         |  FROM dim_customer WHERE country = 'NATION_5')
+         | SELECT customer_key, customer_id, country FROM src
+         | UNION ALL
+         | SELECT s.customer_key, s.customer_id,
+         |   CASE WHEN s.country = 'NATION_4' THEN 'STALE'
+         |        ELSE s.country END AS country
+         | FROM survivors s
+         | WHERE NOT EXISTS (SELECT 1 FROM src u
+         |                   WHERE u.customer_id = s.customer_id)
+         |   AND s.country IS DISTINCT FROM 'NATION_2'
          | ORDER BY customer_id""".stripMargin,
     // the catalog star join is content-wise just the warehouse star
     // join — the DSv2 plumbing (CTAS'd manifest tables, stats-driven

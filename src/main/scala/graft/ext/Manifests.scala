@@ -2056,7 +2056,7 @@ object Manifests {
     val byCount = committed.takeRight(keepLast).head
     val minAge = minAgeMillis.getOrElse(
       spark.conf.getOption("graft.vacuum.minAgeMillis").map(_.toLong).getOrElse(0L))
-    val floor =
+    val floor0 =
       if (minAge <= 0L) byCount
       else {
         val horizon = System.currentTimeMillis() - minAge
@@ -2067,6 +2067,10 @@ object Manifests {
           .getOrElse(committed.last)
         math.min(byCount, byAge)
       }
+    // named refs pin history: a tagged version (or a branch's fork
+    // point) stays readable until its ref drops — Iceberg's
+    // retention-by-reference rule
+    val floor = refFloor(spark, base).fold(floor0)(math.min(floor0, _))
     val r = reclaimBelow(spark, base, committed, floor)
     // separate ledger: r counts version-referenced files, the sweep
     // counts never-referenced attempt residue
@@ -2095,8 +2099,19 @@ object Manifests {
         bloomOf(spark, base, v).toSeq.flatMap(_._2))
       .map(f => rootSegment(spark, base, f)).flatten.toSet
     val payload = "^(data|dv|stats|pv|bloom)_.*".r
+    // a REF-LESS branch directory (dropRef while main still referenced
+    // its files) is payload too: once vacuum retires the last
+    // referencing version, nothing points at it and it sweeps. A LIVE
+    // branch (ref present) is never touched — its files are referenced
+    // by the branch's own manifests, which main cannot see.
+    val branchPat = "^branch_(.*)$".r
+    def sweepable(n: String): Boolean = n match {
+      case branchPat(bn) =>
+        scala.util.Try(refOf(spark, base, bn).isEmpty).getOrElse(false)
+      case _ => payload.matches(n)
+    }
     val dead = Dfs.list(spark, base)
-      .filter(st => payload.matches(st.getPath.getName))
+      .filter(st => sweepable(st.getPath.getName))
       .filterNot(st => live.contains(st.getPath.getName))
       .filter(st => st.getModificationTime < horizon)
     dead.foreach(st => Dfs.delete(spark, st.getPath.toString, recursive = true))
@@ -2126,9 +2141,11 @@ object Manifests {
       horizonMillis: Long): (Seq[Int], Int) = {
     val committed = committedVersions(spark, base)
     if (committed.isEmpty) return (Seq.empty, 0)
-    val floor = committed
+    val floor0 = committed
       .find(v => Dfs.mtime(spark, s"$base/v$v/_SUCCESS") > horizonMillis)
       .getOrElse(committed.last)
+    // ref-pinned versions survive age-based retention too
+    val floor = refFloor(spark, base).fold(floor0)(math.min(floor0, _))
     val r = reclaimBelow(spark, base, committed, floor)
     // attempt residue older than the horizon is past the same protection
     // window the versions get — sweep it with the equivalent age
@@ -4052,6 +4069,171 @@ object Manifests {
       renames = Some(renamesOf(spark, src, v)),
       ndv = Some(ndvOf(spark, src, v)))
   }
+
+  // ---- named refs: tags, branches, write-audit-publish -------------
+  //
+  // Iceberg-parity history addressing: a TAG pins a committed version
+  // under a name (`VERSION AS OF 'name'` through the catalog), a
+  // BRANCH is an isolated fork of the table (a shallow clone under
+  // `<base>/branch_<name>` — metadata-only, files by reference) whose
+  // head fast-forwards back onto main after audit. Refs live as tiny
+  // files under `<base>/_refs/` — outside the `v<N>` pattern, so the
+  // version machinery never sees them — and [[vacuum]] keeps every
+  // ref-pinned version (and every branch's fork point) out of its
+  // reclaim floor: a tagged version is readable until the tag drops,
+  // exactly Iceberg's retention-by-reference rule.
+  //
+  // The WAP (write-audit-publish) flow this enables, end to end in
+  // SQL: `CALL branch('t','audit')` → writes against the branch table
+  // (path-addressed, full protocol: OCC, constraints, sidecars) →
+  // audit queries via `VERSION AS OF 'audit'` → `CALL
+  // fast_forward('t','audit')` publishes the branch head onto main as
+  // ONE atomic commit (refusing if main moved since the fork — the
+  // fast-forward contract), inheriting the branch's schema, vectors
+  // and sidecars by reference.
+
+  private def refName(name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '-') && !name.forall(_.isDigit),
+      s"ref name must be [A-Za-z0-9_-]+ and not all digits: '$name'")
+    name
+  }
+
+  private def refPath(base: String, name: String): String =
+    s"$base/_refs/${refName(name)}"
+
+  /** The branch's own table root — a full manifest table under the
+    * parent's directory (the `branch_` prefix is outside every payload
+    * sweep pattern, so neither table's maintenance touches the
+    * other's). */
+  def branchBaseOf(base: String, name: String): String =
+    s"$base/branch_${refName(name)}"
+
+  /** (kind, version) of a named ref: for a tag the pinned version, for
+    * a branch the version MAIN held at the last fork/publish — the
+    * fast-forward ancestry check and the vacuum floor both key on it. */
+  def refOf(spark: SparkSession, base: String,
+      name: String): Option[(String, Int)] = {
+    val p = refPath(base, name)
+    if (!Dfs.exists(spark, p)) None
+    else new String(Dfs.readBytes(spark, p), "UTF-8").trim
+      .split("\t") match {
+        case Array(k, v) => scala.util.Try((k, v.toInt)).toOption
+        case _ => None
+      }
+  }
+
+  /** Every named ref of the table: (name, kind, version). */
+  def listRefs(spark: SparkSession, base: String): Seq[(String, String, Int)] =
+    if (!Dfs.exists(spark, s"$base/_refs")) Seq.empty
+    else Dfs.list(spark, s"$base/_refs").toSeq
+      .filter(!_.isDirectory).map(_.getPath.getName).sorted
+      .flatMap(n => refOf(spark, base, n).map { case (k, v) => (n, k, v) })
+
+  /** Pin version `v` under `name`. Refuses an existing name (drop it
+    * first) and an uncommitted/vacuumed version. */
+  def createTag(spark: SparkSession, base: String, name: String,
+      v: Int): Unit = {
+    require(Dfs.exists(spark, s"$base/v$v/_SUCCESS"),
+      s"version $v of $base was never committed or is vacuumed")
+    require(refOf(spark, base, name).isEmpty,
+      s"ref '$name' already exists on $base")
+    Dfs.writeBytes(spark, refPath(base, name), s"tag\t$v\n".getBytes("UTF-8"))
+  }
+
+  /** Fork the table's latest version into an isolated branch: one
+    * metadata-only shallow clone (files by reference, zero data
+    * bytes), plus the ref record. Returns the fork version. */
+  def createBranch(spark: SparkSession, base: String,
+      name: String): Int = {
+    val fork = latestVersion(spark, base).getOrElse(
+      sys.error(s"no committed version under $base"))
+    require(refOf(spark, base, name).isEmpty,
+      s"ref '$name' already exists on $base")
+    shallowClone(spark, base, branchBaseOf(base, name), fork)
+    Dfs.writeBytes(spark, refPath(base, name),
+      s"branch\t$fork\n".getBytes("UTF-8"))
+    fork
+  }
+
+  /** Publish the branch head onto main — WAP's third act. Refuses when
+    * main has moved past the branch's fork/last-publish point (the
+    * fast-forward contract: main must be an ancestor; diverged
+    * histories need a merge the protocol deliberately does not
+    * invent). The commit carries the branch head's WHOLE state —
+    * files, vectors, schema, stats/partition/bloom sidecars,
+    * constraints, tombstones, rename events — by reference, exactly
+    * like [[restore]] carries a historical version's. Returns the new
+    * main version; the ref advances so audit→publish cycles repeat. */
+  def fastForward(spark: SparkSession, base: String,
+      name: String): Int = {
+    val (kind, anchor) = refOf(spark, base, name).getOrElse(
+      sys.error(s"no ref '$name' on $base"))
+    require(kind == "branch", s"ref '$name' is a $kind — fast-forward " +
+      "takes a branch")
+    val mainLatest = latestVersion(spark, base).getOrElse(
+      sys.error(s"no committed version under $base"))
+    require(mainLatest == anchor,
+      s"main is at v$mainLatest but branch '$name' forked/published at " +
+        s"v$anchor — main moved; re-branch from the current head " +
+        "(fast-forward cannot merge diverged histories)")
+    val bb = branchBaseOf(base, name)
+    val bv = latestVersion(spark, bb).getOrElse(
+      sys.error(s"branch '$name' has no committed version"))
+    val nv = commit(spark, base, files(spark, bb, bv),
+      tag = Some(s"wap:$name"),
+      dv = dvFiles(spark, bb, bv),
+      schema = schemaOf(spark, bb, bv),
+      stats = statsOf(spark, bb, bv),
+      parent = Some(mainLatest),
+      partValues = partitionedBy(spark, bb, bv),
+      blooms = bloomOf(spark, bb, bv),
+      constraints = Some(constraintsOf(spark, bb, bv)),
+      dropped = Some(droppedOf(spark, bb, bv)),
+      renames = Some(renamesOf(spark, bb, bv)),
+      ndv = Some(ndvOf(spark, bb, bv)))
+    Dfs.writeBytes(spark, refPath(base, name),
+      s"branch\t$nv\n".getBytes("UTF-8"))
+    nv
+  }
+
+  /** Drop a ref. A tag drop releases its version to the next vacuum.
+    * A branch drop removes the NAME immediately; the branch's
+    * directory goes with it only when no retained main version still
+    * references files under it (a published head lives by reference
+    * until a rewrite re-homes the bytes) — otherwise the dir stays
+    * behind ref-less, and [[sweepOrphans]] reclaims it once
+    * vacuum/compaction retire the last referencing version. Returns
+    * true when the storage was released now. */
+  def dropRef(spark: SparkSession, base: String, name: String): Boolean = {
+    val (kind, _) = refOf(spark, base, name).getOrElse(
+      sys.error(s"no ref '$name' on $base"))
+    Dfs.delete(spark, refPath(base, name))
+    if (kind != "branch") return true
+    val bb = branchBaseOf(base, name)
+    val prefix = Dfs.qualified(spark, bb) + "/"
+    val referenced = committedVersions(spark, base).exists(v =>
+      (files(spark, base, v) ++ dvFiles(spark, base, v) ++
+        statsOf(spark, base, v).toSeq.flatMap(_._2) ++
+        partitionedBy(spark, base, v).toSeq.flatMap(_._2) ++
+        bloomOf(spark, base, v).toSeq.flatMap(_._2))
+        .exists(f => Dfs.qualified(spark, f).startsWith(prefix)))
+    if (!referenced && Dfs.exists(spark, bb)) {
+      Dfs.delete(spark, bb, recursive = true)
+      evictBase(bb)
+    }
+    !referenced
+  }
+
+  /** The oldest version any ref pins — tags directly, branches via
+    * their fork/publish anchor (the branch clone references main's
+    * files AS OF that version, so reclaiming it would pull files out
+    * from under the branch). Vacuum floors clamp to it. */
+  private def refFloor(spark: SparkSession, base: String): Option[Int] =
+    listRefs(spark, base).map(_._3) match {
+      case Seq() => None
+      case vs => Some(vs.min)
+    }
 
   /** Bin-packing OPTIMIZE — the small-file half of [[compact]]: only
     * files under `smallBytes` are coalesced (into ~`targetBytes`

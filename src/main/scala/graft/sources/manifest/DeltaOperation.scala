@@ -104,11 +104,27 @@ private[manifest] class ManifestDeltaOperation(spark: SparkSession,
   * commit publishes through [[Manifests.commitDeltaWrite]] (elision +
   * OCC + constraints + ledger), an abort leaves only unreferenced
   * residue for `sweepOrphans`. */
-private[manifest] class ManifestDeltaWrite(spark: SparkSession,
+private[manifest] class ManifestDeltaWrite(
+    override protected val spark: SparkSession,
     base: String, snapshot: Option[Int], info: LogicalWriteInfo,
-    op: ManifestDeltaOperation) extends DeltaWrite {
+    op: ManifestDeltaOperation)
+    extends DeltaWrite with ManifestWriteDistribution {
 
   private val rowSchema: StructType = info.schema()
+
+  /** Position-delta clustering (Iceberg's delta distribution): DELETE
+    * rows cluster by the file they vector (`_file` — one task's
+    * sidecar stream per file cluster), INSERT rows by the table's
+    * partition columns (their `_file` is null, so they bucket by
+    * partition alone). Non-strict → `RebalancePartitions`, so AQE
+    * splits a hot file's bucket under source skew and coalesces the
+    * long tail — the hot-key MERGE shape degrades gracefully instead
+    * of funneling 90% of the deltas through one writer. */
+  override protected val clusterCols: Seq[String] =
+    snapshot.flatMap(v =>
+      Manifests.partitionedBy(spark, base, v).map(_._1))
+      .getOrElse(Seq.empty)
+      .filter(rowSchema.fieldNames.contains) :+ DvScan.FileCol
 
   /** Ordinals of `_file`/`_pos` within the rowId rows the engine hands
     * `DeltaWriter.delete` — from the write info's rowId schema, never

@@ -5,11 +5,53 @@ import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, Write, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
+
+/** The write-side distribution contract, shared by the batch and delta
+  * writes: request CLUSTERING by the table's partition columns (plus
+  * `_file` for position deltas), non-strict — Spark then plans a
+  * `RebalancePartitions` instead of a hard repartition, so AQE sizes
+  * the shuffle (coalescing small clusters, splitting skewed ones at
+  * `spark.sql.adaptive.advisoryPartitionSizeInBytes`). The payoff at
+  * high parallelism: a wide MERGE/overwrite emits ~one file per
+  * clustered partition instead of one fragment per task — pay-never
+  * instead of OPTIMIZE's pay-later. `graft.write.distribution=none`
+  * opts a session out (Iceberg's write.distribution-mode escape
+  * hatch); tables with no partition columns get a plain size-rebalance
+  * (empty clustering), which alone folds tiny task outputs together. */
+private[manifest] trait ManifestWriteDistribution
+    extends RequiresDistributionAndOrdering {
+  protected def spark: SparkSession
+  protected def clusterCols: Seq[String]
+
+  private def enabled: Boolean = !spark.conf
+    .getOption("graft.write.distribution").exists(_.equalsIgnoreCase("none"))
+
+  override def requiredDistribution(): Distribution =
+    if (!enabled) Distributions.unspecified()
+    else Distributions.clustered(clusterCols.map(c =>
+      Expressions.column(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredNumPartitions(): Int = 0
+
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (!enabled) 0L
+    else spark.conf.getOption("graft.write.advisoryPartitionBytes")
+      .map(_.toLong).getOrElse(0L) // 0 → the session's AQE advisory size
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+}
 
 /** The distributed half of SQL row-level DML on manifest tables: a
   * DSv2 `BatchWrite` whose tasks stream `InternalRow`s into immutable
@@ -30,9 +72,12 @@ import org.apache.spark.util.SerializableConfiguration
   * files of SUCCESSFUL tasks reach the commit message list. Empty
   * tasks open no file at all — a 1000-partition rewrite of 3 files
   * writes 3 files, not 1000. */
-private[manifest] class ManifestParquetWrite(spark: SparkSession,
+private[manifest] class ManifestParquetWrite(
+    override protected val spark: SparkSession,
     base: String, schema: StructType,
-    commitFn: Seq[String] => Unit) extends Write {
+    commitFn: Seq[String] => Unit,
+    override protected val clusterCols: Seq[String] = Seq.empty)
+    extends Write with ManifestWriteDistribution {
 
   override def toBatch: BatchWrite = {
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"

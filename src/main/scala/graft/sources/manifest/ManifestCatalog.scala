@@ -185,6 +185,13 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           Manifests.constraintsOf(s, t.base, latest)
             .toDF("name", "predicate")
         }))
+      // SHOW the table's named refs (tags + branches) as a relation —
+      // Iceberg's `refs` metadata table
+      case "refs" => Some(new ManifestMetaTable(
+        s"${display(parent)}.refs", () => {
+          import s.implicits._
+          Manifests.listRefs(s, t.base).toDF("name", "kind", "version")
+        }))
       // the change feed as a name-addressed STREAMING relation:
       // `spark.readStream.table("graft.ns.t.changes")` — the V1
       // source's readChangeFeed=true, catalog-shaped
@@ -194,11 +201,24 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF <v>` through the catalog. */
+  /** `VERSION AS OF <v>` through the catalog — and Iceberg-style NAMED
+    * REFS: `VERSION AS OF 'baseline'` resolves a tag to its pinned
+    * version, `VERSION AS OF 'audit'` resolves a branch to the
+    * branch's OWN table (its current head — the WAP audit read). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(version.forall(_.isDigit),
-      s"manifest versions are integers (got '$version')")
-    table(ident, Some(version.toInt))
+    if (version.forall(_.isDigit)) return table(ident, Some(version.toInt))
+    val t = table(ident, None)
+    Manifests.refOf(spark, t.base, version) match {
+      case Some(("tag", v)) => table(ident, Some(v))
+      case Some(("branch", _)) =>
+        new ManifestTable(spark, Manifests.branchBaseOf(t.base, version),
+          None, None, Seq.empty, s"${display(ident)}@$version")
+      case _ => sys.error(
+        s"no ref '$version' on ${display(ident)} — VERSION AS OF takes " +
+          "a version number, a tag, or a branch name " +
+          s"(refs: ${Manifests.listRefs(spark, t.base).map(_._1)
+            .mkString(", ")})")
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */

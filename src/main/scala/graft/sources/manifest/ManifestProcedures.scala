@@ -213,6 +213,39 @@ private[manifest] final class ManifestProcedures(
           org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
         InternalRow(d, v)
       }),
+    // named refs + write-audit-publish (Iceberg's tag/branch/
+    // fast_forward procedure family): `tag` pins a version under a
+    // name, `branch` forks an isolated audit table (metadata-only
+    // clone; write to it path-addressed, read it via
+    // `VERSION AS OF '<name>'`), `fast_forward` publishes the audited
+    // branch head onto main as one atomic commit, `drop_ref` releases
+    // the pin (and the branch's storage, once unreferenced)
+    Proc("tag",
+      Seq(p("table", StringType), p("name", StringType),
+        p("version", IntegerType)),
+      out1("tagged", IntegerType),
+      (base, in) => {
+        Manifests.createTag(spark, base, in.getUTF8String(1).toString,
+          in.getInt(2))
+        InternalRow(in.getInt(2))
+      }),
+    Proc("branch",
+      Seq(p("table", StringType), p("name", StringType)),
+      out1("forked_at", IntegerType),
+      (base, in) => InternalRow(Manifests.createBranch(spark, base,
+        in.getUTF8String(1).toString))),
+    Proc("fast_forward",
+      Seq(p("table", StringType), p("name", StringType)),
+      out1("published_as", IntegerType),
+      (base, in) => InternalRow(Manifests.fastForward(spark, base,
+        in.getUTF8String(1).toString))),
+    Proc("drop_ref",
+      Seq(p("table", StringType), p("name", StringType)),
+      out1("dropped", IntegerType),
+      (base, in) => {
+        Manifests.dropRef(spark, base, in.getUTF8String(1).toString)
+        InternalRow(1)
+      }),
     Proc("merge_mor",
       Seq(p("table", StringType), p("source_view", StringType),
         p("keys", StringType)),

@@ -243,7 +243,7 @@ class ManifestTable(spark: SparkSession, val base: String,
               Manifests.partitionedBy(spark, base, v).map(_._1))
               .getOrElse(Seq.empty)
           return new ManifestParquetWrite(spark, base, info.schema(),
-            { written =>
+            clusterCols = parts, commitFn = { written =>
               Manifests.latestVersion(spark, base) match {
                 case Some(_) =>
                   Manifests.overwriteDynamicFiles(spark, base, written,
@@ -498,7 +498,15 @@ private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new ManifestParquetWrite(spark, base, info.schema(), { written =>
+        new ManifestParquetWrite(spark, base, info.schema(),
+          // cluster the replacement rows by the table's partition
+          // columns: a wide CoW MERGE then writes ~one file per
+          // partition instead of one per task
+          clusterCols = snapshot.flatMap(v =>
+            Manifests.partitionedBy(spark, base, v).map(_._1))
+            .getOrElse(Seq.empty)
+            .filter(tableSchema.fieldNames.contains),
+          commitFn = { written =>
           snapshot match {
             case Some(v) =>
               val touched = scanned.getOrElse(sys.error(

@@ -181,6 +181,115 @@ class DeltaDmlSpec extends AnyFunSuite {
       .head.getInt(0) === 3)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: sync-from-source on a vectored table takes the delta path") {
+    val b = mkVectored("ddmlnb")
+    val v1 = Manifests.latestVersion(spark, b).get
+    val before = canonFiles(b, v1)
+    val dvBefore = Manifests.dvFiles(spark, b, v1).size
+    // source = ids 1..100 refreshed; ids > 100 are gone from source
+    (1 to 100).map(i => (i.toLong, 500, s"sync$i"))
+      .toDF("id", "grp", "s").createOrReplaceTempView("ddmlnb_src2")
+    sql("""MERGE INTO graft.ddmlnb.t t USING ddmlnb_src2 u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val v2 = Manifests.latestVersion(spark, b).get
+    assert(v2 === v1 + 1, "one sync MERGE = one atomic commit")
+    // the final table IS the source — the sync contract
+    val got = sql("SELECT id, grp, s FROM graft.ddmlnb.t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === (1 to 100).map(i => (i.toLong, 500, s"sync$i")).toSet)
+    // merge-on-read shape: no parent file was REWRITTEN — each either
+    // carries (vectored) or retires (fully dead); updates/inserts append
+    val after = canonFiles(b, v2)
+    assert((after -- before).nonEmpty, "refreshed images must append")
+    assert(Manifests.dvFiles(spark, b, v2).size >= dvBefore,
+      "unmatched-by-source rows must vector out (or elide), not rewrite")
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE with conditions: DELETE one slice, UPDATE another, rest untouched") {
+    val b = mkVectored("ddmlnc")
+    // source keeps only grp 0 and 1 rows (by id arithmetic the fixture
+    // left alive); everything else is unmatched-by-source
+    (1 to 400).filter(i => i % 13 != 0 && i % 8 <= 1)
+      .map(i => (i.toLong, i % 8, s"keep$i"))
+      .toDF("id", "grp", "s").createOrReplaceTempView("ddmlnc_src2")
+    sql("""MERGE INTO graft.ddmlnc.t t USING ddmlnc_src2 u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE AND t.grp = 2 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND t.grp = 3 THEN UPDATE SET s = 'stale'
+          |""".stripMargin)
+    val got = sql("SELECT id, grp, s FROM graft.ddmlnc.t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = (1 to 400).filter(i => i % 13 != 0 && i % 8 != 2).map { i =>
+      (i % 8) match {
+        case 0 | 1 => (i.toLong, i % 8, s"keep$i")
+        case 3 => (i.toLong, 3, "stale")
+        case _ => (i.toLong, i % 8, s"v$i")
+      }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE on a CLEAN table rides the copy-on-write rewrite") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ddmlnd")
+    (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .createOrReplaceTempView("ddmlnd_src")
+    sql("CREATE TABLE graft.ddmlnd.t AS SELECT * FROM ddmlnd_src")
+    val b = s"$wh/ddmlnd/t"
+    (1 to 50).map(i => (i.toLong, s"n$i")).toDF("id", "s")
+      .createOrReplaceTempView("ddmlnd_upd")
+    sql("""MERGE INTO graft.ddmlnd.t t USING ddmlnd_upd u ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(Manifests.dvFiles(spark, b,
+      Manifests.latestVersion(spark, b).get).isEmpty,
+      "clean table sync MERGE stays copy-on-write")
+    val got = sql("SELECT id, s FROM graft.ddmlnd.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === (1 to 50).map(i => (i.toLong, s"n$i")).toSet)
+  }
+
+  test("delta commit OCC: a concurrent append rebases when the pushed condition excludes it, refuses otherwise") {
+    val b = mkVectored("ddmlo")
+    val v = Manifests.latestVersion(spark, b).get
+    // hand-build a delta write derived from snapshot v: one DELETE
+    // rowId against a real file (the engine's task output shape)
+    def dvSidecar(): String = {
+      val f = Manifests.files(spark, b, v).head
+      val dir = s"$b/dv_${java.util.UUID.randomUUID().toString.take(8)}"
+      Seq((Dfs.canonical(f), 0L)).toDF("__file", "__pos")
+        .coalesce(1).write.parquet(dir)
+      Dfs.dataFiles(spark, dir).map(_.getPath.toString).head
+    }
+    val liveBefore = Manifests.readAt(spark, b, v).count()
+    // concurrent append lands AFTER the snapshot was resolved
+    Manifests.append(Seq((9001L, 1, "late")).toDF("id", "grp", "s"), b)
+    // pushed condition excludes the appended row -> rebase succeeds
+    val (d1, nv1) = Manifests.commitDeltaWrite(spark, b, v,
+      Seq(dvSidecar()), Seq.empty, Some("test"),
+      conflict = Some(col("grp") === 999))
+    assert(d1 === 1L && nv1 === v + 2)
+    assert(Manifests.readLatest(spark, b).count() === liveBefore,
+      "rebase must keep the concurrent append AND apply the delete")
+    // condition MATCHES the appended row -> refuse (lost-update guard)
+    val v2 = Manifests.latestVersion(spark, b).get
+    Manifests.append(Seq((9002L, 999, "hot")).toDF("id", "grp", "s"), b)
+    intercept[ConcurrentCommitException] {
+      Manifests.commitDeltaWrite(spark, b, v2,
+        Seq(dvSidecar()), Seq.empty, Some("test"),
+        conflict = Some(col("grp") === 999))
+    }
+    // uncapturable condition (None) -> conservative refusal
+    val v3 = Manifests.latestVersion(spark, b).get
+    Manifests.append(Seq((9003L, 1, "late2")).toDF("id", "grp", "s"), b)
+    intercept[ConcurrentCommitException] {
+      Manifests.commitDeltaWrite(spark, b, v3,
+        Seq(dvSidecar()), Seq.empty, Some("test"), conflict = None)
+    }
+  }
+
   test("translatable DELETE on a vectored table still takes the metadata MoR tier, not the rewrite") {
     val b = mkVectored("ddmli")
     val v1 = Manifests.latestVersion(spark, b).get

@@ -1,0 +1,148 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Named refs — tags, branches, write-audit-publish
+  * ([[Manifests.createTag]]/[[Manifests.createBranch]]/
+  * [[Manifests.fastForward]]): history addressable by NAME, vacuum
+  * that respects references, and the Iceberg WAP flow end to end in
+  * pure SQL. */
+class RefsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("graft_refs_wh").toString
+    CatalogTestSupport.registerFreshCatalog(spark, d)
+    d
+  }
+
+  private def sql(s: String) = spark.sql(s)
+
+  private def mk(ns: String, rows: Int = 300): String = {
+    wh
+    sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    (1 to rows).map(i => (i.toLong, i % 5, s"v$i"))
+      .toDF("id", "grp", "s").createOrReplaceTempView(s"${ns}_src")
+    sql(s"CREATE TABLE graft.$ns.t AS SELECT * FROM ${ns}_src")
+    s"$wh/$ns/t"
+  }
+
+  test("tag pins a version by name: readable after DML, protected from vacuum, released on drop") {
+    val b = mk("refta")
+    sql("CALL graft.system.tag('refta.t', 'baseline', 0)")
+    sql("DELETE FROM graft.refta.t WHERE grp = 2")
+    sql("UPDATE graft.refta.t SET s = 'mut' WHERE grp = 3")
+    // the tag reads the PRE-DML content through pure SQL
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refta.t " +
+      "VERSION AS OF 'baseline'").head.getLong(0) === 300)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refta.t").head.getLong(0)
+      === 240)
+    // vacuum keeps the tagged version even with keep_last=1
+    sql("CALL graft.system.vacuum('refta.t', 1)")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refta.t " +
+      "VERSION AS OF 'baseline'").head.getLong(0) === 300,
+      "vacuum reclaimed a tag-pinned version")
+    // .refs metadata table lists it
+    val refs = sql("SELECT name, kind, version FROM graft.refta.t.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(refs.toSeq === Seq(("baseline", "tag", 0)))
+    // drop releases the pin; the next vacuum reclaims; the name errors
+    sql("CALL graft.system.drop_ref('refta.t', 'baseline')")
+    sql("CALL graft.system.vacuum('refta.t', 1)")
+    val e = intercept[Throwable](
+      sql("SELECT * FROM graft.refta.t VERSION AS OF 'baseline'").collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("no ref 'baseline'") ||
+      chain(e).contains("vacuumed"), chain(e))
+  }
+
+  test("WAP round-trip: branch, write+audit on the branch, fast-forward publishes atomically") {
+    val b = mk("reftb")
+    sql("CALL graft.system.branch('reftb.t', 'audit')")
+    val bb = Manifests.branchBaseOf(b, "audit")
+    // WRITE to the branch (path-addressed — the full protocol, OCC and
+    // constraints included); main must not see it
+    sql(s"INSERT INTO graft.`$bb` VALUES (9001, 99, 'staged')")
+    sql(s"UPDATE graft.`$bb` SET s = 'fixed' WHERE id = 7")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftb.t").head.getLong(0)
+      === 300, "main leaked unpublished branch writes")
+    // AUDIT via the named read
+    val audit = sql("SELECT COUNT(*) AS n FROM graft.reftb.t " +
+      "VERSION AS OF 'audit' WHERE s IN ('staged', 'fixed')")
+      .head.getLong(0)
+    assert(audit === 2)
+    // PUBLISH: one atomic commit on main
+    val v0 = Manifests.latestVersion(spark, b).get
+    sql("CALL graft.system.fast_forward('reftb.t', 'audit')")
+    assert(Manifests.latestVersion(spark, b).get === v0 + 1)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftb.t " +
+      "WHERE s IN ('staged', 'fixed')").head.getLong(0) === 2)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftb.t").head.getLong(0)
+      === 301)
+    // time travel still has the pre-publish main
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.reftb.t VERSION AS OF $v0")
+      .head.getLong(0) === 300)
+    // a second audit cycle on the SAME branch publishes again
+    sql(s"INSERT INTO graft.`$bb` VALUES (9002, 99, 'staged2')")
+    sql("CALL graft.system.fast_forward('reftb.t', 'audit')")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftb.t").head.getLong(0)
+      === 302)
+  }
+
+  test("fast-forward refuses when main diverged; dropped-branch storage lives until unreferenced") {
+    val b = mk("reftc")
+    sql("CALL graft.system.branch('reftc.t', 'audit')")
+    val bb = Manifests.branchBaseOf(b, "audit")
+    sql(s"INSERT INTO graft.`$bb` VALUES (9001, 99, 'staged')")
+    // main moves concurrently — the fork is no longer main's head
+    sql("INSERT INTO graft.reftc.t VALUES (8001, 88, 'hot')")
+    val e = intercept[Throwable](
+      sql("CALL graft.system.fast_forward('reftc.t', 'audit')"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("main moved"), chain(e))
+    // re-branch from the new head and publish cleanly
+    sql("CALL graft.system.drop_ref('reftc.t', 'audit')")
+    sql("CALL graft.system.branch('reftc.t', 'audit2')")
+    val bb2 = Manifests.branchBaseOf(b, "audit2")
+    sql(s"INSERT INTO graft.`$bb2` VALUES (9002, 99, 'staged2')")
+    sql("CALL graft.system.fast_forward('reftc.t', 'audit2')")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftc.t").head.getLong(0)
+      === 302)
+    // main's head references the branch's image file: the drop
+    // releases the NAME but must keep the storage until unreferenced
+    sql("CALL graft.system.drop_ref('reftc.t', 'audit2')")
+    assert(Dfs.exists(spark, bb2),
+      "referenced branch storage must survive its ref drop")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftc.t").head.getLong(0)
+      === 302, "main must keep reading through the dropped-ref storage")
+    // a compact re-homes the bytes under main; vacuum retires the
+    // referencing versions and the orphan sweep reclaims the dir
+    Manifests.compact(spark, b, 2)
+    sql("CALL graft.system.vacuum('reftc.t', 1)")
+    assert(!Dfs.exists(spark, bb2),
+      "unreferenced ref-less branch directory must sweep")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftc.t").head.getLong(0)
+      === 302)
+  }
+
+  test("branch fork point survives main's vacuum while the branch lives") {
+    val b = mk("reftd")
+    sql("CALL graft.system.branch('reftd.t', 'keepme')")
+    // main rewrites everything twice — without ref protection the fork
+    // version's files would reclaim and the branch would dangle
+    sql("UPDATE graft.reftd.t SET s = 'a'")
+    sql("UPDATE graft.reftd.t SET s = 'b'")
+    sql("CALL graft.system.vacuum('reftd.t', 1)")
+    val bb = Manifests.branchBaseOf(b, "keepme")
+    assert(Manifests.readLatest(spark, bb).count() === 300,
+      "vacuum pulled files out from under a live branch")
+    sql("CALL graft.system.drop_ref('reftd.t', 'keepme')")
+    sql("CALL graft.system.vacuum('reftd.t', 1)")
+    assert(Manifests.history(spark, b).size === 1)
+  }
+}

@@ -423,6 +423,24 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$b`")
         .orderBy("customer_id")
     }),
+    // CDC-driven MV maintenance: the monthly rollup seeded at v0 and
+    // kept current by FOLDING THE CHANGE FEED (delete+insert row
+    // images from the MoR DELETE + native UPDATE) at grain — the
+    // oracle recomputes the rollup from scratch with the same
+    // mutations expressed relationally, so a sign error, a dropped
+    // group or a leaked deleted row hash-fails
+    "mv_cdc_refresh" -> ((s, d) => {
+      val b = manMvCdcFixture(s, d)
+      val mv0 = s"${b}_mv0"
+      if (!ext.Dfs.exists(s, s"${mv0}_done")) {
+        etl.Mv.partialOf(ext.Manifests.readAt(s, b, 0))
+          .write.mode("overwrite").parquet(mv0)
+        ext.Dfs.touch(s, s"${mv0}_done")
+      }
+      val latest = ext.Manifests.latestVersion(s, b).get
+      etl.Mv.formatted(etl.Mv.applyChangesFrame(s, mv0,
+        ext.Manifests.changesBetween(s, b, 0, latest)))
+    }),
     // name-addressed time travel: the table mutated TWICE after the
     // tag pinned v0, and this SELECT reads `VERSION AS OF 'baseline'`
     // — the Iceberg tag-read UX; content must equal the original
@@ -1064,6 +1082,31 @@ object SparkEntry {
     b
   }
 
+  /** CDC-MV fixture: the fact table as a manifest catalog table
+    * (clustered by invoice_date so the change feed's zone pruning
+    * bites), vectored by a MoR DELETE, then a native SupportsDelta
+    * UPDATE — the two DML shapes an append-only MV refresh cannot
+    * absorb. The registered query seeds the MV from v0 once
+    * (marker-guarded) and then folds `changesBetween(0, latest)` into
+    * it — the steady-state cost is the pruned feed + a grain-sized
+    * groupBy, never a history rescan. */
+  private def manMvCdcFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manmvcdc")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).fact.repartitionByRange(8, col("invoice_date"))
+        .createOrReplaceTempView("graft_mvcdc_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_mvcdc_src")
+      s.sql(s"CALL graft.system.delete_mor('$b', " +
+        "'pmod(customer_key, 7) = 3')")
+      s.sql(s"UPDATE graft.`$b` SET total_amount = total_amount + 1.50 " +
+        "WHERE pmod(customer_key, 7) = 2")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Named-ref fixture: CTAS of the cleaned lineage, `CALL tag` pins
     * v0 as 'baseline', then two mutations (CoW DELETE + UPDATE) move
     * the head away. The registered query reads `VERSION AS OF
@@ -1684,6 +1727,18 @@ object SparkEntry {
          | SELECT s.customer_key, s.customer_id, s.country FROM survivors s
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = s.customer_id)
          | ORDER BY customer_id""".stripMargin,
+    // the CDC-maintained MV must equal a from-scratch rollup with the
+    // DML expressed relationally (delete = filter, update = CASE)
+    "mv_cdc_refresh" ->
+      s"""${Oracle.warehouseCte} SELECT
+         | CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
+         | CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
+         | COUNT(*) AS n_sales,
+         | CAST(CAST(SUM(CASE WHEN customer_key % 7 = 2
+         |   THEN total_amount + 1.50 ELSE total_amount END)
+         |   AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+         | FROM fact_sales WHERE customer_key % 7 <> 3
+         | GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
     // the tag read is the UNMUTATED cleaned lineage: post-tag DML must
     // not leak through the name-pinned version
     "sql_read_tag" ->

@@ -97,6 +97,61 @@ object Mv {
     outPath
   }
 
+  /** The MV-grain partial aggregate of an arbitrary fact-shaped frame
+    * — the public face [[partial]] hides, for callers that seed an MV
+    * from a manifest snapshot. */
+  def partialOf(fact: DataFrame): DataFrame = partial(fact)
+
+  /** CDC-DRIVEN refresh — the maintenance path append-only [[refresh]]
+    * cannot cover: after a merge-on-read UPDATE/DELETE on the base
+    * table, the `.changes` feed ([[graft.ext.Manifests.changesBetween]]
+    * / the streaming `.changes` relation) emits full row images tagged
+    * `_change_type` ∈ {insert, delete} (an update is delete+insert),
+    * and this folds them into the MV at grain. Counts and exact
+    * DECIMAL sums form a commutative GROUP — a delete is a NEGATIVE
+    * delta — so `apply(MV@v_i, changes(v_i → v_j)) == full recompute
+    * at v_j` is an algebraic identity (Delta's incremental-MV
+    * pattern). Groups whose count reaches zero leave the MV, exactly
+    * as the recompute would drop them.
+    *
+    * Scale shape: cost is O(changes + |MV|) — the change feed is
+    * file-pruned at the source (only files whose vectors/content
+    * moved are read, zone-stat pruning on top), the fold is one
+    * grain-sized groupBy, and HISTORY IS NEVER RESCANNED (MvSpec pins
+    * the read set with a counting filesystem). */
+  def applyChangesFrame(spark: SparkSession, mvPath: String,
+      changes: DataFrame): DataFrame = {
+    val signed = when(col("_change_type") === "delete",
+      col("total_amount").cast(revStore) * -1)
+      .otherwise(col("total_amount").cast(revStore))
+    val delta = changes.groupBy(
+      year(col("invoice_date")).as("year"),
+      month(col("invoice_date")).as("month"))
+      .agg(sum(when(col("_change_type") === "delete", -1L)
+        .otherwise(1L)).as("n_sales"),
+        sum(signed).cast(revStore).as("rev"))
+    spark.read.parquet(mvPath).unionByName(delta)
+      .groupBy("year", "month")
+      .agg(sum(col("n_sales")).as("n_sales"),
+        sum(col("rev")).cast(revStore).as("rev"))
+      .filter(col("n_sales") > 0)
+  }
+
+  /** [[applyChangesFrame]] committed as the next MV version dir. */
+  def applyChanges(spark: SparkSession, mvPath: String,
+      changes: DataFrame, outPath: String): String = {
+    applyChangesFrame(spark, mvPath, changes)
+      .write.mode("overwrite").parquet(outPath)
+    outPath
+  }
+
+  /** The (year, month, n_sales, revenue) output boundary every
+    * monthly-rollup face shares. */
+  def formatted(mv: DataFrame): DataFrame =
+    mv.select(col("year"), col("month"), col("n_sales"),
+      col("rev").cast(DecimalType(18, 2)).cast(DoubleType).as("revenue"))
+      .orderBy("year", "month")
+
   /** Drive the full lifecycle on the fixture: init from batch 0, refresh
     * with batches 1..n-1, read the final version — formatted exactly like
     * the full-recompute monthly rollup so the q_monthly_sales oracle

@@ -2760,6 +2760,11 @@ object Manifests {
   /** Total-order comparison of two zone bounds of the same key; None
     * when the pair is incomparable (null bound, exotic type, NaN) —
     * callers treat unknown as overlapping, never the reverse. */
+  /** Compare two zone-bound values in the WRITER'S order — see the
+    * order invariant at [[Skipping.buildStats]]: string bounds are
+    * UTF8String-binary (unsigned UTF-8 bytes); any new comparison
+    * site must use that order, never String.compareTo (spec-pinned:
+    * ManifestsSpec "supplementary characters" case). */
   private def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: java.lang.Number, y: java.lang.Number) =>

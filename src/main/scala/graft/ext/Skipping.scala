@@ -76,6 +76,15 @@ object Skipping {
     // know to refuse while pruning stays valid (wider never prunes a
     // file it shouldn't). One UDF call per FILE — metadata-sized, not a
     // data-path expression.
+    // ORDER INVARIANT (the r13 phantom-CDC bug class): string zone
+    // bounds are computed by Spark's min/max over UTF8String — i.e.
+    // UNSIGNED UTF-8 BYTE order, which diverges from Java String
+    // compareTo (UTF-16 code units) on supplementary characters.
+    // Every site that compares a value against these bounds MUST use
+    // unsigned UTF-8 byte comparison (Manifests.cmpBound,
+    // ManifestFileIndex's zone predicates via Spark expressions) —
+    // a JVM-order comparison can prove two overlapping zones
+    // "disjoint" and silently drop files from a diff or a pruned scan.
     keys.foldLeft(agged) { case (acc, (n, _)) =>
       proj.schema(n).dataType match {
         case StringType =>

@@ -43,13 +43,26 @@ object DeltaDmlBench {
           .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
         catch { case scala.util.control.NonFatal(_) => 0L }
       }.sum
-    def measure(label: String)(body: => Any)
-        : (String, Double, Int, Int, Long) = {
+    case class Op(label: String, sec: Double, imgAdded: Int,
+        dvAdded: Int, retired: Int, bytesWritten: Long, maxFile: Long) {
+      def json: String =
+        s""""$label":{"sec":$sec,"files_added":${imgAdded + dvAdded},""" +
+          s""""img_files":$imgAdded,"dv_files":$dvAdded,""" +
+          s""""files_retired":$retired,"bytes_written":$bytesWritten,""" +
+          s""""max_file_bytes":$maxFile}"""
+    }
+    def measure(label: String)(body: => Any): Op = {
       val before = refs()
       val (_, sec) = t(body)
       val after = refs()
-      (label, sec, (after -- before).size, (before -- after).size,
-        bytes(after -- before))
+      val added = after -- before
+      val (dvA, imgA) = added.partition(_.contains("/dv_"))
+      val perFile = added.toSeq.map(f =>
+        try ext.Dfs.fs(spark, f)
+          .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+        catch { case scala.util.control.NonFatal(_) => 0L })
+      Op(label, sec, imgA.size, dvA.size, (before -- after).size,
+        perFile.sum, if (perFile.isEmpty) 0L else perFile.max)
     }
 
     // ---- the 100× fact via the catalog ------------------------------
@@ -77,9 +90,48 @@ object DeltaDmlBench {
       s"CALL graft.system.delete_mor('dd.fact', 'quantity = 17')"))
 
     // ---- native SQL UPDATE, ~1‰ spread across every file ------------
+    // A/B on the write-side distribution contract: the same spread
+    // UPDATE with the rebalance OFF writes one image + one DV sidecar
+    // per TASK; with it ON (default), inserts cluster to one AQE-sized
+    // bucket and deletes cluster per vectored file — the fragmentation
+    // the contract exists to prevent, measured
+    val updOff = measure("sql_update_spread_nodist") {
+      spark.conf.set("graft.write.distribution", "none")
+      try spark.sql(
+        s"UPDATE $tableName SET quantity = quantity + 1 " +
+          "WHERE pmod(xxhash64(invoice_no, stock_code), 1000) = 7")
+      finally spark.conf.unset("graft.write.distribution")
+    }
     val upd = measure("sql_update_spread")(spark.sql(
       s"UPDATE $tableName SET quantity = quantity + 1 " +
-        "WHERE pmod(xxhash64(invoice_no, stock_code), 1000) = 7"))
+        "WHERE pmod(xxhash64(invoice_no, stock_code), 1000) = 8"))
+
+    // ---- hot-key MERGE: 90% of the source hits ONE target file ------
+    // the shape where per-task delta writers degenerate under source
+    // skew; the non-strict clustered rebalance lets AQE split the hot
+    // file's bucket instead of funneling it through one writer
+    val vNow = ext.Manifests.latestVersion(spark, base).get
+    val hotFile = ext.Manifests.files(spark, base, vNow)
+      .maxBy(f => try ext.Dfs.fs(spark, f)
+        .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+      catch { case scala.util.control.NonFatal(_) => 0L })
+    val hot = spark.read.parquet(hotFile)
+      .select("invoice_no", "stock_code").limit(90000)
+    val cold = spark.table(tableName)
+      .select("invoice_no", "stock_code").limit(10000)
+    spark.table(tableName)
+      .join(hot.unionByName(cold).dropDuplicates("invoice_no", "stock_code"),
+        Seq("invoice_no", "stock_code"), "left_semi")
+      // the staging lineage carries duplicate (invoice_no, stock_code)
+      // keys — one source row per key or MERGE refuses by cardinality
+      .dropDuplicates("invoice_no", "stock_code")
+      .withColumn("quantity", col("quantity") + 7)
+      .createOrReplaceTempView("ddml_hot_batch")
+    val hotMrg = measure("sql_merge_hotkey")(spark.sql(
+      s"""MERGE INTO $tableName t USING ddml_hot_batch u
+         |ON t.invoice_no = u.invoice_no AND t.stock_code = u.stock_code
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
 
     // ---- native SQL MERGE: small keyed batch, updates + inserts -----
     spark.table(tableName).limit(50000)
@@ -99,16 +151,14 @@ object DeltaDmlBench {
       s"SELECT COUNT(*), SUM(quantity) FROM $tableName " +
         "WHERE quantity >= 0").head.getLong(0))
 
-    val ops = Seq(vecOp, upd, mrg)
+    val ops = Seq(vecOp, updOff, upd, mrg, hotMrg)
     println(
       s"""{"metric":"native_mor_dml_${factor}x","value":${
-        ops.map(_._2).sum},"unit":"sec","rows":$rows,""" +
+        ops.map(_.sec).sum},"unit":"sec","rows":$rows,""" +
         s""""build_sec":$buildSec,"read_clean_sec":$readCleanSec,""" +
         s""""read_vectored_sec":$readVecSec,""" +
         s""""read_ratio":${readVecSec / math.max(readCleanSec, 1e-9)},""" +
-        s""""ops":{${ops.map { case (l, s, a, r, b) =>
-          s""""$l":{"sec":$s,"files_added":$a,"files_retired":$r,""" +
-            s""""bytes_written":$b}""" }.mkString(",")}}}""")
+        s""""ops":{${ops.map(_.json).mkString(",")}}}""")
     val _ = (cleanCount, vecCount)
     spark.stop()
   }

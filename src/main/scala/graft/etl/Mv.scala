@@ -121,15 +121,23 @@ object Mv {
     * the read set with a counting filesystem). */
   def applyChangesFrame(spark: SparkSession, mvPath: String,
       changes: DataFrame): DataFrame = {
-    val signed = when(col("_change_type") === "delete",
-      col("total_amount").cast(revStore) * -1)
-      .otherwise(col("total_amount").cast(revStore))
+    // STRICT tag whitelist: this fold takes the plain feed's
+    // {insert, delete} row images. The KEYED feed re-tags updates as
+    // update_preimage/update_postimage — silently treating those as
+    // inserts would add the pre-image back (+2 per update); refuse at
+    // scan speed instead (codegen'd raise_error, no extra pass).
+    val sign = when(col("_change_type") === "delete", -1L)
+      .when(col("_change_type") === "insert", 1L)
+      .otherwise(raise_error(concat(
+        lit("Mv.applyChangesFrame takes the {insert, delete} change "),
+        lit("feed; got _change_type = "), col("_change_type")))
+        .cast("long"))
     val delta = changes.groupBy(
       year(col("invoice_date")).as("year"),
       month(col("invoice_date")).as("month"))
-      .agg(sum(when(col("_change_type") === "delete", -1L)
-        .otherwise(1L)).as("n_sales"),
-        sum(signed).cast(revStore).as("rev"))
+      .agg(sum(sign).as("n_sales"),
+        sum(col("total_amount").cast(revStore) * sign).cast(revStore)
+          .as("rev"))
     spark.read.parquet(mvPath).unionByName(delta)
       .groupBy("year", "month")
       .agg(sum(col("n_sales")).as("n_sales"),

@@ -361,7 +361,8 @@ object Manifests {
       addRename: Option[(String, String)] = None,
       delta: Option[(Seq[String], Seq[String])] = None,
       txn: Option[(String, Long)] = None,
-      ndv: Option[Map[String, Long]] = None): Int = {
+      ndv: Option[Map[String, Long]] = None,
+      txnMergeFrom: Option[(String, Int)] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -532,17 +533,36 @@ object Manifests {
           (math.max(id, live1.get(app).map(_._1).getOrElse(Long.MinValue)),
             nowMs))
       }
+      // merge ANOTHER table-version's ledger in (fast-forward: the
+      // published branch head's replay records must survive the
+      // publish, or an idempotent writer that streamed into the branch
+      // double-appends against main). Live entries keep the MAX
+      // high-water per appId; tombstones carry unless the app is live
+      // on either side (a live entry is fresher knowledge).
+      val (live3, dead0b) = txnMergeFrom match {
+        case None => (live2, dead0)
+        case Some((b2, v2)) =>
+          val (ml, md) = txnEntriesOf(spark, b2, v2)
+          val l = ml.foldLeft(live2) { case (acc, (app, (id, _))) =>
+            if (acc.get(app).exists(_._1 >= id)) acc
+            else acc.updated(app, (id, nowMs))
+          }
+          val d = md.foldLeft(dead0) { case (acc, (app, t)) =>
+            acc.updated(app, math.max(t, acc.getOrElse(app, Long.MinValue)))
+          } -- l.keySet
+          (l, d)
+      }
       retention match {
         case Some(r) =>
           val tombR = spark.conf
             .getOption("graft.txn.tombstoneRetentionMillis")
             .map(_.toLong).getOrElse(10L * r)
-          val (expired, kept) = live2.partition { case (_, (_, ts)) =>
+          val (expired, kept) = live3.partition { case (_, (_, ts)) =>
             nowMs - ts > r }
-          val dead1 = dead0.filter { case (_, t) => nowMs - t <= tombR } ++
+          val dead1 = dead0b.filter { case (_, t) => nowMs - t <= tombR } ++
             expired.map { case (a, _) => a -> nowMs }
           (kept, dead1 -- txn.map(_._1))
-        case None => (live2, dead0)
+        case None => (live3, dead0b)
       }
     }
     // every writer entry point sanitizes its appId, so a key can never
@@ -2757,14 +2777,14 @@ object Manifests {
       (usable, m)
     }
 
-  /** Total-order comparison of two zone bounds of the same key; None
-    * when the pair is incomparable (null bound, exotic type, NaN) —
-    * callers treat unknown as overlapping, never the reverse. */
-  /** Compare two zone-bound values in the WRITER'S order — see the
-    * order invariant at [[Skipping.buildStats]]: string bounds are
-    * UTF8String-binary (unsigned UTF-8 bytes); any new comparison
-    * site must use that order, never String.compareTo (spec-pinned:
-    * ManifestsSpec "supplementary characters" case). */
+  /** Total-order comparison of two zone bounds of the same key, in
+    * the WRITER'S order — see the invariant at [[Skipping.buildStats]]:
+    * string bounds are UTF8String-binary (unsigned UTF-8 bytes), and
+    * any new comparison site must use that order, never
+    * String.compareTo (spec-pinned: ManifestsSpec "supplementary
+    * characters" case). None when the pair is incomparable (null
+    * bound, exotic type, NaN) — callers treat unknown as overlapping,
+    * never the reverse. */
   private def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: java.lang.Number, y: java.lang.Number) =>
@@ -4097,9 +4117,12 @@ object Manifests {
   // fast-forward contract), inheriting the branch's schema, vectors
   // and sidecars by reference.
 
+  private def validRefName(name: String): Boolean =
+    name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '-') && !name.forall(_.isDigit)
+
   private def refName(name: String): String = {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
-      c == '_' || c == '-') && !name.forall(_.isDigit),
+    require(validRefName(name),
       s"ref name must be [A-Za-z0-9_-]+ and not all digits: '$name'")
     name
   }
@@ -4119,6 +4142,11 @@ object Manifests {
     * fast-forward ancestry check and the vacuum floor both key on it. */
   def refOf(spark: SparkSession, base: String,
       name: String): Option[(String, Int)] = {
+    // a LOOKUP of an illegal name is just "no such ref" — only the
+    // CREATE paths enforce the charset, so a mistyped
+    // `VERSION AS OF 'my tag'` gets the catalog's refs-listing error,
+    // not an internal charset require
+    if (!validRefName(name)) return None
     val p = refPath(base, name)
     if (!Dfs.exists(spark, p)) None
     else new String(Dfs.readBytes(spark, p), "UTF-8").trim
@@ -4196,7 +4224,12 @@ object Manifests {
       constraints = Some(constraintsOf(spark, bb, bv)),
       dropped = Some(droppedOf(spark, bb, bv)),
       renames = Some(renamesOf(spark, bb, bv)),
-      ndv = Some(ndvOf(spark, bb, bv)))
+      ndv = Some(ndvOf(spark, bb, bv)),
+      // the branch's TRANSACTION LEDGER publishes too: an idempotent
+      // writer that streamed epochs into the branch must find its
+      // high-water marks on main after the publish, or its next
+      // replay double-appends — the exact failure the ledger refuses
+      txnMergeFrom = Some((bb, bv)))
     Dfs.writeBytes(spark, refPath(base, name),
       s"branch\t$nv\n".getBytes("UTF-8"))
     nv

@@ -23,14 +23,19 @@ import org.apache.spark.util.SerializableConfiguration
   * clustered partition instead of one fragment per task — pay-never
   * instead of OPTIMIZE's pay-later. `graft.write.distribution=none`
   * opts a session out (Iceberg's write.distribution-mode escape
-  * hatch); tables with no partition columns get a plain size-rebalance
-  * (empty clustering), which alone folds tiny task outputs together. */
+  * hatch). An UNPARTITIONED batch write has no clustering to request
+  * and stays unspecified — Spark refuses an advisory size over an
+  * unspecified distribution and plans no rebalance for an empty
+  * clustering, so declaring one would be an analysis error, not a
+  * size-rebalance; `compactSmall` remains the small-file remedy
+  * there. (Position deltas always cluster: `_file` is in every delta
+  * row.) */
 private[manifest] trait ManifestWriteDistribution
     extends RequiresDistributionAndOrdering {
   protected def spark: SparkSession
   protected def clusterCols: Seq[String]
 
-  private def enabled: Boolean = !spark.conf
+  private def enabled: Boolean = clusterCols.nonEmpty && !spark.conf
     .getOption("graft.write.distribution").exists(_.equalsIgnoreCase("none"))
 
   override def requiredDistribution(): Distribution =

@@ -99,7 +99,8 @@ private[manifest] object ManifestStats {
     // misleading estimate is worse than none
     val colStats: java.util.Map[NamedReference, ColumnStatistics] =
       if (partFilters.nonEmpty || dataFilters.nonEmpty) new java.util.HashMap()
-      else columnStats(spark, idx, output, exactRows)
+      else columnStats(spark, idx, output, exactRows,
+        vectored = deleted.nonEmpty)
 
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(sizeOut)
@@ -136,7 +137,7 @@ private[manifest] object ManifestStats {
   }
 
   private def columnStats(spark: SparkSession, idx: ManifestScanIndex,
-      output: StructType, tableRows: Option[Long])
+      output: StructType, tableRows: Option[Long], vectored: Boolean)
       : java.util.Map[NamedReference, ColumnStatistics] = {
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
     val inner = idx.innerIndex.getOrElse(return out)
@@ -160,8 +161,14 @@ private[manifest] object ManifestStats {
         val maxV: Option[Any] =
           if (!indexed) None
           else inner.statBound(f.name, isMin = false).flatten.map(conv)
+        // null counts only on CLEAN versions: the sidecar's non-null
+        // counts are RAW (pre-vector), so live-rows − raw-non-null
+        // UNDERcounts live nulls whenever vectors removed non-null
+        // rows (clamping to 0 — the opposite of conservative). Zone
+        // min/max stay valid on vectored versions (bounds only widen
+        // over deleted rows) and NDV is an estimate by contract.
         val nulls: Option[Long] =
-          if (!indexed) None
+          if (!indexed || vectored) None
           else for {
             total <- tableRows
             nonNull <- inner.statNonNullCount(f.name)

@@ -84,6 +84,11 @@ class ManifestStatsSpec extends AnyFunSuite {
       s"DV-adjusted numRows ${vec.rowCount} != live $live")
     assert(vec.sizeInBytes < clean.sizeInBytes / 3,
       s"sizeInBytes ${vec.sizeInBytes} not live-scaled vs ${clean.sizeInBytes}")
+    // null counts are RAW sidecar arithmetic — on a vectored version
+    // live-minus-raw-non-null would UNDERcount live nulls (clamping to
+    // 0), so they must not be reported at all
+    assert(vec.attributeStats.forall { case (_, c) => c.nullCount.isEmpty },
+      "vectored version must not report (understated) null counts")
   }
 
   test("V1 detour scan (live rename) reports manifest stats through V1ScanWrapper") {

@@ -130,6 +130,39 @@ class RefsSpec extends AnyFunSuite {
       === 302)
   }
 
+  test("fast-forward carries the branch's transaction ledger: a replay against published main is suppressed") {
+    val b = mk("refte")
+    sql("CALL graft.system.branch('refte.t', 'sink')")
+    val bb = Manifests.branchBaseOf(b, "sink")
+    val batch = Seq((9001L, 99, "epoch5")).toDF("id", "grp", "s")
+    // an idempotent writer lands epoch 5 on the BRANCH
+    assert(Manifests.appendBatch(batch, bb, 5L, "wapwriter").isDefined)
+    sql("CALL graft.system.fast_forward('refte.t', 'sink')")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refte.t WHERE id = 9001")
+      .head.getLong(0) === 1)
+    // the writer replays epoch 5 against MAIN after the publish: the
+    // published ledger must suppress it (None), not double-append
+    assert(Manifests.appendBatch(batch, b, 5L, "wapwriter").isEmpty,
+      "published main lost the branch's replay high-water mark")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refte.t WHERE id = 9001")
+      .head.getLong(0) === 1)
+    // a GENUINELY new epoch still lands
+    assert(Manifests.appendBatch(
+      Seq((9002L, 99, "epoch6")).toDF("id", "grp", "s"), b, 6L,
+      "wapwriter").isDefined)
+  }
+
+  test("VERSION AS OF with a malformed ref name gets the refs-listing error, not a charset require") {
+    val b = mk("reftf")
+    sql("CALL graft.system.tag('reftf.t', 'good', 0)")
+    val e = intercept[Throwable](
+      sql("SELECT * FROM graft.reftf.t VERSION AS OF 'my tag'").collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("no ref 'my tag'") &&
+      chain(e).contains("good"), chain(e))
+  }
+
   test("branch fork point survives main's vacuum while the branch lives") {
     val b = mk("reftd")
     sql("CALL graft.system.branch('reftd.t', 'keepme')")

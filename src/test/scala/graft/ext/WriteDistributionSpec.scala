@@ -64,6 +64,27 @@ class WriteDistributionSpec extends AnyFunSuite {
       s"delta rebalance must cluster on _file:\n$explain")
   }
 
+  test("unpartitioned CoW write stays unspecified: no rebalance, and an advisory size must not throw") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.wdiste")
+    (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .createOrReplaceTempView("wdiste_src")
+    sql("CREATE TABLE graft.wdiste.t AS SELECT * FROM wdiste_src")
+    try {
+      // the empty-clustering trap: Spark refuses an advisory partition
+      // size over an unspecified distribution — an unpartitioned table
+      // must not declare one
+      spark.conf.set("graft.write.advisoryPartitionBytes", "134217728")
+      sql("UPDATE graft.wdiste.t SET s = 'u' WHERE id % 2 = 0")
+      assert(sql("SELECT COUNT(*) AS n FROM graft.wdiste.t WHERE s = 'u'")
+        .head.getLong(0) === 250)
+      val explain = sql("EXPLAIN UPDATE graft.wdiste.t SET s = 'x' " +
+        "WHERE id % 2 = 1").head.getString(0)
+      assert(!explain.toLowerCase.contains("rebalance"),
+        s"unpartitioned CoW write must not request a distribution:\n$explain")
+    } finally spark.conf.unset("graft.write.advisoryPartitionBytes")
+  }
+
   test("wide CoW UPDATE writes ~one file per partition, not one per input task") {
     def filesAdded(ns: String, dist: Boolean): Int = {
       val b = mkPartitioned(ns)

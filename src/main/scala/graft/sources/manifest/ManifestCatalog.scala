@@ -197,6 +197,21 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       // source's readChangeFeed=true, catalog-shaped
       case "changes" => Some(new ManifestChangesTable(s, t.base,
         s"${display(parent)}.changes"))
+      // Iceberg's branch-write spelling: `t.branch_<name>` addresses
+      // the branch AS A TABLE — `INSERT INTO graft.ns.t.branch_audit`,
+      // `UPDATE`, `MERGE INTO`, plain SELECT all land on the branch's
+      // own manifest chain (the WAP write half, no path spelling
+      // needed). Resolved from the RAW identifier (branch names are
+      // case-sensitive); an unknown branch name falls through to
+      // NoSuchTable.
+      case bn if bn.startsWith("branch_") =>
+        val ref = ident.name.stripPrefix("branch_")
+        Manifests.refOf(s, t.base, ref) match {
+          case Some(("branch", _)) => Some(new ManifestTable(s,
+            Manifests.branchBaseOf(t.base, ref), None, None, Seq.empty,
+            s"${display(parent)}.branch_$ref"))
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -130,6 +130,28 @@ class RefsSpec extends AnyFunSuite {
       === 302)
   }
 
+  test("t.branch_<name> addresses the branch as a table: INSERT/UPDATE/SELECT by name, then publish") {
+    val b = mk("reftg")
+    sql("CALL graft.system.branch('reftg.t', 'audit')")
+    // the Iceberg branch-write spelling — no path addressing anywhere
+    sql("INSERT INTO graft.reftg.t.branch_audit VALUES (9001, 99, 'staged')")
+    sql("UPDATE graft.reftg.t.branch_audit SET s = 'fixed' WHERE id = 7")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftg.t.branch_audit " +
+      "WHERE s IN ('staged', 'fixed')").head.getLong(0) === 2)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftg.t").head.getLong(0)
+      === 300, "main leaked branch-name writes")
+    sql("CALL graft.system.fast_forward('reftg.t', 'audit')")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftg.t " +
+      "WHERE s IN ('staged', 'fixed')").head.getLong(0) === 2)
+    // unknown branch name keeps the normal missing-table error
+    val e = intercept[Throwable](
+      sql("SELECT * FROM graft.reftg.t.branch_nope").collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).toLowerCase.contains("cannot be found") ||
+      chain(e).toLowerCase.contains("table_or_view_not_found"), chain(e))
+  }
+
   test("fast-forward carries the branch's transaction ledger: a replay against published main is suppressed") {
     val b = mk("refte")
     sql("CALL graft.system.branch('refte.t', 'sink')")

@@ -55,6 +55,7 @@ object Bench {
     "sql_merge_sync", // CTAS + MoR delete + 3-clause MERGE one-time build
     "sql_read_tag", // CTAS + tag + 2-mutation one-time build
     "mv_cdc_refresh", // CTAS + MoR DML + MV-seed one-time build
+    "fast_count_mor", // CTAS + ANALYZE + MoR delete one-time build
     "sql_mor_dml", // CTAS + CALL delete_mor/update_mor one-time build
     // r12 catalog fixtures: CTAS + MoR deletes / partition overwrites /
     // the change-range lineage — all one-time builds

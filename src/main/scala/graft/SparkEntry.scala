@@ -423,6 +423,14 @@ object SparkEntry {
       s.sql(s"SELECT customer_key, customer_id, country FROM graft.`$b`")
         .orderBy("customer_id")
     }),
+    // metadata COUNT(*) over a VECTORED version: the table carries
+    // deletion vectors, yet the count never opens a data file —
+    // sidecar n_rows minus DV bitmap cardinalities, exact (the oracle
+    // recomputes the count with the delete expressed relationally)
+    "fast_count_mor" -> ((s, d) => {
+      val b = manfcMorFixture(s, d)
+      s.sql(s"SELECT COUNT(*) AS n_rows FROM graft.`$b`")
+    }),
     // CDC-driven MV maintenance: the monthly rollup seeded at v0 and
     // kept current by FOLDING THE CHANGE FEED (delete+insert row
     // images from the MoR DELETE + native UPDATE) at grain — the
@@ -1082,6 +1090,26 @@ object SparkEntry {
     b
   }
 
+  /** Vectored-count fixture: CTAS → ANALYZE → MoR DELETE. The
+    * registered COUNT(*) then answers from metadata alone even though
+    * the version carries deletion vectors — sidecar n_rows minus
+    * bitmap cardinalities (Delta's numRecords − dvCardinality),
+    * LocalRelation collapse pinned by ManifestStatsSpec. */
+  private def manfcMorFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manfcmor")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
+        .createOrReplaceTempView("graft_fcmor_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_fcmor_src")
+      s.sql(s"CALL graft.system.analyze('$b', 'quantity,country')")
+      s.sql(s"CALL graft.system.delete_mor('$b', 'quantity = 17')")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** CDC-MV fixture: the fact table as a manifest catalog table
     * (clustered by invoice_date so the change feed's zone pruning
     * bites), vectored by a MoR DELETE, then a native SupportsDelta
@@ -1727,6 +1755,10 @@ object SparkEntry {
          | SELECT s.customer_key, s.customer_id, s.country FROM survivors s
          | WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.customer_id = s.customer_id)
          | ORDER BY customer_id""".stripMargin,
+    // the vectored count is the clean lineage minus the deleted slice
+    "fast_count_mor" ->
+      s"""${Oracle.cleanedCte} SELECT COUNT(*) AS n_rows FROM cleaned
+         | WHERE quantity <> 17""".stripMargin,
     // the CDC-maintained MV must equal a from-scratch rollup with the
     // DML expressed relationally (delete = filter, update = CASE)
     "mv_cdc_refresh" ->

@@ -193,6 +193,23 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
         .head.get(0)).fold(0L)(_.asInstanceOf[Long])
     }
 
+  /** [[exactRowCountWhere]] on a VECTORED version: Σ per-file
+    * (n_rows − deletion-vector cardinality) over the (possibly
+    * partition-pure-filtered) covered files — Delta's
+    * numRecords − dvCardinality, exact because bitmaps dedup by
+    * construction and a purely-matching file's live rows are a subset
+    * of its raw rows. Keys of `deletedByFile` are canonical paths. */
+  def liveRowCountWhere(dataFilters: Seq[Expression],
+      deletedByFile: Map[String, Long]): Option[Long] =
+    coveredStatsWhere(dataFilters).map { case (_, st) =>
+      val fi = st.schema.fieldIndex("file")
+      val ni = st.schema.fieldIndex("n_rows")
+      st.collect().iterator.map { r =>
+        val f = Dfs.canonical(r.getString(fi))
+        math.max(0L, r.getLong(ni) - deletedByFile.getOrElse(f, 0L))
+      }.sum
+    }
+
   /** Exact table-wide MIN (or MAX) of a stats-indexed column from
     * metadata alone: the fold of per-file zone bounds, which ignores
     * all-null files exactly as the real aggregate ignores nulls.

@@ -65,18 +65,22 @@ object ManifestCountRule extends Rule[LogicalPlan] {
   }
 
   /** The manifest index under attribute-only projections and filters,
-    * plus every filter conjunct on the way down. Projections cannot
-    * change cardinality or values; filters are returned for the
-    * partition-purity proof to consume (or refuse). */
+    * plus every filter conjunct on the way down and the scan's
+    * per-file DELETION-VECTOR cardinalities (empty for clean
+    * versions). Projections cannot change cardinality or values;
+    * filters are returned for the partition-purity proof to consume
+    * (or refuse). */
   private def manifestScan(plan: LogicalPlan)
-      : Option[(graft.ext.ManifestFileIndex, Seq[Expression])] = plan match {
+      : Option[(graft.ext.ManifestFileIndex, Seq[Expression],
+        Map[String, Long])] = plan match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       manifestScan(child)
     case Filter(cond, child) =>
-      manifestScan(child).map { case (i, cs) => (i, conjuncts(cond) ++ cs) }
+      manifestScan(child).map { case (i, cs, d) =>
+        (i, conjuncts(cond) ++ cs, d) }
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation => fs.location match {
-        case m: graft.ext.ManifestFileIndex => Some((m, Seq.empty))
+        case m: graft.ext.ManifestFileIndex => Some((m, Seq.empty, Map.empty))
         case _ => None
       }
       case _ => None
@@ -89,18 +93,29 @@ object ManifestCountRule extends Rule[LogicalPlan] {
     // pushed aggregate (footer-based pushdown changes the shape).
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
       r.scan match {
-        // a VECTORED version's stats tier still counts the deleted
-        // rows — metadata answers over a DV-carrying scan would be
-        // stale; the clean-table scan (empty index) collapses as before
-        case dv: graft.sources.manifest.DvParquetScan if dv.hasDeletes =>
-          None
+        // a VECTORED version still answers COUNT(*) from metadata —
+        // Delta's numRecords − dvCardinality: the bitmap index the
+        // scan already holds gives exact per-file deleted counts, and
+        // statValue subtracts them (only COUNT(*) — zone bounds and
+        // per-column null counts are raw, so MIN/MAX/COUNT(col)/SUM
+        // refuse and keep the real scan)
+        case dv: graft.sources.manifest.DvParquetScan
+            if dv.hasDeletes && dv.pushedAggregate.isEmpty =>
+          dv.fileIndex match {
+            case m: graft.sources.manifest.ManifestScanIndex =>
+              m.innerIndex.map(i => (i, Seq.empty,
+                dv.dvIndex.map { case (f, words) =>
+                  f -> words.iterator
+                    .map(w => java.lang.Long.bitCount(w).toLong).sum }))
+            case _ => None
+          }
         case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
             if !ps.isInstanceOf[
               org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering] &&
               ps.pushedAggregate.isEmpty =>
           ps.fileIndex match {
             case m: graft.sources.manifest.ManifestScanIndex =>
-              m.innerIndex.map(i => (i, Seq.empty))
+              m.innerIndex.map(i => (i, Seq.empty, Map.empty))
             case _ => None
           }
         case _ => None
@@ -112,19 +127,33 @@ object ManifestCountRule extends Rule[LogicalPlan] {
     * aggregate's output type — None when this aggregate is not
     * provable from the (possibly filtered) stats. */
   private def statValue(idx: graft.ext.ManifestFileIndex,
-      filters: Seq[Expression], ne: NamedExpression): Option[Any] = {
+      filters: Seq[Expression], ne: NamedExpression,
+      deleted: Map[String, Long]): Option[Any] = {
     val ae = ne match {
       case Alias(a: AggregateExpression, _) => a
       case a: AggregateExpression => a
       case _ => return None
     }
     if (ae.isDistinct || ae.filter.isDefined) return None
+    // over a VECTORED version only COUNT(*) is provable: per-file
+    // bitmap cardinalities subtract exactly, and partition-purity
+    // still holds (live rows ⊆ a purely-matching file's raw rows).
+    // Everything else refuses — zone bounds may be held up by deleted
+    // rows, per-column nulls/sums are raw.
+    if (deleted.nonEmpty && !(ae.aggregateFunction match {
+      case Count(children) => children.forall {
+        case l: Literal => l.value != null
+        case _ => false
+      }
+      case _ => false
+    })) return None
     ae.aggregateFunction match {
       case Count(children) if children.forall {
             case l: Literal => l.value != null
             case _ => false
           } =>
-        idx.exactRowCountWhere(filters)
+        if (deleted.isEmpty) idx.exactRowCountWhere(filters)
+        else idx.liveRowCountWhere(filters, deleted)
       case Count(Seq(a: AttributeReference)) =>
         idx.statNonNullCount(a.name, filters)
       case Min(a: AttributeReference) =>
@@ -177,8 +206,8 @@ object ManifestCountRule extends Rule[LogicalPlan] {
     else plan.transform {
       case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
         manifestScan(child) match {
-          case Some((idx, filters)) =>
-            val vals = aggExprs.map(statValue(idx, filters, _))
+          case Some((idx, filters, deleted)) =>
+            val vals = aggExprs.map(statValue(idx, filters, _, deleted))
             if (vals.forall(_.isDefined))
               LocalRelation(agg.output,
                 Seq(InternalRow.fromSeq(vals.map(_.get))))

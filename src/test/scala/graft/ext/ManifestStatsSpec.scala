@@ -154,6 +154,38 @@ class ManifestStatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("metadata COUNT(*) over a vectored version: LocalRelation collapse, exact, zero data opens; MIN/MAX keeps the scan") {
+    registerCatalog()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[CountingFileSystem].getName)
+    val b = "graftcnt://" + java.nio.file.Files
+      .createTempDirectory("graft_stats_fcm").toString + "/t"
+    Manifests.commitData(dimDf, b)
+    Manifests.analyze(spark, b, Seq("customer_key", "country"))
+    Manifests.deleteWhereMor(spark, b, col("country") === "N3")
+    val live = Manifests.readLatest(spark, b).count()
+    val d0 = CountingFileSystem.dataReads.get()
+    val q = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$b`")
+    val collapsed = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(collapsed.nonEmpty,
+      s"vectored COUNT(*) did not collapse:\n${q.queryExecution.optimizedPlan}")
+    assert(q.head.getLong(0) === live)
+    assert(CountingFileSystem.dataReads.get() === d0,
+      "vectored metadata count opened a data file")
+    // zone bounds may be held up by deleted rows: MIN/MAX must keep
+    // the real scan on a vectored version
+    val q2 = spark.sql(s"SELECT MIN(customer_key) AS m FROM graft.`$b`")
+    assert(q2.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "MIN over a vectored version must not fold stale bounds")
+    assert(q2.head.getLong(0) ===
+      Manifests.readLatest(spark, b)
+        .agg(org.apache.spark.sql.functions.min("customer_key"))
+        .head.getLong(0))
+  }
+
   test("registered sql_star_join broadcasts both dims at the default threshold, no hint") {
     val q = graft.SparkEntry.queries("sql_star_join")(spark, TestSpark.sf)
     val plan = q.queryExecution.executedPlan.toString

@@ -259,7 +259,20 @@ class ManifestTable(spark: SparkSession, val base: String,
               }
             })
         }
-        new V1Write {
+        val tableParts = if (declaredPartCols.nonEmpty) declaredPartCols
+          else currentVersion.flatMap(v =>
+            Manifests.partitionedBy(spark, base, v).map(_._1))
+            .getOrElse(Seq.empty)
+        new V1Write with ManifestWriteDistribution {
+        // the write-side distribution contract covers the V1 faces
+        // too: INSERT INTO (batch append) and each streaming epoch
+        // cluster by the table's partition columns, AQE-rebalanced —
+        // a micro-batch sink is the single biggest small-file source
+        // at scale, and this folds every trigger's output to ~one
+        // file per partition it touches
+        override protected def spark: SparkSession = ManifestTable.this.spark
+        override protected val clusterCols: Seq[String] =
+          tableParts.filter(info.schema().fieldNames.contains)
         // `df.writeStream.toTable("graft.ns.t")`: the same Write serves
         // the streaming engine — per-epoch parquet streamed by tasks,
         // each epoch an idempotent manifest append (Append mode only)
@@ -270,12 +283,8 @@ class ManifestTable(spark: SparkSession, val base: String,
           require(!replaceAll,
             "manifest streaming writes are APPEND-only — a manifest " +
               "append cannot represent per-trigger replacement")
-          val parts = if (declaredPartCols.nonEmpty) declaredPartCols
-            else currentVersion.flatMap(v =>
-              Manifests.partitionedBy(spark, base, v).map(_._1))
-              .getOrElse(Seq.empty)
           new ManifestStreamingWrite(spark, base, info.schema(),
-            info.queryId(), parts)
+            info.queryId(), tableParts)
         }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {

@@ -100,7 +100,7 @@ class DvScanSpec extends AnyFunSuite {
       "sidecar (file,pos) rows must be exactly the deleted identities")
   }
 
-  test("metadata aggregates never collapse over a vectored scan; clean versions still answer from stats") {
+  test("metadata COUNT(*) stays exact across vectoring; MIN/MAX refuse over vectors") {
     val base = mkTable("dvcnt")
     Manifests.analyze(spark, base, Seq("id")) // arm the stats tier
     // clean: COUNT(*) collapses to the metadata tier (LocalRelation —
@@ -110,11 +110,20 @@ class DvScanSpec extends AnyFunSuite {
     assert(!executed(clean).toString.contains("BatchScan"),
       "clean-version COUNT(*) should be metadata-only")
     sql("CALL graft.system.delete_mor('dvcnt.t', 'id <= 100')")
+    // r14: a vectored COUNT(*) STILL answers from metadata — sidecar
+    // n_rows minus the scan's bitmap cardinalities (Delta's
+    // numRecords − dvCardinality), exact because bitmaps dedup
     val counted = sql("SELECT COUNT(*) AS n FROM graft.dvcnt.t")
     assert(counted.head.getLong(0) === 400,
       "COUNT over a vectored version must see the deletes")
-    assert(executed(counted).toString.contains("BatchScan"),
-      "vectored COUNT(*) must SCAN (stats would count deleted rows)")
+    assert(!executed(counted).toString.contains("BatchScan"),
+      "vectored COUNT(*) should subtract bitmap cardinalities, not scan")
+    // zone bounds may be held up by deleted rows: MIN/MAX must keep
+    // the real scan on a vectored version
+    val mn = sql("SELECT MIN(id) AS m FROM graft.dvcnt.t")
+    assert(executed(mn).toString.contains("BatchScan"),
+      "vectored MIN must SCAN (zone bounds may be deleted rows)")
+    assert(mn.head.getLong(0) === 101)
   }
 
   test("bitmap budget blown → V1 anti-join fallback serves identical results including _file/_pos") {

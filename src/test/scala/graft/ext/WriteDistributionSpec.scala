@@ -85,6 +85,52 @@ class WriteDistributionSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.write.advisoryPartitionBytes")
   }
 
+  test("INSERT INTO (the V1 append face) clusters by partition columns — files per insert ≈ partitions") {
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.wdistf")
+    sql("CREATE TABLE graft.wdistf.t (id BIGINT, grp INT, s STRING) " +
+      "USING manifest PARTITIONED BY (grp)")
+    val b = s"$wh/wdistf/t"
+    (1 to 2400).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("id", "grp", "s").repartition(12)
+      .createOrReplaceTempView("wdistf_src")
+    sql("INSERT INTO graft.wdistf.t SELECT * FROM wdistf_src")
+    val v = Manifests.latestVersion(spark, b).get
+    val n = Manifests.files(spark, b, v).size
+    assert(n <= 4,
+      s"12-partition INSERT INTO wrote $n files for a 4-partition table")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.wdistf.t WHERE grp = 1")
+      .head.getLong(0) === 600)
+  }
+
+  test("streaming epochs cluster by partition columns — files per trigger ≈ partitions touched") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val ctx = spark.sqlContext
+    wh
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.wdistg")
+    sql("CREATE TABLE graft.wdistg.t (id BIGINT, grp INT, s STRING) " +
+      "USING manifest PARTITIONED BY (grp)")
+    val b = s"$wh/wdistg/t"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wdist_stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, String)]
+    val q = input.toDF().toDF("id", "grp", "s")
+      .repartition(12) // many tasks INTO the sink
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").toTable("graft.wdistg.t")
+    try {
+      input.addData((1 to 1200).map(i => (i.toLong, i % 3, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = Manifests.latestVersion(spark, b).get
+    val n = Manifests.files(spark, b, v).size
+    assert(n <= 3,
+      s"one 12-task trigger wrote $n files for 3 touched partitions")
+    assert(spark.table("graft.wdistg.t").count() === 1200)
+  }
+
   test("wide CoW UPDATE writes ~one file per partition, not one per input task") {
     def filesAdded(ns: String, dist: Boolean): Int = {
       val b = mkPartitioned(ns)

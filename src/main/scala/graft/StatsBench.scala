@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *  - CLEAN dim: ~tens of MB of parquet, above the broadcast
   *    threshold — the pure-SQL join plans a shuffle (correct: the dim
   *    is genuinely big);
-  *  - after a MoR DELETE of 95% of the dim (no data bytes move — the
-  *    files still hold 5M rows), the stats tier reports live-scaled
+  *  - after a MoR DELETE of 97.5% of the dim (no data bytes move —
+  *    the files still hold 5M rows), the stats tier reports live-scaled
   *    size + exact live rows, the SAME query auto-broadcasts, and the
   *    join gets measurably faster. A file-size-only estimator (stock
   *    FileScan, or any DV-blind one) would keep shuffling forever —
@@ -75,8 +75,10 @@ object StatsBench {
     def joinKind(p: String): String =
       if (p.contains("BroadcastHashJoin")) {
         val bx = p.indexOf("BroadcastExchange")
-        val seg = p.substring(bx, math.min(p.length, bx + 800))
-        if (seg.contains("sb.dim")) "broadcast_dim" else "broadcast_other"
+        if (bx < 0) "broadcast_unknown" // reused/staged exchange shape
+        else if (p.substring(bx, math.min(p.length, bx + 800))
+          .contains("sb.dim")) "broadcast_dim"
+        else "broadcast_other"
       } else if (p.contains("SortMergeJoin")) "sortmerge"
       else "other"
 

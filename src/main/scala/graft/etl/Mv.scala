@@ -130,7 +130,9 @@ object Mv {
       .when(col("_change_type") === "insert", 1L)
       .otherwise(raise_error(concat(
         lit("Mv.applyChangesFrame takes the {insert, delete} change "),
-        lit("feed; got _change_type = "), col("_change_type")))
+        lit("feed; got _change_type = "),
+        // a NULL tag must not null the whole diagnostic via concat
+        coalesce(col("_change_type"), lit("NULL"))))
         .cast("long"))
     val delta = changes.groupBy(
       year(col("invoice_date")).as("year"),

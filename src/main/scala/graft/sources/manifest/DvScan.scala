@@ -135,6 +135,15 @@ class DvParquetScan(sp: SparkSession,
     * aggregates must not collapse over this scan. */
   def hasDeletes: Boolean = dvIndex.nonEmpty
 
+  /** Per-file deleted-row counts (bitmap popcount) — THE single source
+    * of the cardinality fold, shared by the DSv2 statistics estimate
+    * and the metadata COUNT(*) collapse so the planner's numRows and
+    * the count answer can never drift apart. Exact: bitmaps dedup
+    * duplicate delete actions by construction. */
+  lazy val deletedCardinalities: Map[String, Long] =
+    dvIndex.map { case (f, words) =>
+      f -> words.iterator.map(w => java.lang.Long.bitCount(w).toLong).sum }
+
   private def hasRowIdx: Boolean = wantPos || dvIndex.nonEmpty
 
   /** The PUBLIC schema — data columns plus any requested metadata
@@ -159,7 +168,7 @@ class DvParquetScan(sp: SparkSession,
     * small dim with no hint. Computed once per scan: the filters are
     * fixed at build time and the fold is driver-side metadata work. */
   private lazy val manifestStats =
-    ManifestStats.estimate(sparkSession, idx, dvIndex,
+    ManifestStats.estimate(sparkSession, idx, deletedCardinalities,
       partitionFilters, dataFilters, readSchema())
 
   override def estimateStatistics()

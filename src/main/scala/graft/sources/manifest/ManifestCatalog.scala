@@ -205,7 +205,9 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       // case-sensitive); an unknown branch name falls through to
       // NoSuchTable.
       case bn if bn.startsWith("branch_") =>
-        val ref = ident.name.stripPrefix("branch_")
+        // the PREFIX is case-insensitive like every sibling metadata
+        // name; the ref itself stays case-sensitive (create-time name)
+        val ref = ident.name.substring("branch_".length)
         Manifests.refOf(s, t.base, ref) match {
           case Some(("branch", _)) => Some(new ManifestTable(s,
             Manifests.branchBaseOf(t.base, ref), None, None, Seq.empty,

@@ -55,20 +55,17 @@ trait ManifestReportingV1Scan
 private[manifest] object ManifestStats {
 
   def estimate(spark: SparkSession, idx: ManifestScanIndex,
-      dvIndex: Map[String, Array[Long]],
+      deleted: Map[String, Long],
       partFilters: Seq[Expression], dataFilters: Seq[Expression],
       output: StructType): Statistics = {
 
     // the PRUNED file listing — the same partition/zone/bloom pruning
     // the scan itself plans over, so a selective query's estimate
-    // reflects what it will actually read
+    // reflects what it will actually read. `deleted` is the scan's
+    // per-file DV cardinality fold ([[DvParquetScan.deletedCardinalities]])
     val pruned: Seq[(String, Long)] =
       idx.listFiles(partFilters, dataFilters).flatMap(_.files)
         .map(f => (Dfs.canonical(f.getPath.toString), f.getLen))
-
-    val deleted: Map[String, Long] = dvIndex.map { case (f, words) =>
-      f -> words.iterator.map(w => java.lang.Long.bitCount(w).toLong).sum
-    }
 
     val rowCounts: Option[Map[String, Long]] =
       idx.innerIndex.flatMap(_.rowCountsByFile)

@@ -229,6 +229,13 @@ class ManifestTable(spark: SparkSession, val base: String,
       }
 
       override def build(): Write = {
+        // the table's partition columns — declared, else recorded at
+        // the current version — resolved ONCE for every face below
+        // (dynamic overwrite, the V1 insert, streaming, distribution)
+        val tableParts = if (declaredPartCols.nonEmpty) declaredPartCols
+          else currentVersion.flatMap(v =>
+            Manifests.partitionedBy(spark, base, v).map(_._1))
+            .getOrElse(Seq.empty)
         // dynamic partition overwrite has NO V1 fallback in Spark
         // (V1FallbackWriters cover append + overwrite-by-filter only),
         // so it takes the same DSv2 batch write as row-level DML: tasks
@@ -238,10 +245,7 @@ class ManifestTable(spark: SparkSession, val base: String,
         if (dynamicParts) {
           require(pinned.isEmpty,
             s"cannot write to $base pinned at version ${pinned.getOrElse(-1)}")
-          val parts = if (declaredPartCols.nonEmpty) declaredPartCols
-            else currentVersion.flatMap(v =>
-              Manifests.partitionedBy(spark, base, v).map(_._1))
-              .getOrElse(Seq.empty)
+          val parts = tableParts
           return new ManifestParquetWrite(spark, base, info.schema(),
             clusterCols = parts, commitFn = { written =>
               Manifests.latestVersion(spark, base) match {
@@ -259,10 +263,6 @@ class ManifestTable(spark: SparkSession, val base: String,
               }
             })
         }
-        val tableParts = if (declaredPartCols.nonEmpty) declaredPartCols
-          else currentVersion.flatMap(v =>
-            Manifests.partitionedBy(spark, base, v).map(_._1))
-            .getOrElse(Seq.empty)
         new V1Write with ManifestWriteDistribution {
         // the write-side distribution contract covers the V1 faces
         // too: INSERT INTO (batch append) and each streaming epoch
@@ -310,10 +310,7 @@ class ManifestTable(spark: SparkSession, val base: String,
                 case _ => None
               }
               val exists = Manifests.latestVersion(spark, base).isDefined
-              val parts = if (declaredPartCols.nonEmpty) declaredPartCols
-                else currentVersion.flatMap(v =>
-                  Manifests.partitionedBy(spark, base, v).map(_._1))
-                  .getOrElse(Seq.empty)
+              val parts = tableParts
               def bootstrap(): Unit = parts match {
                 case Seq() =>
                   Manifests.commitData(data, base,

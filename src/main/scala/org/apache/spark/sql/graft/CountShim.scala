@@ -103,10 +103,8 @@ object ManifestCountRule extends Rule[LogicalPlan] {
             if dv.hasDeletes && dv.pushedAggregate.isEmpty =>
           dv.fileIndex match {
             case m: graft.sources.manifest.ManifestScanIndex =>
-              m.innerIndex.map(i => (i, Seq.empty,
-                dv.dvIndex.map { case (f, words) =>
-                  f -> words.iterator
-                    .map(w => java.lang.Long.bitCount(w).toLong).sum }))
+              m.innerIndex.map(i =>
+                (i, Seq.empty, dv.deletedCardinalities))
             case _ => None
           }
         case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan

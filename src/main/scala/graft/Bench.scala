@@ -52,6 +52,7 @@ object Bench {
     "sql_not_null",
     "sql_delta_log", // CTAS + 8-commit chain + vacuum one-time build
     "sql_star_join", // 3-table CTAS + ANALYZE one-time build
+    "sql_spj_join", // 2-table split-layout partitioned commit one-time build
     "sql_merge_sync", // CTAS + MoR delete + 3-clause MERGE one-time build
     "sql_read_tag", // CTAS + tag + 2-mutation one-time build
     "mv_cdc_refresh", // CTAS + MoR DML + MV-seed one-time build

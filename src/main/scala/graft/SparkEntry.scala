@@ -488,6 +488,28 @@ object SparkEntry {
            |GROUP BY c.country, d.year
            |ORDER BY c.country, d.year""".stripMargin)
     }),
+    // the STORAGE-PARTITIONED join (Iceberg SPJ): two catalog tables
+    // committed in the partition-SPLIT layout (every file holds one
+    // country tuple — the purity proof), joined on their shared
+    // partition key with ZERO Exchange on either side: the scan
+    // reports KeyGroupedPartitioning from the manifest's recorded
+    // tuples, Spark aligns the keyed partitions, and the per-country
+    // aggregation above the join rides the same grouping shuffle-free
+    // (SpjSpec pins the exchange-free plan; the oracle replays the
+    // join relationally — layout is invisible to results)
+    "sql_spj_join" -> ((s, d) => {
+      val (a, b) = manspjFixture(s, d)
+      s.sql(
+        // the MERGE hint only picks the JOIN STRATEGY (the tiny stats
+      // side would otherwise broadcast): eliminating the exchanges is
+      // the part no hint can do — that is the key-grouped report
+      s"""SELECT /*+ MERGE(t) */ c.country, COUNT(*) AS n_customers,
+           |  CAST(SUM(t.n_customers) AS BIGINT) AS sum_n,
+           |  MIN(t.first_id) AS first_id
+           |FROM graft.`$b` c JOIN graft.`$a` t ON c.country = t.country
+           |GROUP BY c.country
+           |ORDER BY c.country""".stripMargin)
+    }),
     // the delta-encoded manifest log end-to-end: a long pure-SQL
     // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
     // COLUMN, DELETE, VACUUM cutting the chain, one more INSERT) whose
@@ -1226,6 +1248,33 @@ object SparkEntry {
     (f, c, dd)
   }
 
+  /** Storage-partitioned-join fixture: a per-country stats dim and the
+    * customer dim, BOTH committed as manifest tables in the
+    * partition-SPLIT layout (`graft.write.splitByPartition` — one
+    * country tuple per file, Delta/Iceberg's physical layout), so the
+    * SPJ purity proof holds and the registered join plans with zero
+    * Exchange under Spark 4's default `v2.bucketing.enabled`. */
+  private def manspjFixture(s: SparkSession, d: String): (String, String) = {
+    val a = dumpDir(s, d, "manspj_cstats")
+    val b = dumpDir(s, d, "manspj_cust")
+    val marker = s"${a}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      val dim = Warehouse(s, d).dimCustomer
+        .select("customer_key", "customer_id", "country")
+      val stats = dim.groupBy("country")
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("customer_id")).as("first_id"))
+      s.conf.set("graft.write.splitByPartition", "true")
+      try {
+        ext.Manifests.commitDataPartitioned(stats, a, Seq("country")): Unit
+        ext.Manifests.commitDataPartitioned(dim, b, Seq("country")): Unit
+      } finally s.conf.unset("graft.write.splitByPartition")
+      ext.Dfs.touch(s, marker)
+    }
+    (a, b)
+  }
+
   /** Delta-log lineage fixture: a table maintained through enough
     * single-batch INSERTs to cross the delta-chain cap TWICE (forced
     * low via `graft.manifest.maxChain=3`, so mid-lineage commits
@@ -1811,6 +1860,19 @@ object SparkEntry {
          | JOIN dim_date d ON f.date_key = d.date_key
          | GROUP BY c.country, d.year
          | ORDER BY c.country, d.year""".stripMargin,
+    // the storage-partitioned join is layout, not semantics: the
+    // oracle replays dim × per-country stats relationally
+    "sql_spj_join" ->
+      s"""${Oracle.warehouseCte}, cstats AS (
+         |  SELECT country, COUNT(*) AS n_customers,
+         |         MIN(customer_id) AS first_id
+         |  FROM dim_customer GROUP BY country)
+         | SELECT c.country, COUNT(*) AS n_customers,
+         |   CAST(SUM(t.n_customers) AS BIGINT) AS sum_n,
+         |   MIN(t.first_id) AS first_id
+         | FROM dim_customer c JOIN cstats t ON c.country = t.country
+         | GROUP BY c.country
+         | ORDER BY c.country""".stripMargin,
     // bucketing is layout, not semantics: the oracle is the plain join
     "bucketed_join" ->
       s"""${Oracle.warehouseCte}

@@ -47,6 +47,22 @@ object Dfs {
       s.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
     }
 
+  /** [[dataFiles]] but RECURSIVE: the split-by-partition writer lands
+    * part files under per-tuple subdirectories before flattening, and
+    * the flatten step lists them here. Same visibility contract as
+    * [[dataFiles]] (dotfiles and `_`-prefixed names are not data). */
+  def dataFilesDeep(spark: SparkSession, path: String): Seq[FileStatus] = {
+    val it = fs(spark, path).listFiles(new Path(path), /* recursive = */ true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")) buf += s
+    }
+    buf.toSeq
+  }
+
   /** Hadoop rename — atomic on HDFS and local FS; fails (returns false
     * → we throw) rather than clobbering an existing destination. */
   def rename(spark: SparkSession, src: String, dst: String): Unit = {

@@ -310,6 +310,52 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     proven && bound <= BigInt(Long.MaxValue)
   }
 
+  /** The storage-partitioned-join PURITY PROOF: `Some((pcols, file →
+    * tuple))` iff the version records partition columns, the tuple
+    * sidecar covers EVERY manifest file, and each file holds exactly
+    * ONE distinct partition tuple — then grouping files by tuple is a
+    * genuine `KeyGroupedPartitioning` and two co-partitioned tables
+    * can join with zero Exchange (Iceberg's SPJ). Checked, never
+    * assumed: a boundary file from the default range-clustered layout
+    * (two tuples in one file) fails the proof and the scan reports
+    * unknown partitioning — conservative fallback, identical plans to
+    * today. Tuple values are external JVM values in partition-column
+    * order; the scan converts them to Catalyst form against the data
+    * schema. Driver-side metadata fold over the memoized sidecar. */
+  lazy val purePartitionTuples: Option[(Seq[String], Map[String, Seq[Any]])] =
+    partMeta.flatMap { case (pcols, segs) =>
+      val pv = SidecarCache.localDf(spark, segs)
+      val sch = pv.schema
+      val fi = sch.fieldIndex("file")
+      val resolver = spark.sessionState.analyzer.resolver
+      val idxs = pcols.map(c => sch.fieldNames.indexWhere(resolver(_, c)))
+      if (idxs.exists(_ < 0)) None
+      else {
+        val grouped = pv.collect() // metadata-sized: rows per (file, tuple)
+          .groupBy(r => Dfs.canonical(r.getString(fi)))
+        val fileSet = files.toSet
+        if (!fileSet.forall(grouped.contains)) None
+        else {
+          val m = Map.newBuilder[String, Seq[Any]]
+          val pure = fileSet.forall { f =>
+            val tuples = grouped(f).toSeq
+              .map(r => idxs.map(r.get): Seq[Any]).distinct
+            if (tuples.lengthCompare(1) == 0) { m += (f -> tuples.head); true }
+            else false
+          }
+          if (pure) Some((pcols, m.result())) else None
+        }
+      }
+    }
+
+  /** Columns a runtime IN-list can PRUNE files by at this version —
+    * partition, zone-stats and bloom keys, the same set the CoW DML
+    * scan advertises for runtime group filtering. */
+  lazy val prunableColumns: Seq[String] =
+    (partMeta.map(_._1).getOrElse(Seq.empty) ++
+      stats.map(_._1).getOrElse(Seq.empty) ++
+      blooms.map(_._1).getOrElse(Seq.empty)).distinct
+
   override def rootPaths: Seq[Path] = Seq(new Path(base))
 
   override def partitionSchema: StructType = new StructType()

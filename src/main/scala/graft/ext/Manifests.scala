@@ -1220,6 +1220,52 @@ object Manifests {
     * from the layout promise. Every rewrite path maintains the
     * metadata incrementally ([[partValuesAfterRewrite]]); appends
     * derive tuples for the new files only. */
+  /** Session opt-in for the partition-SPLIT physical layout
+    * (`graft.write.splitByPartition`): every data file holds exactly
+    * ONE partition tuple — Delta and Iceberg's layout, where a file
+    * never straddles a partition boundary. The default (range-
+    * clustered, possibly mixed boundary files) stays for existing
+    * tables; split layout is what makes a version satisfy the
+    * storage-partitioned-join purity proof
+    * ([[ManifestFileIndex.purePartitionTuples]]), which is checked —
+    * never assumed — at scan time, so mixing layouts across versions
+    * degrades SPJ conservatively, not wrongly. */
+  private def splitByPartition(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.write.splitByPartition")
+      .exists(_.toBoolean)
+
+  /** Partition-split write via the stock writer's dynamic-partition
+    * machinery: the partition columns are DUPLICATED under alias names
+    * and `partitionBy` is given the aliases, so the writer splits
+    * files at tuple boundaries (directory per tuple) while the REAL
+    * columns stay in the data — the manifest's reader contract keeps
+    * partition values in the files, Iceberg-style. The nested layout
+    * is then FLATTENED by per-file rename (one metadata RPC per file,
+    * the same order as the write's own commit renames), so downstream
+    * paths see the flat directory every other write produces and
+    * partition-column inference can never fire on `alias=value` path
+    * segments. `repartition(cols)` co-locates each tuple in one task
+    * first: ~one file per tuple, not one per (task, tuple). */
+  private def writeSplitByTuple(df: DataFrame, dir: String,
+      partCols: Seq[String], n: Int): Unit = {
+    val spark = df.sparkSession
+    // overwrite semantics, like the plain writers here: a retried
+    // attempt must not trip over a partial earlier landing
+    if (Dfs.exists(spark, dir)) Dfs.delete(spark, dir, recursive = true)
+    val aliases = partCols.map(c => s"__gp_$c")
+    val tmp = s"$dir/_split"
+    val dup = partCols.zip(aliases).foldLeft(df) {
+      case (d, (c, a)) => d.withColumn(a, col(c)) }
+    dup.repartition(n, partCols.map(col): _*)
+      .sortWithinPartitions(partCols.map(col): _*)
+      .write.mode("errorifexists").partitionBy(aliases: _*).parquet(tmp)
+    Dfs.dataFilesDeep(spark, tmp).zipWithIndex.foreach { case (st, i) =>
+      Dfs.rename(spark, st.getPath.toString,
+        s"$dir/p${i}_${st.getPath.getName}")
+    }
+    Dfs.delete(spark, tmp, recursive = true)
+  }
+
   def commitDataPartitioned(df: DataFrame, base: String,
       partCols: Seq[String], filesPerWrite: Int = 0,
       overwrite: Boolean = false,
@@ -1249,9 +1295,12 @@ object Manifests {
     val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     val n = if (filesPerWrite > 0) filesPerWrite
       else spark.sessionState.conf.numShufflePartitions
-    df.repartitionByRange(n, partCols.map(col): _*)
-      .sortWithinPartitions(partCols.map(col): _*)
-      .write.mode("errorifexists").parquet(dir)
+    if (splitByPartition(spark))
+      writeSplitByTuple(df, dir, partCols, n)
+    else
+      df.repartitionByRange(n, partCols.map(col): _*)
+        .sortWithinPartitions(partCols.map(col): _*)
+        .write.mode("errorifexists").parquet(dir)
     val files = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     enforceConstraints(spark, base, latestVersion(spark, base), files,
       Some(df.schema), overwrite = true)
@@ -2590,7 +2639,21 @@ object Manifests {
           "retained files — re-adding it would resurrect old values; " +
           "use a new name or overwrite the table"))
     val dir = s"$base/$tag"
-    batch.write.mode("overwrite").parquet(dir)
+    // split-layout appends keep the SPJ purity proof alive across
+    // INSERTs: when the session opts in and the table records partition
+    // columns the batch actually carries, the appended files split at
+    // tuple boundaries like the bootstrap did (flattened — dataFiles'
+    // flat listing below sees them either way)
+    val splitCols = pre.flatMap(v => partitionedBy(spark, base, v))
+      .map(_._1)
+      .filter(_ => splitByPartition(spark))
+      .filter(cs => cs.nonEmpty && cs.forall(batch.columns.contains))
+    splitCols match {
+      case Some(cols) =>
+        writeSplitByTuple(batch, dir, cols,
+          spark.sessionState.conf.numShufflePartitions)
+      case None => batch.write.mode("overwrite").parquet(dir)
+    }
     val newFiles = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     if (newFiles.isEmpty) return None
     appendWrittenFiles(spark, base, newFiles, batch.schema, Some(marker),

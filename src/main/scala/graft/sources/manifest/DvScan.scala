@@ -128,7 +128,112 @@ class DvParquetScan(sp: SparkSession,
     private[manifest] val wantPos: Boolean,
     private[manifest] val nData: Int)
     extends ParquetScan(sp, conf, idx, dataSch, innerRead, readPartSch,
-      pushed, opts, None, partFilters, dataFilters, Array.empty) {
+      pushed, opts, None, partFilters, dataFilters, Array.empty)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Runtime filtering on the ORDINARY catalog read (the DPP
+    * file-pruning half of the r14 broadcast fix): a star join with a
+    * selective dim filter hands this scan an IN-list over the join key
+    * at runtime, and the manifest's partition/zone/bloom machinery
+    * drops the fact FILES that cannot hold a surviving key — the same
+    * contract the CoW DML scan has carried since r13. Untranslatable
+    * predicates drop (conservative: more files kept, never fewer). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    idx.innerIndex.fold(
+      Array.empty[org.apache.spark.sql.connector.expressions.NamedReference])(
+      _.prunableColumns.filter(dataSch.fieldNames.contains)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray)
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    idx.addRuntimeFilters(predicates.toSeq
+      .flatMap(org.apache.spark.sql.graft.PredicateShim.toV1)
+      .flatMap(FilterPruning.toExpr))
+
+  /** Storage-partitioned-join eligibility, resolved ONCE per scan (the
+    * lazy val keeps `outputPartitioning` and `planInputPartitions`
+    * consistent): the version's purity proof must hold
+    * ([[graft.ext.ManifestFileIndex.purePartitionTuples]]) and every
+    * partition column must be in the scan output (Spark resolves the
+    * reported keys against it). Gated on
+    * `spark.sql.sources.v2.bucketing.enabled` — with SPJ off Spark
+    * ignores the report, so the metadata fold is not worth paying. */
+  private lazy val spjTuples: Option[(Seq[String], Map[String, Seq[Any]])] =
+    if (!sp.sessionState.conf.v2BucketingEnabled) None
+    else idx.innerIndex.flatMap(_.purePartitionTuples).filter {
+      case (pcols, _) =>
+        val resolver = sp.sessionState.analyzer.resolver
+        val out = readSchema().fieldNames
+        pcols.forall(c => out.exists(resolver(_, c)))
+    }
+
+  /** [[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]:
+    * when the purity proof holds, the scan IS key-grouped by the
+    * table's partition columns — two manifest tables partitioned on
+    * the same key then join with ZERO Exchange (Iceberg's SPJ shape;
+    * Spark groups the keyed input partitions under
+    * `spark.sql.sources.v2.bucketing.enabled`). Anything short of the
+    * proof reports unknown — identical planning to before. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjTuples match {
+      case Some((pcols, tuples)) =>
+        val pruned = idx.listFiles(partitionFilters, dataFilters)
+          .flatMap(_.files)
+          .flatMap(f => tuples.get(Dfs.canonical(f.getPath.toString)))
+          .distinct
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            pcols.map(org.apache.spark.sql.connector.expressions
+              .Expressions.identity).toArray,
+            math.max(pruned.length, 1))
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  /** Standard FileScan split-planning, but each split TAGGED with its
+    * file's partition tuple ([[KeyedFilePartition]] implements
+    * `HasPartitionKey`) whenever the scan reported key-grouping —
+    * Spark groups splits by key, so intra-partition parallelism
+    * survives under partially-clustered distribution and collapses to
+    * one task per key under plain SPJ. Runtime filters arriving before
+    * execution re-prune through the same listing. */
+  override def planInputPartitions(): Array[InputPartition] =
+    spjTuples match {
+      case Some((pcols, tuples)) =>
+        val dirs = idx.listFiles(partitionFilters, dataFilters)
+        val maxSplit = org.apache.spark.sql.execution.datasources
+          .FilePartition.maxSplitBytes(sp, dirs)
+        val resolver = sp.sessionState.analyzer.resolver
+        val convs = pcols.map { c =>
+          val f = dataSch.fields(
+            dataSch.fieldNames.indexWhere(resolver(_, c)))
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(f.dataType)
+        }
+        var i = -1
+        dirs.flatMap(_.files)
+          .groupBy(f => tuples(Dfs.canonical(f.getPath.toString)))
+          .toSeq
+          .flatMap { case (vals, fs) =>
+            val key = InternalRow.fromSeq(
+              vals.zip(convs).map { case (v, c) => c(v) })
+            val splits = fs.flatMap(f =>
+              org.apache.spark.sql.execution.PartitionedFileUtil
+                .splitFiles(f, f.getPath, isSplitable(f.getPath),
+                  maxSplit, InternalRow.empty))
+              .sortBy(_.length)(Ordering[Long].reverse)
+            org.apache.spark.sql.execution.datasources.FilePartition
+              .getFilePartitions(sp, splits, maxSplit)
+              .map { fp => i += 1
+                new KeyedFilePartition(i, fp.files, key) }
+          }.toArray
+      case None => super.planInputPartitions()
+    }
 
   /** Guard consumed by [[org.apache.spark.sql.graft.ManifestCountRule]]:
     * a vectored version's stats tier counts deleted rows, so metadata
@@ -211,6 +316,20 @@ class DvParquetScan(sp: SparkSession,
   override def hashCode(): Int =
     31 * super.hashCode() + dvIndex.size + (if (wantFile) 2 else 0) +
       (if (wantPos) 4 else 0)
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
+  * knows its partition tuple — the `HasPartitionKey` face Spark's
+  * storage-partitioned join groups on. Reader factories see a plain
+  * FilePartition (the DV wrapper and the stock parquet path are
+  * untouched); only the grouping layer reads the key. */
+private[manifest] class KeyedFilePartition(index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(
+      index, files)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Per-FILE reader wrapping: the delegate parquet factory builds the

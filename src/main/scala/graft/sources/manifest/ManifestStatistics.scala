@@ -70,12 +70,26 @@ private[manifest] object ManifestStats {
     val rowCounts: Option[Map[String, Long]] =
       idx.innerIndex.flatMap(_.rowCountsByFile)
 
-    val exactRows: Option[Long] = rowCounts.flatMap { rc =>
-      if (pruned.forall { case (f, _) => rc.contains(f) })
-        Some(pruned.iterator.map { case (f, _) =>
-          math.max(0L, rc(f) - deleted.getOrElse(f, 0L)) }.sum)
+    // numRows is the EXACT channel — serve it only when the proof is
+    // exact: unfiltered scans fold live counts over the (whole) pruned
+    // listing; filtered scans demand the partition-PURITY proof
+    // (liveRowCountWhere: every conjunct strictly translatable over
+    // the recorded tuples, every file pure under it). A zone-pruned
+    // upper bound used to flow through here as if exact — for a
+    // selective non-partition filter that can overstate cardinality by
+    // orders of magnitude into downstream join estimation, so it now
+    // stays absent and only sizeInBytes (allowed to be a bound) talks.
+    val exactRows: Option[Long] =
+      if (partFilters.isEmpty && dataFilters.isEmpty)
+        rowCounts.flatMap { rc =>
+          if (pruned.forall { case (f, _) => rc.contains(f) })
+            Some(pruned.iterator.map { case (f, _) =>
+              math.max(0L, rc(f) - deleted.getOrElse(f, 0L)) }.sum)
+          else None
+        }
+      else if (partFilters.isEmpty)
+        idx.innerIndex.flatMap(_.liveRowCountWhere(dataFilters, deleted))
       else None
-    }
 
     // vectored files count their live fraction of bytes; a file whose
     // row count is unknown keeps its full length (conservative: an

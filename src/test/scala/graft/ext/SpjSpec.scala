@@ -1,0 +1,280 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins (Iceberg SPJ parity): the manifest scan
+  * reports `KeyGroupedPartitioning` over the table's partition columns
+  * whenever the version's PURITY PROOF holds (every file covered by
+  * the tuple sidecar, exactly one tuple per file), so two tables
+  * partitioned on the same key join with ZERO Exchange on either side.
+  * The proof is checked per version, never assumed — the default
+  * range-clustered layout (boundary files may mix tuples) degrades to
+  * today's shuffle plan, byte-identical results. */
+class SpjSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def registerCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.manifest.ManifestCatalog")
+
+  private def dimDf = {
+    import spark.implicits._
+    (1 to 2000).map(i => (i.toLong, s"cust_$i", s"N${i % 8}"))
+      .toDF("customer_key", "customer_id", "country")
+  }
+
+  private def factDf = {
+    import spark.implicits._
+    (1 to 40000).map(i =>
+      (i.toLong, s"N${i % 8}", (i % 50).toLong, i * 1.5))
+      .toDF("sale_id", "country", "quantity", "amount")
+  }
+
+  /** Execute and return every physical node, unwrapped through AQE
+    * boundaries (the plan string alone summarizes stages as leaves). */
+  private def finalNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+      p.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          buf += q; go(q.plan)
+        case n => buf += n
+      }
+    go(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    finalNodes(df).count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+
+  private def withSpj[A](partial: Boolean = false)(f: => A): A = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "true")
+      spark.conf.set(keys(2), partial.toString)
+      // force a shuffle-family join: the contract is zero Exchange
+      // WITHOUT broadcast help
+      spark.conf.set(keys(3), "-1")
+      f
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def splitCommit(df: org.apache.spark.sql.DataFrame,
+      base: String, cols: Seq[String]): Unit = {
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try Manifests.commitDataPartitioned(df, base, cols): Unit
+    finally spark.conf.unset("graft.write.splitByPartition")
+  }
+
+  test("split layout yields the purity proof; default layout may not lie") {
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_spj_pure").toString + "/t"
+    splitCommit(dimDf, b, Seq("country"))
+    val v = Manifests.latestVersion(spark, b).get
+    val idx = new ManifestFileIndex(spark, b, v)
+    val proof = idx.purePartitionTuples
+    assert(proof.isDefined, "split-layout commit failed the purity proof")
+    val (pcols, tuples) = proof.get
+    assert(pcols === Seq("country"))
+    // every manifest file mapped, 8 distinct tuples
+    assert(tuples.keySet === Manifests.files(spark, b, v).map(Dfs.canonical).toSet)
+    assert(tuples.values.toSeq.distinct.size === 8)
+    // one file per tuple: the split writer co-locates before splitting
+    assert(tuples.size === 8,
+      s"expected ~1 file per tuple, got ${tuples.size}")
+    // content identical to the source (partition columns stay IN data)
+    assert(Manifests.readLatest(spark, b).orderBy("customer_key")
+      .collect() === dimDf.orderBy("customer_key").collect())
+  }
+
+  test("co-partitioned catalog join plans ZERO shuffle exchange (SPJ)") {
+    registerCatalog()
+    val da = java.nio.file.Files
+      .createTempDirectory("graft_spj_a").toString + "/t"
+    val db = java.nio.file.Files
+      .createTempDirectory("graft_spj_b").toString + "/t"
+    splitCommit(dimDf, da, Seq("country"))
+    splitCommit(factDf, db, Seq("country"))
+    val sqlText =
+      s"""SELECT a.country, COUNT(*) AS n, SUM(b.amount) AS amt
+         |FROM graft.`$da` a JOIN graft.`$db` b
+         |  ON a.country = b.country
+         |GROUP BY a.country""".stripMargin
+    // baseline with SPJ forced OFF: the same join shuffles both sides
+    // (v2 bucketing is ON by default in Spark 4 — SPJ needs no opt-in)
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "false")
+    spark.conf.set(keys(1), "-1")
+    val baseline =
+      try shuffleCount(spark.sql(sqlText))
+      finally before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    assert(baseline >= 2, s"baseline should shuffle both sides, got $baseline")
+    withSpj() {
+      val q = spark.sql(sqlText)
+      val nodes = finalNodes(q)
+      val shuffles = nodes.count {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+        case _ => false
+      }
+      // the JOIN itself must be exchange-free; the final single-group
+      // aggregation may still shuffle ABOVE it — locate the join and
+      // assert no exchange below either side
+      val joins = nodes.filter {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joins.size === 1, s"expected one shuffle-family join node")
+      val underJoin = joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(underJoin.isEmpty,
+        s"SPJ join still exchanges:\n${joins.head.toString.take(3000)}")
+      assert(shuffles < baseline,
+        s"SPJ did not reduce shuffles: $shuffles vs baseline $baseline")
+      // values: 250 dim rows × 5000 fact rows per country
+      val rows = q.collect()
+      assert(rows.length === 8)
+      assert(rows.map(_.getLong(1)).sum === 8L * 250 * 5000)
+    }
+  }
+
+  test("SPJ survives a split-layout INSERT; default-layout append degrades conservatively") {
+    registerCatalog()
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_spj_ins").toString + "/t"
+    splitCommit(dimDf, b, Seq("country"))
+    // split-layout append: proof must still hold
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try {
+      import spark.implicits._
+      Manifests.append((1 to 100).map(i =>
+        (100000L + i, s"x_$i", s"N${i % 8}"))
+        .toDF("customer_key", "customer_id", "country"), b)
+    } finally spark.conf.unset("graft.write.splitByPartition")
+    val v1 = Manifests.latestVersion(spark, b).get
+    assert(new ManifestFileIndex(spark, b, v1).purePartitionTuples.isDefined,
+      "split-layout append broke the purity proof")
+    // a plain (non-split) append writes files that may straddle
+    // tuples: the proof must refuse rather than guess
+    import spark.implicits._
+    Manifests.append((1 to 64).map(i =>
+      (200000L + i, s"y_$i", s"N${i % 8}"))
+      .toDF("customer_key", "customer_id", "country").coalesce(1), b)
+    val v2 = Manifests.latestVersion(spark, b).get
+    assert(new ManifestFileIndex(spark, b, v2).purePartitionTuples.isEmpty,
+      "an 8-tuple single file must fail the purity proof")
+    // and the read is still exactly right (fallback, not failure)
+    assert(Manifests.readLatest(spark, b).count() === 2164)
+  }
+
+  test("partially-clustered distribution + AQE: SPJ join stays exchange-free and exact") {
+    registerCatalog()
+    val da = java.nio.file.Files
+      .createTempDirectory("graft_spj_pca").toString + "/t"
+    val db = java.nio.file.Files
+      .createTempDirectory("graft_spj_pcb").toString + "/t"
+    splitCommit(dimDf, da, Seq("country"))
+    splitCommit(factDf, db, Seq("country"))
+    withSpj(partial = true) {
+      val q = spark.sql(
+        s"""SELECT a.country, b.sale_id, a.customer_key
+           |FROM graft.`$da` a JOIN graft.`$db` b
+           |  ON a.country = b.country
+           |WHERE a.customer_key <= 2 AND b.sale_id <= 8""".stripMargin)
+      val nodes = finalNodes(q)
+      val joins = nodes.filter {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joins.nonEmpty)
+      assert(joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "partially-clustered SPJ join still exchanges")
+      // exact content: 2 customers × 8 sales, matched on country
+      val expect = dimDf.filter(col("customer_key") <= 2)
+        .join(factDf.filter(col("sale_id") <= 8), "country")
+        .select("country", "sale_id", "customer_key")
+        .collect().map(_.toString).sorted
+      assert(q.collect().map(_.toString).sorted === expect)
+    }
+  }
+
+  test("registered sql_spj_join: zero Exchange under the join, oracle-shaped result") {
+    val q = graft.SparkEntry.queries("sql_spj_join")(spark, TestSpark.sf)
+    val nodes = finalNodes(q)
+    val joins = nodes.filter {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(joins.size === 1, s"expected exactly one join node, got ${joins.size}")
+    assert(joins.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }.isEmpty,
+      s"registered SPJ join still exchanges:\n${joins.head.toString.take(3000)}")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // per-country: n_customers == sum_n / n_customers's own value —
+    // the stats side contributes exactly one row per country
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1) * r.getLong(1),
+        s"stats row fan-out broke: $r")
+    }
+  }
+
+  test("one side filtered by partition key: pushPartValues pads the missing partitions") {
+    registerCatalog()
+    val da = java.nio.file.Files
+      .createTempDirectory("graft_spj_fa").toString + "/t"
+    val db = java.nio.file.Files
+      .createTempDirectory("graft_spj_fb").toString + "/t"
+    splitCommit(dimDf, da, Seq("country"))
+    splitCommit(factDf, db, Seq("country"))
+    withSpj() {
+      val q = spark.sql(
+        s"""SELECT a.country, COUNT(*) AS n
+           |FROM graft.`$da` a JOIN graft.`$db` b
+           |  ON a.country = b.country
+           |WHERE a.country IN ('N1', 'N5')
+           |GROUP BY a.country""".stripMargin)
+      val joins = finalNodes(q).filter {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joins.nonEmpty && joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "filtered SPJ join still exchanges")
+      val rows = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("N1" -> 250L * 5000, "N5" -> 250L * 5000))
+    }
+  }
+}

@@ -140,12 +140,22 @@ class DvParquetScan(sp: SparkSession,
     * contract the CoW DML scan has carried since r13. Untranslatable
     * predicates drop (conservative: more files kept, never fewer). */
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // advertise only columns the scan actually OUTPUTS: Spark resolves
+    // these against the relation's output, and a pruned projection
+    // (e.g. a MERGE discovery scan reading [id,_file,_pos]) would
+    // throw "Unable to resolve <partCol>" on any advertised column the
+    // projection dropped — losing runtime pruning there is the
+    // conservative degradation, failing the query is not
+    val resolver = sp.sessionState.analyzer.resolver
+    val out = readSchema().fieldNames
     idx.innerIndex.fold(
       Array.empty[org.apache.spark.sql.connector.expressions.NamedReference])(
-      _.prunableColumns.filter(dataSch.fieldNames.contains)
+      _.prunableColumns
+        .filter(c => out.exists(resolver(_, c)))
         .map(org.apache.spark.sql.connector.expressions.Expressions.column)
         .toArray)
+  }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =

@@ -99,12 +99,20 @@ object ManifestCountRule extends Rule[LogicalPlan] {
         // statValue subtracts them (only COUNT(*) — zone bounds and
         // per-column null counts are raw, so MIN/MAX/COUNT(col)/SUM
         // refuse and keep the real scan)
+        // the ordinary catalog read — clean OR vectored. It implements
+        // SupportsRuntimeV2Filtering since the SPJ round, so it must be
+        // matched BY CLASS here, before the runtime-filtering exclusion
+        // below (whose job is only to fence off the CoW DML scan):
+        // runtime filters exist only under joins, where the Aggregate-
+        // over-scan collapse shape can't match anyway.
         case dv: graft.sources.manifest.DvParquetScan
-            if dv.hasDeletes && dv.pushedAggregate.isEmpty =>
+            if dv.pushedAggregate.isEmpty =>
           dv.fileIndex match {
             case m: graft.sources.manifest.ManifestScanIndex =>
               m.innerIndex.map(i =>
-                (i, Seq.empty, dv.deletedCardinalities))
+                (i, Seq.empty,
+                  if (dv.hasDeletes) dv.deletedCardinalities
+                  else Map.empty[String, Long]))
             case _ => None
           }
         case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan

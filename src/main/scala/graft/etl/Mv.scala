@@ -105,9 +105,12 @@ object Mv {
   /** CDC-DRIVEN refresh — the maintenance path append-only [[refresh]]
     * cannot cover: after a merge-on-read UPDATE/DELETE on the base
     * table, the `.changes` feed ([[graft.ext.Manifests.changesBetween]]
-    * / the streaming `.changes` relation) emits full row images tagged
-    * `_change_type` ∈ {insert, delete} (an update is delete+insert),
-    * and this folds them into the MV at grain. Counts and exact
+    * / the streaming `.changes` relation / the update-image replay
+    * [[graft.ext.Manifests.changesBetweenWithUpdates]]) emits full row
+    * images tagged with the Delta CDF tags — plain {insert, delete},
+    * or {update_preimage, update_postimage} pairs where the write
+    * recorded them — and this folds them into the MV at grain
+    * (pre = −1, post = +1, algebraically identical). Counts and exact
     * DECIMAL sums form a commutative GROUP — a delete is a NEGATIVE
     * delta — so `apply(MV@v_i, changes(v_i → v_j)) == full recompute
     * at v_j` is an algebraic identity (Delta's incremental-MV
@@ -121,16 +124,20 @@ object Mv {
     * the read set with a counting filesystem). */
   def applyChangesFrame(spark: SparkSession, mvPath: String,
       changes: DataFrame): DataFrame = {
-    // STRICT tag whitelist: this fold takes the plain feed's
-    // {insert, delete} row images. The KEYED feed re-tags updates as
-    // update_preimage/update_postimage — silently treating those as
-    // inserts would add the pre-image back (+2 per update); refuse at
-    // scan speed instead (codegen'd raise_error, no extra pass).
-    val sign = when(col("_change_type") === "delete", -1L)
-      .when(col("_change_type") === "insert", 1L)
+    // STRICT tag whitelist over the four Delta CDF tags: a preimage is
+    // a NEGATIVE delta exactly like a delete, a postimage a positive
+    // one like an insert — the commutative-group identity holds for
+    // the keyed feed and the write-path update-image feed
+    // (graft.cdf.updateImages) as it does for the plain one. Anything
+    // else still refuses at scan speed (codegen'd raise_error, no
+    // extra pass): silently folding an unknown tag as ±1 is the
+    // corruption this guard exists to stop.
+    val sign = when(col("_change_type").isin("delete", "update_preimage"),
+      -1L)
+      .when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(raise_error(concat(
-        lit("Mv.applyChangesFrame takes the {insert, delete} change "),
-        lit("feed; got _change_type = "),
+        lit("Mv.applyChangesFrame takes {insert, delete, "),
+        lit("update_preimage, update_postimage} tags; got _change_type = "),
         // a NULL tag must not null the whole diagnostic via concat
         coalesce(col("_change_type"), lit("NULL"))))
         .cast("long"))

@@ -99,6 +99,30 @@ object Dfs {
     }
   }
 
+  /** [[createExclusive]] with a payload: the claim and the content
+    * write happen under the same per-path monitor, so same-JVM racers
+    * never observe a claimed-but-empty file. Cross-process, the
+    * filesystem's create-no-overwrite is the claim and a crash before
+    * the content lands leaves an empty file — callers treat that as
+    * unambiguous residue (no committed payload is ever empty). True
+    * iff this caller created the file. */
+  def createExclusiveWithContent(spark: SparkSession, path: String,
+      bytes: Array[Byte]): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.mkdirs(p.getParent)
+    val lock = claimLocks.computeIfAbsent(
+      f.makeQualified(p).toString, _ => new Object)
+    lock.synchronized {
+      if (f.exists(p)) false
+      else try {
+        val out = f.create(p, /* overwrite = */ false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Create (or truthfully report) an empty marker file — the
     * idempotent "this one-time build is done" flag the fixture
     * roundtrips gate on. */

@@ -238,6 +238,73 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
       }
     }
 
+  /** The covered stats rows restricted to an EXPLICIT file subset
+    * (canonical paths) — the PRUNED listing of a filtered scan. ONE
+    * collect of the memoized LocalRelation, shared by every
+    * per-column bound fold of that scan's statistics: the folds below
+    * are pure driver arithmetic, because statistics estimation runs
+    * at PLAN time and must never cost a job. None when a subset file
+    * lacks its stats row (conservative absence on uncovered files). */
+  private[graft] def statRowsOver(subset: Set[String]): Option[(Seq[String],
+      org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])] =
+    coveredStats.flatMap { case (keys, st) =>
+      val fi = st.schema.fieldIndex("file")
+      val mine = st.collect() // metadata-sized: one row per data file
+        .filter(r => subset.contains(Dfs.canonical(r.getString(fi))))
+      if (mine.length < subset.size) None
+      else Some((keys, st.schema, mine))
+    }
+
+  /** [[statBound]] over a [[statRowsOver]] result: every row a
+    * filtered scan can produce lives in a subset file, and zone
+    * bounds are exact per file, so the fold is a VALID (possibly
+    * loose) bound for the filtered output even where the
+    * partition-purity proof fails. Conservative absence: None when
+    * the column is not indexed, a string bound is truncated inside
+    * the subset, or a bound pair is incomparable. `Some(None)` =
+    * provably all-null. Driver fold in the writer's bound order
+    * ([[Manifests.cmpBound]] — the UTF-8 invariant). */
+  def statBoundOver(rows: (Seq[String],
+        org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row]),
+      colName: String, isMin: Boolean): Option[Option[Any]] = {
+    val (keys, sch, mine) = rows
+    val resolver = spark.sessionState.analyzer.resolver
+    keys.find(k => resolver(k, colName)).flatMap { k =>
+      val ti = sch.fieldNames.indexOf(s"${k}_trunc")
+      if (ti >= 0 && mine.exists(r => !r.isNullAt(ti) && r.getBoolean(ti)))
+        None
+      else {
+        val bi = sch.fieldIndex(if (isMin) s"${k}_min" else s"${k}_max")
+        val vals = mine.iterator.map(_.get(bi)).filter(_ != null).toSeq
+        if (vals.isEmpty) Some(None) // every subset value is null
+        else {
+          var acc: Any = vals.head
+          var ok = true
+          vals.tail.foreach { v =>
+            Manifests.cmpBound(acc, v) match {
+              case Some(c) =>
+                if ((isMin && c > 0) || (!isMin && c < 0)) acc = v
+              case None => ok = false
+            }
+          }
+          if (ok) Some(Some(acc)) else None
+        }
+      }
+    }
+  }
+
+  /** Σ raw `n_rows` over a [[statRowsOver]] result — the upper
+    * cardinality bound of a pruned filtered scan (pushed row filters
+    * only shrink it further). Driver fold, zero jobs. */
+  def rawRowsOver(rows: (Seq[String],
+      org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])): Long = {
+    val ni = rows._2.fieldIndex("n_rows")
+    rows._3.iterator.map(_.getLong(ni)).sum
+  }
+
   /** Exact COUNT(col) — non-null cardinality — of a stats-indexed
     * column: Σ (n_rows − nulls) over the covered (filtered) files. */
   def statNonNullCount(colName: String,

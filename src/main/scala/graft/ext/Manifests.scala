@@ -362,7 +362,9 @@ object Manifests {
       delta: Option[(Seq[String], Seq[String])] = None,
       txn: Option[(String, Long)] = None,
       ndv: Option[Map[String, Long]] = None,
-      txnMergeFrom: Option[(String, Int)] = None): Int = {
+      ndvKmv: Option[Map[String, Seq[Long]]] = None,
+      txnMergeFrom: Option[(String, Int)] = None,
+      cdcUpd: Option[Seq[String]] = None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -496,6 +498,33 @@ object Manifests {
             c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r') }
           .map { case (c, n) => s"$c\t$n" }
           .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the NDV sketch sidecar rides with `_ndv`: k-minimum-values per
+    // analyzed column, the mergeable state that lets an APPEND fold its
+    // batch in and keep the estimate honest without re-ANALYZE
+    // ([[appendWrittenFiles]]). Inherited like `_ndv`; refreshed by
+    // ANALYZE; a rewrite inherits verbatim (NDV can only shrink under
+    // deletes — the stale sketch is conservative in the direction CBO
+    // tolerates, exactly like Spark's own stale catalog stats).
+    val effKmv: Map[String, Seq[Long]] = ndvKmv.getOrElse {
+      inheritBase.map(ndvKmvOf(spark, base, _)).getOrElse(Map.empty)
+    }
+    if (effKmv.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_ndvkmv",
+        effKmv.toSeq.sortBy(_._1)
+          .filterNot { case (c, _) =>
+            c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r') }
+          .map { case (c, hs) => s"$c\t${hs.mkString(",")}" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // CDF update classification (graft.cdf.updateImages): `P\t<file>`
+    // postimage data files, `D\t<file>` update-rowId sidecars. NOT
+    // inherited — per-version event data like the tag; PRESENCE (even
+    // empty) certifies this version's update info is complete, which
+    // is what lets the per-version feed branch tag its residue as
+    // plain delete/insert. Written before `_SUCCESS` like every
+    // sibling, so no reader ever sees the version without it.
+    cdcUpd.foreach(lines =>
+      Dfs.writeBytes(spark, s"$base/v$v/_cdcupd",
+        lines.mkString("", "\n", "\n").getBytes("UTF-8")))
     // the transaction ledger (Delta's `txn` action): appId -> highest
     // batch/epoch id whose append COMMITTED — one line per writer app,
     // inherited by every commit (an overwrite inherits from the
@@ -717,6 +746,79 @@ object Manifests {
         case _ => None
       }).toMap
 
+  /** KMV sketch size: ~1/sqrt(k-2) relative error ≈ 3% — inside the
+    * band ANALYZE's own HLL (rsd 2%) promises, and 8 KB of state per
+    * column regardless of cardinality. */
+  private[graft] val ndvKmvK = 1024
+
+  /** The per-column k-minimum-values NDV sketches of version `v` —
+    * the MERGEABLE companion of [[ndvOf]]'s point estimates: each
+    * entry is the (sorted, ≤ k) smallest distinct portable 60-bit
+    * hashes of the column's non-null values. An append folds its
+    * batch's sketch in with set arithmetic (union, keep k smallest) —
+    * the property a bare count can never offer — so NDV estimates
+    * stay inside the sketch's error band across any number of appends
+    * with no re-ANALYZE. Empty for never-analyzed tables and versions
+    * predating the sidecar. */
+  def ndvKmvOf(spark: SparkSession, base: String,
+      v: Int): Map[String, Seq[Long]] =
+    if (!Dfs.exists(spark, s"$base/v$v/_ndvkmv")) Map.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_ndvkmv"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.split("\t") match {
+        case Array(c, hs) => scala.util.Try(
+          c -> hs.split(",").iterator.filter(_.nonEmpty)
+            .map(_.toLong).toSeq).toOption
+        case _ => None
+      }).toMap
+
+  /** Standard KMV estimate over a sorted ≤k-min-hash sketch: exact
+    * when the sketch is not full, else (k-1) * H / h_k with H = 2^60
+    * (the [[graft.operators.Dedup.fastHash60]] range). */
+  private def kmvEstimate(hashes: Seq[Long]): Long =
+    if (hashes.size < ndvKmvK) hashes.size.toLong
+    else math.max(hashes.size.toLong,
+      ((ndvKmvK - 1).toDouble * math.pow(2, 60) / hashes.last.toDouble)
+        .toLong)
+
+  /** The k smallest distinct portable hashes of each `key` in `df` —
+    * ONE job for ALL keys (posexplode the per-row hash tuple, distinct
+    * with map-side combine, per-key bottom-k window over the few key
+    * partitions), over `df` only (for an append: the BATCH, never the
+    * table). A column `df` lacks contributes an empty sketch (the
+    * merge is a no-op for it); a null value hashes to null and drops.
+    * Values hash through their STRING form: deterministic per value,
+    * type-agnostic (ANSI allows string→binary where e.g.
+    * bigint→binary refuses), and the sketch only ever compares
+    * against itself — no cross-engine contract to keep. */
+  private def kmvSketchOf(df: DataFrame,
+      keys: Seq[String]): Map[String, Seq[Long]] = {
+    val spark = df.sparkSession
+    val present = keys.filter(df.columns.contains)
+    if (present.isEmpty) return keys.map(_ -> Seq.empty[Long]).toMap
+    val hashes = array(present.map(k =>
+      graft.operators.Dedup.fastHash60(spark,
+        col(s"`$k`").cast("string"))): _*)
+    import org.apache.spark.sql.expressions.Window
+    val mins = df.select(posexplode(hashes).as(Seq("__i", "__h")))
+      .filter(col("__h").isNotNull)
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__i").orderBy("__h")))
+      .filter(col("__rn") <= ndvKmvK)
+      .select("__i", "__h").collect()
+    val byIdx: Map[Int, Seq[Long]] = mins.groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    keys.map(k => k -> {
+      val i = present.indexOf(k)
+      if (i < 0) Seq.empty[Long] else byIdx.getOrElse(i, Seq.empty[Long])
+    }).toMap
+  }
+
+  /** Union-merge two KMV sketches: distinct hashes, k smallest. */
+  private def kmvMerge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(ndvKmvK)
+
   private def statsFor(spark: SparkSession, data: Seq[String],
       keys: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
@@ -779,13 +881,26 @@ object Manifests {
           .head
         keys.zipWithIndex.map { case (k, i) => k -> row.getLong(i) }.toMap
       }
+    // the mergeable KMV state alongside the HLL point estimates — what
+    // lets every later APPEND fold its batch in and keep NDV inside the
+    // sketch's error band with no re-ANALYZE (conf-gated: a deployment
+    // that re-ANALYZEs on schedule can skip the per-append fold)
+    val sketches: Map[String, Seq[Long]] =
+      if (keys.isEmpty || !ndvIncremental(spark)) Map.empty
+      else kmvSketchOf(readAt(spark, base, v), keys)
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), Some((keys, Seq(dir))), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
       delta = Some((Seq.empty, Seq.empty)),
-      ndv = Some(ndvOf(spark, base, v) ++ ndvs))
+      ndv = Some(ndvOf(spark, base, v) ++ ndvs),
+      ndvKmv = Some(ndvKmvOf(spark, base, v) ++ sketches))
   }
+
+  /** Per-append NDV sketch maintenance switch (default on): ANALYZE
+    * records the KMV state, appends fold their batch into it. */
+  private def ndvIncremental(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.ndv.incremental").forall(_.toBoolean)
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
     * every `lo <= key <= hi` conjunct — plus any file the stats do not
@@ -884,6 +999,25 @@ object Manifests {
     else new String(Dfs.readBytes(spark, s"$base/v$v/_deletes"), "UTF-8")
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** The version's CDF update classification, when its write recorded
+    * one (`graft.cdf.updateImages`): (postimage data files, update-
+    * rowId sidecar files). `Some((Nil, Nil))` — marker present, lists
+    * empty — still certifies the version's update info is COMPLETE (a
+    * DELETE-only or insert-only statement); `None` means the version
+    * was written without the flag and the feed must fall back to the
+    * content diff for it. */
+  def cdcOf(spark: SparkSession, base: String,
+      v: Int): Option[(Seq[String], Seq[String])] =
+    if (!Dfs.exists(spark, s"$base/v$v/_cdcupd")) None
+    else {
+      val lines = new String(
+        Dfs.readBytes(spark, s"$base/v$v/_cdcupd"), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      Some((
+        lines.collect { case l if l.startsWith("P\t") => l.drop(2) },
+        lines.collect { case l if l.startsWith("D\t") => l.drop(2) }))
+    }
 
   /** The committed tag of version `v`, if any. */
   def tagOf(spark: SparkSession, base: String, v: Int): Option[String] =
@@ -2029,7 +2163,8 @@ object Manifests {
     * `sweepOrphans` fodder as usual. Returns (rows deleted, version). */
   private[graft] def commitDeltaWrite(spark: SparkSession, base: String,
       snapshot: Int, dvWritten: Seq[String], dataWritten: Seq[String],
-      tag: Option[String], conflict: Option[Column]): (Long, Int) = {
+      tag: Option[String], conflict: Option[Column],
+      cdc: Option[(Seq[String], Seq[String])] = None): (Long, Int) = {
     val v = snapshot
     if (dvWritten.isEmpty && dataWritten.isEmpty)
       return (0L, v)
@@ -2086,7 +2221,10 @@ object Manifests {
         dvFiles(spark, base, parent) ++ addDvs,
         sch, stats, parent = Some(parent),
         partValues = pv, blooms = bl,
-        delta = Some((dataWritten, retired)))
+        delta = Some((dataWritten, retired)),
+        cdcUpd = cdc.map { case (post, updDv) =>
+          post.map(f => s"P\t${Dfs.canonical(f)}") ++
+            updDv.map(f => s"D\t${Dfs.canonical(f)}") })
     }
     (deleted, nv)
   }
@@ -2161,13 +2299,17 @@ object Manifests {
   def sweepOrphans(spark: SparkSession, base: String,
       minAgeMillis: Long): Int = {
     val horizon = System.currentTimeMillis() - math.max(0L, minAgeMillis)
-    val live = committedVersions(spark, base)
+    // parent-referenced published files keep their payload dirs alive
+    // on a branch base, exactly like reclaimBelow keeps the files
+    val live = (committedVersions(spark, base)
       .flatMap(v => files(spark, base, v) ++ dvFiles(spark, base, v) ++
         statsOf(spark, base, v).toSeq.flatMap(_._2) ++
         partitionedBy(spark, base, v).toSeq.flatMap(_._2) ++
-        bloomOf(spark, base, v).toSeq.flatMap(_._2))
+        bloomOf(spark, base, v).toSeq.flatMap(_._2) ++
+        cdcOf(spark, base, v).toSeq.flatMap(_._2)) ++
+      publishedPins(spark, base))
       .map(f => rootSegment(spark, base, f)).flatten.toSet
-    val payload = "^(data|dv|stats|pv|bloom)_.*".r
+    val payload = "^(data|dv|stats|pv|bloom|cdc)_.*".r
     // a REF-LESS branch directory (dropRef while main still referenced
     // its files) is payload too: once vacuum retires the last
     // referencing version, nothing points at it and it sweeps. A LIVE
@@ -2408,9 +2550,13 @@ object Manifests {
     def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v) ++
       statsOf(spark, base, v).toSeq.flatMap(_._2) ++
       partitionedBy(spark, base, v).toSeq.flatMap(_._2) ++
-      bloomOf(spark, base, v).toSeq.flatMap(_._2)
+      bloomOf(spark, base, v).toSeq.flatMap(_._2) ++
+      cdcOf(spark, base, v).toSeq.flatMap(_._2) // update-rowId sidecars
+    // a published branch head lives by reference on the PARENT table:
+    // when this base IS a branch directory, files main still points at
+    // are live regardless of what the branch's own history retires
     val keepFiles = committed.filter(_ >= floor)
-      .flatMap(refs).map(Dfs.canonical).toSet
+      .flatMap(refs).map(Dfs.canonical).toSet ++ publishedPins(spark, base)
     val droppedCommitted = committed.filter(_ < floor)
     // never delete a file outside this table's own directory: a shallow
     // clone's manifests reference the SOURCE table's files, and a
@@ -2777,6 +2923,27 @@ object Manifests {
           (keys, segs :+ writeBlooms(spark, base,
             buildBlooms(spark, newFiles, keys, Some(tableSchema))))
       }
+      // NDV maintenance: when the table carries a KMV sketch (ANALYZE
+      // under graft.ndv.incremental), fold the BATCH's sketch in — one
+      // TakeOrdered job per analyzed column over the appended files
+      // only — and serve the re-estimated NDV. Cost ∝ batch, state 8 KB
+      // per column; without this the inherited point estimate drifts
+      // arbitrarily far below truth as appends accumulate.
+      val ndvMeta: Option[(Map[String, Long], Map[String, Seq[Long]])] =
+        prev.map(ndvKmvOf(spark, base, _)).filter(_.nonEmpty)
+          .filter(_ => ndvIncremental(spark)).map { parentKmv =>
+            val batchDf = eraRead(spark, Nil, newFiles, Some(tableSchema))
+            val fresh = kmvSketchOf(batchDf, parentKmv.keys.toSeq)
+            val merged = parentKmv.map { case (c, old) =>
+              c -> kmvMerge(old, fresh.getOrElse(c, Seq.empty)) }
+            val prevNdv = prev.map(ndvOf(spark, base, _)).getOrElse(Map.empty)
+            // a not-yet-full sketch is EXACT; a full one estimates —
+            // never report less than the pre-append estimate (appends
+            // cannot shrink NDV)
+            val est = merged.map { case (c, hs) =>
+              c -> math.max(kmvEstimate(hs), prevNdv.getOrElse(c, 0L)) }
+            (prevNdv ++ est, merged)
+          }
       // deletion vectors stay valid across an append (they address
       // existing files only) — carry them by reference like the data
       try Some(commit(spark, base, cur ++ newFiles, None,
@@ -2785,7 +2952,9 @@ object Manifests {
         partValues = pvMeta,
         blooms = blMeta,
         delta = Some((newFiles, Seq.empty)),
-        txn = txn))
+        txn = txn,
+        ndv = ndvMeta.map(_._1),
+        ndvKmv = ndvMeta.map(_._2)))
       catch {
         case e: ConcurrentCommitException =>
           if (remaining == 0) throw e
@@ -2802,7 +2971,101 @@ object Manifests {
           attempt(remaining - 1, validated = true)
       }
     }
-    attempt(remaining = 10, validated = false)
+    val committed = attempt(remaining = 10, validated = false)
+    // policy pass AFTER the append committed: auto-compaction never
+    // delays or fails the write it follows
+    if (committed.isDefined) maybeAutoCompact(spark, base)
+    committed
+  }
+
+  /** Auto-compaction — Delta's `autoCompact`, the policy half the r14
+    * write-distribution work left manual: per-statement clustering
+    * stops ONE write from fragmenting, but a table taking hourly
+    * streaming epochs still accumulates a small file per partition per
+    * trigger until someone runs OPTIMIZE. With
+    * `graft.autocompact.minFiles = N` set, every successful append
+    * checks its table's live small-file census and bin-packs any
+    * PARTITION whose small-file count reached N — scoped: only that
+    * partition's small files rewrite (one OCC follow-on commit per hot
+    * partition), every healthy file and every untouched partition
+    * carries by reference. Unpartitioned tables (or layouts without
+    * the one-tuple-per-file purity proof) fall back to table-wide
+    * small-file packing, which is already reference-carrying for
+    * healthy files.
+    *
+    * Knobs mirror [[compactSmall]]: `graft.autocompact.smallBytes`
+    * (default 32 MB) bounds "small", `graft.autocompact.targetBytes`
+    * (default 128 MB) sizes outputs. Off unless minFiles is set.
+    * Contract edges: a VECTORED version skips (materializing vectors
+    * is [[compact]]'s deliberate call, not a policy side effect); a
+    * lost OCC race or any other failure logs and moves on — the
+    * append already committed, and the census re-fires on the next
+    * one. Census + scoping are manifest/sidecar arithmetic only; the
+    * rewrite cost is ∝ the hot partition's small-file backlog. */
+  private def maybeAutoCompact(spark: SparkSession, base: String): Unit = {
+    val minFiles = spark.conf.getOption("graft.autocompact.minFiles")
+      .map(_.toInt).getOrElse(return)
+    try {
+      val v = latestVersion(spark, base).getOrElse(return)
+      if (dvFiles(spark, base, v).nonEmpty) return
+      val smallBytes = spark.conf.getOption("graft.autocompact.smallBytes")
+        .map(_.toLong).getOrElse(32L << 20)
+      val targetBytes = spark.conf.getOption("graft.autocompact.targetBytes")
+        .map(_.toLong).getOrElse(128L << 20)
+      val cur0 = files(spark, base, v)
+      val sized: Map[String, Long] = cur0.map(f =>
+        Dfs.canonical(f) -> Dfs.statOf(spark, f).map(_._2).getOrElse(0L))
+        .toMap
+      // partition scoping via the recorded tuples when the purity
+      // proof holds; otherwise one table-wide group
+      val groups: Seq[Seq[String]] =
+        new ManifestFileIndex(spark, base, v).purePartitionTuples match {
+          case Some((_, tuples)) =>
+            cur0.groupBy(f => tuples.get(Dfs.canonical(f))).values.toSeq
+          case None => Seq(cur0)
+        }
+      // one OCC follow-on commit per hot partition, each derived from
+      // the version the previous one produced — a concurrent commit
+      // loses the claim cleanly (caught below), never half-rebases
+      var snap = v
+      var curFiles = cur0
+      groups.foreach { g =>
+        val small = g.filter(f => sized(Dfs.canonical(f)) < smallBytes)
+        if (small.size >= minFiles) {
+          val nOut = math.max(1, math.ceil(
+            small.map(f => sized(Dfs.canonical(f))).sum.toDouble /
+              targetBytes).toInt)
+          val sch = schemaOf(spark, base, snap)
+          val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
+          // a single-tuple group rewrites to single-tuple outputs, so
+          // the SPJ purity proof survives the policy pass
+          eraRead(spark, renamesOf(spark, base, snap), small, sch)
+            .repartition(nOut)
+            .write.mode("errorifexists").parquet(dir)
+          val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
+          val smallSet = small.map(Dfs.canonical).toSet
+          val untouched = curFiles.filterNot(f =>
+            smallSet.contains(Dfs.canonical(f)))
+          val nv = commit(spark, base, untouched ++ rewritten,
+            tag = Some("autocompact"), schema = sch,
+            stats = statsAfterRewrite(spark, base, snap, untouched,
+              rewritten, sch),
+            parent = Some(snap),
+            partValues = partValuesAfterRewrite(spark, base, snap,
+              untouched, rewritten, sch),
+            blooms = bloomsAfterRewrite(spark, base, snap, untouched,
+              rewritten, sch),
+            delta = Some((rewritten, small)))
+          snap = nv
+          curFiles = untouched ++ rewritten
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // best-effort by contract: the append this followed is durable
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"auto-compact on $base skipped: ${e.getMessage}")
+    }
   }
 
   /** Change feed between two committed versions, tagged
@@ -2848,7 +3111,7 @@ object Manifests {
     * characters" case). None when the pair is incomparable (null
     * bound, exotic type, NaN) — callers treat unknown as overlapping,
     * never the reverse. */
-  private def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[graft] def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: java.lang.Number, y: java.lang.Number) =>
       scala.util.Try(new java.math.BigDecimal(x.toString)
@@ -3138,6 +3401,133 @@ object Manifests {
       // the session's lifetime — the result is feed-sized
       images.localCheckpoint()
     } finally ch.unpersist()
+  }
+
+  /** Single-version change feed WITH Delta's update tags, when version
+    * `w`'s write recorded its classification
+    * (`graft.cdf.updateImages` at write time → [[cdcOf]]): the
+    * per-version replay Delta CDF serves, built from metadata +
+    * churned files only —
+    *  - `insert`: rows of new data files minus the recorded postimage
+    *    files;
+    *  - `update_postimage`: rows of the recorded postimage files;
+    *  - `update_preimage`: rows at the recorded update rowIds, read
+    *    from the parent version's (still retained) files;
+    *  - `delete`: the rest of the newly-dead rows — new DV positions
+    *    beyond the update set, plus live rows of files the commit
+    *    elided.
+    * A version written WITHOUT the flag falls back to the content
+    * diff ([[changesBetween]] prev→w, delete+insert tags); version 0
+    * is all `insert`. Cost ∝ churn: only new/retired/churned files
+    * are read, never the table. */
+  def changesAt(spark: SparkSession, base: String, w: Int): DataFrame = {
+    val committed = committedVersions(spark, base)
+    require(committed.contains(w),
+      s"version $w of $base was never committed or is vacuumed")
+    val prevOpt = committed.filter(_ < w).lastOption
+    prevOpt match {
+      case None =>
+        readAt(spark, base, w).withColumn("_change_type", lit("insert"))
+      case Some(prev) => cdcOf(spark, base, w) match {
+        case None => changesBetween(spark, base, prev, w)
+        case Some((postFiles, updDvFiles)) =>
+          val sch = schemaOf(spark, base, w)
+          val ren = renamesOf(spark, base, w)
+          val fPrev = files(spark, base, prev)
+          val fW = files(spark, base, w)
+          val prevSet = fPrev.map(Dfs.canonical).toSet
+          val wSet = fW.map(Dfs.canonical).toSet
+          val postSet = postFiles.map(Dfs.canonical).toSet
+          val inserted = fW.filterNot(f => prevSet.contains(Dfs.canonical(f)))
+          val (postIns, plainIns) = inserted.partition(f =>
+            postSet.contains(Dfs.canonical(f)))
+          val retired = fPrev.filterNot(f => wSet.contains(Dfs.canonical(f)))
+          val updDv: Option[DataFrame] =
+            if (updDvFiles.isEmpty) None
+            else Some(spark.read.parquet(updDvFiles: _*))
+          def tagged(df: DataFrame, t: String) =
+            df.withColumn("_change_type", lit(t))
+          // (file,pos)-identified OLD rows tag by update membership:
+          // recorded update rowIds are preimages, the rest deletes
+          def tagOld(rows: DataFrame): DataFrame = updDv match {
+            case None => tagged(rows.drop("__file", "__pos"), "delete")
+            case Some(u) =>
+              rows.join(u.withColumn("__upd", lit(true)),
+                  Seq("__file", "__pos"), "left")
+                .withColumn("_change_type",
+                  when(col("__upd").isNotNull, lit("update_preimage"))
+                    .otherwise(lit("delete")))
+                .drop("__file", "__pos", "__upd")
+          }
+          val dvPrevSet = dvFiles(spark, base, prev)
+            .map(Dfs.canonical).toSet
+          val newDvFiles = dvFiles(spark, base, w)
+            .filterNot(f => dvPrevSet.contains(Dfs.canonical(f)))
+          // rows newly vectored in files BOTH versions carry (retired
+          // files are handled wholesale below — their dv rows, when the
+          // elision kept the sidecar, must not double-count)
+          val preShared: Option[DataFrame] =
+            if (newDvFiles.isEmpty) None
+            else {
+              val newDvRows = spark.read.parquet(newDvFiles: _*)
+              val rawShared = newDvRows.select("__file").distinct()
+                .collect().map(_.getString(0))
+                .filter(r => wSet.contains(Dfs.canonical(r)))
+              if (rawShared.isEmpty) None
+              else {
+                val sharedCanon = rawShared.map(Dfs.canonical).toSet
+                val touched = fW.filter(f =>
+                  sharedCanon.contains(Dfs.canonical(f)))
+                val sharedDv = newDvRows.filter(
+                  col("__file").isin(rawShared.toIndexedSeq: _*))
+                Some(tagOld(
+                  eraRead(spark, ren, touched, sch, withPositions = true)
+                    .join(sharedDv, Seq("__file", "__pos"), "left_semi")))
+              }
+            }
+          // elided files: every row live at prev died in this step
+          val preRetired: Option[DataFrame] =
+            if (retired.isEmpty) None
+            else Some(tagOld(liveRead(spark, retired,
+              dvFiles(spark, base, prev), sch, ren, keepPos = true)))
+          val parts = Seq(
+            if (plainIns.isEmpty) None
+            else Some(tagged(eraRead(spark, ren, plainIns, sch), "insert")),
+            if (postIns.isEmpty) None
+            else Some(tagged(eraRead(spark, ren, postIns, sch),
+              "update_postimage")),
+            preShared, preRetired).flatten
+          if (parts.isEmpty)
+            readAt(spark, base, w).limit(0)
+              .withColumn("_change_type", lit(""))
+          else parts.reduce(_.unionByName(_))
+      }
+    }
+  }
+
+  /** Range change feed with update images: the CONCATENATION of
+    * [[changesAt]] over every committed version in `(from, to]` —
+    * Delta CDF's semantics, where intermediate changes are visible
+    * (insert@v1 + delete@v2 of the same row BOTH appear), unlike
+    * [[changesBetween]]'s endpoint content diff (which nets them
+    * out). The right feed for consumers that replay history — CDC
+    * sinks, incremental MVs folding at grain — and the only one that
+    * can carry update tags, which exist per STATEMENT, not per
+    * endpoint pair. */
+  def changesBetweenWithUpdates(spark: SparkSession, base: String,
+      from: Int, to: Int): DataFrame = {
+    require(from <= to, s"bad change range: $from -> $to")
+    val steps = committedVersions(spark, base)
+      .filter(v => v > from && v <= to)
+    require(steps.nonEmpty || from == to,
+      s"no committed versions of $base in ($from, $to]")
+    if (steps.isEmpty)
+      readAt(spark, base, to).limit(0)
+        .withColumn("_change_type", lit(""))
+    else steps.map(w => changesAt(spark, base, w))
+      // schema may have evolved mid-range: the feed serves the union
+      // schema, null-filling older steps (Delta CDF's behavior)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Surgical delete as a manifest swap: one discovery scan finds the
@@ -3513,7 +3903,8 @@ object Manifests {
       // the current latest's events instead would lose an era mapping
       // across an intervening overwrite and null-fill pre-rename files
       renames = Some(renamesOf(spark, base, v)),
-      ndv = Some(ndvOf(spark, base, v)))
+      ndv = Some(ndvOf(spark, base, v)),
+      ndvKmv = Some(ndvKmvOf(spark, base, v)))
   }
 
   /** Column names logically dropped on or before version `v` whose
@@ -4155,7 +4546,8 @@ object Manifests {
       // pre-file lists), so the clone copies them verbatim and era
       // reads keep working with zero reference to the source's history
       renames = Some(renamesOf(spark, src, v)),
-      ndv = Some(ndvOf(spark, src, v)))
+      ndv = Some(ndvOf(spark, src, v)),
+      ndvKmv = Some(ndvKmvOf(spark, src, v)))
   }
 
   // ---- named refs: tags, branches, write-audit-publish -------------
@@ -4192,6 +4584,33 @@ object Manifests {
 
   private def refPath(base: String, name: String): String =
     s"$base/_refs/${refName(name)}"
+
+  /** CREATE a ref exclusively via [[Dfs.createExclusiveWithContent]] —
+    * the same CAS primitive the commit claims ride (atomic on HDFS,
+    * conditional-put on object stores, JVM-serialized on the weak local
+    * FS) — so of N concurrent creators of one name exactly one wins and
+    * the losers get the "already exists" error instead of silently
+    * clobbering each other (the check-then-write race the plain
+    * `writeBytes` path had). A cross-process crash between claim and
+    * content leaves an EMPTY ref file, which [[refOf]] reports as "no
+    * such ref" and a retry repairs (no committed ref is ever empty).
+    * Advances (fastForward's re-anchor) keep `writeBytes` — last-write-
+    * wins is correct there because the publish already serialized
+    * through the version claims. */
+  private def createRefExclusive(spark: SparkSession, base: String,
+      name: String, content: String): Unit = {
+    val p = refPath(base, name)
+    if (!Dfs.createExclusiveWithContent(spark, p,
+        content.getBytes("UTF-8"))) {
+      // claimed but contentless = a creator crashed mid-write (repair
+      // by rewriting); anything else is a live ref and the create
+      // refuses rather than clobbering it
+      require(refOf(spark, base, name).isEmpty &&
+        Dfs.statOf(spark, p).exists(_._2 == 0L),
+        s"ref '$name' already exists on $base")
+      Dfs.writeBytes(spark, p, content.getBytes("UTF-8"))
+    }
+  }
 
   /** The branch's own table root — a full manifest table under the
     * parent's directory (the `branch_` prefix is outside every payload
@@ -4234,7 +4653,7 @@ object Manifests {
       s"version $v of $base was never committed or is vacuumed")
     require(refOf(spark, base, name).isEmpty,
       s"ref '$name' already exists on $base")
-    Dfs.writeBytes(spark, refPath(base, name), s"tag\t$v\n".getBytes("UTF-8"))
+    createRefExclusive(spark, base, name, s"tag\t$v\n")
   }
 
   /** Fork the table's latest version into an isolated branch: one
@@ -4246,9 +4665,12 @@ object Manifests {
       sys.error(s"no committed version under $base"))
     require(refOf(spark, base, name).isEmpty,
       s"ref '$name' already exists on $base")
+    // ref FIRST (the exclusive create is the name-claim — the loser of
+    // a concurrent race must not have half-built a clone), clone second;
+    // a crash in between leaves a ref whose branch table has no
+    // versions yet, which every consumer already reports clearly
+    createRefExclusive(spark, base, name, s"branch\t$fork\n")
     shallowClone(spark, base, branchBaseOf(base, name), fork)
-    Dfs.writeBytes(spark, refPath(base, name),
-      s"branch\t$fork\n".getBytes("UTF-8"))
     fork
   }
 
@@ -4267,13 +4689,40 @@ object Manifests {
       sys.error(s"no ref '$name' on $base"))
     require(kind == "branch", s"ref '$name' is a $kind — fast-forward " +
       "takes a branch")
-    val mainLatest = latestVersion(spark, base).getOrElse(
+    val mainLatest0 = latestVersion(spark, base).getOrElse(
       sys.error(s"no committed version under $base"))
-    require(mainLatest == anchor,
-      s"main is at v$mainLatest but branch '$name' forked/published at " +
+    // stale-anchor recovery: a previous fastForward of THIS branch can
+    // crash between its commit and its ref write, leaving main's head
+    // tagged `wap:<name>` while the ref still points at the anchor the
+    // publish consumed. That head IS this branch's publish — repair the
+    // anchor instead of refusing forever with "main moved". Any other
+    // tag on a moved head is genuine divergence and still refuses.
+    val recovered = mainLatest0 != anchor &&
+      tagOf(spark, base, mainLatest0).map(_.trim).contains(s"wap:$name")
+    require(mainLatest0 == anchor || recovered,
+      s"main is at v$mainLatest0 but branch '$name' forked/published at " +
         s"v$anchor — main moved; re-branch from the current head " +
         "(fast-forward cannot merge diverged histories)")
+    val mainLatest =
+      if (recovered) {
+        Dfs.writeBytes(spark, refPath(base, name),
+          s"branch\t$mainLatest0\n".getBytes("UTF-8"))
+        mainLatest0
+      } else mainLatest0
     val bb = branchBaseOf(base, name)
+    // when the recovered head already carries the branch's current
+    // state, a re-publish would burn an identical version — return the
+    // repaired head instead (idempotent retry of the crashed publish)
+    if (recovered) {
+      val bvNow = latestVersion(spark, bb).getOrElse(
+        sys.error(s"branch '$name' has no committed version"))
+      val same =
+        files(spark, base, mainLatest).map(Dfs.canonical).toSet ==
+          files(spark, bb, bvNow).map(Dfs.canonical).toSet &&
+        dvFiles(spark, base, mainLatest).map(Dfs.canonical).toSet ==
+          dvFiles(spark, bb, bvNow).map(Dfs.canonical).toSet
+      if (same) return mainLatest
+    }
     val bv = latestVersion(spark, bb).getOrElse(
       sys.error(s"branch '$name' has no committed version"))
     val nv = commit(spark, base, files(spark, bb, bv),
@@ -4288,6 +4737,7 @@ object Manifests {
       dropped = Some(droppedOf(spark, bb, bv)),
       renames = Some(renamesOf(spark, bb, bv)),
       ndv = Some(ndvOf(spark, bb, bv)),
+      ndvKmv = Some(ndvKmvOf(spark, bb, bv)),
       // the branch's TRANSACTION LEDGER publishes too: an idempotent
       // writer that streamed epochs into the branch must find its
       // high-water marks on main after the publish, or its next
@@ -4324,6 +4774,41 @@ object Manifests {
       evictBase(bb)
     }
     !referenced
+  }
+
+  /** Files under `base` that a PARENT table's committed manifests
+    * still reference, when `base` is a branch directory (the
+    * [[branchBaseOf]] spelling `<parent>/branch_<name>`).
+    * [[fastForward]] publishes a branch head BY REFERENCE: main's new
+    * version points at data/DV/sidecar files living under the branch
+    * directory. The branch is an independent table, so its own
+    * vacuum/sweep would otherwise reclaim those files the moment the
+    * branch's history retires them — silent data loss on MAIN from a
+    * BRANCH-side maintenance call. Every branch-side reclaim
+    * ([[reclaimBelow]], [[sweepOrphans]]) treats these as live.
+    * Detection is structural (path spelling + parent manifests), not
+    * ref-gated: a ref-less branch directory kept alive by main's
+    * references (see [[dropRef]]) gets the same protection until main
+    * re-homes or retires the files. A parent that is not a manifest
+    * table has no committed versions and contributes nothing; an
+    * UNREADABLE committed parent version propagates — refusing the
+    * reclaim beats guessing what main references. Canonical
+    * spellings, for set arithmetic against manifest-listed files. */
+  private def publishedPins(spark: SparkSession, base: String): Set[String] = {
+    val q = Dfs.qualified(spark, base)
+    val cut = q.lastIndexOf('/')
+    if (cut <= 0) return Set.empty
+    if (!q.substring(cut + 1).startsWith("branch_")) return Set.empty
+    val parent = q.substring(0, cut)
+    val prefix = q + "/"
+    committedVersions(spark, parent).flatMap { v =>
+      (files(spark, parent, v) ++ dvFiles(spark, parent, v) ++
+        statsOf(spark, parent, v).toSeq.flatMap(_._2) ++
+        partitionedBy(spark, parent, v).toSeq.flatMap(_._2) ++
+        bloomOf(spark, parent, v).toSeq.flatMap(_._2))
+        .map(Dfs.canonical)
+        .filter(f => Dfs.qualified(spark, f).startsWith(prefix))
+    }.toSet
   }
 
   /** The oldest version any ref pins — tags directly, branches via

@@ -59,7 +59,19 @@ private[manifest] class ManifestDeltaOperation(spark: SparkSession,
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(DvScan.FileCol), Expressions.column(DvScan.PosCol))
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** CDF update images (`graft.cdf.updateImages`, default off): with
+    * the flag on, UPDATE actions arrive WHOLE (`DeltaWriter.update`)
+    * instead of split into delete+insert, and the writer records which
+    * rowIds/image files belong to updates — the metadata the
+    * `.changes` feed needs to emit Delta's
+    * `update_preimage`/`update_postimage` tags instead of a bare
+    * delete+insert pair. Off by default: the split representation is
+    * the back-compat shape every existing feed consumer pins. */
+  private[manifest] val cdfUpdateImages: Boolean =
+    spark.conf.getOption("graft.cdf.updateImages").exists(_.toBoolean)
+
+  override def representUpdateAsDeleteAndInsert(): Boolean =
+    !cdfUpdateImages
 
   override def description(): String =
     s"manifest-mor-$cmd($base@v${snapshot.getOrElse(-1)})"
@@ -143,6 +155,11 @@ private[manifest] class ManifestDeltaWrite(
   override def toBatch: DeltaBatchWrite = {
     val dataDir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
     val dvDir = s"$base/dv_${java.util.UUID.randomUUID().toString.take(8)}"
+    // update-image bookkeeping (graft.cdf.updateImages): UPDATE rowIds
+    // land in their own sidecar parquet under a `cdc_` dir the version
+    // records via `_cdcupd` — reference-counted with the version like
+    // every other payload dir
+    val cdcDir = s"$base/cdc_${java.util.UUID.randomUUID().toString.take(8)}"
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val dataFactory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, rowSchema)
@@ -154,28 +171,40 @@ private[manifest] class ManifestDeltaWrite(
       .prepareWrite(spark, dvJob, Map.empty, dvSchema)
     val conf = new SerializableConfiguration(job.getConfiguration)
     val dvConf = new SerializableConfiguration(dvJob.getConfiguration)
+    val images = op.cdfUpdateImages
     new DeltaBatchWrite {
       override def createBatchWriterFactory(
           phys: PhysicalWriteInfo): DeltaWriterFactory =
-        ManifestDeltaWriterFactory(dataDir, dvDir, rowSchema, dvSchema,
-          fileOrd, posOrd, dataFactory, dvFactory, conf, dvConf)
+        ManifestDeltaWriterFactory(dataDir, dvDir, cdcDir, rowSchema,
+          dvSchema, fileOrd, posOrd, dataFactory, dvFactory, conf,
+          dvConf, images)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val (data, dv) = messages.foldLeft(
-          (Seq.empty[String], Seq.empty[String])) {
-          case ((d, v), ManifestDeltaMessage(dp, vp)) => (d ++ dp, v ++ vp)
+        val (data, dv, post, updDv) = messages.foldLeft(
+          (Seq.empty[String], Seq.empty[String], Seq.empty[String],
+            Seq.empty[String])) {
+          case ((d, v, p, u), ManifestDeltaMessage(dp, vp, pp, up)) =>
+            (d ++ dp, v ++ vp, p ++ pp, u ++ up)
           case (acc, _) => acc
         }
         val dataQ = data.map(Dfs.qualified(spark, _))
         val dvQ = dv.map(Dfs.qualified(spark, _))
         val tag = Some(s"sql:${op.command().toString.toLowerCase}")
+        // `_cdcupd` is written whenever the flag armed this statement —
+        // even with zero updates — because its PRESENCE means "this
+        // version's update classification is complete", the proof the
+        // per-version feed branch needs to tag plain deletes as deletes
+        val cdc = if (images)
+          Some((post.map(Dfs.qualified(spark, _)),
+            updDv.map(Dfs.qualified(spark, _))))
+        else None
         snapshot match {
           case Some(v) =>
             if (dataQ.nonEmpty || dvQ.nonEmpty) {
               val conflict = op.condFilters
                 .flatMap(fs => FilterColumns.toColumn(fs))
               Manifests.commitDeltaWrite(spark, base, v, dvQ, dataQ,
-                tag, conflict)
+                tag, conflict, cdc)
               ()
             }
           case None =>
@@ -187,7 +216,9 @@ private[manifest] class ManifestDeltaWrite(
                 "committed version — unreachable rewrite shape")
             if (dataQ.nonEmpty) {
               Manifests.commit(spark, base, dataQ, tag,
-                schema = Some(rowSchema), parent = Some(-1))
+                schema = Some(rowSchema), parent = Some(-1),
+                cdcUpd = cdc.map(c => c._1.map(f =>
+                  s"P\t${Dfs.canonical(f)}")))
               ()
             }
         }
@@ -198,19 +229,23 @@ private[manifest] class ManifestDeltaWrite(
         catch { case scala.util.control.NonFatal(_) => () }
         try Dfs.delete(spark, dvDir, recursive = true)
         catch { case scala.util.control.NonFatal(_) => () }
+        try Dfs.delete(spark, cdcDir, recursive = true)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }
 }
 
 private[manifest] case class ManifestDeltaMessage(data: Seq[String],
-    dv: Seq[String]) extends WriterCommitMessage
+    dv: Seq[String], post: Seq[String] = Seq.empty,
+    updDv: Seq[String] = Seq.empty) extends WriterCommitMessage
 
 private[manifest] case class ManifestDeltaWriterFactory(dataDir: String,
-    dvDir: String, rowSchema: StructType, dvSchema: StructType,
-    fileOrd: Int, posOrd: Int,
+    dvDir: String, cdcDir: String, rowSchema: StructType,
+    dvSchema: StructType, fileOrd: Int, posOrd: Int,
     dataFactory: OutputWriterFactory, dvFactory: OutputWriterFactory,
-    conf: SerializableConfiguration, dvConf: SerializableConfiguration)
+    conf: SerializableConfiguration, dvConf: SerializableConfiguration,
+    updateImages: Boolean)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -219,8 +254,18 @@ private[manifest] case class ManifestDeltaWriterFactory(dataDir: String,
 
       private var dataOut: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var dvOut: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      // update-image streams (graft.cdf.updateImages): postimages are
+      // REAL data (their file joins the manifest like any image file)
+      // but kept separate so the feed can tell them from plain
+      // inserts; update rowIds go to the cdc sidecar IN ADDITION to
+      // the normal dv stream, so version semantics are identical with
+      // the flag on or off
+      private var postOut: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var updOut: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var dataPath: String = _
       private var dvPath: String = _
+      private var postPath: String = _
+      private var updPath: String = _
       private val dvRow = new GenericInternalRow(2)
 
       private def ctx(c: SerializableConfiguration) =
@@ -229,12 +274,15 @@ private[manifest] case class ManifestDeltaWriterFactory(dataDir: String,
             new org.apache.hadoop.mapreduce.JobID("graft-delta", 0),
             TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
 
+      private def partName(c: org.apache.hadoop.mapreduce.TaskAttemptContext,
+          fac: OutputWriterFactory) =
+        f"part-$partitionId%05d-${java.util.UUID
+          .randomUUID().toString.take(8)}-$taskId${fac.getFileExtension(c)}"
+
       override def delete(meta: InternalRow, id: InternalRow): Unit = {
         if (dvOut == null) {
           val c = ctx(dvConf)
-          dvPath = f"$dvDir/part-$partitionId%05d-${java.util.UUID
-            .randomUUID().toString.take(8)}-$taskId${
-            dvFactory.getFileExtension(c)}"
+          dvPath = s"$dvDir/${partName(c, dvFactory)}"
           dvOut = dvFactory.newInstance(dvPath, dvSchema, c)
         }
         dvRow.update(0, id.getUTF8String(fileOrd))
@@ -245,9 +293,7 @@ private[manifest] case class ManifestDeltaWriterFactory(dataDir: String,
       override def insert(row: InternalRow): Unit = {
         if (dataOut == null) {
           val c = ctx(conf)
-          dataPath = f"$dataDir/part-$partitionId%05d-${java.util.UUID
-            .randomUUID().toString.take(8)}-$taskId${
-            dataFactory.getFileExtension(c)}"
+          dataPath = s"$dataDir/${partName(c, dataFactory)}"
           dataOut = dataFactory.newInstance(dataPath, rowSchema, c)
         }
         dataOut.write(row)
@@ -257,18 +303,49 @@ private[manifest] case class ManifestDeltaWriterFactory(dataDir: String,
         insert(row)
 
       override def update(meta: InternalRow, id: InternalRow,
-          row: InternalRow): Unit = {
-        // unreachable under representUpdateAsDeleteAndInsert, but the
-        // decomposition is semantically identical if the engine ever
-        // routes one through
-        delete(meta, id)
-        insert(row)
+          row: InternalRow): Unit =
+        if (!updateImages) {
+          // representUpdateAsDeleteAndInsert=true normally keeps this
+          // unreachable; the decomposition is semantically identical
+          // if the engine ever routes one through
+          delete(meta, id)
+          insert(row)
+        } else {
+          // the delete half stays on the NORMAL dv stream (version
+          // semantics identical); the rowId additionally lands in the
+          // cdc sidecar and the postimage row in its own data file —
+          // together exactly the classification the feed re-emits as
+          // update_preimage/update_postimage
+          delete(meta, id)
+          if (updOut == null) {
+            val c = ctx(dvConf)
+            updPath = s"$cdcDir/${partName(c, dvFactory)}"
+            updOut = dvFactory.newInstance(updPath, dvSchema, c)
+          }
+          dvRow.update(0, id.getUTF8String(fileOrd))
+          dvRow.update(1, id.getLong(posOrd))
+          updOut.write(dvRow)
+          if (postOut == null) {
+            val c = ctx(conf)
+            postPath = s"$dataDir/${partName(c, dataFactory)}"
+            postOut = dataFactory.newInstance(postPath, rowSchema, c)
+          }
+          postOut.write(row)
+        }
+
+      private def closeAll(): Unit = {
+        if (dataOut != null) { dataOut.close(); dataOut = null }
+        if (dvOut != null) { dvOut.close(); dvOut = null }
+        if (postOut != null) { postOut.close(); postOut = null }
+        if (updOut != null) { updOut.close(); updOut = null }
       }
 
       override def commit(): WriterCommitMessage = {
-        if (dataOut != null) { dataOut.close(); dataOut = null }
-        if (dvOut != null) { dvOut.close(); dvOut = null }
-        ManifestDeltaMessage(Option(dataPath).toSeq, Option(dvPath).toSeq)
+        closeAll()
+        ManifestDeltaMessage(
+          Option(dataPath).toSeq ++ Option(postPath).toSeq,
+          Option(dvPath).toSeq,
+          Option(postPath).toSeq, Option(updPath).toSeq)
       }
 
       override def abort(): Unit = {
@@ -278,12 +355,9 @@ private[manifest] case class ManifestDeltaWriterFactory(dataDir: String,
             try new org.apache.hadoop.fs.Path(p).getFileSystem(conf.value)
               .delete(new org.apache.hadoop.fs.Path(p), false)
             catch { case scala.util.control.NonFatal(_) => () }
-        rm(dataPath); rm(dvPath)
+        rm(dataPath); rm(dvPath); rm(postPath); rm(updPath)
       }
 
-      override def close(): Unit = {
-        if (dataOut != null) { dataOut.close(); dataOut = null }
-        if (dvOut != null) { dvOut.close(); dvOut = null }
-      }
+      override def close(): Unit = closeAll()
     }
 }

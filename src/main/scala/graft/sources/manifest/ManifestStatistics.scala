@@ -30,9 +30,13 @@ import org.apache.spark.sql.types.StructType
   *    index the columnar scan already holds). Absent when a pruned
   *    file lacks a stats row; pushed row-level filters make it an
   *    upper bound, which estimation treats conservatively.
-  *  - `columnStats` (unfiltered scans): per-column min/max (zone-bound
-  *    fold, Catalyst-internal values), null counts (Σ per-file nulls)
-  *    and NDV (the ANALYZE-time `_ndv` estimates, [[Manifests.ndvOf]]).
+  *  - `columnStats`: per-column min/max (zone-bound fold,
+  *    Catalyst-internal values), null counts (Σ per-file nulls) and
+  *    NDV (the ANALYZE-time `_ndv` estimates, [[Manifests.ndvOf]],
+  *    kept current across appends by the KMV sketch fold). Filtered
+  *    scans get BOUNDS over their pruned file set (min/max zone folds,
+  *    NDV clamped by the subset's raw rows) — valid, conservatively
+  *    absent wherever a pruned file lacks its stats row.
   *
   * Why it matters: without this, a DSv2 relation that cannot report
   * falls back to `spark.sql.defaultSizeInBytes` (= Long.MaxValue) and
@@ -105,11 +109,17 @@ private[manifest] object ManifestStats {
     val factor = spark.sessionState.conf.fileCompressionFactor
     val sizeOut = math.max(1L, (liveBytes * factor).toLong)
 
-    // column statistics only for the whole-version shape: with pushed
-    // filters the zone fold would describe the UNFILTERED table — a
-    // misleading estimate is worse than none
+    // column statistics: exact-channel values on the whole-version
+    // shape; under pushed filters, BOUNDS over the PRUNED file set —
+    // every surviving row lives in a pruned file whose zone bounds are
+    // exact, so min/max folded over just those stats rows are valid
+    // (possibly loose) bounds for the filtered output, and NDV clamps
+    // to min(table NDV, pruned raw rows). Null counts stay absent under
+    // filters (survivor nulls are unknowable from zones). Conservative
+    // absence everywhere a pruned file lacks its stats row.
     val colStats: java.util.Map[NamedReference, ColumnStatistics] =
-      if (partFilters.nonEmpty || dataFilters.nonEmpty) new java.util.HashMap()
+      if (partFilters.nonEmpty || dataFilters.nonEmpty)
+        prunedColumnStats(spark, idx, output, pruned.map(_._1).toSet)
       else columnStats(spark, idx, output, exactRows,
         vectored = deleted.nonEmpty)
 
@@ -145,6 +155,50 @@ private[manifest] object ManifestStats {
       override def numRows(): OptionalLong =
         rows.fold(OptionalLong.empty())(OptionalLong.of)
     }
+  }
+
+  /** Column statistics for a FILTERED scan, bounded over its pruned
+    * file listing (canonical paths): zone-fold min/max via
+    * [[graft.ext.ManifestFileIndex.statBoundOver]], NDV = the ANALYZE
+    * estimate clamped by the subset's raw-row upper bound. Every value
+    * is a valid bound for the filtered output; null counts are not
+    * (survivors unknown) and stay absent. */
+  private def prunedColumnStats(spark: SparkSession,
+      idx: ManifestScanIndex, output: StructType,
+      prunedFiles: Set[String])
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val inner = idx.innerIndex.getOrElse(return out)
+    val ndv: Map[String, Long] = idx.versionOpt
+      .map(v => Manifests.ndvOf(spark, idx.basePath, v))
+      .getOrElse(Map.empty)
+    // ONE collect of the memoized stats rows, pure driver folds per
+    // column after it — statistics run at plan time, so this path
+    // must never cost a job
+    val rows = inner.statRowsOver(prunedFiles).getOrElse(return out)
+    val rowCap: Long = inner.rawRowsOver(rows)
+    val resolver = spark.sessionState.analyzer.resolver
+    output.fields.foreach { f =>
+      val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+      val minV = inner.statBoundOver(rows, f.name, isMin = true)
+        .flatten.map(conv)
+      val maxV = inner.statBoundOver(rows, f.name, isMin = false)
+        .flatten.map(conv)
+      val ndvHit = ndv.collectFirst {
+        case (c, n) if resolver(c, f.name) => math.min(n, rowCap) }
+      if (minV.isDefined || maxV.isDefined || ndvHit.isDefined)
+        out.put(Expressions.column(f.name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            ndvHit.fold(OptionalLong.empty())(OptionalLong.of)
+          override def min(): java.util.Optional[Object] =
+            java.util.Optional.ofNullable(
+              minV.map(_.asInstanceOf[Object]).orNull)
+          override def max(): java.util.Optional[Object] =
+            java.util.Optional.ofNullable(
+              maxV.map(_.asInstanceOf[Object]).orNull)
+        })
+    }
+    out
   }
 
   private def columnStats(spark: SparkSession, idx: ManifestScanIndex,

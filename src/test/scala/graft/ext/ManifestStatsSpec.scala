@@ -196,6 +196,147 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(q.collect().nonEmpty)
   }
 
+  test("NDV stays inside the sketch's error band across N appends, no ANALYZE") {
+    import spark.implicits._
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_stats_band").toString + "/t"
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i =>
+      (i.toLong, s"c_$i", s"N${i % 7}")).toDF(
+      "customer_key", "customer_id", "country")
+    Manifests.commitData(batch(1, 2000), b)
+    Manifests.analyze(spark, b, Seq("customer_key"))
+    // five appends, 2000 FRESH keys each → true NDV 12000; the stale
+    // inherit-verbatim estimate would still say ~2000 (6× under)
+    (1 to 5).foreach(i =>
+      Manifests.append(batch(i * 2000 + 1, (i + 1) * 2000), b))
+    val v = Manifests.latestVersion(spark, b).get
+    val est = Manifests.ndvOf(spark, b, v)("customer_key")
+    assert(est >= 10800 && est <= 13200,
+      s"NDV estimate $est outside ±10% of true 12000 after 5 appends")
+    // and the planner sees it: the unfiltered catalog scan reports the
+    // folded NDV, not the ANALYZE-time one
+    registerCatalog()
+    val (_, st) = scanStats(s"SELECT * FROM graft.`$b`").head
+    val ck = st.attributeStats.collectFirst {
+      case (a, c) if a.name == "customer_key" => c }.get
+    assert(ck.distinctCount.exists(n => n >= 10800 && n <= 13200))
+  }
+
+  test("CBO join reorder: sidecar NDV drives the join order (3-table star)") {
+    import spark.implicits._
+    registerCatalog()
+    def mkt(name: String, df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): String = {
+      val b = java.nio.file.Files
+        .createTempDirectory(s"graft_cbo_$name").toString + "/t"
+      Manifests.commitData(df, b)
+      Manifests.analyze(spark, b, keys)
+      b
+    }
+    // F: 100k rows, k1 NDV 100k, k2 NDV 1000. D1: 50k rows on k1
+    // (|F⋈D1| ≈ 50k). D2: 2 rows on k2 (|F⋈D2| ≈ 100k·2/1000 = 200).
+    // Only the NDV tier can rank (F⋈D2) ahead of the WRITTEN (F⋈D1).
+    val f = mkt("f", (1 to 100000).map(i =>
+      (i.toLong, (i % 1000).toLong, i * 1.5)).toDF("k1", "k2", "amt"),
+      Seq("k1", "k2"))
+    val d1 = mkt("d1", (1 to 50000).map(i =>
+      (i.toLong, s"d1_$i")).toDF("k1", "n1"), Seq("k1"))
+    val d2 = mkt("d2", Seq((7L, "d2_a"), (13L, "d2_b")).toDF("k2", "n2"),
+      Seq("k2"))
+    val q = s"""SELECT COUNT(*) AS n FROM graft.`$f` f
+               |JOIN graft.`$d1` d1 ON f.k1 = d1.k1
+               |JOIN graft.`$d2` d2 ON f.k2 = d2.k2""".stripMargin
+    def leafOrder(sqlText: String): Seq[String] =
+      spark.sql(sqlText).queryExecution.optimizedPlan.collectLeaves().map {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name()
+        case other => other.nodeName
+      }
+    def pos(order: Seq[String], b: String): Int =
+      order.indexWhere(_.contains(b.split("/").takeRight(2).mkString("/")))
+    val cboConfs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    try {
+      cboConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val reordered = leafOrder(q)
+      assert(pos(reordered, d2) < pos(reordered, d1),
+        s"CBO did not reorder the selective dim first: $reordered")
+      // k2 ∈ {7,13} → 100 fact rows each; d1 keeps k1 ≤ 50000 (half)
+      assert(spark.sql(q).head.getLong(0) === 100L)
+    } finally cboConfs.foreach { case (k, _) => spark.conf.unset(k) }
+    // without CBO the written order stands — the flip above is the
+    // NDV tier talking, not a syntactic accident
+    val written = leafOrder(q)
+    assert(pos(written, d1) < pos(written, d2),
+      s"baseline (CBO off) should keep the written join order: $written")
+  }
+
+  test("filtered scan reports PRUNED-set column bounds; NDV clamps to subset rows") {
+    import spark.implicits._
+    registerCatalog()
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_stats_prn").toString + "/t"
+    // range-clustered layout: each file holds a contiguous key slice,
+    // so a selective range filter prunes to a strict subset of files
+    val df = (1 to 8000).map(i => (i.toLong, s"c_$i")).toDF("k", "c")
+      .repartitionByRange(8, col("k"))
+    Manifests.commitData(df, b)
+    Manifests.analyze(spark, b, Seq("k"))
+    val (_, whole) = scanStats(s"SELECT * FROM graft.`$b`").head
+    val wk = whole.attributeStats.collectFirst {
+      case (a, c) if a.name == "k" => c }.get
+    assert(wk.max.contains(8000L) && wk.distinctCount.isDefined)
+    val (_, pruned) = scanStats(
+      s"SELECT * FROM graft.`$b` WHERE k <= 500").head
+    val pk = pruned.attributeStats.collectFirst {
+      case (a, c) if a.name == "k" => c }
+      .getOrElse(fail(s"filtered scan lost its column stats: $pruned"))
+    // bounds fold over the pruned files only: max is the top of the
+    // covering slice(s) — far below the table max, at or above 500
+    val pmax = pk.max.get.asInstanceOf[Long]
+    assert(pmax >= 500L && pmax <= 2000L,
+      s"pruned max $pmax should cover the filter but stay slice-sized")
+    // NDV clamps to the subset's raw rows (≤ 2 slices here)
+    assert(pk.distinctCount.exists(_ <= 2000L),
+      s"pruned NDV ${pk.distinctCount} must clamp to subset rows")
+    // null counts are unknowable for survivors — absent under filters
+    assert(pk.nullCount.isEmpty)
+  }
+
+  test("detour stats survive to PHYSICAL planning: renamed dim broadcasts under a fact join") {
+    import spark.implicits._
+    registerCatalog()
+    val dimB = java.nio.file.Files
+      .createTempDirectory("graft_stats_rsj_dim").toString + "/t"
+    val factB = java.nio.file.Files
+      .createTempDirectory("graft_stats_rsj_fact").toString + "/t"
+    Manifests.commitData(dimDf, dimB)
+    Manifests.analyze(spark, dimB, Seq("customer_key"))
+    // live rename → every read of the dim takes the V1 detour, whose
+    // stats only exist through ReportingV1ScanRelation; a later rule
+    // copy()ing the node back to the plain case class would silently
+    // revert to defaultSizeInBytes and this broadcast disappears —
+    // the physical plan IS the survival proof
+    Manifests.renameColumn(spark, dimB, "country", "region")
+    Manifests.commitData((1 to 200000).map(i =>
+      (i.toLong, (i % 1500 + 1).toLong, i * 2.0))
+      .toDF("invoice_no", "customer_key", "amount"), factB)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      val q = spark.sql(
+        s"""SELECT d.region, SUM(f.amount) AS amt
+           |FROM graft.`$factB` f JOIN graft.`$dimB` d
+           |  ON f.customer_key = d.customer_key
+           |GROUP BY d.region""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"detour-dim join did not broadcast — stats lost before " +
+          s"physical planning:\n${plan.take(3000)}")
+      assert(q.collect().length === 7)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("NDV sidecar inherits across commits and refreshes on re-ANALYZE") {
     import spark.implicits._
     val b = java.nio.file.Files
@@ -205,16 +346,30 @@ class ManifestStatsSpec extends AnyFunSuite {
     val v1 = Manifests.latestVersion(spark, b).get
     val n1 = Manifests.ndvOf(spark, b, v1)
     assert(n1.get("country").exists(n => n >= 6 && n <= 8))
-    // an append inherits the (now slightly stale) estimate — same
-    // contract as Spark's own catalog column stats
+    // an append FOLDS its batch's KMV sketch into the estimate (r15):
+    // 10 fresh countries land and NDV tracks them immediately — no
+    // re-ANALYZE, no stale inherit (the not-yet-full sketch is exact)
     Manifests.append((1 to 10).map(i =>
       (10000L + i, s"x_$i", s"M$i")).toDF(
       "customer_key", "customer_id", "country"), b)
     val v2 = Manifests.latestVersion(spark, b).get
-    assert(Manifests.ndvOf(spark, b, v2) === n1)
-    // re-ANALYZE refreshes
+    assert(Manifests.ndvOf(spark, b, v2)("country") === 17L,
+      "append must fold the batch sketch into the NDV estimate")
+    // re-ANALYZE agrees (HLL estimate of the same 17 values)
     Manifests.analyze(spark, b, Seq("country"))
     val v3 = Manifests.latestVersion(spark, b).get
-    assert(Manifests.ndvOf(spark, b, v3)("country") > n1("country"))
+    assert(Manifests.ndvOf(spark, b, v3).get("country")
+      .exists(n => n >= 16 && n <= 18))
+    // with the fold disabled, the append inherits the stale estimate
+    // verbatim — Spark's own catalog-column-stats contract
+    spark.conf.set("graft.ndv.incremental", "false")
+    try {
+      val n3 = Manifests.ndvOf(spark, b, v3)
+      Manifests.append(Seq((20001L, "y_1", "Z1")).toDF(
+        "customer_key", "customer_id", "country"), b)
+      val v4 = Manifests.latestVersion(spark, b).get
+      assert(Manifests.ndvOf(spark, b, v4) === n3,
+        "graft.ndv.incremental=false must restore the inherit-verbatim contract")
+    } finally spark.conf.unset("graft.ndv.incremental")
   }
 }

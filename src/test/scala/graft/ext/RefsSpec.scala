@@ -185,6 +185,97 @@ class RefsSpec extends AnyFunSuite {
       chain(e).contains("good"), chain(e))
   }
 
+  test("branch-side vacuum never reclaims files a published main still references") {
+    val b = mk("refth")
+    sql("CALL graft.system.branch('refth.t', 'audit')")
+    val bb = Manifests.branchBaseOf(b, "audit")
+    // the branch REWRITES everything (CoW UPDATE → fresh data dir under
+    // the branch), then publishes: main's new head points at files that
+    // live under the branch directory
+    sql(s"UPDATE graft.`$bb` SET s = 'published'")
+    sql("CALL graft.system.fast_forward('refth.t', 'audit')")
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refth.t " +
+      "WHERE s = 'published'").head.getLong(0) === 300)
+    // the branch keeps moving (the supported repeat-audit flow): its
+    // own history retires the published files…
+    sql(s"UPDATE graft.`$bb` SET s = 'next_audit_round'")
+    // …and a branch-side vacuum with keep_last=1 must NOT delete them —
+    // they are referenced by MAIN, which the branch's own manifests
+    // cannot see (the published-pin protection)
+    Manifests.vacuum(spark, bb, keepLast = 1)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refth.t " +
+      "WHERE s = 'published'").head.getLong(0) === 300,
+      "branch-side vacuum reclaimed files a published main references")
+    // main retires the published head; now nothing pins the old branch
+    // files and the NEXT branch vacuum may reclaim them
+    sql("UPDATE graft.refth.t SET s = 'rehomed'")
+    sql("CALL graft.system.vacuum('refth.t', 1)")
+    Manifests.vacuum(spark, bb, keepLast = 1)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.refth.t " +
+      "WHERE s = 'rehomed'").head.getLong(0) === 300)
+    assert(Manifests.readLatest(spark, bb)
+      .filter(col("s") === "next_audit_round").count() === 300,
+      "branch head must survive its own vacuum")
+  }
+
+  test("concurrent tag creators of one name: exactly one wins, content is the winner's") {
+    val b = mk("refti")
+    sql("INSERT INTO graft.refti.t VALUES (9001, 9, 'x')") // v1 exists
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+          // racers pin DIFFERENT versions — a lost race that silently
+          // overwrote would leave content from a loser
+          def call(): Option[Int] = {
+            val v = i % 2
+            try { Manifests.createTag(spark, b, "raced", v); Some(v) }
+            catch { case _: IllegalArgumentException => None }
+          }
+        })
+      }.map(_.get())
+      val winners = results.flatten
+      assert(winners.size === 1,
+        s"expected exactly one createTag winner, got $winners")
+      val pinned = sql(
+        "SELECT version FROM graft.refti.t.refs WHERE name = 'raced'")
+        .head.getInt(0)
+      assert(pinned === winners.head,
+        "ref content must be the race winner's version")
+    } finally pool.shutdown()
+  }
+
+  test("stale publish anchor (crash between commit and ref write) recovers instead of refusing forever") {
+    val b = mk("reftj")
+    sql("CALL graft.system.branch('reftj.t', 'audit')")
+    val bb = Manifests.branchBaseOf(b, "audit")
+    sql(s"INSERT INTO graft.`$bb` VALUES (9001, 99, 'staged')")
+    val published = Manifests.fastForward(spark, b, "audit")
+    // simulate the crash: the publish committed but the ref write never
+    // landed — rewind the ref to the pre-publish anchor
+    Dfs.writeBytes(spark, s"$b/_refs/audit",
+      s"branch\t${published - 1}\n".getBytes("UTF-8"))
+    // retry of the crashed publish: main's head is tagged wap:audit and
+    // carries the branch state — recovery repairs the ref and returns
+    // the existing head WITHOUT burning a duplicate version
+    assert(Manifests.fastForward(spark, b, "audit") === published,
+      "idempotent retry must return the already-published head")
+    assert(Manifests.latestVersion(spark, b).get === published,
+      "retry must not re-commit an identical publish")
+    // the repaired anchor lets the next audit cycle proceed normally
+    sql(s"INSERT INTO graft.`$bb` VALUES (9002, 99, 'staged2')")
+    assert(Manifests.fastForward(spark, b, "audit") === published + 1)
+    assert(sql("SELECT COUNT(*) AS n FROM graft.reftj.t").head.getLong(0)
+      === 302)
+    // a moved head with any OTHER tag still refuses — recovery is
+    // strictly the wap:<name> shape
+    sql("CALL graft.system.branch('reftj.t', 'other')")
+    sql("INSERT INTO graft.reftj.t VALUES (8001, 88, 'hot')")
+    val e = intercept[Throwable](
+      Manifests.fastForward(spark, b, "other"))
+    assert(e.getMessage.contains("main moved"), e.getMessage)
+  }
+
   test("branch fork point survives main's vacuum while the branch lives") {
     val b = mk("reftd")
     sql("CALL graft.system.branch('reftd.t', 'keepme')")

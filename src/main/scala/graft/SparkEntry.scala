@@ -658,6 +658,20 @@ object SparkEntry {
         .select("customer_key", "customer_id", "country", "_change_type")
         .orderBy("customer_id", "_change_type")
     }),
+    // the WRITE-PATH update classification (graft.cdf.updateImages):
+    // the per-version replay re-emits update_preimage/update_postimage
+    // from what the SupportsDelta writer RECORDED (`_cdcupd` + the cdc
+    // rowId sidecar) — no keys needed at read time, unlike
+    // change_feed_keyed's diff-side pairing, and preimages read from
+    // the parent version's retained files. Same logical content as the
+    // keyed feed on this fixture, so the same oracle shape pins both
+    // mechanisms against each other.
+    "change_feed_upd_images" -> ((s, d) => {
+      val b = mancdfUpdFixture(s, d)
+      ext.Manifests.changesAt(s, b, 1)
+        .select("customer_key", "customer_id", "country", "_change_type")
+        .orderBy("customer_id", "_change_type")
+    }),
     // change-data-feed between manifest versions: the v1->v2 diff of
     // the delete_versioned table (v1 = ANALYZE) is exactly the deleted
     // rows tagged 'delete' — the manifest prunes the diff to
@@ -1418,6 +1432,45 @@ object SparkEntry {
     c
   }
 
+  /** CDF update-image fixture: a customer-dim CTAS through the
+    * catalog, then ONE SQL MERGE under `graft.cdf.updateImages=true`
+    * (+ `graft.dml.mode=mor` so the clean table takes the
+    * SupportsDelta path) — NATION_3 customers relocate as UPDATE
+    * actions (rowIds recorded in the cdc sidecar, postimages in their
+    * own file) and `_B` clones of NATION_5 insert plain. v0→v1 holds
+    * exactly one delta write with its `_cdcupd` classification. */
+  private def mancdfUpdFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "mancdfupd")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).dimCustomer.repartition(8)
+        .createOrReplaceTempView("graft_cdfupd_src")
+      s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_cdfupd_src")
+      val dim = ext.Manifests.readAt(s, b, 0)
+      dim.filter(col("country") === "NATION_3")
+        .withColumn("country", lit("RELOCATED"))
+        .unionByName(dim.filter(col("country") === "NATION_5")
+          .select((col("customer_key") + 1000000L).as("customer_key"),
+            concat(col("customer_id"), lit("_B")).as("customer_id"),
+            lit("NATION_5B").as("country")))
+        .createOrReplaceTempView("graft_cdfupd_upd")
+      s.conf.set("graft.dml.mode", "mor")
+      s.conf.set("graft.cdf.updateImages", "true")
+      try s.sql(
+        s"""MERGE INTO graft.`$b` t USING graft_cdfupd_upd u
+           |ON t.customer_id = u.customer_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      finally {
+        s.conf.unset("graft.dml.mode")
+        s.conf.unset("graft.cdf.updateImages")
+      }
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   private def manmergeFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manmerge")
     val marker = s"${b}_done"
@@ -1885,6 +1938,23 @@ object SparkEntry {
     // the diff -> their images tag update_pre/postimage; NATION_5B keys
     // are insert-only
     "change_feed_keyed" ->
+      s"""${Oracle.warehouseCte}
+         | SELECT customer_key, customer_id, country,
+         |        'update_preimage' AS _change_type
+         | FROM dim_customer WHERE country = 'NATION_3'
+         | UNION ALL
+         | SELECT customer_key, customer_id, 'RELOCATED' AS country,
+         |        'update_postimage' AS _change_type
+         | FROM dim_customer WHERE country = 'NATION_3'
+         | UNION ALL
+         | SELECT customer_key + 1000000, customer_id || '_B',
+         |        'NATION_5B' AS country, 'insert' AS _change_type
+         | FROM dim_customer WHERE country = 'NATION_5'
+         | ORDER BY customer_id, _change_type""".stripMargin,
+    // same logical feed as change_feed_keyed, produced by the WRITE
+    // path's recorded classification instead of the keyed diff — one
+    // oracle pins both mechanisms
+    "change_feed_upd_images" ->
       s"""${Oracle.warehouseCte}
          | SELECT customer_key, customer_id, country,
          |        'update_preimage' AS _change_type

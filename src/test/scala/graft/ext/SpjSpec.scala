@@ -277,4 +277,64 @@ class SpjSpec extends AnyFunSuite {
       assert(rows === Map("N1" -> 250L * 5000, "N5" -> 250L * 5000))
     }
   }
+
+  test("runtime file pruning on the ordinary catalog read: a filtered dim prunes fact FILES") {
+    registerCatalog()
+    val df = java.nio.file.Files
+      .createTempDirectory("graft_dpp_f").toString + "/t"
+    val dd = java.nio.file.Files
+      .createTempDirectory("graft_dpp_d").toString + "/t"
+    splitCommit(factDf, df, Seq("country"))
+    // the dim is NOT filterable at plan time — only its runtime
+    // surviving join keys can prune the fact, which is exactly what
+    // SupportsRuntimeV2Filtering on DvParquetScan lowers to the
+    // manifest's partition/zone/bloom machinery
+    Manifests.commitData(dimDf, dd)
+    def factFiles(sqlText: String): (Int, Boolean) = {
+      val q = spark.sql(sqlText)
+      val scans = finalNodes(q).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[
+              graft.sources.manifest.DvParquetScan] &&
+              // COUNT(*) prunes every column, so identify the fact
+              // side by its table path in the scan description
+              b.toString.contains(df.stripPrefix("/")) => b
+      }
+      assert(scans.nonEmpty, "no columnar fact scan in the plan")
+      // FILES planned, not partitions: under KeyGroupedPartitioning the
+      // partition COUNT is preserved across runtime filtering (empty
+      // groups keep the distribution stable) — the pruning shows up in
+      // the file lists
+      val files = scans.map(_.inputRDD.partitions.map {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions.map {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.length
+            case _ => 0
+          }.sum
+        case _ => 0
+      }.sum).min
+      (files, scans.exists(_.runtimeFilters.nonEmpty))
+    }
+    val (unfiltered, _) = factFiles(
+      s"""SELECT COUNT(*) AS n FROM graft.`$df` f
+         |JOIN graft.`$dd` d ON f.country = d.country""".stripMargin)
+    val (filtered, hadRf) = factFiles(
+      s"""SELECT COUNT(*) AS n FROM graft.`$df` f
+         |JOIN graft.`$dd` d ON f.country = d.country
+         |WHERE d.customer_id IN ('cust_1', 'cust_9')""".stripMargin)
+    assert(hadRf, "no runtime filter reached the fact scan")
+    // cust_1 -> N1, cust_9 -> N1: one surviving country of eight — the
+    // fact side must plan strictly fewer FILES
+    assert(filtered < unfiltered,
+      s"runtime filter did not prune fact files: $filtered vs $unfiltered")
+    assert(filtered === 1, s"one surviving country = one split file, got $filtered")
+    // and the result stays exact
+    val n = spark.sql(
+      s"""SELECT COUNT(*) AS n FROM graft.`$df` f
+         |JOIN graft.`$dd` d ON f.country = d.country
+         |WHERE d.customer_id IN ('cust_1', 'cust_9')""".stripMargin)
+      .head.getLong(0)
+    assert(n === 2L * 5000)
+  }
 }

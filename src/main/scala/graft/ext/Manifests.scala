@@ -3517,8 +3517,15 @@ object Manifests {
   def changesBetweenWithUpdates(spark: SparkSession, base: String,
       from: Int, to: Int): DataFrame = {
     require(from <= to, s"bad change range: $from -> $to")
-    val steps = committedVersions(spark, base)
-      .filter(v => v > from && v <= to)
+    val committed = committedVersions(spark, base)
+    // `from` must still be committed: retention is suffix-shaped, so a
+    // committed `from` guarantees every step's parent resolves — a
+    // vacuumed one would make the first retained step masquerade as a
+    // whole-table insert snapshot (the changesBetween contract, made
+    // explicit here because changesAt(v0-after-vacuum) is valid alone)
+    require(committed.contains(from),
+      s"version $from of $base was never committed or is vacuumed")
+    val steps = committed.filter(v => v > from && v <= to)
     require(steps.nonEmpty || from == to,
       s"no committed versions of $base in ($from, $to]")
     if (steps.isEmpty)

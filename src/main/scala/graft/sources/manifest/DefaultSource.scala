@@ -452,8 +452,12 @@ private[manifest] class ManifestSource(sqlContext: SQLContext,
       case Some(from) if from >= to => emptyBatch
       case Some(from) if readChangeFeed =>
         // every commit kind is representable as change rows — the
-        // DV-aware, schema-aware version diff does the pruning
-        Manifests.changesBetween(spark, base, from, to)
+        // DV-aware, schema-aware version diff does the pruning;
+        // updateImages=true swaps in the per-version replay so
+        // flagged versions keep their update_preimage/postimage pairs
+        (if (parameters.get("updateImages").exists(_.toBoolean))
+          Manifests.changesBetweenWithUpdates(spark, base, from, to)
+        else Manifests.changesBetween(spark, base, from, to))
           .select(schema.fieldNames.map(col): _*)
       case Some(from) =>
         val fa = Manifests.files(spark, base, from).map(Dfs.canonical)

@@ -244,11 +244,18 @@ private[manifest] class ManifestChangesMicroBatchStream(
     options: CaseInsensitiveStringMap, checkpointDir: String)
     extends ManifestMicroBatchStream(spark, base, schema, options) {
 
+  private val updateImages =
+    Option(options.get("updateImages")).exists(_.toBoolean)
+
   private def materialized(from: Int, to: Int): Seq[String] = {
-    val dir = s"$checkpointDir/graft_cdf/b${from}_$to"
+    // the flag is part of the feed's identity: a checkpoint written
+    // under one shape must never be served for the other
+    val shape = if (updateImages) "u" else ""
+    val dir = s"$checkpointDir/graft_cdf/b${from}_$to$shape"
     val marker = s"$dir/_graft_cdf_done"
     if (!Dfs.exists(spark, marker)) {
-      ManifestChanges.feedBetween(spark, base, from, to, schema)
+      ManifestChanges.feedBetween(spark, base, from, to, schema,
+        updateImages)
         .write.mode("overwrite").parquet(dir)
       Dfs.touch(spark, marker)
     }
@@ -294,7 +301,10 @@ private[manifest] class ManifestChangesMicroBatchStream(
 private[manifest] object ManifestChanges {
 
   /** Materialized feed dirs under `<checkpoint>/graft_cdf/`. */
-  val batchDirPattern: scala.util.matching.Regex = "^b(-?\\d+)_(-?\\d+)$".r
+  // the optional "u" suffix marks update-image-shaped feeds (the flag
+  // is part of a materialized dir's identity); cleanup matches both
+  val batchDirPattern: scala.util.matching.Regex =
+    "^b(-?\\d+)_(-?\\d+)u?$".r
 
   /** The change rows of versions `(from, to]` (from < 0 → the whole
     * snapshot of `to`, tagged insert), ALIGNED to `schema`:
@@ -305,12 +315,22 @@ private[manifest] object ManifestChanges {
     * select fixes column order, so the rows always match the schema
     * the stream or batch relation resolved with. */
   def feedBetween(spark: SparkSession, base: String, from: Int, to: Int,
-      schema: StructType): org.apache.spark.sql.DataFrame = {
+      schema: StructType,
+      updateImages: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val raw =
       if (from < 0)
         Manifests.readAt(spark, base, to)
           .withColumn("_change_type", lit("insert"))
+      // updateImages=true serves the PER-VERSION replay: versions whose
+      // write recorded its classification (graft.cdf.updateImages)
+      // re-emit update_preimage/update_postimage pairs; unflagged
+      // versions fall back to the content diff per step. Delta CDF's
+      // semantics — intermediate changes visible — vs the endpoint
+      // diff's netting, so the two option shapes are deliberately
+      // distinct feeds, not one with extra tags.
+      else if (updateImages)
+        Manifests.changesBetweenWithUpdates(spark, base, from, to)
       else Manifests.changesBetween(spark, base, from, to)
     val have = raw.columns.map(_.toLowerCase).toSet
     // the table's full rename HISTORY (latest version's event list —
@@ -473,13 +493,16 @@ private[manifest] class ManifestChangesTable(spark: SparkSession,
             require(from <= to,
               s"startingVersion $from is past endingVersion $to of $base")
             val sch = feedSchema
+            val updImages =
+              Option(options.get("updateImages")).exists(_.toBoolean)
             new org.apache.spark.sql.sources.BaseRelation
                 with org.apache.spark.sql.sources.TableScan {
               override def sqlContext: org.apache.spark.sql.SQLContext = context
               override def schema: StructType = sch
               override def buildScan()
                   : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-                ManifestChanges.feedBetween(spark, base, from, to, sch).rdd
+                ManifestChanges.feedBetween(spark, base, from, to, sch,
+                  updImages).rdd
             }.asInstanceOf[T]
           }
         }

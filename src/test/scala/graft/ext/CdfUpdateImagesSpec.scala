@@ -171,6 +171,45 @@ class CdfUpdateImagesSpec extends AnyFunSuite {
       "fold over the update-image feed must equal the full recompute")
   }
 
+  test("the catalog .changes faces serve the replay under updateImages=true, default shape unchanged") {
+    val b = mk("cdfg", rows = 100)
+    withImages {
+      sql(s"UPDATE graft.`$b` SET s = 'img' WHERE id <= 25")
+    }
+    val w = Manifests.latestVersion(spark, b).get
+    // BATCH face: spark.read.option(...).table("graft.`<b>`.changes")
+    val batch = spark.read
+      .option("startingVersion", (w - 1).toString)
+      .option("endingVersion", w.toString)
+      .option("updateImages", "true")
+      .table(s"graft.`$b`.changes")
+    val counts = tagCounts(batch)
+    assert(counts.getOrElse("update_preimage", 0L) === 25L, counts.toString)
+    assert(counts.getOrElse("update_postimage", 0L) === 25L, counts.toString)
+    // default shape stays delete+insert (back-compat)
+    val plain = tagCounts(spark.read
+      .option("startingVersion", (w - 1).toString)
+      .option("endingVersion", w.toString)
+      .table(s"graft.`$b`.changes"))
+    assert(plain.getOrElse("delete", 0L) === 25L, plain.toString)
+    assert(plain.getOrElse("insert", 0L) === 25L, plain.toString)
+    // STREAMING face: the micro-batch feed under the same option
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdf_stream").toString
+    val q = spark.readStream
+      .option("startingVersion", (w - 1).toString)
+      .option("updateImages", "true")
+      .table(s"graft.`$b`.changes")
+      .writeStream.format("memory").queryName("cdf_upd_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = tagCounts(spark.table("cdf_upd_stream"))
+    assert(streamed.getOrElse("update_preimage", 0L) === 25L,
+      streamed.toString)
+    assert(streamed.getOrElse("update_postimage", 0L) === 25L,
+      streamed.toString)
+  }
+
   test("range replay concatenates per-version changes; vacuum reclaims dropped versions' cdc dirs") {
     val b = mk("cdff", rows = 100)
     withImages {

@@ -115,11 +115,23 @@ object Dfs {
       f.makeQualified(p).toString, _ => new Object)
     lock.synchronized {
       if (f.exists(p)) false
-      else try {
-        val out = f.create(p, /* overwrite = */ false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      else {
+        // losing the create race is a normal `false`; a failure while
+        // WRITING the payload is an I/O error that must surface — and
+        // must not leave a partial file behind, which would read as a
+        // live (garbage) payload and block every later create
+        val out =
+          try f.create(p, /* overwrite = */ false)
+          catch { case _: java.io.IOException => return false }
+        try { out.write(bytes); out.close(); true }
+        catch {
+          case e: java.io.IOException =>
+            try out.close() catch { case _: java.io.IOException => () }
+            try f.delete(p, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
+      }
     }
   }
 

@@ -782,25 +782,40 @@ object Manifests {
         .toLong)
 
   /** The k smallest distinct portable hashes of each `key` in `df` —
-    * ONE job for ALL keys (posexplode the per-row hash tuple, distinct
-    * with map-side combine, per-key bottom-k window over the few key
-    * partitions), over `df` only (for an append: the BATCH, never the
-    * table). A column `df` lacks contributes an empty sketch (the
-    * merge is a no-op for it); a null value hashes to null and drops.
-    * Values hash through their STRING form: deterministic per value,
-    * type-agnostic (ANSI allows string→binary where e.g.
-    * bigint→binary refuses), and the sketch only ever compares
-    * against itself — no cross-engine contract to keep. */
-  private def kmvSketchOf(df: DataFrame,
-      keys: Seq[String]): Map[String, Seq[Long]] = {
+    * ONE job for ALL keys, skew-free: each column's hashes filter at
+    * an ADMISSION THRESHOLD (only hashes that could possibly enter the
+    * bottom-k survive the scan stage), the tiny residue distincts and
+    * takes its per-column bottom-k. Exactness argument: survivors are
+    * EVERY distinct hash ≤ the threshold, so when a column's survivors
+    * reach k, the k smallest survivors ARE the k smallest overall.
+    * When a FINITE threshold leaves fewer than k survivors the
+    * bottom-k cannot be proven complete from the residue:
+    * `exactWhenShort=true` (ANALYZE, which builds sketches standalone)
+    * falls back to an exact per-column TakeOrdered pass (per-partition
+    * heaps + driver merge — bounded memory, never a single-task
+    * full-column sort); `false` (appends, whose threshold is the
+    * parent sketch's k-th value) keeps the short residue — a full
+    * parent sketch provably rejects anything above it, so the
+    * candidates ARE complete for the merge.
+    *
+    * A column `df` lacks contributes an empty sketch; null values hash
+    * to null and drop. Values hash through their STRING form:
+    * deterministic per value, type-agnostic (ANSI allows
+    * string→binary where e.g. bigint→binary refuses), and the sketch
+    * only ever compares against itself — no cross-engine contract. */
+  private def kmvSketchOf(df: DataFrame, keys: Seq[String],
+      thresholds: Map[String, Long],
+      exactWhenShort: Boolean): Map[String, Seq[Long]] = {
     val spark = df.sparkSession
     val present = keys.filter(df.columns.contains)
     if (present.isEmpty) return keys.map(_ -> Seq.empty[Long]).toMap
-    val hashes = array(present.map(k =>
-      graft.operators.Dedup.fastHash60(spark,
-        col(s"`$k`").cast("string"))): _*)
+    def hashOf(k: String) = graft.operators.Dedup.fastHash60(spark,
+      col(s"`$k`").cast("string"))
+    def tOf(k: String) = thresholds.getOrElse(k, Long.MaxValue)
+    val gated = array(present.map(k =>
+      when(hashOf(k) <= lit(tOf(k)), hashOf(k))): _*)
     import org.apache.spark.sql.expressions.Window
-    val mins = df.select(posexplode(hashes).as(Seq("__i", "__h")))
+    val mins = df.select(posexplode(gated).as(Seq("__i", "__h")))
       .filter(col("__h").isNotNull)
       .distinct()
       .withColumn("__rn", row_number().over(
@@ -809,10 +824,19 @@ object Manifests {
       .select("__i", "__h").collect()
     val byIdx: Map[Int, Seq[Long]] = mins.groupBy(_.getInt(0))
       .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
-    keys.map(k => k -> {
+    keys.map { k =>
       val i = present.indexOf(k)
-      if (i < 0) Seq.empty[Long] else byIdx.getOrElse(i, Seq.empty[Long])
-    }).toMap
+      k -> (if (i < 0) Seq.empty[Long]
+      else {
+        val got = byIdx.getOrElse(i, Seq.empty[Long])
+        if (got.size >= ndvKmvK || tOf(k) == Long.MaxValue ||
+            !exactWhenShort) got
+        else df.filter(col(s"`$k`").isNotNull)
+          .select(hashOf(k).as("h")).distinct()
+          .orderBy("h").limit(ndvKmvK)
+          .collect().map(_.getLong(0)).toSeq
+      })
+    }.toMap
   }
 
   /** Union-merge two KMV sketches: distinct hashes, k smallest. */
@@ -887,7 +911,19 @@ object Manifests {
     // that re-ANALYZEs on schedule can skip the per-append fold)
     val sketches: Map[String, Seq[Long]] =
       if (keys.isEmpty || !ndvIncremental(spark)) Map.empty
-      else kmvSketchOf(readAt(spark, base, v), keys)
+      else {
+        // admission thresholds from the fresh HLL estimates: uniform
+        // hashes put the k-th smallest near 2^60·k/ndv, so 32× that
+        // admits the true bottom-k with enormous slack while cutting
+        // a near-unique column's shuffle by ~ndv/(32k); a threshold
+        // that still proves short falls back to exact (exactWhenShort)
+        val ts = ndvs.map { case (k, n) =>
+          k -> (if (n <= 32L * ndvKmvK) Long.MaxValue
+          else (math.pow(2, 60) * 32.0 * ndvKmvK / n).toLong)
+        }
+        kmvSketchOf(readAt(spark, base, v), keys, ts,
+          exactWhenShort = true)
+      }
     commit(spark, base, fs, None, dvFiles(spark, base, v),
       schemaOf(spark, base, v), Some((keys, Seq(dir))), parent = Some(v),
       partValues = partitionedBy(spark, base, v),
@@ -2933,7 +2969,16 @@ object Manifests {
         prev.map(ndvKmvOf(spark, base, _)).filter(_.nonEmpty)
           .filter(_ => ndvIncremental(spark)).map { parentKmv =>
             val batchDf = eraRead(spark, Nil, newFiles, Some(tableSchema))
-            val fresh = kmvSketchOf(batchDf, parentKmv.keys.toSeq)
+            // a FULL parent sketch rejects any hash above its k-th
+            // value by construction, so that value is an EXACT
+            // admission threshold for the batch — steady-state appends
+            // ship a handful of candidate hashes, not the batch's
+            // distinct set (short residue is complete here, unlike
+            // ANALYZE's estimated thresholds)
+            val ts = parentKmv.collect {
+              case (c, s) if s.size >= ndvKmvK => c -> s.last }
+            val fresh = kmvSketchOf(batchDf, parentKmv.keys.toSeq, ts,
+              exactWhenShort = false)
             val merged = parentKmv.map { case (c, old) =>
               c -> kmvMerge(old, fresh.getOrElse(c, Seq.empty)) }
             val prevNdv = prev.map(ndvOf(spark, base, _)).getOrElse(Map.empty)
@@ -3002,10 +3047,36 @@ object Manifests {
     * append already committed, and the census re-fires on the next
     * one. Census + scoping are manifest/sidecar arithmetic only; the
     * rewrite cost is ∝ the hot partition's small-file backlog. */
+  /** Immutable-file size memo for the auto-compact census: data files
+    * are never rewritten in place (every write lands a fresh path), so
+    * a (canonical path → length) entry is valid for the process
+    * lifetime. Keeps the per-append census at O(new files) metadata
+    * RPCs instead of O(table) — the doc'd "manifest/sidecar arithmetic
+    * only" promise. Crudely bounded: a pathological many-table process
+    * resets rather than growing without limit. */
+  private val fileSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sizeOfCached(spark: SparkSession, f: String): Long = {
+    if (fileSizeCache.size > 262144) fileSizeCache.clear()
+    val k = Dfs.canonical(f)
+    val hit = fileSizeCache.get(k)
+    if (hit != null) hit.longValue()
+    else {
+      val v = Dfs.statOf(spark, f).map(_._2).getOrElse(0L)
+      fileSizeCache.put(k, v)
+      v
+    }
+  }
+
   private def maybeAutoCompact(spark: SparkSession, base: String): Unit = {
-    val minFiles = spark.conf.getOption("graft.autocompact.minFiles")
-      .map(_.toInt).getOrElse(return)
+    val minFilesStr = spark.conf.getOption("graft.autocompact.minFiles")
+      .getOrElse(return)
+    // EVERYTHING below the conf probe sits inside the guard — a
+    // malformed knob (or any failure) must never fail the append this
+    // policy pass follows
     try {
+      val minFiles = minFilesStr.toInt
       val v = latestVersion(spark, base).getOrElse(return)
       if (dvFiles(spark, base, v).nonEmpty) return
       val smallBytes = spark.conf.getOption("graft.autocompact.smallBytes")
@@ -3013,11 +3084,15 @@ object Manifests {
       val targetBytes = spark.conf.getOption("graft.autocompact.targetBytes")
         .map(_.toLong).getOrElse(128L << 20)
       val cur0 = files(spark, base, v)
+      // phase 1 — cheap census: sizes from the immutable-file memo
+      // (misses are the freshly-appended files after the first pass);
+      // a table with no possible hot group exits before paying any
+      // per-file index construction
       val sized: Map[String, Long] = cur0.map(f =>
-        Dfs.canonical(f) -> Dfs.statOf(spark, f).map(_._2).getOrElse(0L))
-        .toMap
-      // partition scoping via the recorded tuples when the purity
-      // proof holds; otherwise one table-wide group
+        Dfs.canonical(f) -> sizeOfCached(spark, f)).toMap
+      if (sized.values.count(_ < smallBytes) < minFiles) return
+      // phase 2 — partition scoping via the recorded tuples when the
+      // purity proof holds; otherwise one table-wide group
       val groups: Seq[Seq[String]] =
         new ManifestFileIndex(spark, base, v).purePartitionTuples match {
           case Some((_, tuples)) =>
@@ -3425,6 +3500,14 @@ object Manifests {
     require(committed.contains(w),
       s"version $w of $base was never committed or is vacuumed")
     val prevOpt = committed.filter(_ < w).lastOption
+    // a policy compaction is content-preserving BY CONSTRUCTION
+    // (Delta's dataChange=false): its replay step is provably empty,
+    // so serve empty instead of paying a content diff that shuffles
+    // the hot partition's rows just to cancel them — on a table with
+    // auto-compact armed that diff would recur every few epochs
+    if (tagOf(spark, base, w).contains("autocompact"))
+      return readAt(spark, base, w).limit(0)
+        .withColumn("_change_type", lit(""))
     prevOpt match {
       case None =>
         readAt(spark, base, w).withColumn("_change_type", lit("insert"))
@@ -4609,13 +4692,30 @@ object Manifests {
     val p = refPath(base, name)
     if (!Dfs.createExclusiveWithContent(spark, p,
         content.getBytes("UTF-8"))) {
-      // claimed but contentless = a creator crashed mid-write (repair
-      // by rewriting); anything else is a live ref and the create
-      // refuses rather than clobbering it
+      // claimed but contentless = a creator crashed between claim and
+      // payload; anything else is a live ref and the create refuses
+      // rather than clobbering it
       require(refOf(spark, base, name).isEmpty &&
         Dfs.statOf(spark, p).exists(_._2 == 0L),
         s"ref '$name' already exists on $base")
-      Dfs.writeBytes(spark, p, content.getBytes("UTF-8"))
+      // the REPAIR itself must be exclusive: two racers that both saw
+      // the empty file would otherwise both write and both proceed
+      // (e.g. two createBranch calls cloning into one directory). The
+      // repair claim is the same CAS primitive; the winner replaces
+      // the residue, the loser refuses. A crash mid-repair leaves the
+      // marker behind — refuse loudly with its path (operator removes
+      // it) rather than guessing which half-state is live.
+      val claim = s"$p.__repair"
+      require(Dfs.createExclusive(spark, claim),
+        s"ref '$name' on $base is mid-repair (another creator is " +
+          s"replacing crashed residue, or a repair crashed — remove " +
+          s"$claim if no creator is live)")
+      try {
+        Dfs.delete(spark, p)
+        require(Dfs.createExclusiveWithContent(spark, p,
+          content.getBytes("UTF-8")),
+          s"ref '$name' already exists on $base")
+      } finally { Dfs.delete(spark, claim); () }
     }
   }
 
@@ -4673,11 +4773,20 @@ object Manifests {
     require(refOf(spark, base, name).isEmpty,
       s"ref '$name' already exists on $base")
     // ref FIRST (the exclusive create is the name-claim — the loser of
-    // a concurrent race must not have half-built a clone), clone second;
-    // a crash in between leaves a ref whose branch table has no
-    // versions yet, which every consumer already reports clearly
+    // a concurrent race must not have half-built a clone), clone
+    // second. An IN-PROCESS clone failure releases the name again so a
+    // retry can succeed (the previous order self-healed this; the
+    // claim-first order must do it explicitly) — only a hard CRASH
+    // leaves a version-less branch ref, which every consumer reports
+    // clearly and dropRef removes.
     createRefExclusive(spark, base, name, s"branch\t$fork\n")
-    shallowClone(spark, base, branchBaseOf(base, name), fork)
+    try shallowClone(spark, base, branchBaseOf(base, name), fork)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try Dfs.delete(spark, refPath(base, name))
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     fork
   }
 
@@ -4719,15 +4828,37 @@ object Manifests {
     val bb = branchBaseOf(base, name)
     // when the recovered head already carries the branch's current
     // state, a re-publish would burn an identical version — return the
-    // repaired head instead (idempotent retry of the crashed publish)
+    // repaired head instead (idempotent retry of the crashed publish).
+    // "Same" must cover EVERYTHING a publish carries, not just data:
+    // a metadata-only branch change after the crash (ADD COLUMN,
+    // constraint, rename, tombstone, re-ANALYZE) would otherwise be
+    // silently swallowed by a "successful" retry that published
+    // nothing.
     if (recovered) {
       val bvNow = latestVersion(spark, bb).getOrElse(
         sys.error(s"branch '$name' has no committed version"))
+      def canon(fs: Seq[String]) = fs.map(Dfs.canonical).toSet
       val same =
-        files(spark, base, mainLatest).map(Dfs.canonical).toSet ==
-          files(spark, bb, bvNow).map(Dfs.canonical).toSet &&
-        dvFiles(spark, base, mainLatest).map(Dfs.canonical).toSet ==
-          dvFiles(spark, bb, bvNow).map(Dfs.canonical).toSet
+        canon(files(spark, base, mainLatest)) ==
+          canon(files(spark, bb, bvNow)) &&
+        canon(dvFiles(spark, base, mainLatest)) ==
+          canon(dvFiles(spark, bb, bvNow)) &&
+        schemaOf(spark, base, mainLatest).map(_.json) ==
+          schemaOf(spark, bb, bvNow).map(_.json) &&
+        constraintsOf(spark, base, mainLatest).toSet ==
+          constraintsOf(spark, bb, bvNow).toSet &&
+        droppedOf(spark, base, mainLatest).toSet ==
+          droppedOf(spark, bb, bvNow).toSet &&
+        renamesOf(spark, base, mainLatest) ==
+          renamesOf(spark, bb, bvNow) &&
+        ndvOf(spark, base, mainLatest) == ndvOf(spark, bb, bvNow) &&
+        statsOf(spark, base, mainLatest).map(s => (s._1, canon(s._2))) ==
+          statsOf(spark, bb, bvNow).map(s => (s._1, canon(s._2))) &&
+        partitionedBy(spark, base, mainLatest)
+          .map(s => (s._1, canon(s._2))) ==
+          partitionedBy(spark, bb, bvNow).map(s => (s._1, canon(s._2))) &&
+        bloomOf(spark, base, mainLatest).map(s => (s._1, canon(s._2))) ==
+          bloomOf(spark, bb, bvNow).map(s => (s._1, canon(s._2)))
       if (same) return mainLatest
     }
     val bv = latestVersion(spark, bb).getOrElse(

@@ -66,6 +66,36 @@ class AutoCompactSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.write.splitByPartition")
   }
 
+  test("a malformed knob never fails the append it follows; the replay feed skips policy versions") {
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_ac_knob").toString + "/t"
+    Manifests.commitData(batch(1, 50, 0).coalesce(1), b)
+    // malformed minFiles: the append must still commit durably (the
+    // policy pass swallows its own failures by contract)
+    spark.conf.set("graft.autocompact.minFiles", "8 files")
+    try {
+      assert(Manifests.appendBatch(batch(51, 60, 0).coalesce(1), b, 1L,
+        "acknob").isDefined,
+        "append must survive a malformed autocompact knob")
+    } finally spark.conf.unset("graft.autocompact.minFiles")
+    assert(Manifests.readLatest(spark, b).count() === 60)
+    // a REAL policy pass is content-preserving (dataChange=false): its
+    // per-version replay step must be EMPTY, not a content diff that
+    // shuffles the partition to cancel itself
+    withPolicy(3) {
+      (2 to 5).foreach(i =>
+        Manifests.appendBatch(batch(i * 100, i * 100 + 9, 0)
+          .coalesce(1), b, i.toLong, "acknob"))
+    }
+    val v = Manifests.latestVersion(spark, b).get
+    val acVersions = (0 to v).filter(w =>
+      Manifests.tagOf(spark, b, w).contains("autocompact"))
+    assert(acVersions.nonEmpty, "fixture must exercise the policy")
+    acVersions.foreach(w =>
+      assert(Manifests.changesAt(spark, b, w).count() === 0,
+        s"autocompact version $w must replay as empty"))
+  }
+
   test("policy off: small files accumulate (the baseline the knob exists to fix)") {
     val b = java.nio.file.Files
       .createTempDirectory("graft_ac_off").toString + "/t"

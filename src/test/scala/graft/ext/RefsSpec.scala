@@ -262,15 +262,28 @@ class RefsSpec extends AnyFunSuite {
       "idempotent retry must return the already-published head")
     assert(Manifests.latestVersion(spark, b).get === published,
       "retry must not re-commit an identical publish")
+    // a METADATA-ONLY branch change after the crash must still
+    // publish on retry — "same state" covers schema/constraints/etc.,
+    // not just file sets (a swallowed ADD COLUMN would report success
+    // while main silently misses the column)
+    Dfs.writeBytes(spark, s"$b/_refs/audit",
+      s"branch\t${published - 1}\n".getBytes("UTF-8"))
+    Manifests.addColumn(spark, bb, "extra",
+      org.apache.spark.sql.types.IntegerType)
+    val republished = Manifests.fastForward(spark, b, "audit")
+    assert(republished === published + 1,
+      "a post-crash metadata change must force a real re-publish")
+    assert(sql("SELECT extra FROM graft.reftj.t LIMIT 1").columns
+      .contains("extra"))
     // the repaired anchor lets the next audit cycle proceed normally
-    sql(s"INSERT INTO graft.`$bb` VALUES (9002, 99, 'staged2')")
-    assert(Manifests.fastForward(spark, b, "audit") === published + 1)
+    sql(s"INSERT INTO graft.`$bb` VALUES (9002, 99, 'staged2', NULL)")
+    assert(Manifests.fastForward(spark, b, "audit") === published + 2)
     assert(sql("SELECT COUNT(*) AS n FROM graft.reftj.t").head.getLong(0)
       === 302)
     // a moved head with any OTHER tag still refuses — recovery is
     // strictly the wap:<name> shape
     sql("CALL graft.system.branch('reftj.t', 'other')")
-    sql("INSERT INTO graft.reftj.t VALUES (8001, 88, 'hot')")
+    sql("INSERT INTO graft.reftj.t VALUES (8001, 88, 'hot', NULL)")
     val e = intercept[Throwable](
       Manifests.fastForward(spark, b, "other"))
     assert(e.getMessage.contains("main moved"), e.getMessage)

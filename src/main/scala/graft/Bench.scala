@@ -67,6 +67,7 @@ object Bench {
     // clone_table shares restore_table's fixture; steady after it
     "drop_column", // one-time dump + metadata drop
     "change_feed_upd_images", // catalog CTAS + image-recording MERGE
+    "autocompact_roundtrip", // seed + 7 policy-armed appends
     // change_feed_keyed deliberately NOT here: its fixture (manmerge) is
     // already warmed via merge_versioned, so its timed number is the real
     // keyed-diff cost, not a build artifact

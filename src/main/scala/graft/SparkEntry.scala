@@ -700,6 +700,38 @@ object SparkEntry {
         moneyDouble(s.read.parquet(comp).select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // AUTO-compaction roundtrip (Delta's autoCompact as a policy):
+    // the cleaned lineage lands as 1 seed + 7 hash-sliced appends with
+    // graft.autocompact.minFiles armed, so the policy fires its scoped
+    // rewrites MID-LINEAGE — the oracle pins that every bin-pack was
+    // content-preserving (same rows as the clean lineage, exactly)
+    "autocompact_roundtrip" -> ((s, d) => {
+      val b = dumpDir(s, d, "manac")
+      val marker = s"${b}_done"
+      if (!ext.Dfs.exists(s, marker)) {
+        val cl = Warehouse(s, d).cleaned
+        val sliced = cl.withColumn("_sl",
+          pmod(operators.Dedup.fastHash60(s, col("invoice_no")),
+            lit(8L)).cast("int"))
+        ext.Manifests.commitData(
+          sliced.filter(col("_sl") === 0).drop("_sl").coalesce(1), b)
+        s.conf.set("graft.autocompact.minFiles", "4")
+        try (1 to 7).foreach(i =>
+          ext.Manifests.appendBatch(
+            sliced.filter(col("_sl") === i).drop("_sl").coalesce(1),
+            b, i.toLong, "acq"): Unit)
+        finally s.conf.unset("graft.autocompact.minFiles")
+        val v = ext.Manifests.latestVersion(s, b).get
+        require((0 to v).exists(w =>
+          ext.Manifests.tagOf(s, b, w).contains("autocompact")),
+          "autocompact fixture never tripped the policy")
+        ext.Dfs.touch(s, marker)
+      }
+      orderedAsc(
+        moneyDouble(ext.Manifests.readLatest(s, b)
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // schema evolution through the MANIFEST: the append records the
     // union schema in the version metadata, so the read null-fills old
     // files from ONE manifest-level schema — no mergeSchema footer
@@ -1976,6 +2008,10 @@ object SparkEntry {
          | 'delete' AS _change_type FROM cleaned
          | WHERE country = 'NATION_7' ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     "compact_roundtrip" ->
+      s"${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
+    // bin-packing is content-preserving: the policy-compacted lineage
+    // reads back as exactly the clean lineage
+    "autocompact_roundtrip" ->
       s"${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned ORDER BY ${orderBySql(stagingCols)}",
     "snapshot_monthly_v0" ->
       s"""${Oracle.warehouseCte} SELECT

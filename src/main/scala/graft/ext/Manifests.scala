@@ -3493,8 +3493,12 @@ object Manifests {
     *    elided.
     * A version written WITHOUT the flag falls back to the content
     * diff ([[changesBetween]] prev→w, delete+insert tags); version 0
-    * is all `insert`. Cost ∝ churn: only new/retired/churned files
-    * are read, never the table. */
+    * is all `insert`. Every row additionally carries
+    * `_commit_version = w` (Delta CDF's provenance column — range
+    * consumers order and attribute intermediate changes by it; the
+    * catalog faces align to their fixed schema and drop it). Cost ∝
+    * churn: only new/retired/churned files are read, never the
+    * table. */
   def changesAt(spark: SparkSession, base: String, w: Int): DataFrame = {
     val committed = committedVersions(spark, base)
     require(committed.contains(w),
@@ -3505,10 +3509,11 @@ object Manifests {
     // so serve empty instead of paying a content diff that shuffles
     // the hot partition's rows just to cancel them — on a table with
     // auto-compact armed that diff would recur every few epochs
+    val step: DataFrame =
     if (tagOf(spark, base, w).contains("autocompact"))
-      return readAt(spark, base, w).limit(0)
+      readAt(spark, base, w).limit(0)
         .withColumn("_change_type", lit(""))
-    prevOpt match {
+    else prevOpt match {
       case None =>
         readAt(spark, base, w).withColumn("_change_type", lit("insert"))
       case Some(prev) => cdcOf(spark, base, w) match {
@@ -3586,6 +3591,11 @@ object Manifests {
           else parts.reduce(_.unionByName(_))
       }
     }
+    // Delta CDF's provenance column: which commit produced each row —
+    // what lets a range consumer order and attribute intermediate
+    // changes. API faces carry it; the catalog `.changes` faces align
+    // to their fixed analyzed schema and drop it (documented there).
+    step.withColumn("_commit_version", lit(w))
   }
 
   /** Range change feed with update images: the CONCATENATION of
@@ -3614,6 +3624,7 @@ object Manifests {
     if (steps.isEmpty)
       readAt(spark, base, to).limit(0)
         .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(to))
     else steps.map(w => changesAt(spark, base, w))
       // schema may have evolved mid-range: the feed serves the union
       // schema, null-filling older steps (Delta CDF's behavior)

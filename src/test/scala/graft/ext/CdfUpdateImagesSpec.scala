@@ -224,6 +224,13 @@ class CdfUpdateImagesSpec extends AnyFunSuite {
       .count() === 40)
     assert(feed.filter(col("_change_type") === "update_postimage")
       .count() === 40)
+    // _commit_version attributes each round's images to its commit —
+    // the provenance a range consumer orders by (Delta CDF parity)
+    val byVer = feed.filter(col("_change_type") === "update_preimage")
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byVer === Map((w - 1) -> 20L, w -> 20L),
+      s"per-commit attribution wrong: $byVer")
     def cdcDirs: Seq[String] = Dfs.list(spark, b)
       .map(_.getPath.getName).filter(_.startsWith("cdc_")).toSeq
     assert(cdcDirs.size === 2)

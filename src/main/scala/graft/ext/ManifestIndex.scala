@@ -137,7 +137,13 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
   private def pureMatchFiles(
       dataFilters: Seq[Expression]): Option[Set[String]] =
     partMeta.flatMap { case (pcols, pvSegs) =>
-      ManifestFileIndex.strictValuePredicate(dataFilters, pcols,
+      // EXACT answers admit IDENTITY fields only: a month tuple cannot
+      // decide a mid-month predicate on the source column, so
+      // transformed fields never join a purity proof — the strict
+      // translator refuses any conjunct they would have to carry,
+      // which fails the proof conservatively (scan, never wrong)
+      ManifestFileIndex.strictValuePredicate(dataFilters,
+        PartitionTransforms.identitySources(pcols),
         spark.sessionState.analyzer.resolver).flatMap { pred =>
         import org.apache.spark.sql.functions.{count, sum, when}
         val cls = SidecarCache.localDf(spark, pvSegs)
@@ -395,7 +401,12 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
       val sch = pv.schema
       val fi = sch.fieldIndex("file")
       val resolver = spark.sessionState.analyzer.resolver
-      val idxs = pcols.map(c => sch.fieldNames.indexWhere(resolver(_, c)))
+      // tuple columns resolve by their SIDECAR names — the source name
+      // for identity fields, the derived name (`ts_month`, `k_bucket`)
+      // for transforms; the returned spec strings let the scan report
+      // the matching connector Transform per field
+      val idxs = PartitionTransforms.parseAll(pcols)
+        .map(f => sch.fieldNames.indexWhere(resolver(_, f.tupleName)))
       if (idxs.exists(_ < 0)) None
       else {
         val grouped = pv.collect() // metadata-sized: rows per (file, tuple)
@@ -419,7 +430,8 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     * partition, zone-stats and bloom keys, the same set the CoW DML
     * scan advertises for runtime group filtering. */
   lazy val prunableColumns: Seq[String] =
-    (partMeta.map(_._1).getOrElse(Seq.empty) ++
+    (partMeta.map(m => PartitionTransforms.sources(m._1))
+        .getOrElse(Seq.empty) ++
       stats.map(_._1).getOrElse(Seq.empty) ++
       blooms.map(_._1).getOrElse(Seq.empty)).distinct
 
@@ -687,65 +699,127 @@ object ManifestFileIndex {
     case leaf => valueOf(leaf, pcols, resolver)
   }
 
+  /** One leaf (or And/Or tree) translated over the PARSED partition
+    * spec. Fields match by SOURCE column; identity fields translate
+    * exactly as before (tuple column == source column), transformed
+    * fields LOWER the source predicate to the tuple domain:
+    *
+    *  - equality / IN → tuple-equality on the transformed literal
+    *    (every transform is a function, so `src = v ⇒ T(src) = T(v)`);
+    *  - ranges → WIDENED tuple ranges for monotonic transforms
+    *    (`src > v ⇒ T(src) >= T(v)` — strictness is lost at the
+    *    transform's granularity, which only keeps extra files);
+    *  - null tests → tuple null tests for null-preserving transforms;
+    *    bucket maps null to the seed's bucket, so IS NULL becomes
+    *    equality on that bucket and IS NOT NULL refuses;
+    *  - bucket refuses all ranges (hash order is meaningless).
+    *
+    * When several fields share a source (`months(ts)` + `days(ts)`),
+    * every translatable field contributes and the conjunction prunes
+    * with all of them. Untranslatable leaves refuse (None) — pruning
+    * skipped, conservative. */
   private def valueOf(e: Expression, pcols: Seq[String],
-      resolver: (String, String) => Boolean): Option[Column] = e match {
-    case And(l, r) => (valueOf(l, pcols, resolver), valueOf(r, pcols, resolver)) match {
-      case (Some(a), Some(b)) => Some(a && b)
-      case (a, b) => a.orElse(b) // untranslatable conjunct: keep the other
+      resolver: (String, String) => Boolean): Option[Column] = {
+    val fields = PartitionTransforms.parseAll(pcols)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    def matching(a: AttributeReference): Seq[PartField] =
+      fields.filter(f => resolver(f.source, a.name))
+    def tcol(f: PartField): Column = col(s"`${f.tupleName}`")
+    /** Transformed literal as an external lit(), refusing null results
+      * (a null comparand never matches under `===`/ranges — refusal
+      * keeps the files instead of dropping all of them). */
+    def tlit(f: PartField, l: Literal): Option[Column] =
+      if (f.isIdentity) scalaLit(l)
+      else if (l.value == null) None
+      else f.evalLiteral(l, tz).filter(_ != null).map(lit)
+    def allOf(cs: Seq[Column]): Option[Column] =
+      if (cs.isEmpty) None else Some(cs.reduce(_ && _))
+    def eq(a: AttributeReference, l: Literal): Option[Column] =
+      allOf(matching(a).flatMap(f => tlit(f, l).map(tcol(f) === _)))
+    def range(a: AttributeReference, l: Literal,
+        greater: Boolean, orEqual: Boolean): Option[Column] =
+      allOf(matching(a).flatMap {
+        case f if f.isIdentity => scalaLit(l).map { v =>
+          (greater, orEqual) match {
+            case (true, false) => tcol(f) > v
+            case (true, true) => tcol(f) >= v
+            case (false, false) => tcol(f) < v
+            case (false, true) => tcol(f) <= v
+          }
+        }
+        case f if f.monotonic => tlit(f, l).map(v =>
+          if (greater) tcol(f) >= v else tcol(f) <= v)
+        case _ => None // bucket: hash order is meaningless
+      })
+    def inList(a: AttributeReference, ls: Seq[Literal]): Option[Column] =
+      if (ls.isEmpty || ls.size > maxInValues) None
+      else allOf(matching(a).flatMap { f =>
+        val vs = ls.map(tlit(f, _))
+        // all-or-nothing PER FIELD: dropping one value would narrow
+        // the IN-set and prune wrongly; dropping the field only skips
+        // its conjunct (conservative)
+        if (vs.exists(_.isEmpty)) None
+        else Some(orBalanced(vs.flatten.map(tcol(f) === _).distinct))
+      })
+    def isNull(a: AttributeReference): Option[Column] =
+      allOf(matching(a).flatMap {
+        case f if f.transform != "bucket" => Some(tcol(f).isNull)
+        case f => // null rows live in the seed's bucket
+          f.evalLiteral(Literal(null, a.dataType), tz)
+            .filter(_ != null).map(v => tcol(f) === lit(v))
+      })
+    e match {
+      case And(l, r) =>
+        (valueOf(l, pcols, resolver), valueOf(r, pcols, resolver)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b) // untranslatable conjunct: keep the other
+        }
+      case Or(l, r) =>
+        for { a <- valueOf(l, pcols, resolver)
+              b <- valueOf(r, pcols, resolver) } yield a || b
+      case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) isNull(a) else eq(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        if (l.value == null) isNull(a) else eq(a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        range(a, l, greater = true, orEqual = false)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        range(a, l, greater = false, orEqual = false)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        range(a, l, greater = true, orEqual = true)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        range(a, l, greater = false, orEqual = true)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        range(a, l, greater = false, orEqual = false)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        range(a, l, greater = true, orEqual = false)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        range(a, l, greater = false, orEqual = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        range(a, l, greater = true, orEqual = true)
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        inList(a, vs.map(_.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, vs) =>
+        if (vs.isEmpty || vs.size > maxInValues) None
+        else {
+          val ls = vs.toSeq.map(v =>
+            scala.util.Try(Literal(v, a.dataType)).toOption)
+          if (ls.exists(_.isEmpty)) None else inList(a, ls.flatten)
+        }
+      case IsNull(a: AttributeReference) => isNull(a)
+      case IsNotNull(a: AttributeReference) =>
+        allOf(matching(a).flatMap {
+          // null-preserving transforms: non-null source ⇒ non-null
+          // tuple; bucket cannot decide (the null bucket also holds
+          // real values) and refuses
+          case f if f.transform != "bucket" => Some(tcol(f).isNotNull)
+          case _ => None
+        })
+      case _ => None
     }
-    case Or(l, r) =>
-      for { a <- valueOf(l, pcols, resolver); b <- valueOf(r, pcols, resolver) } yield a || b
-    case EqualTo(a: AttributeReference, l: Literal) =>
-      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) === v
-    case EqualTo(l: Literal, a: AttributeReference) =>
-      valueOf(EqualTo(a, l), pcols, resolver)
-    case EqualNullSafe(a: AttributeReference, l: Literal) =>
-      if (l.value == null) pcols.find(resolver(_, a.name)).map(col(_).isNull)
-      else valueOf(EqualTo(a, l), pcols, resolver)
-    case EqualNullSafe(l: Literal, a: AttributeReference) =>
-      valueOf(EqualNullSafe(a, l), pcols, resolver)
-    case GreaterThan(a: AttributeReference, l: Literal) =>
-      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) > v
-    case GreaterThan(l: Literal, a: AttributeReference) =>
-      valueOf(LessThan(a, l), pcols, resolver)
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) >= v
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-      valueOf(LessThanOrEqual(a, l), pcols, resolver)
-    case LessThan(a: AttributeReference, l: Literal) =>
-      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) < v
-    case LessThan(l: Literal, a: AttributeReference) =>
-      valueOf(GreaterThan(a, l), pcols, resolver)
-    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-      for { k <- pcols.find(resolver(_, a.name)); v <- scalaLit(l) } yield col(k) <= v
-    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-      valueOf(GreaterThanOrEqual(a, l), pcols, resolver)
-    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      pcols.find(resolver(_, a.name)).flatMap { k =>
-        if (vs.isEmpty || vs.size > maxInValues) None
-        else {
-          val cs = vs.map(v => scalaLit(v.asInstanceOf[Literal]))
-          if (cs.exists(_.isEmpty)) None
-          else Some(orBalanced(cs.flatten.map(col(k) === _)))
-        }
-      }
-    case InSet(a: AttributeReference, vs) =>
-      pcols.find(resolver(_, a.name)).flatMap { k =>
-        val dt = a.dataType
-        if (vs.isEmpty || vs.size > maxInValues) None
-        else {
-          val cs = vs.toSeq.map(v =>
-            scala.util.Try(lit(CatalystTypeConverters.convertToScala(v, dt)))
-              .toOption.filter(_ => v != null))
-          if (cs.exists(_.isEmpty)) None
-          else Some(orBalanced(cs.flatten.map(col(k) === _)))
-        }
-      }
-    case IsNull(a: AttributeReference) =>
-      pcols.find(resolver(_, a.name)).map(col(_).isNull)
-    case IsNotNull(a: AttributeReference) =>
-      pcols.find(resolver(_, a.name)).map(col(_).isNotNull)
-    case _ => None
   }
 
   /** The zone test for one expression, or None when it (or a branch of

@@ -1226,17 +1226,36 @@ object Manifests {
   /** One distributed scan: the distinct partition tuples each of
     * `data`'s files contains, written as a tiny parquet keyed by file
     * path. Metadata-sized output: a row per (file, tuple) — with a
-    * clustered write that is ~1 tuple per file. */
+    * clustered write that is ~1 tuple per file. `cols` are partition
+    * SPECS ([[PartitionTransforms]]): identity fields record the raw
+    * column under its own name, transformed fields record the DERIVED
+    * value (`months(ts)` → `ts_month`) — the values pruning and SPJ
+    * group files by. */
   private def writePartValues(spark: SparkSession, base: String,
       data: Seq[String], cols: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): String = {
     val dir = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
-    schema.fold(spark.read)(spark.read.schema(_)).parquet(data: _*)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
+    val df = schema.fold(spark.read)(spark.read.schema(_)).parquet(data: _*)
+    df.select(input_file_name().as("file") +:
+        tupleColumns(df.schema, cols): _*)
       .distinct()
       .write.mode("errorifexists").parquet(dir)
     dir
   }
+
+  /** The spec list's tuple-derivation columns over a frame carrying the
+    * source columns, each aliased to its sidecar tuple name. */
+  private def tupleColumns(
+      schema: org.apache.spark.sql.types.StructType,
+      specs: Seq[String]): Seq[Column] =
+    PartitionTransforms.parseAll(specs).map { f =>
+      val srcType = schema.fields.find(_.name == f.source)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(f.source)))
+        .map(_.dataType).getOrElse(sys.error(
+          s"partition spec ${f.spec}: source column '${f.source}' is " +
+            "not in the data schema"))
+      f.tupleColumn(srcType).as(f.tupleName)
+    }
 
   /** Carry partition metadata across a rewrite: keep the tuples of
     * untouched files, re-derive only the rewritten ones — the same
@@ -1422,12 +1441,16 @@ object Manifests {
     // overwrite semantics, like the plain writers here: a retried
     // attempt must not trip over a partial earlier landing
     if (Dfs.exists(spark, dir)) Dfs.delete(spark, dir, recursive = true)
-    val aliases = partCols.map(c => s"__gp_$c")
+    // the split key is the TUPLE value (transform-derived for hidden
+    // partitioning) — a monthly-partitioned write splits at month
+    // boundaries, a bucketed one at bucket boundaries
+    val tuples = tupleColumns(df.schema, partCols)
+    val aliases = tuples.zipWithIndex.map { case (_, i) => s"__gp_$i" }
     val tmp = s"$dir/_split"
-    val dup = partCols.zip(aliases).foldLeft(df) {
-      case (d, (c, a)) => d.withColumn(a, col(c)) }
-    dup.repartition(n, partCols.map(col): _*)
-      .sortWithinPartitions(partCols.map(col): _*)
+    val dup = tuples.zip(aliases).foldLeft(df) {
+      case (d, (c, a)) => d.withColumn(a, c) }
+    dup.repartition(n, tuples: _*)
+      .sortWithinPartitions(tuples: _*)
       .write.mode("errorifexists").partitionBy(aliases: _*).parquet(tmp)
     Dfs.dataFilesDeep(spark, tmp).zipWithIndex.foreach { case (st, i) =>
       Dfs.rename(spark, st.getPath.toString,
@@ -1442,8 +1465,9 @@ object Manifests {
       recordSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Int = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
-    partCols.foreach(c => require(df.columns.contains(c),
-      s"partition column '$c' is not in the schema"))
+    PartitionTransforms.sources(partCols).foreach(c =>
+      require(df.columns.contains(c),
+        s"partition source column '$c' is not in the schema"))
     val spark = df.sparkSession
     // PARTITION-SPEC EVOLUTION is pinned, not accidental (Delta's refusal
     // shape): each version records its own spec (`_partcols`), so a
@@ -1467,10 +1491,15 @@ object Manifests {
       else spark.sessionState.conf.numShufflePartitions
     if (splitByPartition(spark))
       writeSplitByTuple(df, dir, partCols, n)
-    else
-      df.repartitionByRange(n, partCols.map(col): _*)
-        .sortWithinPartitions(partCols.map(col): _*)
+    else {
+      // cluster by the TUPLE values so each file covers ~one tuple —
+      // under a transform spec that means month/bucket clustering, not
+      // raw source clustering (which for bucket would scatter)
+      val tuples = tupleColumns(df.schema, partCols)
+      df.repartitionByRange(n, tuples: _*)
+        .sortWithinPartitions(tuples: _*)
         .write.mode("errorifexists").parquet(dir)
+    }
     val files = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     enforceConstraints(spark, base, latestVersion(spark, base), files,
       Some(df.schema), overwrite = true)
@@ -2829,7 +2858,8 @@ object Manifests {
     val splitCols = pre.flatMap(v => partitionedBy(spark, base, v))
       .map(_._1)
       .filter(_ => splitByPartition(spark))
-      .filter(cs => cs.nonEmpty && cs.forall(batch.columns.contains))
+      .filter(cs => cs.nonEmpty && PartitionTransforms.sources(cs)
+        .forall(batch.columns.contains))
     splitCols match {
       case Some(cols) =>
         writeSplitByTuple(batch, dir, cols,
@@ -3843,15 +3873,23 @@ object Manifests {
         "dynamic INSERT OVERWRITE needs a partitioned table"))
     val pcols = pv._1
     if (written.isEmpty) return v
+    // region discovery and the replacement predicate both speak TUPLE
+    // values: under a transform spec the written data's months/buckets
+    // are derived exactly as the sidecar derives them, and the
+    // predicate compares the sidecar's tuple columns — Hive dynamic
+    // semantics at transform granularity (a monthly table replaces the
+    // months the batch touches)
+    val fields = PartitionTransforms.parseAll(pcols)
     val tuples = spark.read.schema(writeSchema).parquet(written: _*)
-      .select(pcols.map(c => col(s"`$c`")): _*)
+      .select(tupleColumns(writeSchema, pcols): _*)
       .distinct().limit(1001).collect().toSeq
     require(tuples.length <= 1000,
       "dynamic INSERT OVERWRITE touches more than 1000 distinct " +
         "partitions — use whole-table INSERT OVERWRITE instead")
     if (tuples.isEmpty) return v
-    val pred = tuples.map(t => pcols.zipWithIndex.map { case (c, i) =>
-      col(s"`$c`") <=> lit(t.get(i)) }.reduce(_ && _)).reduce(_ || _)
+    val pred = tuples.map(t => fields.zipWithIndex.map { case (f, i) =>
+      col(s"`${f.tupleName}`") <=> lit(t.get(i)) }.reduce(_ && _))
+      .reduce(_ || _)
     overwriteRegionWithFiles(spark, base, v, pred, written, pv,
       schemaOf(spark, base, v))
   }
@@ -3882,20 +3920,32 @@ object Manifests {
     val boundary = cur.filterNot(f => dropped(f) || carried(f))
     def rd(fs: Seq[String]) =
       eraRead(spark, renamesOf(spark, base, v), fs, sch)
+    // the predicate speaks the TUPLE domain (sidecar column names) —
+    // over DATA rows the transformed tuples must be DERIVED first
+    // (identity specs derive nothing and read the raw columns)
+    def dataHit(df: DataFrame, keep: Boolean): DataFrame = {
+      val derived = PartitionTransforms.parseAll(pv._1)
+        .filterNot(_.isIdentity)
+        .filterNot(f => df.columns.contains(f.tupleName))
+      val ext = derived.foldLeft(df)((d, f) =>
+        d.withColumn(f.tupleName,
+          f.tupleColumn(d.schema(f.source).dataType)))
+      ext.filter(if (keep) hit else !hit)
+        .select(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+    }
     val survivors =
       if (boundary.isEmpty) Seq.empty[String]
       else {
         val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
-        rd(boundary)
-          .filter(!hit)
+        dataHit(rd(boundary), keep = false)
           .repartition(math.max(1, boundary.size))
           .write.mode("errorifexists").parquet(dir)
         Dfs.dataFiles(spark, dir).map(_.getPath.toString).toSeq
       }
     replaceFiles(spark, base, v, (dropped ++ boundary).toSet,
       survivors ++ added, tag = Some("sql:insert_overwrite"),
-      conflictsWith = fresh => rd(fresh)
-        .filter(hit).limit(1).count() > 0)
+      conflictsWith = fresh =>
+        dataHit(rd(fresh), keep = true).limit(1).count() > 0)
   }
 
   /** Copy-on-write UPDATE ... SET — the third leg of the DML triad
@@ -4149,9 +4199,10 @@ object Manifests {
     require(sch.fields.length > 1,
       s"cannot drop the last remaining column '$name'")
     partitionedBy(spark, base, v).foreach { case (pcols, _) =>
-      require(!pcols.contains(name),
-        s"'$name' is a partition column of $base — re-partition " +
-          "(commitDataPartitioned overwrite) before dropping it")
+      require(!PartitionTransforms.sources(pcols).contains(name),
+        s"'$name' is a partition (source) column of $base — " +
+          "re-partition (commitDataPartitioned overwrite) before " +
+          "dropping it")
     }
     constraintsOf(spark, base, v).foreach { case (cn, p) =>
       val refs = spark.sessionState.sqlParser.parseExpression(p).collect {
@@ -4285,9 +4336,11 @@ object Manifests {
         "the parquet reader performs natively are metadata-only; " +
         "anything else needs an explicit rewrite")
     partitionedBy(spark, base, v).foreach { case (pcols, _) =>
-      require(!pcols.exists(resolver(_, name)),
-        s"'$name' is a partition column of $base — re-partition " +
-          "(commitDataPartitioned overwrite) before widening it")
+      require(!PartitionTransforms.sources(pcols)
+          .exists(resolver(_, name)),
+        s"'$name' is a partition (source) column of $base — " +
+          "re-partition (commitDataPartitioned overwrite) before " +
+          "widening it")
     }
     val widened = org.apache.spark.sql.types.StructType(
       sch.fields.map(f => if (resolver(f.name, name))
@@ -4434,9 +4487,11 @@ object Manifests {
         "name would resurrect them; overwrite the table to clear the " +
         "tombstone")
     partitionedBy(spark, base, v).foreach { case (pcols, _) =>
-      require(!pcols.exists(resolver(_, from)),
-        s"'$from' is a partition column of $base — re-partition " +
-          "(commitDataPartitioned overwrite) before renaming it")
+      require(!PartitionTransforms.sources(pcols)
+          .exists(resolver(_, from)),
+        s"'$from' is a partition (source) column of $base — " +
+          "re-partition (commitDataPartitioned overwrite) before " +
+          "renaming it")
     }
     constraintsOf(spark, base, v).foreach { case (cn, p) =>
       val refs = spark.sessionState.sqlParser.parseExpression(p).collect {

@@ -189,6 +189,12 @@ private[manifest] object CatalogSupport {
     Manifests.partitionedBy(spark, base, v).exists { case (pcols, _) =>
       val resolver = spark.sessionState.analyzer.resolver
       val refs = filters.flatMap(_.references)
-      refs.nonEmpty && refs.forall(r => pcols.exists(resolver(_, r)))
+      // IDENTITY sources only: metadata-only DML regions are EXACT
+      // over the recorded tuples, and a predicate on a transform's
+      // source (e.g. one day of a monthly table) addresses rows the
+      // month tuple cannot delimit — those shapes keep the row-level
+      // path instead of widening to the whole transform granule
+      val exact = graft.ext.PartitionTransforms.identitySources(pcols)
+      refs.nonEmpty && refs.forall(r => exact.exists(resolver(_, r)))
     }
 }

@@ -134,7 +134,8 @@ private[manifest] class ManifestDeltaWrite(
     * of funneling 90% of the deltas through one writer. */
   override protected val clusterCols: Seq[String] =
     snapshot.flatMap(v =>
-      Manifests.partitionedBy(spark, base, v).map(_._1))
+      Manifests.partitionedBy(spark, base, v)
+        .map(m => graft.ext.PartitionTransforms.sources(m._1)))
       .getOrElse(Seq.empty)
       .filter(rowSchema.fieldNames.contains) :+ DvScan.FileCol
 

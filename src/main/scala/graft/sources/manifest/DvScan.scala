@@ -175,9 +175,12 @@ class DvParquetScan(sp: SparkSession,
     if (!sp.sessionState.conf.v2BucketingEnabled) None
     else idx.innerIndex.flatMap(_.purePartitionTuples).filter {
       case (pcols, _) =>
+        // Spark resolves the reported transforms' REFERENCES against
+        // the scan output — every SOURCE column must be projected
         val resolver = sp.sessionState.analyzer.resolver
         val out = readSchema().fieldNames
-        pcols.forall(c => out.exists(resolver(_, c)))
+        graft.ext.PartitionTransforms.sources(pcols)
+          .forall(c => out.exists(resolver(_, c)))
     }
 
   /** [[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]:
@@ -195,10 +198,16 @@ class DvParquetScan(sp: SparkSession,
           .flatMap(_.files)
           .flatMap(f => tuples.get(Dfs.canonical(f.getPath.toString)))
           .distinct
+        // each spec reports its own connector Transform — identity for
+        // plain columns, bucket/months/… for hidden partitioning;
+        // Spark resolves the named transforms through the catalog's
+        // FunctionCatalog face ([[GraftPartitionFunctions]]), and two
+        // tables bucketed the same way join with zero Exchange
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            pcols.map(org.apache.spark.sql.connector.expressions
-              .Expressions.identity).toArray,
+            graft.ext.PartitionTransforms.parseAll(pcols)
+              .map(_.v2Transform: org.apache.spark.sql.connector
+                .expressions.Expression).toArray,
             math.max(pruned.length, 1))
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
@@ -219,11 +228,14 @@ class DvParquetScan(sp: SparkSession,
         val maxSplit = org.apache.spark.sql.execution.datasources
           .FilePartition.maxSplitBytes(sp, dirs)
         val resolver = sp.sessionState.analyzer.resolver
-        val convs = pcols.map { c =>
+        // the split key carries TUPLE values — catalyst-converted at
+        // the TRANSFORM's output type (int months/buckets, date days),
+        // not the source column's
+        val convs = graft.ext.PartitionTransforms.parseAll(pcols).map { pf =>
           val f = dataSch.fields(
-            dataSch.fieldNames.indexWhere(resolver(_, c)))
+            dataSch.fieldNames.indexWhere(resolver(_, pf.source)))
           org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .createToCatalystConverter(f.dataType)
+            .createToCatalystConverter(pf.outputType(f.dataType))
         }
         var i = -1
         dirs.flatMap(_.files)

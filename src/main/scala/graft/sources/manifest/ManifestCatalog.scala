@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables costs what a directory of 100k small files costs, and the
   * per-QUERY costs are unchanged manifest costs. */
 class ManifestCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "manifest"
   private var warehouse: String = _
@@ -85,6 +86,21 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procedures.all.keys.toArray.sorted
       .map(n => Identifier.of(Array("system"), n))
+
+  // ---- partition-transform functions (the SPJ resolution face) -----
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftPartitionFunctions.unbound(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftPartitionFunctions.names
+      .map(n => Identifier.of(namespace, n)).toArray
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftPartitionFunctions.unbound(ident.name).isDefined
 
   private def isPath(ident: Identifier): Boolean =
     ident.namespace.isEmpty &&
@@ -256,14 +272,16 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : Table = {
-    val partCols = partitions.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"manifest tables support identity PARTITIONED BY columns only " +
-          s"(got $t)")
-      t.references.head.fieldNames.mkString(".")
-    }.toSeq
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the schema"))
+    // HIDDEN PARTITIONING: `PARTITIONED BY (c)` records identity,
+    // `PARTITIONED BY (months(ts), bucket(16, k), truncate(4, s))`
+    // records transform SPECS ([[graft.ext.PartitionTransforms]]) —
+    // partition values stay derived, never materialized as schema
+    // columns, and source-column predicates lower to tuple pruning
+    val partCols = partitions.map(t =>
+      graft.ext.PartitionTransforms.fromV2(t)).toSeq
+    val resolver = spark.sessionState.analyzer.resolver
+    partCols.foreach(s =>
+      graft.ext.PartitionTransforms.parse(s).validate(schema, resolver))
     if (isPath(ident)) {
       // path-addressed CTAS: no registration to write — the identifier
       // IS the location; the returned handle carries the declared

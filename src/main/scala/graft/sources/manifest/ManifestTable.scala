@@ -110,7 +110,7 @@ class ManifestTable(spark: SparkSession, val base: String,
     val cols = currentVersion
       .flatMap(v => Manifests.partitionedBy(spark, base, v).map(_._1))
       .getOrElse(declaredPartCols)
-    cols.map(Expressions.identity).toArray
+    cols.map(graft.ext.PartitionTransforms.parse(_).v2Transform).toArray
   }
 
   override def properties(): util.Map[String, String] = {
@@ -247,7 +247,8 @@ class ManifestTable(spark: SparkSession, val base: String,
             s"cannot write to $base pinned at version ${pinned.getOrElse(-1)}")
           val parts = tableParts
           return new ManifestParquetWrite(spark, base, info.schema(),
-            clusterCols = parts, commitFn = { written =>
+            clusterCols = graft.ext.PartitionTransforms.sources(parts),
+            commitFn = { written =>
               Manifests.latestVersion(spark, base) match {
                 case Some(_) =>
                   Manifests.overwriteDynamicFiles(spark, base, written,
@@ -272,7 +273,8 @@ class ManifestTable(spark: SparkSession, val base: String,
         // file per partition it touches
         override protected def spark: SparkSession = ManifestTable.this.spark
         override protected val clusterCols: Seq[String] =
-          tableParts.filter(info.schema().fieldNames.contains)
+          graft.ext.PartitionTransforms.sources(tableParts)
+            .filter(info.schema().fieldNames.contains)
         // `df.writeStream.toTable("graft.ns.t")`: the same Write serves
         // the streaming engine — per-epoch parquet streamed by tasks,
         // each epoch an idempotent manifest append (Append mode only)
@@ -486,7 +488,8 @@ private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
   private[manifest] lazy val prunableCols: Seq[String] =
     snapshot.fold(Seq.empty[String]) { v =>
       val pc = Manifests.partitionedBy(spark, base, v)
-        .map(_._1).getOrElse(Seq.empty)
+        .map(m => graft.ext.PartitionTransforms.sources(m._1))
+        .getOrElse(Seq.empty)
       val zc = Manifests.statsOf(spark, base, v)
         .map(_._1).getOrElse(Seq.empty)
       val bc = Manifests.bloomOf(spark, base, v)
@@ -509,7 +512,8 @@ private[manifest] class ManifestRowLevelOperation(spark: SparkSession,
           // columns: a wide CoW MERGE then writes ~one file per
           // partition instead of one per task
           clusterCols = snapshot.flatMap(v =>
-            Manifests.partitionedBy(spark, base, v).map(_._1))
+            Manifests.partitionedBy(spark, base, v)
+              .map(m => graft.ext.PartitionTransforms.sources(m._1)))
             .getOrElse(Seq.empty)
             .filter(tableSchema.fieldNames.contains),
           commitFn = { written =>

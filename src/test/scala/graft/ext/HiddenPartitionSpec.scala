@@ -1,0 +1,316 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hidden partitioning (Iceberg partition transforms) end-to-end:
+  * CTAS accepts `PARTITIONED BY (months(ts))` / `bucket(n, k)` /
+  * `truncate(w, s)`, writes derive transformed tuples into the
+  * partition sidecar, SOURCE-column predicates lower to tuple pruning
+  * (files planned, counted), bucket-co-partitioned joins run with zero
+  * Exchange (SPJ over a transform — the shape identity partitioning
+  * cannot give a high-NDV key), and dynamic INSERT OVERWRITE replaces
+  * exactly the months the batch carries. No derived columns ever
+  * appear in the schema — the user's world is the source column. */
+class HiddenPartitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def registerCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.manifest.ManifestCatalog")
+
+  private def tmp(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_hp_$tag").toString + "/t"
+
+  /** Timestamped sales rows across 4 months of 2011. */
+  private def monthlyDf = {
+    import spark.implicits._
+    (0 until 4000).map { i =>
+      val month = 1 + (i % 4) // Jan..Apr
+      val day = 1 + (i % 27)
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2011-$month%02d-$day%02d 10:30:00"), i * 1.5)
+    }.toDF("sale_id", "invoice_ts", "amount")
+  }
+
+  private def finalNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+      p.foreach {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          buf += q; go(q.plan)
+        case n => buf += n
+      }
+    go(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  /** Data FILES planned by the (single) manifest scan of `df`. */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    val scans = finalNodes(df).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.manifest.DvParquetScan] => b
+    }
+    assert(scans.nonEmpty, "no manifest columnar scan in the plan")
+    scans.map(_.inputRDD.partitions.map {
+      case dp: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceRDDPartition =>
+        dp.inputPartitions.map {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length
+          case _ => 0
+        }.sum
+      case _ => 0
+    }.sum).min
+  }
+
+  test("spec round-trip: parse/serialize/tuple names") {
+    val f = PartitionTransforms.parse("months(invoice_ts)")
+    assert(f.transform === "months" && f.source === "invoice_ts")
+    assert(f.spec === "months(invoice_ts)")
+    assert(f.tupleName === "invoice_ts_month")
+    val b = PartitionTransforms.parse("bucket[16](invoice_no)")
+    assert(b.param === Some(16) && b.source === "invoice_no")
+    assert(b.spec === "bucket[16](invoice_no)")
+    val t = PartitionTransforms.parse("truncate[4](category)")
+    assert(t.param === Some(4) && t.tupleName === "category_trunc")
+    val id = PartitionTransforms.parse("country")
+    assert(id.isIdentity && id.spec === "country" &&
+      id.tupleName === "country")
+    assert(PartitionTransforms.sources(
+      Seq("months(ts)", "bucket[8](k)", "c")) === Seq("ts", "k", "c"))
+    assert(PartitionTransforms.identitySources(
+      Seq("months(ts)", "c")) === Seq("c"))
+  }
+
+  test("monthly CTAS: spec recorded, tuples derived, no derived schema columns") {
+    registerCatalog()
+    val b = tmp("ctas")
+    monthlyDf.createOrReplaceTempView("graft_hp_src")
+    spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (months(invoice_ts)) " +
+      "AS SELECT * FROM graft_hp_src")
+    val v = Manifests.latestVersion(spark, b).get
+    val (specs, segs) = Manifests.partitionedBy(spark, b, v).get
+    assert(specs === Seq("months(invoice_ts)"))
+    // schema carries ONLY the user's columns — hidden means hidden
+    assert(spark.table(s"graft.`$b`").schema.fieldNames.toSeq ===
+      Seq("sale_id", "invoice_ts", "amount"))
+    // the sidecar holds derived month ordinals under the tuple name
+    val pv = spark.read.parquet(segs: _*)
+    assert(pv.schema.fieldNames.toSet === Set("file", "invoice_ts_month"))
+    val months = pv.select("invoice_ts_month").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // 2011 months Jan..Apr: 2011*12 + m - 1
+    assert(months === Array(24132, 24133, 24134, 24135))
+    // content exact
+    assert(spark.table(s"graft.`$b`").count() === 4000)
+  }
+
+  test("source-column predicates prune files through the month tuples") {
+    registerCatalog()
+    val b = tmp("prune")
+    monthlyDf.createOrReplaceTempView("graft_hp_src2")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try spark.sql(
+      s"CREATE TABLE graft.`$b` PARTITIONED BY (months(invoice_ts)) " +
+        "AS SELECT * FROM graft_hp_src2")
+    finally spark.conf.unset("graft.write.splitByPartition")
+    val all = plannedFiles(spark.sql(s"SELECT * FROM graft.`$b`"))
+    assert(all === 4, s"split layout should give one file per month, got $all")
+    // equality on the SOURCE timestamp → one month's file
+    val eq = plannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$b` WHERE invoice_ts = " +
+        "TIMESTAMP '2011-02-03 10:30:00'"))
+    assert(eq === 1, s"timestamp equality should plan 1 file, got $eq")
+    // a RANGE on the source column: strict > at a mid-month point
+    // keeps that month and later (widened, never narrower)
+    val range = plannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$b` WHERE invoice_ts >= " +
+        "TIMESTAMP '2011-03-01 00:00:00'"))
+    assert(range === 2, s"March..April should plan 2 files, got $range")
+    // correctness under pruning: exact row counts
+    val n = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$b` WHERE invoice_ts >= " +
+        "TIMESTAMP '2011-03-01 00:00:00'").head.getLong(0)
+    assert(n === 2000)
+    // and a predicate the transform cannot decide keeps everything
+    val none = plannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$b` WHERE amount > 100"))
+    assert(none === 4)
+  }
+
+  test("bucket SPJ: two bucket-partitioned tables join with zero Exchange") {
+    registerCatalog()
+    import spark.implicits._
+    val da = tmp("ba")
+    val db = tmp("bb")
+    val dim = (1 to 2000).map(i => (i.toLong, s"cust_$i"))
+      .toDF("customer_key", "customer_id")
+    val fact = (1 to 20000).map(i =>
+      ((i % 2000 + 1).toLong, i * 2.0)).toDF("customer_key", "amount")
+    dim.createOrReplaceTempView("graft_hp_dim")
+    fact.createOrReplaceTempView("graft_hp_fact")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try {
+      spark.sql(s"CREATE TABLE graft.`$da` PARTITIONED BY " +
+        "(bucket(8, customer_key)) AS SELECT * FROM graft_hp_dim")
+      spark.sql(s"CREATE TABLE graft.`$db` PARTITIONED BY " +
+        "(bucket(8, customer_key)) AS SELECT * FROM graft_hp_fact")
+    } finally spark.conf.unset("graft.write.splitByPartition")
+    // purity proof holds over the bucket tuples
+    val va = Manifests.latestVersion(spark, da).get
+    val proof = new ManifestFileIndex(spark, da, va).purePartitionTuples
+    assert(proof.isDefined, "bucket split layout failed the purity proof")
+    assert(proof.get._1 === Seq("bucket[8](customer_key)"))
+    assert(proof.get._2.values.toSeq.distinct.size === 8)
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "true")
+      spark.conf.set(keys(2), "-1")
+      val q = spark.sql(
+        s"""SELECT a.customer_key, a.customer_id, SUM(b.amount) AS amt
+           |FROM graft.`$da` a JOIN graft.`$db` b
+           |  ON a.customer_key = b.customer_key
+           |GROUP BY a.customer_key, a.customer_id""".stripMargin)
+      val nodes = finalNodes(q)
+      val joins = nodes.filter {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joins.size === 1, "expected one shuffle-family join")
+      assert(joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty,
+        s"bucket SPJ join still exchanges:\n${joins.head.toString.take(3000)}")
+      // exact content
+      val rows = q.collect()
+      assert(rows.length === 2000)
+      assert(rows.map(_.getDouble(2)).sum ===
+        fact.agg(sum("amount")).head.getDouble(0))
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucket equality pruning: a point lookup plans one bucket's file") {
+    registerCatalog()
+    import spark.implicits._
+    val b = tmp("beq")
+    val df = (1 to 4000).map(i => (i.toLong, s"v_$i")).toDF("k", "v")
+    df.createOrReplaceTempView("graft_hp_beq")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (bucket(8, k)) " +
+      "AS SELECT * FROM graft_hp_beq")
+    finally spark.conf.unset("graft.write.splitByPartition")
+    assert(plannedFiles(spark.sql(s"SELECT * FROM graft.`$b`")) === 8)
+    val one = plannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$b` WHERE k = 1234"))
+    assert(one === 1, s"bucket point lookup should plan 1 file, got $one")
+    assert(spark.sql(s"SELECT v FROM graft.`$b` WHERE k = 1234")
+      .head.getString(0) === "v_1234")
+    // IN-list: at most one file per distinct bucket
+    val few = plannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$b` WHERE k IN (7, 1234, 3999)"))
+    assert(few <= 3)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$b` " +
+      "WHERE k IN (7, 1234, 3999)").head.getLong(0) === 3)
+  }
+
+  test("truncate + years transforms: derivation and range pruning") {
+    registerCatalog()
+    import spark.implicits._
+    val b = tmp("tr")
+    val df = (0 until 1000).map { i =>
+      val cat = Seq("ALPHA", "BETA", "GAMMA", "DELTA")(i % 4)
+      (i.toLong, s"$cat-${i % 10}",
+        java.sql.Date.valueOf(s"${2009 + i % 3}-06-15"))
+    }.toDF("id", "category", "d")
+    df.createOrReplaceTempView("graft_hp_tr")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+      "(truncate(2, category), years(d)) AS SELECT * FROM graft_hp_tr")
+    finally spark.conf.unset("graft.write.splitByPartition")
+    val v = Manifests.latestVersion(spark, b).get
+    val (specs, segs) = Manifests.partitionedBy(spark, b, v).get
+    assert(specs === Seq("truncate[2](category)", "years(d)"))
+    val pv = spark.read.parquet(segs: _*)
+    assert(pv.schema.fieldNames.toSet ===
+      Set("file", "category_trunc", "d_year"))
+    assert(pv.select("category_trunc").distinct().collect()
+      .map(_.getString(0)).sorted === Array("AL", "BE", "DE", "GA"))
+    // 4 prefixes × 3 years = 12 split files
+    assert(plannedFiles(spark.sql(s"SELECT * FROM graft.`$b`")) === 12)
+    // string prefix pruning through equality on the source
+    val one = plannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$b` WHERE category = 'BETA-3' AND " +
+        "d >= DATE '2011-01-01'"))
+    assert(one === 1, s"prefix+year pruning should plan 1 file, got $one")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$b` " +
+      "WHERE category = 'BETA-3' AND d >= DATE '2011-01-01'")
+      .head.getLong(0) ===
+      df.filter($"category" === "BETA-3" && $"d" >= "2011-01-01").count())
+  }
+
+  test("dynamic INSERT OVERWRITE replaces exactly the months the batch holds") {
+    registerCatalog()
+    import spark.implicits._
+    val b = tmp("dyn")
+    monthlyDf.createOrReplaceTempView("graft_hp_dyn")
+    spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (months(invoice_ts)) " +
+      "AS SELECT * FROM graft_hp_dyn")
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // replacement batch: ONLY February rows, new amounts
+      (0 until 50).map(i => (90000L + i, java.sql.Timestamp.valueOf(
+          "2011-02-10 09:00:00"), 7.0))
+        .toDF("sale_id", "invoice_ts", "amount")
+        .createOrReplaceTempView("graft_hp_feb")
+      spark.sql(s"INSERT OVERWRITE graft.`$b` SELECT * FROM graft_hp_feb")
+    } finally before match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val byMonth = spark.sql(
+      s"""SELECT month(invoice_ts) AS m, COUNT(*) AS n
+         |FROM graft.`$b` GROUP BY month(invoice_ts)""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Jan/Mar/Apr untouched (1000 each), Feb replaced by the 50 rows
+    assert(byMonth === Map(1 -> 1000L, 2 -> 50L, 3 -> 1000L, 4 -> 1000L))
+  }
+
+  test("identity guards: DDL on a transform SOURCE column refuses; metadata delete stays identity-only") {
+    registerCatalog()
+    import spark.implicits._
+    val b = tmp("guard")
+    monthlyDf.createOrReplaceTempView("graft_hp_guard")
+    spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (months(invoice_ts)) " +
+      "AS SELECT * FROM graft_hp_guard")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$b` RENAME COLUMN invoice_ts TO ts2")
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // a DELETE keyed on the transform SOURCE must take the row-level
+    // path (a month tuple cannot delimit one day) — and stay exact
+    spark.sql(s"DELETE FROM graft.`$b` WHERE invoice_ts = " +
+      "TIMESTAMP '2011-02-03 10:30:00'")
+    val expect = monthlyDf.filter(
+      $"invoice_ts" =!= java.sql.Timestamp.valueOf("2011-02-03 10:30:00"))
+      .count()
+    assert(spark.table(s"graft.`$b`").count() === expect)
+  }
+}

@@ -510,6 +510,25 @@ object SparkEntry {
            |GROUP BY c.country
            |ORDER BY c.country""".stripMargin)
     }),
+    // HIDDEN PARTITIONING (Iceberg transform parity): the cleaned
+    // frame CTAS'd as a catalog table PARTITIONED BY
+    // (months(invoice_date)) — no derived year/month columns in the
+    // schema; the month predicate lands on the SOURCE date column and
+    // the manifest lowers it to month-tuple file pruning
+    // (HiddenPartitionSpec counts the planned files; the oracle
+    // replays the same predicate relationally — layout is invisible
+    // to results)
+    "sql_hidden_partition" -> ((s, d) => {
+      val b = manhpFixture(s, d)
+      s.sql(
+        s"""SELECT year(invoice_date) AS year, month(invoice_date) AS month,
+           |  COUNT(*) AS n_sales, CAST(SUM(quantity) AS BIGINT) AS sum_qty
+           |FROM graft.`$b`
+           |WHERE invoice_date >= DATE '1995-01-01'
+           |  AND invoice_date < DATE '1996-01-01'
+           |GROUP BY year(invoice_date), month(invoice_date)
+           |ORDER BY year, month""".stripMargin)
+    }),
     // the delta-encoded manifest log end-to-end: a long pure-SQL
     // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
     // COLUMN, DELETE, VACUUM cutting the chain, one more INSERT) whose
@@ -1321,6 +1340,29 @@ object SparkEntry {
     (a, b)
   }
 
+  /** Hidden-partitioning fixture: the cleaned staging frame CTAS'd
+    * through the catalog as a MONTHLY-partitioned table —
+    * `PARTITIONED BY (months(invoice_date))`, split layout (one month
+    * tuple per file), partition values derived into the sidecar and
+    * NEVER materialized as schema columns. The reference's fact table
+    * is monthly RANGE-partitioned on its timestamp
+    * (schema/warehouse_schema.sql:52-95); this is the lakehouse form
+    * of the same layout, with pruning driven from the source column. */
+  private def manhpFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manhp")
+    val marker = s"${b}_done"
+    registerCatalog(s)
+    if (!ext.Dfs.exists(s, marker)) {
+      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_hp_cleaned")
+      s.conf.set("graft.write.splitByPartition", "true")
+      try s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+        "(months(invoice_date)) AS SELECT * FROM graft_hp_cleaned")
+      finally s.conf.unset("graft.write.splitByPartition")
+      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
   /** Delta-log lineage fixture: a table maintained through enough
     * single-batch INSERTs to cross the delta-chain cap TWICE (forced
     * low via `graft.manifest.maxChain=3`, so mid-lineage commits
@@ -1945,6 +1987,17 @@ object SparkEntry {
          | JOIN dim_date d ON f.date_key = d.date_key
          | GROUP BY c.country, d.year
          | ORDER BY c.country, d.year""".stripMargin,
+    // hidden partitioning is layout, not semantics: the oracle replays
+    // the month predicate over the relational cleaned frame
+    "sql_hidden_partition" ->
+      s"""${Oracle.cleanedCte}
+         | SELECT CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
+         |   CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
+         |   COUNT(*) AS n_sales, CAST(SUM(quantity) AS BIGINT) AS sum_qty
+         | FROM cleaned
+         | WHERE invoice_date >= DATE '1995-01-01'
+         |   AND invoice_date < DATE '1996-01-01'
+         | GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
     // the storage-partitioned join is layout, not semantics: the
     // oracle replays dim × per-country stats relationally
     "sql_spj_join" ->

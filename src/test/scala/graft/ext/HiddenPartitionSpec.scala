@@ -293,6 +293,21 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(byMonth === Map(1 -> 1000L, 2 -> 50L, 3 -> 1000L, 4 -> 1000L))
   }
 
+  test("registered sql_hidden_partition: month-range predicate prunes to the year's files") {
+    val q = graft.SparkEntry.queries("sql_hidden_partition")(
+      spark, TestSpark.sf)
+    val rows = q.collect()
+    assert(rows.length === 12, "one row per 1995 month")
+    // the fixture's cleaned frame spans 1992-1998 (~80 month files in
+    // split layout); the 1995 range must plan ≤ 13 files (12 target
+    // months + at most the widened `< Jan-1996` boundary file) — the
+    // pruning a monthly 100 TB fact needs to answer one year's query
+    // proportionally to the year
+    val planned = plannedFiles(q)
+    assert(planned <= 13 && planned >= 12,
+      s"month-range pruning planned $planned files")
+  }
+
   test("identity guards: DDL on a transform SOURCE column refuses; metadata delete stays identity-only") {
     registerCatalog()
     import spark.implicits._

@@ -581,8 +581,13 @@ object SparkEntry {
     // the content diff, so the feed is exactly the churn
     "sql_changes_between" -> ((s, d) => {
       val c = mansqlCdfFixture(s, d)
+      // the face also serves `_commit_version`/`_commit_timestamp`
+      // (Delta table_changes parity, CdfProvenanceSpec pins them);
+      // the registered result projects the deterministic columns —
+      // a wall-clock commit stamp can never hash-match an oracle
       s.read.option("startingVersion", "0").option("endingVersion", "2")
         .table(s"graft.`$c`.changes")
+        .drop("_commit_version", "_commit_timestamp")
         .orderBy(col("_change_type"), col("customer_id"))
     }),
     // time travel through the SAME relation: versionAsOf 0 of the

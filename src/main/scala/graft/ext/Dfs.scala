@@ -119,10 +119,23 @@ object Dfs {
         // losing the create race is a normal `false`; a failure while
         // WRITING the payload is an I/O error that must surface — and
         // must not leave a partial file behind, which would read as a
-        // live (garbage) payload and block every later create
+        // live (garbage) payload and block every later create.
+        // Only an already-exists outcome is the lost race: a generic
+        // transient I/O failure must SURFACE, not masquerade as
+        // "another writer won" (the caller would then misreport it as
+        // "ref already exists"). Some filesystems signal the race with
+        // a bare IOException — the post-check on existence tells the
+        // two apart.
         val out =
           try f.create(p, /* overwrite = */ false)
-          catch { case _: java.io.IOException => return false }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              return false
+            case _: java.nio.file.FileAlreadyExistsException =>
+              return false
+            case e: java.io.IOException =>
+              if (f.exists(p)) return false else throw e
+          }
         try { out.write(bytes); out.close(); true }
         catch {
           case e: java.io.IOException =>

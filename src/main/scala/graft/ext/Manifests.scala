@@ -685,10 +685,13 @@ object Manifests {
           .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
       } catch { case scala.util.control.NonFatal(_) => -1L }
     // line 4 is the delta-chain depth (0 = flat) — the O(1) read the
-    // NEXT delta commit prices its chain against
+    // NEXT delta commit prices its chain against; line 5 is the COMMIT
+    // TIMESTAMP (epoch millis, stamped by the committing writer, not
+    // filesystem mtime) — `_commit_timestamp` provenance for the
+    // change feed and the authoritative instant for TIMESTAMP AS OF
     Dfs.writeBytes(spark, s"$base/v$v/_counts",
       s"${dataFiles.size}\n${dv.size}\n$addedBytes\n${
-        deltaWrite.map(_._4).getOrElse(0)}\n".getBytes("UTF-8"))
+        deltaWrite.map(_._4).getOrElse(0)}\n$nowMs\n".getBytes("UTF-8"))
     Dfs.touch(spark, s"$base/v$v/_SUCCESS")
     advanceHint(spark, base, v)
     v
@@ -1690,7 +1693,17 @@ object Manifests {
         case _ => None
       })
       .sorted
-      .map(v => (v, Dfs.mtime(spark, s"$base/v$v/_SUCCESS"), tagOf(spark, base, v)))
+      .map(v => (v, commitTimestampOf(spark, base, v), tagOf(spark, base, v)))
+
+  /** The commit's wall-clock instant (epoch millis): the timestamp the
+    * committing writer RECORDED in the version payload (`_counts` line
+    * 5) — not filesystem mtime, which a copy/restore/rsync rewrites.
+    * Legacy versions (pre-record) fall back to the `_SUCCESS` marker's
+    * mtime, which was the previous best answer. */
+  def commitTimestampOf(spark: SparkSession, base: String, v: Int): Long =
+    countsRaw(spark, base, v).lift(4)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(Dfs.mtime(spark, s"$base/v$v/_SUCCESS"))
 
   /** The bytes version `v`'s commit ADDED to the table (sizes of files
     * not carried from the parent manifest), recorded at commit time.
@@ -1809,7 +1822,13 @@ object Manifests {
         .sortWithinPartitions(clusterBy.map(col): _*)
     shaped.write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
-    val nv = commit(spark, base, rewritten, schema = Some(live.schema),
+    // tagged content-preserving (Delta's OPTIMIZE dataChange=false):
+    // the live row multiset is unchanged by construction (vectors
+    // materialize rows that were already logically deleted in earlier
+    // versions), so the change feed serves this step EMPTY instead of
+    // paying a whole-table content diff that provably nets to zero
+    val nv = commit(spark, base, rewritten, tag = Some("compact"),
+      schema = Some(live.schema),
       stats = statsAfterRewrite(spark, base, v, Seq.empty, rewritten,
         Some(live.schema)), parent = Some(v),
       partValues = partValuesAfterRewrite(spark, base, v, Seq.empty,
@@ -3092,10 +3111,15 @@ object Manifests {
     val k = Dfs.canonical(f)
     val hit = fileSizeCache.get(k)
     if (hit != null) hit.longValue()
-    else {
-      val v = Dfs.statOf(spark, f).map(_._2).getOrElse(0L)
-      fileSizeCache.put(k, v)
-      v
+    else Dfs.statOf(spark, f).map(_._2) match {
+      // a MISS (transient FS error, listing race) is never cached: a
+      // permanent 0 would misclassify a large file as small in every
+      // future census on this JVM and re-"compact" it pointlessly.
+      // The census treats the unknown file as small-for-now (0),
+      // which at worst includes it in one rewrite — bounded, and the
+      // next census re-stats it.
+      case None => 0L
+      case Some(v) => fileSizeCache.put(k, v); v
     }
   }
 
@@ -3452,6 +3476,27 @@ object Manifests {
           .withColumn("_change_type", lit("delete")))
   }
 
+  /** [[changesBetween]] with provenance where attribution is
+    * well-defined: a range holding a SINGLE committed step belongs
+    * entirely to that commit, so the pair stamps real values
+    * ([[changesAt]]'s contract); a multi-step netting range cannot
+    * attribute and leaves the columns absent (the catalog face
+    * null-fills them — the per-version feed,
+    * [[changesBetweenWithUpdates]], is the always-attributed shape).
+    * Kept OUT of [[changesBetween]] itself so struct-packing consumers
+    * ([[changesBetweenKeyed]], MV folds) keep their column contract. */
+  def changesBetweenAttributed(spark: SparkSession, base: String,
+      from: Int, to: Int): DataFrame = {
+    val diff = changesBetween(spark, base, from, to)
+    committedVersions(spark, base).filter(w => w > from && w <= to) match {
+      case Seq(w) =>
+        diff.withColumn("_commit_version", lit(w))
+          .withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(commitTimestampOf(spark, base, w))))
+      case _ => diff
+    }
+  }
+
   /** The change feed with row identity declared: given key columns,
     * a key present on BOTH sides of [[changesBetween]]'s content diff
     * is an UPDATE — its old image re-tags `update_preimage`, its new
@@ -3529,18 +3574,27 @@ object Manifests {
     * catalog faces align to their fixed schema and drop it). Cost ∝
     * churn: only new/retired/churned files are read, never the
     * table. */
+  /** Commit tags whose version is content-preserving by construction
+    * (the live row multiset equals the parent's): every compaction
+    * flavor. The change feed serves these steps empty — Delta's
+    * `dataChange = false`. */
+  private val contentPreservingTags: Set[String] =
+    Set("autocompact", "compact", "compact-small")
+
   def changesAt(spark: SparkSession, base: String, w: Int): DataFrame = {
     val committed = committedVersions(spark, base)
     require(committed.contains(w),
       s"version $w of $base was never committed or is vacuumed")
     val prevOpt = committed.filter(_ < w).lastOption
-    // a policy compaction is content-preserving BY CONSTRUCTION
-    // (Delta's dataChange=false): its replay step is provably empty,
-    // so serve empty instead of paying a content diff that shuffles
-    // the hot partition's rows just to cancel them — on a table with
-    // auto-compact armed that diff would recur every few epochs
+    // a compaction — policy OR manual — is content-preserving BY
+    // CONSTRUCTION (Delta marks every OPTIMIZE dataChange=false): its
+    // replay step is provably empty, so serve empty instead of paying
+    // a content diff that shuffles the table's rows just to cancel
+    // them — on a table with auto-compact armed that diff would recur
+    // every few epochs, and across a manual OPTIMIZE it would cost a
+    // whole-table read
     val step: DataFrame =
-    if (tagOf(spark, base, w).contains("autocompact"))
+    if (tagOf(spark, base, w).exists(contentPreservingTags))
       readAt(spark, base, w).limit(0)
         .withColumn("_change_type", lit(""))
     else prevOpt match {
@@ -3621,11 +3675,14 @@ object Manifests {
           else parts.reduce(_.unionByName(_))
       }
     }
-    // Delta CDF's provenance column: which commit produced each row —
-    // what lets a range consumer order and attribute intermediate
-    // changes. API faces carry it; the catalog `.changes` faces align
-    // to their fixed analyzed schema and drop it (documented there).
+    // Delta CDF's provenance pair (`table_changes` parity): which
+    // commit produced each row and WHEN it landed — the timestamp is
+    // the commit-recorded instant ([[commitTimestampOf]]), never
+    // filesystem mtime. Served on the API faces and the catalog
+    // `.changes` faces alike.
     step.withColumn("_commit_version", lit(w))
+      .withColumn("_commit_timestamp",
+        lit(new java.sql.Timestamp(commitTimestampOf(spark, base, w))))
   }
 
   /** Range change feed with update images: the CONCATENATION of
@@ -3655,6 +3712,8 @@ object Manifests {
       readAt(spark, base, to).limit(0)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(to))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(commitTimestampOf(spark, base, to))))
     else steps.map(w => changesAt(spark, base, w))
       // schema may have evolved mid-range: the feed serves the union
       // schema, null-filling older steps (Delta CDF's behavior)
@@ -4760,10 +4819,20 @@ object Manifests {
         content.getBytes("UTF-8"))) {
       // claimed but contentless = a creator crashed between claim and
       // payload; anything else is a live ref and the create refuses
-      // rather than clobbering it
+      // rather than clobbering it. STALENESS-gated: on HDFS a LIVE
+      // creator's ref is visible at 0 length between create() and
+      // close(), so only residue older than the grace window is
+      // repairable — an in-flight create's sub-second window can never
+      // be mistaken for a crash (two createBranch racers would
+      // otherwise both "repair" and both proceed).
+      val graceMs = spark.conf
+        .getOption("graft.refs.repairGraceMillis")
+        .map(_.toLong).getOrElse(60000L)
       require(refOf(spark, base, name).isEmpty &&
-        Dfs.statOf(spark, p).exists(_._2 == 0L),
-        s"ref '$name' already exists on $base")
+        Dfs.statOf(spark, p).exists { case (mtime, len) =>
+          len == 0L && System.currentTimeMillis() - mtime > graceMs },
+        s"ref '$name' already exists on $base (or its create is in " +
+          s"flight — crashed 0-byte residue repairs after ${graceMs}ms)")
       // the REPAIR itself must be exclusive: two racers that both saw
       // the empty file would otherwise both write and both proceed
       // (e.g. two createBranch calls cloning into one directory). The
@@ -5059,7 +5128,9 @@ object Manifests {
       .write.mode("errorifexists").parquet(dir)
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     val untouched = big.map(_._1)
-    val nv = commit(spark, base, untouched ++ rewritten, schema = schema,
+    // content-preserving like compact(): same rows, fewer files
+    val nv = commit(spark, base, untouched ++ rewritten,
+      tag = Some("compact-small"), schema = schema,
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
         schema), parent = Some(v),
       partValues = partValuesAfterRewrite(spark, base, v, untouched,

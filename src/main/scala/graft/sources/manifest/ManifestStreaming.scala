@@ -247,7 +247,34 @@ private[manifest] class ManifestChangesMicroBatchStream(
   private val updateImages =
     Option(options.get("updateImages")).exists(_.toBoolean)
 
+  /** The feed SHAPE (netting vs per-version update-image replay — tag
+    * vocabulary and netting semantics differ) is part of the stream's
+    * identity, but the option arrives per RUN: a restart that flips
+    * `updateImages` would silently change semantics from the restart
+    * offset onward. The shape persists in the checkpoint on first
+    * materialization and a mismatched restart refuses loudly. */
+  @volatile private var shapeChecked = false
+  private def assertShape(): Unit = if (!shapeChecked) {
+    val marker = s"$checkpointDir/graft_cdf/_shape"
+    val want = if (updateImages) "updateImages" else "netting"
+    Dfs.statOf(spark, marker) match {
+      case None =>
+        Dfs.mkdirs(spark, s"$checkpointDir/graft_cdf")
+        Dfs.writeBytes(spark, marker, want.getBytes("UTF-8"))
+      case Some(_) =>
+        val got = new String(Dfs.readBytes(spark, marker), "UTF-8").trim
+        require(got == want,
+          s"this checkpoint's .changes feed of $base was started with " +
+            s"shape '$got' but the restart supplies '$want' " +
+            "(updateImages flipped) — feed semantics would change " +
+            "mid-stream; restore the original option or start a fresh " +
+            "checkpoint")
+    }
+    shapeChecked = true
+  }
+
   private def materialized(from: Int, to: Int): Seq[String] = {
+    assertShape()
     // the flag is part of the feed's identity: a checkpoint written
     // under one shape must never be served for the other
     val shape = if (updateImages) "u" else ""
@@ -320,8 +347,14 @@ private[manifest] object ManifestChanges {
     import org.apache.spark.sql.functions.{col, lit}
     val raw =
       if (from < 0)
+        // the initial snapshot attributes to the snapshot version and
+        // its recorded commit instant (Delta's CDF initial-snapshot
+        // tagging)
         Manifests.readAt(spark, base, to)
           .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+          .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(
+            Manifests.commitTimestampOf(spark, base, to))))
       // updateImages=true serves the PER-VERSION replay: versions whose
       // write recorded its classification (graft.cdf.updateImages)
       // re-emit update_preimage/update_postimage pairs; unflagged
@@ -331,7 +364,10 @@ private[manifest] object ManifestChanges {
       // distinct feeds, not one with extra tags.
       else if (updateImages)
         Manifests.changesBetweenWithUpdates(spark, base, from, to)
-      else Manifests.changesBetween(spark, base, from, to)
+      // attributed shape: single-step ranges (every steady-state
+      // streaming micro-batch) carry real _commit_version/_commit_
+      // timestamp; multi-step netting ranges leave them to null-fill
+      else Manifests.changesBetweenAttributed(spark, base, from, to)
     val have = raw.columns.map(_.toLowerCase).toSet
     // the table's full rename HISTORY (latest version's event list —
     // emptied events survive as one-line name records precisely for
@@ -440,9 +476,18 @@ private[manifest] class ManifestChangesTable(spark: SparkSession,
       sys.error(s"$base has no committed version — nothing to stream"))
     val s = Manifests.schemaOf(spark, base, v).getOrElse(
       spark.read.parquet(Manifests.files(spark, base, v).head).schema)
-    StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-      "_change_type", org.apache.spark.sql.types.StringType,
-      nullable = false))
+    // Delta `table_changes` parity: the catalog faces carry the
+    // provenance pair beside the tag. Nullable — the endpoint-diff
+    // feed shape nets across versions and cannot attribute a row to
+    // one commit (per-version attribution rides the updateImages /
+    // streaming per-step shapes, where changesAt stamps real values).
+    StructType(s.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType, nullable = true)))
   }
 
   override def name(): String = ident

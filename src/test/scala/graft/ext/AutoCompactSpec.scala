@@ -96,6 +96,40 @@ class AutoCompactSpec extends AnyFunSuite {
         s"autocompact version $w must replay as empty"))
   }
 
+  test("manual OPTIMIZE is dataChange=false: compact/compactSmall replay empty, the appends still replay") {
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_ac_manual").toString + "/t"
+    Manifests.commitData(batch(1, 50, 0).coalesce(1), b)
+    Manifests.appendBatch(batch(51, 80, 0).coalesce(1), b, 1L, "acman")
+    // a MoR delete before the compact: the compact also materializes
+    // the vector — still content-preserving (the delete was already
+    // reported at ITS version)
+    Manifests.deleteWhereMor(spark, b, col("id") <= 5)
+    val (_, _, vc) = Manifests.compact(spark, b, targetFiles = 1)
+    assert(Manifests.tagOf(spark, b, vc).contains("compact"))
+    assert(Manifests.changesAt(spark, b, vc).count() === 0,
+      "manual compact must replay as empty (dataChange=false)")
+    // fragment again, then compactSmall
+    Manifests.appendBatch(batch(81, 90, 0).coalesce(1), b, 2L, "acman")
+    Manifests.appendBatch(batch(91, 99, 0).coalesce(1), b, 3L, "acman")
+    val (_, _, vs) = Manifests.compactSmall(spark, b,
+      smallBytes = 1L << 26, targetBytes = 1L << 26)
+    assert(Manifests.tagOf(spark, b, vs).contains("compact-small"))
+    assert(Manifests.changesAt(spark, b, vs).count() === 0,
+      "compactSmall must replay as empty (dataChange=false)")
+    // a RANGE spanning both compactions still replays every real
+    // change: inserts from the appends, deletes from the MoR step —
+    // and nothing from the rewrites
+    val feed = Manifests.changesBetween(spark, b, 0,
+      Manifests.latestVersion(spark, b).get)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) === 49L, byType.toString)
+    assert(byType.getOrElse("delete", 0L) === 5L, byType.toString)
+    // and the final table content is exact
+    assert(Manifests.readLatest(spark, b).count() === 94)
+  }
+
   test("policy off: small files accumulate (the baseline the knob exists to fix)") {
     val b = java.nio.file.Files
       .createTempDirectory("graft_ac_off").toString + "/t"

@@ -791,11 +791,17 @@ class ManifestsSpec extends AnyFunSuite {
     val b = base("graft_man_asof")
     Manifests.commitData(Seq((1L, "v0")).toDF("id", "s"), b)
     Manifests.commitData(Seq((1L, "v1")).toDF("id", "s"), b)
-    // pin the marker mtimes so the test needs no sleeps and exercises
-    // exact boundaries (local FS mtime granularity is a whole second)
+    // pin the RECORDED commit stamps (`_counts` line 5 — the
+    // authoritative instant since r16; mtime is only the legacy
+    // fallback) so the test needs no sleeps and exercises exact
+    // boundaries
     def stamp(v: Int, t: Long) = {
-      val p = s"$b/v$v/_SUCCESS"
-      Dfs.fs(spark, p).setTimes(new org.apache.hadoop.fs.Path(p), t, -1)
+      val p = s"$b/v$v/_counts"
+      val ls = new String(Dfs.readBytes(spark, p), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toBuffer
+      while (ls.size < 5) ls += "0"
+      ls(4) = t.toString
+      Dfs.writeBytes(spark, p, ls.mkString("", "\n", "\n").getBytes("UTF-8"))
     }
     stamp(0, 1000000L); stamp(1, 2000000L)
     assert(Manifests.history(spark, b).map(h => (h._1, h._2)) ===

@@ -944,9 +944,12 @@ class StreamsSpec extends AnyFunSuite {
       Seq((1L, "a2")).toDF("id", "s"), base, Seq("id"), 1L) === Some(1))
     assert(graft.ext.Manifests.latestTag(spark, base) === Some("cdc_batch_1"))
     assert(graft.ext.Manifests.tagOf(spark, base, 0) === Some("cdc_batch_0"))
-    // an untagged maintenance commit clears the latest tag view
+    // a maintenance commit moves the latest tag off the cdc batch
+    // (compact self-tags as content-preserving since r16) — the view
+    // no longer claims a cdc batch as latest, and replay detection
+    // stays ledger-driven either way
     graft.ext.Manifests.compact(spark, base, 1)
-    assert(graft.ext.Manifests.latestTag(spark, base) === None)
+    assert(graft.ext.Manifests.latestTag(spark, base) === Some("compact"))
   }
 
   test("expectations route a stream: good rows flow, quarantine carries named violations — narrow, no state, no watermark") {
@@ -1178,8 +1181,12 @@ class StreamsSpec extends AnyFunSuite {
     // covered when the mirror head is at or past it
     def apply(b: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
       if (graft.ext.Manifests.latestVersion(spark, mirror).exists(_ >= batchId)) return
-      val ins = b.filter(col("_change_type") === "insert").drop("_change_type")
-      val del = b.filter(col("_change_type") === "delete").drop("_change_type")
+      // whole-row arithmetic must project the provenance columns away
+      // (they differ per commit by design — Delta table_changes
+      // consumers make the same move)
+      val b2 = b.drop("_commit_version", "_commit_timestamp")
+      val ins = b2.filter(col("_change_type") === "insert").drop("_change_type")
+      val del = b2.filter(col("_change_type") === "delete").drop("_change_type")
       val cur = graft.ext.Manifests.latestVersion(spark, mirror)
         .map(_ => graft.ext.Manifests.readLatest(spark, mirror))
         .getOrElse(ins.limit(0))

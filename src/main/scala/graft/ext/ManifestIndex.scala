@@ -397,32 +397,13 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     * schema. Driver-side metadata fold over the memoized sidecar. */
   lazy val purePartitionTuples: Option[(Seq[String], Map[String, Seq[Any]])] =
     partMeta.flatMap { case (pcols, segs) =>
-      val pv = SidecarCache.localDf(spark, segs)
-      val sch = pv.schema
-      val fi = sch.fieldIndex("file")
-      val resolver = spark.sessionState.analyzer.resolver
-      // tuple columns resolve by their SIDECAR names — the source name
-      // for identity fields, the derived name (`ts_month`, `k_bucket`)
-      // for transforms; the returned spec strings let the scan report
-      // the matching connector Transform per field
-      val idxs = PartitionTransforms.parseAll(pcols)
-        .map(f => sch.fieldNames.indexWhere(resolver(_, f.tupleName)))
-      if (idxs.exists(_ < 0)) None
-      else {
-        val grouped = pv.collect() // metadata-sized: rows per (file, tuple)
-          .groupBy(r => Dfs.canonical(r.getString(fi)))
+      PurityCache.perFileTuples(spark, pcols, segs).flatMap { perFile =>
         val fileSet = files.toSet
-        if (!fileSet.forall(grouped.contains)) None
-        else {
-          val m = Map.newBuilder[String, Seq[Any]]
-          val pure = fileSet.forall { f =>
-            val tuples = grouped(f).toSeq
-              .map(r => idxs.map(r.get): Seq[Any]).distinct
-            if (tuples.lengthCompare(1) == 0) { m += (f -> tuples.head); true }
-            else false
-          }
-          if (pure) Some((pcols, m.result())) else None
-        }
+        // coverage + purity against THIS version's manifest: every
+        // file mapped, every mapped file single-tuple
+        if (!fileSet.forall(f => perFile.get(f).exists(_.isDefined))) None
+        else Some((pcols,
+          fileSet.iterator.map(f => f -> perFile(f).get).toMap))
       }
     }
 
@@ -897,6 +878,101 @@ object ManifestFileIndex {
         keyFor(keys, a, resolver).map(k => nulls(k) < col("n_rows"))
       case _ => None
     }
+  }
+}
+
+/** INCREMENTAL maintenance of the storage-partitioned-join purity
+  * fold — the (file → single tuple?) classification behind
+  * [[ManifestFileIndex.purePartitionTuples]]. Version sidecars are
+  * immutable and an append EXTENDS its parent's segment list by a
+  * suffix (tuples derived for the new files only), so the fold is a
+  * monoid: the classification of `parent segs ++ new segs` is the
+  * parent's cached classification merged with a fold of ONLY the new
+  * segments. A warm process therefore never re-folds the whole
+  * sidecar — the first scan of a fresh version after an append pays
+  * O(appended files), and a repeat scan pays a map lookup; only a
+  * cold process (or a rewrite, whose single merged segment replaces
+  * the list) pays one full fold. This bounds driver plan-time work at
+  * million-file scale to the commit's own delta, which is the same
+  * contract every other sidecar tier keeps ([[SidecarCache]] memoizes
+  * the ROWS; this memoizes the FOLD).
+  *
+  * Map values: `Some(tuple)` = the file holds exactly one distinct
+  * tuple; `None` = mixed (impure). A file appearing in two folded
+  * parts with different tuples merges to impure — conservative, and
+  * unreachable on the append chain (a data file's tuples live in
+  * exactly one segment of a version's list). */
+private[ext] object PurityCache {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, Option[Seq[Any]]]]
+
+  /** Test hooks: how many FULL sidecar folds vs incremental
+    * (delta-only) folds this process has paid. */
+  @volatile private[ext] var fullFolds = 0L
+  @volatile private[ext] var incrementalFolds = 0L
+  private[ext] def resetMeters(): Unit = { fullFolds = 0; incrementalFolds = 0 }
+
+  private def key(pcols: Seq[String], segs: Seq[String]): String =
+    pcols.mkString(",") + "|" +
+      segs.map(Dfs.canonical).sorted.mkString("\n")
+
+  def perFileTuples(spark: SparkSession, pcols: Seq[String],
+      segs: Seq[String]): Option[Map[String, Option[Seq[Any]]]] = {
+    if (segs.isEmpty) return Some(Map.empty)
+    if (cache.size > SidecarCache.maxEntries) cache.clear()
+    val app = spark.sparkContext.applicationId
+    val k = (app, key(pcols, segs))
+    cache.get(k).orElse {
+      // incremental: appends extend the parent's segment list by a
+      // suffix — find the longest cached prefix within a few steps
+      // (one per append between scans) and fold only the delta
+      val fromPrefix = (1 to 4).iterator
+        .filter(_ < segs.length)
+        .flatMap { i =>
+          cache.get((app, key(pcols, segs.dropRight(i)))).map { bm =>
+            foldOf(spark, pcols, segs.takeRight(i)).map { dm =>
+              incrementalFolds += 1
+              (bm.keySet ++ dm.keySet).iterator.map { f =>
+                f -> ((bm.get(f), dm.get(f)) match {
+                  case (Some(a), None) => a
+                  case (None, Some(b)) => b
+                  case (Some(a), Some(b)) => if (a == b) a else None
+                  case _ => None
+                })
+              }.toMap
+            }
+          }
+        }.nextOption().flatten
+      val result = fromPrefix.orElse {
+        fullFolds += 1
+        foldOf(spark, pcols, segs)
+      }
+      result.foreach(cache.put(k, _))
+      result
+    }
+  }
+
+  /** One fold of the given segments: file → Some(single tuple) /
+    * None(mixed). None overall when a tuple column cannot be resolved
+    * in the sidecar schema (legacy/foreign sidecar — no proof). */
+  private def foldOf(spark: SparkSession, pcols: Seq[String],
+      segs: Seq[String]): Option[Map[String, Option[Seq[Any]]]] = {
+    val pv = SidecarCache.localDf(spark, segs)
+    val sch = pv.schema
+    val fi = sch.fieldIndex("file")
+    val resolver = spark.sessionState.analyzer.resolver
+    // tuple columns resolve by their SIDECAR names — the source name
+    // for identity fields, the derived name (`ts_month`, `k_bucket`)
+    // for transforms
+    val idxs = PartitionTransforms.parseAll(pcols)
+      .map(f => sch.fieldNames.indexWhere(resolver(_, f.tupleName)))
+    if (idxs.exists(_ < 0)) None
+    else Some(pv.collect() // metadata-sized: rows per (file, tuple)
+      .groupBy(r => Dfs.canonical(r.getString(fi)))
+      .view.mapValues { rows =>
+        val tuples = rows.toSeq.map(r => idxs.map(r.get): Seq[Any]).distinct
+        if (tuples.lengthCompare(1) == 0) Some(tuples.head) else None
+      }.toMap)
   }
 }
 

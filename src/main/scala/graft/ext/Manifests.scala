@@ -1816,11 +1816,26 @@ object Manifests {
     // also the MATERIALIZE step: the rewritten files carry no deleted
     // rows and the new version carries no vectors
     val live = readAt(spark, base, v)
-    val shaped =
-      if (clusterBy.isEmpty) live.repartition(targetFiles)
-      else live.repartitionByRange(targetFiles, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-    shaped.write.mode("errorifexists").parquet(dir)
+    val partSpecs = partitionedBy(spark, base, v).map(_._1)
+    (clusterBy, partSpecs) match {
+      // a PARTITIONED table compacts at tuple boundaries by default
+      // (Delta/Iceberg OPTIMIZE never merges across partitions): each
+      // output file holds exactly one partition tuple, so compaction
+      // RESTORES the storage-partitioned-join purity proof — a table
+      // whose default range-clustered writes left mixed boundary files
+      // becomes SPJ-eligible by OPTIMIZE, not only by opt-in split
+      // writes. `targetFiles` bounds the shuffle parallelism; the
+      // split lands ~one file per live tuple.
+      case (Nil, Some(specs)) =>
+        writeSplitByTuple(live, dir, specs, math.max(1, targetFiles))
+      case (Nil, None) =>
+        live.repartition(targetFiles)
+          .write.mode("errorifexists").parquet(dir)
+      case (cols, _) =>
+        live.repartitionByRange(targetFiles, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+          .write.mode("errorifexists").parquet(dir)
+    }
     val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
     // tagged content-preserving (Delta's OPTIMIZE dataChange=false):
     // the live row multiset is unchanged by construction (vectors
@@ -3167,10 +3182,20 @@ object Manifests {
           val sch = schemaOf(spark, base, snap)
           val dir = s"$base/data_${java.util.UUID.randomUUID().toString.take(8)}"
           // a single-tuple group rewrites to single-tuple outputs, so
-          // the SPJ purity proof survives the policy pass
-          eraRead(spark, renamesOf(spark, base, snap), small, sch)
-            .repartition(nOut)
-            .write.mode("errorifexists").parquet(dir)
+          // the SPJ purity proof survives the policy pass — and when
+          // the proof does NOT hold (the table-wide group of a
+          // partitioned table with mixed boundary files), the rewrite
+          // splits its outputs at tuple boundaries, so the policy
+          // CREATES purity for every file it touches instead of
+          // cementing the mixed layout
+          val rd0 = eraRead(spark, renamesOf(spark, base, snap), small, sch)
+          partitionedBy(spark, base, snap).map(_._1) match {
+            case Some(specs) if groups.lengthCompare(1) == 0 =>
+              writeSplitByTuple(rd0, dir, specs, math.max(nOut, 1))
+            case _ =>
+              rd0.repartition(nOut)
+                .write.mode("errorifexists").parquet(dir)
+          }
           val rewritten = Dfs.dataFiles(spark, dir).map(_.getPath.toString)
           val smallSet = small.map(Dfs.canonical).toSet
           val untouched = curFiles.filterNot(f =>

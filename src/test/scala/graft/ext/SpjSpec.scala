@@ -278,6 +278,115 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE restores SPJ: a proof-less mixed layout compacts into tuple-split files and joins exchange-free") {
+    registerCatalog()
+    val da = java.nio.file.Files
+      .createTempDirectory("graft_spj_opt_a").toString + "/t"
+    val db = java.nio.file.Files
+      .createTempDirectory("graft_spj_opt_b").toString + "/t"
+    // DEFAULT layout, few files: boundary files straddle countries —
+    // the proof must refuse
+    Manifests.commitDataPartitioned(dimDf, da, Seq("country"),
+      filesPerWrite = 3)
+    Manifests.commitDataPartitioned(factDf, db, Seq("country"),
+      filesPerWrite = 3)
+    assert(new ManifestFileIndex(spark, da,
+      Manifests.latestVersion(spark, da).get).purePartitionTuples.isEmpty,
+      "fixture must start proof-less (mixed boundary files)")
+    // manual OPTIMIZE: the partitioned default splits at tuple
+    // boundaries and RESTORES the proof on both tables
+    Manifests.compact(spark, da, targetFiles = 4)
+    Manifests.compact(spark, db, targetFiles = 4)
+    Seq(da, db).foreach { t =>
+      val v = Manifests.latestVersion(spark, t).get
+      val proof = new ManifestFileIndex(spark, t, v).purePartitionTuples
+      assert(proof.isDefined, s"compact must restore the purity proof on $t")
+      assert(proof.get._2.values.toSeq.distinct.size === 8)
+    }
+    // and the restored layout joins with zero Exchange under the join
+    withSpj() {
+      val q = spark.sql(
+        s"""SELECT a.country, COUNT(*) AS n
+           |FROM graft.`$da` a JOIN graft.`$db` b
+           |  ON a.country = b.country
+           |GROUP BY a.country""".stripMargin)
+      val joins = finalNodes(q).filter {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joins.size === 1)
+      assert(joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "post-OPTIMIZE join still exchanges")
+      assert(q.collect().map(_.getLong(1)).sum === 8L * 250 * 5000)
+    }
+  }
+
+  test("auto-compact CREATES purity: a proof-less partitioned table of small files becomes SPJ-eligible by policy") {
+    import spark.implicits._
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_spj_acp").toString + "/t"
+    // proof-less bootstrap: one file mixing all 8 countries
+    Manifests.commitDataPartitioned(dimDf, b, Seq("country"),
+      filesPerWrite = 1)
+    val v0 = Manifests.latestVersion(spark, b).get
+    assert(new ManifestFileIndex(spark, b, v0).purePartitionTuples.isEmpty)
+    spark.conf.set("graft.autocompact.minFiles", "2")
+    try {
+      // appends trip the census; every live file is small, so the
+      // table-wide rewrite splits at tuple boundaries
+      Manifests.appendBatch((1 to 64).map(i =>
+        (300000L + i, s"z_$i", s"N${i % 8}"))
+        .toDF("customer_key", "customer_id", "country").coalesce(1),
+        b, 1L, "acspj")
+    } finally spark.conf.unset("graft.autocompact.minFiles")
+    val v = Manifests.latestVersion(spark, b).get
+    assert((0 to v).exists(w =>
+      Manifests.tagOf(spark, b, w).contains("autocompact")),
+      "policy must have fired")
+    val proof = new ManifestFileIndex(spark, b, v).purePartitionTuples
+    assert(proof.isDefined,
+      "the policy rewrite must have created the purity proof")
+    assert(proof.get._2.values.toSeq.distinct.size === 8)
+    assert(Manifests.readLatest(spark, b).count() === 2064)
+  }
+
+  test("purity proof folds incrementally: warm scans pay no full-sidecar fold, appends pay only their delta") {
+    import spark.implicits._
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_spj_inc").toString + "/t"
+    splitCommit(dimDf, b, Seq("country"))
+    def proofAt(v: Int) =
+      new ManifestFileIndex(spark, b, v).purePartitionTuples
+    PurityCache.resetMeters()
+    val v0 = Manifests.latestVersion(spark, b).get
+    assert(proofAt(v0).isDefined)
+    assert(PurityCache.fullFolds === 1L,
+      "first cold scan pays exactly one full fold")
+    // warm scans: NEW index instances, zero additional folds
+    (1 to 3).foreach(_ => assert(proofAt(v0).isDefined))
+    assert(PurityCache.fullFolds === 1L && PurityCache.incrementalFolds === 0L,
+      s"warm scans re-folded: full=${PurityCache.fullFolds} " +
+        s"inc=${PurityCache.incrementalFolds}")
+    // a split-layout append extends the segment list by one — the next
+    // scan folds ONLY the appended segment
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try Manifests.append((1 to 80).map(i =>
+        (400000L + i, s"w_$i", s"N${i % 8}"))
+        .toDF("customer_key", "customer_id", "country"), b)
+    finally spark.conf.unset("graft.write.splitByPartition")
+    val v1 = Manifests.latestVersion(spark, b).get
+    assert(proofAt(v1).isDefined, "append must keep the proof")
+    assert(PurityCache.fullFolds === 1L,
+      "the post-append scan must not re-fold the whole sidecar")
+    assert(PurityCache.incrementalFolds === 1L,
+      "the post-append scan folds exactly the appended segment")
+    // and again warm
+    assert(proofAt(v1).isDefined)
+    assert(PurityCache.fullFolds === 1L && PurityCache.incrementalFolds === 1L)
+  }
+
   test("runtime file pruning on the ordinary catalog read: a filtered dim prunes fact FILES") {
     registerCatalog()
     val df = java.nio.file.Files

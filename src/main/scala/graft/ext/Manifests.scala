@@ -364,7 +364,9 @@ object Manifests {
       ndv: Option[Map[String, Long]] = None,
       ndvKmv: Option[Map[String, Seq[Long]]] = None,
       txnMergeFrom: Option[(String, Int)] = None,
-      cdcUpd: Option[Seq[String]] = None): Int = {
+      cdcUpd: Option[Seq[String]] = None,
+      hist: Option[Map[String, (Double, Seq[(Double, Double, Long)])]] =
+        None): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     val v = parent match {
       case Some(p) =>
@@ -514,6 +516,23 @@ object Manifests {
           .filterNot { case (c, _) =>
             c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r') }
           .map { case (c, hs) => s"$c\t${hs.mkString(",")}" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // equi-height HISTOGRAMS ride like `_ndv`: planner-quality
+    // estimates, inherited across commits (tolerated stale exactly
+    // like catalog histograms), refreshed by ANALYZE FOR HISTOGRAM.
+    // One line per column: `col \t height \t lo:hi:ndv;lo:hi:ndv;…`.
+    val effHist: Map[String, (Double, Seq[(Double, Double, Long)])] =
+      hist.getOrElse {
+        inheritBase.map(histOf(spark, base, _)).getOrElse(Map.empty)
+      }
+    if (effHist.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_hist",
+        effHist.toSeq.sortBy(_._1)
+          .filterNot { case (c, _) =>
+            c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r') }
+          .map { case (c, (h, bins)) =>
+            s"$c\t$h\t${bins.map { case (lo, hi, n) => s"$lo:$hi:$n" }
+              .mkString(";")}" }
           .mkString("", "\n", "\n").getBytes("UTF-8"))
     // CDF update classification (graft.cdf.updateImages): `P\t<file>`
     // postimage data files, `D\t<file>` update-rowId sidecars. NOT
@@ -940,6 +959,118 @@ object Manifests {
     * records the KMV state, appends fold their batch into it. */
   private def ndvIncremental(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.ndv.incremental").forall(_.toBoolean)
+
+  /** The version's equi-height histograms, if recorded:
+    * column → (bin height in rows, bins as (lo, hi, ndv) in the
+    * column's CBO double projection — numeric value, date days,
+    * timestamp micros: the exact domain Spark's own `ANALYZE … FOR
+    * COLUMNS` histograms use, so the connector-served copy estimates
+    * identically). */
+  def histOf(spark: SparkSession, base: String, v: Int)
+      : Map[String, (Double, Seq[(Double, Double, Long)])] =
+    if (!Dfs.exists(spark, s"$base/v$v/_hist")) Map.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_hist"), "UTF-8")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split("\t") match {
+          case Array(c, h, bins) => scala.util.Try((c, (h.toDouble,
+            bins.split(";").iterator.filter(_.nonEmpty).map { b =>
+              val p = b.split(":")
+              (p(0).toDouble, p(1).toDouble, p(2).toLong)
+            }.toSeq))).toOption
+          case _ => None
+        }
+      }.toMap
+
+  /** ANALYZE … FOR HISTOGRAM — the selectivity tier NDV cannot give:
+    * per-column EQUI-HEIGHT histograms over the LIVE rows (vectors
+    * applied), `numBins` bins bounded by approximate quantiles with
+    * per-bin NDV from one `ApproxCountDistinctForIntervals` pass —
+    * exactly Spark's own `spark.sql.statistics.histogram.enabled`
+    * construction, persisted in the manifest's sidecar tier instead
+    * of a metastore. Two jobs per ANALYZE regardless of table size
+    * (a quantile sketch pass + one interval-NDV aggregation); the
+    * result is a few hundred doubles per column, inherited by every
+    * later commit until the next ANALYZE.
+    *
+    * Why it matters at scale: uniform-NDV estimation prices every key
+    * of a skewed column identically (1/ndv); a 95%-hot key then looks
+    * broadcastable when it is 95% of the table. The histogram prices
+    * each VALUE by the bins it occupies, so the optimizer can tell
+    * the hot key from a rare one — the broadcast/join-order decision
+    * flips to the right plan (ManifestStatsSpec pins it, with the
+    * estimate-vs-actual numbers). Defined over numeric, date and
+    * timestamp columns (Spark's own histogram domain). */
+  def analyzeHistograms(spark: SparkSession, base: String,
+      keys: Seq[String], numBins: Int = 64): Int = {
+    require(keys.nonEmpty, "histogram ANALYZE needs at least one column")
+    require(numBins >= 2 && numBins <= 4096, s"bad numBins $numBins")
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val live = readAt(spark, base, v)
+    val resolver = spark.sessionState.analyzer.resolver
+    import org.apache.spark.sql.types._
+    def proj(k: String): Column = {
+      val f = live.schema.fields.find(f => resolver(f.name, k))
+        .getOrElse(sys.error(s"no column '$k' in $base"))
+      f.dataType match {
+        case _: NumericType => col(s"`${f.name}`").cast(DoubleType)
+        case DateType => datediff(col(s"`${f.name}`"),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast(DoubleType)
+        case TimestampType | TimestampNTZType =>
+          unix_micros(col(s"`${f.name}`").cast(TimestampType))
+            .cast(DoubleType)
+        case dt => sys.error(s"histograms are defined over " +
+          s"numeric/date/timestamp columns — '$k' is ${dt.catalogString}")
+      }
+    }
+    val projected = live.select(keys.zipWithIndex.map { case (k, i) =>
+      proj(k).as(s"__h$i") }: _*)
+    val probs = (0 to numBins).map(_.toDouble / numBins).toArray
+    // one quantile-sketch pass over every column together
+    val bounds: Seq[Array[Double]] = projected.stat.approxQuantile(
+      keys.indices.map(i => s"__h$i").toArray, probs, 0.001).toSeq
+    // one interval-NDV + count pass: per column, the NDV of each
+    // quantile-bounded bin (Spark's AnalyzeColumnCommand expression)
+    val aggs: Seq[Column] = keys.indices.flatMap { i =>
+      if (bounds(i) == null || bounds(i).isEmpty) Seq.empty
+      else {
+        val ep = org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bounds(i), ArrayType(DoubleType))
+        val child = org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute(s"__h$i")
+        Seq(org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .ApproxCountDistinctForIntervals(child, ep, 0.05)
+            .toAggregateExpression()).as(s"__ndv$i"),
+          count(col(s"__h$i")).as(s"__n$i"))
+      }
+    }
+    val hists: Map[String, (Double, Seq[(Double, Double, Long)])] =
+      if (aggs.isEmpty) Map.empty
+      else {
+        val row = projected.agg(aggs.head, aggs.tail: _*).head
+        keys.zipWithIndex.flatMap { case (k, i) =>
+          if (bounds(i) == null || bounds(i).isEmpty) None
+          else {
+            val ndvs = row.getAs[scala.collection.Seq[Long]](s"__ndv$i")
+            val n = row.getAs[Long](s"__n$i")
+            if (n == 0L) None
+            else Some(k -> (n.toDouble / numBins,
+              (0 until numBins).map(b =>
+                (bounds(i)(b), bounds(i)(b + 1),
+                  math.max(1L, ndvs(b)))).toSeq))
+          }
+        }.toMap
+      }
+    commit(spark, base, files(spark, base, v), None,
+      dvFiles(spark, base, v), schemaOf(spark, base, v),
+      statsOf(spark, base, v), parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v),
+      delta = Some((Seq.empty, Seq.empty)),
+      hist = Some(histOf(spark, base, v) ++ hists))
+  }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
     * every `lo <= key <= hi` conjunct — plus any file the stats do not

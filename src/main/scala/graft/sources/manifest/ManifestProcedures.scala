@@ -143,6 +143,12 @@ private[manifest] final class ManifestProcedures(
       (base, in) => InternalRow(Manifests.analyze(spark, base,
         in.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq))),
+    Proc("analyze_histogram",
+      Seq(p("table", StringType), p("columns", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.analyzeHistograms(spark, base,
+        in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))),
     Proc("analyze_bloom",
       Seq(p("table", StringType), p("columns", StringType)),
       out1("version", IntegerType),

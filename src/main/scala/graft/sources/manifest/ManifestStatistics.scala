@@ -107,7 +107,23 @@ private[manifest] object ManifestStats {
       }
     }.sum
     val factor = spark.sessionState.conf.fileCompressionFactor
-    val sizeOut = math.max(1L, (liveBytes * factor).toLong)
+    // HISTOGRAM selectivity on the byte estimate: equality/range
+    // conjuncts on ANALYZE'd-histogram columns scale `sizeInBytes` by
+    // the per-VALUE selectivity the equi-height bins price — the
+    // differentiation uniform NDV cannot make (a 95%-hot key scales by
+    // ~0.95, a rare key by ~1/rows), which is what lets a selectively
+    // filtered dim auto-broadcast and stops a hot-key filter from
+    // masquerading as one. Untranslatable conjuncts contribute 1
+    // (the estimate only tightens where the histogram can price);
+    // tables with no histogram are byte-identical to before.
+    val hists = idx.versionOpt
+      .map(v => Manifests.histOf(spark, idx.basePath, v))
+      .getOrElse(Map.empty)
+    val sel: Double =
+      if (hists.isEmpty || dataFilters.isEmpty) 1.0
+      else HistogramSelectivity.of(dataFilters, hists,
+        spark.sessionState.analyzer.resolver)
+    val sizeOut = math.max(1L, (liveBytes * factor * sel).toLong)
 
     // column statistics: exact-channel values on the whole-version
     // shape; under pushed filters, BOUNDS over the PRUNED file set —
@@ -177,6 +193,9 @@ private[manifest] object ManifestStats {
     // must never cost a job
     val rows = inner.statRowsOver(prunedFiles).getOrElse(return out)
     val rowCap: Long = inner.rawRowsOver(rows)
+    val hists = idx.versionOpt
+      .map(v => Manifests.histOf(spark, idx.basePath, v))
+      .getOrElse(Map.empty)
     val resolver = spark.sessionState.analyzer.resolver
     output.fields.foreach { f =>
       val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
@@ -186,7 +205,14 @@ private[manifest] object ManifestStats {
         .flatten.map(conv)
       val ndvHit = ndv.collectFirst {
         case (c, n) if resolver(c, f.name) => math.min(n, rowCap) }
-      if (minV.isDefined || maxV.isDefined || ndvHit.isDefined)
+      // the TABLE-level histogram is a valid approximation over any
+      // pruned subset (pruning only removes rows; per-value skew shape
+      // survives) — serving it lets Spark's own FilterEstimation price
+      // the residual filter above the scan
+      val histHit = hists.collectFirst {
+        case (c, h) if resolver(c, f.name) => h }
+      if (minV.isDefined || maxV.isDefined || ndvHit.isDefined ||
+          histHit.isDefined)
         out.put(Expressions.column(f.name), new ColumnStatistics {
           override def distinctCount(): OptionalLong =
             ndvHit.fold(OptionalLong.empty())(OptionalLong.of)
@@ -196,10 +222,33 @@ private[manifest] object ManifestStats {
           override def max(): java.util.Optional[Object] =
             java.util.Optional.ofNullable(
               maxV.map(_.asInstanceOf[Object]).orNull)
+          override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            java.util.Optional.ofNullable(
+              histHit.map(connectorHist).orNull)
         })
     }
     out
   }
+
+  /** A recorded histogram as the connector shape — Spark's
+    * `transformV2Stats` converts it to the catalyst `Histogram` the
+    * CBO estimators consume (`FilterEstimation`'s per-bin equality
+    * and range math). */
+  private def connectorHist(h: (Double, Seq[(Double, Double, Long)]))
+      : org.apache.spark.sql.connector.read.colstats.Histogram =
+    new org.apache.spark.sql.connector.read.colstats.Histogram {
+      override def height(): Double = h._1
+      override def bins(): Array[
+          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+        h._2.map { case (binLo, binHi, binNdv) =>
+          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+            override def lo(): Double = binLo
+            override def hi(): Double = binHi
+            override def ndv(): Long = binNdv
+          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+        }.toArray
+    }
 
   private def columnStats(spark: SparkSession, idx: ManifestScanIndex,
       output: StructType, tableRows: Option[Long], vectored: Boolean)
@@ -210,12 +259,17 @@ private[manifest] object ManifestStats {
     val ndv: Map[String, Long] = idx.versionOpt
       .map(v => Manifests.ndvOf(spark, idx.basePath, v))
       .getOrElse(Map.empty)
+    val hists = idx.versionOpt
+      .map(v => Manifests.histOf(spark, idx.basePath, v))
+      .getOrElse(Map.empty)
     val resolver = spark.sessionState.analyzer.resolver
     output.fields.foreach { f =>
       val indexed = keys.exists(k => resolver(k, f.name))
       val ndvHit = ndv.collectFirst {
         case (c, n) if resolver(c, f.name) => n }
-      if (indexed || ndvHit.isDefined) {
+      val histHit = hists.collectFirst {
+        case (c, h) if resolver(c, f.name) => h }
+      if (indexed || ndvHit.isDefined || histHit.isDefined) {
         // zone bounds come back as external JVM values (sidecar
         // collect); ColumnStat stores Catalyst-internal ones — convert
         // (UTF8String for strings, days/micros for date/timestamp)
@@ -249,9 +303,108 @@ private[manifest] object ManifestStats {
               maxV.map(_.asInstanceOf[Object]).orNull)
           override def nullCount(): OptionalLong =
             nulls.fold(OptionalLong.empty())(OptionalLong.of)
+          override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            java.util.Optional.ofNullable(
+              histHit.map(connectorHist).orNull)
         })
       }
     }
     out
+  }
+}
+
+/** Selectivity of pushed-down conjuncts over recorded equi-height
+  * histograms — the driver-side pricing behind the filtered
+  * `sizeInBytes` estimate. Mirrors `FilterEstimation`'s per-bin math:
+  * equality sums `height / ndv` over the bins that can hold the value
+  * (a hot value occupies many single-value bins and prices near its
+  * true frequency); ranges sum linear overlap fractions. Conjuncts
+  * combine multiplicatively; anything untranslatable contributes 1
+  * (never tightens), so the result is an estimate exactly as
+  * trustworthy as the histogram itself. */
+private[manifest] object HistogramSelectivity {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+
+  private def litDouble(l: Literal): Option[Double] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | _: DecimalType =>
+      Option(l.value).flatMap {
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case n: Number => Some(n.doubleValue())
+        case _ => None
+      }
+    case DateType => Option(l.value).map(_.asInstanceOf[Int].toDouble)
+    case TimestampType | TimestampNTZType =>
+      Option(l.value).map(_.asInstanceOf[Long].toDouble)
+    case _ => None
+  }
+
+  private def total(h: (Double, Seq[(Double, Double, Long)])): Double =
+    math.max(1e-9, h._1 * h._2.size)
+
+  private def eqSel(h: (Double, Seq[(Double, Double, Long)]),
+      v: Double): Double = {
+    val hit = h._2.iterator.filter { case (lo, hi, _) => lo <= v && v <= hi }
+      .map { case (_, _, ndv) => h._1 / math.max(1L, ndv) }.sum
+    math.min(1.0, math.max(hit, 1.0) / total(h)) // floor: one row
+  }
+
+  private def rangeSel(h: (Double, Seq[(Double, Double, Long)]),
+      lo: Option[Double], hi: Option[Double]): Double = {
+    val s = h._2.iterator.map { case (blo, bhi, _) =>
+      val a = lo.getOrElse(Double.NegativeInfinity)
+      val b = hi.getOrElse(Double.PositiveInfinity)
+      val frac =
+        if (bhi < a || blo > b) 0.0
+        else if (bhi == blo) 1.0
+        else math.min(1.0, math.max(0.0,
+          (math.min(bhi, b) - math.max(blo, a)) / (bhi - blo)))
+      h._1 * frac
+    }.sum
+    math.min(1.0, math.max(s, 1.0) / total(h))
+  }
+
+  def of(filters: Seq[Expression],
+      hists: Map[String, (Double, Seq[(Double, Double, Long)])],
+      resolver: (String, String) => Boolean): Double = {
+    def histFor(a: AttributeReference) =
+      hists.collectFirst { case (c, h) if resolver(c, a.name) => h }
+    def selOf(e: Expression): Double = e match {
+      case And(l, r) => selOf(l) * selOf(r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        histFor(a).flatMap(h => litDouble(l).map(eqSel(h, _))).getOrElse(1.0)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        selOf(EqualTo(a, l))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.size <= 64 &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        histFor(a).map { h =>
+          val ds = vs.flatMap(v => litDouble(v.asInstanceOf[Literal]))
+          if (ds.size < vs.size) 1.0
+          else math.min(1.0, ds.map(eqSel(h, _)).sum)
+        }.getOrElse(1.0)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        histFor(a).flatMap(h => litDouble(l)
+          .map(v => rangeSel(h, Some(v), None))).getOrElse(1.0)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        selOf(GreaterThan(a, l))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        histFor(a).flatMap(h => litDouble(l)
+          .map(v => rangeSel(h, None, Some(v)))).getOrElse(1.0)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        selOf(LessThan(a, l))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        selOf(LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        selOf(LessThanOrEqual(a, l))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        selOf(GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        selOf(GreaterThanOrEqual(a, l))
+      case _ => 1.0
+    }
+    math.max(1e-6, filters.map(selOf).product)
   }
 }

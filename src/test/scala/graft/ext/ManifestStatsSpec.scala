@@ -271,6 +271,113 @@ class ManifestStatsSpec extends AnyFunSuite {
       s"baseline (CBO off) should keep the written join order: $written")
   }
 
+  test("histogram flips the broadcast decision per VALUE: hot key stays shuffled, rare key broadcasts — uniform NDV cannot tell them apart") {
+    import spark.implicits._
+    registerCatalog()
+    // skewed dim: 20k rows, country_key 7 holds 95% of them; 200 other
+    // keys share the rest. Uniform NDV prices EVERY key at 1/201 of
+    // the table (~100 rows) — the hot key is really 19k rows.
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_hist_d").toString + "/t"
+    val f = java.nio.file.Files
+      .createTempDirectory("graft_hist_f").toString + "/t"
+    val dim = (1 to 20000).map { i =>
+      val ck = if (i % 20 != 0) 7L else (i % 201).toLong + 100L
+      (i.toLong, ck, s"cust_$i" * 4)
+    }.toDF("customer_key", "country_key", "pad")
+    Manifests.commitData(dim, d)
+    Manifests.analyze(spark, d, Seq("customer_key", "country_key"))
+    Manifests.commitData((1 to 40000).map(i =>
+      ((i % 20000 + 1).toLong, i * 2.0)).toDF("customer_key", "amount"), f)
+    Manifests.analyze(spark, f, Seq("customer_key"))
+    def joinSql(key: Long) =
+      s"""SELECT COUNT(*) AS n FROM graft.`$f` t
+         |JOIN graft.`$d` c ON t.customer_key = c.customer_key
+         |WHERE c.country_key = $key""".stripMargin
+    def joinKinds(sqlText: String): Seq[String] =
+      spark.sql(sqlText).queryExecution.executedPlan.collect {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          "broadcast"
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          "smj"
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          "shj"
+      }
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      // sized so the TRUE hot side (19k rows × ~60 B) sits far above
+      // and the true rare side (~100 rows) far below
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // WITHOUT a histogram the filtered dim's size estimate cannot
+      // price the value: both keys plan identically (the baseline the
+      // histogram exists to fix)
+      val hotBefore = joinKinds(joinSql(7L))
+      val rareBefore = joinKinds(joinSql(150L))
+      assert(hotBefore === rareBefore,
+        s"without a histogram both keys should plan alike: " +
+          s"$hotBefore vs $rareBefore")
+      // ANALYZE FOR HISTOGRAM through the catalog procedure
+      spark.sql(s"CALL graft.system.analyze_histogram('$d', 'country_key')")
+      val hot = joinKinds(joinSql(7L))
+      val rare = joinKinds(joinSql(150L))
+      assert(rare.contains("broadcast"),
+        s"rare-key filtered dim must broadcast with a histogram: $rare")
+      assert(!hot.contains("broadcast"),
+        s"hot-key (95%) filtered dim must NOT broadcast: $hot")
+      // estimate-vs-actual: the scan's filtered sizeInBytes prices the
+      // two values ~3 orders of magnitude apart (uniform NDV gives one
+      // number for both)
+      def dimScanSize(sqlText: String): BigInt =
+        spark.sql(sqlText).queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if r.relation.table.name().contains(
+                d.split("/").takeRight(2).mkString("/")) =>
+            r.stats.sizeInBytes
+        }.head
+      val hotSize = dimScanSize(joinSql(7L))
+      val rareSize = dimScanSize(joinSql(150L))
+      assert(hotSize > rareSize * 50,
+        s"histogram must separate hot/rare estimates: $hotSize vs $rareSize")
+      // and the answers stay exact under both plans
+      assert(spark.sql(joinSql(7L)).head.getLong(0) === 38000L)
+      assert(spark.sql(joinSql(150L)).head.getLong(0) ===
+        2L * dim.filter($"country_key" === 150L).count())
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("histogram sidecar inherits across appends and refreshes on re-ANALYZE") {
+    import spark.implicits._
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_hist_inh").toString + "/t"
+    Manifests.commitData((1 to 1000).map(i =>
+      (i.toLong, i % 10)).toDF("id", "k"), b)
+    Manifests.analyzeHistograms(spark, b, Seq("k"), numBins = 8)
+    val v1 = Manifests.latestVersion(spark, b).get
+    val h1 = Manifests.histOf(spark, b, v1)
+    assert(h1.contains("k") && h1("k")._2.size === 8)
+    assert(math.abs(h1("k")._1 - 125.0) < 1.0, s"height ${h1("k")._1}")
+    // an append inherits the histogram verbatim (stale-tolerated like
+    // NDV)
+    Manifests.append((1001 to 1100).map(i =>
+      (i.toLong, 99)).toDF("id", "k"), b)
+    val v2 = Manifests.latestVersion(spark, b).get
+    assert(Manifests.histOf(spark, b, v2) === h1)
+    // re-ANALYZE refreshes: the new hot value 99 now dominates bins
+    Manifests.analyzeHistograms(spark, b, Seq("k"), numBins = 8)
+    val v3 = Manifests.latestVersion(spark, b).get
+    val h3 = Manifests.histOf(spark, b, v3)
+    assert(h3("k") !== h1("k"))
+    assert(h3("k")._2.last._2 === 99.0, s"bins ${h3("k")._2}")
+  }
+
   test("filtered scan reports PRUNED-set column bounds; NDV clamps to subset rows") {
     import spark.implicits._
     registerCatalog()

@@ -308,6 +308,143 @@ class HiddenPartitionSpec extends AnyFunSuite {
       s"month-range pruning planned $planned files")
   }
 
+  test("INSERT INTO a monthly table derives tuples for the appended files; pruning stays exact") {
+    registerCatalog()
+    import spark.implicits._
+    val b = tmp("ins")
+    monthlyDf.createOrReplaceTempView("graft_hp_ins")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try {
+      spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+        "(months(invoice_ts)) AS SELECT * FROM graft_hp_ins")
+      // a plain INSERT INTO lands rows in a NEW month (May) — the
+      // append must derive month tuples for its files under the
+      // recorded spec, with no rescan of the old files
+      (0 until 70).map(i => (80000L + i, java.sql.Timestamp.valueOf(
+          "2011-05-05 08:00:00"), 3.0))
+        .toDF("sale_id", "invoice_ts", "amount")
+        .createOrReplaceTempView("graft_hp_may")
+      spark.sql(s"INSERT INTO graft.`$b` SELECT * FROM graft_hp_may")
+    } finally spark.conf.unset("graft.write.splitByPartition")
+    val v = Manifests.latestVersion(spark, b).get
+    val (_, segs) = Manifests.partitionedBy(spark, b, v).get
+    val months = spark.read.parquet(segs: _*)
+      .select("invoice_ts_month").distinct().collect()
+      .map(_.getInt(0)).sorted
+    assert(months === Array(24132, 24133, 24134, 24135, 24136),
+      "the appended May files must carry derived tuples")
+    // May-only predicate plans only the appended file(s)
+    val may = plannedFiles(spark.sql(
+      s"SELECT * FROM graft.`$b` WHERE invoice_ts >= " +
+        "TIMESTAMP '2011-05-01 00:00:00'"))
+    assert(may === 1, s"May predicate should plan 1 appended file, got $may")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$b` " +
+      "WHERE invoice_ts >= TIMESTAMP '2011-05-01 00:00:00'")
+      .head.getLong(0) === 70)
+    assert(spark.table(s"graft.`$b`").count() === 4070)
+  }
+
+  test("runtime join filter prunes bucket-partitioned fact FILES through the transform") {
+    registerCatalog()
+    import spark.implicits._
+    val f = tmp("rtf")
+    val dd = tmp("rtd")
+    val fact = (1 to 8000).map(i =>
+      ((i % 500 + 1).toLong, i * 1.0)).toDF("k", "amount")
+    fact.createOrReplaceTempView("graft_hp_rtf")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try spark.sql(s"CREATE TABLE graft.`$f` PARTITIONED BY (bucket(8, k)) " +
+      "AS SELECT * FROM graft_hp_rtf")
+    finally spark.conf.unset("graft.write.splitByPartition")
+    Manifests.commitData((1 to 500).map(i =>
+      (i.toLong, s"d_$i")).toDF("k", "name"), dd)
+    // the dim filter is invisible at plan time — only the RUNTIME
+    // surviving join keys can prune, and they must lower through the
+    // bucket transform to the tuple sidecar
+    val q =
+      s"""SELECT COUNT(*) AS n FROM graft.`$f` t
+         |JOIN graft.`$dd` d ON t.k = d.k
+         |WHERE d.name IN ('d_7', 'd_13')""".stripMargin
+    val all = plannedFiles(spark.sql(s"SELECT * FROM graft.`$f`"))
+    assert(all === 8)
+    val qdf = spark.sql(q)
+    val pruned = {
+      qdf.collect()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.execution.SparkPlan]
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+        p.foreach {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => go(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => go(s.plan)
+          case n => buf += n
+        }
+      go(qdf.queryExecution.executedPlan)
+      buf.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.toString.contains(f.stripPrefix("/")) =>
+          b.inputRDD.partitions.map {
+            case dp: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceRDDPartition =>
+              dp.inputPartitions.map {
+                case fp: org.apache.spark.sql.execution.datasources
+                    .FilePartition => fp.files.length
+                case _ => 0
+              }.sum
+            case _ => 0
+          }.sum
+      }.min
+    }
+    assert(pruned <= 2,
+      s"runtime keys {7,13} hit ≤2 buckets, planned $pruned files")
+    assert(spark.sql(q).head.getLong(0) === 32L)
+  }
+
+  test("months-SPJ: two monthly tables join on the raw timestamp with zero Exchange") {
+    registerCatalog()
+    import spark.implicits._
+    val da = tmp("mja")
+    val db = tmp("mjb")
+    monthlyDf.createOrReplaceTempView("graft_hp_mja")
+    // per-timestamp rollup co-partitioned monthly
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try {
+      spark.sql(s"CREATE TABLE graft.`$da` PARTITIONED BY " +
+        "(months(invoice_ts)) AS SELECT * FROM graft_hp_mja")
+      spark.sql(s"CREATE TABLE graft.`$db` PARTITIONED BY " +
+        "(months(invoice_ts)) AS SELECT invoice_ts, " +
+        "COUNT(*) AS n_sales FROM graft_hp_mja GROUP BY invoice_ts")
+    } finally spark.conf.unset("graft.write.splitByPartition")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "true")
+      spark.conf.set(keys(2), "-1")
+      val q = spark.sql(
+        s"""SELECT /*+ MERGE(r) */ a.sale_id, r.n_sales
+           |FROM graft.`$da` a JOIN graft.`$db` r
+           |  ON a.invoice_ts = r.invoice_ts""".stripMargin)
+      val joins = finalNodes(q).filter {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joins.size === 1)
+      assert(joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty,
+        s"months-SPJ join still exchanges:\n${joins.head.toString.take(2500)}")
+      assert(q.count() === 4000)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("identity guards: DDL on a transform SOURCE column refuses; metadata delete stays identity-only") {
     registerCatalog()
     import spark.implicits._

@@ -116,13 +116,25 @@ private[manifest] object ManifestStats {
     // masquerading as one. Untranslatable conjuncts contribute 1
     // (the estimate only tightens where the histogram can price);
     // tables with no histogram are byte-identical to before.
-    val hists = idx.versionOpt
+    val hists0 = idx.versionOpt
       .map(v => Manifests.histOf(spark, idx.basePath, v))
       .getOrElse(Map.empty)
+    // PARTITION SOURCES are excluded from the histogram scaling: the
+    // pruned listing above already removed their files exactly, and
+    // scaling the surviving bytes by the same predicate's selectivity
+    // would square it — an underestimate in the dangerous direction
+    // (it could force a broadcast). Only columns partition pruning
+    // cannot see keep their histogram conjuncts.
+    val partSrcs = idx.versionOpt
+      .flatMap(v => Manifests.partitionedBy(spark, idx.basePath, v))
+      .map(m => graft.ext.PartitionTransforms.sources(m._1))
+      .getOrElse(Seq.empty)
+    val resolver0 = spark.sessionState.analyzer.resolver
+    val hists = hists0.filter { case (c, _) =>
+      !partSrcs.exists(resolver0(_, c)) }
     val sel: Double =
       if (hists.isEmpty || dataFilters.isEmpty) 1.0
-      else HistogramSelectivity.of(dataFilters, hists,
-        spark.sessionState.analyzer.resolver)
+      else HistogramSelectivity.of(dataFilters, hists, resolver0)
     val sizeOut = math.max(1L, (liveBytes * factor * sel).toLong)
 
     // column statistics: exact-channel values on the whole-version

@@ -186,6 +186,53 @@ object HpBench {
     val exAfter = exchangesUnderJoin(restoreSql)
     val (_, secAfter) = t(spark.sql(restoreSql).collect())
 
+    // ---- 4. skew-aware SPJ -----------------------------------------
+    // a 90%-hot key inside bucket(8): plain SPJ plans ONE task per
+    // tuple (the hot bucket serializes ~90% of the table through one
+    // core); partially-clustered distribution keeps the hot side's
+    // file splits as separate tasks and replicates the other side's
+    // matching partition — zero Exchange either way, parallelism only
+    // under partial. A/B in interleaved pass pairs.
+    val skfact = s"$root/wh/hp/skfact"
+    val skinv = s"$root/wh/hp/skinv"
+    val (_, skewBuildSec) = t {
+      val fact = spark.table(s"graft.`$flat`")
+      val skew = fact.withColumn("skew_key",
+        when(pmod(hash(col("invoice_no")), lit(10)) =!= 0, lit("HOT#0"))
+          .otherwise(col("invoice_no")))
+      skew.createOrReplaceTempView("hp_skew_src")
+      spark.conf.set("graft.write.splitByPartition", "true")
+      spark.sql(s"CREATE TABLE graft.`$skfact` PARTITIONED BY " +
+        "(bucket(8, skew_key)) AS SELECT * FROM hp_skew_src")
+      spark.sql(s"CREATE TABLE graft.`$skinv` PARTITIONED BY " +
+        "(bucket(8, skew_key)) AS SELECT skew_key, COUNT(*) AS n_lines " +
+        "FROM hp_skew_src GROUP BY skew_key")
+      spark.conf.unset("graft.write.splitByPartition")
+    }
+    val skewSql =
+      s"""SELECT /*+ MERGE(i) */ COUNT(*) AS n, SUM(i.n_lines) AS q
+         |FROM graft.`$skfact` f JOIN graft.`$skinv` i
+         |  ON f.skew_key = i.skew_key""".stripMargin
+    def runSkew(partial: Boolean): (Int, Int, Double, Long) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", partial.toString)
+      val ex = exchangesUnderJoin(skewSql)
+      val parts = spark.sql(skewSql).rdd.getNumPartitions
+      val (res, sec) = t(spark.sql(skewSql).collect())
+      spark.conf.unset("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled")
+      (ex, parts, sec, res.head.getLong(0))
+    }
+    val (exPlain, partsPlain, skPlain1, nSkPlain) = runSkew(partial = false)
+    val (exPart, partsPart, skPart1, nSkPart) = runSkew(partial = true)
+    val (_, _, skPlain2, _) = runSkew(partial = false)
+    val (_, _, skPart2, _) = runSkew(partial = true)
+    require(nSkPlain == nSkPart,
+      s"skew A/B results disagree: $nSkPlain vs $nSkPart")
+
     println(
       s"""{"metric":"hidden_partition_${factor}x","value":$mon2,""" +
         s""""unit":"sec","rows":$rows,"build_sec":$buildSec,""" +
@@ -200,7 +247,13 @@ object HpBench {
         s""""speedup_warm":${shuf2 / math.max(spj2, 1e-9)}},""" +
         s""""optimize_restores_spj":{"exchanges_before":$exBefore,""" +
         s""""exchanges_after":$exAfter,"join_sec_before":$secBefore,""" +
-        s""""join_sec_after":$secAfter,"optimize_sec":$optSec}}""")
+        s""""join_sec_after":$secAfter,"optimize_sec":$optSec},""" +
+        s""""skew_spj":{"build_sec":$skewBuildSec,""" +
+        s""""exchanges_plain":$exPlain,"exchanges_partial":$exPart,""" +
+        s""""tasks_plain":$partsPlain,"tasks_partial":$partsPart,""" +
+        s""""plain_sec":$skPlain1,"partial_sec":$skPart1,""" +
+        s""""plain_sec_warm":$skPlain2,"partial_sec_warm":$skPart2,""" +
+        s""""speedup_warm":${skPlain2 / math.max(skPart2, 1e-9)}}}""")
     spark.stop()
   }
 }

@@ -85,21 +85,23 @@ object SparkEntry {
     // shared overwrite-vs-read path.
     "ingest_csv" -> ((s, d) => {
       val csvDir = dumpDir(s, d, "csv")
-      Ingest.dumpCsv(s, d, csvDir)
+      ensureFixture(s, csvDir) { Ingest.dumpCsv(s, d, csvDir) }
       orderedAsc(
         moneyDouble(Ingest.readCsv(s, csvDir).drop("loaded_at"), Seq("unit_price")),
         stagingCols)
     }),
     "ingest_json" -> ((s, d) => {
       val jsonDir = dumpDir(s, d, "json")
-      Ingest.dumpJson(s, d, jsonDir)
+      ensureFixture(s, jsonDir) { Ingest.dumpJson(s, d, jsonDir) }
       orderedAsc(
         moneyDouble(Ingest.readJson(s, jsonDir).drop("loaded_at"), Seq("unit_price")),
         stagingCols)
     }),
     "ingest_orc" -> ((s, d) => {
+      val orcDir = dumpDir(s, d, "orc")
+      ensureFixture(s, orcDir) { Ingest.dumpOrc(s, d, orcDir) }
       orderedAsc(
-        moneyDouble(Ingest.roundtripOrc(s, d, dumpDir(s, d, "orc")), Seq("unit_price")),
+        moneyDouble(s.read.orc(orcDir), Seq("unit_price")),
         stagingCols)
     }),
     // K2-extension: SCD2 change history (upsert keeps latest; this keeps all)
@@ -121,12 +123,10 @@ object SparkEntry {
     // read back — the oracle replays NOT(pred) over the clean lineage
     "delete_roundtrip" -> ((s, d) => {
       val p = dumpDir(s, d, "del")
-      val marker = s"${p}_done"
-      if (!ext.Dfs.exists(s, marker)) {
+      ensureFixture(s, p) {
         Warehouse(s, d).cleaned.repartition(8)
           .write.mode("overwrite").parquet(p)
         ext.Deletes.deleteWhere(s, p, col("country") === "NATION_7")
-        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(s.read.parquet(p).select(stagingCols.map(col): _*), Seq("unit_price")),
@@ -152,14 +152,12 @@ object SparkEntry {
     // alone, and the oracle replays both as CASE over the clean lineage
     "update_versioned" -> ((s, d) => {
       val b = dumpDir(s, d, "manupdate")
-      val marker = s"${b}_done"
-      if (!ext.Dfs.exists(s, marker)) {
+      ensureFixture(s, b) {
         ext.Manifests.commitData(
           Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
         ext.Manifests.updateWhere(s, b, col("country") === "NATION_2",
           Map("country" -> lit("REDACTED"),
             "quantity" -> (col("quantity") + lit(1000))))
-        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(ext.Manifests.readLatest(s, b).select(stagingCols.map(col): _*),
@@ -172,15 +170,13 @@ object SparkEntry {
     // one commit — zero raw-file rewrites across the whole lineage
     "update_mor" -> ((s, d) => {
       val b = dumpDir(s, d, "manupdmor")
-      val marker = s"${b}_done"
-      if (!ext.Dfs.exists(s, marker)) {
+      ensureFixture(s, b) {
         ext.Manifests.commitData(
           Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
         ext.Manifests.deleteWhereMor(s, b, col("quantity") === 13)
         ext.Manifests.updateWhereMor(s, b, col("country") === "NATION_2",
           Map("country" -> lit("REWRITTEN"),
             "quantity" -> (col("quantity") + lit(1000))))
-        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(ext.Manifests.readLatest(s, b)
@@ -440,10 +436,9 @@ object SparkEntry {
     "mv_cdc_refresh" -> ((s, d) => {
       val b = manMvCdcFixture(s, d)
       val mv0 = s"${b}_mv0"
-      if (!ext.Dfs.exists(s, s"${mv0}_done")) {
+      ensureFixture(s, mv0) {
         etl.Mv.partialOf(ext.Manifests.readAt(s, b, 0))
           .write.mode("overwrite").parquet(mv0)
-        ext.Dfs.touch(s, s"${mv0}_done")
       }
       val latest = ext.Manifests.latestVersion(s, b).get
       etl.Mv.formatted(etl.Mv.applyChangesFrame(s, mv0,
@@ -528,6 +523,35 @@ object SparkEntry {
            |  AND invoice_date < DATE '1996-01-01'
            |GROUP BY year(invoice_date), month(invoice_date)
            |ORDER BY year, month""".stripMargin)
+    }),
+    // PARTITION EVOLUTION end-to-end through SQL: a yearly table
+    // outgrows its spec — CALL evolve_partitions moves it to monthly
+    // (metadata-only), the pre-1995 files keep planning under their
+    // YEAR tuples, the post-1995 INSERT derives MONTH tuples, and the
+    // rollup over both eras must be exactly the relational answer —
+    // a dropped era, a double-planned file or a wrong-group lowering
+    // all hash-fail
+    "sql_evolve_partitions" -> ((s, d) => {
+      val b = manevoFixture(s, d)
+      s.sql(
+        s"""SELECT year(invoice_date) AS year, month(invoice_date) AS month,
+           |  COUNT(*) AS n_sales, CAST(SUM(quantity) AS BIGINT) AS sum_qty
+           |FROM graft.`$b`
+           |WHERE invoice_date >= DATE '1996-06-01'
+           |GROUP BY year(invoice_date), month(invoice_date)
+           |ORDER BY year, month""".stripMargin)
+    }),
+    // transform-ALIGNED metadata DML: a month-boundary DELETE on a
+    // monthly table retires whole files from the recorded tuples —
+    // the fixture REQUIRES zero new data files (the O(metadata)
+    // retention-job shape), and the surviving content must equal the
+    // relational complement exactly
+    "sql_drop_months" -> ((s, d) => {
+      val b = manmdropFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.table(s"graft.`$b`")
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
     }),
     // the delta-encoded manifest log end-to-end: a long pure-SQL
     // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
@@ -713,12 +737,10 @@ object SparkEntry {
     "compact_roundtrip" -> ((s, d) => {
       val frag = dumpDir(s, d, "frag")
       val comp = dumpDir(s, d, "compact")
-      val marker = s"${comp}_done"
-      if (!ext.Dfs.exists(s, marker)) {
+      ensureFixture(s, comp, frag) {
         Warehouse(s, d).cleaned.repartition(64).write.mode("overwrite").parquet(frag)
         val (b, a) = ext.Layout.compact(s, frag, comp, 4)
         require(b == 64 && a == 4, s"compaction shape unexpected: $b -> $a files")
-        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(s.read.parquet(comp).select(stagingCols.map(col): _*), Seq("unit_price")),
@@ -731,8 +753,7 @@ object SparkEntry {
     // content-preserving (same rows as the clean lineage, exactly)
     "autocompact_roundtrip" -> ((s, d) => {
       val b = dumpDir(s, d, "manac")
-      val marker = s"${b}_done"
-      if (!ext.Dfs.exists(s, marker)) {
+      ensureFixture(s, b) {
         val cl = Warehouse(s, d).cleaned
         val sliced = cl.withColumn("_sl",
           pmod(operators.Dedup.fastHash60(s, col("invoice_no")),
@@ -749,7 +770,6 @@ object SparkEntry {
         require((0 to v).exists(w =>
           ext.Manifests.tagOf(s, b, w).contains("autocompact")),
           "autocompact fixture never tripped the policy")
-        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(ext.Manifests.readLatest(s, b)
@@ -763,8 +783,7 @@ object SparkEntry {
     // different — and at scale the only tenable — mechanism)
     "evolve_manifest" -> ((s, d) => {
       val b = dumpDir(s, d, "manevolve")
-      val marker = s"${b}_done"
-      if (!ext.Dfs.exists(s, marker)) {
+      ensureFixture(s, b) {
         val st = Warehouse(s, d).staging
         val codeNum = expr("try_cast(stock_code AS int)")
         val even = coalesce(codeNum % 2 === 0,
@@ -773,7 +792,6 @@ object SparkEntry {
         ext.Manifests.appendBatch(
           st.filter(!even).withColumn("channel",
             concat(lit("web-"), (codeNum % 3).cast("string"))), b, 0L)
-        ext.Dfs.touch(s, marker)
       }
       orderedAsc(
         moneyDouble(ext.Manifests.readLatest(s, b)
@@ -782,16 +800,32 @@ object SparkEntry {
     }),
     // S5-extension: schema evolution across parquet batches (mergeSchema)
     "ingest_evolve" -> ((s, d) => {
-      val merged = Ingest.evolvedRoundtrip(s, d, dumpDir(s, d, "evolve"))
+      val evoDir = dumpDir(s, d, "evolve")
+      ensureFixture(s, evoDir) { Ingest.dumpEvolved(s, d, evoDir) }
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$evoDir/b1", s"$evoDir/b2")
       orderedAsc(
         moneyDouble(merged.select((stagingCols :+ "channel").map(col): _*), Seq("unit_price")),
         stagingCols :+ "channel")
     }),
   )
 
+  /** Fixture paths are shared ACROSS processes of the same build
+    * ([[ext.Dfs.codeEpoch]] instead of the applicationId): the first
+    * process to need a fixture builds it under [[ensureFixture]]'s
+    * claim/marker protocol, every later one — Verify after Bench, the
+    * driver's replay after the builder's closing gate — reads it for
+    * free. This is what caps the gate's warm-up at ONE fixture build
+    * per code change per host (the r16 warm-up wall was ~40 lineages
+    * rebuilt per JVM). */
   private def dumpDir(s: SparkSession, d: String, fmt: String): String =
-    s"${ext.Dfs.scratchBase}/graft_${fmt}_${s.sparkContext.applicationId}_" +
+    s"${ext.Dfs.scratchBase}/graftfix_${ext.Dfs.codeEpoch}_${fmt}_" +
       new org.apache.hadoop.fs.Path(d).getName
+
+  /** [[ext.Dfs.buildOnce]] — build-once cross-process fixture gate. */
+  private def ensureFixture(s: SparkSession, paths: String*)
+      (build: => Unit): Unit =
+    ext.Dfs.buildOnce(s, paths: _*)(build)
 
   /** The versioned-delete fixture manifest table (v0 = cleaned, v1 =
     * ANALYZE on the cluster key, v2 = post-delete), shared by
@@ -805,8 +839,7 @@ object SparkEntry {
     * either way — the oracle does not see the layout. */
   private def mandelFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mandel")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
       // zone stats on the cluster key (v1, metadata-only): the change
@@ -814,7 +847,6 @@ object SparkEntry {
       // overlapping file pairs with these — the production shape
       ext.Manifests.analyze(s, b, Seq("country"))
       ext.Manifests.deleteWhere(s, b, col("country") === "NATION_7") // v2
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -828,14 +860,12 @@ object SparkEntry {
   private def manrestoreFixture(s: SparkSession, d: String): (String, String) = {
     val b = dumpDir(s, d, "manrestore")
     val c = dumpDir(s, d, "manclone")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b, c) {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
       ext.Manifests.deleteWhere(s, b, col("country") === "NATION_5")
       ext.Manifests.restore(s, b, 0)
       ext.Manifests.shallowClone(s, b, c, 1)
-      ext.Dfs.touch(s, marker)
     }
     (b, c)
   }
@@ -846,12 +876,10 @@ object SparkEntry {
     * files. */
   private def mandropcolFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mandropcol")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("invoice_date")), b)
       ext.Manifests.dropColumn(s, b, "description")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -863,14 +891,12 @@ object SparkEntry {
     * same OCC/schema/metadata protocol as the Scala API. */
   private def manwriteFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manwrite")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       val cleaned = Warehouse(s, d).cleaned
       cleaned.filter(!(col("country") <=> "NATION_3")).repartition(8)
         .write.format("manifest").save(b)
       cleaned.filter(col("country") <=> "NATION_3").repartition(2)
         .write.format("manifest").mode("append").save(b)
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -882,12 +908,10 @@ object SparkEntry {
     * [[graft.ext.ManifestFileIndex]]). */
   private def manskipFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manskip")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("quantity")), b)
       ext.Manifests.analyze(s, b, Seq("quantity"))
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -899,11 +923,9 @@ object SparkEntry {
     * `manifest_sql_scan` (the same relation from pure SQL). */
   private def manpartFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manpart")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitDataPartitioned(
         Warehouse(s, d).cleaned, b, Seq("country"), filesPerWrite = 8)
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -914,12 +936,10 @@ object SparkEntry {
     * lookup. */
   private def manbloomFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manbloom")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartition(8, hash(col("invoice_no"))), b)
       ext.Manifests.analyzeBloom(s, b, Seq("invoice_no"))
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -929,13 +949,11 @@ object SparkEntry {
     * retired by manifest arithmetic alone. */
   private def mandropFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mandrop")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitDataPartitioned(
         Warehouse(s, d).cleaned, b, Seq("country"), filesPerWrite = 8)
       ext.Manifests.dropPartitions(s, b,
         col("country").isin("NATION_3", "NATION_8"))
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -946,15 +964,13 @@ object SparkEntry {
   private def bucketedFixture(s: SparkSession, d: String): (String, String) = {
     val bf = dumpDir(s, d, "bkfact")
     val bd = dumpDir(s, d, "bkdim")
-    val marker = s"${bf}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, bf, bd) {
       val wh = Warehouse(s, d)
       ext.Manifests.commitDataBucketed(
         wh.cleaned.select("stock_code", "quantity"), bf, Seq("stock_code"), 8,
         sortBy = Seq("stock_code"))
       ext.Manifests.commitDataBucketed(wh.dimProduct, bd, Seq("stock_code"), 8,
         sortBy = Seq("stock_code"))
-      ext.Dfs.touch(s, marker)
     }
     (bf, bd)
   }
@@ -971,8 +987,7 @@ object SparkEntry {
     * records n_rows + quantity zones (and per-file sums) per file. */
   private def manfcntFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manfcnt")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       val cleaned = Warehouse(s, d).cleaned
       val countries = cleaned.select("country").distinct().collect()
         .map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
@@ -985,7 +1000,6 @@ object SparkEntry {
         ext.Manifests.appendBatch(slice(c), b, i.toLong)
       }
       ext.Manifests.analyze(s, b, Seq("quantity"))
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1002,16 +1016,14 @@ object SparkEntry {
     * UPDATE and DELETE — every statement a spark.sql string. */
   private def mansqlFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqldml")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_sqldml_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqldml_src")
       s.sql(s"UPDATE graft.`$b` SET quantity = quantity + 500, " +
         "country = 'SQLLAND' WHERE country = 'NATION_4'")
       s.sql(s"DELETE FROM graft.`$b` WHERE country = 'NATION_6'")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1020,9 +1032,8 @@ object SparkEntry {
     * issued as a MERGE INTO statement through the catalog. */
   private def mansqlMergeFixture(s: SparkSession, d: String): String = {
     val c = dumpDir(s, d, "mansqlmrg")
-    val marker = s"${c}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer.repartition(8)
         .createOrReplaceTempView("graft_sqlmrg_dim")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT customer_key, " +
@@ -1040,7 +1051,6 @@ object SparkEntry {
                |WHEN MATCHED THEN UPDATE SET t.customer_key = u.customer_key,
                |  t.country = u.country
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      ext.Dfs.touch(s, marker)
     }
     c
   }
@@ -1053,9 +1063,8 @@ object SparkEntry {
     * bytes move (the 100 TB contract for additive DDL). */
   private def mansqlAddColFixture(s: SparkSession, d: String): String = {
     val c = dumpDir(s, d, "mansqladdc")
-    val marker = s"${c}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
         .repartition(4).createOrReplaceTempView("graft_sqladdc_dim")
@@ -1065,7 +1074,6 @@ object SparkEntry {
       s.sql(s"INSERT INTO graft.`$c` SELECT customer_key, customer_id, " +
         "country, 'NEW' AS segment FROM graft_sqladdc_dim " +
         "WHERE country = 'NATION_5'")
-      ext.Dfs.touch(s, marker)
     }
     c
   }
@@ -1079,9 +1087,8 @@ object SparkEntry {
     * alias, the post-rename files plainly. */
   private def mansqlRenameFixture(s: SparkSession, d: String): String = {
     val c = dumpDir(s, d, "mansqlren")
-    val marker = s"${c}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
         .repartition(4).createOrReplaceTempView("graft_sqlren_dim")
@@ -1091,7 +1098,6 @@ object SparkEntry {
       s.sql(s"INSERT INTO graft.`$c` SELECT customer_key, customer_id, " +
         "country AS region FROM graft_sqlren_dim " +
         "WHERE country = 'NATION_5'")
-      ext.Dfs.touch(s, marker)
     }
     c
   }
@@ -1104,9 +1110,8 @@ object SparkEntry {
     * registered SELECT reads both eras as BIGINT. */
   private def mansqlWidenFixture(s: SparkSession, d: String): String = {
     val c = dumpDir(s, d, "mansqlwid")
-    val marker = s"${c}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
         .repartition(4).createOrReplaceTempView("graft_sqlwid_dim")
@@ -1117,7 +1122,6 @@ object SparkEntry {
       s.sql(s"INSERT INTO graft.`$c` SELECT customer_id, " +
         "abs(customer_key % 1000000) + 3000000000 AS code, country " +
         "FROM graft_sqlwid_dim WHERE country = 'NATION_5'")
-      ext.Dfs.touch(s, marker)
     }
     c
   }
@@ -1132,9 +1136,8 @@ object SparkEntry {
     * key, so the fixture keeps to delete + update.) */
   private def mansqlMorDmlFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqlmrdml")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_sqlmrdml_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmrdml_src")
@@ -1145,7 +1148,6 @@ object SparkEntry {
       // append; no CALL, no compact() wall)
       s.sql(s"UPDATE graft.`$b` SET country = 'CALLED', " +
         "quantity = quantity + 2000 WHERE country = 'NATION_3'")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1158,9 +1160,8 @@ object SparkEntry {
     * fixture completing AT ALL pins the native path. */
   private def mansqlMorMergeFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqlmrgmor")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_sqlmrgmor_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmrgmor_src")
@@ -1177,7 +1178,6 @@ object SparkEntry {
                 |ON t.customer_id = u.customer_id
                 |WHEN MATCHED THEN UPDATE SET *
                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1189,15 +1189,13 @@ object SparkEntry {
     * LocalRelation collapse pinned by ManifestStatsSpec. */
   private def manfcMorFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manfcmor")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_fcmor_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_fcmor_src")
       s.sql(s"CALL graft.system.analyze('$b', 'quantity,country')")
       s.sql(s"CALL graft.system.delete_mor('$b', 'quantity = 17')")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1212,9 +1210,8 @@ object SparkEntry {
     * groupBy, never a history rescan. */
   private def manMvCdcFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manmvcdc")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).fact.repartitionByRange(8, col("invoice_date"))
         .createOrReplaceTempView("graft_mvcdc_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_mvcdc_src")
@@ -1222,7 +1219,6 @@ object SparkEntry {
         "'pmod(customer_key, 7) = 3')")
       s.sql(s"UPDATE graft.`$b` SET total_amount = total_amount + 1.50 " +
         "WHERE pmod(customer_key, 7) = 2")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1235,9 +1231,8 @@ object SparkEntry {
     * protection and the WAP branch flow on top of the same ref tier). */
   private def mansqlTagFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqltag")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_sqltag_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqltag_src")
@@ -1245,7 +1240,6 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$b` WHERE country = 'NATION_6'")
       s.sql(s"UPDATE graft.`$b` SET quantity = quantity + 77 " +
         "WHERE country = 'NATION_2'")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1260,9 +1254,8 @@ object SparkEntry {
     * users run nightly. */
   private def mansqlMergeSyncFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqlsync")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_sqlsync_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlsync_src")
@@ -1283,7 +1276,6 @@ object SparkEntry {
                |  THEN DELETE
                |WHEN NOT MATCHED BY SOURCE AND t.country = 'NATION_4'
                |  THEN UPDATE SET t.country = 'STALE'""".stripMargin)
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1300,9 +1292,8 @@ object SparkEntry {
     val f = dumpDir(s, d, "manstar_fact")
     val c = dumpDir(s, d, "manstar_dimc")
     val dd = dumpDir(s, d, "manstar_dimd")
-    val marker = s"${f}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, f, c, dd) {
       val wh = Warehouse(s, d)
       wh.fact.createOrReplaceTempView("graft_star_fact_src")
       wh.dimCustomer.createOrReplaceTempView("graft_star_dimc_src")
@@ -1313,7 +1304,6 @@ object SparkEntry {
       s.sql(s"CALL graft.system.analyze('$f', 'customer_key,date_key')")
       s.sql(s"CALL graft.system.analyze('$c', 'customer_key,country')")
       s.sql(s"CALL graft.system.analyze('$dd', 'date_key,year')")
-      ext.Dfs.touch(s, marker)
     }
     (f, c, dd)
   }
@@ -1327,9 +1317,8 @@ object SparkEntry {
   private def manspjFixture(s: SparkSession, d: String): (String, String) = {
     val a = dumpDir(s, d, "manspj_cstats")
     val b = dumpDir(s, d, "manspj_cust")
-    val marker = s"${a}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, a, b) {
       val dim = Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
       val stats = dim.groupBy("country")
@@ -1340,7 +1329,6 @@ object SparkEntry {
         ext.Manifests.commitDataPartitioned(stats, a, Seq("country")): Unit
         ext.Manifests.commitDataPartitioned(dim, b, Seq("country")): Unit
       } finally s.conf.unset("graft.write.splitByPartition")
-      ext.Dfs.touch(s, marker)
     }
     (a, b)
   }
@@ -1355,15 +1343,64 @@ object SparkEntry {
     * of the same layout, with pruning driven from the source column. */
   private def manhpFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manhp")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).cleaned.createOrReplaceTempView("graft_hp_cleaned")
       s.conf.set("graft.write.splitByPartition", "true")
       try s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
         "(months(invoice_date)) AS SELECT * FROM graft_hp_cleaned")
       finally s.conf.unset("graft.write.splitByPartition")
-      ext.Dfs.touch(s, marker)
+    }
+    b
+  }
+
+  /** Partition-evolution fixture: the pre-1995 half of the clean
+    * lineage CTAS'd YEARLY, evolved to MONTHLY (metadata-only commit —
+    * same files, spec history recorded), then the post-1995 half
+    * INSERTed under the monthly spec. Both eras prune under their own
+    * tuples; the registered rollup reads across them. */
+  private def manevoFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manevo")
+    registerCatalog(s)
+    ensureFixture(s, b) {
+      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_evo_cleaned")
+      s.conf.set("graft.write.splitByPartition", "true")
+      try {
+        s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+          "(years(invoice_date)) AS SELECT * FROM graft_evo_cleaned " +
+          "WHERE invoice_date < DATE '1998-01-01'")
+        s.sql(s"CALL graft.system.evolve_partitions('$b', " +
+          "'months(invoice_date)')")
+        s.sql(s"INSERT INTO graft.`$b` SELECT * FROM graft_evo_cleaned " +
+          "WHERE invoice_date >= DATE '1998-01-01' " +
+          "OR invoice_date IS NULL")
+      } finally s.conf.unset("graft.write.splitByPartition")
+    }
+    b
+  }
+
+  /** Transform-aligned metadata-DML fixture: a monthly table whose
+    * month-boundary DELETE must retire files from metadata alone —
+    * the require pins the zero-new-data-files contract, so a silent
+    * regression to the rewrite path fails the fixture loudly. */
+  private def manmdropFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manmdrop")
+    registerCatalog(s)
+    ensureFixture(s, b) {
+      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_mdrop_cleaned")
+      s.conf.set("graft.write.splitByPartition", "true")
+      try s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+        "(months(invoice_date)) AS SELECT * FROM graft_mdrop_cleaned")
+      finally s.conf.unset("graft.write.splitByPartition")
+      val v0 = ext.Manifests.latestVersion(s, b).get
+      val before = ext.Manifests.files(s, b, v0).toSet
+      s.sql(s"DELETE FROM graft.`$b` WHERE invoice_date < " +
+        "DATE '1996-01-01'")
+      val v1 = ext.Manifests.latestVersion(s, b).get
+      val after = ext.Manifests.files(s, b, v1).toSet
+      require(after.subsetOf(before) && after.size < before.size,
+        "month-aligned DELETE was expected to retire files from " +
+          s"metadata alone — new files: ${(after -- before).take(3)}")
     }
     b
   }
@@ -1381,9 +1418,8 @@ object SparkEntry {
     * remove or a dangling base shifts rows and hash-fails the oracle. */
   private def mansqlDlogFixture(s: SparkSession, d: String): String = {
     val c = dumpDir(s, d, "mansqldlg")
-    val marker = s"${c}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, c) {
       s.conf.set("graft.manifest.maxChain", "3")
       try {
         Warehouse(s, d).dimCustomer
@@ -1401,7 +1437,6 @@ object SparkEntry {
           "country, 'LATE' AS flag FROM graft_sqldlg_dim " +
           "WHERE customer_key % 8 = 4")
       } finally s.conf.unset("graft.manifest.maxChain")
-      ext.Dfs.touch(s, marker)
     }
     c
   }
@@ -1413,9 +1448,8 @@ object SparkEntry {
     * country that only the relaxed contract admits. */
   private def mansqlNnFixture(s: SparkSession, d: String): String = {
     val c = dumpDir(s, d, "mansqlnn")
-    val marker = s"${c}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
         .repartition(4).createOrReplaceTempView("graft_sqlnn_dim")
@@ -1427,7 +1461,6 @@ object SparkEntry {
       s.sql(s"ALTER TABLE graft.`$c` ALTER COLUMN country DROP NOT NULL")
       s.sql(s"INSERT INTO graft.`$c` VALUES " +
         "(-1, 'ZZZ_NULL_CUSTOMER', CAST(NULL AS STRING))")
-      ext.Dfs.touch(s, marker)
     }
     c
   }
@@ -1440,9 +1473,8 @@ object SparkEntry {
     * DV-aware catalog scan. */
   private def mansqlMorFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqlmor")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
         .createOrReplaceTempView("graft_sqlmor_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmor_src")
@@ -1454,7 +1486,6 @@ object SparkEntry {
       // file, so the table ends genuinely vectored and the SELECT
       // reads through real position vectors
       ext.Manifests.deleteWhereMor(s, b, col("quantity") === 7)
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1467,9 +1498,8 @@ object SparkEntry {
     * ManifestCatalogSpec). */
   private def mansqlOvwFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mansqlovw")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).cleaned.createOrReplaceTempView("graft_sqlovw_src")
       s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (country) AS " +
         "SELECT * FROM graft_sqlovw_src")
@@ -1482,7 +1512,6 @@ object SparkEntry {
       }
       overwriteFrom("NATION_1")
       overwriteFrom("NATION_3")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1493,9 +1522,8 @@ object SparkEntry {
     * NATION_5 inserts plus the update's delete/insert image pair. */
   private def mansqlCdfFixture(s: SparkSession, d: String): String = {
     val c = dumpDir(s, d, "mansqlcdf")
-    val marker = s"${c}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
         .repartitionByRange(4, col("country"))
@@ -1506,7 +1534,6 @@ object SparkEntry {
         "WHERE country = 'NATION_5'")
       s.sql(s"UPDATE graft.`$c` SET country = 'MOVED' " +
         "WHERE country = 'NATION_3'")
-      ext.Dfs.touch(s, marker)
     }
     c
   }
@@ -1520,9 +1547,8 @@ object SparkEntry {
     * exactly one delta write with its `_cdcupd` classification. */
   private def mancdfUpdFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mancdfupd")
-    val marker = s"${b}_done"
     registerCatalog(s)
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       Warehouse(s, d).dimCustomer.repartition(8)
         .createOrReplaceTempView("graft_cdfupd_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_cdfupd_src")
@@ -1545,15 +1571,13 @@ object SparkEntry {
         s.conf.unset("graft.dml.mode")
         s.conf.unset("graft.cdf.updateImages")
       }
-      ext.Dfs.touch(s, marker)
     }
     b
   }
 
   private def manmergeFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manmerge")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitData(Warehouse(s, d).dimCustomer.repartition(8), b)
       val dim = ext.Manifests.readAt(s, b, 0)
       val updates = dim.filter(col("country") === "NATION_3")
@@ -1563,7 +1587,6 @@ object SparkEntry {
             concat(col("customer_id"), lit("_B")).as("customer_id"),
             lit("NATION_5B").as("country")))
       ext.Manifests.merge(s, b, updates, Seq("customer_id"))
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1574,8 +1597,7 @@ object SparkEntry {
     * batch appends, zero raw-file rewrites across the lineage. */
   private def manmergeMorFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "manmrgmor")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitData(
         Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country")), b)
       ext.Manifests.deleteWhereMor(s, b, col("country") === "NATION_7")
@@ -1587,7 +1609,6 @@ object SparkEntry {
             concat(col("customer_id"), lit("_B")).as("customer_id"),
             lit("NATION_5B").as("country")))
       ext.Manifests.mergeMor(s, b, updates, Seq("customer_id"))
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -1600,12 +1621,10 @@ object SparkEntry {
     * position machinery only on the boundary. */
   private def morFixture(s: SparkSession, d: String): String = {
     val b = dumpDir(s, d, "mordel")
-    val marker = s"${b}_done"
-    if (!ext.Dfs.exists(s, marker)) {
+    ensureFixture(s, b) {
       ext.Manifests.commitData(
         Warehouse(s, d).cleaned.repartitionByRange(8, col("country")), b)
       ext.Manifests.deleteWhereMor(s, b, col("country") === "NATION_7")
-      ext.Dfs.touch(s, marker)
     }
     b
   }
@@ -2003,6 +2022,21 @@ object SparkEntry {
          | WHERE invoice_date >= DATE '1995-01-01'
          |   AND invoice_date < DATE '1996-01-01'
          | GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+    // partition evolution is layout, not semantics: whatever spec each
+    // era planned under, the union of both eras IS the clean lineage
+    "sql_evolve_partitions" ->
+      s"""${Oracle.cleanedCte}
+         | SELECT CAST(EXTRACT(year FROM invoice_date) AS INTEGER) AS year,
+         |   CAST(EXTRACT(month FROM invoice_date) AS INTEGER) AS month,
+         |   COUNT(*) AS n_sales, CAST(SUM(quantity) AS BIGINT) AS sum_qty
+         | FROM cleaned
+         | WHERE invoice_date >= DATE '1996-06-01'
+         | GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+    // the aligned metadata DELETE is exactly the relational complement
+    "sql_drop_months" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE invoice_date >= DATE '1996-01-01'
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // the storage-partitioned join is layout, not semantics: the
     // oracle replays dim × per-country stats relationally
     "sql_spj_join" ->

@@ -75,8 +75,11 @@ object Ingest {
   /** ORC variant: fully typed container (decimal/timestamp preserved
     * natively), so the roundtrip needs no parsing step — the format
     * contract alone is what's being exercised. */
-  def roundtripOrc(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+  def dumpOrc(spark: SparkSession, dir: String, outPath: String): Unit =
     Warehouse(spark, dir).staging.write.mode("overwrite").orc(outPath)
+
+  def roundtripOrc(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    dumpOrc(spark, dir, outPath)
     spark.read.orc(outPath)
   }
 
@@ -93,6 +96,11 @@ object Ingest {
     * The batch split is deterministic (stock_code parity) so the DuckDB
     * oracle replays the evolution as a UNION of column-projected halves. */
   def evolvedRoundtrip(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    dumpEvolved(spark, dir, outPath)
+    spark.read.option("mergeSchema", "true").parquet(s"$outPath/b1", s"$outPath/b2")
+  }
+
+  def dumpEvolved(spark: SparkSession, dir: String, outPath: String): Unit = {
     val st = Warehouse(spark, dir).staging
     // total split: try_cast yields null (never throws) on a non-numeric
     // code, and the length fallback makes the predicate NON-NULL for
@@ -107,7 +115,6 @@ object Ingest {
       .withColumn("channel",
         concat(lit("web-"), (codeNum % 3).cast("string")))
       .write.mode("overwrite").parquet(s"$outPath/b2")
-    spark.read.option("mergeSchema", "true").parquet(s"$outPath/b1", s"$outPath/b2")
   }
 
   def evolvedOracleSql(orderBy: String): String =

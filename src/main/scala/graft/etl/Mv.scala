@@ -37,7 +37,7 @@ object Mv {
   private val revStore = DecimalType(30, 2)
 
   private def base(spark: SparkSession, dir: String): String =
-    s"${graft.ext.Dfs.scratchBase}/graft_mv_${spark.sparkContext.applicationId}_" +
+    s"${graft.ext.Dfs.scratchBase}/graftfix_${graft.ext.Dfs.codeEpoch}_mv_" +
       new org.apache.hadoop.fs.Path(dir).getName
 
   /** The version-chain root [[monthlySalesViaMv]] commits under — exposed
@@ -49,11 +49,10 @@ object Mv {
     * appending disjoint keys), dumped once per application. */
   def writeBatches(spark: SparkSession, dir: String): Seq[String] = {
     val b = base(spark, dir)
-    val marker = s"$b/_batches_done"
     // one partitioned write (a single fact scan), not one job per batch;
     // reading a partition subdir directly yields the data columns only
     val paths = (0 until nBatches).map(i => s"$b/batches/_b=$i")
-    if (!graft.ext.Dfs.exists(spark, marker)) {
+    graft.ext.Dfs.buildOnce(spark, s"$b/batches") {
       val fact = Warehouse(spark, dir).fact
       val split = pmod(graft.operators.Dedup.fastHash60(spark,
         concat_ws("|", lit("mv"), col("invoice_no"), col("product_key"),
@@ -61,7 +60,6 @@ object Mv {
           col("unit_price").cast("string"))), lit(nBatches.toLong)).cast("int")
       fact.withColumn("_b", split)
         .write.mode("overwrite").partitionBy("_b").parquet(s"$b/batches")
-      graft.ext.Dfs.touch(spark, marker)
     }
     paths
   }
@@ -175,10 +173,13 @@ object Mv {
     * hash-checks the incremental path end to end. */
   def monthlySalesViaMv(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
-    val batches = writeBatches(spark, dir)
-    init(spark, batches.head, s"$b/v0")
-    val last = batches.tail.zipWithIndex.foldLeft(s"$b/v0") {
-      case (prev, (batch, i)) => refresh(spark, prev, batch, s"$b/v${i + 1}")
+    val last = s"$b/v${nBatches - 1}"
+    graft.ext.Dfs.buildOnce(spark, s"$b/chain") {
+      val batches = writeBatches(spark, dir)
+      init(spark, batches.head, s"$b/v0")
+      batches.tail.zipWithIndex.foldLeft(s"$b/v0") {
+        case (prev, (batch, i)) => refresh(spark, prev, batch, s"$b/v${i + 1}")
+      }: Unit
     }
     spark.read.parquet(last)
       .select(col("year"), col("month"), col("n_sales"),

@@ -217,4 +217,69 @@ object Dfs {
     mkdirs(spark, d)
     d
   }
+
+  /** One stamp per BUILD of the library: the newest class-file mtime
+    * under this class's code source. Shared-fixture paths embed it, so
+    * any recompile invalidates the whole cross-process fixture tier
+    * (fixture content depends on code all over the repo — a manual
+    * version constant would serve stale content the day someone forgets
+    * to bump it), while the processes of one gate — Verify, Bench, the
+    * driver's replays — run the same build and REUSE each other's
+    * fixtures instead of rebuilding every lineage per JVM. */
+  lazy val codeEpoch: String = {
+    val stamp = scala.util.Try {
+      val loc = java.nio.file.Paths.get(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      if (java.nio.file.Files.isDirectory(loc)) {
+        val walk = java.nio.file.Files.walk(loc)
+        try {
+          var mx = 0L
+          val it = walk.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (java.nio.file.Files.isRegularFile(p))
+              mx = math.max(mx,
+                java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          }
+          mx
+        } finally walk.close()
+      } else java.nio.file.Files.getLastModifiedTime(loc).toMillis
+    }.getOrElse(0L)
+    java.lang.Long.toHexString(stamp)
+  }
+
+  /** Build-once gate for a fixture shared ACROSS processes: the
+    * `_done` marker means "built and immutable — read freely"; the
+    * `_claim` file is the cross-process mutex (one builder, everyone
+    * else waits on the marker). A failed build deletes its half-built
+    * dirs and releases the claim so a retry can rebuild instead of
+    * hanging every later run. `paths` lists EVERY directory the body
+    * writes (some fixtures build several); the first is the
+    * marker/claim anchor. */
+  def buildOnce(spark: SparkSession, paths: String*)
+      (build: => Unit): Unit = {
+    val anchor = paths.head
+    val marker = s"${anchor}_done"
+    if (exists(spark, marker)) return
+    if (createExclusive(spark, s"${anchor}_claim")) {
+      try { build; touch(spark, marker) }
+      catch { case e: Throwable =>
+        paths.foreach(p =>
+          scala.util.Try(delete(spark, p, recursive = true)))
+        scala.util.Try(delete(spark, s"${anchor}_claim"))
+        throw e
+      }
+    } else {
+      // another process claimed the build — wait for its marker. A
+      // builder that died leaves a stale claim; fail with the remedy
+      // rather than spin forever.
+      val deadline = System.currentTimeMillis() + 30L * 60 * 1000
+      while (!exists(spark, marker)) {
+        require(System.currentTimeMillis() < deadline,
+          s"timed out waiting for fixture $anchor — a concurrent " +
+            s"builder likely died; delete ${anchor}_claim and re-run")
+        Thread.sleep(500)
+      }
+    }
+  }
 }

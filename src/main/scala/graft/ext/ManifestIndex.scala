@@ -59,6 +59,12 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
   private val partMeta: Option[(Seq[String], Seq[String])] =
     Manifests.partitionedBy(spark, base, version)
 
+  /** Legacy spec groups after a partition evolution (oldest first) —
+    * files written under an earlier spec prune through THEIR recorded
+    * tuples; empty on never-evolved tables. */
+  private val partLegacy: Seq[(Seq[String], Seq[String])] =
+    Manifests.partitionHistory(spark, base, version)
+
   private val blooms: Option[(Seq[String], Seq[String])] =
     Manifests.bloomOf(spark, base, version)
 
@@ -411,8 +417,8 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     * partition, zone-stats and bloom keys, the same set the CoW DML
     * scan advertises for runtime group filtering. */
   lazy val prunableColumns: Seq[String] =
-    (partMeta.map(m => PartitionTransforms.sources(m._1))
-        .getOrElse(Seq.empty) ++
+    ((partLegacy ++ partMeta.toSeq)
+        .flatMap(m => PartitionTransforms.sources(m._1)) ++
       stats.map(_._1).getOrElse(Seq.empty) ++
       blooms.map(_._1).getOrElse(Seq.empty)).distinct
 
@@ -436,20 +442,26 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     //    a satisfying tuple. No per-file stats consulted, no data read.
     //    (Partition columns live in the data, Iceberg-style, so the
     //    predicates arrive as dataFilters — partitionSchema stays empty.)
-    val afterPart = partMeta match {
-      case None => files
-      case Some((pcols, pvSegs)) =>
+    //    After a partition EVOLUTION the version carries several spec
+    //    groups (legacy + current); each group prunes the files IT
+    //    covers under ITS OWN spec's lowering, and the survivor sets
+    //    intersect — a file covered by exactly one group (the
+    //    invariant: a file's tuples live in one group) survives iff it
+    //    satisfies that group's predicate, and a file no group covers
+    //    is always kept (conservative).
+    val afterPart = (partLegacy ++ partMeta.toSeq)
+      .foldLeft(files) { case (acc, (pcols, pvSegs)) =>
         ManifestFileIndex.valuePredicate(dataFilters, pcols, resolver) match {
-          case None => files
+          case None => acc
           case Some(pred) =>
             val pv = SidecarCache.localDf(spark, pvSegs)
             val cand = pv.filter(pred).select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
             val covered = pv.select("file").collect()
               .map(r => Dfs.canonical(r.getString(0))).toSet
-            files.filter(f => cand.contains(f) || !covered.contains(f))
+            acc.filter(f => cand.contains(f) || !covered.contains(f))
         }
-    }
+      }
     // 2) zone-map pruning on whatever survives
     val keep = stats match {
       case None => afterPart
@@ -702,7 +714,6 @@ object ManifestFileIndex {
   private def valueOf(e: Expression, pcols: Seq[String],
       resolver: (String, String) => Boolean): Option[Column] = {
     val fields = PartitionTransforms.parseAll(pcols)
-    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     def matching(a: AttributeReference): Seq[PartField] =
       fields.filter(f => resolver(f.source, a.name))
     def tcol(f: PartField): Column = col(s"`${f.tupleName}`")
@@ -712,7 +723,7 @@ object ManifestFileIndex {
     def tlit(f: PartField, l: Literal): Option[Column] =
       if (f.isIdentity) scalaLit(l)
       else if (l.value == null) None
-      else f.evalLiteral(l, tz).filter(_ != null).map(lit)
+      else f.evalLiteral(l).filter(_ != null).map(lit)
     def allOf(cs: Seq[Column]): Option[Column] =
       if (cs.isEmpty) None else Some(cs.reduce(_ && _))
     def eq(a: AttributeReference, l: Literal): Option[Column] =
@@ -746,7 +757,7 @@ object ManifestFileIndex {
       allOf(matching(a).flatMap {
         case f if f.transform != "bucket" => Some(tcol(f).isNull)
         case f => // null rows live in the seed's bucket
-          f.evalLiteral(Literal(null, a.dataType), tz)
+          f.evalLiteral(Literal(null, a.dataType))
             .filter(_ != null).map(v => tcol(f) === lit(v))
       })
     e match {

@@ -354,6 +354,7 @@ object Manifests {
       stats: Option[(Seq[String], Seq[String])] = None,
       parent: Option[Int] = None,
       partValues: Option[(Seq[String], Seq[String])] = None,
+      partHistory: Option[Seq[(Seq[String], Seq[String])]] = None,
       blooms: Option[(Seq[String], Seq[String])] = None,
       constraints: Option[Seq[(String, String)]] = None,
       dropped: Option[Seq[String]] = None,
@@ -366,8 +367,20 @@ object Manifests {
       txnMergeFrom: Option[(String, Int)] = None,
       cdcUpd: Option[Seq[String]] = None,
       hist: Option[Map[String, (Double, Seq[(Double, Double, Long)])]] =
-        None): Int = {
+        None,
+      histRows: Option[Long] = None,
+      preservesContent: Boolean = false): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
+    // the compaction tags double as the change feed's dataChange=false
+    // signal ([[changesAt]]): a USER-supplied tag that collides would
+    // silently serve a data-changing commit as an empty feed step —
+    // only the internal compaction paths (preservesContent) may write
+    // them
+    require(preservesContent ||
+        !tag.exists(contentPreservingTags.contains),
+      s"commit tag '${tag.getOrElse("")}' is reserved for " +
+        "content-preserving compactions (the change feed serves those " +
+        "versions empty) — pick a different tag")
     val v = parent match {
       case Some(p) =>
         val want = p + 1
@@ -464,6 +477,28 @@ object Manifests {
       Dfs.writeBytes(spark, s"$base/v$v/_partvalues",
         segs.map(Dfs.canonical).mkString("", "\n", "\n").getBytes("UTF-8"))
     }
+    // the inheritance anchor every table-metadata tier below shares:
+    // the parent when one is declared, else the superseded latest
+    // (constraints, NDV, histograms, partition history all ride it)
+    lazy val inheritBase: Option[Int] =
+      parent.filter(_ >= 0).orElse(latestVersion(spark, base).filter(_ < v))
+    // PARTITION-SPEC HISTORY (Iceberg's partition evolution): after an
+    // [[evolvePartitions]] commit, files written under a PREVIOUS spec
+    // keep planning under the tuples that spec recorded — each legacy
+    // group is `spec1,spec2|seg1,seg2` (specs are comma-free by
+    // grammar), pruning intersects the per-group survivor sets, and
+    // SPJ/metadata proofs degrade to the CURRENT group's coverage
+    // (restored by OPTIMIZE, whose full rewrite re-derives every file
+    // under the current spec). Inherited like constraints; dropped
+    // when the commit records no partitioning at all.
+    lazy val inheritedHistory: Seq[(Seq[String], Seq[String])] =
+      partHistory.getOrElse(inheritBase
+        .map(partitionHistory(spark, base, _)).getOrElse(Seq.empty))
+    if (partValues.isDefined && inheritedHistory.nonEmpty)
+      Dfs.writeBytes(spark, s"$base/v$v/_parthistory",
+        inheritedHistory.map { case (cols, segs) =>
+          s"${cols.mkString(",")}|${segs.map(Dfs.canonical).mkString(",")}"
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
     blooms.foreach { case (cols, segs) =>
       Dfs.writeBytes(spark, s"$base/v$v/_bloomkeys",
         cols.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -475,8 +510,6 @@ object Manifests {
     // inherits its parent's — or, for a bootstrap/overwrite landing on
     // a live table, the superseded latest's — so an overwrite cannot
     // silently shed the table's invariants (Delta's behavior)
-    lazy val inheritBase: Option[Int] =
-      parent.filter(_ >= 0).orElse(latestVersion(spark, base).filter(_ < v))
     val effConstraints: Seq[(String, String)] = constraints.getOrElse {
       inheritBase.map(constraintsOf(spark, base, _)).getOrElse(Seq.empty)
     }
@@ -534,6 +567,17 @@ object Manifests {
             s"$c\t$h\t${bins.map { case (lo, hi, n) => s"$lo:$hi:$n" }
               .mkString(";")}" }
           .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the live row count the histograms were built over — the
+    // FRESHNESS anchor: serving compares it to the scan's current live
+    // rows and damps histogram selectivity toward 1 as they diverge
+    // (a histogram built at 1M rows must not price a hot key's
+    // frequency after appends doubled the table). Inherited like
+    // `_hist`; refreshed by the next ANALYZE … FOR HISTOGRAM.
+    val effHistRows: Option[Long] = histRows.orElse(
+      inheritBase.flatMap(histRowsOf(spark, base, _)))
+    if (effHist.nonEmpty)
+      effHistRows.foreach(n => Dfs.writeBytes(spark,
+        s"$base/v$v/_histrows", n.toString.getBytes("UTF-8")))
     // CDF update classification (graft.cdf.updateImages): `P\t<file>`
     // postimage data files, `D\t<file>` update-rowId sidecars. NOT
     // inherited — per-version event data like the tag; PRESENCE (even
@@ -966,6 +1010,16 @@ object Manifests {
     * timestamp micros: the exact domain Spark's own `ANALYZE … FOR
     * COLUMNS` histograms use, so the connector-served copy estimates
     * identically). */
+  /** Live rows at the last `ANALYZE … FOR HISTOGRAM`, if recorded —
+    * the freshness anchor the statistics face damps stale histogram
+    * selectivity with. None on pre-freshness tables (served as
+    * "fresh", today's behavior). */
+  def histRowsOf(spark: SparkSession, base: String, v: Int): Option[Long] =
+    if (!Dfs.exists(spark, s"$base/v$v/_histrows")) None
+    else scala.util.Try(new String(
+      Dfs.readBytes(spark, s"$base/v$v/_histrows"), "UTF-8").trim.toLong)
+      .toOption
+
   def histOf(spark: SparkSession, base: String, v: Int)
       : Map[String, (Double, Seq[(Double, Double, Long)])] =
     if (!Dfs.exists(spark, s"$base/v$v/_hist")) Map.empty
@@ -1046,11 +1100,14 @@ object Manifests {
           count(col(s"__h$i")).as(s"__n$i"))
       }
     }
-    val hists: Map[String, (Double, Seq[(Double, Double, Long)])] =
-      if (aggs.isEmpty) Map.empty
+    val (hists, liveRows): (Map[String, (Double, Seq[(Double, Double, Long)])],
+        Option[Long]) =
+      if (aggs.isEmpty) (Map.empty, None)
       else {
-        val row = projected.agg(aggs.head, aggs.tail: _*).head
-        keys.zipWithIndex.flatMap { case (k, i) =>
+        // the freshness anchor rides the same single aggregation pass
+        val row = projected.agg(aggs.head,
+          (aggs.tail :+ count(lit(1)).as("__histn")): _*).head
+        (keys.zipWithIndex.flatMap { case (k, i) =>
           if (bounds(i) == null || bounds(i).isEmpty) None
           else {
             val ndvs = row.getAs[scala.collection.Seq[Long]](s"__ndv$i")
@@ -1061,7 +1118,7 @@ object Manifests {
                 (bounds(i)(b), bounds(i)(b + 1),
                   math.max(1L, ndvs(b)))).toSeq))
           }
-        }.toMap
+        }.toMap, Some(row.getAs[Long]("__histn")))
       }
     commit(spark, base, files(spark, base, v), None,
       dvFiles(spark, base, v), schemaOf(spark, base, v),
@@ -1069,7 +1126,8 @@ object Manifests {
       partValues = partitionedBy(spark, base, v),
       blooms = bloomOf(spark, base, v),
       delta = Some((Seq.empty, Seq.empty)),
-      hist = Some(histOf(spark, base, v) ++ hists))
+      hist = Some(histOf(spark, base, v) ++ hists),
+      histRows = liveRows)
   }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
@@ -1357,6 +1415,105 @@ object Manifests {
       new String(Dfs.readBytes(spark, s"$base/v$v/_partvalues"), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq))
 
+  /** LEGACY partition-spec groups of version `v` (oldest first): files
+    * written before an [[evolvePartitions]] keep planning under the
+    * tuples THEIR spec recorded. Each group is (specs, sidecar segment
+    * paths); the CURRENT group is [[partitionedBy]]. Empty on tables
+    * that never evolved — the pre-evolution world, byte-identical. */
+  def partitionHistory(spark: SparkSession, base: String,
+      v: Int): Seq[(Seq[String], Seq[String])] =
+    if (!Dfs.exists(spark, s"$base/v$v/_parthistory")) Seq.empty
+    else new String(Dfs.readBytes(spark, s"$base/v$v/_parthistory"),
+      "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split("\\|") match {
+          case Array(cols, segs) => Some((
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            segs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+          case _ => None
+        }
+      }.toSeq
+
+  /** EVOLVE THE PARTITION SPEC (Iceberg's `ALTER TABLE ... ADD/REPLACE
+    * PARTITION FIELD`, the thing a growing table outlives its CTAS spec
+    * for — daily becomes hourly the day the volume demands it): a
+    * METADATA-ONLY commit — same files, same vectors, zero data jobs —
+    * that records `newSpecs` as the spec FUTURE writes derive tuples
+    * under, while every existing file keeps planning under the spec it
+    * was written with (the old current group moves to `_parthistory`
+    * and pruning intersects the per-group survivor sets). Consequences,
+    * by construction:
+    *
+    *  - source-column predicates keep pruning BOTH eras exactly — each
+    *    group lowers under its own spec;
+    *  - the SPJ purity proof and metadata-only aggregates/DML degrade
+    *    to "current group covers every file", i.e. they come back the
+    *    moment OPTIMIZE ([[compact]]) rewrites the table under one
+    *    spec — maintenance restores what evolution suspended;
+    *  - an evolve to the SAME spec is a no-op (returns the current
+    *    version, burns nothing).
+    *
+    * Works on unpartitioned tables too (the files before the evolve
+    * simply carry no tuples and are never pruned — conservative). */
+  def evolvePartitions(spark: SparkSession, base: String,
+      newSpecs: Seq[String]): Int = {
+    require(newSpecs.nonEmpty,
+      "evolvePartitions needs at least one partition field — there is " +
+        "no un-partition evolution (compact() under no spec instead)")
+    val v = latestVersion(spark, base)
+      .getOrElse(sys.error(s"no committed version under $base"))
+    val sch = schemaOf(spark, base, v).getOrElse(
+      spark.read.parquet(files(spark, base, v).head).schema)
+    PartitionTransforms.validateAll(newSpecs, sch,
+      spark.sessionState.analyzer.resolver)
+    val old = partitionedBy(spark, base, v)
+    if (old.exists(_._1 == newSpecs)) return v
+    val history = partitionHistory(spark, base, v) ++ old.toSeq
+    // the new current group starts EMPTY: a zero-row sidecar carrying
+    // the new tuple schema, so every downstream consumer (pruning,
+    // purity folds, rewrites) reads it unchanged — existing files are
+    // simply uncovered by the current group (kept by pruning, failing
+    // the exactness proofs) until appends/OPTIMIZE populate it
+    val seg = writeEmptyPartValues(spark, base, newSpecs, sch)
+    commit(spark, base, files(spark, base, v),
+      tag = Some("evolve-partitions"),
+      dv = dvFiles(spark, base, v),
+      schema = schemaOf(spark, base, v),
+      stats = statsOf(spark, base, v),
+      parent = Some(v),
+      partValues = Some((newSpecs, Seq(seg))),
+      partHistory = Some(history),
+      blooms = bloomOf(spark, base, v),
+      delta = Some((Seq.empty, Seq.empty)))
+  }
+
+  /** A zero-row partition-values sidecar under `cols`' tuple schema —
+    * the empty current group an [[evolvePartitions]] commit starts
+    * with. `repartition(1)` forces one (empty) part file so schemaless
+    * readers of the segment still resolve. */
+  private def writeEmptyPartValues(spark: SparkSession, base: String,
+      cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val dir = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
+    val resolver = spark.sessionState.analyzer.resolver
+    val fields = PartitionTransforms.parseAll(cols).map { f =>
+      val srcType = schema.fields.find(x => resolver(x.name, f.source))
+        .map(_.dataType).getOrElse(sys.error(
+          s"partition spec ${f.spec}: source column '${f.source}' is " +
+            "not in the schema"))
+      org.apache.spark.sql.types.StructField(
+        f.tupleName, f.outputType(srcType))
+    }
+    val sch = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType) +: fields)
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      .repartition(1)
+      .write.mode("errorifexists").parquet(dir)
+    dir
+  }
+
   /** One distributed scan: the distinct partition tuples each of
     * `data`'s files contains, written as a tiny parquet keyed by file
     * path. Metadata-sized output: a row per (file, tuple) — with a
@@ -1599,10 +1756,9 @@ object Manifests {
       recordSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Int = {
     require(partCols.nonEmpty, "partitioned commit needs partition columns")
-    PartitionTransforms.sources(partCols).foreach(c =>
-      require(df.columns.contains(c),
-        s"partition source column '$c' is not in the schema"))
     val spark = df.sparkSession
+    PartitionTransforms.validateAll(partCols, df.schema,
+      spark.sessionState.analyzer.resolver)
     // PARTITION-SPEC EVOLUTION is pinned, not accidental (Delta's refusal
     // shape): each version records its own spec (`_partcols`), so a
     // whole-table overwrite MAY legitimately re-partition — but only when
@@ -1640,7 +1796,10 @@ object Manifests {
     commit(spark, base, files,
       schema = Some(recordSchema.getOrElse(df.schema)),
       partValues = Some((partCols,
-        Seq(writePartValues(spark, base, files, partCols, Some(df.schema))))))
+        Seq(writePartValues(spark, base, files, partCols, Some(df.schema))))),
+      // a whole-table re-partition derives EVERY file under the new
+      // spec: any evolution history of the superseded table is moot
+      partHistory = Some(Seq.empty))
   }
 
   /** Data rows tagged with their physical address: parquet's hidden
@@ -1974,11 +2133,16 @@ object Manifests {
     // versions), so the change feed serves this step EMPTY instead of
     // paying a whole-table content diff that provably nets to zero
     val nv = commit(spark, base, rewritten, tag = Some("compact"),
+      preservesContent = true,
       schema = Some(live.schema),
       stats = statsAfterRewrite(spark, base, v, Seq.empty, rewritten,
         Some(live.schema)), parent = Some(v),
       partValues = partValuesAfterRewrite(spark, base, v, Seq.empty,
         rewritten, Some(live.schema)),
+      // the full rewrite re-derived EVERY file under the current spec:
+      // evolution history is spent — dropping it is what RESTORES the
+      // SPJ purity proof and the metadata-only tiers after an evolve
+      partHistory = Some(Seq.empty),
       blooms = bloomsAfterRewrite(spark, base, v, Seq.empty, rewritten,
         Some(live.schema)))
     (cur.size, rewritten.size, nv)
@@ -3332,7 +3496,8 @@ object Manifests {
           val untouched = curFiles.filterNot(f =>
             smallSet.contains(Dfs.canonical(f)))
           val nv = commit(spark, base, untouched ++ rewritten,
-            tag = Some("autocompact"), schema = sch,
+            tag = Some("autocompact"), preservesContent = true,
+            schema = sch,
             stats = statsAfterRewrite(spark, base, snap, untouched,
               rewritten, sch),
             parent = Some(snap),
@@ -3948,7 +4113,7 @@ object Manifests {
     require(dvFiles(spark, base, v).isEmpty,
       s"version $v carries deletion vectors — compact($base) first to " +
         "materialize them")
-    val (_, pvSegs) = partitionedBy(spark, base, v)
+    val (pvCols, pvSegs) = partitionedBy(spark, base, v)
       .getOrElse(sys.error(s"$base carries no partition metadata — " +
         "use deleteWhere, or commit via commitDataPartitioned"))
     val cur = files(spark, base, v).map(Dfs.canonical)
@@ -3985,9 +4150,10 @@ object Manifests {
           .coalesce(1).write.mode("errorifexists").parquet(dir)
         Dfs.dataFiles(spark, dir).map(_.getPath.toString)
       } else {
-        // boundary survivors only
-        rd(boundary)
-          .filter(!hit)
+        // boundary survivors only — the predicate speaks the TUPLE
+        // domain, so transformed tuples derive from the data first
+        // (identity specs read the raw columns unchanged)
+        tupleDomainFilter(rd(boundary), pvCols, hit, keep = false)
           .repartition(math.max(1, boundary.size))
           .write.mode("errorifexists").parquet(dir)
         Dfs.dataFiles(spark, dir).map(_.getPath.toString)
@@ -3995,7 +4161,8 @@ object Manifests {
     val nv = commitRewrite(spark, base, v,
       dropped ++ boundary ++ (if (carried.isEmpty) cur.toSet else Set.empty),
       rewritten, None,
-      added => rd(added).filter(hit).limit(1).count() > 0)
+      added => tupleDomainFilter(rd(added), pvCols, hit, keep = true)
+        .limit(1).count() > 0)
     (dropped.size, boundary.size, nv)
   }
 
@@ -4114,6 +4281,25 @@ object Manifests {
     * version `v` with the already-written `added` files, in one
     * [[replaceFiles]] commit. Callers hand in the snapshot's partition
     * metadata and schema they already fetched — no duplicate reads. */
+  /** A TUPLE-DOMAIN predicate applied to DATA rows: transformed tuple
+    * columns are DERIVED from their sources first (identity specs
+    * derive nothing and read the raw columns), the filter applies in
+    * the derived frame, and the projection restores the data shape.
+    * The row-level leg of every partition-classified operation —
+    * boundary-file rewrites and commute checks speak the same domain
+    * the sidecar classification did. */
+  private def tupleDomainFilter(df: DataFrame, specs: Seq[String],
+      hit: Column, keep: Boolean): DataFrame = {
+    val derived = PartitionTransforms.parseAll(specs)
+      .filterNot(_.isIdentity)
+      .filterNot(f => df.columns.contains(f.tupleName))
+    val ext = derived.foldLeft(df)((d, f) =>
+      d.withColumn(f.tupleName,
+        f.tupleColumn(d.schema(f.source).dataType)))
+    ext.filter(if (keep) hit else !hit)
+      .select(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+  }
+
   private def overwriteRegionWithFiles(spark: SparkSession, base: String,
       v: Int, pred: Column, added: Seq[String],
       pv: (Seq[String], Seq[String]),
@@ -4135,19 +4321,8 @@ object Manifests {
     val boundary = cur.filterNot(f => dropped(f) || carried(f))
     def rd(fs: Seq[String]) =
       eraRead(spark, renamesOf(spark, base, v), fs, sch)
-    // the predicate speaks the TUPLE domain (sidecar column names) —
-    // over DATA rows the transformed tuples must be DERIVED first
-    // (identity specs derive nothing and read the raw columns)
-    def dataHit(df: DataFrame, keep: Boolean): DataFrame = {
-      val derived = PartitionTransforms.parseAll(pv._1)
-        .filterNot(_.isIdentity)
-        .filterNot(f => df.columns.contains(f.tupleName))
-      val ext = derived.foldLeft(df)((d, f) =>
-        d.withColumn(f.tupleName,
-          f.tupleColumn(d.schema(f.source).dataType)))
-      ext.filter(if (keep) hit else !hit)
-        .select(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
-    }
+    def dataHit(df: DataFrame, keep: Boolean): DataFrame =
+      tupleDomainFilter(df, pv._1, hit, keep)
     val survivors =
       if (boundary.isEmpty) Seq.empty[String]
       else {
@@ -5286,7 +5461,8 @@ object Manifests {
     val untouched = big.map(_._1)
     // content-preserving like compact(): same rows, fewer files
     val nv = commit(spark, base, untouched ++ rewritten,
-      tag = Some("compact-small"), schema = schema,
+      tag = Some("compact-small"), preservesContent = true,
+      schema = schema,
       stats = statsAfterRewrite(spark, base, v, untouched, rewritten,
         schema), parent = Some(v),
       partValues = partValuesAfterRewrite(spark, base, v, untouched,

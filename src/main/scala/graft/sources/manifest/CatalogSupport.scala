@@ -197,4 +197,70 @@ private[manifest] object CatalogSupport {
       val exact = graft.ext.PartitionTransforms.identitySources(pcols)
       refs.nonEmpty && refs.forall(r => exact.exists(resolver(_, r)))
     }
+
+  /** The EXACT tuple-domain form of a DML condition, when one exists —
+    * what routes SQL DELETE to the metadata-only
+    * [[Manifests.dropPartitions]] beyond identity specs: a predicate
+    * on a TRANSFORM's source column translates whenever its satisfying
+    * rows are a union of whole granules ([[graft.ext.PartField]]'s
+    * exact lowering — boundary-ALIGNED ranges like
+    * `ts < DATE '1995-01-01'` on a monthly table, singleton-granule
+    * equality, null tests). Identity fields translate every ordinary
+    * shape. EVERY leaf must translate (a dropped conjunct would widen
+    * the delete); And/Or/Not compose exactly because unions of
+    * granules are closed under them. None → the caller keeps the
+    * row-level path. */
+  def exactTuplePredicate(spark: SparkSession, base: String, v: Int,
+      filters: Seq[Filter]): Option[Column] = {
+    val pcols = Manifests.partitionedBy(spark, base, v)
+      .map(_._1).getOrElse(return None)
+    val fields = graft.ext.PartitionTransforms.parseAll(pcols)
+    val resolver = spark.sessionState.analyzer.resolver
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    def fieldsOf(a: String): Seq[graft.ext.PartField] =
+      if (a.contains(".")) Seq.empty
+      else fields.filter(f => resolver(f.source, a))
+    def leaf(a: String, v0: Any,
+        one: (graft.ext.PartField, CLit) => Option[Column]): Option[Column] =
+      scala.util.Try(CLit(v0)).toOption.flatMap(l =>
+        fieldsOf(a).iterator.map(one(_, l)).collectFirst {
+          case Some(c) => c })
+    def go(f: Filter): Option[Column] = f match {
+      case And(l, r) => for { a <- go(l); b <- go(r) } yield a && b
+      case Or(l, r) => for { a <- go(l); b <- go(r) } yield a || b
+      case Not(x) => go(x).map(not)
+      case EqualTo(a, v0) => leaf(a, v0, _.exactEq(_))
+      case EqualNullSafe(a, null) =>
+        fieldsOf(a).iterator.map(_.exactIsNull)
+          .collectFirst { case Some(c) => c }
+      case EqualNullSafe(a, v0) =>
+        // <=> with a non-null literal differs from === only on NULL
+        // rows (FALSE vs NULL) — identical under "TRUE deletes, FALSE
+        // and NULL survive", but NOT exact under NOT(...): refuse the
+        // null-safe form inside negation by translating to the
+        // two-valued <=> shape instead
+        leaf(a, v0, (fld, l) => fld.exactEq(l).map(c =>
+          c <=> lit(true)))
+      case GreaterThan(a, v0) => leaf(a, v0, _.exactGt(_))
+      case GreaterThanOrEqual(a, v0) => leaf(a, v0, _.exactGe(_))
+      case LessThan(a, v0) => leaf(a, v0, _.exactLt(_))
+      case LessThanOrEqual(a, v0) => leaf(a, v0, _.exactLe(_))
+      case In(a, vs) if vs.nonEmpty && vs.length <= 1000 =>
+        val cs = vs.toSeq.map(v0 =>
+          if (v0 == null) None else leaf(a, v0, _.exactEq(_)))
+        if (cs.exists(_.isEmpty)) None
+        else Some(cs.flatten.reduce(_ || _))
+      case IsNull(a) =>
+        fieldsOf(a).iterator.map(_.exactIsNull)
+          .collectFirst { case Some(c) => c }
+      case IsNotNull(a) =>
+        fieldsOf(a).iterator.map(_.exactIsNotNull)
+          .collectFirst { case Some(c) => c }
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+    val cs = filters.map(go)
+    if (cs.isEmpty || cs.exists(_.isEmpty)) None
+    else Some(cs.flatten.reduce(_ && _))
+  }
 }

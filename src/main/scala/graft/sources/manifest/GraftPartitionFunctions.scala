@@ -43,12 +43,14 @@ private[manifest] object GraftPartitionFunctions {
       s"graft partition transform '$fname'"
 
     override def bind(inputType: StructType): BoundFunction = {
-      val tz = org.apache.spark.sql.internal.SQLConf.get
-        .sessionLocalTimeZone
       def in(i: Int, dt: DataType, nullable: Boolean = true): Expression =
         BoundReference(i, dt, nullable)
+      // UTC pinned, NOT the session zone — the single definition of
+      // the time transforms ([[graft.ext.PartField.tupleColumn]]); a
+      // session-TZ bind would let v2.bucketing.shuffle SPJ shuffle
+      // rows to partitions the UTC-derived sidecar never recorded
       def asDate(e: Expression): Expression =
-        if (e.dataType == DateType) e else Cast(e, DateType, Some(tz))
+        if (e.dataType == DateType) e else Cast(e, DateType, Some("UTC"))
       fname match {
         case "years" | "months" | "days" =>
           require(inputType.length == 1 &&
@@ -65,17 +67,18 @@ private[manifest] object GraftPartitionFunctions {
           new GraftBound(fname, Array(dt), out, expr,
             s"graft.$fname(${dt.catalogString})")
         case "hours" =>
+          // TIMESTAMP only — NTZ cannot cast to numeric in Spark 4
+          // (validate() refuses it at CREATE for the same reason)
           require(inputType.length == 1 &&
-              Seq(TimestampType, TimestampNTZType)
-                .contains(inputType.head.dataType),
-            s"hours takes one timestamp argument, got $inputType")
+              inputType.head.dataType == TimestampType,
+            s"hours takes one TIMESTAMP argument, got $inputType")
           val dt = inputType.head.dataType
           // floor(unix_seconds / 3600) — the analyzed form of the
           // sidecar derivation (Cast ts→long is TZ-free epoch seconds)
           val expr = Cast(
             org.apache.spark.sql.catalyst.expressions.Floor(
               org.apache.spark.sql.catalyst.expressions.Divide(
-                Cast(Cast(in(0, dt), LongType, Some(tz)), DoubleType),
+                Cast(Cast(in(0, dt), LongType, Some("UTC")), DoubleType),
                 Literal(3600d))), IntegerType)
           new GraftBound(fname, Array(dt), IntegerType, expr,
             s"graft.hours(${dt.catalogString})")
@@ -93,14 +96,24 @@ private[manifest] object GraftPartitionFunctions {
               inputType.head.dataType == IntegerType,
             s"truncate takes (width INT, value), got $inputType")
           val dt = inputType(1).dataType
-          require(Seq(StringType, IntegerType, LongType).contains(dt),
-            s"truncate is defined over string/int/bigint, got " +
-              dt.catalogString)
           val w = in(0, IntegerType, nullable = false)
           val v = in(1, dt)
-          val expr =
-            if (dt == StringType) Substring(v, Literal(1), w)
-            else Subtract(v, Pmod(v, Cast(w, dt)))
+          val expr = dt match {
+            case StringType => Substring(v, Literal(1), w)
+            case IntegerType | LongType => Subtract(v, Pmod(v, Cast(w, dt)))
+            case d: DecimalType if d.precision <= 18 =>
+              // unscaled-long floor — the sidecar derivation's exact form
+              org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+                Subtract(
+                  org.apache.spark.sql.catalyst.expressions.UnscaledValue(v),
+                  Pmod(
+                    org.apache.spark.sql.catalyst.expressions.UnscaledValue(v),
+                    Cast(w, LongType))),
+                d.precision, d.scale)
+            case _ => sys.error(
+              s"truncate is defined over string/int/bigint/decimal(<=18,s)" +
+                s", got ${dt.catalogString}")
+          }
           new GraftBound(fname, Array(IntegerType, dt), dt, expr,
             s"graft.truncate(${dt.catalogString})")
       }

@@ -280,8 +280,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     val partCols = partitions.map(t =>
       graft.ext.PartitionTransforms.fromV2(t)).toSeq
     val resolver = spark.sessionState.analyzer.resolver
-    partCols.foreach(s =>
-      graft.ext.PartitionTransforms.parse(s).validate(schema, resolver))
+    graft.ext.PartitionTransforms.validateAll(partCols, schema, resolver)
     if (isPath(ident)) {
       // path-addressed CTAS: no registration to write — the identifier
       // IS the location; the returned handle carries the declared

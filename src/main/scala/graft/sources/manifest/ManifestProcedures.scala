@@ -155,6 +155,15 @@ private[manifest] final class ManifestProcedures(
       (base, in) => InternalRow(Manifests.analyzeBloom(spark, base,
         in.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq))),
+    // partition evolution: `CALL graft.system.evolve_partitions('ns.t',
+    // 'months(ts)')` — future writes derive tuples under the new spec,
+    // existing files keep planning under theirs, OPTIMIZE re-unifies
+    Proc("evolve_partitions",
+      Seq(p("table", StringType), p("spec", StringType)),
+      out1("version", IntegerType),
+      (base, in) => InternalRow(Manifests.evolvePartitions(spark, base,
+        in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))),
     Proc("restore",
       Seq(p("table", StringType), p("version", IntegerType)),
       out1("restored_as", IntegerType),

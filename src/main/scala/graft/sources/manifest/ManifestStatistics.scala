@@ -98,14 +98,28 @@ private[manifest] object ManifestStats {
     // vectored files count their live fraction of bytes; a file whose
     // row count is unknown keeps its full length (conservative: an
     // over-estimate can only withhold a broadcast, never force one)
-    val liveBytes: Long = pruned.iterator.map { case (f, len) =>
-      val del = deleted.getOrElse(f, 0L)
-      rowCounts.flatMap(_.get(f)) match {
-        case Some(t) if t > 0 && del > 0 =>
-          math.ceil(len.toDouble * math.max(0L, t - del) / t).toLong
-        case _ => len
-      }
-    }.sum
+    def liveBytesOf(fs: Seq[(String, Long)]): Long =
+      fs.iterator.map { case (f, len) =>
+        val del = deleted.getOrElse(f, 0L)
+        rowCounts.flatMap(_.get(f)) match {
+          case Some(t) if t > 0 && del > 0 =>
+            math.ceil(len.toDouble * math.max(0L, t - del) / t).toLong
+          case _ => len
+        }
+      }.sum
+    val liveBytes: Long = liveBytesOf(pruned)
+    // the UNPRUNED live byte total — the base the histogram's
+    // selectivity legitimately applies to. File pruning and the
+    // histogram price the SAME predicate; multiplying the pruned bytes
+    // by its selectivity again would square it (an underestimate in
+    // the direction that wrongly forces a broadcast), so the estimate
+    // below takes min(pruned bytes, all bytes × selectivity): both are
+    // valid sizes for the filtered scan, and whichever signal is
+    // sharper wins without ever compounding.
+    val liveBytesAll: Long =
+      if (dataFilters.isEmpty) liveBytes
+      else liveBytesOf(idx.allFiles().map(f =>
+        (Dfs.canonical(f.getPath.toString), f.getLen)))
     val factor = spark.sessionState.conf.fileCompressionFactor
     // HISTOGRAM selectivity on the byte estimate: equality/range
     // conjuncts on ANALYZE'd-histogram columns scale `sizeInBytes` by
@@ -132,10 +146,31 @@ private[manifest] object ManifestStats {
     val resolver0 = spark.sessionState.analyzer.resolver
     val hists = hists0.filter { case (c, _) =>
       !partSrcs.exists(resolver0(_, c)) }
+    // HISTOGRAM FRESHNESS: the sidecar records the live rows the
+    // histogram was built over; as appends/deletes move the table away
+    // from that anchor the per-value frequencies go stale, so the
+    // selectivity damps linearly toward 1 (no tightening) with the
+    // row-count divergence — a histogram built at 1M rows prices a hot
+    // key at half weight once the table doubles, and not at all past
+    // heavy churn. Re-ANALYZE restores full sharpness. Pre-freshness
+    // tables (no anchor) serve undamped, exactly as before.
+    val fresh: Double = (for {
+      n0 <- idx.versionOpt
+        .flatMap(v => Manifests.histRowsOf(spark, idx.basePath, v))
+      raw <- idx.innerIndex.flatMap(_.exactRowCount)
+    } yield {
+      val now = math.max(0L, raw - deleted.values.sum)
+      if (n0 <= 0 || now <= 0) 1.0
+      else math.min(n0, now).toDouble / math.max(n0, now)
+    }).getOrElse(1.0)
     val sel: Double =
       if (hists.isEmpty || dataFilters.isEmpty) 1.0
-      else HistogramSelectivity.of(dataFilters, hists, resolver0)
-    val sizeOut = math.max(1L, (liveBytes * factor * sel).toLong)
+      else {
+        val s = HistogramSelectivity.of(dataFilters, hists, resolver0)
+        s * fresh + (1.0 - fresh)
+      }
+    val sizeOut = math.max(1L, math.min(liveBytes * factor,
+      liveBytesAll * factor * sel).toLong)
 
     // column statistics: exact-channel values on the whole-version
     // shape; under pushed filters, BOUNDS over the PRUNED file set —
@@ -145,11 +180,16 @@ private[manifest] object ManifestStats {
     // to min(table NDV, pruned raw rows). Null counts stay absent under
     // filters (survivor nulls are unknowable from zones). Conservative
     // absence everywhere a pruned file lacks its stats row.
+    // A badly stale histogram (rows diverged >2× from the ANALYZE
+    // anchor) is withheld from the CBO entirely — its per-bin shape no
+    // longer describes the table.
+    val serveHist = fresh >= 0.5
     val colStats: java.util.Map[NamedReference, ColumnStatistics] =
       if (partFilters.nonEmpty || dataFilters.nonEmpty)
-        prunedColumnStats(spark, idx, output, pruned.map(_._1).toSet)
+        prunedColumnStats(spark, idx, output, pruned.map(_._1).toSet,
+          serveHist)
       else columnStats(spark, idx, output, exactRows,
-        vectored = deleted.nonEmpty)
+        vectored = deleted.nonEmpty, serveHist)
 
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(sizeOut)
@@ -193,7 +233,7 @@ private[manifest] object ManifestStats {
     * (survivors unknown) and stay absent. */
   private def prunedColumnStats(spark: SparkSession,
       idx: ManifestScanIndex, output: StructType,
-      prunedFiles: Set[String])
+      prunedFiles: Set[String], serveHist: Boolean)
       : java.util.Map[NamedReference, ColumnStatistics] = {
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
     val inner = idx.innerIndex.getOrElse(return out)
@@ -205,9 +245,11 @@ private[manifest] object ManifestStats {
     // must never cost a job
     val rows = inner.statRowsOver(prunedFiles).getOrElse(return out)
     val rowCap: Long = inner.rawRowsOver(rows)
-    val hists = idx.versionOpt
-      .map(v => Manifests.histOf(spark, idx.basePath, v))
-      .getOrElse(Map.empty)
+    val hists =
+      if (!serveHist) Map.empty[String, (Double, Seq[(Double, Double, Long)])]
+      else idx.versionOpt
+        .map(v => Manifests.histOf(spark, idx.basePath, v))
+        .getOrElse(Map.empty)
     val resolver = spark.sessionState.analyzer.resolver
     output.fields.foreach { f =>
       val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
@@ -263,7 +305,8 @@ private[manifest] object ManifestStats {
     }
 
   private def columnStats(spark: SparkSession, idx: ManifestScanIndex,
-      output: StructType, tableRows: Option[Long], vectored: Boolean)
+      output: StructType, tableRows: Option[Long], vectored: Boolean,
+      serveHist: Boolean)
       : java.util.Map[NamedReference, ColumnStatistics] = {
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
     val inner = idx.innerIndex.getOrElse(return out)
@@ -271,9 +314,11 @@ private[manifest] object ManifestStats {
     val ndv: Map[String, Long] = idx.versionOpt
       .map(v => Manifests.ndvOf(spark, idx.basePath, v))
       .getOrElse(Map.empty)
-    val hists = idx.versionOpt
-      .map(v => Manifests.histOf(spark, idx.basePath, v))
-      .getOrElse(Map.empty)
+    val hists =
+      if (!serveHist) Map.empty[String, (Double, Seq[(Double, Double, Long)])]
+      else idx.versionOpt
+        .map(v => Manifests.histOf(spark, idx.basePath, v))
+        .getOrElse(Map.empty)
     val resolver = spark.sessionState.analyzer.resolver
     output.fields.foreach { f =>
       val indexed = keys.exists(k => resolver(k, f.name))

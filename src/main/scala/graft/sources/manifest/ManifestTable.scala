@@ -387,10 +387,19 @@ class ManifestTable(spark: SparkSession, val base: String,
       // serves the result — a Delta user deleting right after a MoR
       // delete hits no wall
       Manifests.deleteWhereMor(spark, base, cond, asOf = Some(v)): Unit
-    else if (CatalogSupport.partitionOnly(spark, base, v, fs.toSeq))
-      Manifests.dropPartitions(spark, base, cond, asOf = Some(v)): Unit
-    else
-      Manifests.deleteWhere(spark, base, cond, asOf = Some(v)): Unit
+    else CatalogSupport.exactTuplePredicate(spark, base, v, fs.toSeq) match {
+      // the condition is EXACTLY decidable over the recorded partition
+      // tuples — identity columns, or transform-ALIGNED shapes like a
+      // month-boundary range on a monthly table: whole files retire
+      // from metadata alone, only boundary files pay a rewrite. At
+      // 100 TB this is the difference between an O(metadata) retention
+      // job and a table rewrite.
+      case Some(tuplePred) =>
+        Manifests.dropPartitions(spark, base, tuplePred,
+          asOf = Some(v)): Unit
+      case None =>
+        Manifests.deleteWhere(spark, base, cond, asOf = Some(v)): Unit
+    }
   }
 
   // ---- UPDATE / MERGE (group-based copy-on-write) -----------------

@@ -465,4 +465,119 @@ class HiddenPartitionSpec extends AnyFunSuite {
       .count()
     assert(spark.table(s"graft.`$b`").count() === expect)
   }
+
+  test("time transforms are UTC-pinned: writer and reader session zones never disagree") {
+    registerCatalog()
+    import spark.implicits._
+    val b = tmp("tz")
+    // instants straddling the UTC Feb/Mar 2011 boundary by a few hours
+    // on each side — exactly the rows a session-TZ derivation (or
+    // lowering) would misclassify into the wrong month granule
+    val feb28 = java.time.Instant.parse("2011-02-28T22:00:00Z")
+    val rows = (0 until 12).map { h =>
+      (h.toLong, new java.sql.Timestamp(
+        feb28.plusSeconds(h * 3600L).toEpochMilli), h * 1.0)
+    }
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // WRITE under a UTC+ zone
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      rows.toDF("sale_id", "invoice_ts", "amount")
+        .createOrReplaceTempView("graft_hp_tz")
+      spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+        "(months(invoice_ts)) AS SELECT * FROM graft_hp_tz")
+      // the sidecar tuples must be the UTC months: 2011-02 and 2011-03
+      val (_, segs) = Manifests.partitionedBy(spark, b, 0).get
+      val tuples = spark.read.parquet(segs: _*)
+        .select("invoice_ts_month").distinct().collect()
+        .map(_.getInt(0)).sorted.toSeq
+      assert(tuples === Seq(2011 * 12 + 1, 2011 * 12 + 2),
+        s"expected UTC month tuples, got $tuples")
+      // READ under a UTC- zone: an instant-literal predicate returns
+      // exactly the instants it names — a session-TZ lowering against
+      // the UTC-derived tuples would prune the boundary file wrongly
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val cut = new java.sql.Timestamp(
+        java.time.Instant.parse("2011-03-01T00:00:00Z").toEpochMilli)
+      val got = spark.table(s"graft.`$b`")
+        .filter($"invoice_ts" >= lit(cut)).count()
+      assert(got === rows.count(_._2.getTime >= cut.getTime).toLong)
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
+  test("hours over TIMESTAMP_NTZ refuses at CREATE (Spark 4 has no NTZ->numeric cast)") {
+    registerCatalog()
+    val b = tmp("ntz")
+    spark.sql("SELECT 1L AS id, TIMESTAMP_NTZ '2011-01-01 10:00:00' AS ts")
+      .createOrReplaceTempView("graft_hp_ntz")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (hours(ts)) " +
+        "AS SELECT * FROM graft_hp_ntz")
+    }
+    assert(e.getMessage.contains("hours"), e.getMessage)
+    // the calendar transforms DO admit NTZ (wall-clock date part)
+    val b2 = tmp("ntz2")
+    spark.sql(s"CREATE TABLE graft.`$b2` PARTITIONED BY (months(ts)) " +
+      "AS SELECT * FROM graft_hp_ntz")
+    assert(spark.table(s"graft.`$b2`").count() === 1)
+  }
+
+  test("decimal truncate: unscaled floor derivation, exact pruning, Iceberg width semantics") {
+    registerCatalog()
+    import spark.implicits._
+    val b = tmp("dec")
+    // amounts 0.00 .. 39.96 as DECIMAL(9,2); truncate[1000] floors the
+    // UNSCALED value to multiples of 1000 = granules of 10.00
+    (0 until 4)
+      .flatMap(g => (0 until 100).map(i =>
+        (g * 100 + i.toLong, BigDecimal((g * 1000 + i * 4) / 100.0)
+          .setScale(2))))
+      .toDF("id", "amount")
+      .withColumn("amount", $"amount".cast("decimal(9,2)"))
+      .repartitionByRange(4, $"amount")
+      .createOrReplaceTempView("graft_hp_dec")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+      "(truncate(1000, amount)) AS SELECT * FROM graft_hp_dec")
+    finally spark.conf.unset("graft.write.splitByPartition")
+    val (_, segs) = Manifests.partitionedBy(spark, b, 0).get
+    val tuples = spark.read.parquet(segs: _*)
+      .select("amount_trunc").distinct().collect()
+      .map(_.getDecimal(0).unscaledValue().longValueExact()).sorted.toSeq
+    assert(tuples === Seq(0L, 1000L, 2000L, 3000L), s"tuples: $tuples")
+    // range predicate on the source prunes to the matching granules —
+    // typed to the column's exact decimal so the comparison pushes as
+    // an attribute filter (a bare 30.0 double literal casts the COLUMN
+    // and nothing translates, which only loses pruning, not rows)
+    val q = spark.table(s"graft.`$b`")
+      .filter(expr("amount >= CAST(30.00 AS DECIMAL(9,2))"))
+    assert(plannedFiles(q) < 4, "decimal truncate pruning never bit")
+    assert(q.count() === 100)
+    // point lookup: equality lowers through the unscaled floor
+    val p = spark.table(s"graft.`$b`")
+      .filter(expr("amount = CAST(10.04 AS DECIMAL(9,2))"))
+    assert(plannedFiles(p) < plannedFiles(spark.table(s"graft.`$b`")),
+      "decimal equality pruning never bit")
+    assert(p.count() === 1)
+  }
+
+  test("tuple-name collisions refuse at CREATE: shadowed sidecar columns would corrupt pruning") {
+    registerCatalog()
+    val b = tmp("collide")
+    // a real column named ts_month beside months(ts) — the sidecar
+    // would write two columns under one name
+    spark.sql("SELECT 1L AS id, TIMESTAMP '2011-01-01 10:00:00' AS ts, " +
+      "7 AS ts_month").createOrReplaceTempView("graft_hp_collide")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+        "(months(ts), ts_month) AS SELECT * FROM graft_hp_collide")
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    // 'file' is the sidecar's reserved join key
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (file) AS " +
+        "SELECT id, ts, ts_month, 'x' AS file FROM graft_hp_collide")
+    }
+    assert(e2.getMessage.contains("file"), e2.getMessage)
+  }
 }

@@ -378,6 +378,71 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(h3("k")._2.last._2 === 99.0, s"bins ${h3("k")._2}")
   }
 
+  test("stale histogram damps toward 1: appends that outgrow the ANALYZE anchor stop pricing old frequencies") {
+    import spark.implicits._
+    registerCatalog()
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_hist_stale_d").toString + "/t"
+    val f = java.nio.file.Files
+      .createTempDirectory("graft_hist_stale_f").toString + "/t"
+    // same skew shape as the broadcast-flip test: key 7 holds 95%,
+    // 200 rare keys share the rest
+    val dim = (1 to 20000).map { i =>
+      val ck = if (i % 20 != 0) 7L else (i % 201).toLong + 100L
+      (i.toLong, ck, s"cust_$i" * 4)
+    }.toDF("customer_key", "country_key", "pad")
+    Manifests.commitData(dim, d)
+    Manifests.analyze(spark, d, Seq("customer_key", "country_key"))
+    Manifests.analyzeHistograms(spark, d, Seq("country_key"))
+    assert(Manifests.histRowsOf(spark, d,
+      Manifests.latestVersion(spark, d).get) === Some(20000L))
+    Manifests.commitData((1 to 40000).map(i =>
+      ((i % 20000 + 1).toLong, i * 2.0)).toDF("customer_key", "amount"), f)
+    Manifests.analyze(spark, f, Seq("customer_key"))
+    def joinSql(key: Long) =
+      s"""SELECT COUNT(*) AS n FROM graft.`$f` t
+         |JOIN graft.`$d` c ON t.customer_key = c.customer_key
+         |WHERE c.country_key = $key""".stripMargin
+    def broadcasts(sqlText: String): Boolean =
+      spark.sql(sqlText).queryExecution.executedPlan.collectFirst {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          true
+      }.nonEmpty
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // fresh: the rare key broadcasts on the histogram's pricing
+      assert(broadcasts(joinSql(150L)),
+        "fresh histogram must broadcast the rare key")
+      // the table then QUADRUPLES with rows that make key 150 HOT —
+      // the stale histogram still prices it at ~100 rows, which
+      // without freshness damping would broadcast a 60k-row side
+      Manifests.append((1 to 60000).map(i =>
+        (20000L + i, 150L, s"late_$i" * 4))
+        .toDF("customer_key", "country_key", "pad"), d)
+      assert(Manifests.histRowsOf(spark, d,
+        Manifests.latestVersion(spark, d).get) === Some(20000L),
+        "the anchor must inherit unchanged across appends")
+      assert(!broadcasts(joinSql(150L)),
+        "a histogram 4x stale must not price the now-hot key at its " +
+          "old frequency (freshness damping)")
+      // re-ANALYZE restores sharpness: key 160 is still rare and
+      // broadcasts; key 150 is now hot and must not
+      Manifests.analyzeHistograms(spark, d, Seq("country_key"))
+      assert(broadcasts(joinSql(160L)),
+        "re-ANALYZE must restore the rare key's broadcast")
+      assert(!broadcasts(joinSql(150L)),
+        "re-ANALYZE must price the newly hot key as hot")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("filtered scan reports PRUNED-set column bounds; NDV clamps to subset rows") {
     import spark.implicits._
     registerCatalog()

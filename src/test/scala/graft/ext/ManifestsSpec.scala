@@ -2251,4 +2251,26 @@ class ManifestsSpec extends AnyFunSuite {
       "the replay must not burn a version")
     assert(Manifests.readLatest(spark, b).count() === 4)
   }
+
+  test("reserved compaction tags refuse on user commits: the change feed keys dataChange=false on them") {
+    import spark.implicits._
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_man_tag").toString + "/t"
+    Manifests.commitData((1 to 10).map(i => (i, s"r$i")).toDF("id", "v"), b)
+    val files = Manifests.files(spark, b, 0)
+    // a user tag equal to a compaction tag would make changesAt serve
+    // this DATA-CHANGING commit as an empty feed step — refused
+    Seq("compact", "compact-small", "autocompact").foreach { t =>
+      val e = intercept[Exception] {
+        Manifests.commit(spark, b, files, tag = Some(t),
+          parent = Some(Manifests.latestVersion(spark, b).get))
+      }
+      assert(e.getMessage.contains("reserved"), s"$t: ${e.getMessage}")
+    }
+    // the internal compaction path still writes the tag (and the feed
+    // serves its step empty — CdfProvenanceSpec pins that)
+    Manifests.append((11 to 20).map(i => (i, s"r$i")).toDF("id", "v"), b)
+    val (_, _, cv) = Manifests.compact(spark, b, 1)
+    assert(Manifests.tagOf(spark, b, cv) === Some("compact"))
+  }
 }

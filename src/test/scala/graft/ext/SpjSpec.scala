@@ -225,6 +225,56 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-aware SPJ: a 90%-hot key splits across tasks under partially-clustered distribution, zero Exchange") {
+    registerCatalog()
+    import spark.implicits._
+    val da = java.nio.file.Files
+      .createTempDirectory("graft_spj_ska").toString + "/t"
+    val db = java.nio.file.Files
+      .createTempDirectory("graft_spj_skb").toString + "/t"
+    splitCommit(dimDf, da, Seq("country"))
+    // fact: ~90% of rows under N7, landed as a bootstrap + 3 split
+    // appends so the hot tuple holds MULTIPLE files — the shape plain
+    // SPJ serializes into one task per tuple
+    val skew = (1 to 40000).map { i =>
+      val c = if (i % 10 != 0) "N7" else s"N${i % 8}"
+      (i.toLong, c, i * 1.0)
+    }.toDF("sale_id", "country", "amount")
+    spark.conf.set("graft.write.splitByPartition", "true")
+    try {
+      Manifests.commitDataPartitioned(
+        skew.filter($"sale_id" % 4 === 0), db, Seq("country"))
+      (1 to 3).foreach(k => Manifests.appendBatch(
+        skew.filter($"sale_id" % 4 === k), db, k.toLong, "spjskew"): Unit)
+    } finally spark.conf.unset("graft.write.splitByPartition")
+    val sql =
+      s"""SELECT a.customer_key, b.sale_id
+         |FROM graft.`$da` a JOIN graft.`$db` b
+         |  ON a.country = b.country""".stripMargin
+    def run(partial: Boolean): (Int, Int, Long) = withSpj(partial) {
+      val q = spark.sql(sql)
+      val n = q.count()
+      val shuffles = shuffleCount(spark.sql(sql))
+      // join parallelism = the executed join's RDD partition count
+      // (no shuffle above it under SPJ, so this IS the task count on
+      // the join stage)
+      val parts = spark.sql(sql).rdd.getNumPartitions
+      (shuffles, parts, n)
+    }
+    val expect = dimDf.join(skew, "country").count()
+    val (exPlain, partsPlain, nPlain) = run(partial = false)
+    val (exPart, partsPart, nPart) = run(partial = true)
+    assert(nPlain === expect && nPart === expect,
+      s"skewed join content drifted: $nPlain / $nPart vs $expect")
+    assert(exPlain === 0 && exPart === 0,
+      s"SPJ must stay exchange-free: plain=$exPlain partial=$exPart")
+    assert(partsPlain === 8,
+      s"plain SPJ groups to one task per tuple, got $partsPlain")
+    assert(partsPart > partsPlain,
+      s"partially-clustered SPJ must split the hot tuple across " +
+        s"tasks: $partsPart vs $partsPlain")
+  }
+
   test("registered sql_spj_join: zero Exchange under the join, oracle-shaped result") {
     val q = graft.SparkEntry.queries("sql_spj_join")(spark, TestSpark.sf)
     val nodes = finalNodes(q)

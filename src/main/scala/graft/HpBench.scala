@@ -213,6 +213,12 @@ object HpBench {
       s"""SELECT /*+ MERGE(i) */ COUNT(*) AS n, SUM(i.n_lines) AS q
          |FROM graft.`$skfact` f JOIN graft.`$skinv` i
          |  ON f.skew_key = i.skew_key""".stripMargin
+    // task-count probe on the BARE join (the aggregate above it
+    // coalesces to one partition and would hide the grouping)
+    val skewJoinSql =
+      s"""SELECT /*+ MERGE(i) */ f.skew_key, i.n_lines
+         |FROM graft.`$skfact` f JOIN graft.`$skinv` i
+         |  ON f.skew_key = i.skew_key""".stripMargin
     def runSkew(partial: Boolean): (Int, Int, Double, Long) = {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set(
@@ -220,7 +226,7 @@ object HpBench {
       spark.conf.set("spark.sql.sources.v2.bucketing" +
         ".partiallyClusteredDistribution.enabled", partial.toString)
       val ex = exchangesUnderJoin(skewSql)
-      val parts = spark.sql(skewSql).rdd.getNumPartitions
+      val parts = spark.sql(skewJoinSql).rdd.getNumPartitions
       val (res, sec) = t(spark.sql(skewSql).collect())
       spark.conf.unset("spark.sql.sources.v2.bucketing" +
         ".partiallyClusteredDistribution.enabled")

@@ -4437,6 +4437,9 @@ object Manifests {
       stats = statsOf(spark, base, v),
       parent = Some(latest),
       partValues = partitionedBy(spark, base, v),
+      // the restored version's OWN spec history must come back with it
+      // (the inherit default would carry the superseded latest's)
+      partHistory = Some(partitionHistory(spark, base, v)),
       blooms = bloomOf(spark, base, v),
       constraints = Some(constraintsOf(spark, base, v)),
       dropped = Some(droppedOf(spark, base, v)),
@@ -5080,6 +5083,10 @@ object Manifests {
       schema = schemaOf(spark, src, v),
       stats = statsOf(spark, src, v),
       partValues = partitionedBy(spark, src, v),
+      // a shallow clone references the source's data files, so the
+      // source's legacy spec groups (sidecars included) stay valid —
+      // without them, pre-evolve files in the clone would lose pruning
+      partHistory = Some(partitionHistory(spark, src, v)),
       blooms = bloomOf(spark, src, v),
       constraints = Some(constraintsOf(spark, src, v)),
       // the clone's v0 has no parent to inherit through, yet it
@@ -5336,6 +5343,9 @@ object Manifests {
       stats = statsOf(spark, bb, bv),
       parent = Some(mainLatest),
       partValues = partitionedBy(spark, bb, bv),
+      // fast-forward publishes the BRANCH's state wholesale — its spec
+      // history must ride along, not main's (the inherit default)
+      partHistory = Some(partitionHistory(spark, bb, bv)),
       blooms = bloomOf(spark, bb, bv),
       constraints = Some(constraintsOf(spark, bb, bv)),
       dropped = Some(droppedOf(spark, bb, bv)),

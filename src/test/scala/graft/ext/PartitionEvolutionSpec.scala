@@ -236,6 +236,32 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(spark.table(s"graft.`$b`").count() === expect3)
   }
 
+  test("spec history rides clone and restore: a shallow clone of an evolved table keeps legacy-group pruning; restore returns the restored version's history") {
+    import spark.implicits._
+    val b = monthlyCtas("clone")
+    Manifests.evolvePartitions(spark, b, Seq("days(invoice_ts)")) // v1
+    val c = tmp("clonedst")
+    Manifests.shallowClone(spark, b, c, 1)
+    assert(Manifests.partitionHistory(spark, c, 0).map(_._1) ===
+      Seq(Seq("months(invoice_ts)")),
+      "the clone must carry the source's legacy spec groups")
+    // legacy-group pruning works on the clone: a Feb predicate plans
+    // fewer files than the table holds
+    val q = spark.table(s"graft.`$c`").filter($"invoice_ts" >=
+      java.sql.Timestamp.valueOf("2011-02-01 00:00:00") &&
+      $"invoice_ts" < java.sql.Timestamp.valueOf("2011-03-01 00:00:00"))
+    assert(q.count() === 1000)
+    assert(plannedFiles(q) < 4, "clone lost legacy-group pruning")
+    // restore the ORIGINAL pre-evolve version: its (empty) history
+    // comes back with it, not the superseded latest's
+    Manifests.restore(spark, b, 0)
+    val vr = Manifests.latestVersion(spark, b).get
+    assert(Manifests.partitionHistory(spark, b, vr).isEmpty,
+      "restore must carry the restored version's history, not inherit")
+    assert(Manifests.partitionedBy(spark, b, vr).get._1 ===
+      Seq("months(invoice_ts)"))
+  }
+
   test("aligned DELETE after an evolve: legacy files fall back to the rewrite path, content stays exact") {
     import spark.implicits._
     val b = monthlyCtas("evodel")

@@ -2699,6 +2699,8 @@ object Manifests {
       .flatMap(v => files(spark, base, v) ++ dvFiles(spark, base, v) ++
         statsOf(spark, base, v).toSeq.flatMap(_._2) ++
         partitionedBy(spark, base, v).toSeq.flatMap(_._2) ++
+        // legacy spec groups' tuple sidecars are live references too
+        partitionHistory(spark, base, v).flatMap(_._2) ++
         bloomOf(spark, base, v).toSeq.flatMap(_._2) ++
         cdcOf(spark, base, v).toSeq.flatMap(_._2)) ++
       publishedPins(spark, base))
@@ -2944,6 +2946,9 @@ object Manifests {
     def refs(v: Int) = files(spark, base, v) ++ dvFiles(spark, base, v) ++
       statsOf(spark, base, v).toSeq.flatMap(_._2) ++
       partitionedBy(spark, base, v).toSeq.flatMap(_._2) ++
+      // legacy spec groups reference their own tuple sidecars — a
+      // retained post-evolve version still PLANS with them
+      partitionHistory(spark, base, v).flatMap(_._2) ++
       bloomOf(spark, base, v).toSeq.flatMap(_._2) ++
       cdcOf(spark, base, v).toSeq.flatMap(_._2) // update-rowId sidecars
     // a published branch head lives by reference on the PARENT table:
@@ -4193,7 +4198,8 @@ object Manifests {
     * beyond what the statement claims to touch, so it refuses instead.
     * Returns the new version. */
   def overwriteWhere(data: DataFrame, base: String, pred: Column,
-      asOf: Option[Int] = None): Int = {
+      asOf: Option[Int] = None,
+      regionPred: Option[Column] = None): Int = {
     val spark = data.sparkSession
     val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
@@ -4228,7 +4234,13 @@ object Manifests {
         "row must match it (Delta replaceWhere contract), or rows would " +
         "land beyond the region the statement replaces")
     }
-    overwriteRegionWithFiles(spark, base, v, pred, added, pv, sch)
+    // region classification speaks the TUPLE domain: callers whose
+    // source predicate lowered EXACTLY to the recorded tuples (a
+    // month-aligned backfill on a monthly table) hand the lowered form
+    // here so whole files carry/retire from metadata; identity specs
+    // pass nothing (source IS tuple)
+    overwriteRegionWithFiles(spark, base, v, regionPred.getOrElse(pred),
+      added, pv, sch)
   }
 
   /** Dynamic `INSERT OVERWRITE` over ALREADY-WRITTEN files (the DSv2

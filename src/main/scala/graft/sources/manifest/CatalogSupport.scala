@@ -257,7 +257,19 @@ private[manifest] object CatalogSupport {
         fieldsOf(a).iterator.map(_.exactIsNotNull)
           .collectFirst { case Some(c) => c }
       case AlwaysFalse() => Some(lit(false))
-      case _ => None
+      // any OTHER shape (StringStartsWith, …) stays exact as long as
+      // every referenced column is an IDENTITY partition source — the
+      // tuple column IS the source column there, so the plain V1
+      // translation applies verbatim (the pre-r17 partitionOnly
+      // surface, preserved)
+      case other =>
+        val identity =
+          graft.ext.PartitionTransforms.identitySources(pcols)
+        val refs = other.references
+        if (refs.nonEmpty && refs.forall(r =>
+            !r.contains(".") && identity.exists(resolver(_, r))))
+          FilterColumns.toColumn(other)
+        else None
     }
     val cs = filters.map(go)
     if (cs.isEmpty || cs.exists(_.isEmpty)) None

@@ -181,6 +181,12 @@ class ManifestTable(spark: SparkSession, val base: String,
         with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var replaceAll = false
       private var overwriteCond: Option[org.apache.spark.sql.Column] = None
+      // the EXACT tuple-domain form of the region (identity columns,
+      // or transform-ALIGNED shapes like one month of a monthly table)
+      // — what lets the region replace classify whole files from
+      // metadata; the source-domain cond above stays the containment
+      // check over the written bytes
+      private var overwriteRegion: Option[org.apache.spark.sql.Column] = None
       private var dynamicParts = false
 
       /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`:
@@ -211,11 +217,14 @@ class ManifestTable(spark: SparkSession, val base: String,
             "filters — use whole-table overwrite, or DELETE FROM + INSERT"))
         currentVersion.foreach { w =>
           refuseDv(w, "INSERT OVERWRITE")
-          require(CatalogSupport.partitionOnly(spark, base, w, fs.toSeq),
-            "manifest INSERT OVERWRITE takes whole-table or " +
-              "partition-column predicates only — a non-partition " +
-              "predicate would need a row-level rewrite; use DELETE FROM " +
-              "+ INSERT for that shape")
+          overwriteRegion = CatalogSupport.exactTuplePredicate(
+            spark, base, w, fs.toSeq)
+          require(overwriteRegion.isDefined,
+            "manifest INSERT OVERWRITE takes whole-table predicates, " +
+              "partition-column predicates, or transform-ALIGNED " +
+              "boundaries (e.g. whole months of a monthly table) — " +
+              "anything else would need a row-level rewrite; use " +
+              "DELETE FROM + INSERT for that shape")
         }
         // a translatable-but-unconvertible condition (e.g. a nested
         // field) must REFUSE here: falling through with None would let
@@ -323,7 +332,8 @@ class ManifestTable(spark: SparkSession, val base: String,
               }
               overwriteCond match {
                 case Some(cond) if exists =>
-                  Manifests.overwriteWhere(data, base, cond): Unit
+                  Manifests.overwriteWhere(data, base, cond,
+                    regionPred = overwriteRegion): Unit
                 case Some(cond) =>
                   // nothing to replace yet: the overwrite region of an
                   // uncommitted table is empty — but the statement

@@ -262,6 +262,73 @@ class PartitionEvolutionSpec extends AnyFunSuite {
       Seq("months(invoice_ts)"))
   }
 
+  test("transform-aligned INSERT OVERWRITE: a month-boundary region replaces whole files by metadata; mid-month refuses") {
+    import spark.implicits._
+    val b = monthlyCtas("ovw")
+    val v0 = Manifests.latestVersion(spark, b).get
+    val before = Manifests.files(spark, b, v0).toSet
+    val feb = (0 until 50).map { i =>
+      (90000L + i, java.sql.Timestamp.valueOf("2011-02-15 12:00:00"),
+        i * 3.0)
+    }.toDF("sale_id", "invoice_ts", "amount")
+    val lo = java.sql.Timestamp.valueOf("2011-02-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2011-03-01 00:00:00")
+    feb.writeTo(s"graft.`$b`")
+      .overwrite($"invoice_ts" >= lit(lo) && $"invoice_ts" < lit(hi))
+    val v1 = Manifests.latestVersion(spark, b).get
+    val after = Manifests.files(spark, b, v1).toSet
+    // untouched months CARRY BY REFERENCE (3 of the 4 original files
+    // survive verbatim); the February file retires whole
+    assert((before -- after).size === 1,
+      s"exactly the February file should retire: ${before -- after}")
+    assert((before & after).size === 3)
+    val expect = monthlyDf.filter($"invoice_ts" < lit(lo) ||
+      $"invoice_ts" >= lit(hi)).count() + 50
+    assert(spark.table(s"graft.`$b`").count() === expect)
+    // mid-month region: not decidable on month tuples — refuses with
+    // the actionable message instead of a silent whole-granule replace
+    val e = intercept[Exception] {
+      (0 until 5).map(i => (95000L + i, java.sql.Timestamp.valueOf(
+        "2011-03-20 12:00:00"), i * 1.0))
+        .toDF("sale_id", "invoice_ts", "amount")
+        .writeTo(s"graft.`$b`")
+        .overwrite($"invoice_ts" >=
+          lit(java.sql.Timestamp.valueOf("2011-03-10 00:00:00")))
+    }
+    assert(e.getMessage.contains("ALIGNED") ||
+      e.getMessage.contains("aligned"), e.getMessage)
+  }
+
+  test("vacuum keeps legacy-group sidecars a retained version still plans with") {
+    import spark.implicits._
+    val b = monthlyCtas("vac")
+    Manifests.evolvePartitions(spark, b, Seq("days(invoice_ts)")) // v1
+    (0 until 100).map { i =>
+      (20000L + i, java.sql.Timestamp.valueOf("2011-05-01 08:00:00"),
+        i * 1.0)
+    }.toDF("sale_id", "invoice_ts", "amount")
+      .createOrReplaceTempView("graft_pe_vac_may")
+    spark.sql(s"INSERT INTO graft.`$b` SELECT * FROM graft_pe_vac_may")
+    // drop v0 and v1: only v2 (post-append) survives — its legacy
+    // months group must keep its sidecar through both reclaim paths
+    val (dropped, _) = Manifests.vacuum(spark, b, keepLast = 1)
+    assert(dropped.nonEmpty)
+    Manifests.evictBase(b)
+    graft.ext.SidecarCache.evict(spark)
+    val v = Manifests.latestVersion(spark, b).get
+    val legacySegs = Manifests.partitionHistory(spark, b, v).flatMap(_._2)
+    assert(legacySegs.nonEmpty &&
+      legacySegs.forall(Dfs.exists(spark, _)),
+      "vacuum reclaimed a legacy spec group's sidecar that the " +
+        "retained version still plans with")
+    // and the table still PRUNES and answers through both eras
+    val feb = spark.table(s"graft.`$b`").filter($"invoice_ts" >=
+      java.sql.Timestamp.valueOf("2011-02-01 00:00:00") &&
+      $"invoice_ts" < java.sql.Timestamp.valueOf("2011-03-01 00:00:00"))
+    assert(feb.count() === 1000)
+    assert(plannedFiles(feb) < plannedFiles(spark.table(s"graft.`$b`")))
+  }
+
   test("aligned DELETE after an evolve: legacy files fall back to the rewrite path, content stays exact") {
     import spark.implicits._
     val b = monthlyCtas("evodel")

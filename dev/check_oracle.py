@@ -11,7 +11,14 @@ import duckdb
 import pyarrow.parquet as pq
 from decimal import Decimal
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+args = list(sys.argv[1:])
+json_out = None
+if "--json" in args:
+    i = args.index("--json")
+    json_out = args[i + 1]
+    del args[i:i + 2]
+sf_dir, out_dir = args[0], args[1]
+report = {}
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     t = os.path.basename(p)[:-len(".parquet")]
@@ -41,6 +48,7 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
     srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
     if name not in oracle:
         n_noorc += 1
+        report[name] = {"rows": len(srows), "oracle": False}
         print(f"  ....  {name}: no oracle ({len(srows)} rows)")
         continue
     try:
@@ -49,10 +57,14 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         orows = res.fetchall()
     except Exception as e:
         n_fail += 1
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "error": str(e)}
         print(f"  FAIL  {name}: oracle SQL error: {e}")
         continue
     sc, sr = canon(scols, srows)
     oc, orr = canon(ocols, orows)
+    report[name] = {"rows_match": len(sr) == len(orr),
+                    "schema_match": sc == oc, "hash_match": sr == orr}
     if sc != oc:
         n_fail += 1
         print(f"  FAIL  {name}: columns differ: spark={sc} oracle={oc}")
@@ -67,4 +79,10 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         n_pass += 1
         print(f"  PASS  {name} ({len(sr)} rows)")
 print(f"== {n_pass} pass, {n_fail} fail, {n_noorc} rows-only")
+if json_out:
+    summary = {"pass": n_pass, "fail": n_fail, "rows_only": n_noorc,
+               "queries": report}
+    with open(json_out, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
 sys.exit(1 if n_fail else 0)

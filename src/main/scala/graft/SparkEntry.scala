@@ -820,7 +820,8 @@ object SparkEntry {
     * rebuilt per JVM). */
   private def dumpDir(s: SparkSession, d: String, fmt: String): String =
     s"${ext.Dfs.scratchBase}/graftfix_${ext.Dfs.codeEpoch}_${fmt}_" +
-      new org.apache.hadoop.fs.Path(d).getName
+      new org.apache.hadoop.fs.Path(d).getName + "_" +
+      ext.Dfs.datasetKey(s, d)
 
   /** [[ext.Dfs.buildOnce]] — build-once cross-process fixture gate. */
   private def ensureFixture(s: SparkSession, paths: String*)

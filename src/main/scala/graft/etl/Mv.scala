@@ -38,7 +38,8 @@ object Mv {
 
   private def base(spark: SparkSession, dir: String): String =
     s"${graft.ext.Dfs.scratchBase}/graftfix_${graft.ext.Dfs.codeEpoch}_mv_" +
-      new org.apache.hadoop.fs.Path(dir).getName
+      new org.apache.hadoop.fs.Path(dir).getName + "_" +
+      graft.ext.Dfs.datasetKey(spark, dir)
 
   /** The version-chain root [[monthlySalesViaMv]] commits under — exposed
     * for time-travel reads ([[graft.ext.Snapshots.readAt]]). */

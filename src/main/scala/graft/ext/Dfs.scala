@@ -248,6 +248,28 @@ object Dfs {
     java.lang.Long.toHexString(stamp)
   }
 
+  /** Dataset half of a shared-fixture key: a hash of the source dir's
+    * full canonical path plus a content fingerprint (name/length/mtime
+    * of its top-level entries). Basename alone collides across
+    * scale-factor roots ending in the same leaf, and a dataset
+    * regenerated in place without a recompile would otherwise serve
+    * stale fixtures to Bench (which, unlike Verify, has no oracle hash
+    * to catch it). Memoized per (process, dataset). */
+  private val datasetKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def datasetKey(spark: SparkSession, d: String): String =
+    datasetKeys.computeIfAbsent(d, { d =>
+      val q = qualified(spark, d)
+      val fp = scala.util.Try {
+        fs(spark, q).listStatus(new Path(q)).toSeq
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString(",")
+      }.getOrElse("")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$q|$fp".getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+    })
+
   /** Build-once gate for a fixture shared ACROSS processes: the
     * `_done` marker means "built and immutable — read freely"; the
     * `_claim` file is the cross-process mutex (one builder, everyone
@@ -260,24 +282,29 @@ object Dfs {
       (build: => Unit): Unit = {
     val anchor = paths.head
     val marker = s"${anchor}_done"
-    if (exists(spark, marker)) return
-    if (createExclusive(spark, s"${anchor}_claim")) {
-      try { build; touch(spark, marker) }
-      catch { case e: Throwable =>
-        paths.foreach(p =>
-          scala.util.Try(delete(spark, p, recursive = true)))
-        scala.util.Try(delete(spark, s"${anchor}_claim"))
-        throw e
+    val claim = s"${anchor}_claim"
+    val deadline = System.currentTimeMillis() + 30L * 60 * 1000
+    while (!exists(spark, marker)) {
+      if (createExclusive(spark, claim)) {
+        try { build; touch(spark, marker) }
+        catch { case e: Throwable =>
+          paths.foreach(p =>
+            scala.util.Try(delete(spark, p, recursive = true)))
+          scala.util.Try(delete(spark, claim))
+          throw e
+        }
+        return
       }
-    } else {
-      // another process claimed the build — wait for its marker. A
-      // builder that died leaves a stale claim; fail with the remedy
-      // rather than spin forever.
-      val deadline = System.currentTimeMillis() + 30L * 60 * 1000
-      while (!exists(spark, marker)) {
+      // another process claimed the build — wait for its marker. If
+      // the claim vanishes without a marker the builder FAILED (its
+      // catch deletes the claim): loop back and take over the claim
+      // instead of spinning out the full deadline. A builder that
+      // died without cleanup leaves a stale claim; fail with the
+      // remedy rather than spin forever.
+      while (!exists(spark, marker) && exists(spark, claim)) {
         require(System.currentTimeMillis() < deadline,
           s"timed out waiting for fixture $anchor — a concurrent " +
-            s"builder likely died; delete ${anchor}_claim and re-run")
+            s"builder likely died; delete $claim and re-run")
         Thread.sleep(500)
       }
     }

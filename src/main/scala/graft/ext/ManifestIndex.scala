@@ -68,6 +68,21 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
   private val blooms: Option[(Seq[String], Seq[String])] =
     Manifests.bloomOf(spark, base, version)
 
+  /** False when the version's tuples predate UTC time-transform
+    * semantics ([[Manifests.partSemOf]]): TZ-sensitive fields then
+    * refuse to lower (conservative no-prune) and never join a purity
+    * proof, because a session-TZ month tuple near a boundary can name
+    * a different granule than the UTC lowering computes. */
+  private lazy val tzTrusted: Boolean =
+    Manifests.partSemOf(spark, base, version) >= Manifests.PartSemCurrent
+
+  /** [[tzTrusted]] refined per spec group: a below-current version is
+    * still fully trustworthy when NO field is TZ-sensitive (identity /
+    * bucket / truncate / DATE-sourced time transforms — semantics
+    * unchanged across the eras). */
+  private def tzTrustedFor(pcols: Seq[String]): Boolean =
+    tzTrusted || Manifests.partTuplesTrusted(spark, base, version, pcols)
+
   /** The table's EXACT row count from metadata alone, when provable:
     * the zone-stats sidecar records `n_rows` per file
     * ([[Skipping.buildStats]]), and a batch relation carries no
@@ -402,7 +417,11 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     * order; the scan converts them to Catalyst form against the data
     * schema. Driver-side metadata fold over the memoized sidecar. */
   lazy val purePartitionTuples: Option[(Seq[String], Map[String, Seq[Any]])] =
-    partMeta.flatMap { case (pcols, segs) =>
+    partMeta.filter(m => tzTrustedFor(m._1)).flatMap { case (pcols, segs) =>
+      // pre-UTC tuples must not back an SPJ key-grouping claim: two
+      // rows with the same TIMESTAMP near a granule boundary could sit
+      // in files recorded under DIFFERENT month tuples (old-era file
+      // vs new append), so "same key ⇒ same group" would not hold
       PurityCache.perFileTuples(spark, pcols, segs).flatMap { perFile =>
         val fileSet = files.toSet
         // coverage + purity against THIS version's manifest: every
@@ -451,7 +470,8 @@ final class ManifestFileIndex(spark: SparkSession, base: String, version: Int)
     //    is always kept (conservative).
     val afterPart = (partLegacy ++ partMeta.toSeq)
       .foldLeft(files) { case (acc, (pcols, pvSegs)) =>
-        ManifestFileIndex.valuePredicate(dataFilters, pcols, resolver) match {
+        ManifestFileIndex.valuePredicate(dataFilters, pcols, resolver,
+            tzTrusted) match {
           case None => acc
           case Some(pred) =>
             val pv = SidecarCache.localDf(spark, pvSegs)
@@ -645,8 +665,9 @@ object ManifestFileIndex {
     * (conservative); None when nothing translates. */
   private[ext] def valuePredicate(filters: Seq[Expression],
       pcols: Seq[String],
-      resolver: (String, String) => Boolean = caseInsensitive): Option[Column] =
-    filters.flatMap(valueOf(_, pcols, resolver)) match {
+      resolver: (String, String) => Boolean = caseInsensitive,
+      tzTrusted: Boolean = true): Option[Column] =
+    filters.flatMap(valueOf(_, pcols, resolver, tzTrusted)) match {
       case Seq() => None
       case ps => Some(ps.reduce(_ && _))
     }
@@ -712,10 +733,15 @@ object ManifestFileIndex {
     * with all of them. Untranslatable leaves refuse (None) — pruning
     * skipped, conservative. */
   private def valueOf(e: Expression, pcols: Seq[String],
-      resolver: (String, String) => Boolean): Option[Column] = {
+      resolver: (String, String) => Boolean,
+      tzTrusted: Boolean = true): Option[Column] = {
     val fields = PartitionTransforms.parseAll(pcols)
+    // tuples recorded under PRE-UTC semantics (partSem < current) may
+    // name the wrong granule for TZ-sensitive fields — skipping the
+    // field skips its conjunct, which only keeps extra files
     def matching(a: AttributeReference): Seq[PartField] =
-      fields.filter(f => resolver(f.source, a.name))
+      fields.filter(f => resolver(f.source, a.name) &&
+        (tzTrusted || !f.tzSensitive(a.dataType)))
     def tcol(f: PartField): Column = col(s"`${f.tupleName}`")
     /** Transformed literal as an external lit(), refusing null results
       * (a null comparand never matches under `===`/ranges — refusal
@@ -762,13 +788,14 @@ object ManifestFileIndex {
       })
     e match {
       case And(l, r) =>
-        (valueOf(l, pcols, resolver), valueOf(r, pcols, resolver)) match {
+        (valueOf(l, pcols, resolver, tzTrusted),
+            valueOf(r, pcols, resolver, tzTrusted)) match {
           case (Some(a), Some(b)) => Some(a && b)
           case (a, b) => a.orElse(b) // untranslatable conjunct: keep the other
         }
       case Or(l, r) =>
-        for { a <- valueOf(l, pcols, resolver)
-              b <- valueOf(r, pcols, resolver) } yield a || b
+        for { a <- valueOf(l, pcols, resolver, tzTrusted)
+              b <- valueOf(r, pcols, resolver, tzTrusted) } yield a || b
       case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
       case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
       case EqualNullSafe(a: AttributeReference, l: Literal) =>

@@ -369,6 +369,7 @@ object Manifests {
       hist: Option[Map[String, (Double, Seq[(Double, Double, Long)])]] =
         None,
       histRows: Option[Long] = None,
+      partSem: Option[Int] = None,
       preservesContent: Boolean = false): Int = {
     require(dataFiles.nonEmpty, "refusing to commit an empty manifest")
     // the compaction tags double as the change feed's dataChange=false
@@ -499,6 +500,26 @@ object Manifests {
         inheritedHistory.map { case (cols, segs) =>
           s"${cols.mkString(",")}|${segs.map(Dfs.canonical).mkString(",")}"
         }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // TUPLE-SEMANTICS version (`_partsem`): which derivation rules the
+    // version's recorded partition tuples were computed under. 1 = the
+    // pre-UTC era (time transforms derived in the writer's SESSION
+    // zone — builds before the UTC re-pin); 2 = UTC-pinned (Iceberg
+    // semantics, current). Inherited like constraints — a commit that
+    // carries ANY prior segments or history groups forward stays at
+    // its ancestor's version (tuples of both eras coexist in its
+    // sidecars), so only full re-derivations (commitDataPartitioned,
+    // compact/OPTIMIZE) pass an explicit upgrade. Consumers treat
+    // sem < current as UNTRUSTED for TZ-sensitive fields: pruning and
+    // exact-DML lowering refuse those conjuncts and SPJ reports
+    // unknown — conservative plans, never wrong rows; OPTIMIZE
+    // restores full speed (the ADVICE-r17 wrong-results class).
+    if (partValues.isDefined) {
+      val effSem = partSem.getOrElse(
+        inheritBase.map(partSemOf(spark, base, _))
+          .getOrElse(PartSemCurrent))
+      Dfs.writeBytes(spark, s"$base/v$v/_partsem",
+        effSem.toString.getBytes("UTF-8"))
+    }
     blooms.foreach { case (cols, segs) =>
       Dfs.writeBytes(spark, s"$base/v$v/_bloomkeys",
         cols.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -1004,6 +1025,12 @@ object Manifests {
   private def ndvIncremental(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.ndv.incremental").forall(_.toBoolean)
 
+  /** Fold per-append histograms into `_hist` (default on) — the
+    * histogram twin of `graft.ndv.incremental`. Off restores the
+    * inherit-verbatim + freshness-damp behavior. */
+  private def histIncremental(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.hist.incremental").forall(_.toBoolean)
+
   /** The version's equi-height histograms, if recorded:
     * column → (bin height in rows, bins as (lo, hi, ndv) in the
     * column's CBO double projection — numeric value, date days,
@@ -1062,11 +1089,29 @@ object Manifests {
     val v = latestVersion(spark, base)
       .getOrElse(sys.error(s"no committed version under $base"))
     val live = readAt(spark, base, v)
+    val (hists, liveRows) = histogramsOf(spark, live, keys, numBins)
+    commit(spark, base, files(spark, base, v), None,
+      dvFiles(spark, base, v), schemaOf(spark, base, v),
+      statsOf(spark, base, v), parent = Some(v),
+      partValues = partitionedBy(spark, base, v),
+      blooms = bloomOf(spark, base, v),
+      delta = Some((Seq.empty, Seq.empty)),
+      hist = Some(histOf(spark, base, v) ++ hists),
+      histRows = liveRows)
+  }
+
+  /** The histogram computation under [[analyzeHistograms]] over an
+    * arbitrary frame — also the per-APPEND pass that feeds
+    * [[HistogramMerge]]: (per-column equi-height histograms, total row
+    * count). Columns with no non-null rows are omitted. */
+  private def histogramsOf(spark: SparkSession, live: DataFrame,
+      keys: Seq[String], numBins: Int)
+      : (Map[String, (Double, Seq[(Double, Double, Long)])], Option[Long]) = {
     val resolver = spark.sessionState.analyzer.resolver
     import org.apache.spark.sql.types._
     def proj(k: String): Column = {
       val f = live.schema.fields.find(f => resolver(f.name, k))
-        .getOrElse(sys.error(s"no column '$k' in $base"))
+        .getOrElse(sys.error(s"no column '$k' in the frame"))
       f.dataType match {
         case _: NumericType => col(s"`${f.name}`").cast(DoubleType)
         case DateType => datediff(col(s"`${f.name}`"),
@@ -1100,34 +1145,24 @@ object Manifests {
           count(col(s"__h$i")).as(s"__n$i"))
       }
     }
-    val (hists, liveRows): (Map[String, (Double, Seq[(Double, Double, Long)])],
-        Option[Long]) =
-      if (aggs.isEmpty) (Map.empty, None)
-      else {
-        // the freshness anchor rides the same single aggregation pass
-        val row = projected.agg(aggs.head,
-          (aggs.tail :+ count(lit(1)).as("__histn")): _*).head
-        (keys.zipWithIndex.flatMap { case (k, i) =>
-          if (bounds(i) == null || bounds(i).isEmpty) None
-          else {
-            val ndvs = row.getAs[scala.collection.Seq[Long]](s"__ndv$i")
-            val n = row.getAs[Long](s"__n$i")
-            if (n == 0L) None
-            else Some(k -> (n.toDouble / numBins,
-              (0 until numBins).map(b =>
-                (bounds(i)(b), bounds(i)(b + 1),
-                  math.max(1L, ndvs(b)))).toSeq))
-          }
-        }.toMap, Some(row.getAs[Long]("__histn")))
-      }
-    commit(spark, base, files(spark, base, v), None,
-      dvFiles(spark, base, v), schemaOf(spark, base, v),
-      statsOf(spark, base, v), parent = Some(v),
-      partValues = partitionedBy(spark, base, v),
-      blooms = bloomOf(spark, base, v),
-      delta = Some((Seq.empty, Seq.empty)),
-      hist = Some(histOf(spark, base, v) ++ hists),
-      histRows = liveRows)
+    if (aggs.isEmpty) (Map.empty, None)
+    else {
+      // the freshness anchor rides the same single aggregation pass
+      val row = projected.agg(aggs.head,
+        (aggs.tail :+ count(lit(1)).as("__histn")): _*).head
+      (keys.zipWithIndex.flatMap { case (k, i) =>
+        if (bounds(i) == null || bounds(i).isEmpty) None
+        else {
+          val ndvs = row.getAs[scala.collection.Seq[Long]](s"__ndv$i")
+          val n = row.getAs[Long](s"__n$i")
+          if (n == 0L) None
+          else Some(k -> (n.toDouble / numBins,
+            (0 until numBins).map(b =>
+              (bounds(i)(b), bounds(i)(b + 1),
+                math.max(1L, ndvs(b)))).toSeq))
+        }
+      }.toMap, Some(row.getAs[Long]("__histn")))
+    }
   }
 
   /** Stats-pruned read: plan only the files whose zones can satisfy
@@ -1415,6 +1450,43 @@ object Manifests {
       new String(Dfs.readBytes(spark, s"$base/v$v/_partvalues"), "UTF-8")
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq))
 
+  /** The CURRENT partition-tuple semantics version: 2 = time
+    * transforms UTC-pinned (Iceberg's TZ-free definition). Version 1
+    * is the pre-UTC era, whose month/year/day tuples over TIMESTAMP
+    * sources were derived in the writer's session zone. */
+  val PartSemCurrent = 2
+
+  /** The tuple-SEMANTICS version of `v`'s recorded partition tuples
+    * (`_partsem`). Absent marker on a PARTITIONED version means the
+    * table predates the marker — the pre-UTC era, version 1; an
+    * unpartitioned version has no tuples to distrust and reports
+    * current. Consumers refuse TZ-sensitive lowering/SPJ below
+    * [[PartSemCurrent]] ([[PartField.tzSensitive]]). */
+  def partSemOf(spark: SparkSession, base: String, v: Int): Int =
+    if (Dfs.exists(spark, s"$base/v$v/_partsem"))
+      new String(Dfs.readBytes(spark, s"$base/v$v/_partsem"), "UTF-8")
+        .trim.toInt
+    else if (Dfs.exists(spark, s"$base/v$v/_partcols")) 1
+    else PartSemCurrent
+
+  /** False when `v`'s recorded tuples predate UTC semantics AND the
+    * spec carries a TZ-sensitive field ([[PartField.tzSensitive]]) —
+    * tuple-exact consumers (SPJ purity, dynamic-overwrite region
+    * discovery) must then refuse rather than mix eras. Unknown source
+    * types count sensitive, conservatively. */
+  def partTuplesTrusted(spark: SparkSession, base: String, v: Int,
+      pcols: Seq[String]): Boolean =
+    partSemOf(spark, base, v) >= PartSemCurrent || {
+      val resolver = spark.sessionState.analyzer.resolver
+      val sch = schemaOf(spark, base, v)
+      PartitionTransforms.parseAll(pcols).forall { f =>
+        f.isIdentity || f.transform == "bucket" ||
+          f.transform == "truncate" ||
+          sch.flatMap(_.fields.find(x => resolver(x.name, f.source)))
+            .exists(x => !f.tzSensitive(x.dataType))
+      }
+    }
+
   /** LEGACY partition-spec groups of version `v` (oldest first): files
     * written before an [[evolvePartitions]] keep planning under the
     * tuples THEIR spec recorded. Each group is (specs, sidecar segment
@@ -1467,7 +1539,19 @@ object Manifests {
     PartitionTransforms.validateAll(newSpecs, sch,
       spark.sessionState.analyzer.resolver)
     val old = partitionedBy(spark, base, v)
-    if (old.exists(_._1 == newSpecs)) return v
+    // same-spec short-circuit on the PARSED fields, not raw strings: a
+    // semantically identical spec re-spelled (spacing, case of a bare
+    // column vs the resolver's) must not burn a version whose empty
+    // current group degrades SPJ and metadata DML until an OPTIMIZE
+    val resolver = spark.sessionState.analyzer.resolver
+    def sameField(a: PartField, b: PartField): Boolean =
+      a.transform == b.transform && a.param == b.param &&
+        resolver(a.source, b.source)
+    if (old.exists { o =>
+      val of = PartitionTransforms.parseAll(o._1)
+      val nf = PartitionTransforms.parseAll(newSpecs)
+      of.size == nf.size && of.zip(nf).forall((sameField _).tupled)
+    }) return v
     val history = partitionHistory(spark, base, v) ++ old.toSeq
     // the new current group starts EMPTY: a zero-row sidecar carrying
     // the new tuple schema, so every downstream consumer (pruning,
@@ -1798,8 +1882,10 @@ object Manifests {
       partValues = Some((partCols,
         Seq(writePartValues(spark, base, files, partCols, Some(df.schema))))),
       // a whole-table re-partition derives EVERY file under the new
-      // spec: any evolution history of the superseded table is moot
-      partHistory = Some(Seq.empty))
+      // spec: any evolution history of the superseded table is moot —
+      // and every tuple is current-semantics by construction
+      partHistory = Some(Seq.empty),
+      partSem = Some(PartSemCurrent))
   }
 
   /** Data rows tagged with their physical address: parquet's hidden
@@ -2141,8 +2227,11 @@ object Manifests {
         rewritten, Some(live.schema)),
       // the full rewrite re-derived EVERY file under the current spec:
       // evolution history is spent — dropping it is what RESTORES the
-      // SPJ purity proof and the metadata-only tiers after an evolve
+      // SPJ purity proof and the metadata-only tiers after an evolve,
+      // and every tuple is current-semantics again (the OPTIMIZE that
+      // upgrades a pre-UTC table)
       partHistory = Some(Seq.empty),
+      partSem = Some(PartSemCurrent),
       blooms = bloomsAfterRewrite(spark, base, v, Seq.empty, rewritten,
         Some(live.schema)))
     (cur.size, rewritten.size, nv)
@@ -3353,6 +3442,40 @@ object Manifests {
               c -> math.max(kmvEstimate(hs), prevNdv.getOrElse(c, 0L)) }
             (prevNdv ++ est, merged)
           }
+      // HISTOGRAM maintenance (the `_hist` twin of the KMV fold): when
+      // the table carries histograms, compute the BATCH's own
+      // equi-height histogram (one quantile + interval-NDV pass over
+      // the appended files only — cost ∝ batch) and fold it into the
+      // inherited one ([[HistogramMerge.merge]], driver-side O(bins)).
+      // The `_histrows` anchor advances with the fold, so per-value
+      // pricing stays SHARP as the table grows — no re-ANALYZE, and
+      // the freshness damp is left to the shapes no fold can see
+      // (deletes; `graft.hist.incremental=false`). Folds only when
+      // every histogram column got a batch histogram — a partial fold
+      // under one shared anchor would leave the unfolded columns
+      // claiming a freshness they no longer have.
+      val histMeta: Option[(Map[String, (Double, Seq[(Double, Double,
+          Long)])], Long)] =
+        prev.flatMap { pv =>
+          val parentHist = histOf(spark, base, pv)
+          val anchor = histRowsOf(spark, base, pv)
+          if (parentHist.isEmpty || anchor.isEmpty ||
+              !histIncremental(spark)) None
+          else {
+            val batchDf = eraRead(spark, Nil, newFiles, Some(tableSchema))
+            val byBins = parentHist.groupBy(_._2._2.size)
+            val folded = byBins.toSeq.map { case (nb, cols) =>
+              histogramsOf(spark, batchDf, cols.keys.toSeq, nb)
+            }
+            val batchHists = folded.flatMap(_._1).toMap
+            val batchRows = folded.flatMap(_._2).reduceOption(_ max _)
+            if (batchRows.isEmpty ||
+                !parentHist.keys.forall(batchHists.contains)) None
+            else Some((parentHist.map { case (c, h) =>
+              c -> HistogramMerge.merge(h, batchHists(c)) },
+              anchor.get + batchRows.get))
+          }
+        }
       // deletion vectors stay valid across an append (they address
       // existing files only) — carry them by reference like the data
       try Some(commit(spark, base, cur ++ newFiles, None,
@@ -3363,7 +3486,9 @@ object Manifests {
         delta = Some((newFiles, Seq.empty)),
         txn = txn,
         ndv = ndvMeta.map(_._1),
-        ndvKmv = ndvMeta.map(_._2)))
+        ndvKmv = ndvMeta.map(_._2),
+        hist = histMeta.map(_._1),
+        histRows = histMeta.map(_._2)))
       catch {
         case e: ConcurrentCommitException =>
           if (remaining == 0) throw e
@@ -4112,7 +4237,8 @@ object Manifests {
     * rebases across disjoint concurrent appends the same way. Returns
     * (files dropped whole, files rewritten, new version). */
   def dropPartitions(spark: SparkSession, base: String,
-      pred: Column, asOf: Option[Int] = None): (Int, Int, Int) = {
+      pred: Column, asOf: Option[Int] = None,
+      historyPreds: Seq[(Seq[String], Column)] = Nil): (Int, Int, Int) = {
     val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
     require(dvFiles(spark, base, v).isEmpty,
@@ -4123,13 +4249,23 @@ object Manifests {
         "use deleteWhere, or commit via commitDataPartitioned"))
     val cur = files(spark, base, v).map(Dfs.canonical)
     val hit = coalesce(pred, lit(false))
-    val cls = spark.read.parquet(pvSegs: _*)
-      .groupBy("file")
-      .agg(count(lit(1)).as("n"),
-        sum(when(hit, 1L).otherwise(0L)).as("m"))
-      .collect() // manifest-sized metadata: one row per data file
-      .map(r => Dfs.canonical(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    // classification folds over every group whose spec the condition
+    // lowered under EXACTLY: legacy groups first (each under ITS OWN
+    // spec's predicate — post-evolve files aligned under both eras
+    // retire from metadata instead of rewriting), the current group
+    // last (a file lives in exactly one group, so this is a disjoint
+    // union; "last" only decides the impossible-overlap tie)
+    val cls = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    (historyPreds :+ ((pvSegs, pred))).foreach { case (segs, p) =>
+      val h = coalesce(p, lit(false))
+      spark.read.parquet(segs: _*)
+        .groupBy("file")
+        .agg(count(lit(1)).as("n"),
+          sum(when(h, 1L).otherwise(0L)).as("m"))
+        .collect() // manifest-sized metadata: one row per data file
+        .foreach(r => cls(Dfs.canonical(r.getString(0))) =
+          (r.getLong(1), r.getLong(2)))
+    }
     val dropped = cur.filter(f =>
       cls.get(f).exists { case (n, m) => n > 0 && m == n }).toSet
     val carried = cur.filter(f =>
@@ -4199,7 +4335,8 @@ object Manifests {
     * Returns the new version. */
   def overwriteWhere(data: DataFrame, base: String, pred: Column,
       asOf: Option[Int] = None,
-      regionPred: Option[Column] = None): Int = {
+      regionPred: Option[Column] = None,
+      regionHistory: Seq[(Seq[String], Column)] = Nil): Int = {
     val spark = data.sparkSession
     val v = asOf.orElse(latestVersion(spark, base))
       .getOrElse(sys.error(s"no committed version under $base"))
@@ -4240,7 +4377,8 @@ object Manifests {
     // here so whole files carry/retire from metadata; identity specs
     // pass nothing (source IS tuple)
     overwriteRegionWithFiles(spark, base, v, regionPred.getOrElse(pred),
-      added, pv, sch)
+      added, pv, sch,
+      historyPreds = if (regionPred.isDefined) regionHistory else Nil)
   }
 
   /** Dynamic `INSERT OVERWRITE` over ALREADY-WRITTEN files (the DSv2
@@ -4273,6 +4411,15 @@ object Manifests {
     // predicate compares the sidecar's tuple columns — Hive dynamic
     // semantics at transform granularity (a monthly table replaces the
     // months the batch touches)
+    // the region predicate compares tuples DERIVED NOW (current UTC
+    // semantics) against SIDECAR tuples — on a pre-UTC table the two
+    // eras can disagree near granule boundaries and rows that should
+    // be replaced would survive; refuse with the remedy
+    require(partTuplesTrusted(spark, base, v, pcols),
+      s"$base records partition tuples under pre-UTC time-transform " +
+        "semantics — dynamic INSERT OVERWRITE cannot classify its " +
+        "region exactly; run compact() (OPTIMIZE) to re-derive the " +
+        "tuples first")
     val fields = PartitionTransforms.parseAll(pcols)
     val tuples = spark.read.schema(writeSchema).parquet(written: _*)
       .select(tupleColumns(writeSchema, pcols): _*)
@@ -4315,17 +4462,25 @@ object Manifests {
   private def overwriteRegionWithFiles(spark: SparkSession, base: String,
       v: Int, pred: Column, added: Seq[String],
       pv: (Seq[String], Seq[String]),
-      sch: Option[org.apache.spark.sql.types.StructType]): Int = {
+      sch: Option[org.apache.spark.sql.types.StructType],
+      historyPreds: Seq[(Seq[String], Column)] = Nil): Int = {
     val pvSegs = pv._2
     val hit = coalesce(pred, lit(false))
     val cur = files(spark, base, v).map(Dfs.canonical)
-    val cls = spark.read.parquet(pvSegs: _*)
-      .groupBy("file")
-      .agg(count(lit(1)).as("n"),
-        sum(when(hit, 1L).otherwise(0L)).as("m"))
-      .collect() // manifest-sized metadata: one row per data file
-      .map(r => Dfs.canonical(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    // same per-group classification as [[dropPartitions]]: legacy
+    // groups the region is aligned under retire/carry their files
+    // from metadata; unclassified files pay the boundary rewrite
+    val cls = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    (historyPreds :+ ((pvSegs, pred))).foreach { case (segs, p) =>
+      val h = coalesce(p, lit(false))
+      spark.read.parquet(segs: _*)
+        .groupBy("file")
+        .agg(count(lit(1)).as("n"),
+          sum(when(h, 1L).otherwise(0L)).as("m"))
+        .collect() // manifest-sized metadata: one row per data file
+        .foreach(r => cls(Dfs.canonical(r.getString(0))) =
+          (r.getLong(1), r.getLong(2)))
+    }
     val dropped = cur.filter(f =>
       cls.get(f).exists { case (n, m) => n > 0 && m == n }).toSet
     val carried = cur.filter(f =>
@@ -4450,8 +4605,12 @@ object Manifests {
       parent = Some(latest),
       partValues = partitionedBy(spark, base, v),
       // the restored version's OWN spec history must come back with it
-      // (the inherit default would carry the superseded latest's)
+      // (the inherit default would carry the superseded latest's) —
+      // and its tuple-semantics stamp likewise: inheriting the
+      // latest's could mark pre-UTC tuples trusted after a rollback
+      // across an OPTIMIZE upgrade
       partHistory = Some(partitionHistory(spark, base, v)),
+      partSem = Some(partSemOf(spark, base, v)),
       blooms = bloomOf(spark, base, v),
       constraints = Some(constraintsOf(spark, base, v)),
       dropped = Some(droppedOf(spark, base, v)),
@@ -4891,13 +5050,6 @@ object Manifests {
         "physical bytes may survive in old files — renaming onto the " +
         "name would resurrect them; overwrite the table to clear the " +
         "tombstone")
-    partitionedBy(spark, base, v).foreach { case (pcols, _) =>
-      require(!PartitionTransforms.sources(pcols)
-          .exists(resolver(_, from)),
-        s"'$from' is a partition (source) column of $base — " +
-          "re-partition (commitDataPartitioned overwrite) before " +
-          "renaming it")
-    }
     constraintsOf(spark, base, v).foreach { case (cn, p) =>
       val refs = spark.sessionState.sqlParser.parseExpression(p).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -4910,6 +5062,20 @@ object Manifests {
     val renamed = org.apache.spark.sql.types.StructType(
       sch.fields.map(f => if (resolver(f.name, from)) f.copy(name = to)
         else f))
+    // a PARTITION-SOURCE rename stays metadata-only (the Iceberg
+    // field-ID behavior, achieved by name rebinding): every spec —
+    // current AND each legacy history group — rewrites `from`→`to` in
+    // its fields, and each affected group's tuple SIDECAR is re-keyed
+    // under the new derived column names in one metadata-sized copy
+    // (sidecars are per-(file,tuple) parquet — O(manifest), never
+    // O(data)). Pruning, SPJ and aligned DML keep working under the
+    // new name; a 100 TB table renames its partition source without a
+    // re-partition rewrite.
+    val pvRenamed = partitionedBy(spark, base, v).map { case (pc, segs) =>
+      renamePartValueSegs(spark, base, pc, segs, from, to, resolver) }
+    val histRenamed = partitionHistory(spark, base, v).map {
+      case (pc, segs) =>
+        renamePartValueSegs(spark, base, pc, segs, from, to, resolver) }
     commit(spark, base, files(spark, base, v),
       tag = Some(s"rename-column:$from:$to"),
       dv = dvFiles(spark, base, v),
@@ -4917,12 +5083,45 @@ object Manifests {
       stats = statsOf(spark, base, v).map { case (keys, segs) =>
         (keys.filterNot(resolver(_, from)), segs) }.filter(_._1.nonEmpty),
       parent = Some(v),
-      partValues = partitionedBy(spark, base, v),
+      partValues = pvRenamed,
+      partHistory = Some(histRenamed),
       blooms = bloomOf(spark, base, v).map { case (keys, segs) =>
         (keys.filterNot(resolver(_, from)), segs) }.filter(_._1.nonEmpty),
       dropped = Some(droppedOf(spark, base, v) :+ from),
       addRename = Some((from, to)),
       delta = Some((Seq.empty, Seq.empty)))
+  }
+
+  /** One spec group's `from`→`to` source rename: rewrite the specs'
+    * source binding and, when any affected field's DERIVED tuple name
+    * changes with it, copy the group's sidecar once with those columns
+    * renamed (new `pv_` segment — the old segments stay immutable for
+    * the versions that reference them; vacuum reference-counts both).
+    * Groups not touching `from` return unchanged, zero I/O. */
+  private def renamePartValueSegs(spark: SparkSession, base: String,
+      pcols: Seq[String], segs: Seq[String], from: String, to: String,
+      resolver: (String, String) => Boolean): (Seq[String], Seq[String]) = {
+    val fields = PartitionTransforms.parseAll(pcols)
+    val colRenames = fields.flatMap { f =>
+      if (!resolver(f.source, from)) None
+      else {
+        val nf = f.copy(source = to)
+        if (f.tupleName == nf.tupleName) None
+        else Some(f.tupleName -> nf.tupleName)
+      }
+    }
+    val newSpecs = fields.map(f =>
+      if (resolver(f.source, from)) f.copy(source = to).spec else f.spec)
+    if (newSpecs == pcols && colRenames.isEmpty) (pcols, segs)
+    else if (colRenames.isEmpty) (newSpecs, segs)
+    else {
+      val dir = s"$base/pv_${java.util.UUID.randomUUID().toString.take(8)}"
+      val df = colRenames.foldLeft(spark.read.parquet(segs: _*)) {
+        case (d, (o, n)) => d.withColumnRenamed(o, n)
+      }
+      df.repartition(1).write.mode("errorifexists").parquet(dir)
+      (newSpecs, Seq(dir))
+    }
   }
 
   /** The CHECK constraints version `v` was committed under:
@@ -5099,6 +5298,7 @@ object Manifests {
       // source's legacy spec groups (sidecars included) stay valid —
       // without them, pre-evolve files in the clone would lose pruning
       partHistory = Some(partitionHistory(spark, src, v)),
+      partSem = Some(partSemOf(spark, src, v)),
       blooms = bloomOf(spark, src, v),
       constraints = Some(constraintsOf(spark, src, v)),
       // the clone's v0 has no parent to inherit through, yet it
@@ -5358,6 +5558,7 @@ object Manifests {
       // fast-forward publishes the BRANCH's state wholesale — its spec
       // history must ride along, not main's (the inherit default)
       partHistory = Some(partitionHistory(spark, bb, bv)),
+      partSem = Some(partSemOf(spark, bb, bv)),
       blooms = bloomOf(spark, bb, bv),
       constraints = Some(constraintsOf(spark, bb, bv)),
       dropped = Some(droppedOf(spark, bb, bv)),

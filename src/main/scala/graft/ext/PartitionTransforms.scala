@@ -91,6 +91,25 @@ final case class PartField(transform: String, source: String,
     * transforms; bucket scatters and admits equality shapes only. */
   def monotonic: Boolean = transform != "bucket"
 
+  /** True when this field's recorded tuples DEPEND on the writer's
+    * session timezone under pre-UTC semantics
+    * ([[Manifests.partSemOf]] < [[Manifests.PartSemCurrent]]):
+    * years/months/days over TIMESTAMP derived calendar fields in the
+    * session zone before the UTC re-pin, and hours(TIMESTAMP_NTZ) was
+    * writable before `validate` refused NTZ. Consumers on a
+    * below-current table must not lower predicates through such a
+    * field (tuples near granule boundaries may name the WRONG granule
+    * under current rules — pruning would drop files holding matching
+    * rows) and must not report SPJ key-grouping by it. DATE and
+    * NTZ calendar fields are wall-clock in both eras; hours over
+    * TIMESTAMP was epoch-floor in both; identity/bucket/truncate
+    * never involve a zone. */
+  def tzSensitive(srcType: DataType): Boolean = transform match {
+    case "years" | "months" | "days" => srcType == TimestampType
+    case "hours" => srcType == TimestampNTZType
+    case _ => false
+  }
+
   /** The sidecar tuple's data type, given the source column's. */
   def outputType(srcType: DataType): DataType = transform match {
     case "identity" => srcType
@@ -128,7 +147,15 @@ final case class PartField(transform: String, source: String,
       case "hours" =>
         // epoch-second floor — TZ-free by construction (ts→long is the
         // epoch, no calendar involved); validate() admits TIMESTAMP only
-        // (TIMESTAMP_NTZ cannot cast to numeric in Spark 4)
+        // (TIMESTAMP_NTZ cannot cast to numeric in Spark 4). A table
+        // CREATED under pre-UTC semantics could carry hours(ntz) —
+        // fail its appends with the remedy, not an opaque cast error
+        require(srcType == TimestampType,
+          s"partition transform $spec is defined over TIMESTAMP only; " +
+            "a table partitioned by hours() of a TIMESTAMP_NTZ column " +
+            "predates UTC tuple semantics — re-partition it " +
+            "(commitDataPartitioned overwrite, or evolvePartitions to " +
+            "a supported transform)")
         floor(c.cast(LongType) / lit(3600)).cast(IntegerType)
       case "bucket" => pmod(hash(c), lit(param.get))
       case "truncate" => srcType match {

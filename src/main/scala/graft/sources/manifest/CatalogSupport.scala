@@ -214,8 +214,35 @@ private[manifest] object CatalogSupport {
       filters: Seq[Filter]): Option[Column] = {
     val pcols = Manifests.partitionedBy(spark, base, v)
       .map(_._1).getOrElse(return None)
+    lowerExactFor(spark, base, v, pcols, filters)
+  }
+
+  /** [[exactTuplePredicate]] for each LEGACY spec group of `v` (after
+    * a partition evolution): the same condition lowered under each
+    * old spec's own fields, paired with that group's sidecar
+    * segments. A group the condition is not aligned under is simply
+    * omitted — its files stay unclassified and pay the boundary
+    * rewrite, exactly as before. With these, a DELETE aligned under
+    * BOTH eras (e.g. a year boundary on a monthly-evolved-to-daily
+    * table) retires legacy files from metadata too instead of
+    * rewriting them. */
+  def exactHistoryPredicates(spark: SparkSession, base: String, v: Int,
+      filters: Seq[Filter]): Seq[(Seq[String], Column)] =
+    Manifests.partitionHistory(spark, base, v).flatMap {
+      case (pcols, segs) =>
+        lowerExactFor(spark, base, v, pcols, filters).map((segs, _))
+    }
+
+  private def lowerExactFor(spark: SparkSession, base: String, v: Int,
+      pcols: Seq[String], filters: Seq[Filter]): Option[Column] = {
     val fields = graft.ext.PartitionTransforms.parseAll(pcols)
     val resolver = spark.sessionState.analyzer.resolver
+    // tuples recorded under pre-UTC semantics cannot EXACTLY decide a
+    // boundary predicate on a TZ-sensitive field (the session-TZ month
+    // of a row near midnight may differ from the UTC lowering) — those
+    // fields refuse here and the DML keeps the row-level path
+    val tzTrusted =
+      Manifests.partSemOf(spark, base, v) >= Manifests.PartSemCurrent
     import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
     def fieldsOf(a: String): Seq[graft.ext.PartField] =
       if (a.contains(".")) Seq.empty
@@ -223,7 +250,9 @@ private[manifest] object CatalogSupport {
     def leaf(a: String, v0: Any,
         one: (graft.ext.PartField, CLit) => Option[Column]): Option[Column] =
       scala.util.Try(CLit(v0)).toOption.flatMap(l =>
-        fieldsOf(a).iterator.map(one(_, l)).collectFirst {
+        fieldsOf(a).iterator
+          .filter(f => tzTrusted || !f.tzSensitive(l.dataType))
+          .map(one(_, l)).collectFirst {
           case Some(c) => c })
     def go(f: Filter): Option[Column] = f match {
       case And(l, r) => for { a <- go(l); b <- go(r) } yield a && b

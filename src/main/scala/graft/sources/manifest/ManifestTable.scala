@@ -187,6 +187,8 @@ class ManifestTable(spark: SparkSession, val base: String,
       // metadata; the source-domain cond above stays the containment
       // check over the written bytes
       private var overwriteRegion: Option[org.apache.spark.sql.Column] = None
+      private var overwriteRegionHistory
+          : Seq[(Seq[String], org.apache.spark.sql.Column)] = Nil
       private var dynamicParts = false
 
       /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`:
@@ -218,6 +220,8 @@ class ManifestTable(spark: SparkSession, val base: String,
         currentVersion.foreach { w =>
           refuseDv(w, "INSERT OVERWRITE")
           overwriteRegion = CatalogSupport.exactTuplePredicate(
+            spark, base, w, fs.toSeq)
+          overwriteRegionHistory = CatalogSupport.exactHistoryPredicates(
             spark, base, w, fs.toSeq)
           require(overwriteRegion.isDefined,
             "manifest INSERT OVERWRITE takes whole-table predicates, " +
@@ -333,7 +337,8 @@ class ManifestTable(spark: SparkSession, val base: String,
               overwriteCond match {
                 case Some(cond) if exists =>
                   Manifests.overwriteWhere(data, base, cond,
-                    regionPred = overwriteRegion): Unit
+                    regionPred = overwriteRegion,
+                    regionHistory = overwriteRegionHistory): Unit
                 case Some(cond) =>
                   // nothing to replace yet: the overwrite region of an
                   // uncommitted table is empty — but the statement
@@ -406,7 +411,12 @@ class ManifestTable(spark: SparkSession, val base: String,
       // job and a table rewrite.
       case Some(tuplePred) =>
         Manifests.dropPartitions(spark, base, tuplePred,
-          asOf = Some(v)): Unit
+          asOf = Some(v),
+          // legacy spec groups the condition is ALSO aligned under
+          // classify from their own tuples — their files retire from
+          // metadata instead of paying the boundary rewrite
+          historyPreds = CatalogSupport.exactHistoryPredicates(
+            spark, base, v, fs.toSeq)): Unit
       case None =>
         Manifests.deleteWhere(spark, base, cond, asOf = Some(v)): Unit
     }

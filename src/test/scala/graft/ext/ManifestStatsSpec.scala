@@ -364,12 +364,28 @@ class ManifestStatsSpec extends AnyFunSuite {
     val h1 = Manifests.histOf(spark, b, v1)
     assert(h1.contains("k") && h1("k")._2.size === 8)
     assert(math.abs(h1("k")._1 - 125.0) < 1.0, s"height ${h1("k")._1}")
-    // an append inherits the histogram verbatim (stale-tolerated like
-    // NDV)
-    Manifests.append((1001 to 1100).map(i =>
-      (i.toLong, 99)).toDF("id", "k"), b)
+    // with the incremental fold OFF an append inherits the histogram
+    // verbatim (stale-tolerated like NDV under graft.ndv.incremental
+    // = false); the default-on fold is pinned by its own test below
+    spark.conf.set("graft.hist.incremental", "false")
+    try {
+      Manifests.append((1001 to 1050).map(i =>
+        (i.toLong, 99)).toDF("id", "k"), b): Unit
+    } finally spark.conf.unset("graft.hist.incremental")
     val v2 = Manifests.latestVersion(spark, b).get
     assert(Manifests.histOf(spark, b, v2) === h1)
+    // a default-mode append FOLDS instead: same bin count, advanced
+    // anchor, reshaped bins
+    Manifests.append((1051 to 1100).map(i =>
+      (i.toLong, 99)).toDF("id", "k"), b)
+    val v2b = Manifests.latestVersion(spark, b).get
+    val h2b = Manifests.histOf(spark, b, v2b)
+    assert(h2b("k")._2.size === 8)
+    assert(h2b("k") !== h1("k"))
+    // anchor = the inherited 1000 + this fold's 50 (the fold-off
+    // append's 50 rows never advanced it — exactly the staleness the
+    // damp still covers)
+    assert(Manifests.histRowsOf(spark, b, v2b) === Some(1050L))
     // re-ANALYZE refreshes: the new hot value 99 now dominates bins
     Manifests.analyzeHistograms(spark, b, Seq("k"), numBins = 8)
     val v3 = Manifests.latestVersion(spark, b).get
@@ -378,9 +394,12 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(h3("k")._2.last._2 === 99.0, s"bins ${h3("k")._2}")
   }
 
-  test("stale histogram damps toward 1: appends that outgrow the ANALYZE anchor stop pricing old frequencies") {
+  test("stale histogram damps toward 1: appends that outgrow the ANALYZE anchor stop pricing old frequencies (fold off)") {
     import spark.implicits._
     registerCatalog()
+    // pin the CONSERVATIVE fallback: with the incremental fold off the
+    // anchor inherits verbatim and the damp is the only guard
+    spark.conf.set("graft.hist.incremental", "false")
     val d = java.nio.file.Files
       .createTempDirectory("graft_hist_stale_d").toString + "/t"
     val f = java.nio.file.Files
@@ -437,6 +456,71 @@ class ManifestStatsSpec extends AnyFunSuite {
         "re-ANALYZE must restore the rare key's broadcast")
       assert(!broadcasts(joinSql(150L)),
         "re-ANALYZE must price the newly hot key as hot")
+    } finally {
+      spark.conf.unset("graft.hist.incremental")
+      old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("incremental histogram fold: 4x growth via appends keeps per-value pricing sharp with NO re-ANALYZE") {
+    import spark.implicits._
+    registerCatalog()
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_hist_fold_d").toString + "/t"
+    val f = java.nio.file.Files
+      .createTempDirectory("graft_hist_fold_f").toString + "/t"
+    val dim = (1 to 20000).map { i =>
+      val ck = if (i % 20 != 0) 7L else (i % 201).toLong + 100L
+      (i.toLong, ck, s"cust_$i" * 4)
+    }.toDF("customer_key", "country_key", "pad")
+    Manifests.commitData(dim, d)
+    Manifests.analyze(spark, d, Seq("customer_key", "country_key"))
+    Manifests.analyzeHistograms(spark, d, Seq("country_key"))
+    Manifests.commitData((1 to 40000).map(i =>
+      ((i % 20000 + 1).toLong, i * 2.0)).toDF("customer_key", "amount"), f)
+    Manifests.analyze(spark, f, Seq("customer_key"))
+    def joinSql(key: Long) =
+      s"""SELECT COUNT(*) AS n FROM graft.`$f` t
+         |JOIN graft.`$d` c ON t.customer_key = c.customer_key
+         |WHERE c.country_key = $key""".stripMargin
+    def broadcasts(sqlText: String): Boolean =
+      spark.sql(sqlText).queryExecution.executedPlan.collectFirst {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          true
+      }.nonEmpty
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(broadcasts(joinSql(150L)),
+        "fresh histogram must broadcast the rare key")
+      // QUADRUPLE the table across three appends that make key 150
+      // hot; each fold advances the anchor and reshapes the bins
+      (0 until 3).foreach { k =>
+        Manifests.append((1 to 20000).map(i =>
+          (40000L + k * 20000L + i, 150L, s"late_$i" * 4))
+          .toDF("customer_key", "country_key", "pad"), d): Unit
+      }
+      val v = Manifests.latestVersion(spark, d).get
+      assert(Manifests.histRowsOf(spark, d, v) === Some(80000L),
+        "the fold must advance the freshness anchor with each append")
+      // SHARPNESS SURVIVED GROWTH: the still-rare key 160 broadcasts
+      // (the damp alone would have withheld the histogram at 4x), and
+      // the newly hot key 150 prices hot
+      assert(broadcasts(joinSql(160L)),
+        "after 4x growth the folded histogram must still price the " +
+          "rare key sharp enough to broadcast — no re-ANALYZE")
+      assert(!broadcasts(joinSql(150L)),
+        "the folded histogram must price the newly hot key as hot")
+      // original hot key stays hot-priced too
+      assert(!broadcasts(joinSql(7L)),
+        "the original hot key must stay hot-priced across folds")
     } finally old.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -75,6 +75,21 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     }.sum).min
   }
 
+  /** Planned-file count straight off the manifest index (live renames
+    * take the era-composing V1 detour whose physical plan hides the
+    * file scan — the index IS where pruning happens either way). */
+  private def indexPlannedFiles(b: String, v: Int, col: String,
+      lo: String, hi: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val attr = AttributeReference(col,
+      org.apache.spark.sql.types.TimestampType)()
+    val pred = And(
+      GreaterThanOrEqual(attr, Literal(java.sql.Timestamp.valueOf(lo))),
+      LessThan(attr, Literal(java.sql.Timestamp.valueOf(hi))))
+    new ManifestFileIndex(spark, b, v)
+      .listFiles(Nil, Seq(pred)).map(_.files.length).sum
+  }
+
   private def monthlyCtas(tag: String): String = {
     registerCatalog()
     val b = tmp(tag)
@@ -236,6 +251,83 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(spark.table(s"graft.`$b`").count() === expect3)
   }
 
+  test("aligned INSERT OVERWRITE after an evolve: a region aligned under BOTH specs replaces legacy files by metadata") {
+    import spark.implicits._
+    val b = monthlyCtas("evoovw")
+    Manifests.evolvePartitions(spark, b, Seq("days(invoice_ts)"))
+    val v1 = Manifests.latestVersion(spark, b).get
+    val before = Manifests.files(spark, b, v1).toSet
+    val feb = (0 until 50).map { i =>
+      (91000L + i, java.sql.Timestamp.valueOf("2011-02-10 12:00:00"),
+        i * 2.0)
+    }.toDF("sale_id", "invoice_ts", "amount")
+    val lo = java.sql.Timestamp.valueOf("2011-02-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2011-03-01 00:00:00")
+    feb.writeTo(s"graft.`$b`")
+      .overwrite($"invoice_ts" >= lit(lo) && $"invoice_ts" < lit(hi))
+    val v2 = Manifests.latestVersion(spark, b).get
+    val after = Manifests.files(spark, b, v2).toSet
+    // the legacy February file retires WHOLE from its month tuple —
+    // no boundary rewrite, so every new file is the incoming batch
+    // (an empty survivor file would betray the rewrite path)
+    assert((before -- after).size === 1,
+      s"exactly the February file should retire: ${before -- after}")
+    assert((after -- before).forall(f =>
+      spark.read.parquet(f).count() > 0),
+      "aligned overwrite must not write (empty) survivor files")
+    val expect = monthlyDf.filter($"invoice_ts" < lit(lo) ||
+      $"invoice_ts" >= lit(hi)).count() + 50
+    assert(spark.table(s"graft.`$b`").count() === expect)
+  }
+
+  test("partition-source rename is a metadata commit: specs and sidecars re-key, pruning + aligned DELETE work under the new name, history rides") {
+    import spark.implicits._
+    val b = monthlyCtas("ren")
+    // evolve first so a LEGACY group must survive the rename too
+    Manifests.evolvePartitions(spark, b, Seq("days(invoice_ts)"))
+    val filesBefore = Manifests.files(spark, b,
+      Manifests.latestVersion(spark, b).get).toSet
+    Manifests.renameColumn(spark, b, "invoice_ts", "sold_at")
+    val v = Manifests.latestVersion(spark, b).get
+    assert(Manifests.files(spark, b, v).toSet === filesBefore,
+      "a partition-source rename must not touch data files")
+    assert(Manifests.partitionedBy(spark, b, v).get._1 ===
+      Seq("days(sold_at)"))
+    assert(Manifests.partitionHistory(spark, b, v).map(_._1) ===
+      Seq(Seq("months(sold_at)")),
+      "legacy spec groups must follow the rename")
+    // pruning under the NEW name through the re-keyed LEGACY sidecar
+    val feb = spark.table(s"graft.`$b`").filter(col("sold_at") >=
+      java.sql.Timestamp.valueOf("2011-02-01 00:00:00") &&
+      col("sold_at") < java.sql.Timestamp.valueOf("2011-03-01 00:00:00"))
+    assert(feb.count() === 1000)
+    assert(indexPlannedFiles(b, v, "sold_at",
+      "2011-02-01 00:00:00", "2011-03-01 00:00:00") === 2,
+      "month pruning must survive the source rename (Feb+Mar widened)")
+    // aligned DELETE under the new name retires the January file from
+    // the legacy group's metadata — still zero new data files
+    spark.sql(s"DELETE FROM graft.`$b` WHERE sold_at < " +
+      "TIMESTAMP '2011-02-01 00:00:00'")
+    val v2 = Manifests.latestVersion(spark, b).get
+    val after = Manifests.files(spark, b, v2).toSet
+    assert(after.subsetOf(filesBefore) &&
+      after.size === filesBefore.size - 1,
+      "aligned DELETE after a source rename must stay metadata-only")
+    assert(spark.table(s"graft.`$b`").count() === 3000)
+    // the renamed history rides a clone
+    val c = tmp("rencl")
+    Manifests.shallowClone(spark, b, c, v2)
+    assert(Manifests.partitionHistory(spark, c, 0).map(_._1) ===
+      Seq(Seq("months(sold_at)")))
+    val cq = spark.table(s"graft.`$c`").filter(col("sold_at") >=
+      java.sql.Timestamp.valueOf("2011-03-01 00:00:00") &&
+      col("sold_at") < java.sql.Timestamp.valueOf("2011-04-01 00:00:00"))
+    assert(cq.count() === 1000)
+    assert(indexPlannedFiles(c, 0, "sold_at",
+      "2011-03-01 00:00:00", "2011-04-01 00:00:00") < 3,
+      "clone lost renamed-group pruning")
+  }
+
   test("spec history rides clone and restore: a shallow clone of an evolved table keeps legacy-group pruning; restore returns the restored version's history") {
     import spark.implicits._
     val b = monthlyCtas("clone")
@@ -329,17 +421,35 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(plannedFiles(feb) < plannedFiles(spark.table(s"graft.`$b`")))
   }
 
-  test("aligned DELETE after an evolve: legacy files fall back to the rewrite path, content stays exact") {
+  test("aligned DELETE after an evolve: a condition aligned under BOTH specs retires legacy files from metadata too") {
     import spark.implicits._
     val b = monthlyCtas("evodel")
     Manifests.evolvePartitions(spark, b, Seq("days(invoice_ts)"))
-    // the condition is day-aligned (exact under days), so it routes to
-    // dropPartitions — but the LEGACY files are uncovered by the
-    // current group and pay the boundary rewrite; rows stay exact
+    val v1 = Manifests.latestVersion(spark, b).get
+    val before = Manifests.files(spark, b, v1).toSet
+    // Feb 1 is a month start AND a day start: exact under the current
+    // days spec (routes to dropPartitions) and under the legacy months
+    // group — so the January file retires from the LEGACY tuples with
+    // zero new data files, instead of paying the boundary rewrite
     spark.sql(s"DELETE FROM graft.`$b` WHERE invoice_ts < " +
       "TIMESTAMP '2011-02-01 00:00:00'")
+    val v2 = Manifests.latestVersion(spark, b).get
+    val after = Manifests.files(spark, b, v2).toSet
+    assert(after.subsetOf(before),
+      s"an aligned-under-both-specs DELETE must not write data " +
+        s"files: ${after -- before}")
+    assert(after.size === before.size - 1, "January should retire whole")
     val expect = monthlyDf.filter($"invoice_ts" >=
       java.sql.Timestamp.valueOf("2011-02-01 00:00:00")).count()
     assert(spark.table(s"graft.`$b`").count() === expect)
+    // a MID-month day boundary is exact under days but NOT months: the
+    // legacy files pay the boundary rewrite, content stays exact
+    spark.sql(s"DELETE FROM graft.`$b` WHERE invoice_ts >= " +
+      "TIMESTAMP '2011-04-15 00:00:00'")
+    val expect2 = monthlyDf.filter($"invoice_ts" >=
+        java.sql.Timestamp.valueOf("2011-02-01 00:00:00") &&
+        $"invoice_ts" < java.sql.Timestamp.valueOf("2011-04-15 00:00:00"))
+      .count()
+    assert(spark.table(s"graft.`$b`").count() === expect2)
   }
 }

@@ -275,6 +275,47 @@ class SpjSpec extends AnyFunSuite {
         s"tasks: $partsPart vs $partsPlain")
   }
 
+  test("join keys SUPERSET of partition keys: equi-join on (country, extra) over country-bucketed tables stays zero-Exchange") {
+    registerCatalog()
+    import spark.implicits._
+    val da = java.nio.file.Files
+      .createTempDirectory("graft_spj_supa").toString + "/t"
+    val db = java.nio.file.Files
+      .createTempDirectory("graft_spj_supb").toString + "/t"
+    // both sides partitioned by country ONLY; the join adds a second
+    // equi-key the partitioning does not carry — the common real-query
+    // shape (the reference fact table carries six b-tree indexes
+    // because queries filter/join on MORE than the partition key).
+    // Rows with equal (country, k) are co-located by the country
+    // grouping alone, so the join needs no Exchange — Spark admits
+    // the superset under requireAllClusterKeysForCoPartition=false.
+    val left = (1 to 8000).map(i =>
+      (s"N${i % 8}", (i % 40).toLong, i.toLong))
+      .toDF("country", "k", "a_val")
+    val right = (1 to 4000).map(i =>
+      (s"N${i % 8}", (i % 40).toLong, i * 2.0))
+      .toDF("country", "k", "b_val")
+    splitCommit(left, da, Seq("country"))
+    splitCommit(right, db, Seq("country"))
+    val sql =
+      s"""SELECT a.country, a.k, a.a_val, b.b_val
+         |FROM graft.`$da` a JOIN graft.`$db` b
+         |  ON a.country = b.country AND a.k = b.k""".stripMargin
+    val expect = left.join(right, Seq("country", "k")).count()
+    val reqKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val oldReq = spark.conf.getOption(reqKey)
+    try withSpj() {
+      spark.conf.set(reqKey, "false")
+      val q = spark.sql(sql)
+      assert(q.count() === expect, "superset-key join content drifted")
+      assert(shuffleCount(spark.sql(sql)) === 0,
+        "join keys ⊃ partition keys must still plan zero Exchange")
+    } finally oldReq match {
+      case Some(v) => spark.conf.set(reqKey, v)
+      case None => spark.conf.unset(reqKey)
+    }
+  }
+
   test("registered sql_spj_join: zero Exchange under the join, oracle-shaped result") {
     val q = graft.SparkEntry.queries("sql_spj_join")(spark, TestSpark.sf)
     val nodes = finalNodes(q)

@@ -642,6 +642,64 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("manifest source: a partition evolve mid-stream serves as an empty step — every append exactly once, checkpoint survives") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mansrc_evo").toString
+    val (base, ckpt) = (s"$root/table", s"$root/ckpt")
+    graft.ext.Manifests.commitDataPartitioned(
+      (1 to 40).map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        f"2011-${1 + i % 2}%02d-05 10:00:00"), s"r$i"))
+        .toDF("id", "ts", "s"),
+      base, Seq("months(ts)"))
+    val got = scala.collection.mutable.ListBuffer.empty[Long]
+    def start() = spark.readStream.format("graft.sources.manifest")
+      .option("path", base).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.collect().map(_.getLong(0)) }: Unit
+      }
+      .start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // snapshot
+      assert(got.sorted.toSeq === (1L to 40L))
+      graft.ext.Manifests.appendBatch(
+        Seq((41L, java.sql.Timestamp.valueOf("2011-03-05 10:00:00"), "a"))
+          .toDF("id", "ts", "s"), base, 0L)
+      q1.processAllAvailable()
+      assert(got.sorted.toSeq === (1L to 41L))
+      // EVOLVE mid-stream: delta-empty metadata commit — the stream
+      // must advance past it with an empty step, not fail, not
+      // re-emit any file
+      graft.ext.Manifests.evolvePartitions(spark, base, Seq("days(ts)"))
+      q1.processAllAvailable()
+      assert(got.sorted.toSeq === (1L to 41L),
+        "an evolve commit must serve empty — no duplicates, no loss")
+      // appends AFTER the evolve (tuples derive under the new spec)
+      // still arrive exactly once
+      graft.ext.Manifests.appendBatch(
+        Seq((42L, java.sql.Timestamp.valueOf("2011-03-06 10:00:00"), "b"))
+          .toDF("id", "ts", "s"), base, 1L)
+      q1.processAllAvailable()
+      assert(got.sorted.toSeq === (1L to 42L))
+    } finally q1.stop()
+    // offline: another evolve AND an append; the restarted stream must
+    // deliver only the append
+    graft.ext.Manifests.evolvePartitions(spark, base, Seq("months(ts)"))
+    graft.ext.Manifests.appendBatch(
+      Seq((43L, java.sql.Timestamp.valueOf("2011-04-01 00:00:00"), "c"))
+        .toDF("id", "ts", "s"), base, 2L)
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.sorted.toSeq === Seq(43L),
+        "restart across an evolve must emit only the new append")
+    } finally q2.stop()
+  }
+
   test("manifest source: startingTimestamp resumes from where the table stood at T") {
     val spark0 = spark
     import spark0.implicits._

@@ -61,6 +61,13 @@ object Bench {
     // r12 catalog fixtures: CTAS + MoR deletes / partition overwrites /
     // the change-range lineage — all one-time builds
     "sql_select_mor", "sql_insert_overwrite", "sql_changes_between",
+    // r18: these four build their own CTAS fixtures (hidden-partition /
+    // evolve / aligned-drop monthly tables, the 3-clause MoR merge) —
+    // absent from this list their one-time builds were the ENTIRE
+    // "slow query" signal (sql_evolve_partitions 19 s timed vs 1.5 s
+    // steady-state; profiled in r18)
+    "sql_hidden_partition", "sql_evolve_partitions", "sql_drop_months",
+    "sql_evolve_drop", "sql_mor_merge",
     // per-country commit chain + ANALYZE one-time build
     "fast_count_filtered",
     "restore_table", // one-time dump + delete + restore + clone build

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   *     DEFAULT (mixed-boundary) layout — proof-less, join shuffles —
   *     then `compact()` (which now splits at tuple boundaries), after
   *     which the identical join plans zero Exchange.
+  *  4. SKEW SPJ: a 90%-hot key under bucket(8) — plain SPJ vs
+  *     partially-clustered distribution, zero Exchange both ways.
+  *  5. SUPERSET-KEY SPJ: join on (invoice_no, stock_code) over
+  *     tables bucketed by invoice_no alone —
+  *     requireAllClusterKeysForCoPartition=false keeps zero Exchange
+  *     where the default pays both shuffles.
+  *  6. ALIGNED METADATA DML: month-boundary DELETE retiring whole
+  *     files from tuples (zero data files written) vs the row-level
+  *     CoW path on an identical clone.
   *
   * `sbt "runMain graft.HpBench <inDir> [factor=100]"` — one JSON line
   * LAST. */
@@ -239,6 +248,79 @@ object HpBench {
     require(nSkPlain == nSkPart,
       s"skew A/B results disagree: $nSkPlain vs $nSkPart")
 
+    // ---- 5. join keys SUPERSET of partition keys -------------------
+    // the common real-query shape: both sides bucketed on the high-NDV
+    // key alone, the join adds a second equi-key the partitioning does
+    // not carry. Same-key rows are co-located by the bucket grouping
+    // alone, so under requireAllClusterKeysForCoPartition=false the
+    // join still plans ZERO Exchange; the default-true A side pays
+    // both shuffles.
+    val bline = s"$root/wh/hp/bline"
+    val (_, supBuildSec) = t {
+      spark.conf.set("graft.write.splitByPartition", "true")
+      spark.sql(s"CREATE TABLE graft.`$bline` PARTITIONED BY " +
+        s"(bucket($buckets, invoice_no)) AS " +
+        "SELECT invoice_no, stock_code, COUNT(*) AS n_lines, " +
+        "CAST(SUM(quantity) AS BIGINT) AS line_qty " +
+        "FROM hp_fact_src GROUP BY invoice_no, stock_code")
+      spark.conf.unset("graft.write.splitByPartition")
+    }
+    val supersetSql =
+      s"""SELECT /*+ MERGE(i) */ COUNT(*) AS n, SUM(i.line_qty) AS q
+         |FROM graft.`$bfact` f JOIN graft.`$bline` i
+         |  ON f.invoice_no = i.invoice_no
+         | AND f.stock_code = i.stock_code""".stripMargin
+    def runSuperset(allowSuperset: Boolean): (Int, Double, Long) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        (!allowSuperset).toString)
+      val ex = exchangesUnderJoin(supersetSql)
+      val (res, sec) = t(spark.sql(supersetSql).collect())
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      (ex, sec, res.head.getLong(0))
+    }
+    val (exSupOff, sup1Off, nSupOff) = runSuperset(allowSuperset = false)
+    val (exSupOn, sup1On, nSupOn) = runSuperset(allowSuperset = true)
+    val (_, sup2Off, _) = runSuperset(allowSuperset = false)
+    val (_, sup2On, _) = runSuperset(allowSuperset = true)
+    require(nSupOff == nSupOn,
+      s"superset A/B results disagree: $nSupOff vs $nSupOn")
+    require(exSupOn == 0,
+      s"superset-key SPJ should plan zero Exchange, got $exSupOn")
+
+    // ---- 6. transform-aligned metadata DML -------------------------
+    // month-aligned DELETE on the monthly table: the aligned path
+    // retires whole files from the recorded tuples (ZERO data files
+    // written — a retention job); the row-level CoW path on an
+    // identical clone scans and rewrites. Clones are metadata-only, so
+    // both sides delete the same bytes from the same layout.
+    val mdelA = s"$root/wh/hp/mdel_aligned"
+    val mdelB = s"$root/wh/hp/mdel_rowlevel"
+    val mv0 = ext.Manifests.latestVersion(spark, monthly).get
+    ext.Manifests.shallowClone(spark, monthly, mdelA, mv0)
+    ext.Manifests.shallowClone(spark, monthly, mdelB, mv0)
+    val delPred = "invoice_date < DATE '1997-01-01'"
+    val beforeA = ext.Manifests.files(spark, mdelA, 0).toSet
+    val (_, alignedSec) = t(spark.sql(
+      s"DELETE FROM graft.`$mdelA` WHERE $delPred"))
+    val afterA = ext.Manifests.files(spark, mdelA,
+      ext.Manifests.latestVersion(spark, mdelA).get).toSet
+    val alignedNewFiles = (afterA -- beforeA).size
+    require(alignedNewFiles == 0,
+      s"aligned DELETE wrote $alignedNewFiles data files")
+    val beforeB = ext.Manifests.files(spark, mdelB, 0).toSet
+    val (_, rowlevelSec) = t(ext.Manifests.deleteWhere(spark, mdelB,
+      col("invoice_date") < lit(java.sql.Date.valueOf("1997-01-01"))))
+    val afterB = ext.Manifests.files(spark, mdelB,
+      ext.Manifests.latestVersion(spark, mdelB).get).toSet
+    val rowlevelNewFiles = (afterB -- beforeB).size
+    val nA = spark.table(s"graft.`$mdelA`").count()
+    val nB = spark.table(s"graft.`$mdelB`").count()
+    require(nA == nB, s"aligned/row-level DELETE disagree: $nA vs $nB")
+    require(nA < rows, "the aligned-DML DELETE matched no rows")
+
     println(
       s"""{"metric":"hidden_partition_${factor}x","value":$mon2,""" +
         s""""unit":"sec","rows":$rows,"build_sec":$buildSec,""" +
@@ -259,7 +341,18 @@ object HpBench {
         s""""tasks_plain":$partsPlain,"tasks_partial":$partsPart,""" +
         s""""plain_sec":$skPlain1,"partial_sec":$skPart1,""" +
         s""""plain_sec_warm":$skPlain2,"partial_sec_warm":$skPart2,""" +
-        s""""speedup_warm":${skPlain2 / math.max(skPart2, 1e-9)}}}""")
+        s""""speedup_warm":${skPlain2 / math.max(skPart2, 1e-9)}},""" +
+        s""""superset_spj":{"build_sec":$supBuildSec,""" +
+        s""""exchanges_default":$exSupOff,"exchanges_superset":$exSupOn,""" +
+        s""""shuffle_sec":$sup1Off,"spj_sec":$sup1On,""" +
+        s""""shuffle_sec_warm":$sup2Off,"spj_sec_warm":$sup2On,""" +
+        s""""speedup_warm":${sup2Off / math.max(sup2On, 1e-9)}},""" +
+        s""""aligned_dml":{"aligned_sec":$alignedSec,""" +
+        s""""aligned_new_files":$alignedNewFiles,""" +
+        s""""rowlevel_sec":$rowlevelSec,""" +
+        s""""rowlevel_new_files":$rowlevelNewFiles,""" +
+        s""""rows_after":$nA,""" +
+        s""""speedup":${rowlevelSec / math.max(alignedSec, 1e-9)}}}""")
     spark.stop()
   }
 }

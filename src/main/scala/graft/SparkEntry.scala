@@ -553,6 +553,20 @@ object SparkEntry {
           .select(stagingCols.map(col): _*), Seq("unit_price")),
         stagingCols)
     }),
+    // aligned metadata DML ACROSS a partition evolution: the monthly
+    // table evolves to daily, then a year-boundary DELETE — aligned
+    // under BOTH eras — retires the legacy months' files from their
+    // OWN spec group's tuples (zero new data files; the fixture
+    // requires it). The surviving content must equal the relational
+    // complement exactly — a mis-lowered legacy-group predicate
+    // drops or keeps the wrong granule and hash-fails
+    "sql_evolve_drop" -> ((s, d) => {
+      val b = manevodropFixture(s, d)
+      orderedAsc(
+        moneyDouble(s.table(s"graft.`$b`")
+          .select(stagingCols.map(col): _*), Seq("unit_price")),
+        stagingCols)
+    }),
     // the delta-encoded manifest log end-to-end: a long pure-SQL
     // lineage (CTAS, 6 INSERTs crossing the chain cap twice, ADD
     // COLUMN, DELETE, VACUUM cutting the chain, one more INSERT) whose
@@ -1406,6 +1420,38 @@ object SparkEntry {
     b
   }
 
+  /** Evolve-then-aligned-DELETE fixture: monthly CTAS → evolve to
+    * daily (metadata-only; the months group moves to history) → a
+    * year-boundary DELETE aligned under BOTH specs. The requires pin
+    * the r18 contract: legacy files retire from THEIR group's tuples
+    * with zero new data files — a regression to the boundary-rewrite
+    * path (or a lost legacy group) fails the fixture loudly. */
+  private def manevodropFixture(s: SparkSession, d: String): String = {
+    val b = dumpDir(s, d, "manevodrop")
+    registerCatalog(s)
+    ensureFixture(s, b) {
+      Warehouse(s, d).cleaned
+        .createOrReplaceTempView("graft_evodrop_cleaned")
+      s.conf.set("graft.write.splitByPartition", "true")
+      try s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
+        "(months(invoice_date)) AS SELECT * FROM graft_evodrop_cleaned")
+      finally s.conf.unset("graft.write.splitByPartition")
+      s.sql(s"CALL graft.system.evolve_partitions('$b', " +
+        "'days(invoice_date)')")
+      val v0 = ext.Manifests.latestVersion(s, b).get
+      val before = ext.Manifests.files(s, b, v0).toSet
+      s.sql(s"DELETE FROM graft.`$b` WHERE invoice_date < " +
+        "DATE '1996-01-01'")
+      val v1 = ext.Manifests.latestVersion(s, b).get
+      val after = ext.Manifests.files(s, b, v1).toSet
+      require(after.subsetOf(before) && after.size < before.size,
+        "the cross-era aligned DELETE was expected to retire legacy " +
+          "files from metadata alone — new files: " +
+          s"${(after -- before).take(3)}")
+    }
+    b
+  }
+
   /** Delta-log lineage fixture: a table maintained through enough
     * single-batch INSERTs to cross the delta-chain cap TWICE (forced
     * low via `graft.manifest.maxChain=3`, so mid-lineage commits
@@ -2033,6 +2079,13 @@ object SparkEntry {
          | FROM cleaned
          | WHERE invoice_date >= DATE '1996-06-01'
          | GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+    // evolve is layout, the aligned DELETE is semantics: whatever spec
+    // group each file planned under, the survivors are exactly the
+    // relational complement
+    "sql_evolve_drop" ->
+      s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned
+         | WHERE invoice_date >= DATE '1996-01-01'
+         | ORDER BY ${orderBySql(stagingCols)}""".stripMargin,
     // the aligned metadata DELETE is exactly the relational complement
     "sql_drop_months" ->
       s"""${Oracle.cleanedCte} SELECT ${Oracle.stagingSelectDouble} FROM cleaned

@@ -452,13 +452,17 @@ class HiddenPartitionSpec extends AnyFunSuite {
     monthlyDf.createOrReplaceTempView("graft_hp_guard")
     spark.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (months(invoice_ts)) " +
       "AS SELECT * FROM graft_hp_guard")
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$b` RENAME COLUMN invoice_ts TO ts2")
-    }
-    assert(e.getMessage.contains("partition"), e.getMessage)
-    // a DELETE keyed on the transform SOURCE must take the row-level
-    // path (a month tuple cannot delimit one day) — and stay exact
-    spark.sql(s"DELETE FROM graft.`$b` WHERE invoice_ts = " +
+    // renaming the transform SOURCE is a METADATA commit since r18:
+    // spec + sidecar re-key under the new name, zero data files moved
+    val filesBefore = Manifests.files(spark, b, 0)
+    spark.sql(s"ALTER TABLE graft.`$b` RENAME COLUMN invoice_ts TO ts2")
+    val vr = Manifests.latestVersion(spark, b).get
+    assert(Manifests.files(spark, b, vr) === filesBefore)
+    assert(Manifests.partitionedBy(spark, b, vr).get._1 ===
+      Seq("months(ts2)"))
+    // a DELETE keyed on the (renamed) transform SOURCE must take the
+    // row-level path (a month tuple cannot delimit one day) — exact
+    spark.sql(s"DELETE FROM graft.`$b` WHERE ts2 = " +
       "TIMESTAMP '2011-02-03 10:30:00'")
     val expect = monthlyDf.filter(
       $"invoice_ts" =!= java.sql.Timestamp.valueOf("2011-02-03 10:30:00"))

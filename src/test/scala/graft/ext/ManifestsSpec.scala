@@ -1415,13 +1415,17 @@ class ManifestsSpec extends AnyFunSuite {
       Manifests.renameColumn(spark, b, "k", "s"))
     intercept[IllegalArgumentException](
       Manifests.renameColumn(spark, b, "k", "k"))
-    // a partition column cannot be renamed (the recorded spec and
-    // partition-values sidecar classify by it)...
+    // a partition column renames as a METADATA commit (r18): the spec
+    // rebinds the source name and the tuple sidecar re-keys — files
+    // untouched, classification intact under the new name
     val bp = base("graft_man_rencol_p")
     Manifests.commitDataPartitioned(
       (1 to 20).map(i => (i.toLong, i % 2)).toDF("id", "p"), bp, Seq("p"))
-    intercept[IllegalArgumentException](
-      Manifests.renameColumn(spark, bp, "p", "q"))
+    val bpFiles = Manifests.files(spark, bp, 0)
+    Manifests.renameColumn(spark, bp, "p", "q")
+    val bpv = Manifests.latestVersion(spark, bp).get
+    assert(Manifests.files(spark, bp, bpv) === bpFiles)
+    assert(Manifests.partitionedBy(spark, bp, bpv).get._1 === Seq("q"))
     // ...nor a constraint-referenced one (the recorded predicate text
     // would silently stop matching)
     Manifests.addConstraint(spark, b, "k_nonneg", "k >= 0")

@@ -121,12 +121,18 @@ object Bench {
     var failed = List.empty[String]
     val w0 = System.nanoTime()
     warmupQueries.filter(n => warmAll || only.forall(_.contains(n))).foreach { name =>
+      val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
         // the timed run still reports the failure; surface it here too so
         // a warm-up that half-builds a cache never blurs the timed signal
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
       }
+      // per-entry decomposition (stderr — never part of the JSON contract):
+      // the warm-up wall is part of "value", so knowing WHICH fixture
+      // builds dominate it is the first profiling question (guide §1)
+      System.err.println(
+        f"[bench] warm-up $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     if (sys.env.contains("SPARK_GRAFT_ARM")) {

@@ -120,9 +120,28 @@ object Bench {
     val warmAll = sys.env.contains("SPARK_GRAFT_WARMALL")
     var failed = List.empty[String]
     val w0 = System.nanoTime()
-    warmupQueries.filter(n => warmAll || only.forall(_.contains(n))).foreach { name =>
+    // ---- warm-up: one-time fixture/cache builds, UNTIMED per-query but
+    // part of the honest end-to-end total. The builds are independent
+    // one-time jobs gated by cross-process claims (Dfs.buildOnce) and
+    // app-scoped memos, so they are overlapped from a small thread pool
+    // (opt guide §2.6 — back-fill the tail of one build with the next);
+    // sequentially they held 1 driver thread while most cores idled.
+    // Each worker runs on its OWN newSession() clone: several fixture
+    // bodies set transient session confs (graft.dml.mode, shuffle
+    // partitions during connected components), which must not race across
+    // concurrent builds — the isolation contract is the same one Verify
+    // and Bench already rely on when they share fixtures across PROCESSES.
+    // "staging" runs first alone: it builds the Warehouse lineage cache
+    // that nearly every later fixture reads, and racing N builders on a
+    // cold memo would compute the whole ETL chain N times.
+    // Pool size derives from the core count (1 per 4 cores, max 8), so the
+    // driver's low-core scaling runs degrade gracefully to sequential;
+    // SPARK_GRAFT_SEQWARMUP forces the old sequential order for bisection.
+    val warmupSelected =
+      warmupQueries.filter(n => warmAll || only.forall(_.contains(n)))
+    def warmOne(s: SparkSession, name: String): Unit = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try SparkEntry.queries(name)(s, sfDir).count()
       catch { case e: Throwable =>
         // the timed run still reports the failure; surface it here too so
         // a warm-up that half-builds a cache never blurs the timed signal
@@ -133,6 +152,24 @@ object Bench {
       // builds dominate it is the first profiling question (guide §1)
       System.err.println(
         f"[bench] warm-up $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val warmPar =
+      if (sys.env.contains("SPARK_GRAFT_SEQWARMUP")) 1
+      else math.max(1, math.min(8, cpus.toInt / 4))
+    if (warmPar <= 1) warmupSelected.foreach(warmOne(spark, _))
+    else {
+      warmupSelected.find(_ == "staging").foreach(warmOne(spark, _))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmPar)
+      try {
+        val tasks = warmupSelected.filterNot(_ == "staging").map { name =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            // one conf-isolated session per build; shares the context,
+            // block-manager cache and app-scoped memos with the timed pass
+            def call(): Unit = warmOne(spark.newSession(), name)
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     if (sys.env.contains("SPARK_GRAFT_ARM")) {

@@ -21,6 +21,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Transform.factSales(spark, "/root/testdata/sf0.001")
 
+  /** Temp-view registration that works across the app's sessions: the
+    * Warehouse/Memo frames are app-scoped, so a caller on a sibling
+    * session (bench warm-up workers) must re-root the frame onto ITS
+    * session before registering, or its own sql() cannot resolve the
+    * view ([[org.apache.spark.sql.graft.SessionShim.rebind]]). */
+  private implicit class ViewOps(df: DataFrame) {
+    def viewOn(s: SparkSession, name: String): Unit =
+      org.apache.spark.sql.graft.SessionShim.rebind(s, df)
+        .createOrReplaceTempView(name)
+  }
+
   private def orderedAsc(df: DataFrame, cols: Seq[String]): DataFrame =
     df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
 
@@ -287,7 +298,7 @@ object SparkEntry {
     "fast_count" -> ((s, d) => {
       val b = manskipFixture(s, d)
       s.read.format("manifest").load(b)
-        .createOrReplaceTempView("man_fastcnt")
+        .viewOn(s, "man_fastcnt")
       s.sql("SELECT COUNT(*) AS n_rows FROM man_fastcnt")
     }),
     // ...and MIN/MAX/COUNT(col) of the stats-indexed column fold the
@@ -296,7 +307,7 @@ object SparkEntry {
     "fast_minmax" -> ((s, d) => {
       val b = manskipFixture(s, d)
       s.read.format("manifest").load(b)
-        .createOrReplaceTempView("man_fastmm")
+        .viewOn(s, "man_fastmm")
       s.sql("""SELECT MIN(quantity) AS min_qty, MAX(quantity) AS max_qty,
               |       COUNT(quantity) AS n_qty FROM man_fastmm""".stripMargin)
     }),
@@ -309,7 +320,7 @@ object SparkEntry {
     "fast_count_filtered" -> ((s, d) => {
       val b = manfcntFixture(s, d)
       s.read.format("manifest").load(b)
-        .createOrReplaceTempView("man_fcf")
+        .viewOn(s, "man_fcf")
       s.sql("""SELECT COUNT(*) AS n_rows, MIN(quantity) AS min_qty,
               |       MAX(quantity) AS max_qty FROM man_fcf
               |WHERE country = 'NATION_2'""".stripMargin)
@@ -321,13 +332,13 @@ object SparkEntry {
     "fast_sum" -> ((s, d) => {
       val b = manskipFixture(s, d)
       s.read.format("manifest").load(b)
-        .createOrReplaceTempView("man_fastsum")
+        .viewOn(s, "man_fastsum")
       s.sql("""SELECT SUM(quantity) AS sum_qty, COUNT(*) AS n_rows
               |FROM man_fastsum""".stripMargin)
     }),
     "manifest_sql_scan" -> ((s, d) => {
       val b = manpartFixture(s, d)
-      s.read.format("manifest").load(b).createOrReplaceTempView("man_sales")
+      s.read.format("manifest").load(b).viewOn(s, "man_sales")
       s.sql("""SELECT country, COUNT(*) AS n_sales,
               |       CAST(SUM(quantity) AS BIGINT) AS sum_qty
               |FROM man_sales
@@ -1034,7 +1045,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
-        .createOrReplaceTempView("graft_sqldml_src")
+        .viewOn(s, "graft_sqldml_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqldml_src")
       s.sql(s"UPDATE graft.`$b` SET quantity = quantity + 500, " +
         "country = 'SQLLAND' WHERE country = 'NATION_4'")
@@ -1050,7 +1061,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer.repartition(8)
-        .createOrReplaceTempView("graft_sqlmrg_dim")
+        .viewOn(s, "graft_sqlmrg_dim")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT customer_key, " +
         "customer_id, country FROM graft_sqlmrg_dim")
       val dim = ext.Manifests.readAt(s, c, 0)
@@ -1060,7 +1071,7 @@ object SparkEntry {
           .select((col("customer_key") + 1000000L).as("customer_key"),
             concat(col("customer_id"), lit("_B")).as("customer_id"),
             lit("NATION_5B").as("country")))
-        .createOrReplaceTempView("graft_sqlmrg_upd")
+        .viewOn(s, "graft_sqlmrg_upd")
       s.sql(s"""MERGE INTO graft.`$c` t USING graft_sqlmrg_upd u
                |ON t.customer_id = u.customer_id
                |WHEN MATCHED THEN UPDATE SET t.customer_key = u.customer_key,
@@ -1082,7 +1093,7 @@ object SparkEntry {
     ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
-        .repartition(4).createOrReplaceTempView("graft_sqladdc_dim")
+        .repartition(4).viewOn(s, "graft_sqladdc_dim")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqladdc_dim " +
         "WHERE country IS DISTINCT FROM 'NATION_5'")
       s.sql(s"ALTER TABLE graft.`$c` ADD COLUMN segment STRING")
@@ -1106,7 +1117,7 @@ object SparkEntry {
     ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
-        .repartition(4).createOrReplaceTempView("graft_sqlren_dim")
+        .repartition(4).viewOn(s, "graft_sqlren_dim")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqlren_dim " +
         "WHERE country IS DISTINCT FROM 'NATION_5'")
       s.sql(s"ALTER TABLE graft.`$c` RENAME COLUMN country TO region")
@@ -1129,7 +1140,7 @@ object SparkEntry {
     ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
-        .repartition(4).createOrReplaceTempView("graft_sqlwid_dim")
+        .repartition(4).viewOn(s, "graft_sqlwid_dim")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT customer_id, " +
         "CAST(abs(customer_key % 1000000) AS INT) AS code, country " +
         "FROM graft_sqlwid_dim WHERE country IS DISTINCT FROM 'NATION_5'")
@@ -1154,7 +1165,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
-        .createOrReplaceTempView("graft_sqlmrdml_src")
+        .viewOn(s, "graft_sqlmrdml_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmrdml_src")
       s.sql(s"CALL graft.system.delete_mor('$b', 'quantity = 17')")
       // the UPDATE is the PLAIN SQL spelling: the table is vectored,
@@ -1178,7 +1189,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country"))
-        .createOrReplaceTempView("graft_sqlmrgmor_src")
+        .viewOn(s, "graft_sqlmrgmor_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmrgmor_src")
       s.sql(s"CALL graft.system.delete_mor('$b', \"country = 'NATION_7'\")")
       val dim = s.sql(s"SELECT * FROM graft.`$b` VERSION AS OF 0")
@@ -1188,7 +1199,7 @@ object SparkEntry {
           .select((col("customer_key") + 1000000L).as("customer_key"),
             concat(col("customer_id"), lit("_B")).as("customer_id"),
             lit("NATION_5B").as("country")))
-        .createOrReplaceTempView("graft_sqlmrgmor_upd")
+        .viewOn(s, "graft_sqlmrgmor_upd")
       s.sql(s"""MERGE INTO graft.`$b` t USING graft_sqlmrgmor_upd u
                 |ON t.customer_id = u.customer_id
                 |WHEN MATCHED THEN UPDATE SET *
@@ -1207,7 +1218,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
-        .createOrReplaceTempView("graft_fcmor_src")
+        .viewOn(s, "graft_fcmor_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_fcmor_src")
       s.sql(s"CALL graft.system.analyze('$b', 'quantity,country')")
       s.sql(s"CALL graft.system.delete_mor('$b', 'quantity = 17')")
@@ -1228,7 +1239,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).fact.repartitionByRange(8, col("invoice_date"))
-        .createOrReplaceTempView("graft_mvcdc_src")
+        .viewOn(s, "graft_mvcdc_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_mvcdc_src")
       s.sql(s"CALL graft.system.delete_mor('$b', " +
         "'pmod(customer_key, 7) = 3')")
@@ -1249,7 +1260,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
-        .createOrReplaceTempView("graft_sqltag_src")
+        .viewOn(s, "graft_sqltag_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqltag_src")
       s.sql(s"CALL graft.system.tag('$b', 'baseline', 0)")
       s.sql(s"DELETE FROM graft.`$b` WHERE country = 'NATION_6'")
@@ -1272,7 +1283,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).dimCustomer.repartitionByRange(8, col("country"))
-        .createOrReplaceTempView("graft_sqlsync_src")
+        .viewOn(s, "graft_sqlsync_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlsync_src")
       s.sql(s"CALL graft.system.delete_mor('$b', \"country = 'NATION_7'\")")
       val dim = s.sql(s"SELECT * FROM graft.`$b` VERSION AS OF 0")
@@ -1282,7 +1293,7 @@ object SparkEntry {
           .select((col("customer_key") + 1000000L).as("customer_key"),
             concat(col("customer_id"), lit("_B")).as("customer_id"),
             lit("NATION_5B").as("country")))
-        .createOrReplaceTempView("graft_sqlsync_upd")
+        .viewOn(s, "graft_sqlsync_upd")
       s.sql(s"""MERGE INTO graft.`$b` t USING graft_sqlsync_upd u
                |ON t.customer_id = u.customer_id
                |WHEN MATCHED THEN UPDATE SET *
@@ -1310,9 +1321,9 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, f, c, dd) {
       val wh = Warehouse(s, d)
-      wh.fact.createOrReplaceTempView("graft_star_fact_src")
-      wh.dimCustomer.createOrReplaceTempView("graft_star_dimc_src")
-      wh.dimDate.createOrReplaceTempView("graft_star_dimd_src")
+      wh.fact.viewOn(s, "graft_star_fact_src")
+      wh.dimCustomer.viewOn(s, "graft_star_dimc_src")
+      wh.dimDate.viewOn(s, "graft_star_dimd_src")
       s.sql(s"CREATE TABLE graft.`$f` AS SELECT * FROM graft_star_fact_src")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_star_dimc_src")
       s.sql(s"CREATE TABLE graft.`$dd` AS SELECT * FROM graft_star_dimd_src")
@@ -1360,7 +1371,7 @@ object SparkEntry {
     val b = dumpDir(s, d, "manhp")
     registerCatalog(s)
     ensureFixture(s, b) {
-      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_hp_cleaned")
+      Warehouse(s, d).cleaned.viewOn(s, "graft_hp_cleaned")
       s.conf.set("graft.write.splitByPartition", "true")
       try s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
         "(months(invoice_date)) AS SELECT * FROM graft_hp_cleaned")
@@ -1378,7 +1389,7 @@ object SparkEntry {
     val b = dumpDir(s, d, "manevo")
     registerCatalog(s)
     ensureFixture(s, b) {
-      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_evo_cleaned")
+      Warehouse(s, d).cleaned.viewOn(s, "graft_evo_cleaned")
       s.conf.set("graft.write.splitByPartition", "true")
       try {
         s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
@@ -1402,7 +1413,7 @@ object SparkEntry {
     val b = dumpDir(s, d, "manmdrop")
     registerCatalog(s)
     ensureFixture(s, b) {
-      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_mdrop_cleaned")
+      Warehouse(s, d).cleaned.viewOn(s, "graft_mdrop_cleaned")
       s.conf.set("graft.write.splitByPartition", "true")
       try s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
         "(months(invoice_date)) AS SELECT * FROM graft_mdrop_cleaned")
@@ -1431,7 +1442,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).cleaned
-        .createOrReplaceTempView("graft_evodrop_cleaned")
+        .viewOn(s, "graft_evodrop_cleaned")
       s.conf.set("graft.write.splitByPartition", "true")
       try s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY " +
         "(months(invoice_date)) AS SELECT * FROM graft_evodrop_cleaned")
@@ -1471,7 +1482,7 @@ object SparkEntry {
       try {
         Warehouse(s, d).dimCustomer
           .select("customer_key", "customer_id", "country")
-          .repartition(4).createOrReplaceTempView("graft_sqldlg_dim")
+          .repartition(4).viewOn(s, "graft_sqldlg_dim")
         s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqldlg_dim " +
           "WHERE customer_key % 8 IN (0, 1)")
         (2 to 7).foreach(i =>
@@ -1499,7 +1510,7 @@ object SparkEntry {
     ensureFixture(s, c) {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
-        .repartition(4).createOrReplaceTempView("graft_sqlnn_dim")
+        .repartition(4).viewOn(s, "graft_sqlnn_dim")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqlnn_dim " +
         "WHERE country IS DISTINCT FROM 'NATION_5'")
       s.sql(s"CALL graft.system.set_not_null('$c', 'country')")
@@ -1523,7 +1534,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).cleaned.repartitionByRange(8, col("country"))
-        .createOrReplaceTempView("graft_sqlmor_src")
+        .viewOn(s, "graft_sqlmor_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_sqlmor_src")
       // country-aligned on the clustered layout: full-file DV elision
       // retires the pure files and vectors only the boundary
@@ -1547,7 +1558,7 @@ object SparkEntry {
     val b = dumpDir(s, d, "mansqlovw")
     registerCatalog(s)
     ensureFixture(s, b) {
-      Warehouse(s, d).cleaned.createOrReplaceTempView("graft_sqlovw_src")
+      Warehouse(s, d).cleaned.viewOn(s, "graft_sqlovw_src")
       s.sql(s"CREATE TABLE graft.`$b` PARTITIONED BY (country) AS " +
         "SELECT * FROM graft_sqlovw_src")
       def overwriteFrom(src: String): Unit = {
@@ -1574,7 +1585,7 @@ object SparkEntry {
       Warehouse(s, d).dimCustomer
         .select("customer_key", "customer_id", "country")
         .repartitionByRange(4, col("country"))
-        .createOrReplaceTempView("graft_sqlcdf_dim")
+        .viewOn(s, "graft_sqlcdf_dim")
       s.sql(s"CREATE TABLE graft.`$c` AS SELECT * FROM graft_sqlcdf_dim " +
         "WHERE country IS DISTINCT FROM 'NATION_5'")
       s.sql(s"INSERT INTO graft.`$c` SELECT * FROM graft_sqlcdf_dim " +
@@ -1597,7 +1608,7 @@ object SparkEntry {
     registerCatalog(s)
     ensureFixture(s, b) {
       Warehouse(s, d).dimCustomer.repartition(8)
-        .createOrReplaceTempView("graft_cdfupd_src")
+        .viewOn(s, "graft_cdfupd_src")
       s.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft_cdfupd_src")
       val dim = ext.Manifests.readAt(s, b, 0)
       dim.filter(col("country") === "NATION_3")
@@ -1606,7 +1617,7 @@ object SparkEntry {
           .select((col("customer_key") + 1000000L).as("customer_key"),
             concat(col("customer_id"), lit("_B")).as("customer_id"),
             lit("NATION_5B").as("country")))
-        .createOrReplaceTempView("graft_cdfupd_upd")
+        .viewOn(s, "graft_cdfupd_upd")
       s.conf.set("graft.dml.mode", "mor")
       s.conf.set("graft.cdf.updateImages", "true")
       try s.sql(

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fixture table readers (see TESTDATA.md / FIXTURES.md §2).
@@ -47,4 +47,22 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Spread a scan whose FILE LAYOUT under-parallelizes the session before
+    * CPU-heavy per-row work (opt guide §2.5, "input skew: one huge
+    * unsplittable file → repartition immediately after the read"): the sf
+    * fixture tables are one single-row-group parquet file each, so every
+    * base scan plans exactly ONE task and per-row work above it (PNG
+    * encode/decode, shingle explosion, hashing) runs on 1 of N cores.
+    * Deterministic hash repartition on `key` (never round-robin: retried
+    * tasks must reproduce the same placement — SPARK-38388 class).
+    * A NO-OP whenever the lineage already has at least the session's
+    * default parallelism — the 100 TB case, where many files give the scan
+    * natural parallelism and an extra exchange would be pure cost. The
+    * shuffle this adds at fixture scale moves only the narrow projected
+    * input of the operator that asked for it. */
+  def spreadToCores(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
 }

@@ -31,8 +31,21 @@ object Warehouse {
 
   private val cache = TrieMap.empty[(String, String), Warehouse]
 
-  def apply(spark: SparkSession, dir: String): Warehouse =
-    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), build(spark, dir))
+  def apply(spark: SparkSession, dir: String): Warehouse = {
+    val wh = cache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), build(spark, dir))
+    // The memo is APP-scoped but a DataFrame is bound to the session that
+    // analyzed it: hand a sibling session (bench warm-up workers) frames
+    // re-rooted onto ITS session, or temp views / SQL-function
+    // registrations made by the caller would land on the wrong catalog
+    // (SessionShim.rebind; the shared cache manager matches the rebound
+    // plan by canonicalization, so the persisted stages are still hit).
+    def rb(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.SessionShim.rebind(spark, df)
+    if (wh.staging.sparkSession eq spark) wh
+    else Warehouse(rb(wh.staging), rb(wh.cleaned), rb(wh.dimProduct),
+      rb(wh.dimCustomer), rb(wh.dimDate), rb(wh.fact))
+  }
 
   /** Evict this session's cached warehouse stages (and the rank
     * intermediates they pin) — the release path for long-lived sessions.
@@ -64,9 +77,24 @@ object Warehouse {
     def p(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
     val staging = p(Staging.staging(spark, dir))
     val cleaned = p(Clean.cleaned(staging))
-    val dimP = p(Transform.dimProduct(cleaned))
-    val dimC = p(Transform.dimCustomer(cleaned))
-    val dimD = p(Transform.dimDate(cleaned))
+    // The dim builds are EAGER (surrogate-key ranking runs a range-sample
+    // job + a partition-counts job each — Keys.withRank), and construction
+    // used to run them back-to-back: 3 × (2 small jobs + a persist), each
+    // leaving most of the cluster idle. Materialize `cleaned` once so the
+    // dims never race to fill its cache, then build the three dims from a
+    // thread pool so their jobs back-fill each other's stragglers
+    // (opt guide §2.6 — overlap independent jobs; actions are sequential
+    // only because driver code calls them sequentially).
+    cleaned.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fP = Future(p(Transform.dimProduct(cleaned)))
+    val fC = Future(p(Transform.dimCustomer(cleaned)))
+    val fD = Future(p(Transform.dimDate(cleaned)))
+    val dimP = Await.result(fP, Duration.Inf)
+    val dimC = Await.result(fC, Duration.Inf)
+    val dimD = Await.result(fD, Duration.Inf)
     val fact = p(Transform.factSales(cleaned, dimP, dimC, dimD))
     Warehouse(staging, cleaned, dimP, dimC, dimD, fact)
   }

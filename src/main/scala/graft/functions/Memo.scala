@@ -17,8 +17,13 @@ object Memo {
   private val cache = TrieMap.empty[(String, String, String), DataFrame]
 
   def apply(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    // rebind: the memo is app-scoped, the frame session-bound — a sibling
+    // session (bench warm-up workers) gets the plan re-rooted onto its own
+    // session; the app-shared cache manager still serves the persisted
+    // blocks via canonicalized-plan match (SessionShim.rebind doc).
+    org.apache.spark.sql.graft.SessionShim.rebind(spark,
+      cache.getOrElseUpdate((spark.sparkContext.applicationId, dir, name),
+        build.persist(StorageLevel.MEMORY_AND_DISK)))
 
   /** Evict this session's memoized intermediates (long-lived sessions that
     * cycle through many sf-dirs would otherwise accumulate storage without

@@ -161,7 +161,10 @@ object Dedup {
     val mins = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("_hp") + lit(b)) % hashPrime).as(s"m_$i")
     }
-    shingles(docs)
+    // the shingle explosion + 32 permutation-min partial aggregates sit
+    // directly on the base scan — spread when under-parallelized (no-op
+    // at real scale; see Tables.spreadToCores)
+    shingles(graft.Tables.spreadToCores(docs, col("doc_id")))
       .withColumn("_hp", fastHash60(docs.sparkSession, col("shingle")) % hashPrime)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -590,7 +593,12 @@ object Dedup {
     val cands = cachedCands(spark, dir)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    // the semi-join broadcasts candIds, so candDocs inherits the base
+    // scan's (single-file → single-task) layout; the shingle explosion +
+    // collect_set above it is this query's expensive stage — spread first
+    // (no-op at real scale; see Tables.spreadToCores)
+    val candDocs = graft.Tables.spreadToCores(
+      docs.join(candIds, Seq("doc_id"), "left_semi"), col("doc_id"))
     val sets = shingles(candDocs).groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("shingle_set"))
     val setA = sets.toDF("doc_a", "set_a")
@@ -618,7 +626,10 @@ object Dedup {
     val assembled = (0 until simhashBits).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(shiftleft(when(col(s"v_$i") > 0, lit(1L)).otherwise(lit(0L)), i))
     }
-    docs
+    // tokenize + 60 bit-vote partial aggregates are the expensive stage
+    // and sit directly on the base scan — spread the (doc_id, text) input
+    // when the file layout under-parallelizes it (no-op at real scale)
+    graft.Tables.spreadToCores(docs, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("th", fastHash60(docs.sparkSession, col("tok")))
       .groupBy("doc_id")

@@ -116,7 +116,14 @@ object Multimodal {
     * no shuffle of pixel data). */
   def syntheticImages(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id").as[Long].mapPartitions { it =>
+    // encode is CPU-bound per-row work directly above a base scan; the
+    // fixture table is one single-row-group file (one task), so spread
+    // the doc_id column across the cores first (no-op at real scale —
+    // Tables.spreadToCores). r18: the single-task encode+write made the
+    // image-file fixture a 50 s wall (1 of 32 cores busy).
+    Tables.spreadToCores(
+      Tables.documents(spark, dir).select("doc_id"), col("doc_id"))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // in-memory encode, no /tmp spill
       it.map { id =>
         val (w, h) = (imgWidth(id), imgHeight(id))
